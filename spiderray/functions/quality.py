@@ -1,0 +1,159 @@
+"""Per-transcript quality metrics + CEPF-style density score.
+
+The reference's CEPF body-extraction scorer works bottom-up over DOM nodes
+(/root/reference/extract/content.go:1020-1104):
+
+    score = ln(sqrt(var(leafList) + 1)) * DensitySum
+            * ln(TextCount - LinkTextCount + 1) * log10(PCount + 1)
+
+with variance special cases (empty → 0, single leaf → leaf/2,
+content.go:1079-1104) and Density = pure_text / pure_tags
+(content.go:1042-1048).
+
+For a transcript there is no DOM; the engine analog (SURVEY.md §2.8) treats
+*lines* as leaves:
+  * leafList   = per-line rune counts
+  * TextCount  = total runes, LinkTextCount = runes inside URL-ish matches
+  * TagCount   = line count, LinkTagCount = lines that are purely URL-ish
+  * Density    = (TextCount-LinkTextCount)/(TagCount-LinkTagCount), 0 on
+                 zero denominators (content.go:1044-1048)
+  * DensitySum = sum over lines of each line's own density
+                 (line_pure_runes / 1 — a line is one "tag")
+  * PCount     = lines ending in sentence-final punctuation 。．.!?！？…
+                 (the "paragraph" analog of content.go:1038-1040)
+
+Auxiliary ratio metrics mirror the classes the reference strips/thresholds
+(punct+symbol class [\\pP\\pS] lang.go:109; brace guard lang.go:372-374;
+repeated-line boilerplate = the intra-record dedup analog of SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+import regex as _re
+
+_RE_PS = _re.compile(r"[\p{P}\p{S}]")
+_RE_DIGIT = re.compile(r"[0-9]")
+_RE_SPACE = re.compile(r"\s")
+_RE_URLISH = re.compile(r"(?:https?://|www\.)\S+", re.IGNORECASE)
+_SENTENCE_END = ("。", "．", ".", "!", "?", "！", "？", "…")
+
+METRIC_FIELDS = (
+    "text_len", "n_lines", "punct_ratio", "symbol_ratio", "digit_ratio",
+    "space_ratio", "max_line_dup", "line_len_var", "linkish_ratio",
+    "brace_pairs", "word_count", "han_count", "quality_score",
+)
+
+
+@dataclass
+class QualityMetrics:
+    text_len: int
+    n_lines: int
+    punct_ratio: float
+    symbol_ratio: float
+    digit_ratio: float
+    space_ratio: float
+    max_line_dup: float      # most-frequent non-empty line count / n_lines
+    line_len_var: float
+    linkish_ratio: float     # runes inside URL-ish matches / runes
+    brace_pairs: int         # min(count "{", count "}")  (lang.go:372-374)
+    word_count: int
+    han_count: int
+    quality_score: float
+
+
+def leaf_var(leaf_list: list[int]) -> float:
+    """computeVar clone (/root/reference/extract/content.go:1079-1104)."""
+    n = len(leaf_list)
+    if n == 0:
+        return 0.0
+    if n == 1:
+        return leaf_list[0] / 2.0
+    ave = sum(leaf_list) / n
+    return sum((x - ave) ** 2 for x in leaf_list) / n
+
+
+def cepf_score(
+    leaf_list: list[int],
+    density_sum: float,
+    text_count: int,
+    link_text_count: int,
+    p_count: int,
+) -> float:
+    """computeScore clone (/root/reference/extract/content.go:1067-1077)."""
+    value = math.sqrt(leaf_var(leaf_list) + 1.0)
+    score_log10 = math.log10(p_count + 1.0)
+    pure = float(text_count - link_text_count)
+    score_log = math.log(pure + 1.0) if pure + 1.0 > 0 else 0.0
+    return math.log(value) * density_sum * score_log * score_log10
+
+
+def compute_metrics(text: str) -> QualityMetrics:
+    """Row-at-a-time metrics (oracle path). The vectorized batch version in
+    stages/quality_stage.py must agree exactly."""
+    n = len(text)
+    lines = [ln.strip() for ln in text.split("\n")]
+    nonempty = [ln for ln in lines if ln]
+    n_lines = len(nonempty) if nonempty else 0
+
+    import unicodedata
+
+    punct = symbol = 0
+    for ch in text:
+        cat = unicodedata.category(ch)
+        if cat.startswith("P"):
+            punct += 1
+        elif cat.startswith("S"):
+            symbol += 1
+    digits = len(_RE_DIGIT.findall(text))
+    spaces = len(_RE_SPACE.findall(text))
+
+    link_runes = sum(len(m) for m in _RE_URLISH.findall(text))
+    link_lines = sum(1 for ln in nonempty if ln and _RE_URLISH.sub("", ln).strip() == "")
+
+    leaf_list = [len(ln) for ln in nonempty]
+    p_count = sum(1 for ln in nonempty if ln.endswith(_SENTENCE_END))
+
+    density_sum = 0.0
+    for ln in nonempty:
+        pure = len(ln) - sum(len(m) for m in _RE_URLISH.findall(ln))
+        density_sum += float(max(pure, 0))
+
+    tag_count = max(n_lines, 1)
+    pure_len = n - link_runes
+    tag_len = tag_count - link_lines
+    # density itself feeds nothing downstream yet but is kept for parity with
+    # countInfo (content.go:1042-1048); quality_score uses the log-product.
+    score = cepf_score(leaf_list, density_sum, n, link_runes, p_count)
+
+    dup_ratio = 0.0
+    if n_lines:
+        most = Counter(nonempty).most_common(1)[0][1]
+        dup_ratio = most / n_lines
+
+    from .vectext import RANGES
+
+    han_ranges = RANGES["han"]
+    han = sum(1 for ch in text if any(lo <= ord(ch) <= hi for lo, hi in han_ranges))
+
+    words = [w for w in text.split() if w]
+
+    return QualityMetrics(
+        text_len=n,
+        n_lines=n_lines,
+        punct_ratio=punct / n if n else 0.0,
+        symbol_ratio=symbol / n if n else 0.0,
+        digit_ratio=digits / n if n else 0.0,
+        space_ratio=spaces / n if n else 0.0,
+        max_line_dup=dup_ratio,
+        line_len_var=leaf_var(leaf_list),
+        linkish_ratio=link_runes / n if n else 0.0,
+        brace_pairs=min(text.count("{"), text.count("}")),
+        word_count=len(words),
+        han_count=han,
+        quality_score=score,
+    )

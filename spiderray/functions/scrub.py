@@ -1,0 +1,79 @@
+"""ICP extraction + PII scrub bank (M14 generalized; SURVEY.md §2.2).
+
+The reference's ICP-licence cascade (/root/reference/extract/icp.go:55-110) is
+the prototype: a priority-ordered bank of precompiled regexes with
+first-match-wins extraction.  The engine generalizes it to a scrubber:
+every pattern kind is found, recorded in ``pii_found`` and replaced with a
+``<KIND>`` token, in a fixed deterministic order so scrubbed output is
+byte-stable.
+
+Go's RE2 is leftmost-longest for alternations while Python ``re``/``regex``
+are leftmost-first; the ICP patterns below order alternatives longest-first
+(``备案|备|证``) so both engines agree (SURVEY.md §7 hard-point 1), pinned by
+the icp_test.go fixtures in tests/test_scrub.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import regex as _re
+
+from .maps import PROVINCE_SHORT_MAP
+
+_PROV = "京|津|冀|晋|蒙|辽|吉|黑|沪|苏|浙|皖|闽|赣|鲁|豫|鄂|湘|粤|桂|琼|川|蜀|贵|黔|云|滇|渝|藏|陇|甘|陕|秦|青|宁|新"
+
+# /root/reference/extract/icp.go:56-58 (alternation reordered longest-first
+# to reproduce RE2 leftmost-longest: 备案 before 备)
+RE_ICP = _re.compile(rf"(?i)({_PROV})ICP(备案|备|证)?[0-9]+")
+RE_ICP_GA = _re.compile(rf"(?i)({_PROV})公网安备[0-9]+")
+RE_ICP_DX = _re.compile(rf"(?i)({_PROV})B2-[0-9]+")
+
+
+def icp_from_text(text: str) -> tuple[str, str]:
+    """IcpFromText clone (/root/reference/extract/icp.go:81-110): ICP →
+    公网安备 → B2, first match wins; returns (matched, province short char)."""
+    for pat in (RE_ICP, RE_ICP_GA, RE_ICP_DX):
+        m = pat.search(text)
+        if m:
+            return m.group(0), m.group(1)
+    return "", ""
+
+
+def icp_province(short: str) -> str:
+    """Province char → full name via ProvinceShortMap (icp.go:12-53)."""
+    return PROVINCE_SHORT_MAP.get(short, "")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub bank.  Order is semantic priority AND determinism contract:
+# url before email would eat mailto-ish text, so email runs first; phones
+# after IDs so an 18-digit ID is not half-eaten as a phone.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, "re.Pattern | _re.Pattern"]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")),
+    ("url", re.compile(r"(?:https?://|www\.)[^\s<>\"']+", re.IGNORECASE)),
+    ("icp", _re.compile(rf"(?i)({_PROV})(?:ICP(?:备案|备|证)?|公网安备|B2-)[0-9]+(?:-[0-9]+)?号?")),
+    ("id_cn", re.compile(r"(?<![0-9])[1-9][0-9]{16}[0-9Xx](?![0-9])")),
+    ("ssn", re.compile(r"(?<![0-9\-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9\-])")),
+    ("phone_cn", re.compile(r"(?<![0-9])(?:\+?86[\- ]?)?1[3-9][0-9]{9}(?![0-9])")),
+    ("phone_intl", re.compile(r"(?<![0-9\-])(?:\+[0-9]{1,3}[\- ])?(?:\([0-9]{2,4}\)[\- ]?)?[0-9]{3,4}-[0-9]{3,4}-?[0-9]{0,4}(?![0-9])")),
+    ("ipv4", re.compile(r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])")),
+]
+
+_TOKENS = {kind: f"<{kind.upper()}>" for kind, _ in PII_PATTERNS}
+
+
+def scrub_text(text: str) -> tuple[str, list[dict[str, str]]]:
+    """Apply the full bank in order; returns (scrubbed, pii_found) where
+    pii_found is a list of {kind, value} in match order (byte-stable)."""
+    found: list[dict[str, str]] = []
+    for kind, pat in PII_PATTERNS:
+        token = _TOKENS[kind]
+
+        def _cap(m, kind=kind, token=token):
+            found.append({"kind": kind, "value": m.group(0)})
+            return token
+
+        text = pat.sub(_cap, text)
+    return text, found

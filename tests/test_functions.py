@@ -1,0 +1,431 @@
+"""Fixture tests for the pure function bank, transcribed from the reference's
+hermetic tests (SURVEY.md §5.1 style 2) plus FIXTURES.md strata."""
+
+import math
+
+import pytest
+
+from spiderray.functions import (
+    charset,
+    domains,
+    keepdrop,
+    langid,
+    quality,
+    scrub,
+    similarity,
+    textnorm,
+    titleclean,
+    urlfilter,
+)
+
+
+class TestTextnorm:
+    def test_remove_lines(self):
+        assert textnorm.remove_lines("a\r\nb\nc\rd") == "abcd"
+
+    def test_normalise_space(self):
+        assert textnorm.normalise_space("  a \t b\n\nc ") == "a b c"
+
+    def test_remove_sign(self):
+        assert textnorm.remove_sign("你好，世界！hello.") == "你好世界hello"
+        assert textnorm.remove_sign("a+b=c $5 €") == "abc 5 "
+
+    def test_sub_string(self):
+        assert textnorm.sub_string("abcdef", 0, 3) == "abc"
+        assert textnorm.sub_string("汉字测试", 0, 2) == "汉字"
+        assert textnorm.sub_string("ab", 0, 10) == "ab"
+
+    def test_split_trim(self):
+        assert textnorm.split_trim(" /a/b//c/ ", "/") == ["a", "b", "c"]
+
+    def test_clean_for_lang_double_space(self):
+        # strings.ReplaceAll(text, "  ", "") removes two-space runs outright
+        assert "  " not in textnorm.clean_for_lang("word  word word")
+
+
+class TestCharset:
+    def test_valid_utf8(self):
+        assert charset.detect_charset("你好".encode()) == ("UTF-8", "valid")
+
+    def test_header(self):
+        body = "abc".encode("gbk") + b"\xd6\xd0"
+        cs, pos = charset.detect_charset(body, "text/html; charset=gbk")
+        assert (cs, pos) == ("GBK", "header")
+
+    def test_html5_meta(self):
+        body = b'<html><head><meta charset="gb2312"></head>\xd6\xd0</html>'
+        cs, pos = charset.detect_charset(body, None)
+        assert (cs, pos) == ("GBK", "html")
+
+    def test_html4_meta(self):
+        body = (
+            b'<meta http-equiv="Content-Type" content="text/html; charset=big5">\xa4\xa4'
+        )
+        cs, pos = charset.detect_charset(body, None)
+        assert (cs, pos) == ("Big5", "html")
+
+    def test_conflict_iso_header_loses(self):
+        body = b'<meta charset="utf8">\xff\xfe invalid'
+        cs, pos = charset.detect_charset(body, "text/html; charset=ISO-8859-1")
+        assert (cs, pos) == ("UTF-8", "html")
+
+    def test_conflict_header_wins(self):
+        body = b'<meta charset="big5">\xd6\xd0'
+        cs, pos = charset.detect_charset(body, "text/html; charset=gbk")
+        assert (cs, pos) == ("GBK", "header")
+
+    def test_both_html_tags_earliest_wins(self):
+        body = (
+            b'<meta charset="big5"><meta http-equiv="content-type" '
+            b'content="text/html; charset=gbk">\xd6\xd0'
+        )
+        cs, pos = charset.detect_charset(body, None)
+        assert (cs, pos) == ("Big5", "html")
+
+    def test_alias_normalization(self):
+        assert charset.convert_charset("utf8") == "UTF-8"
+        assert charset.convert_charset("GB2312") == "GBK"
+        assert charset.convert_charset("gb18030") == "GBK"
+        assert charset.convert_charset("BIG5-HKSCS") == "Big5"
+        assert charset.convert_charset("Shift-JIS") == "SHIFT_JIS"
+
+    def test_guess(self):
+        body = "中文内容没有任何标签提示编码信息".encode("gbk")
+        cs, pos = charset.detect_charset(body, None)
+        assert pos == "guess"
+        assert cs == "GBK"
+
+    def test_to_utf8_roundtrip(self):
+        s = "中文转码测试"
+        assert charset.to_utf8(s.encode("gbk"), "GBK") == s
+        assert charset.to_utf8(b"\xff\xff\xff", "UTF-8") is None
+
+
+ZH_GOOD = "今天上午，市政府召开了关于城市交通治理的专题会议，与会代表就公共交通优化方案进行了深入讨论。" * 3
+EN_GOOD = (
+    "The committee met this morning to discuss the proposed changes to the "
+    "public transportation system and the members agreed that more work was needed."
+)
+FR_GOOD = (
+    "Le gouvernement a annoncé une série de mesures pour améliorer la qualité "
+    "de l'air dans les grandes villes et les représentants des associations ont "
+    "salué cette décision très attendue après des années de débats."
+)
+JA_MIXED = "政府は今日、新しい交通政策を発表しました。これにより、市民の生活はより便利になるでしょう。" * 3
+KO_TEXT = "정부는 오늘 새로운 교통 정책을 발표했습니다 시민들은 이번 결정을 환영했습니다 교통 체증이 줄어들 것으로 기대됩니다"
+RU_TEXT = (
+    "Правительство объявило сегодня о новых мерах по улучшению качества "
+    "воздуха в крупных городах страны и эксперты поддержали это решение"
+)
+AR_TEXT = "أعلنت الحكومة اليوم عن مجموعة من الإجراءات الجديدة لتحسين جودة الهواء في المدن الكبرى ورحب الخبراء بهذا القرار المهم"
+HI_TEXT = "सरकार ने आज बड़े शहरों में वायु गुणवत्ता में सुधार के लिए नए उपायों की घोषणा की और विशेषज्ञों ने इस निर्णय का स्वागत किया है"
+
+
+class TestLangid:
+    def test_charset_shortcut(self):
+        assert langid.detect_lang("anything", charset="GBK") == ("zh", "charset")
+        assert langid.detect_lang("anything", charset="EUC-KR") == ("ko", "charset")
+
+    def test_title_zh(self):
+        lang, pos = langid.detect_lang(ZH_GOOD, title="中国新闻网_新闻中心")
+        assert (lang, pos) == ("zh", "title")
+
+    def test_title_ja_override(self):
+        lang, pos = langid.detect_lang(JA_MIXED, title="日本語新聞")
+        assert (lang, pos) == ("ja", "title")
+
+    def test_meta_hint(self):
+        assert langid.detect_lang("x", meta_lang="fr-FR") == ("fr", "html")
+        # en meta hint is NOT trusted → falls through to body analysis
+        lang, pos = langid.detect_lang(EN_GOOD, meta_lang="en")
+        assert (lang, pos) == ("en", "body")
+
+    def test_body_zh(self):
+        assert langid.lang_from_text(ZH_GOOD) == ("zh", "body")
+
+    def test_body_ja(self):
+        assert langid.lang_from_text(JA_MIXED) == ("ja", "body")
+
+    def test_body_en(self):
+        assert langid.lang_from_text(EN_GOOD) == ("en", "body")
+
+    def test_body_fr_lingua_branch(self):
+        lang, pos = langid.lang_from_text(FR_GOOD)
+        assert (lang, pos) == ("fr", "lingua")
+
+    def test_body_nonlatin(self):
+        assert langid.lang_from_text(RU_TEXT) == ("ru", "lingua")
+        assert langid.lang_from_text(AR_TEXT) == ("ar", "lingua")
+        assert langid.lang_from_text(HI_TEXT) == ("hi", "lingua")
+        assert langid.lang_from_text(KO_TEXT) == ("ko", "lingua")
+
+    def test_too_short(self):
+        assert langid.lang_from_text("short text") == ("", "")
+
+    def test_chunk_cap(self):
+        # only the first 2048 sign-stripped runes are analyzed
+        text = EN_GOOD * 100 + ZH_GOOD * 100
+        assert langid.lang_from_text(text) == ("en", "body")
+
+
+class TestKeepDrop:
+    def test_zh_content(self):
+        assert keepdrop.classify_text("市政府召开专题会议讨论交通治理方案", "zh") == "content"
+
+    def test_zh_short_punct_rescue(self):
+        assert keepdrop.classify_text("你好，世界啊真好", "zh") == "content"
+        # >5 han, <8 runes, with zh punctuation → content
+        assert keepdrop.classify_text("快讯：股市大涨", "zh") == "content"
+
+    def test_zh_list(self):
+        assert keepdrop.classify_text("新闻中心", "zh") == "list"
+
+    def test_zh_none_and_whitelist(self):
+        assert keepdrop.classify_text("latest news", "zh") == "none"
+        assert keepdrop.classify_text("NBA", "zh") == "list"
+
+    def test_word_lang(self):
+        assert keepdrop.classify_text("Mayor survives assassination attempt in January", "en") == "content"
+        assert keepdrop.classify_text("Home page", "en") == "list"
+        assert keepdrop.classify_text("123 456", "en") == "none"
+
+    def test_other_lang(self):
+        assert keepdrop.classify_text("こんにちは世界、今日はいい天気", "ja") == "content"
+        assert keepdrop.classify_text("こんにちは", "ja") == "list"
+
+    def test_blacklist(self):
+        assert keepdrop.is_blacklisted_zh("增值电信业务经营许可证 B2-123", "zh")
+        assert not keepdrop.is_blacklisted_zh("正常的新闻标题内容", "zh")
+
+    def test_decide_keep(self):
+        m = quality.compute_metrics(ZH_GOOD)
+        keep, reason, label = keepdrop.decide(ZH_GOOD, "zh", m)
+        assert keep and reason == "" and label == "content"
+
+    def test_decide_drop_codec(self):
+        m = quality.compute_metrics(ZH_GOOD)
+        assert keepdrop.decide(ZH_GOOD, "zh", m, codec_ok=False) == (False, "bad_codec", "none")
+
+    def test_decide_drop_too_short(self):
+        m = quality.compute_metrics("hi")
+        assert keepdrop.decide("hi", "", m)[1] == "too_short"
+
+    def test_decide_drop_boilerplate(self):
+        text = "\n".join(["same line here"] * 10)
+        m = quality.compute_metrics(text)
+        keep, reason, _ = keepdrop.decide(text, "en", m)
+        assert not keep and reason == "boilerplate"
+
+    def test_decide_drop_dynamic(self):
+        text = "{a} {b} {c} {d} {e} " + EN_GOOD
+        m = quality.compute_metrics(text)
+        keep, reason, _ = keepdrop.decide(text, "en", m)
+        assert not keep and reason == "dynamic_render"
+
+
+class TestQuality:
+    def test_leaf_var_special_cases(self):
+        assert quality.leaf_var([]) == 0.0
+        assert quality.leaf_var([10]) == 5.0
+        assert quality.leaf_var([2, 4]) == 1.0
+
+    def test_cepf_score_shape(self):
+        s = quality.cepf_score([40, 42, 38], 120.0, 120, 0, 3)
+        assert s > 0
+        assert math.isfinite(s)
+
+    def test_metrics_basic(self):
+        m = quality.compute_metrics("Hello, world!\nSecond line.\n")
+        assert m.n_lines == 2
+        assert m.text_len == len("Hello, world!\nSecond line.\n")
+        assert 0 < m.punct_ratio < 0.3
+        assert m.max_line_dup == 0.5
+
+    def test_metrics_dup(self):
+        m = quality.compute_metrics("\n".join(["x"] * 8))
+        assert m.max_line_dup == 1.0
+
+
+class TestScrub:
+    # /root/reference/extract/icp_test.go:6-14
+    @pytest.mark.parametrize(
+        "text,icp,loc",
+        [
+            ("粤ICP备17055554号", "粤ICP备17055554", "粤"),
+            ("粤ICP备17055554-34号", "粤ICP备17055554", "粤"),
+            ("沪ICP备05018492", "沪ICP备05018492", "沪"),
+            ("粤B2-20090059", "粤B2-20090059", "粤"),
+            ("京公网安备31010402001073号", "京公网安备31010402001073", "京"),
+            ("京公网安备-31010-4020010-73号", "", ""),
+            ("鲁ICP备05002386鲁公网安备37070502000027号", "鲁ICP备05002386", "鲁"),
+        ],
+    )
+    def test_icp_from_text(self, text, icp, loc):
+        assert scrub.icp_from_text(text) == (icp, loc)
+
+    def test_icp_province(self):
+        assert scrub.icp_province("粤") == "广东"
+        assert scrub.icp_province("京") == "北京"
+        assert scrub.icp_province("?") == ""
+
+    def test_scrub_email_url(self):
+        s, found = scrub.scrub_text("contact me at a.b@example.com or https://example.com/x?q=1 now")
+        assert s == "contact me at <EMAIL> or <URL> now"
+        assert [f["kind"] for f in found] == ["email", "url"]
+        assert found[0]["value"] == "a.b@example.com"
+
+    def test_scrub_phone_id(self):
+        s, found = scrub.scrub_text("call 13812345678 id 110101199003071234 ssn 123-45-6789")
+        kinds = {f["kind"] for f in found}
+        assert "phone_cn" in kinds and "id_cn" in kinds and "ssn" in kinds
+        assert "13812345678" not in s and "110101199003071234" not in s
+
+    def test_scrub_deterministic(self):
+        text = "粤ICP备17055554号 and foo@bar.com twice foo@bar.com"
+        s1, f1 = scrub.scrub_text(text)
+        s2, f2 = scrub.scrub_text(text)
+        assert s1 == s2 and f1 == f2
+        assert s1.count("<EMAIL>") == 2
+
+
+class TestTitleClean:
+    # /root/reference/extract/web_test.go:14-20 shapes
+    def test_zh_underscore(self):
+        out = titleclean.web_title_clean(
+            "“暴徒试图杀死他！”阿拉木图市长在1月5日的暗杀企图中幸存_网易订阅", "zh"
+        )
+        assert out == textnorm.remove_sign("“暴徒试图杀死他！”阿拉木图市长在1月5日的暗杀企图中幸存")
+
+    def test_zh_multi(self):
+        out = titleclean.web_title_clean("北极圈内最高温达到38℃ 北极熊还好吗？南极情况怎么样？_科技频道_中国青年网", "zh")
+        assert out == textnorm.remove_sign("北极圈内最高温达到38℃ 北极熊还好吗？南极情况怎么样？")
+
+    def test_en_pipe(self):
+        out = titleclean.web_title_clean(
+            "About the Project on Nuclear Issues | Center for Strategic and International Studies", "en"
+        )
+        assert out == "About the Project on Nuclear Issues"
+
+    def test_zh_shouye(self):
+        assert titleclean.web_title_clean("首页 - 某某新闻网", "zh") == textnorm.remove_sign("某某新闻网")
+
+    def test_web_title_cap(self):
+        assert len(titleclean.web_title("x" * 300)) == 128
+        assert titleclean.web_title("a\nb  ", 0) == "ab"
+
+    def test_content_title_clean(self):
+        assert titleclean.web_content_title_clean("标题内容_站点名", "zh") == "标题内容"
+        assert titleclean.web_content_title_clean("Title: subtitle here", "en") == "Title"
+
+
+class TestDomains:
+    # /root/reference/extract/domain_test.go:8-63
+    @pytest.mark.parametrize(
+        "host,top",
+        [
+            ("www.net.cn", "www.net.cn"),
+            ("hi.chinanews.com", "chinanews.com"),
+            ("a.wh.cn", "wh.cn"),
+            ("siat.ac.cn", "siat.ac.cn"),
+            ("abc.spring.io", "spring.io"),
+            ("abc.spring.ai", "spring.ai"),
+            ("www.china-embassy.or.jp", "china-embassy.or.jp"),
+            ("legismac.safp.gov.mo", "safp.gov.mo"),
+            ("www.gov.cn", "www.gov.cn"),
+            ("scopsr.gov.cn", "scopsr.gov.cn"),
+            ("usa.gov", "usa.gov"),
+            ("bbc.co.uk", "bbc.co.uk"),
+            ("dealer.auto.sohu.com", "sohu.com"),
+            ("bbs.sohu.com", "sohu.com"),
+        ],
+    )
+    def test_domain_top(self, host, top):
+        assert domains.domain_top(host) == top
+
+    def test_domain_parse_parts(self):
+        d = domains.domain_parse("dealer.auto.sohu.com")
+        assert (d.subdomain, d.domain, d.tld) == ("dealer.auto", "sohu", "com")
+        assert domains.domain_parse("com") is None
+        assert domains.domain_parse("") is None
+
+    # /root/reference/extract/meta_test.go:5-17 (lang="")
+    @pytest.mark.parametrize(
+        "host,expected",
+        [
+            ("matichon.co.th", ("", "", "")),
+            ("wanbao.com.sg", ("", "", "")),
+            ("archives.gov.mo", ("中国", "", "政务")),
+            ("mfa.gov.sg", ("新加坡", "", "政务")),
+            ("nasa.gov", ("美国", "", "政务")),
+        ],
+    )
+    def test_meta_from_host(self, host, expected):
+        assert domains.meta_from_host(host, "") == expected
+
+    def test_meta_from_host_lang(self):
+        assert domains.meta_from_host("news.sina.com.cn", "zh") == ("中国", "", "")
+        assert domains.meta_from_host("example.co.jp", "ja") == ("日本", "", "")
+        assert domains.meta_from_host("archives.gov.mo", "zh") == ("中国", "中国澳门", "政务")
+
+
+class TestUrlFilter:
+    BASE = "http://www.163.com/a/b/"
+
+    def test_relative_resolution(self):
+        u, reason = urlfilter.filter_url("./c/123.html", self.BASE, True)
+        assert reason == "" and u == "http://www.163.com/a/b/c/123.html"
+        u, reason = urlfilter.filter_url("../c/123.html", self.BASE, True)
+        assert reason == "" and u == "http://www.163.com/a/c/123.html"
+        u, reason = urlfilter.filter_url("/c/123.html", self.BASE, True)
+        assert reason == "" and u == "http://www.163.com/c/123.html"
+
+    def test_protocol_relative(self):
+        u, reason = urlfilter.filter_url("//www.163.com/c/123.html", self.BASE, True)
+        assert reason == "" and u == "http://www.163.com/c/123.html"
+
+    def test_suffix_reject(self):
+        _, reason = urlfilter.filter_url("//www.163.com/c/123.pdf?abc=1123", self.BASE, True)
+        assert reason == "invalid url with suffix"
+
+    def test_illegal_chars(self):
+        _, reason = urlfilter.filter_url("http://a.com/x{y}", self.BASE, False)
+        assert reason == "invalid url with illegal characters"
+
+    def test_port_and_ip(self):
+        _, reason = urlfilter.filter_url("http://a.163.com:8080/x/1.html", self.BASE, False)
+        assert reason == "invalid url with not 80 port"
+        _, reason = urlfilter.filter_url("http://1.2.3.4/x/1.html", self.BASE, False)
+        assert reason == "invalid url with ip hostname"
+
+    def test_strict_domain(self):
+        _, reason = urlfilter.filter_url("http://www.sohu.com/x/1.html", self.BASE, True)
+        assert reason == "invalid url with strict domain"
+        _, reason = urlfilter.filter_url("http://news.163.com/x/1.html", self.BASE, True)
+        assert reason == ""
+
+    def test_publish_date_path(self):
+        assert urlfilter.has_publish_date_path("/2024/01/15/slug.html")
+        assert urlfilter.has_publish_date_path("/news/2024-01-15/slug.html")
+        assert not urlfilter.has_publish_date_path("/about/team.html")
+
+    def test_default_path(self):
+        assert urlfilter.is_default_path("/")
+        assert urlfilter.is_default_path("")
+        assert urlfilter.is_default_path("/index.html")
+        assert not urlfilter.is_default_path("/news/index.html")
+
+
+class TestSimilarity:
+    def test_identity(self):
+        assert similarity.similarity_text("abc", "abc") == 1.0
+
+    def test_disjoint(self):
+        assert similarity.similarity_text("abc", "xyz") == 0.0
+
+    def test_max_similarity_first_wins(self):
+        i, s = similarity.max_similarity("abcd", ["abcd", "abcd", "zzzz"])
+        assert i == 0 and s == 1.0
+
+    def test_threshold(self):
+        assert similarity.title_sim_threshold("zh") == 0.3
+        assert similarity.title_sim_threshold("en") == 0.5
