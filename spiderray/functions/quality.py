@@ -37,6 +37,9 @@ from dataclasses import dataclass
 import regex as _re
 
 _RE_PS = _re.compile(r"[\p{P}\p{S}]")
+_RE_P = _re.compile(r"\p{P}")
+_RE_S = _re.compile(r"\p{S}")
+_RE_HAN = _re.compile(r"\p{Han}")
 _RE_DIGIT = re.compile(r"[0-9]")
 _RE_SPACE = re.compile(r"\s")
 _RE_URLISH = re.compile(r"(?:https?://|www\.)\S+", re.IGNORECASE)
@@ -100,15 +103,8 @@ def compute_metrics(text: str) -> QualityMetrics:
     nonempty = [ln for ln in lines if ln]
     n_lines = len(nonempty) if nonempty else 0
 
-    import unicodedata
-
-    punct = symbol = 0
-    for ch in text:
-        cat = unicodedata.category(ch)
-        if cat.startswith("P"):
-            punct += 1
-        elif cat.startswith("S"):
-            symbol += 1
+    punct = len(_RE_P.findall(text))
+    symbol = len(_RE_S.findall(text))
     digits = len(_RE_DIGIT.findall(text))
     spaces = len(_RE_SPACE.findall(text))
 
@@ -135,10 +131,7 @@ def compute_metrics(text: str) -> QualityMetrics:
         most = Counter(nonempty).most_common(1)[0][1]
         dup_ratio = most / n_lines
 
-    from .vectext import RANGES
-
-    han_ranges = RANGES["han"]
-    han = sum(1 for ch in text if any(lo <= ord(ch) <= hi for lo, hi in han_ranges))
+    han = len(_RE_HAN.findall(text))
 
     words = [w for w in text.split() if w]
 

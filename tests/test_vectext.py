@@ -47,13 +47,13 @@ def test_counts_match_regex_on_samples():
     assert got["_len"].tolist() == [len(s) for s in SAMPLES]
 
 
-def test_punct_symbol_matches_unicodedata():
+def test_punct_symbol_matches_regex():
+    pat_ps = _re.compile(r"[\p{P}\p{S}]")
+    pat_p = _re.compile(r"\p{P}")
     got = vectext.counts(SAMPLES, ["punct_symbol", "punct"])
     for i, s in enumerate(SAMPLES):
-        ps = sum(1 for ch in s if unicodedata.category(ch)[0] in "PS")
-        p = sum(1 for ch in s if unicodedata.category(ch)[0] == "P")
-        assert got["punct_symbol"][i] == ps
-        assert got["punct"][i] == p
+        assert got["punct_symbol"][i] == len(pat_ps.findall(s))
+        assert got["punct"][i] == len(pat_p.findall(s))
 
 
 def test_empty_rows_and_nones():
@@ -77,5 +77,45 @@ def test_property_random_texts(texts):
         assert got["han"][i] == len(han.findall(s))
         assert got["ascii_alpha"][i] == len(_PATS["ascii_alpha"].findall(s))
         assert got["digit"][i] == len(_PATS["digit"].findall(s))
-        ps = sum(1 for ch in s if unicodedata.category(ch)[0] in "PS")
+        ps = len(_re.compile(r"[\p{P}\p{S}]").findall(s))
         assert got["punct_symbol"][i] == ps
+
+
+def _clean_counts_oracle(texts, names, chunk=2048):
+    from spiderray.functions import textnorm
+
+    out = {"_len": [], **{n: [] for n in names}}
+    for t in texts:
+        cleaned = textnorm.clean_for_lang(t or "", chunk)
+        out["_len"].append(len(cleaned))
+        for n in names:
+            if n == "punct_symbol":
+                out[n].append(len(_re.compile(r"[\p{P}\p{S}]").findall(cleaned)))
+            else:
+                out[n].append(len(_PATS[n].findall(cleaned)))
+    return out
+
+
+def test_clean_for_lang_counts_samples():
+    names = ["han", "ascii_alpha", "hiragana", "digit"]
+    texts = SAMPLES + [
+        "  leading and trailing  ",
+        "a  b   c    d",
+        "行首  行尾\t\ttab\n\n换行  ",
+        "x" * 5000,
+        "汉" * 3000 + "a" * 100,
+    ]
+    got = vectext.clean_for_lang_counts(texts, names)
+    exp = _clean_counts_oracle(texts, names)
+    for k in ["_len"] + names:
+        assert got[k].tolist() == exp[k], k
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=60), max_size=8))
+def test_clean_for_lang_counts_property(texts):
+    names = ["han", "ascii_alpha", "digit"]
+    got = vectext.clean_for_lang_counts(texts, names, chunk=30)
+    exp = _clean_counts_oracle(texts, names, chunk=30)
+    for k in ["_len"] + names:
+        assert got[k].tolist() == exp[k], (k, texts)
