@@ -1,0 +1,46 @@
+"""Pipeline configuration (the functional-options analog of
+/root/reference/spider_news.go:77-99 WithRetryTime/WithTimeOut/... and the
+HttpReq overrides at http.go:31-40)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.maps import CODEC_ALLOWLIST
+
+
+@dataclass
+class PipelineConfig:
+    # schema
+    id_col: str = "clip_id"
+    text_col: str = "transcript"
+    bytes_col: str = "bytes"
+    codec_col: str = "codec"
+    raw_text_col: str | None = None  # binary column of undecoded text, if any
+
+    # transport gates (content-type allowlist analog, http.go:20-29)
+    codec_allowlist: tuple[str, ...] = CODEC_ALLOWLIST
+
+    # language analysis (lang.go:20-21)
+    body_chunk_size: int = 2048
+    body_min_size: int = 64
+
+    # keep/drop thresholds (see functions/keepdrop.py)
+    min_quality_score: float = 0.0
+    scrub_dropped: bool = False  # scrub only kept rows by default (saves ~40%)
+
+    # execution knobs — sized so that at 32 cpus the langid/quality stages
+    # don't starve the read/write stages; batch counts not bytes because rows
+    # carry the audio payload (batch bytes ≈ batch_size × avg clip size).
+    batch_size: int = 1024
+    langid_concurrency: int | tuple[int, int] = 4
+    perplexity_concurrency: int | tuple[int, int] = 2
+
+    # output
+    n_output_partitions: int = 16
+    debug_columns: bool = False  # keep intermediate metric columns (Content.Debug analog)
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -95,22 +95,15 @@ def cepf_score(
     return math.log(value) * density_sum * score_log * score_log10
 
 
-def compute_metrics(text: str) -> QualityMetrics:
-    """Row-at-a-time metrics (oracle path). The vectorized batch version in
-    stages/quality_stage.py must agree exactly."""
+def line_metrics(text: str) -> dict:
+    """The per-row line/structure metrics (shared by the oracle
+    ``compute_metrics`` and the batch kernel in stages/quality_stage.py —
+    single implementation, so the two paths agree by construction)."""
     n = len(text)
-    lines = [ln.strip() for ln in text.split("\n")]
-    nonempty = [ln for ln in lines if ln]
-    n_lines = len(nonempty) if nonempty else 0
-
-    punct = len(_RE_P.findall(text))
-    symbol = len(_RE_S.findall(text))
-    digits = len(_RE_DIGIT.findall(text))
-    spaces = len(_RE_SPACE.findall(text))
+    nonempty = [ln for ln in (l.strip() for l in text.split("\n")) if ln]
+    n_lines = len(nonempty)
 
     link_runes = sum(len(m) for m in _RE_URLISH.findall(text))
-    link_lines = sum(1 for ln in nonempty if ln and _RE_URLISH.sub("", ln).strip() == "")
-
     leaf_list = [len(ln) for ln in nonempty]
     p_count = sum(1 for ln in nonempty if ln.endswith(_SENTENCE_END))
 
@@ -119,11 +112,6 @@ def compute_metrics(text: str) -> QualityMetrics:
         pure = len(ln) - sum(len(m) for m in _RE_URLISH.findall(ln))
         density_sum += float(max(pure, 0))
 
-    tag_count = max(n_lines, 1)
-    pure_len = n - link_runes
-    tag_len = tag_count - link_lines
-    # density itself feeds nothing downstream yet but is kept for parity with
-    # countInfo (content.go:1042-1048); quality_score uses the log-product.
     score = cepf_score(leaf_list, density_sum, n, link_runes, p_count)
 
     dup_ratio = 0.0
@@ -131,22 +119,40 @@ def compute_metrics(text: str) -> QualityMetrics:
         most = Counter(nonempty).most_common(1)[0][1]
         dup_ratio = most / n_lines
 
-    han = len(_RE_HAN.findall(text))
+    return {
+        "n_lines": n_lines,
+        "max_line_dup": dup_ratio,
+        "line_len_var": leaf_var(leaf_list),
+        "linkish_ratio": link_runes / n if n else 0.0,
+        "word_count": len(text.split()),
+        "quality_score": score,
+    }
 
-    words = [w for w in text.split() if w]
+
+def compute_metrics(text: str) -> QualityMetrics:
+    """Row-at-a-time metrics (oracle path). The vectorized batch version in
+    stages/quality_stage.py must agree exactly (class counts are
+    property-tested against these same regexes in tests/test_vectext.py)."""
+    n = len(text)
+    punct = len(_RE_P.findall(text))
+    symbol = len(_RE_S.findall(text))
+    digits = len(_RE_DIGIT.findall(text))
+    spaces = len(_RE_SPACE.findall(text))
+    han = len(_RE_HAN.findall(text))
+    lm = line_metrics(text)
 
     return QualityMetrics(
         text_len=n,
-        n_lines=n_lines,
+        n_lines=lm["n_lines"],
         punct_ratio=punct / n if n else 0.0,
         symbol_ratio=symbol / n if n else 0.0,
         digit_ratio=digits / n if n else 0.0,
         space_ratio=spaces / n if n else 0.0,
-        max_line_dup=dup_ratio,
-        line_len_var=leaf_var(leaf_list),
-        linkish_ratio=link_runes / n if n else 0.0,
+        max_line_dup=lm["max_line_dup"],
+        line_len_var=lm["line_len_var"],
+        linkish_ratio=lm["linkish_ratio"],
         brace_pairs=min(text.count("{"), text.count("}")),
-        word_count=len(words),
+        word_count=lm["word_count"],
         han_count=han,
-        quality_score=score,
+        quality_score=lm["quality_score"],
     )

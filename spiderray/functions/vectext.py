@@ -132,6 +132,8 @@ def range_mask(codes: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
 
 
 def class_mask(codes: np.ndarray, name: str) -> np.ndarray:
+    if name == "ws":  # stdlib-re \s class (== str whitespace set)
+        return np.isin(codes, _STRIP_WS)
     if name in RANGES:
         return range_mask(codes, RANGES[name])
     return class_table(name)[codes]

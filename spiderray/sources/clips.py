@@ -1,0 +1,208 @@
+"""The clips table (BASELINE.json input_hint): schema
+(clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32, codec:string,
+transcript:string).
+
+``read_clips`` prefers Lance (``ray.data.read_lance``) when the lance package
+is available — the target storage format at 10^12-clip scale — and falls back
+to Parquet in this container (lance is not installed; the call path is
+identical: both yield zero-copy Arrow blocks).
+
+``synth_clips_table`` generates the deterministic test corpus: transcripts
+stratified per FIXTURES.md F2 (exercising every branch of the lang cascade
+and keep/drop rules) and audio bytes as seeded PCM16 sine/noise mixes that
+must survive passthrough with decoded-PCM SNR >= 30 dB (input_hint
+invariant).  Seeding is pure ``clip_index`` arithmetic — no RNG state shared
+across rows — so any shard of the table can be regenerated independently
+(the property that makes the generator usable as a distributed source via
+``ray.data.range(n).map_batches(gen)``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+CLIP_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms", pa.int32()),
+        ("codec", pa.string()),
+        ("transcript", pa.string()),
+    ]
+)
+
+_SR_CHOICES = (8000, 16000, 22050, 44100)
+_CODECS = ("pcm_s16le", "flac", "opus", "pcm_s16le", "pcm_s16le", "banned_codec")
+
+# ---------------------------------------------------------------------------
+# transcript strata (FIXTURES.md F2). Deterministic templates; stratum chosen
+# by clip_index % len(STRATA).
+# ---------------------------------------------------------------------------
+_ZH_SENT = "今天上午市政府召开了关于城市交通治理的专题会议，与会代表就公共交通优化方案进行了深入讨论。"
+_JA_SENT = "政府は今日、新しい交通政策を発表しました。これにより市民の生活は便利になるでしょう。"
+_KO_SENT = "정부는 오늘 새로운 교통 정책을 발표했습니다 시민들은 이번 결정을 환영했습니다 "
+_EN_SENT = "The committee met this morning to discuss the proposed changes to the public transportation system in detail. "
+_FR_SENT = "Le gouvernement a annoncé une série de mesures pour améliorer la qualité de l'air dans les grandes villes. "
+_DE_SENT = "Die Regierung hat heute eine Reihe von Maßnahmen zur Verbesserung der Luftqualität in den Städten angekündigt. "
+_ES_SENT = "El gobierno anunció hoy una serie de medidas para mejorar la calidad del aire en las grandes ciudades. "
+_PT_SENT = "O governo anunciou hoje uma série de medidas para melhorar a qualidade do ar nas grandes cidades. "
+_RU_SENT = "Правительство объявило сегодня о новых мерах по улучшению качества воздуха в крупных городах страны. "
+_AR_SENT = "أعلنت الحكومة اليوم عن مجموعة من الإجراءات الجديدة لتحسين جودة الهواء في المدن الكبرى. "
+_HI_SENT = "सरकार ने आज बड़े शहरों में वायु गुणवत्ता में सुधार के लिए नए उपायों की घोषणा की है। "
+
+
+def _stratum_transcript(i: int) -> tuple[str, str]:
+    """(stratum_name, transcript) for clip index ``i`` — pure arithmetic."""
+    k = i % 14
+    rep = 2 + (i // 14) % 3
+    if k == 0:
+        return "zh_good", _ZH_SENT * rep
+    if k == 1:
+        return "zh_short", "新闻中心"[: 2 + i % 3]
+    if k == 2:
+        return "zh_blacklist", _ZH_SENT + "增值电信业务经营许可证B2-20090059"
+    if k == 3:
+        return "ja_mixed", _JA_SENT * rep
+    if k == 4:
+        return "ko", _KO_SENT * rep
+    if k == 5:
+        return "en_good", _EN_SENT * rep
+    if k == 6:
+        # decidable as en (>= 64 runes) but < 5 words → LinkTypeList → "short"
+        return "en_short", (
+            "Pneumonoultramicroscopicsilicovolcanoconiosis "
+            "Antidisestablishmentarianism Floccinaucinihilipilification"
+        )
+    if k == 7:
+        lat = (_FR_SENT, _DE_SENT, _ES_SENT, _PT_SENT)[i % 4]
+        return "latin_nonEn", lat * rep
+    if k == 8:
+        nl = (_RU_SENT, _AR_SENT, _HI_SENT)[i % 3]
+        return "ar_ru_hi", nl * rep
+    if k == 9:
+        return "too_short", "short clip " + str(i % 97)
+    if k == 10:
+        return "punct_noise", ("!@#$%^&*()[]<>~" + _EN_SENT[:20]) * rep
+    if k == 11:
+        return "boiler_repeat", "\n".join(["SUBSCRIBE NOW AND LIKE"] * (6 + i % 4))
+    if k == 12:
+        return "dynamic", "{a} {b} {c} {d} {e} {f} " + _EN_SENT * rep
+    return "pii_mix", (
+        _EN_SENT
+        + f"Contact us at user{i % 7}@example.com or call 138{i % 10}2345678. "
+        + "粤ICP备17055554号 "
+        + _EN_SENT
+    )
+
+
+def synth_audio(i: int, sr_hz: int, n_samples: int) -> bytes:
+    """Deterministic PCM16 sine+noise, seeded purely by ``i``."""
+    rng = np.random.default_rng(42 + i)
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    freq = 180.0 + (i % 48) * 17.0
+    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samples)
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    return pcm.tobytes()
+
+
+def decode_pcm16(b: bytes) -> np.ndarray:
+    """PCM16LE → float64 samples in [-1, 1] (the decode side of the
+    decoded-PCM allclose invariant)."""
+    return np.frombuffer(b, dtype="<i2").astype(np.float64) / 32767.0
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    noise = ref - test
+    p_sig = float(np.mean(ref**2))
+    p_noise = float(np.mean(noise**2))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+def synth_clips_batch(indices: np.ndarray, with_audio: bool = True) -> pa.Table:
+    """Generate clip rows for the given clip indices (vector-friendly shard
+    generator; used both driver-side and inside map_batches)."""
+    clip_ids, bufs, srs, durs, codecs, texts = [], [], [], [], [], []
+    for i in map(int, indices):
+        stratum, text = _stratum_transcript(i)
+        sr = _SR_CHOICES[i % len(_SR_CHOICES)]
+        n_samples = sr // 4 + (i % 5) * sr // 100  # ~250-300 ms
+        clip_ids.append(f"clip_{i:012d}")
+        if with_audio:
+            bufs.append(synth_audio(i, sr, n_samples))
+        else:
+            bufs.append(b"")
+        srs.append(sr)
+        durs.append(int(1000 * n_samples / sr))
+        codecs.append(_CODECS[i % len(_CODECS)])
+        texts.append(text)
+    return pa.Table.from_arrays(
+        [
+            pa.array(clip_ids, pa.string()),
+            pa.array(bufs, pa.binary()),
+            pa.array(srs, pa.int32()),
+            pa.array(durs, pa.int32()),
+            pa.array(codecs, pa.string()),
+            pa.array(texts, pa.string()),
+        ],
+        schema=CLIP_SCHEMA,
+    )
+
+
+def synth_clips_table(n: int, with_audio: bool = True) -> pa.Table:
+    return synth_clips_batch(np.arange(n), with_audio=with_audio)
+
+
+def synth_clips_dataset(n: int, with_audio: bool = True, override_num_blocks: int | None = None):
+    """Distributed generator: ray.data.range(n) → map_batches(gen).  Each
+    block generates its shard independently (seeded by clip index), so the
+    source scales to any n without a driver-side materialization."""
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synth_clips_batch(batch.column("id").to_numpy(), with_audio=with_audio)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=4096)
+
+
+def clips_from_documents(sf_dir: str):
+    """Derive a clips Dataset from the driver's documents table (FIXTURES.md
+    F8): doc text becomes the transcript; audio bytes seeded by doc_id.
+    Every third row additionally carries a synthetic stratum transcript so
+    the full cascade is exercised on driver data too."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out = synth_clips_batch(ids)
+        # replace two of every three transcripts with the document text
+        mixed = [
+            texts[j] if (int(ids[j]) % 3) else out.column("transcript")[j].as_py()
+            for j in range(len(ids))
+        ]
+        return out.set_column(5, "transcript", pa.array(mixed, pa.string()))
+
+    return ds.map_batches(to_clips, batch_format="pyarrow", batch_size=4096)
+
+
+def read_clips(uri: str, columns: list[str] | None = None):
+    """Read a clips table: Lance when available (the at-scale path), else
+    Parquet."""
+    import ray.data as rd
+
+    try:
+        import lance  # noqa: F401
+
+        return rd.read_lance(uri, columns=columns)
+    except ImportError:
+        return rd.read_parquet(uri, columns=columns)

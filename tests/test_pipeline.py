@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests: engine output vs the pure-Python oracle on the
+deterministic synthetic clip corpus (FIXTURES.md F2 strata), plus the
+input_hint invariants (audio passthrough SNR, transcript equality)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spiderray.config import PipelineConfig
+from spiderray.oracle import oracle_rows
+from spiderray.pipelines.quality_filter import kept_only, quality_filter
+from spiderray.sources import clips as clipsrc
+
+N = 420  # 30 full strata cycles
+
+
+@pytest.fixture(scope="module")
+def clip_table():
+    return clipsrc.synth_clips_table(N)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(ray_session, clip_table):
+    import ray.data as rd
+
+    cfg = PipelineConfig()
+    ds = rd.from_arrow(clip_table)
+    out = quality_filter(ds, cfg).to_pandas()
+    return out.sort_values("clip_id").reset_index(drop=True)
+
+
+def test_row_count_and_schema(pipeline_out):
+    assert len(pipeline_out) == N
+    for col in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+                "charset", "charset_pos", "lang", "lang_pos", "label", "keep",
+                "drop_reason", "quality_score", "scrubbed_transcript", "pii_found"):
+        assert col in pipeline_out.columns, col
+
+
+def test_matches_oracle_exactly(pipeline_out, clip_table):
+    rows = clip_table.to_pylist()
+    expected = oracle_rows(rows)
+    expected.sort(key=lambda r: r["clip_id"])
+    got = pipeline_out
+
+    mism = []
+    for i, exp in enumerate(expected):
+        for field in ("charset", "charset_pos", "lang", "lang_pos", "label",
+                      "keep", "drop_reason", "scrubbed_transcript"):
+            g = got[field].iloc[i]
+            if g != exp[field]:
+                mism.append((exp["clip_id"], field, g, exp[field]))
+    assert not mism, mism[:10]
+    # quality_score numeric equality
+    np.testing.assert_allclose(
+        got["quality_score"].to_numpy(),
+        np.array([e["quality_score"] for e in expected]),
+        rtol=1e-12,
+    )
+    # keep/drop F1 == 1.0 by construction (target >= 0.99)
+    exp_keep = np.array([e["keep"] for e in expected])
+    got_keep = got["keep"].to_numpy()
+    assert (exp_keep == got_keep).all()
+
+
+def test_every_stratum_present_and_decided(pipeline_out, clip_table):
+    # each drop reason family appears in the corpus
+    reasons = set(pipeline_out["drop_reason"].unique())
+    for expected_reason in ("", "bad_codec", "too_short", "boilerplate",
+                            "dynamic_render", "blacklist", "short"):
+        assert expected_reason in reasons, expected_reason
+    langs = set(pipeline_out[pipeline_out["lang"] != ""]["lang"].unique())
+    assert {"zh", "ja", "ko", "en", "ru", "ar", "hi"} <= langs
+    assert langs & {"fr", "de", "es", "pt"}
+
+
+def test_audio_passthrough_snr(pipeline_out, clip_table):
+    """input_hint invariant: decoded-PCM allclose (SNR >= 30 dB) + transcript
+    equality on passthrough rows."""
+    orig = {r["clip_id"]: r for r in clip_table.to_pylist()}
+    for _, row in pipeline_out.head(50).iterrows():
+        src = orig[row["clip_id"]]
+        assert row["bytes"] == src["bytes"]
+        ref = clipsrc.decode_pcm16(src["bytes"])
+        out = clipsrc.decode_pcm16(row["bytes"])
+        assert clipsrc.snr_db(ref, out) >= 30.0
+        assert row["transcript"] == src["transcript"]
+
+
+def test_pii_scrubbed(pipeline_out):
+    kept = pipeline_out[pipeline_out["keep"]]
+    pii_rows = kept[kept["transcript"].str.contains("example.com", regex=False)]
+    assert len(pii_rows) > 0
+    for _, row in pii_rows.iterrows():
+        assert "<EMAIL>" in row["scrubbed_transcript"]
+        assert "example.com" not in row["scrubbed_transcript"]
+        kinds = {p["kind"] for p in row["pii_found"]}
+        assert "email" in kinds and "icp" in kinds
+
+
+def test_kept_only_filter(ray_session, clip_table):
+    import ray.data as rd
+
+    n_kept = kept_only(rd.from_arrow(clip_table)).count()
+    full = quality_filter(rd.from_arrow(clip_table)).to_pandas()
+    assert n_kept == int(full["keep"].sum())
+    assert 0 < n_kept < N
+
+
+def test_distributed_synth_source(ray_session):
+    ds = clipsrc.synth_clips_dataset(200, override_num_blocks=4)
+    t = pa.Table.from_pandas(ds.to_pandas())
+    assert len(t) == 200
+    local = clipsrc.synth_clips_table(200)
+    got = {r["clip_id"]: r for r in t.to_pylist()}
+    for r in local.to_pylist():
+        g = got[r["clip_id"]]
+        assert g["transcript"] == r["transcript"]
+        assert g["bytes"] == r["bytes"]
