@@ -1,0 +1,150 @@
+"""Document fingerprints: md5 content hash, rolling hash, char-shingle
+MinHash signatures, 64-bit SimHash.  All pure-numpy/hashlib, deterministic,
+seed-free (signature parameters are fixed constants so any worker computes
+identical signatures — the property that makes the dedup shuffles correct).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def md5_fingerprint(text: str) -> str:
+    """Exact-dedup key: md5 of the normalized text (lower + strip).  Matches
+    DuckDB ``md5(lower(trim(text)))`` for the oracle cross-check."""
+    return hashlib.md5(text.strip().lower().encode("utf-8")).hexdigest()
+
+
+def rolling_hashes(text: str, k: int = 5, base: int = 257, mod: int = _MERSENNE) -> np.ndarray:
+    """Rabin-Karp rolling hashes of all k-char shingles (uint64)."""
+    if len(text) < k:
+        return np.zeros(0, dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    codes = codes.astype(object)  # python ints: exact mod arithmetic
+    n = len(codes)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    h = 0
+    top = pow(base, k - 1, mod)
+    for i in range(k):
+        h = (h * base + int(codes[i])) % mod
+    out[0] = h & _MAX_HASH
+    for i in range(1, n - k + 1):
+        h = ((h - int(codes[i - 1]) * top) * base + int(codes[i + k - 1])) % mod
+    # note: python % keeps result non-negative
+        out[i] = h & _MAX_HASH
+    return out
+
+
+# fixed universal-hash parameters for MinHash permutations (num_perm x 2),
+# generated once from a fixed seed and inlined as constants at import
+_PERM_RNG = np.random.default_rng(123456789)
+NUM_PERM = 128
+_PERM_A = _PERM_RNG.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_PERM_B = _PERM_RNG.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the k-char shingles of the lowered text."""
+    t = " ".join(text.lower().split())  # normalize whitespace
+    if len(t) < k:
+        t = t.ljust(k)
+    hashes = np.empty(len(t) - k + 1, dtype=np.uint64)
+    for i in range(len(t) - k + 1):
+        hashes[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "big")
+        )
+    return np.unique(hashes)
+
+
+def minhash_signature(text: str, k: int = 5, num_perm: int = NUM_PERM) -> np.ndarray:
+    """MinHash signature (uint32[num_perm]) over k-char shingles."""
+    sh = char_shingles(text, k).astype(object)
+    if len(sh) == 0:
+        return np.zeros(num_perm, dtype=np.uint32)
+    sig = np.empty(num_perm, dtype=np.uint32)
+    shm = np.array([int(s) % _MERSENNE for s in sh], dtype=object)
+    for p in range(num_perm):
+        vals = (int(_PERM_A[p]) * shm + int(_PERM_B[p])) % _MERSENNE
+        sig[p] = int(min(vals)) & _MAX_HASH
+    return sig
+
+
+def minhash_bands(sig: np.ndarray, bands: int = 32) -> list[int]:
+    """Split a signature into ``bands`` bands of r rows; hash each band →
+    LSH bucket keys (ints).  Jaccard ~ (1/bands)^(1/r) collision threshold
+    (b=32, r=4 → ~0.42)."""
+    r = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * r : (b + 1) * r].tobytes()
+        h = int.from_bytes(hashlib.blake2b(chunk, digest_size=8).digest(), "big")
+        keys.append(h & ((1 << 62) - 1))
+    return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over shingle-hash sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def sig_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    """MinHash estimate of Jaccard."""
+    return float(np.mean(sa == sb))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (weighted by count)."""
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_chunks(h: int, n_chunks: int = 4) -> list[int]:
+    """Split a 64-bit simhash into n 16-bit chunks: two near-dup docs within
+    hamming distance < n_chunks share at least one identical chunk
+    (pigeonhole) → chunk value is the LSH bucket key."""
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
+    return [(h >> (w * i)) & mask for i in range(n_chunks)]
+
+
+def ngram_set(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram hash set (for n-gram Jaccard dedup)."""
+    words = text.lower().split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    out = np.unique(
+        np.array(
+            [
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                for g in grams
+            ],
+            dtype=np.uint64,
+        )
+    ) if grams else np.zeros(0, dtype=np.uint64)
+    return out

@@ -1,0 +1,82 @@
+"""GetLinkData as a Ray pipeline (SURVEY.md §3.2) — the reference's only
+map→aggregate→map-again dataflow (/root/reference/spider.go:115-159,
+extract/link.go:62-253).
+
+Shape: the per-page statistics feedback (G1-G3) is page-local, so the
+pipeline co-locates each page's links with ``groupby(page_id).map_groups``
+(shuffle key = page_id; pages are small and numerous → uniform).  The pure
+per-page function lives in functions/linkclassify.py and doubles as the test
+oracle.  A second, separate aggregate produces the per-page summary counts
+(G4: len(Content), len(List) into DomainRes, detect.go:236-237) by combining
+tiny per-batch partials — only counters shuffle there.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import linkclassify
+
+
+def classify_pages(ds, rules: dict[str, list[str]] | None = None):
+    """links Dataset (page_id, url, title, lang) → one row per link with the
+    final label after per-page relabel + blacklist clean."""
+
+    def per_page(g: pd.DataFrame) -> pd.DataFrame:
+        lang = g["lang"].iloc[0]
+        link_titles = linkclassify.dedup_longest_title(
+            list(zip(g["url"].tolist(), g["title"].tolist()))
+        )
+        labels, subs = linkclassify.page_link_types(link_titles, lang, rules)
+        return pd.DataFrame(
+            {
+                "page_id": g["page_id"].iloc[0],
+                "url": list(labels.keys()),
+                "title": [link_titles[u] for u in labels],
+                "label": list(labels.values()),
+                "is_subdomain": [
+                    (pd.NA if not u else (urlhost(u) in subs)) for u in labels
+                ],
+            }
+        )
+
+    return ds.groupby("page_id").map_groups(per_page, batch_format="pandas")
+
+
+def urlhost(url: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(url).hostname or ""
+
+
+def page_summaries(classified_ds):
+    """Per-page label counts (the LinkData/DomainRes summary, G4): partial
+    per-batch combine → small groupby; only counters move."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pv = (
+            df.pivot_table(
+                index="page_id", columns="label", values="url", aggfunc="count", fill_value=0
+            )
+            .reset_index()
+        )
+        for lbl in ("content", "list", "unknown", "none"):
+            if lbl not in pv.columns:
+                pv[lbl] = 0
+        pv = pv[["page_id", "content", "list", "unknown", "none"]]
+        pv.columns = ["page_id", "n_content", "n_list", "n_unknown", "n_none"]
+        return pa.Table.from_pandas(pv, preserve_index=False)
+
+    return (
+        classified_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("page_id")
+        .aggregate(
+            Sum("n_content", alias_name="n_content"),
+            Sum("n_list", alias_name="n_list"),
+            Sum("n_unknown", alias_name="n_unknown"),
+            Sum("n_none", alias_name="n_none"),
+        )
+    )

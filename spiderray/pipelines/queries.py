@@ -1,0 +1,651 @@
+"""Driver-contract query implementations (SURVEY.md §2 operator inventory).
+
+Each ``q_*`` builder takes ``sf_dir`` and returns a Dataset / DataFrame whose
+columns match the corresponding ORACLE_SQL entry exactly (names AND values —
+the driver hashes values after sorting columns by name).
+
+Float discipline: any column produced by *arithmetic* (sums of doubles) is
+emitted as an exact integer (cents: ``CAST(round(x*100) AS BIGINT)`` per row,
+then integer sums — order-independent, so Ray's partial+final aggregation and
+DuckDB's sequential sum agree bit-for-bit).  Averages are derived from the
+integer sums with one identical division on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import keepdrop, scrub
+from ..functions.fingerprint import md5_fingerprint
+from ..functions.tokenize import ws_token_count
+from ..stages import ann, dedup
+
+# shared ASCII-only BPE-ish token pattern (identical string passed to Python
+# re and DuckDB RE2)
+BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+
+ICP_SQL_PATTERN = "(京|津|沪|粤)ICP(备案|备|证)?[0-9]+"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+
+def _mod_filter(batch: pa.Table, col: str, k: int) -> pa.Table:
+    """Rows where col %% k == 0 (pyarrow.compute has no modulo kernel)."""
+    ids = batch.column(col).to_numpy()
+    return batch.filter(pa.array(ids % k == 0))
+
+def _cents(x) -> np.ndarray:
+    # floor(x*100 + 0.5): half-away-from-zero for positives, matching the SQL
+    # oracle's floor(x*100 + 0.5) exactly (numpy round() is half-to-even,
+    # DuckDB round() is half-away — they disagree on exact .5 products)
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (groupby/aggregate, sort/limit, broadcast
+# join, filter, windowed time bucketing) — §2.5/§2.6 analogs
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with partial (per-batch) combining
+    before the shuffle (SURVEY.md §4.2: only counters move)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pa.table(
+                {"l_returnflag": pa.array([], pa.string()),
+                 "l_linestatus": pa.array([], pa.string()),
+                 "sum_qty_c": pa.array([], pa.int64()),
+                 "sum_base_c": pa.array([], pa.int64()),
+                 "sum_disc_c": pa.array([], pa.int64()),
+                 "n_rows": pa.array([], pa.int64())}
+            )
+        df["qty_c"] = _cents(df["l_quantity"])
+        df["base_c"] = _cents(df["l_extendedprice"])
+        df["disc_c"] = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty_c=("qty_c", "sum"), sum_base_c=("base_c", "sum"),
+                 sum_disc_c=("disc_c", "sum"), n_rows=("qty_c", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    df = out.to_pandas()
+    df["avg_qty"] = (df["sum_qty_c"] / 100.0 / df["n_rows"]).round(6)
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
+       sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+       count(*) AS n_rows,
+       round(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0/count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (§2.6): top-10 orders, deterministic tie-break."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """Broadcast-join (§2.4 J4 pattern): dims read once driver-side, shipped
+    as a dict; only the fact table streams."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region = {r["r_regionkey"]: r["r_name"] for r in pq.read_table(f"{sf_dir}/region.parquet").to_pylist()}
+    nat_to_region = {n["n_nationkey"]: region[n["n_regionkey"]] for n in nation}
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["r_name"] = df["c_nationkey"].map(nat_to_region)
+        df["bal_c"] = _cents(df["c_acctbal"])
+        g = df.groupby("r_name", as_index=False).agg(
+            n_customers=("bal_c", "size"), sum_acctbal_c=("bal_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("sum_acctbal_c", alias_name="sum_acctbal_c"))
+    )
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r.r_name, count(*) AS n_customers,
+       sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) AS sum_acctbal_c
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (§2.9 engine addition): hour buckets via
+    partial per-batch combine → small groupby."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        df["value_c"] = _cents(df["value"])
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_c", alias_name="sum_value_c"))
+    )
+    return out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+"""
+
+
+def q_purchases_by_user(sf_dir: str):
+    """Filter + grouped aggregate over the events stream."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.equal(batch["event_type"], "purchase"), pc.greater(batch["value"], 50.0))
+        )
+        df = t.to_pandas()
+        df["value_c"] = _cents(df["value"])
+        g = df.groupby("user_id", as_index=False).agg(
+            n_purchases=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"),
+                   Sum("sum_value_c", alias_name="sum_value_c"))
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+SQL_PURCHASES_BY_USER = """
+SELECT user_id, count(*) AS n_purchases,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+FROM events WHERE event_type = 'purchase' AND value > 50.0
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: keep/drop, histograms, tokens, dedup, fingerprint, scrub — the
+# quality-filter domain over the driver corpus (FIXTURES.md F8)
+# ---------------------------------------------------------------------------
+
+def q_doc_keepdrop(sf_dir: str):
+    """Keep/drop classification counts per lang using the engine classifier
+    (LinkIsContentByTitle word-rule, /root/reference/extract/link.go:328-349).
+    The SQL oracle replicates the rule for this corpus's shape (space-
+    separated ASCII words; zh-labeled rows have no Han → LinkTypeNone)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = np.fromiter(
+            (
+                keepdrop.classify_text(t or "", lang) == keepdrop.LABEL_CONTENT
+                for t, lang in zip(texts, langs)
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        df = pd.DataFrame({"lang": langs, "keep": keep})
+        g = df.groupby("lang", as_index=False).agg(n_docs=("keep", "size"), n_keep=("keep", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOC_KEEPDROP = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN lang <> 'zh'
+                AND len(string_split_regex(trim(text), ' +')) >= 5
+           THEN 1 ELSE 0 END) AS n_keep
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_lang_hist(sf_dir: str):
+    """Language histogram with SALTED two-stage groupby (north_rule skew
+    break, SURVEY.md §4.2): first aggregate on (lang, hash(doc_id)%8), then
+    merge over salts — hot keys never concentrate on one reducer."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.append_column("salt", pa.array((ids % 8).astype(np.int32)))
+
+    from ray.data.aggregate import Count, Sum
+
+    salted = (
+        ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "salt"])
+        .aggregate(Count(alias_name="n_part"))
+    )
+    out = salted.groupby("lang").aggregate(Sum("n_part", alias_name="n_docs"))
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOC_LANG_HIST = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting per source: whitespace tokens + BPE-ish regex tokens
+    (identical pattern string given to Python re and DuckDB RE2)."""
+    import re
+
+    pat = re.compile(BPE_SQL_PATTERN)
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        df = pd.DataFrame(
+            {
+                "source": srcs,
+                "ws": [ws_token_count(t or "") for t in texts],
+                "bpe": [len(pat.findall(t or "")) for t in texts],
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("ws", "size"), ws_tokens=("ws", "sum"), bpe_tokens=("bpe", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("ws_tokens", alias_name="ws_tokens"),
+                   Sum("bpe_tokens", alias_name="bpe_tokens"))
+    )
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT source, count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), ' +'))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_SQL_PATTERN}'))) AS bpe_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup (§2.7 D2: the crawler seen-set as a shuffle): documents
+    unioned with a shifted-id copy of every 3rd row; winner = min doc_id per
+    distinct text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 3)
+        ids = pc.add(t["doc_id"], 1000000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    dup = ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True)
+    aug = ds.union(dup)
+    winners = dedup.exact_dedup(aug, text_col="text", id_col="doc_id")
+    return winners.select_columns(["doc_id", "fingerprint"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+SQL_EXACT_DEDUP = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fingerprint
+FROM aug GROUP BY text ORDER BY doc_id
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Per-document md5 content fingerprint (scalar map, DuckDB-checkable)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fpb(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array([md5_fingerprint(t or "") for t in texts], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fpb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+"""
+
+
+def q_scrub_email(sf_dir: str):
+    """PII scrub cross-check: deterministic e-mail injection on every 7th doc
+    then the engine scrub bank; oracle does the same injection + the same
+    regex via DuckDB."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub_batch(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 7)
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_s, out_n = [], []
+        for i, text in zip(ids, texts):
+            augmented = f"{text} contact agent{i}@mail.example.org now"
+            s, found = scrub.scrub_text(augmented)
+            out_s.append(s)
+            out_n.append(len(found))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "scrubbed": pa.array(out_s, pa.string()),
+                "n_pii": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SCRUB_EMAIL = f"""
+SELECT doc_id,
+       regexp_replace(text || ' contact agent' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.org now',
+                      '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS scrubbed,
+       1 AS n_pii
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_icp_extract(sf_dir: str):
+    """ICP-licence extraction (M14, /root/reference/extract/icp.go:81-110)
+    on deterministically injected licence strings."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def icp_batch(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 5)
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        icps, provs = [], []
+        for i, text in zip(ids, texts):
+            augmented = f"{text} 粤ICP备{i * 97}号"
+            icp, loc = scrub.icp_from_text(augmented)
+            icps.append(icp)
+            provs.append(scrub.icp_province(loc))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "icp": pa.array(icps, pa.string()),
+                "province": pa.array(provs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(icp_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ICP_EXTRACT = f"""
+SELECT doc_id,
+       regexp_extract(text || ' 粤ICP备' || CAST(doc_id*97 AS VARCHAR) || '号',
+                      '{ICP_SQL_PATTERN}', 0) AS icp,
+       '广东' AS province
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "=", 0)])
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 of vec_id 0 against the corpus (float64
+    both sides; ids only in the compared output)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ann.brute_force_topk(ds, _query_vec(sf_dir), k=10)
+    return df[["vec_id"]]
+
+
+SQL_ANN_TOPK = """
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within the same label partition
+    (cos >= 0.4, float64)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.4)
+    df = pairs.to_pandas()
+    return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible pipelines (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents augmented with perturbed
+    copies (every 10th doc gets a near-identical twin)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def twin(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 10)
+        ids = pc.add(t["doc_id"], 2000000)
+        texts = [f"{x} extra trailing token" for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+
+    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
+    df = pairs.to_pandas()
+    return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def twin(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 10)
+        ids = pc.add(t["doc_id"], 3000000)
+        texts = [f"{x} tail" for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+
+    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    pairs = dedup.simhash_pairs(aug, max_hamming=3)
+    df = pairs.to_pandas()
+    return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def twin(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 10)
+        ids = pc.add(t["doc_id"], 4000000)
+        texts = [f"{x} one more" for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+
+    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    pairs = dedup.ngram_jaccard_pairs(aug, threshold=0.5)
+    df = pairs.to_pandas()
+    return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_lsh_topk(sf_dir: str):
+    """Approximate (LSH-bucketed) cosine top-k — the scale path of ann."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ann.lsh_topk(ds, _query_vec(sf_dir), k=10)
+    return df[["vec_id"]]
+
+
+def q_clips_flagship(sf_dir: str):
+    """Full quality-filter pipeline over clips derived from the documents
+    table (langid cascade + metrics + keep/drop + scrub; not SQL-
+    expressible)."""
+    from ..sources.clips import clips_from_documents
+    from .quality_filter import quality_filter
+
+    return quality_filter(clips_from_documents(sf_dir))
+
+
+def q_clips_keep_stats(sf_dir: str):
+    """Drop-reason histogram of the flagship pipeline (salted-groupby-free:
+    the result is tiny)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        q_clips_flagship(sf_dir)
+        .groupby(["keep", "drop_reason"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.to_pandas().sort_values(["keep", "drop_reason"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_orders": q_top_orders,
+    "q_region_customers": q_region_customers,
+    "q_events_hourly": q_events_hourly,
+    "q_purchases_by_user": q_purchases_by_user,
+    "q_doc_keepdrop": q_doc_keepdrop,
+    "q_doc_lang_hist": q_doc_lang_hist,
+    "q_token_counts": q_token_counts,
+    "q_exact_dedup": q_exact_dedup,
+    "q_fingerprint": q_fingerprint,
+    "q_scrub_email": q_scrub_email,
+    "q_icp_extract": q_icp_extract,
+    "q_ann_topk": q_ann_topk,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_lsh_topk": q_lsh_topk,
+    "q_clips_flagship": q_clips_flagship,
+    "q_clips_keep_stats": q_clips_keep_stats,
+}
+
+ORACLE_SQL = {
+    "q_pricing_summary": SQL_PRICING_SUMMARY,
+    "q_top_orders": SQL_TOP_ORDERS,
+    "q_region_customers": SQL_REGION_CUSTOMERS,
+    "q_events_hourly": SQL_EVENTS_HOURLY,
+    "q_purchases_by_user": SQL_PURCHASES_BY_USER,
+    "q_doc_keepdrop": SQL_DOC_KEEPDROP,
+    "q_doc_lang_hist": SQL_DOC_LANG_HIST,
+    "q_token_counts": SQL_TOKEN_COUNTS,
+    "q_exact_dedup": SQL_EXACT_DEDUP,
+    "q_fingerprint": SQL_FINGERPRINT,
+    "q_scrub_email": SQL_SCRUB_EMAIL,
+    "q_icp_extract": SQL_ICP_EXTRACT,
+    "q_ann_topk": SQL_ANN_TOPK,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
+    # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
+}

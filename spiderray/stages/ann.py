@@ -1,0 +1,109 @@
+"""Similarity search over an embedding column (engine addition).
+
+``brute_force_topk``: the baseline — the query matrix is broadcast once via
+``ray.put`` and read inside every task (never re-shipped per batch); each
+batch computes a float64 matmul and emits only its local top-k, so the
+all-reduce is k rows per batch, not the corpus.  Final merge is a tiny
+driver-side sort.
+
+``lsh_topk``: the scale path — random-hyperplane sign buckets (fixed seed →
+identical planes on every worker) prune the corpus to buckets near the
+query's bucket (hamming radius <= 1 over the bucket bits) before the exact
+rerank.  Approximate: recall depends on n_planes/radius; documented tradeoff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+N_PLANES = 12
+_PLANE_SEED = 20240817
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(_PLANE_SEED).standard_normal((N_PLANES, dim))
+
+
+def _bucket_of(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (V @ planes.T) > 0
+    out = np.zeros(len(V), dtype=np.int64)
+    for i in range(planes.shape[0]):
+        out |= bits[:, i].astype(np.int64) << i
+    return out
+
+
+def brute_force_topk(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k of one query against the corpus → DataFrame
+    (vec_id, cos) sorted by (-cos, vec_id)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (V @ qv) / norms
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({id_col: ids[order], "cos": cos[order]})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = local.to_pandas()  # k rows per block — tiny
+    df = df.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
+    return df.head(k).reset_index(drop=True)
+
+
+def lsh_buckets(ds, vec_col: str = "embedding"):
+    """Append the hyperplane-sign bucket column (the IVF-ish coarse index;
+    also the partition key for embedding_near_dup_pairs at scale)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        planes = _planes(V.shape[1])
+        return batch.append_column("bucket", pa.array(_bucket_of(V, planes), pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_topk(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    radius: int = 1,
+) -> pd.DataFrame:
+    """Bucketed approximate top-k: scan only rows whose bucket is within
+    hamming ``radius`` of the query bucket, then exact-rerank."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    planes = _planes(dim)
+    qb = int(_bucket_of(q.reshape(1, -1), planes)[0])
+    ok_buckets = {qb}
+    if radius >= 1:
+        for i in range(N_PLANES):
+            ok_buckets.add(qb ^ (1 << i))
+    ok = pa.array(sorted(ok_buckets), pa.int64())
+
+    import pyarrow.compute as pc
+
+    pruned = lsh_buckets(ds, vec_col).map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=ok)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return brute_force_topk(pruned, q, k, vec_col, id_col)

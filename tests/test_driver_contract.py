@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at small scale and compare against oracle_sql() via DuckDB (row count, sorted
+column names, order-insensitive values)."""
+
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    return _load_entry()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    df = _to_df(res)
+    assert len(df) >= 0
+    assert "keep" in df.columns and "scrubbed_transcript" in df.columns
+
+
+def test_oracle_keys_subset(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 15
+
+
+def test_all_queries_against_oracle(entry_mod, con):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in sorted(q.items()):
+        res = _to_df(fn(SF_DIR))
+        if name not in o:
+            assert len(res) >= 0  # rows-only check
+            continue
+        got = _canon(res)
+        exp = _canon(con.sql(o[name]).df())
+        if list(got.columns) != list(exp.columns):
+            failures.append((name, "columns", list(got.columns), list(exp.columns)))
+            continue
+        if len(got) != len(exp):
+            failures.append((name, "rowcount", len(got), len(exp)))
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            failures.append((name, "values", str(e).split("\n")[0], ""))
+    assert not failures, failures
