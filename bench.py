@@ -1,0 +1,169 @@
+"""Benchmark driver: runs the headline pipelines over $GRAFT_SF_DIR and
+prints ONE JSON line.
+
+    python bench.py                  # full suite at $RAY_GRAFT_CPUS (def 32)
+    python bench.py --scaling        # headline at 8 vs 32 cpus (fresh procs)
+
+Headline metric: clips/sec through the full quality-filter pipeline
+(generation → charset → langid → metrics → keep/drop → scrub → count) on the
+deterministic synthetic clip corpus (~N_CLIPS rows, audio bytes included).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "50000"))
+SF_LABEL = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def run_flagship() -> tuple[float, int]:
+    from spiderray.pipelines.quality_filter import quality_filter
+    from spiderray.sources.clips import synth_clips_dataset
+
+    t0 = time.perf_counter()
+    ds = quality_filter(synth_clips_dataset(N_CLIPS, override_num_blocks=max(NUM_CPUS * 2, 8)))
+    n = ds.count()
+    dt = time.perf_counter() - t0
+    assert n == N_CLIPS
+    return dt, n
+
+
+def run_queries() -> dict[str, float]:
+    from spiderray.pipelines import queries as q
+
+    timed = {}
+    to_run = [
+        ("q_pricing_summary", q.q_pricing_summary),
+        ("q_exact_dedup", q.q_exact_dedup),
+        ("q_token_counts", q.q_token_counts),
+        ("q_doc_lang_hist", q.q_doc_lang_hist),
+        ("q_ann_topk", q.q_ann_topk),
+        ("q_minhash_pairs", q.q_minhash_pairs),
+        ("q_events_hourly", q.q_events_hourly),
+    ]
+    import ray.data
+
+    for name, fn in to_run:
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        timed[name] = round(time.perf_counter() - t0, 3)
+    return timed
+
+
+def bench_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm the object store / worker pool with one untimed pass
+    from spiderray.sources.clips import synth_clips_dataset
+
+    synth_clips_dataset(2000, override_num_blocks=4).count()
+
+    flagship_sec, n = run_flagship()
+    queries = run_queries()
+    result = {
+        "metric": "clips/sec filtered (full quality-filter pipeline, synthetic clip corpus)",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "clips": n,
+        "clips_per_sec": round(n / flagship_sec, 1),
+        "queries": {"flagship_clips": round(flagship_sec, 3), **queries},
+        "sf": SF_LABEL,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def bench_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_FLAGSHIP_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["clips_per_sec"]
+    thr_hi = r_hi["clips_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (clips/sec at 8 vs 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "clips_per_sec_8": thr_lo,
+        "clips_per_sec_32": thr_hi,
+        "sf": SF_LABEL,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    elif os.environ.get("BENCH_FLAGSHIP_ONLY"):
+        import ray
+
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from spiderray.sources.clips import synth_clips_dataset
+
+        synth_clips_dataset(2000, override_num_blocks=4).count()  # warm-up
+        sec, n = run_flagship()
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "clips/sec filtered",
+                    "value": round(sec, 3),
+                    "unit": "sec",
+                    "clips": n,
+                    "clips_per_sec": round(n / sec, 1),
+                    "queries": {"flagship_clips": round(sec, 3)},
+                    "sf": SF_LABEL,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    else:
+        print(json.dumps(bench_once()))

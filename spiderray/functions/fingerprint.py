@@ -41,37 +41,53 @@ def rolling_hashes(text: str, k: int = 5, base: int = 257, mod: int = _MERSENNE)
 
 
 # fixed universal-hash parameters for MinHash permutations (num_perm x 2),
-# generated once from a fixed seed and inlined as constants at import
+# generated once from a fixed seed and inlined as constants at import — every
+# worker derives identical values, so signatures are globally comparable.
 _PERM_RNG = np.random.default_rng(123456789)
 NUM_PERM = 128
-_PERM_A = _PERM_RNG.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
-_PERM_B = _PERM_RNG.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_PERM_A = (_PERM_RNG.integers(1, 1 << 62, size=NUM_PERM, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_PERM_B = _PERM_RNG.integers(0, 1 << 63, size=NUM_PERM, dtype=np.uint64)
+# kept for ngram-band minhash (object-int path used on tiny gram sets)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_FNV = np.uint64(1099511628211)
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-char shingles of the lowered text."""
-    t = " ".join(text.lower().split())  # normalize whitespace
+    """uint64 hashes of the k-char shingles of the lowered,
+    whitespace-normalized text — fully vectorized: one UTF-32 decode, a
+    k-term polynomial window hash (wraparound mod 2^64), murmur-style final
+    mix, then unique."""
+    t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k)
-    hashes = np.empty(len(t) - k + 1, dtype=np.uint64)
-    for i in range(len(t) - k + 1):
-        hashes[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), "big")
-        )
-    return np.unique(hashes)
+    codes = np.frombuffer(t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    mask64 = (1 << 64) - 1
+    pows = np.array(
+        [pow(int(_FNV), i, 1 << 64) & mask64 for i in range(k)], dtype=np.uint64
+    )
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += codes[j : j + n] * pows[k - 1 - j]
+    # fmix64
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX1
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX2
+    acc ^= acc >> np.uint64(33)
+    return np.unique(acc)
 
 
 def minhash_signature(text: str, k: int = 5, num_perm: int = NUM_PERM) -> np.ndarray:
-    """MinHash signature (uint32[num_perm]) over k-char shingles."""
-    sh = char_shingles(text, k).astype(object)
+    """MinHash signature (uint32[num_perm]) over k-char shingles.  Universal
+    hash h_p(x) = (A_p * x + B_p) mod 2^64 >> 32 (A odd), vectorized as one
+    (num_perm, n_shingles) uint64 broadcast."""
+    sh = char_shingles(text, k)
     if len(sh) == 0:
         return np.zeros(num_perm, dtype=np.uint32)
-    sig = np.empty(num_perm, dtype=np.uint32)
-    shm = np.array([int(s) % _MERSENNE for s in sh], dtype=object)
-    for p in range(num_perm):
-        vals = (int(_PERM_A[p]) * shm + int(_PERM_B[p])) % _MERSENNE
-        sig[p] = int(min(vals)) & _MAX_HASH
-    return sig
+    prod = _PERM_A[:num_perm, None] * sh[None, :] + _PERM_B[:num_perm, None]
+    return (prod >> np.uint64(32)).min(axis=1).astype(np.uint32)
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 32) -> list[int]:

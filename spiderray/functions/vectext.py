@@ -67,23 +67,47 @@ _TABLES: dict[str, np.ndarray] = {}
 _ALL_CP: str | None = None
 
 
+_CACHE_DIR = "/tmp/spiderray_cache"
+
+
 def class_table(name: str) -> np.ndarray:
     """Boolean membership table (len 0x110000) for a CLASS_PATTERNS class.
-    Built once per process per class by scanning all codepoints with the
-    regex-module pattern (single-char class → match position == codepoint)."""
+    Built once per MACHINE: the first worker to need a class scans all
+    codepoints with the regex-module pattern (single-char class → match
+    position == codepoint) and writes the table to a shared /tmp cache
+    (atomic rename); every other worker memory-maps it — the page cache
+    makes the per-worker cost one mmap, not one Unicode scan."""
     tab = _TABLES.get(name)
-    if tab is None:
-        global _ALL_CP
-        if _ALL_CP is None:
-            _ALL_CP = "".join(map(chr, range(MAX_CP)))
-        pat = _re.compile(CLASS_PATTERNS[name])
-        starts = np.fromiter(
-            (m.start() for m in pat.finditer(_ALL_CP)), dtype=np.int64
-        )
-        tab = np.zeros(MAX_CP, dtype=bool)
-        if len(starts):
-            tab[starts] = True
+    if tab is not None:
+        return tab
+    import os
+
+    path = os.path.join(_CACHE_DIR, f"classtab_{name}.npy")
+    try:
+        # full load, not mmap: the table is 1 MiB and fancy-indexed with
+        # ~1e5 random positions per batch — mmap page-fault dispatch is far
+        # slower than one contiguous read
+        tab = np.load(path)
         _TABLES[name] = tab
+        return tab
+    except (FileNotFoundError, ValueError):
+        pass
+    global _ALL_CP
+    if _ALL_CP is None:
+        _ALL_CP = "".join(map(chr, range(MAX_CP)))
+    pat = _re.compile(CLASS_PATTERNS[name])
+    starts = np.fromiter((m.start() for m in pat.finditer(_ALL_CP)), dtype=np.int64)
+    tab = np.zeros(MAX_CP, dtype=bool)
+    if len(starts):
+        tab[starts] = True
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        np.save(tmp, tab)
+        os.replace(tmp + (".npy" if not tmp.endswith(".npy") else ""), path)
+    except OSError:
+        pass
+    _TABLES[name] = tab
     return tab
 
 

@@ -56,6 +56,19 @@ def _cents(x) -> np.ndarray:
 # join, filter, windowed time bucketing) — §2.5/§2.6 analogs
 # ---------------------------------------------------------------------------
 
+
+def _final_merge(partials_ds, keys: list[str], agg: dict[str, str]) -> pd.DataFrame:
+    """Driver-side final merge of per-batch partial aggregates.  The partials
+    are bounded by n_groups x n_blocks (tiny), so the 'shuffle' is a
+    to_pandas of counters — the SURVEY.md §4.2 'only counters move' pattern.
+    At cluster scale swap for groupby(num_partitions=small) or tree-reduce;
+    semantics identical because every aggregate here is merge-associative."""
+    df = partials_ds.to_pandas()
+    if df.empty:
+        return df
+    return df.groupby(keys, as_index=False).agg(agg)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with partial (per-batch) combining
     before the shuffle (SURVEY.md §4.2: only counters move)."""
@@ -91,19 +104,10 @@ def q_pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_c", alias_name="sum_qty_c"),
-            Sum("sum_base_c", alias_name="sum_base_c"),
-            Sum("sum_disc_c", alias_name="sum_disc_c"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-    )
-    df = out.to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["l_returnflag", "l_linestatus"],
+                      {"sum_qty_c": "sum", "sum_base_c": "sum",
+                       "sum_disc_c": "sum", "n_rows": "sum"})
     df["avg_qty"] = (df["sum_qty_c"] / 100.0 / df["n_rows"]).round(6)
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -155,15 +159,9 @@ def q_region_customers(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("r_name")
-        .aggregate(Sum("n_customers", alias_name="n_customers"),
-                   Sum("sum_acctbal_c", alias_name="sum_acctbal_c"))
-    )
-    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["r_name"], {"n_customers": "sum", "sum_acctbal_c": "sum"})
+    return df.sort_values("r_name").reset_index(drop=True)
 
 
 SQL_REGION_CUSTOMERS = """
@@ -189,15 +187,9 @@ def q_events_hourly(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value_c", alias_name="sum_value_c"))
-    )
-    return out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["event_type", "hour"], {"n_events": "sum", "sum_value_c": "sum"})
+    return df.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
 SQL_EVENTS_HOURLY = """
@@ -222,15 +214,9 @@ def q_purchases_by_user(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Sum("n_purchases", alias_name="n_purchases"),
-                   Sum("sum_value_c", alias_name="sum_value_c"))
-    )
-    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["user_id"], {"n_purchases": "sum", "sum_value_c": "sum"})
+    return df.sort_values("user_id").reset_index(drop=True)
 
 
 SQL_PURCHASES_BY_USER = """
@@ -268,14 +254,9 @@ def q_doc_keepdrop(sf_dir: str):
         g = df.groupby("lang", as_index=False).agg(n_docs=("keep", "size"), n_keep=("keep", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
-    )
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["lang"], {"n_docs": "sum", "n_keep": "sum"})
+    return df.sort_values("lang").reset_index(drop=True)
 
 
 SQL_DOC_KEEPDROP = """
@@ -301,11 +282,11 @@ def q_doc_lang_hist(sf_dir: str):
 
     salted = (
         ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lang", "salt"])
+        .groupby(["lang", "salt"], num_partitions=8)
         .aggregate(Count(alias_name="n_part"))
     )
-    out = salted.groupby("lang").aggregate(Sum("n_part", alias_name="n_docs"))
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    out = salted.to_pandas().groupby("lang", as_index=False).agg(n_docs=("n_part", "sum"))
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 SQL_DOC_LANG_HIST = """
@@ -336,16 +317,10 @@ def q_token_counts(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("ws_tokens", alias_name="ws_tokens"),
-                   Sum("bpe_tokens", alias_name="bpe_tokens"))
-    )
-    return out.to_pandas().sort_values("source").reset_index(drop=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["source"],
+                      {"n_docs": "sum", "ws_tokens": "sum", "bpe_tokens": "sum"})
+    return df.sort_values("source").reset_index(drop=True)
 
 
 SQL_TOKEN_COUNTS = f"""
@@ -513,7 +488,7 @@ def q_embed_near_dup(sf_dir: str):
     (cos >= 0.4, float64)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.4)
-    df = pairs.to_pandas()
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -544,7 +519,7 @@ def q_minhash_pairs(sf_dir: str):
 
     aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
     pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
-    df = pairs.to_pandas()
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -559,7 +534,7 @@ def q_simhash_pairs(sf_dir: str):
 
     aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
     pairs = dedup.simhash_pairs(aug, max_hamming=3)
-    df = pairs.to_pandas()
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -574,7 +549,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
     aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
     pairs = dedup.ngram_jaccard_pairs(aug, threshold=0.5)
-    df = pairs.to_pandas()
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -99,12 +99,18 @@ def _stratum_transcript(i: int) -> tuple[str, str]:
     )
 
 
+# fixed noise table (seeded once at import — identical in every process);
+# per-clip noise = a slice at a clip-index-derived offset.  Cheap AND
+# deterministic per clip index, unlike per-row Generator construction.
+_NOISE = np.random.default_rng(42).standard_normal(1 << 17)
+
+
 def synth_audio(i: int, sr_hz: int, n_samples: int) -> bytes:
-    """Deterministic PCM16 sine+noise, seeded purely by ``i``."""
-    rng = np.random.default_rng(42 + i)
+    """Deterministic PCM16 sine+noise, derived purely from ``i``."""
     t = np.arange(n_samples, dtype=np.float64) / sr_hz
     freq = 180.0 + (i % 48) * 17.0
-    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samples)
+    off = (i * 2654435761) % (len(_NOISE) - n_samples)
+    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * _NOISE[off : off + n_samples]
     pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
     return pcm.tobytes()
 

@@ -1,15 +1,18 @@
 """Deduplication suite (SURVEY.md §2.7 D2 + engine additions).
 
 Exact dedup is the crawler seen-set (A5/D2, /root/reference/spider_news.go:
-163-166, 202-205) re-expressed as hash-partitioned groupby-first: the mutable
-shared ``seen`` map (a latent race in the reference) becomes a shuffle on the
-content key — every duplicate lands in one group, one task picks the winner.
+163-166, 202-205) re-expressed as a native hash-partitioned groupby-min: the
+mutable shared ``seen`` map (a latent race in the reference) becomes a
+shuffle on the content fingerprint — every duplicate lands in one group, the
+aggregate picks the winner.  No per-group Python.
 
 Near-dup families (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine)
-follow one shape: vectorized per-batch signatures → flat_map explode to
-(bucket_key, id) → groupby(bucket) → within-bucket verification emitting
-pairs.  Only (key, id, signature) columns ever shuffle — never payloads; at
-10^12 scale the payload table is re-joined by id afterwards.
+share one shape: vectorized per-batch signatures → explode to (bucket, id,
+sig) rows → ONE coarse repartition by ``bucket % N_PARTS`` (dozens of
+groups, not one per bucket — per-group Python overhead stays O(parts)) →
+within-partition pandas self-merge on the exact bucket → vectorized
+verification.  Only (key, id, signature) columns ever shuffle — never
+payloads; at 10^12 scale the payload table is re-joined by id afterwards.
 """
 
 from __future__ import annotations
@@ -20,44 +23,66 @@ import pyarrow as pa
 
 from ..functions import fingerprint as fp
 
+N_PARTS = 64          # coarse bucket partitions (per-group python is O(this))
+MAX_BUCKET = 256      # cap degenerate mega-buckets (all-identical corpora)
+
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the row with the smallest id per distinct normalized text.
     Shuffle key = md5 fingerprint (uniform; no salting needed — every group
-    is tiny).  Returns (id, fingerprint, text) rows of the winners."""
+    is tiny).  Native Min aggregate: zero per-group Python."""
+    from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        return batch.append_column(
-            "fingerprint", pa.array([fp.md5_fingerprint(t or "") for t in texts], pa.string())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(
+                    [fp.md5_fingerprint(t or "") for t in texts], pa.string()
+                ),
+            }
         )
 
-    def first_by_id(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
-
-    return (
+    out = (
         ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
-        .select_columns([id_col, "fingerprint", text_col])
-        .groupby("fingerprint")
-        .map_groups(first_by_id, batch_format="pandas")
+        .groupby("fingerprint", num_partitions=32)
+        .aggregate(Min(id_col, alias_name=id_col))
     )
+    return out
 
 
-def _pairs_from_bucket(
-    group: pd.DataFrame, id_col: str, verify
+def _dedup_pairs(pairs_ds):
+    """Pairs can surface from several bands/chunks; the result set is tiny
+    relative to the corpus, so distinct-ing is left to the consumer
+    (driver-side drop_duplicates at this scale; a keyed groupby with a small
+    num_partitions when pair volume is itself large)."""
+    return pairs_ds
+
+
+def _merge_pairs_in_part(
+    g: pd.DataFrame, bucket_cols: list[str], id_col: str, sig_col: str, verify_vec
 ) -> pd.DataFrame:
-    """All-pairs verification within one LSH bucket.  Buckets are tiny by
-    construction (band collision ⇒ likely-dup); guard degenerate mega-buckets
-    by capping at 256 members (logged via the truncated flag)."""
-    g = group.sort_values(id_col).head(256)
-    ids = g[id_col].to_numpy()
-    rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            score = verify(g.iloc[i], g.iloc[j])
-            if score is not None:
-                rows.append((ids[i], ids[j], score))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "score"])
+    """Within one coarse partition: self-merge on the exact bucket columns →
+    candidate pairs → vectorized verification.  ``verify_vec(sig_a: list,
+    sig_b: list) -> np.ndarray score`` returns NaN to reject."""
+    g = g.drop_duplicates(subset=bucket_cols + [id_col])
+    sizes = g.groupby(bucket_cols)[id_col].transform("size")
+    g = g[sizes <= MAX_BUCKET]
+    m = g.merge(g, on=bucket_cols, suffixes=("_a", "_b"))
+    m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+    if m.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+    m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
+    scores = verify_vec(m[f"{sig_col}_a"].to_list(), m[f"{sig_col}_b"].to_list())
+    ok = ~np.isnan(scores)
+    return pd.DataFrame(
+        {
+            "id_a": m[f"{id_col}_a"].to_numpy()[ok],
+            "id_b": m[f"{id_col}_b"].to_numpy()[ok],
+            "score": scores[ok],
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -68,24 +93,24 @@ def minhash_lsh_pairs(
     bands: int = 32,
 ):
     """MinHash+LSH near-dup candidate pairs with signature-Jaccard >=
-    threshold.  shingle→minhash per batch; explode to (band, band_hash, id,
-    sig); groupby bucket; verify with the signature estimate."""
+    threshold (b=32, r=4 → collision threshold ~0.42)."""
 
     def add_sig(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_band, out_key, out_id, out_sig = [], [], [], []
+        out_band, out_key, out_part, out_id, out_sig = [], [], [], [], []
         for i, t in enumerate(texts):
             sig = fp.minhash_signature(t or "")
-            keys = fp.minhash_bands(sig, bands)
             sig_bytes = sig.tobytes()
-            for b, key in enumerate(keys):
+            for b, key in enumerate(fp.minhash_bands(sig, bands)):
                 out_band.append(b)
                 out_key.append(key)
+                out_part.append(key % N_PARTS)
                 out_id.append(ids[i])
                 out_sig.append(sig_bytes)
         return pa.table(
             {
+                "part": pa.array(out_part, pa.int32()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id),
@@ -93,21 +118,21 @@ def minhash_lsh_pairs(
             }
         )
 
-    def verify(a, b):
-        sa = np.frombuffer(a["sig"], dtype=np.uint32)
-        sb = np.frombuffer(b["sig"], dtype=np.uint32)
-        sj = fp.sig_jaccard(sa, sb)
-        return sj if sj >= threshold else None
+    def verify_vec(sigs_a, sigs_b):
+        A = np.frombuffer(b"".join(sigs_a), dtype=np.uint32).reshape(len(sigs_a), -1)
+        B = np.frombuffer(b"".join(sigs_b), dtype=np.uint32).reshape(len(sigs_b), -1)
+        est = (A == B).mean(axis=1)
+        return np.where(est >= threshold, est, np.nan)
 
     pairs = (
         ds.map_batches(add_sig, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_key"])
-        .map_groups(lambda g: _pairs_from_bucket(g, id_col, verify), batch_format="pandas")
+        .groupby("part", num_partitions=16)
+        .map_groups(
+            lambda g: _merge_pairs_in_part(g, ["band", "band_key"], id_col, "sig", verify_vec),
+            batch_format="pandas",
+        )
     )
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 def simhash_pairs(
@@ -116,42 +141,53 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ):
-    """SimHash near-dup pairs within hamming distance <= max_hamming, via the
+    """SimHash near-dup pairs within hamming distance <= max_hamming via the
     4-chunk pigeonhole LSH (any pair within distance 3 shares a 16-bit
     chunk)."""
 
     def add_chunks(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_chunk_id, out_chunk, out_id, out_hash = [], [], [], []
+        out = {"part": [], "chunk_id": [], "chunk": [], id_col: [], "sim": []}
         for i, t in enumerate(texts):
             h = fp.simhash64(t or "")
             for ci, cv in enumerate(fp.simhash_chunks(h)):
-                out_chunk_id.append(ci)
-                out_chunk.append(cv)
-                out_id.append(ids[i])
-                out_hash.append(h)
+                out["part"].append((cv * 4 + ci) % N_PARTS)
+                out["chunk_id"].append(ci)
+                out["chunk"].append(cv)
+                out[id_col].append(ids[i])
+                out["sim"].append(h)
         return pa.table(
             {
-                "chunk_id": pa.array(out_chunk_id, pa.int32()),
-                "chunk": pa.array(out_chunk, pa.int64()),
-                id_col: pa.array(out_id),
-                "simhash": pa.array(out_hash, pa.uint64()),
+                "part": pa.array(out["part"], pa.int32()),
+                "chunk_id": pa.array(out["chunk_id"], pa.int32()),
+                "chunk": pa.array(out["chunk"], pa.int64()),
+                id_col: pa.array(out[id_col]),
+                "sim": pa.array(out["sim"], pa.uint64()),
             }
         )
 
-    def verify(a, b):
-        d = fp.hamming64(int(a["simhash"]), int(b["simhash"]))
-        return float(d) if d <= max_hamming else None
+    def verify_vec(sims_a, sims_b):
+        A = np.asarray(sims_a, dtype=np.uint64)
+        B = np.asarray(sims_b, dtype=np.uint64)
+        x = A ^ B
+        d = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            d += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        return np.where(d <= max_hamming, d.astype(np.float64), np.nan)
 
     pairs = (
         ds.map_batches(add_chunks, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["chunk_id", "chunk"])
-        .map_groups(lambda g: _pairs_from_bucket(g, id_col, verify), batch_format="pandas")
+        .groupby("part", num_partitions=16)
+        .map_groups(
+            lambda g: _merge_pairs_in_part(g, ["chunk_id", "chunk"], id_col, "sim", verify_vec),
+            batch_format="pandas",
+        )
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 def ngram_jaccard_pairs(
@@ -162,31 +198,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     bands: int = 16,
 ):
-    """Word n-gram Jaccard pairs >= threshold. LSH on minhash of the n-gram
-    set (cheap bands) then EXACT Jaccard verification on the n-gram sets."""
+    """Word n-gram Jaccard pairs >= threshold: LSH on a minhash of the
+    n-gram set for candidates, then EXACT Jaccard on the gram sets."""
 
     def add(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        rows = {"band": [], "band_key": [], id_col: [], "grams": []}
+        rows = {"part": [], "band": [], "band_key": [], id_col: [], "grams": []}
         for i, t in enumerate(texts):
             grams = fp.ngram_set(t or "", n)
-            gm = grams.astype(object)
-            if len(gm):
-                shm = np.array([int(s) % ((1 << 61) - 1) for s in gm], dtype=object)
-                sig = np.empty(bands * 4, dtype=np.uint32)
-                for p in range(bands * 4):
-                    vals = (int(fp._PERM_A[p]) * shm + int(fp._PERM_B[p])) % ((1 << 61) - 1)
-                    sig[p] = int(min(vals)) & ((1 << 32) - 1)
+            if len(grams):
+                prod = (
+                    fp._PERM_A[: bands * 4, None] * grams[None, :]
+                    + fp._PERM_B[: bands * 4, None]
+                )
+                sig = (prod >> np.uint64(32)).min(axis=1).astype(np.uint32)
             else:
                 sig = np.zeros(bands * 4, dtype=np.uint32)
             for b, key in enumerate(fp.minhash_bands(sig, bands)):
+                rows["part"].append(key % N_PARTS)
                 rows["band"].append(b)
                 rows["band_key"].append(key)
                 rows[id_col].append(ids[i])
                 rows["grams"].append(grams.tobytes())
         return pa.table(
             {
+                "part": pa.array(rows["part"], pa.int32()),
                 "band": pa.array(rows["band"], pa.int32()),
                 "band_key": pa.array(rows["band_key"], pa.int64()),
                 id_col: pa.array(rows[id_col]),
@@ -194,20 +231,24 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def verify(a, b):
-        ga = np.frombuffer(a["grams"], dtype=np.uint64)
-        gb = np.frombuffer(b["grams"], dtype=np.uint64)
-        j = fp.jaccard(ga, gb)
-        return j if j >= threshold else None
+    def verify_vec(grams_a, grams_b):
+        out = np.empty(len(grams_a))
+        for i, (ba, bb) in enumerate(zip(grams_a, grams_b)):
+            ga = np.frombuffer(ba, dtype=np.uint64)
+            gb = np.frombuffer(bb, dtype=np.uint64)
+            j = fp.jaccard(ga, gb)
+            out[i] = j if j >= threshold else np.nan
+        return out
 
     pairs = (
         ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_key"])
-        .map_groups(lambda g: _pairs_from_bucket(g, id_col, verify), batch_format="pandas")
+        .groupby("part", num_partitions=16)
+        .map_groups(
+            lambda g: _merge_pairs_in_part(g, ["band", "band_key"], id_col, "grams", verify_vec),
+            batch_format="pandas",
+        )
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 def embedding_near_dup_pairs(

@@ -1,0 +1,101 @@
+"""Char-n-gram perplexity scorer (SURVEY.md §2.3 A2; north_rule "KenLM-style
+n-gram perplexity scorer ... models loaded once per actor").
+
+A stateful actor-pool stage: ``__init__`` builds (or loads) one char-trigram
+backoff LM per language ONCE per actor; ``__call__`` scores each transcript
+under its detected language's model (add-k smoothed, order-3 with order-1
+backoff), emitting ``ppl`` (perplexity/char, lower = more natural text).
+With a real KenLM binary the only change is the ``__init__`` body — the Ray
+plumbing (actor pool, batch flow, column contract) is identical.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+
+# per-language seed corpora (shared with LangIdModelActor's profiles); at
+# production scale these are model files on shared storage, loaded here.
+_SEEDS = {
+    "en": "the government announced today a series of measures to improve the air quality in the big cities and the representatives of the associations welcomed this decision after years of debate about public transportation and urban planning",
+    "fr": "le gouvernement a annoncé une série de mesures pour améliorer la qualité de l'air dans les grandes villes et les représentants des associations ont salué cette décision très attendue après des années de débats",
+    "de": "die regierung hat heute eine reihe von maßnahmen zur verbesserung der luftqualität in den städten angekündigt und die vertreter der verbände begrüßten diese entscheidung nach jahren der debatte",
+    "es": "el gobierno anunció hoy una serie de medidas para mejorar la calidad del aire en las grandes ciudades y los representantes de las asociaciones celebraron esta decisión tras años de debate",
+    "pt": "o governo anunciou hoje uma série de medidas para melhorar a qualidade do ar nas grandes cidades e os representantes das associações saudaram esta decisão depois de anos de debate",
+    "ru": "правительство объявило сегодня о новых мерах по улучшению качества воздуха в крупных городах страны и эксперты поддержали это решение после многих лет обсуждений",
+    "zh": "今天上午市政府召开了关于城市交通治理的专题会议与会代表就公共交通优化方案进行了深入讨论会议决定加大投入改善空气质量提升市民生活水平",
+    "ja": "政府は今日新しい交通政策を発表しましたこれにより市民の生活はより便利になるでしょう専門家はこの決定を歓迎しています",
+    "ko": "정부는 오늘 대도시의 공기 질을 개선하기 위한 새로운 조치를 발표했으며 전문가들은 이 결정을 환영했다",
+    "ar": "أعلنت الحكومة اليوم عن مجموعة من الإجراءات الجديدة لتحسين جودة الهواء في المدن الكبرى ورحب الخبراء بهذا القرار المهم",
+    "hi": "सरकार ने आज बड़े शहरों में वायु गुणवत्ता में सुधार के लिए नए उपायों की घोषणा की और विशेषज्ञों ने इस निर्णय का स्वागत किया",
+}
+
+_ORDER = 3
+_ADD_K = 0.1
+_MAX_CHARS = 512
+
+
+class CharLM:
+    """Order-3 add-k char LM with unigram backoff."""
+
+    def __init__(self, corpus: str):
+        text = f"  {corpus}  "
+        self.tri = Counter(text[i : i + 3] for i in range(len(text) - 2))
+        self.bi = Counter(text[i : i + 2] for i in range(len(text) - 1))
+        self.uni = Counter(text)
+        self.n_chars = max(len(text), 1)
+        self.vocab = max(len(self.uni), 1)
+
+    def logprob_char(self, ctx: str, ch: str) -> float:
+        tri = self.tri.get(ctx + ch, 0)
+        bi = self.bi.get(ctx, 0)
+        if bi:
+            return math.log((tri + _ADD_K) / (bi + _ADD_K * self.vocab))
+        uni = self.uni.get(ch, 0)
+        return math.log((uni + _ADD_K) / (self.n_chars + _ADD_K * self.vocab))
+
+    def perplexity(self, text: str) -> float:
+        t = f"  {text[:_MAX_CHARS]}"
+        n = len(t) - 2
+        if n <= 0:
+            return float("inf")
+        total = 0.0
+        for i in range(2, len(t)):
+            total += self.logprob_char(t[i - 2 : i], t[i])
+        return math.exp(-total / n)
+
+
+class PerplexityActor:
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.models = {lang: CharLM(seed) for lang, seed in _SEEDS.items()}
+        self.fallback = CharLM(" ".join(_SEEDS.values()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.cfg.text_col).to_pylist()
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(texts)
+        )
+        ppls = []
+        for text, lang in zip(texts, langs):
+            lm = self.models.get(lang, self.fallback)
+            ppls.append(lm.perplexity(text or ""))
+        return batch.append_column("ppl", pa.array(ppls, pa.float32()))
+
+
+def perplexity_stage(ds, cfg: PipelineConfig):
+    return ds.map_batches(
+        PerplexityActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size,
+        concurrency=cfg.perplexity_concurrency,
+        num_cpus=1,
+    )
