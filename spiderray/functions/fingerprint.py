@@ -15,9 +15,10 @@ _MAX_HASH = (1 << 32) - 1
 
 
 def md5_fingerprint(text: str) -> str:
-    """Exact-dedup key: md5 of the normalized text (lower + strip).  Matches
-    DuckDB ``md5(lower(trim(text)))`` for the oracle cross-check."""
-    return hashlib.md5(text.strip().lower().encode("utf-8")).hexdigest()
+    """Exact-dedup key: md5 of the normalized text (lower + space-trim).
+    Matches DuckDB ``md5(lower(trim(text)))`` exactly — DuckDB trim() strips
+    only U+0020, so this uses strip(' '), not the wider Python strip()."""
+    return hashlib.md5(text.strip(" ").lower().encode("utf-8")).hexdigest()
 
 
 def rolling_hashes(text: str, k: int = 5, base: int = 257, mod: int = _MERSENNE) -> np.ndarray:

@@ -1,0 +1,139 @@
+"""Dedup suite + ANN correctness at test scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spiderray.functions import fingerprint as fp
+from spiderray.stages import ann, dedup
+
+
+class TestFingerprintPure:
+    def test_md5_matches_duckdb_semantics(self):
+        import duckdb
+
+        texts = ["Hello World ", " MIXED case\t", "中文 text"]
+        con = duckdb.connect()
+        for t in texts:
+            sql = con.sql("SELECT md5(lower(trim(?)))", params=[t]).fetchone()[0]
+            assert fp.md5_fingerprint(t) == sql
+
+    def test_minhash_near_vs_far(self):
+        base = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+        a = fp.minhash_signature(base)
+        b = fp.minhash_signature(base + "tail")
+        c = fp.minhash_signature("entirely different words about other topics here now")
+        assert fp.sig_jaccard(a, b) > 0.6
+        assert fp.sig_jaccard(a, c) < 0.2
+
+    def test_minhash_band_collision(self):
+        base = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+        ba = fp.minhash_bands(fp.minhash_signature(base))
+        bb = fp.minhash_bands(fp.minhash_signature(base + "tail"))
+        assert any(x == y for x, y in zip(ba, bb))
+
+    def test_simhash_hamming(self):
+        base = "word " * 40 + "alpha beta gamma delta epsilon zeta eta theta"
+        ha = fp.simhash64(base)
+        hb = fp.simhash64(base + " iota")
+        hc = fp.simhash64("совершенно другие слова на другом языке здесь сейчас")
+        assert fp.hamming64(ha, hb) <= 6
+        assert fp.hamming64(ha, hc) > 10
+
+    def test_simhash_chunks_pigeonhole(self):
+        h = fp.simhash64("some stable text for chunks")
+        chunks = fp.simhash_chunks(h)
+        assert len(chunks) == 4
+        rebuilt = sum(c << (16 * i) for i, c in enumerate(chunks))
+        assert rebuilt == h
+
+    def test_jaccard_exact(self):
+        a = np.array([1, 2, 3, 4], dtype=np.uint64)
+        b = np.array([3, 4, 5, 6], dtype=np.uint64)
+        assert fp.jaccard(a, b) == pytest.approx(2 / 6)
+
+    def test_rolling_hashes(self):
+        h1 = fp.rolling_hashes("abcdefgh", k=3)
+        h2 = fp.rolling_hashes("xxabcdefgh", k=3)
+        assert len(h1) == 6
+        assert set(h1.tolist()) <= set(h2.tolist())
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    rng = np.random.default_rng(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(words, size=30))
+        rows.append({"doc_id": i, "text": text})
+    # exact dups
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[1]["text"].upper()})  # case-insensitive dup
+    # near dups
+    rows.append({"doc_id": 200, "text": rows[2]["text"] + " tail"})
+    return pd.DataFrame(rows)
+
+
+class TestDedupRay:
+    def test_exact_dedup(self, ray_session, docs_df):
+        import ray.data as rd
+
+        winners = dedup.exact_dedup(rd.from_pandas(docs_df)).to_pandas()
+        assert 100 not in winners.doc_id.values
+        assert 101 not in winners.doc_id.values
+        assert 0 in winners.doc_id.values and 1 in winners.doc_id.values
+        assert len(winners) == len(docs_df) - 2
+
+    def test_minhash_pairs_find_near_dup(self, ray_session, docs_df):
+        import ray.data as rd
+
+        pairs = dedup.minhash_lsh_pairs(rd.from_pandas(docs_df), threshold=0.6).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (2, 200) in found
+        assert (0, 100) in found
+
+    def test_simhash_pairs(self, ray_session, docs_df):
+        import ray.data as rd
+
+        pairs = dedup.simhash_pairs(rd.from_pandas(docs_df), max_hamming=3).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (0, 100) in found  # identical text → distance 0
+
+    def test_ngram_pairs(self, ray_session, docs_df):
+        import ray.data as rd
+
+        pairs = dedup.ngram_jaccard_pairs(rd.from_pandas(docs_df), threshold=0.5).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (2, 200) in found
+
+
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb_df(self):
+        rng = np.random.default_rng(11)
+        V = rng.standard_normal((300, 16))
+        V[17] = V[3] * 0.9 + 0.01  # near-dup of 3
+        return pd.DataFrame({"vec_id": range(300), "embedding": list(V), "label": [i % 5 for i in range(300)]})
+
+    def test_brute_force_topk_matches_numpy(self, ray_session, emb_df):
+        import ray.data as rd
+
+        q = np.array(emb_df.embedding[3], dtype=np.float64)
+        got = ann.brute_force_topk(rd.from_pandas(emb_df), q, k=5)
+        V = np.array(emb_df.embedding.to_list(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        cos = Vn @ qn
+        exp = np.lexsort((np.arange(len(cos)), -cos))[:5]
+        assert got["vec_id"].tolist() == exp.tolist()
+        assert got["vec_id"].iloc[0] == 3
+        assert 17 in got["vec_id"].tolist()
+
+    def test_lsh_topk_recalls_top1(self, ray_session, emb_df):
+        import ray.data as rd
+
+        q = np.array(emb_df.embedding[3], dtype=np.float64)
+        got = ann.lsh_topk(rd.from_pandas(emb_df), q, k=5)
+        assert got["vec_id"].iloc[0] == 3
+        assert 17 in got["vec_id"].tolist()
