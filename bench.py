@@ -101,6 +101,9 @@ def bench_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_FLAGSHIP_ONLY="1",
+            # scaling needs a long-enough job that fixed planning/startup
+            # overhead (~2-3 s) is noise next to compute at BOTH levels
+            BENCH_N_CLIPS=str(int(os.environ.get("BENCH_SCALING_CLIPS", "400000"))),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
