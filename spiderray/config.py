@@ -28,13 +28,14 @@ class PipelineConfig:
     # keep/drop thresholds (see functions/keepdrop.py)
     min_quality_score: float = 0.0
     scrub_dropped: bool = False  # scrub only kept rows by default (saves ~40%)
+    with_perplexity: bool = True  # append the char-LM perplexity actor stage
 
     # execution knobs — sized so that at 32 cpus the langid/quality stages
     # don't starve the read/write stages; batch counts not bytes because rows
     # carry the audio payload (batch bytes ≈ batch_size × avg clip size).
     batch_size: int = 1024
-    langid_concurrency: int | tuple[int, int] = 4
-    perplexity_concurrency: int | tuple[int, int] = 2
+    langid_concurrency: int | tuple[int, int] = (1, 8)
+    perplexity_concurrency: int | tuple[int, int] = 8  # fixed pool: actor creation mid-run costs more than idle actors
 
     # output
     n_output_partitions: int = 16

@@ -79,6 +79,14 @@ def remove_suffix(s: str, suffix: str) -> str:
     return s[: -len(suffix)] if suffix and s.endswith(suffix) else s
 
 
+def format_content(text: str) -> str:
+    """formatContent analog (/root/reference/extract/content.go:257-279):
+    split into lines, NormaliseSpace each, drop empties, re-join with
+    single newlines — the scrubbed-transcript formatting stage (M17)."""
+    lines = [normalise_space(ln) for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
 def clean_for_lang(text: str, chunk: int = 2048) -> str:
     """The pre-analysis normalization of langFromText
     (/root/reference/lang.go:277-287): drop newlines and tabs, delete

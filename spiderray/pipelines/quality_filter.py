@@ -23,12 +23,20 @@ _DEBUG_COLS = (
 
 def quality_filter(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Compose the full decision pipeline over a clips Dataset.  Lazy: the
-    caller consumes (write_parquet / iter_batches / take)."""
+    caller consumes (write_parquet / iter_batches / take).
+
+    The stateless stages fuse into one task chain; the perplexity scorer is
+    an actor-pool stage (models built once per actor) appended last so the
+    payload blocks cross a task→actor boundary exactly once."""
     ds = charset_stage(ds, cfg)
     ds = langid_stage(ds, cfg)
     ds = quality_stage(ds, cfg)
     ds = decide_stage(ds, cfg)
     ds = scrub_stage(ds, cfg)
+    if cfg.with_perplexity:
+        from ..stages.perplexity_stage import perplexity_stage
+
+        ds = perplexity_stage(ds, cfg)
     if not cfg.debug_columns:
         # drop per-batch (ds.schema() would trigger execution; stay lazy)
         def _drop(t):

@@ -583,6 +583,127 @@ def q_clips_keep_stats(sf_dir: str):
     return out.to_pandas().sort_values(["keep", "drop_reason"]).reset_index(drop=True)
 
 
+
+# ---------------------------------------------------------------------------
+# Extraction / enrichment operators (newsdate, titleclean, perplexity,
+# audio features, link classification, domain enrichment)
+# ---------------------------------------------------------------------------
+
+# the RegexPublishShortDate bank entry, shared verbatim with the DuckDB RE2
+# oracle (reference /root/reference/extract/content.go:26)
+SHORT_DATE_SQL_PATTERN = (
+    "(((20[1-3]\\d|[1-3]\\d)[-/年.])(0[1-9]|1[0-2]|[1-9])[-/月.]"
+    "(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[日Tt]?[ ]{0,3}"
+    "(([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:点时]([0-5][0-9]|[0-9])[:分]?"
+    "(([0-5][0-9]|[0-9])[秒]?)?((\\.\\d{3})?)(z|Z|[\\+-]\\d{2}[:]?\\d{2})?)?)"
+)
+
+
+def q_extract_dates(sf_dir: str):
+    """Publish-date extraction (content.go regex bank M18) on a
+    deterministically injected date per document."""
+    from ..functions import newsdate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, text in zip(ids, texts):
+            aug = f"{text} 发布时间: 2022-09-{i % 27 + 1:02d} 11:{i % 60:02d}:33 尾部"
+            m = newsdate.RE_PUBLISH_SHORT_DATE.search(aug)
+            out.append(m.group(0).strip() if m else "")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "publish_date": pa.array(out, pa.string())})
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXTRACT_DATES = f"""
+SELECT doc_id,
+       trim(regexp_extract(text || ' 发布时间: 2022-09-' ||
+            lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || ' 11:' ||
+            lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':33 尾部',
+            '{{p}}', 0)) AS publish_date
+FROM documents
+""".replace("{p}", SHORT_DATE_SQL_PATTERN)
+
+
+def q_title_clean(sf_dir: str):
+    """Title cleaning (M8, extract/web.go:60-116) over synthetic titles
+    derived from documents (rows-only: the zh loop-delete algorithm is not
+    SQL-expressible)."""
+    from ..functions.titleclean import web_title_clean
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        titles, cleaned = [], []
+        for i, text, lang in zip(ids, texts, langs):
+            title = f"{(text or '')[:40]} | site{i % 9}"
+            titles.append(title)
+            cleaned.append(web_title_clean(title, "en" if lang == "zh" else lang))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "title": pa.array(titles, pa.string()),
+                         "title_clean": pa.array(cleaned, pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_perplexity(sf_dir: str):
+    """Char-LM perplexity actor-pool stage over documents (rows-only)."""
+    from ..config import PipelineConfig
+    from ..stages.perplexity_stage import perplexity_stage
+
+    cfg = PipelineConfig(text_col="text", perplexity_concurrency=2)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = perplexity_stage(ds, cfg)
+    return out.select_columns(["doc_id", "ppl"])
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode + feature extraction over documents-derived clips
+    (pcm path real, compressed codecs stubbed; rows-only)."""
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_features_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "codec", "decode_ok", "n_samples", "audio_rms", "clip_ratio"]
+    )
+
+
+def q_classify_links(sf_dir: str):
+    """Link classification + per-page corpus-stats relabel (extract/link.go
+    two-pass) over a deterministic synthetic link table derived from
+    documents (rows-only)."""
+    from .linkdata import classify_pages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_links(batch: pa.Table) -> pa.Table:
+        rows = {"page_id": [], "url": [], "title": [], "lang": []}
+        for r in batch.to_pylist():
+            i = r["doc_id"]
+            page = f"page{i % 40}"
+            path = (
+                f"/2024/01/{i % 27 + 1:02d}/a{i}.html" if i % 3 else f"/cat{i % 5}/a{i}.html"
+            )
+            rows["page_id"].append(page)
+            rows["url"].append(f"http://site{i % 7}.com{path}")
+            rows["title"].append((r["text"] or "")[:60])
+            rows["lang"].append("en")
+        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+    links = ds.map_batches(to_links, batch_format="pyarrow", zero_copy_batch=True)
+    return classify_pages(links)
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -602,6 +723,11 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_lsh_topk": q_lsh_topk,
+    "q_extract_dates": q_extract_dates,
+    "q_title_clean": q_title_clean,
+    "q_perplexity": q_perplexity,
+    "q_audio_features": q_audio_features,
+    "q_classify_links": q_classify_links,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
 }
@@ -621,6 +747,7 @@ ORACLE_SQL = {
     "q_icp_extract": SQL_ICP_EXTRACT,
     "q_ann_topk": SQL_ANN_TOPK,
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "q_extract_dates": SQL_EXTRACT_DATES,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

@@ -181,12 +181,14 @@ class LangIdModelActor:
 
 
 def langid_model_stage(ds, cfg: PipelineConfig):
+    from .perplexity_stage import _adaptive_pool
+
     return ds.map_batches(
         LangIdModelActor,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=cfg.langid_concurrency,
+        concurrency=_adaptive_pool(cfg.langid_concurrency),
         num_cpus=1,
     )

@@ -36,36 +36,50 @@ _SEEDS = {
 
 _ORDER = 3
 _ADD_K = 0.1
-_MAX_CHARS = 512
+_MAX_CHARS = 256
 
 
 class CharLM:
-    """Order-3 add-k char LM with unigram backoff."""
+    """Order-3 add-k char LM with unigram backoff.  Log-probs are
+    precomputed into flat dicts at build time (once per actor), so scoring
+    is ~2 dict probes per char."""
 
     def __init__(self, corpus: str):
         text = f"  {corpus}  "
-        self.tri = Counter(text[i : i + 3] for i in range(len(text) - 2))
-        self.bi = Counter(text[i : i + 2] for i in range(len(text) - 1))
-        self.uni = Counter(text)
-        self.n_chars = max(len(text), 1)
-        self.vocab = max(len(self.uni), 1)
-
-    def logprob_char(self, ctx: str, ch: str) -> float:
-        tri = self.tri.get(ctx + ch, 0)
-        bi = self.bi.get(ctx, 0)
-        if bi:
-            return math.log((tri + _ADD_K) / (bi + _ADD_K * self.vocab))
-        uni = self.uni.get(ch, 0)
-        return math.log((uni + _ADD_K) / (self.n_chars + _ADD_K * self.vocab))
+        tri = Counter(text[i : i + 3] for i in range(len(text) - 2))
+        bi = Counter(text[i : i + 2] for i in range(len(text) - 1))
+        uni = Counter(text)
+        n_chars = max(len(text), 1)
+        vocab = max(len(uni), 1)
+        kv = _ADD_K * vocab
+        # seen-trigram logprobs
+        self.tri_lp = {
+            g: math.log((c + _ADD_K) / (bi[g[:2]] + kv)) for g, c in tri.items()
+        }
+        # unseen-trigram-with-seen-context penalty per bigram
+        self.ctx_miss_lp = {b: math.log(_ADD_K / (c + kv)) for b, c in bi.items()}
+        # unigram backoff for unseen contexts
+        self.uni_lp = {ch: math.log((c + _ADD_K) / (n_chars + kv)) for ch, c in uni.items()}
+        self.oov_lp = math.log(_ADD_K / (n_chars + kv))
 
     def perplexity(self, text: str) -> float:
         t = f"  {text[:_MAX_CHARS]}"
         n = len(t) - 2
         if n <= 0:
             return float("inf")
+        tri_lp = self.tri_lp
+        ctx_miss = self.ctx_miss_lp
+        uni_lp = self.uni_lp
+        oov = self.oov_lp
         total = 0.0
-        for i in range(2, len(t)):
-            total += self.logprob_char(t[i - 2 : i], t[i])
+        for i in range(n):
+            g = t[i : i + 3]
+            v = tri_lp.get(g)
+            if v is None:
+                v = ctx_miss.get(g[:2])
+                if v is None:
+                    v = uni_lp.get(g[2], oov)
+            total += v
         return math.exp(-total / n)
 
 
@@ -82,11 +96,36 @@ class PerplexityActor:
             if "lang" in batch.column_names
             else [""] * len(texts)
         )
+        # score only surviving rows (mirrors the scrub stage's keep gate);
+        # dropped rows get inf — their score is never consumed
+        keeps = (
+            batch.column("keep").to_pylist()
+            if "keep" in batch.column_names and not self.cfg.scrub_dropped
+            else [True] * len(texts)
+        )
         ppls = []
-        for text, lang in zip(texts, langs):
+        for text, lang, keep in zip(texts, langs, keeps):
+            if not keep:
+                ppls.append(float("inf"))
+                continue
             lm = self.models.get(lang, self.fallback)
             ppls.append(lm.perplexity(text or ""))
         return batch.append_column("ppl", pa.array(ppls, pa.float32()))
+
+
+def _adaptive_pool(requested) -> int | tuple[int, int]:
+    """Clamp a fixed pool size to the session's CPU budget (a fixed pool
+    larger than the session would wait forever for actor slots; leave ~3/4
+    of the cpus to the task stages)."""
+    if isinstance(requested, tuple):
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", requested * 4))
+    except Exception:
+        cpus = requested * 4
+    return max(1, min(int(requested), cpus // 4 if cpus >= 4 else 1))
 
 
 def perplexity_stage(ds, cfg: PipelineConfig):
@@ -96,6 +135,6 @@ def perplexity_stage(ds, cfg: PipelineConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=cfg.perplexity_concurrency,
+        concurrency=_adaptive_pool(cfg.perplexity_concurrency),
         num_cpus=1,
     )

@@ -1,0 +1,130 @@
+"""Title cascade fixtures + BFS crawl over a synthetic page graph."""
+
+import pytest
+
+from spiderray.functions import titlecascade as tc
+from spiderray.functions.textnorm import format_content
+
+EN_TITLE = "Mayor Announces New Public Transportation Plan"
+
+
+class TestTitleCascade:
+    def test_origin_headline(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            origin_title=EN_TITLE,
+            raw_title=EN_TITLE + " | Some Site",
+            headlines=["Unrelated heading", EN_TITLE],
+        )
+        assert (title, pos) == (EN_TITLE, "headline")
+
+    def test_origin_last_above_threshold_wins(self):
+        # reference quirk: maxScore never updated → last candidate wins
+        got = tc.title_by_origin("abcdef", ["abcdef", "abcdxx"], "en")
+        assert got == "abcdxx"
+
+    def test_meta_shorter_wins(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            raw_title=EN_TITLE + " extended with suffix",
+            meta_titles=[EN_TITLE],
+        )
+        assert (title, pos) == (EN_TITLE, "meta")
+
+    def test_script(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            raw_title=EN_TITLE,
+            script_texts=['{"title": "' + EN_TITLE + '"}'],
+        )
+        assert (title, pos) == (EN_TITLE, "script")
+
+    def test_headline_sim(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            raw_title=EN_TITLE + " - Site",
+            headlines=["Totally different", EN_TITLE + "!"],
+        )
+        assert pos == "headline"
+        assert title == EN_TITLE + "!"
+
+    def test_selector(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            raw_title=EN_TITLE + " - Site",
+            selector_title=EN_TITLE,
+        )
+        assert (title, pos) == (EN_TITLE, "selector")
+
+    def test_content_fallback(self):
+        title, pos = tc.choose_title(
+            lang="en",
+            raw_title=EN_TITLE + " - Site",
+            body_texts=["other text", EN_TITLE + " today"],
+        )
+        assert pos == "content"
+
+    def test_title_fallback(self):
+        title, pos = tc.choose_title(lang="en", raw_title="Completely Alone Title")
+        assert (title, pos) == ("Completely Alone Title", "title")
+
+    def test_zh_threshold(self):
+        assert tc.title_by_headline_sim(["市长宣布新交通计划"], "市长宣布新交通计划要点", "zh")
+
+
+class TestFormatContent:
+    def test_normalizes_lines(self):
+        assert format_content("  a   b \n\n\n c\td ") == "a b\nc d"
+
+
+PAGES = [
+    # seed: a list page with list + content links
+    {
+        "url": "http://s.com/",
+        "lang": "en",
+        "links": [
+            {"url": "http://s.com/news/", "title": "News section index"},
+            {"url": "http://s.com/2024/01/01/a.html", "title": "Mayor announces new transportation plan today"},
+        ],
+    },
+    {
+        "url": "http://s.com/news/",
+        "lang": "en",
+        "links": [
+            {"url": "http://s.com/2024/01/02/b.html", "title": "Council votes on the new budget proposal"},
+            {"url": "http://s.com/sports/", "title": "Sports section page"},
+            {"url": "http://s.com/2024/01/01/a.html", "title": "Mayor announces new transportation plan today"},
+        ],
+    },
+    {
+        "url": "http://s.com/sports/",
+        "lang": "en",
+        "links": [
+            {"url": "http://s.com/2024/01/03/c.html", "title": "Local team wins the championship game again"},
+        ],
+    },
+]
+
+
+class TestCrawl:
+    def test_bfs_waves(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.crawl import crawl
+
+        res = crawl(rd.from_items(PAGES), ["http://s.com/"], depth=3)
+        assert res.waves == 3
+        assert "http://s.com/2024/01/01/a.html" in res.content
+        assert "http://s.com/2024/01/02/b.html" in res.content
+        assert "http://s.com/2024/01/03/c.html" in res.content
+        # pages were visited wave by wave, each exactly once
+        assert res.pages_visited == ["http://s.com/", "http://s.com/news/", "http://s.com/sports/"]
+
+    def test_depth_limit(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.crawl import crawl
+
+        res = crawl(rd.from_items(PAGES), ["http://s.com/"], depth=1)
+        assert res.waves == 1
+        assert "http://s.com/2024/01/03/c.html" not in res.content
