@@ -64,6 +64,35 @@ PII_PATTERNS: list[tuple[str, "re.Pattern | _re.Pattern"]] = [
 _TOKENS = {kind: f"<{kind.upper()}>" for kind, _ in PII_PATTERNS}
 
 
+# ---------------------------------------------------------------------------
+# Toxicity flagging (north_rule "PII/toxicity scrubbing"): a deterministic
+# embedded lexicon scored as hit-ratio over whitespace tokens.  At production
+# scale the lexicon is a broadcast file; the scoring path is identical.
+# ---------------------------------------------------------------------------
+TOXIC_LEXICON = frozenset({
+    "hate", "hateful", "kill", "killing", "murder", "stupid", "idiot",
+    "idiots", "moron", "dumb", "trash", "garbage", "scum", "loser", "losers",
+    "damn", "ugly", "disgusting", "worthless", "pathetic",
+    "racist", "sexist", "violent", "violence", "destroy",
+    "废物", "蠢货", "白痴", "垃圾", "滚蛋", "去死", "混蛋", "笨蛋",
+})
+
+_TOX_STRIP = ".,;:!?()[]\"'“”！？。，；：（）"
+
+
+def toxicity_score(text: str) -> float:
+    """Share of whitespace tokens found in the toxic lexicon (plus any CJK
+    lexicon entry found as a substring, since zh does not space-tokenize)."""
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    hits = sum(1 for w in words if w.strip(_TOX_STRIP) in TOXIC_LEXICON)
+    for entry in TOXIC_LEXICON:
+        if not entry.isascii() and entry in text:
+            hits += text.count(entry)
+    return min(hits / len(words), 1.0)
+
+
 def scrub_text(text: str) -> tuple[str, list[dict[str, str]]]:
     """Apply the full bank in order; returns (scrubbed, pii_found) where
     pii_found is a list of {kind, value} in match order (byte-stable)."""

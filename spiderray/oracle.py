@@ -28,6 +28,7 @@ class OracleResult:
     drop_reason: str
     quality_score: float
     scrubbed_transcript: str
+    toxicity: float
     pii_kinds: list[str]
 
 
@@ -62,8 +63,9 @@ def oracle_row(
 
     if keep or cfg.scrub_dropped:
         scrubbed, found = scrub.scrub_text(transcript)
+        toxicity = scrub.toxicity_score(transcript)
     else:
-        scrubbed, found = "", []
+        scrubbed, found, toxicity = "", [], 0.0
 
     return OracleResult(
         clip_id=row.get(cfg.id_col, ""),
@@ -76,6 +78,7 @@ def oracle_row(
         drop_reason=drop_reason,
         quality_score=metrics.quality_score,
         scrubbed_transcript=scrubbed,
+        toxicity=toxicity,
         pii_kinds=[f["kind"] for f in found],
     )
 

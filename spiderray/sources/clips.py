@@ -57,7 +57,7 @@ _HI_SENT = "सरकार ने आज बड़े शहरों में
 
 def _stratum_transcript(i: int) -> tuple[str, str]:
     """(stratum_name, transcript) for clip index ``i`` — pure arithmetic."""
-    k = i % 14
+    k = i % 15
     rep = 2 + (i // 14) % 3
     if k == 0:
         return "zh_good", _ZH_SENT * rep
@@ -78,10 +78,10 @@ def _stratum_transcript(i: int) -> tuple[str, str]:
             "Antidisestablishmentarianism Floccinaucinihilipilification"
         )
     if k == 7:
-        lat = (_FR_SENT, _DE_SENT, _ES_SENT, _PT_SENT)[i % 4]
+        lat = (_FR_SENT, _DE_SENT, _ES_SENT, _PT_SENT)[(i // 15) % 4]
         return "latin_nonEn", lat * rep
     if k == 8:
-        nl = (_RU_SENT, _AR_SENT, _HI_SENT)[i % 3]
+        nl = (_RU_SENT, _AR_SENT, _HI_SENT)[(i // 15) % 3]
         return "ar_ru_hi", nl * rep
     if k == 9:
         return "too_short", "short clip " + str(i % 97)
@@ -91,11 +91,15 @@ def _stratum_transcript(i: int) -> tuple[str, str]:
         return "boiler_repeat", "\n".join(["SUBSCRIBE NOW AND LIKE"] * (6 + i % 4))
     if k == 12:
         return "dynamic", "{a} {b} {c} {d} {e} {f} " + _EN_SENT * rep
-    return "pii_mix", (
-        _EN_SENT
-        + f"Contact us at user{i % 7}@example.com or call 138{i % 10}2345678. "
-        + "粤ICP备17055554号 "
-        + _EN_SENT
+    if k == 13:
+        return "pii_mix", (
+            _EN_SENT
+            + f"Contact us at user{i % 7}@example.com or call 138{i % 10}2345678. "
+            + "粤ICP备17055554号 "
+            + _EN_SENT
+        )
+    return "toxic", (
+        _EN_SENT + "You stupid idiot readers are trash and I hate this garbage. " + _EN_SENT
     )
 
 

@@ -86,13 +86,15 @@ class AudioFeatureActor:
 
 
 def audio_features_stage(ds, cfg: PipelineConfig, concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
     return ds.map_batches(
         AudioFeatureActor,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=min(cfg.batch_size, 256),  # wide rows: cap batch bytes
-        concurrency=concurrency,
+        batch_size=min(cfg.batch_size or 256, 256),  # wide rows: cap batch bytes
+        concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..functions.scrub import scrub_text
+from ..functions.scrub import scrub_text, toxicity_score
 
 _PII_TYPE = pa.list_(pa.struct([("kind", pa.string()), ("value", pa.string())]))
 
@@ -23,15 +23,18 @@ def _scrub_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         if "keep" in batch.column_names and not cfg.scrub_dropped
         else [True] * len(texts)
     )
-    scrubbed, founds = [], []
+    scrubbed, founds, tox = [], [], []
     for text, keep in zip(texts, keeps):
         if keep and text:
             s, f = scrub_text(text)
+            t = toxicity_score(text)
         else:
-            s, f = "", []
+            s, f, t = "", [], 0.0
         scrubbed.append(s)
         founds.append(f)
+        tox.append(t)
     batch = batch.append_column("scrubbed_transcript", pa.array(scrubbed, pa.string()))
+    batch = batch.append_column("toxicity", pa.array(tox, pa.float32()))
     return batch.append_column("pii_found", pa.array(founds, _PII_TYPE))
 
 

@@ -11,7 +11,7 @@ from spiderray.oracle import oracle_rows
 from spiderray.pipelines.quality_filter import kept_only, quality_filter
 from spiderray.sources import clips as clipsrc
 
-N = 420  # 30 full strata cycles
+N = 420  # 28 full strata cycles
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +47,7 @@ def test_matches_oracle_exactly(pipeline_out, clip_table):
     for i, exp in enumerate(expected):
         for field in ("charset", "charset_pos", "lang", "lang_pos", "label",
                       "keep", "drop_reason", "scrubbed_transcript"):
+            # toxicity compared separately below (float32 vs float64)
             g = got[field].iloc[i]
             if g != exp[field]:
                 mism.append((exp["clip_id"], field, g, exp[field]))
@@ -56,6 +57,11 @@ def test_matches_oracle_exactly(pipeline_out, clip_table):
         got["quality_score"].to_numpy(),
         np.array([e["quality_score"] for e in expected]),
         rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        got["toxicity"].to_numpy(dtype=float),
+        np.array([e["toxicity"] for e in expected], dtype=float),
+        rtol=1e-6,
     )
     # keep/drop F1 == 1.0 by construction (target >= 0.99)
     exp_keep = np.array([e["keep"] for e in expected])
@@ -85,6 +91,15 @@ def test_audio_passthrough_snr(pipeline_out, clip_table):
         out = clipsrc.decode_pcm16(row["bytes"])
         assert clipsrc.snr_db(ref, out) >= 30.0
         assert row["transcript"] == src["transcript"]
+
+
+def test_toxicity_scored(pipeline_out):
+    kept = pipeline_out[pipeline_out["keep"]]
+    toxic = kept[kept["transcript"].str.contains("stupid idiot", regex=False)]
+    assert len(toxic) > 0
+    assert (toxic["toxicity"] > 0.05).all()
+    clean = kept[~kept["transcript"].str.contains("stupid|hate|trash", regex=True)]
+    assert (clean["toxicity"] == 0).all()
 
 
 def test_pii_scrubbed(pipeline_out):
