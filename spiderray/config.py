@@ -28,7 +28,11 @@ class PipelineConfig:
     # keep/drop thresholds (see functions/keepdrop.py)
     min_quality_score: float = 0.0
     scrub_dropped: bool = False  # scrub only kept rows by default (saves ~40%)
-    with_perplexity: bool = True  # append the char-LM perplexity actor stage
+    with_perplexity: bool = True  # append the char-LM perplexity scorer
+    # False → fused task stage, model bank cached once per worker process
+    # (same amortization, no extra payload hop through plasma); True → strict
+    # ActorPoolStrategy stage for models too large to replicate per worker
+    perplexity_actor_pool: bool = False
 
     # execution knobs — sized so that at 32 cpus the langid/quality stages
     # don't starve the read/write stages; batch counts not bytes because rows

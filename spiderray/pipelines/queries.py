@@ -659,7 +659,10 @@ def q_perplexity(sf_dir: str):
     from ..config import PipelineConfig
     from ..stages.perplexity_stage import perplexity_stage
 
-    cfg = PipelineConfig(text_col="text", perplexity_concurrency=2)
+    cfg = PipelineConfig(text_col="text", perplexity_concurrency=2,
+                         perplexity_actor_pool=True)
+    # narrow columns only — the ActorPool pattern belongs on projected
+    # model inputs, not payload-carrying blocks
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = perplexity_stage(ds, cfg)
     return out.select_columns(["doc_id", "ppl"])

@@ -113,6 +113,22 @@ class PerplexityActor:
         return batch.append_column("ppl", pa.array(ppls, pa.float32()))
 
 
+_PROCESS_LM: "PerplexityActor | None" = None
+
+
+def _perplexity_fused(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Task-pool variant: the model bank is a module-level singleton built
+    once per WORKER PROCESS (Ray reuses workers across tasks, so this has
+    actor-pool amortization without forcing the payload blocks through a
+    separate pool boundary — measured 2x end-to-end on the flagship, see
+    BASELINE.md).  Use the ActorPool variant (cfg.perplexity_actor_pool)
+    when the models are too large to replicate per worker."""
+    global _PROCESS_LM
+    if _PROCESS_LM is None:
+        _PROCESS_LM = PerplexityActor(cfg)
+    return _PROCESS_LM(batch)
+
+
 def _adaptive_pool(requested) -> int | tuple[int, int]:
     """Clamp a fixed pool size to the session's CPU budget (a fixed pool
     larger than the session would wait forever for actor slots; leave ~3/4
@@ -129,6 +145,13 @@ def _adaptive_pool(requested) -> int | tuple[int, int]:
 
 
 def perplexity_stage(ds, cfg: PipelineConfig):
+    if not cfg.perplexity_actor_pool:
+        return ds.map_batches(
+            lambda b: _perplexity_fused(b, cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
     return ds.map_batches(
         PerplexityActor,
         fn_constructor_args=(cfg,),
