@@ -101,14 +101,70 @@ def charset_from_header_html(body: bytes | str, content_type: str | None) -> tup
     return "", ""
 
 
+# frequency evidence for the statistical guess: the most common simplified +
+# traditional Chinese characters.  A correct CJK decode is dominated by these
+# (plus kana/hangul/ASCII); a wrong-codec "successful" decode (e.g. Big5
+# bytes through gb18030) yields valid-but-garbled rare Han characters that
+# miss this set.
+_COMMON_ZH = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下"
+    "以生会自着去之过家学对可她里后小么心多天而能好都然没日于起还发成事只作"
+    "当想看文无开手十用主行方又如前所本见经头面公同三已老从动两长知民样现分"
+    "将外但身些与高意进把法此实回二理美点月明其种声全工己话儿者向情部正名定"
+    "這來國個們為時學對後說會麼經頭發現點樣內關門見長話兒東馬車氣質專決歡應"
+    "機構萬藝處臺灣響預辦觀歷權頗讓議員絕讀變體雖聽寫難護產僅鮮"
+)
+
+
+# most frequent hangul syllables (particles / endings dominate natural text)
+_COMMON_KO = frozenset(
+    "이다의에는은하을가고를서지한로것으도기되사아니스트인만같습었니까부터그"
+    "러나저우리들지금오늘새로운정책발표했정부시민교통환경영결주위해조치전문"
+    "를과와함께년월일대중소상명수많작략적인제보다때문것입니면서요세게날내말"
+)
+# hiragana particles / endings — coherent Japanese is hiragana-heavy
+_COMMON_JA = frozenset("のにはをとがでしたますんだよりかられもこそあいうえおつてなねさしすせその")
+
+
+def _decode_score(s: str) -> float:
+    """Frequency-weighted naturalness of a candidate decode: characters with
+    strong evidence (common zh/ko/ja characters, ASCII, CJK punctuation)
+    count 1.0; other CJK/kana/hangul (valid blocks but uncommon text —
+    the signature of a wrong-codec garble) count 0.1."""
+    if not s:
+        return 0.0
+    strong = 0
+    weak = 0
+    for ch in s:
+        cp = ord(ch)
+        if (
+            ch in _COMMON_ZH
+            or ch in _COMMON_KO
+            or ch in _COMMON_JA
+            or 0x20 <= cp <= 0x7E            # printable ASCII
+            or ch in "，。、；：？！（）“”《》　‘’—…·"
+            or ch in "\t\n\r"
+        ):
+            strong += 1
+        elif (
+            0x3040 <= cp <= 0x30FF           # kana
+            or 0xAC00 <= cp <= 0xD7A3        # hangul syllables
+            or 0x4E00 <= cp <= 0x9FFF        # han
+        ):
+            weak += 1
+    return (strong + 0.1 * weak) / len(s)
+
+
 def charset_guess(body: bytes) -> str:
-    """Deterministic byte-distribution guess (replaces chardet,
-    /root/reference/charset.go:183-193). Tries strict decodes in a fixed
-    priority order, then falls back to Latin-1."""
+    """Deterministic statistical guess (replaces the Go chardet dependency,
+    /root/reference/charset.go:183-193): strict-decode under each candidate
+    codec, score the decodes by common-character frequency, best wins (ties
+    break in candidate order).  Falls back to Latin-1."""
     if not body:
         return ""
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "UTF-16"
+    best_name, best_score = "", -1.0
     for codec, name in (
         ("utf-8", "UTF-8"),
         ("gb18030", "GBK"),
@@ -118,11 +174,13 @@ def charset_guess(body: bytes) -> str:
         ("euc_kr", "EUC-KR"),
     ):
         try:
-            body.decode(codec)
-            return name
+            s = body.decode(codec)
         except (UnicodeDecodeError, LookupError):
             continue
-    return "ISO-8859-1"
+        score = _decode_score(s[:2048])
+        if score > best_score:
+            best_name, best_score = name, score
+    return best_name if best_name else "ISO-8859-1"
 
 
 def detect_charset(body: bytes, content_type: str | None = None) -> tuple[str, str]:

@@ -1,0 +1,90 @@
+"""End-to-end charset path (F5): clips whose transcript arrives as undecoded
+bytes in a sibling binary column — detect → transcode → language cascade —
+vs the oracle."""
+
+import pyarrow as pa
+import pytest
+
+from spiderray.config import PipelineConfig
+from spiderray.oracle import oracle_rows
+from spiderray.pipelines.quality_filter import quality_filter
+
+ZH = "今天上午市政府召开了关于城市交通治理的专题会议，与会代表就公共交通优化方案进行了深入讨论。" * 2
+ZH_TRAD = "政府今日宣布一系列改善空氣品質的措施，專家對這項決定表示歡迎，市民也給予正面回應。" * 2
+JA = "政府は今日、新しい交通政策を発表しました。これにより市民の生活は便利になるでしょう。" * 3
+KO = "정부는 오늘 새로운 교통 정책을 발표했습니다 시민들은 이번 결정을 환영했습니다 " * 2
+EN = "The committee met this morning to discuss the proposed changes in detail. " * 2
+
+
+def _rows():
+    cases = [
+        ("c0", ZH.encode("gbk"), "text/html; charset=gbk"),            # header
+        ("c1", ZH_TRAD.encode("big5"), None),                          # guess → Big5
+        ("c2", JA.encode("shift_jis"), "text/html; charset=shift-jis"),
+        ("c3", KO.encode("euc-kr"), "text/html; charset=euc-kr"),
+        ("c4", EN.encode("utf-8"), None),                              # valid utf-8
+        ("c5", b"\xff\xfe\xfd\xfc invalid bytes \x81\x82", "text/html; charset=utf-8"),  # decode error
+        ("c6", ('<meta charset="gb2312">' + ZH).encode("gbk"), None),  # html meta
+    ]
+    return [
+        {
+            "clip_id": cid,
+            "bytes": b"",
+            "sr_hz": 16000,
+            "dur_ms": 100,
+            "codec": "pcm_s16le",
+            "transcript": "",
+            "transcript_raw": raw,
+            "content_type": ctype,
+        }
+        for cid, raw, ctype in cases
+    ]
+
+
+@pytest.fixture(scope="module")
+def out(ray_session):
+    import ray.data as rd
+
+    cfg = PipelineConfig(raw_text_col="transcript_raw")
+    ds = rd.from_items(_rows())
+    return cfg, quality_filter(ds, cfg).to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
+def test_charset_detection_and_lang(out):
+    cfg, df = out
+    by_id = df.set_index("clip_id")
+    # GBK via header → charset→lang shortcut (lang.go:133-139)
+    assert by_id.loc["c0", "charset"] == "GBK"
+    assert by_id.loc["c0", "charset_pos"] == "header"
+    assert (by_id.loc["c0", "lang"], by_id.loc["c0", "lang_pos"]) == ("zh", "charset")
+    # Big5 by statistical guess
+    assert by_id.loc["c1", "charset"] == "Big5"
+    assert by_id.loc["c1", "charset_pos"] == "guess"
+    assert by_id.loc["c1", "lang"] == "zh"
+    # SHIFT_JIS → ja, EUC-KR → ko
+    assert (by_id.loc["c2", "charset"], by_id.loc["c2", "lang"]) == ("SHIFT_JIS", "ja")
+    assert (by_id.loc["c3", "charset"], by_id.loc["c3", "lang"]) == ("EUC-KR", "ko")
+    # valid UTF-8 goes through body analysis
+    assert by_id.loc["c4", "charset_pos"] == "valid"
+    assert by_id.loc["c4", "lang"] == "en"
+    # transcode failure → charset_error drop
+    assert not by_id.loc["c5", "keep"]
+    assert by_id.loc["c5", "drop_reason"] == "charset_error"
+    # html meta tag detection
+    assert by_id.loc["c6", "charset"] == "GBK"
+    assert by_id.loc["c6", "charset_pos"] == "html"
+
+
+def test_matches_oracle(out):
+    cfg, df = out
+    expected = oracle_rows(_rows(), cfg)
+    expected.sort(key=lambda r: r["clip_id"])
+    for i, exp in enumerate(expected):
+        for field in ("charset", "charset_pos", "lang", "lang_pos", "keep", "drop_reason"):
+            assert df[field].iloc[i] == exp[field], (exp["clip_id"], field)
+
+
+def test_decoded_transcript_replaces_raw(out):
+    cfg, df = out
+    zh_row = df[df.clip_id == "c0"].iloc[0]
+    assert zh_row["transcript"] == ZH
