@@ -707,11 +707,42 @@ def q_classify_links(sf_dir: str):
     links = ds.map_batches(to_links, batch_format="pyarrow", zero_copy_batch=True)
     return classify_pages(links)
 
+
+def q_user_sessions(sf_dir: str):
+    """Session windows (gap 30 min) over the events stream — the
+    streaming-shaped operator (SURVEY.md §2.9): groupby(user).map_groups
+    over ts-sorted groups."""
+    from ..stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sessionize(ds, gap_minutes=30)
+    df = out.to_pandas()
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+SQL_USER_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start, max(ts) AS "end"
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_region_customers": q_region_customers,
     "q_events_hourly": q_events_hourly,
+    "q_user_sessions": q_user_sessions,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
@@ -740,6 +771,7 @@ ORACLE_SQL = {
     "q_top_orders": SQL_TOP_ORDERS,
     "q_region_customers": SQL_REGION_CUSTOMERS,
     "q_events_hourly": SQL_EVENTS_HOURLY,
+    "q_user_sessions": SQL_USER_SESSIONS,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,
     "q_doc_lang_hist": SQL_DOC_LANG_HIST,

@@ -128,3 +128,63 @@ class TestCrawl:
         res = crawl(rd.from_items(PAGES), ["http://s.com/"], depth=1)
         assert res.waves == 1
         assert "http://s.com/2024/01/03/c.html" not in res.content
+
+
+class TestNewsComposite:
+    def test_extract_news(self, ray_session):
+        import time as _t
+
+        import ray.data as rd
+
+        from spiderray.pipelines.news import extract_news
+
+        now = _t.mktime((2024, 6, 1, 12, 0, 0, 0, 0, -1))
+        pages = rd.from_items([
+            {
+                "page_id": "p1",
+                "title": EN_TITLE + " | The Daily",
+                "body_text": "Published on 2024-01-15 09:30 by staff.\n"
+                + EN_TITLE
+                + ". The plan includes new bus lines and expanded rail service for the city region. "
+                * 4,
+                "headlines": [EN_TITLE],
+                "url": "http://d.com/2024/01/15/plan.html",
+            },
+            {
+                "page_id": "p2",
+                "title": "市长宣布新交通计划_日报",
+                "body_text": "发布时间: 2023-05-06 10:00  市长宣布新交通计划。" + "会议讨论了具体方案。" * 20,
+                "headlines": ["市长宣布新交通计划"],
+                "url": "http://z.cn/a/b.html",
+            },
+        ])
+        out = extract_news(pages, now=now).to_pandas().set_index("page_id")
+        p1 = out.loc["p1"]
+        assert p1["title"] == EN_TITLE
+        assert p1["time"].startswith("2024-01-15 09:30")
+        assert p1["lang"] == "en"
+        assert p1["time_local"].startswith("2024-01-15")
+        p2 = out.loc["p2"]
+        assert p2["lang"] == "zh"
+        assert p2["title"] == "市长宣布新交通计划"
+        assert "2023-05-06" in p2["time"]
+        assert p2["quality_score"] != 0.0
+
+
+class TestSessions:
+    def test_sessionize(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import sessionize
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = []
+        for m in (0, 5, 10, 120, 125, 300):  # 3 sessions for user 1
+            rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=m)})
+        rows.append({"user_id": 2, "ts": base})
+        out = sessionize(rd.from_items(rows)).to_pandas()
+        u1 = out[out.user_id == 1].sort_values("session_id")
+        assert len(u1) == 3
+        assert u1["n_events"].tolist() == [3, 2, 1]
+        assert len(out[out.user_id == 2]) == 1
