@@ -737,12 +737,107 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
+
+def q_semi_join_lineitems(sf_dir: str):
+    """Broadcast SEMI-join: lineitems of the top-100 orders by price.
+    The small key side is collected once and shipped via ray.put; the fact
+    table streams and filters per batch (the guide's semi/anti pattern — at
+    scale the key set becomes a Bloom filter, same shape)."""
+    import ray
+
+    top = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    keys_ref = ray.put(set(top["o_orderkey"].tolist()))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [k in keys for k in batch.column("l_orderkey").to_pylist()]
+        t = batch.filter(pa.array(mask))
+        df = t.to_pandas()
+        df["qty_c"] = _cents(df["l_quantity"])
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n_items=("qty_c", "size"), sum_qty_c=("qty_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["l_orderkey"], {"n_items": "sum", "sum_qty_c": "sum"})
+    return df.sort_values("l_orderkey").reset_index(drop=True)
+
+
+SQL_SEMI_JOIN_LINEITEMS = """
+WITH top_orders AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+)
+SELECT l_orderkey, count(*) AS n_items,
+       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM top_orders)
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI-join: customers with no high-value order (total price
+    > 400000).  The qualifying custkey set is small, broadcast once via
+    ray.put; the customer table filters against it per batch."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders["o_totalprice"], 400000.0))
+    keys_ref = ray.put(set(big.column("o_custkey").to_pylist()))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [k not in keys for k in batch.column("c_custkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    df = ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype="object")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0
+)
+ORDER BY c_custkey
+"""
+
+
+def q_distinct_priorities(sf_dir: str):
+    """ds.unique — distinct values of one column (§2.7 set op)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pd.DataFrame({"o_orderpriority": vals})
+
+
+SQL_DISTINCT_PRIORITIES = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_region_customers": q_region_customers,
     "q_events_hourly": q_events_hourly,
     "q_user_sessions": q_user_sessions,
+    "q_semi_join_lineitems": q_semi_join_lineitems,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_distinct_priorities": q_distinct_priorities,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
@@ -772,6 +867,9 @@ ORACLE_SQL = {
     "q_region_customers": SQL_REGION_CUSTOMERS,
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_user_sessions": SQL_USER_SESSIONS,
+    "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
+    "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,
     "q_doc_lang_hist": SQL_DOC_LANG_HIST,

@@ -93,44 +93,86 @@ def minhash_lsh_pairs(
     bands: int = 32,
 ):
     """MinHash+LSH near-dup candidate pairs with signature-Jaccard >=
-    threshold (b=32, r=4 → collision threshold ~0.42)."""
+    threshold (b=32, r=4 → collision threshold ~0.42).
 
-    def add_sig(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+    Two-phase shape: the exploded band rows carry ONLY (part, band, key, id)
+    — 20 bytes, not the 512-byte signature duplicated x bands — so the
+    bucket shuffle stays tiny.  Candidate pairs are then verified against a
+    signature lookup broadcast once via ``ray.put`` (id → sig; one signature
+    per doc).  At 10^12-doc scale the broadcast becomes a hash-partitioned
+    join of (pairs ⋈ sigs) on id — the shuffle/verify split is unchanged."""
+    import ray
+
+    sig_ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b.column(id_col),
+                "sig": pa.array(
+                    [fp.minhash_signature(t or "").tobytes() for t in b.column(text_col).to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # computed once; reused for band explode + verification
+
+    sig_map: dict = {}
+    for batch in sig_ds.iter_batches(batch_format="pyarrow"):
+        for i, s in zip(batch.column(id_col).to_pylist(), batch.column("sig").to_pylist()):
+            sig_map[i] = s
+    sig_ref = ray.put(sig_map)
+
+    def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        out_band, out_key, out_part, out_id, out_sig = [], [], [], [], []
-        for i, t in enumerate(texts):
-            sig = fp.minhash_signature(t or "")
-            sig_bytes = sig.tobytes()
+        sigs = batch.column("sig").to_pylist()
+        out_part, out_band, out_key, out_id = [], [], [], []
+        for i, sb in zip(ids, sigs):
+            sig = np.frombuffer(sb, dtype=np.uint32)
             for b, key in enumerate(fp.minhash_bands(sig, bands)):
+                out_part.append(key % N_PARTS)
                 out_band.append(b)
                 out_key.append(key)
-                out_part.append(key % N_PARTS)
-                out_id.append(ids[i])
-                out_sig.append(sig_bytes)
+                out_id.append(i)
         return pa.table(
             {
                 "part": pa.array(out_part, pa.int32()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
-    def verify_vec(sigs_a, sigs_b):
-        A = np.frombuffer(b"".join(sigs_a), dtype=np.uint32).reshape(len(sigs_a), -1)
-        B = np.frombuffer(b"".join(sigs_b), dtype=np.uint32).reshape(len(sigs_b), -1)
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band", "band_key", id_col])
+        sizes = g.groupby(["band", "band_key"])[id_col].transform("size")
+        g = g[sizes <= MAX_BUCKET]
+        m = g.merge(g, on=["band", "band_key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
+        sigs = ray.get(sig_ref)
+        A = np.frombuffer(
+            b"".join(sigs[i] for i in m[f"{id_col}_a"]), dtype=np.uint32
+        ).reshape(len(m), -1)
+        B = np.frombuffer(
+            b"".join(sigs[i] for i in m[f"{id_col}_b"]), dtype=np.uint32
+        ).reshape(len(m), -1)
         est = (A == B).mean(axis=1)
-        return np.where(est >= threshold, est, np.nan)
+        ok = est >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy()[ok],
+                "id_b": m[f"{id_col}_b"].to_numpy()[ok],
+                "score": est[ok],
+            }
+        )
 
     pairs = (
-        ds.map_batches(add_sig, batch_format="pyarrow", zero_copy_batch=True)
+        sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part", num_partitions=16)
-        .map_groups(
-            lambda g: _merge_pairs_in_part(g, ["band", "band_key"], id_col, "sig", verify_vec),
-            batch_format="pandas",
-        )
+        .map_groups(pairs_in_part, batch_format="pandas")
     )
     return _dedup_pairs(pairs)
 

@@ -26,9 +26,40 @@ class DecodeUnsupported(NotImplementedError):
     """Raised internally for codecs without a decoder in this environment."""
 
 
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 µ-law → linear float32 (pure numpy; no audio libs)."""
+    u = (~u).astype(np.int64) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa << 3) + 0x84) << exponent
+    magnitude -= 0x84
+    linear = np.where(sign != 0, -magnitude, magnitude).astype(np.float32)
+    return linear / 32124.0
+
+
+def _parse_wav(buf: bytes) -> np.ndarray:
+    """Minimal RIFF/WAVE container parse (PCM16 data chunk only)."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise DecodeUnsupported("wav")
+    pos = 12
+    while pos + 8 <= len(buf):
+        chunk_id = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if chunk_id == b"data":
+            data = buf[pos + 8 : pos + 8 + size]
+            return np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2").astype(np.float32) / 32767.0
+        pos += 8 + size + (size & 1)
+    raise DecodeUnsupported("wav")
+
+
 def _decode_one(buf: bytes, codec: str) -> np.ndarray:
     if codec == "pcm_s16le":
         return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32767.0
+    if codec in ("pcm_mulaw", "mulaw", "ulaw"):
+        return _mulaw_expand(np.frombuffer(buf, dtype=np.uint8))
+    if codec == "wav":
+        return _parse_wav(buf)
     # flac/opus/... need soundfile/libsndfile — not in this container
     raise DecodeUnsupported(codec)
 

@@ -193,3 +193,43 @@ class TestCli:
         rc = main(["--input", "synth:100", "--output", out_dir, "--partitions", "3"])
         assert rc == 0
         assert len(mf.completed_partitions(out_dir)) == 3
+
+
+class TestAudioCodecs:
+    def test_mulaw_roundtrip(self):
+        from spiderray.stages.multimodal import _decode_one, _mulaw_expand
+
+        # µ-law compress a sine in numpy (reference G.711 encoder), decode
+        # with the stage's expander, require SNR typical of 8-bit companding
+        t = np.arange(4000) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 220 * t)
+        mag = np.abs(x * 32124.0).astype(np.int64) + 0x84
+        exponent = np.floor(np.log2(mag >> 7)).astype(np.int64)
+        mantissa = (mag >> (exponent + 3)) & 0x0F
+        enc = (~((np.where(x < 0, 0x80, 0)) | (exponent << 4) | mantissa)).astype(np.uint8)
+        dec = _mulaw_expand(enc)
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((x - dec) ** 2))
+        assert snr > 25.0
+        assert np.array_equal(dec, _decode_one(enc.tobytes(), "pcm_mulaw"))
+
+    def test_wav_container(self):
+        from spiderray.stages.multimodal import _decode_one
+
+        pcm = (np.sin(np.arange(1000) / 10.0) * 20000).astype("<i2")
+        data = pcm.tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+        wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+        out = _decode_one(wav, "wav")
+        np.testing.assert_allclose(out, pcm.astype(np.float32) / 32767.0)
+
+    def test_unsupported_still_stubbed(self):
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        with pytest.raises(DecodeUnsupported):
+            _decode_one(b"xxxx", "opus")
