@@ -829,6 +829,73 @@ SQL_DISTINCT_PRIORITIES = """
 SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
 """
 
+
+def q_detect_domain(sf_dir: str):
+    """DetectDomain enrichment (§3.3) over synthetic hosts derived from
+    documents (rows-only): eTLD+1 parse, host-meta country/category, ICP
+    extraction from injected licence strings, title clean."""
+    from .detect_domain import enrich_domains
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    _HOSTS = ("news.example.com.cn", "www.sample.co.uk", "portal.gov",
+              "blog.testsite.co.jp", "shop.demo.com", "site.gov.sg", "m.news.cn")
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows = {"host": [], "title": [], "description": [], "body_text": [],
+                "meta_lang": [], "charset": []}
+        for r in batch.to_pylist():
+            i = r["doc_id"]
+            rows["host"].append(_HOSTS[i % len(_HOSTS)])
+            rows["title"].append((r["text"] or "")[:60] + " | Site")
+            rows["description"].append((r["text"] or "")[:100])
+            body = r["text"] or ""
+            if i % 4 == 0:
+                body += f" 京ICP备{10000 + i}号"
+            rows["body_text"].append(body)
+            rows["meta_lang"].append(r["lang"])
+            rows["charset"].append("UTF-8")
+        return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    return enrich_domains(pages)
+
+
+def q_crawl_bfs(sf_dir: str):
+    """BFS crawl waves (§3.4) over a deterministic page graph derived from
+    documents (rows-only): seed → list links → content links, seen-dedup per
+    wave."""
+    from .crawl import crawl
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    n_sections = 12
+    pages = [{
+        "url": "http://c.com/",
+        "lang": "en",
+        "links": [
+            {"url": f"http://c.com/s{s}/", "title": f"Section {s} index page"}
+            for s in range(n_sections)
+        ],
+    }]
+    for s in range(n_sections):
+        links = []
+        for r in docs:
+            if r["doc_id"] % n_sections == s:
+                links.append({
+                    "url": f"http://c.com/2024/01/{r['doc_id'] % 27 + 1:02d}/d{r['doc_id']}.html",
+                    "title": (r["text"] or "")[:80],
+                })
+        pages.append({"url": f"http://c.com/s{s}/", "lang": "en", "links": links[:50]})
+
+    import ray.data as rd
+
+    res = crawl(rd.from_items(pages), ["http://c.com/"], depth=2)
+    return pd.DataFrame(
+        {"url": sorted(res.content), "title": [res.content[u] for u in sorted(res.content)]}
+    )
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -857,6 +924,8 @@ QUERIES = {
     "q_perplexity": q_perplexity,
     "q_audio_features": q_audio_features,
     "q_classify_links": q_classify_links,
+    "q_detect_domain": q_detect_domain,
+    "q_crawl_bfs": q_crawl_bfs,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
 }
