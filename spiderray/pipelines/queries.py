@@ -278,7 +278,7 @@ def q_doc_lang_hist(sf_dir: str):
         ids = batch.column("doc_id").to_numpy()
         return batch.append_column("salt", pa.array((ids % 8).astype(np.int32)))
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     salted = (
         ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
@@ -896,6 +896,38 @@ def q_crawl_bfs(sf_dir: str):
         {"url": sorted(res.content), "title": [res.content[u] for u in sorted(res.content)]}
     )
 
+
+def q_join_orders_customers(sf_dir: str):
+    """Both-sides-large hash join (stages/joins.py): orders ⋈ customer on
+    custkey, then mktsegment totals — the native hash-partitioned
+    Dataset.join with explicit num_partitions."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey",
+                       num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = _cents(df["o_totalprice"])
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"), sum_price_c=("price_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["c_mktsegment"], {"n_orders": "sum", "sum_price_c": "sum"})
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS sum_price_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -905,6 +937,7 @@ QUERIES = {
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
     "q_distinct_priorities": q_distinct_priorities,
+    "q_join_orders_customers": q_join_orders_customers,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
@@ -939,6 +972,7 @@ ORACLE_SQL = {
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,
+    "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,
     "q_doc_lang_hist": SQL_DOC_LANG_HIST,

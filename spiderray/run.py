@@ -18,9 +18,6 @@ import argparse
 import json
 import sys
 
-import pyarrow.compute as pc
-
-
 def _shard_factory(input_spec: str):
     from .sources import clips as clipsrc
     from .state.manifest import partition_of

@@ -19,8 +19,6 @@ across rows — so any shard of the table can be regenerated independently
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 

@@ -137,3 +137,36 @@ class TestAnn:
         got = ann.lsh_topk(rd.from_pandas(emb_df), q, k=5)
         assert got["vec_id"].iloc[0] == 3
         assert 17 in got["vec_id"].tolist()
+
+
+class TestJoins:
+    @pytest.fixture(scope="class")
+    def sides(self, ray_session):
+        import ray.data as rd
+
+        left = rd.from_items([{"k": i % 7, "lval": i} for i in range(50)])
+        right = rd.from_items([{"k": j, "rval": j * 100} for j in range(5)])
+        return left, right
+
+    def _expected(self):
+        rows = []
+        for i in range(50):
+            if i % 7 < 5:
+                rows.append((i % 7, i, (i % 7) * 100))
+        return sorted(rows)
+
+    def test_native_hash_join(self, sides):
+        from spiderray.stages.joins import hash_join
+
+        left, right = sides
+        out = hash_join(left, right, on="k", num_partitions=4).to_pandas()
+        got = sorted(map(tuple, out[["k", "lval", "rval"]].to_numpy()))
+        assert got == self._expected()
+
+    def test_bucketed_join(self, sides):
+        from spiderray.stages.joins import bucketed_join
+
+        left, right = sides
+        out = bucketed_join(left, right, on="k", num_buckets=8).to_pandas()
+        got = sorted(map(tuple, out[["k", "lval", "rval"]].to_numpy()))
+        assert got == self._expected()
