@@ -98,8 +98,33 @@ def cepf_score(
 def line_metrics(text: str) -> dict:
     """The per-row line/structure metrics (shared by the oracle
     ``compute_metrics`` and the batch kernel in stages/quality_stage.py —
-    single implementation, so the two paths agree by construction)."""
+    single implementation, so the two paths agree by construction).
+
+    Single-line fast path: most transcripts contain no newline, where the
+    general path's per-line regex work collapses to one URL scan (URL
+    matches cannot span the stripped whitespace, so findall(text) ==
+    findall(line)).  Equality with the general path is property-tested."""
     n = len(text)
+    if "\n" not in text:
+        t = text.strip()
+        if not t:
+            return {
+                "n_lines": 0, "max_line_dup": 0.0, "line_len_var": 0.0,
+                "linkish_ratio": 0.0, "word_count": len(text.split()),
+                "quality_score": cepf_score([], 0.0, n, 0, 0),
+            }
+        link_runes = sum(len(m) for m in _RE_URLISH.findall(text))
+        leaf = len(t)
+        density_sum = float(max(leaf - link_runes, 0))
+        p_count = 1 if t.endswith(_SENTENCE_END) else 0
+        return {
+            "n_lines": 1,
+            "max_line_dup": 1.0,
+            "line_len_var": leaf_var([leaf]),
+            "linkish_ratio": link_runes / n if n else 0.0,
+            "word_count": len(text.split()),
+            "quality_score": cepf_score([leaf], density_sum, n, link_runes, p_count),
+        }
     nonempty = [ln for ln in (l.strip() for l in text.split("\n")) if ln]
     n_lines = len(nonempty)
 

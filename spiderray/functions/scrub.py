@@ -93,9 +93,19 @@ def toxicity_score(text: str) -> float:
     return min(hits / len(words), 1.0)
 
 
+# Every bank pattern requires a digit, '@', 'www.' or 'http' somewhere —
+# one cheap trigger scan skips the 8-pattern pass on clean text (the common
+# case); behavior-identical because a text without any trigger cannot match
+# any pattern.
+_RE_TRIG_NUM = re.compile(r"[0-9@]")
+_RE_TRIG_URL = re.compile(r"(?i)www\.|http")
+
+
 def scrub_text(text: str) -> tuple[str, list[dict[str, str]]]:
     """Apply the full bank in order; returns (scrubbed, pii_found) where
     pii_found is a list of {kind, value} in match order (byte-stable)."""
+    if _RE_TRIG_NUM.search(text) is None and _RE_TRIG_URL.search(text) is None:
+        return text, []
     found: list[dict[str, str]] = []
     for kind, pat in PII_PATTERNS:
         token = _TOKENS[kind]
