@@ -928,6 +928,48 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
+
+def q_keepdrop_f1(sf_dir: str):
+    """Reference-conformance check (SURVEY §2.4 engine addition): join the
+    pipeline's keep/drop decisions against the row-oracle's labels on
+    clip_id (hash join) and report precision/recall/F1.  The oracle shares
+    the function bank, so F1 must be exactly 1.0 — the query exists to
+    exercise the conformance-join shape the north rule names."""
+    from ..oracle import oracle_rows
+    from ..sources.clips import clips_from_documents
+    from ..stages.joins import hash_join
+    from .quality_filter import quality_filter
+
+    import ray.data as rd
+
+    engine = quality_filter(clips_from_documents(sf_dir)).select_columns(["clip_id", "keep"])
+
+    def oracle_batch(batch: pa.Table) -> pa.Table:
+        out = oracle_rows(batch.to_pylist())
+        return pa.table(
+            {
+                "o_clip_id": pa.array([r["clip_id"] for r in out], pa.string()),
+                "oracle_keep": pa.array([r["keep"] for r in out], pa.bool_()),
+            }
+        )
+
+    oracle_ds = clips_from_documents(sf_dir).map_batches(
+        oracle_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(engine, oracle_ds, on="clip_id", right_on="o_clip_id", num_partitions=8)
+    df = joined.to_pandas()
+    tp = int(((df["keep"]) & (df["oracle_keep"])).sum())
+    fp = int(((df["keep"]) & (~df["oracle_keep"])).sum())
+    fn = int(((~df["keep"]) & (df["oracle_keep"])).sum())
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return pd.DataFrame(
+        {"n_rows": [len(df)], "tp": [tp], "fp": [fp], "fn": [fn],
+         "precision": [round(precision, 6)], "recall": [round(recall, 6)],
+         "f1": [round(f1, 6)]}
+    )
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -961,6 +1003,7 @@ QUERIES = {
     "q_crawl_bfs": q_crawl_bfs,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
+    "q_keepdrop_f1": q_keepdrop_f1,
 }
 
 ORACLE_SQL = {

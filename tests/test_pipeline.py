@@ -132,3 +132,25 @@ def test_distributed_synth_source(ray_session):
         g = got[r["clip_id"]]
         assert g["transcript"] == r["transcript"]
         assert g["bytes"] == r["bytes"]
+
+
+def test_null_robustness(ray_session):
+    """Rows with null transcript / codec / bytes flow through the pipeline
+    without raising; null transcript behaves like empty (too_short drop)."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "clip_id": pa.array(["n0", "n1", "n2"], pa.string()),
+            "bytes": pa.array([None, b"", b"\x00\x01"], pa.binary()),
+            "sr_hz": pa.array([16000, None, 8000], pa.int32()),
+            "dur_ms": pa.array([0, 0, None], pa.int32()),
+            "codec": pa.array([None, "pcm_s16le", "pcm_s16le"], pa.string()),
+            "transcript": pa.array([None, "", "short"], pa.string()),
+        }
+    )
+    out = quality_filter(rd.from_arrow(tbl)).to_pandas().sort_values("clip_id")
+    assert len(out) == 3
+    assert not out["keep"].any()
+    assert out[out.clip_id == "n0"]["drop_reason"].iloc[0] == "bad_codec"
+    assert out[out.clip_id == "n1"]["drop_reason"].iloc[0] == "too_short"
