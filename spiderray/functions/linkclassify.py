@@ -10,10 +10,23 @@ from __future__ import annotations
 
 from urllib.parse import urlparse
 
-from . import keepdrop, textnorm, urlfilter
+from . import keepdrop, langid, textnorm, urlfilter
 from .domains import domain_top
 
 LABELS = (keepdrop.LABEL_NONE, keepdrop.LABEL_CONTENT, keepdrop.LABEL_LIST, keepdrop.LABEL_UNKNOWN)
+
+
+def page_lang_from_links(titles: list[str]) -> tuple[str, str]:
+    """bodyTextForLang listMode clone (/root/reference/lang.go:360-376):
+    concatenate the first <=64 anchor texts (goquery .Text() joins with no
+    separator), require >= 16 anchors, abort on the {{...}} dynamic-render
+    guard, then run the language cascade on the joined text."""
+    if len(titles) < 16:
+        return "", ""
+    text = "".join(titles[:64])
+    if text.count("{") >= 5 and text.count("}") >= 5:
+        return "", ""
+    return langid.lang_from_text(text)
 
 
 def dedup_longest_title(links: list[tuple[str, str]]) -> dict[str, str]:

@@ -24,10 +24,13 @@ def classify_pages(ds, rules: dict[str, list[str]] | None = None):
     final label after per-page relabel + blacklist clean."""
 
     def per_page(g: pd.DataFrame) -> pd.DataFrame:
-        lang = g["lang"].iloc[0]
         link_titles = linkclassify.dedup_longest_title(
             list(zip(g["url"].tolist(), g["title"].tolist()))
         )
+        lang = g["lang"].iloc[0] if "lang" in g.columns else ""
+        if not lang:
+            # listMode auto-detection from the anchor texts (lang.go:360-376)
+            lang, _ = linkclassify.page_lang_from_links(list(link_titles.values()))
         labels, subs = linkclassify.page_link_types(link_titles, lang, rules)
         return pd.DataFrame(
             {

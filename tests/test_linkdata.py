@@ -116,3 +116,27 @@ class TestRayPipeline:
         p0 = summary[summary.page_id == "p0"].iloc[0]
         assert p0["n_content"] == 11  # 9 + promoted + subdomain link
         assert p0["n_list"] == 1
+
+
+class TestPageLang:
+    def test_listmode_lang_from_anchors(self):
+        titles = [ZH_TITLE + str(i) for i in range(20)]
+        lang, pos = linkclassify.page_lang_from_links(titles)
+        assert (lang, pos) == ("zh", "body")
+
+    def test_too_few_anchors(self):
+        assert linkclassify.page_lang_from_links(["短标题"] * 10) == ("", "")
+
+    def test_dynamic_render_guard(self):
+        titles = ["{item.title}"] * 20
+        assert linkclassify.page_lang_from_links(titles) == ("", "")
+
+    def test_classify_pages_auto_lang(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            ("pz", f"http://z.cn/a/{i}.html", ZH_TITLE + str(i)) for i in range(20)
+        ]
+        df = pd.DataFrame(rows, columns=["page_id", "url", "title"])  # no lang col
+        out = classify_pages(rd.from_pandas(df)).to_pandas()
+        assert (out["label"] == "content").all()
