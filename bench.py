@@ -85,9 +85,9 @@ def bench_once() -> dict:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from spiderray.config import configure_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_context()
 
     _warmup()
 
@@ -165,9 +165,9 @@ if __name__ == "__main__":
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-        from ray.data import DataContext
+        from spiderray.config import configure_context
 
-        DataContext.get_current().enable_progress_bars = False
+        configure_context()
         _warmup()
         sec, n = run_flagship()
         ray.shutdown()

@@ -49,3 +49,20 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def configure_context(cfg: PipelineConfig | None = None, *, wide_rows: bool = False):
+    """Tune the session DataContext for this engine's workloads.  Called by
+    bench.py / the CLI — never by library code or the driver entry (the
+    driver owns its session).
+
+    ``wide_rows=True`` raises target_max_block_size so multi-hundred-KB
+    audio rows don't split blocks absurdly small (SURVEY.md §4.2)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    if wide_rows:
+        ctx.target_max_block_size = 256 * 1024 * 1024
+    return ctx

@@ -92,9 +92,9 @@ def main(argv=None) -> int:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from .config import configure_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_context()
 
     from .config import PipelineConfig
     from .pipelines.quality_filter import quality_filter

@@ -154,3 +154,31 @@ def test_null_robustness(ray_session):
     assert not out["keep"].any()
     assert out[out.clip_id == "n0"]["drop_reason"].iloc[0] == "bad_codec"
     assert out[out.clip_id == "n1"]["drop_reason"].iloc[0] == "too_short"
+
+
+def test_wide_rows_stream(ray_session):
+    """Clips with ~0.5 MB audio payloads stream through the full pipeline
+    with a bytes-conscious batch size (SURVEY.md §4.2 block-splitting row):
+    batch bytes ≈ batch_size × clip size must fit the worker heap."""
+    import ray.data as rd
+
+    big = np.zeros(250_000, dtype="<i2").tobytes()  # ~0.5 MB/clip
+    n = 120
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([f"w{i:04d}" for i in range(n)], pa.string()),
+            "bytes": pa.array([big] * n, pa.binary()),
+            "sr_hz": pa.array([16000] * n, pa.int32()),
+            "dur_ms": pa.array([15625] * n, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * n, pa.string()),
+            "transcript": pa.array(
+                ["The committee met this morning to discuss the proposed changes in detail. " * 2] * n,
+                pa.string(),
+            ),
+        }
+    )
+    cfg = PipelineConfig(batch_size=16)  # 16 × 0.5 MB ≈ 8 MB per batch
+    out = quality_filter(rd.from_arrow(tbl).repartition(8), cfg).to_pandas()
+    assert len(out) == n
+    assert (out["keep"]).all()
+    assert all(len(b) == len(big) for b in out["bytes"])
