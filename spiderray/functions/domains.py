@@ -156,3 +156,14 @@ def meta_from_host(host: str, lang: str) -> tuple[str, str, str]:
             return country, province, ""
 
     return "", "", ""
+
+
+def domain_top_from_url(url_str: str) -> str:
+    """DomainTopFromUrl clone (/root/reference/extract/domain.go:26-32)."""
+    from urllib.parse import urlparse
+
+    try:
+        host = urlparse(url_str).hostname or ""
+    except ValueError:
+        return ""
+    return domain_top(host)

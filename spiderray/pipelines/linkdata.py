@@ -19,6 +19,43 @@ import pyarrow as pa
 from ..functions import linkclassify
 
 
+def harvest_links(ds, strict_domain: bool = True):
+    """WebLinkTitles harvest+filter (M11/M12, /root/reference/extract/
+    web.go:187-239): resolve each link against its page's base URL, apply
+    the filterUrl rejection cascade, and emit accepted rows (with the
+    resolved absolute URL) plus a ``filter_reason`` column for rejects —
+    the Filters map analog.  Input rows: (page_id = base url, url, title
+    [, lang])."""
+    import pyarrow as pa
+
+    from ..functions.urlfilter import filter_url
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = {k: [] for k in ("page_id", "url", "title", "lang", "filter_reason")}
+        for r in rows:
+            resolved, reason = filter_url(r["url"], r["page_id"], strict_domain)
+            out["page_id"].append(r["page_id"])
+            out["url"].append(resolved)
+            out["title"].append(r.get("title", ""))
+            out["lang"].append(r.get("lang", "") or "")
+            out["filter_reason"].append(reason)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def accepted_links(harvested_ds):
+    """The accepted side of the harvest (filter_reason == '')."""
+    import pyarrow.compute as pc
+
+    return harvested_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["filter_reason"], "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def classify_pages(ds, rules: dict[str, list[str]] | None = None):
     """links Dataset (page_id, url, title, lang) → one row per link with the
     final label after per-page relabel + blacklist clean."""

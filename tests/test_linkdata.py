@@ -140,3 +140,34 @@ class TestPageLang:
         df = pd.DataFrame(rows, columns=["page_id", "url", "title"])  # no lang col
         out = classify_pages(rd.from_pandas(df)).to_pandas()
         assert (out["label"] == "content").all()
+
+
+class TestHarvest:
+    def test_filter_and_resolve(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.linkdata import accepted_links, classify_pages, harvest_links
+
+        base = "http://www.163.com/a/b/"
+        rows = [
+            {"page_id": base, "url": "./c/123.html", "title": EN_TITLE, "lang": "en"},
+            {"page_id": base, "url": "/x/9.pdf", "title": EN_TITLE, "lang": "en"},
+            {"page_id": base, "url": "http://other.com/y/1.html", "title": EN_TITLE, "lang": "en"},
+            {"page_id": base, "url": "http://news.163.com/z/2.html", "title": EN_TITLE, "lang": "en"},
+        ]
+        harvested = harvest_links(rd.from_items(rows), strict_domain=True).to_pandas()
+        by_url = harvested.set_index("url")["filter_reason"].to_dict()
+        assert by_url["http://www.163.com/a/b/c/123.html"] == ""
+        assert by_url["http://www.163.com/x/9.pdf"] == "invalid url with suffix"
+        assert by_url["http://other.com/y/1.html"] == "invalid url with strict domain"
+        assert by_url["http://news.163.com/z/2.html"] == ""
+
+        accepted = accepted_links(harvest_links(rd.from_items(rows)))
+        labels = classify_pages(accepted).to_pandas()
+        assert set(labels["label"]) == {"content"}
+
+    def test_domain_top_from_url(self):
+        from spiderray.functions.domains import domain_top_from_url
+
+        assert domain_top_from_url("https://www.baidu.com/news") == "baidu.com"
+        assert domain_top_from_url("http://szb.xnnews.com.cn/a/b.htm") == "xnnews.com.cn"
