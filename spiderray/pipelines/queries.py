@@ -705,7 +705,8 @@ def q_classify_links(sf_dir: str):
         return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
 
     links = ds.map_batches(to_links, batch_format="pyarrow", zero_copy_batch=True)
-    return classify_pages(links)
+    out = classify_pages(links).select_columns(["page_id", "url", "title", "label"])
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
 def q_user_sessions(sf_dir: str):
@@ -970,6 +971,43 @@ def q_keepdrop_f1(sf_dir: str):
          "f1": [round(f1, 6)]}
     )
 
+
+# The q_classify_links oracle: for an en-only corpus the LinkTypes two-pass
+# (first-pass word-rule labels → per-page publishProb stats → List→Content
+# promotion, /root/reference/extract/link.go:62-212) is SQL-expressible:
+# en pages produce no Unknown labels, so the topPaths branch and the
+# path-less demotion are no-ops, leaving exactly the window-CTE below.
+SQL_CLASSIFY_LINKS = """
+WITH links AS (
+  SELECT 'page' || CAST(doc_id % 40 AS VARCHAR) AS page_id,
+         'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+         CASE WHEN doc_id % 3 <> 0
+              THEN '/2024/01/' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                   || '/a' || CAST(doc_id AS VARCHAR) || '.html'
+              ELSE '/cat' || CAST(doc_id % 5 AS VARCHAR)
+                   || '/a' || CAST(doc_id AS VARCHAR) || '.html' END AS url,
+         trim(substr(text, 1, 60)) AS title,
+         (doc_id % 3 <> 0) AS has_date_path
+  FROM documents
+), labeled AS (
+  SELECT *, CASE WHEN len(string_split_regex(trim(title), ' +')) >= 5
+                 THEN 'content' ELSE 'list' END AS label1
+  FROM links
+), stats AS (
+  SELECT page_id,
+         sum(CASE WHEN label1 = 'content' THEN 1 ELSE 0 END) AS n_content,
+         sum(CASE WHEN label1 = 'content' AND has_date_path THEN 1 ELSE 0 END) AS n_pub
+  FROM labeled GROUP BY page_id
+)
+SELECT l.page_id, l.url, l.title,
+       CASE WHEN l.label1 = 'list' AND s.n_content > 0
+                 AND s.n_pub * 1.0 / s.n_content > 0.7
+                 AND l.has_date_path AND length(l.title) >= 2
+            THEN 'content' ELSE l.label1 END AS label
+FROM labeled l JOIN stats s USING (page_id)
+ORDER BY url
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1027,6 +1065,7 @@ ORACLE_SQL = {
     "q_ann_topk": SQL_ANN_TOPK,
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_extract_dates": SQL_EXTRACT_DATES,
+    "q_classify_links": SQL_CLASSIFY_LINKS,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }
