@@ -2,7 +2,8 @@
 prints ONE JSON line.
 
     python bench.py                  # full suite at $RAY_GRAFT_CPUS (def 32)
-    python bench.py --scaling        # headline at 8 vs 32 cpus (fresh procs)
+    python bench.py --scaling        # headline at two cpu levels (fresh procs)
+    python bench.py --stats          # per-operator ds.stats() of the flagship
 
 Headline metric: clips/sec through the full quality-filter pipeline
 (generation → charset → langid → metrics → keep/drop → scrub → count) on the
@@ -152,8 +153,27 @@ def bench_scaling() -> dict:
     }
 
 
+def bench_stats() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from spiderray.config import configure_context
+    from spiderray.pipelines.quality_filter import quality_filter
+    from spiderray.sources.clips import synth_clips_dataset
+
+    configure_context()
+    _warmup()
+    n_blocks = max(64, N_CLIPS // 4096)
+    mat = quality_filter(synth_clips_dataset(N_CLIPS, override_num_blocks=n_blocks)).materialize()
+    print(mat.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stats" in sys.argv:
+        bench_stats()
+    elif "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
     elif os.environ.get("BENCH_FLAGSHIP_ONLY"):
         import ray
