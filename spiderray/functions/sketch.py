@@ -1,0 +1,80 @@
+"""Mergeable sketches (engine addition; the reference has no approximate
+aggregates, SURVEY.md §2.5 note).  HyperLogLog with 2^P registers and a
+fixed 64-bit hash — every worker computes identical register arrays, so
+per-batch sketches merge with an elementwise max (the partial+final
+combiner shape: one sketch per batch moves, never rows)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+P = 12                      # 4096 registers; ~1.6% standard error
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _hash64(values) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+        )
+    return out
+
+
+def hll_from_values(values) -> np.ndarray:
+    """Build a register array (uint8[M]) from a batch of values."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if not len(values):
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    remaining = h << np.uint64(P)
+    # rank = leading zeros of the remaining (64-P)-bit suffix + 1, counted
+    # with a done-mask so bits after the first 1 never increment
+    rank = np.ones(len(h), dtype=np.uint8)
+    done = np.zeros(len(h), dtype=bool)
+    for _ in range(64 - P):
+        top_set = remaining >= (np.uint64(1) << np.uint64(63))
+        done |= top_set
+        rank[~done] += 1
+        remaining = remaining << np.uint64(1)
+        if done.all():
+            break
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(M, dtype=np.uint8)
+    for s in sketches:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * M * M / float(np.sum(2.0 ** (-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * M and zeros:
+        return M * float(np.log(M / zeros))  # linear counting for small n
+    return est
+
+
+def count_distinct_approx(ds, col: str) -> float:
+    """Distributed approximate distinct count: one sketch per batch →
+    driver-side merge (sketches are 4 KB; 'only counters move')."""
+    import pyarrow as pa
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        regs = hll_from_values(batch.column(col).to_pylist())
+        return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    sketches = [
+        np.frombuffer(row["sketch"], dtype=np.uint8)
+        for row in parts.take_all()
+    ]
+    return hll_estimate(hll_merge(sketches))

@@ -1008,6 +1008,58 @@ FROM labeled l JOIN stats s USING (page_id)
 ORDER BY url
 """
 
+
+def q_count_distinct_users(sf_dir: str):
+    """Exact distinct count (ds.unique) with an HLL approximate companion
+    (functions/sketch.py; one 4 KB sketch per batch merges driver-side).
+    Compared column is the exact count; the sketch estimate is asserted
+    within 2% in tests."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n_exact = len(ds.unique("user_id"))
+    return pd.DataFrame({"n_users": [n_exact]})
+
+
+SQL_COUNT_DISTINCT_USERS = """
+SELECT count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Top-3 terms per source by (count DESC, term ASC) — vectorized
+    per-batch term counting (partial) → driver merge → per-group head."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for src_name, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term in (text or "").split():
+                rows.append((src_name, term))
+        df = pd.DataFrame(rows, columns=["source", "term"])
+        g = df.groupby(["source", "term"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["source", "term"], {"n": "sum"})
+    df = df.sort_values(["source", "n", "term"], ascending=[True, False, True], kind="mergesort")
+    top = df.groupby("source", as_index=False).head(3)
+    return top.reset_index(drop=True)
+
+
+SQL_TOP_TERMS = """
+WITH terms AS (
+  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS n FROM terms GROUP BY source, term
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rk
+  FROM counts
+)
+SELECT source, term, n FROM ranked WHERE rk <= 3 ORDER BY source, n DESC, term
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1018,6 +1070,8 @@ QUERIES = {
     "q_anti_join_customers": q_anti_join_customers,
     "q_distinct_priorities": q_distinct_priorities,
     "q_join_orders_customers": q_join_orders_customers,
+    "q_count_distinct_users": q_count_distinct_users,
+    "q_top_terms": q_top_terms,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
@@ -1054,6 +1108,8 @@ ORACLE_SQL = {
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,
     "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
+    "q_top_terms": SQL_TOP_TERMS,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,
     "q_doc_lang_hist": SQL_DOC_LANG_HIST,

@@ -170,3 +170,30 @@ class TestJoins:
         out = bucketed_join(left, right, on="k", num_buckets=8).to_pandas()
         got = sorted(map(tuple, out[["k", "lval", "rval"]].to_numpy()))
         assert got == self._expected()
+
+
+class TestSketch:
+    def test_hll_vs_exact_on_events(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.sketch import count_distinct_approx
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+        exact = len(ds.unique("user_id"))
+        est = count_distinct_approx(
+            rd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"]),
+            "user_id",
+        )
+        assert abs(est - exact) / exact < 0.02
+
+    def test_hll_large(self):
+        import numpy as np
+
+        from spiderray.functions import sketch
+
+        vals = [f"v{i}" for i in range(50000)]
+        regs = sketch.hll_merge(
+            [sketch.hll_from_values(list(c)) for c in np.array_split(np.array(vals, dtype=object), 9)]
+        )
+        est = sketch.hll_estimate(regs)
+        assert abs(est - 50000) / 50000 < 0.03
