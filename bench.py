@@ -62,7 +62,10 @@ def run_queries() -> dict[str, float]:
         ("q_doc_lang_hist", q.q_doc_lang_hist),
         ("q_ann_topk", q.q_ann_topk),
         ("q_minhash_pairs", q.q_minhash_pairs),
+        ("q_simhash_pairs", q.q_simhash_pairs),
         ("q_events_hourly", q.q_events_hourly),
+        ("q_user_sessions", q.q_user_sessions),
+        ("q_join_orders_customers", q.q_join_orders_customers),
     ]
     import ray.data
 

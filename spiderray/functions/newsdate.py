@@ -258,6 +258,37 @@ def time_from_meta(metas: list[tuple[str, str, str]], lang: str) -> str:
     return ""
 
 
+def time_from_meta_en(metas: list[tuple[str, str, str]], lang: str) -> str:
+    """getTimeByMetaEn analog (content.go:318-331 call site): same
+    publish-key filter and longest-with-time selection as getTimeByMeta but
+    over the English date patterns; matches are space-normalized with commas
+    stripped (content.go:397-400)."""
+    meta_dates: list[str] = []
+    norm = str.maketrans("", "", "_-.")
+    for name, prop, content in metas:
+        for pat in (RE_EN_PUBLISH_DATE1, RE_EN_PUBLISH_DATE2):
+            m = pat.search(content or "")
+            if not m:
+                continue
+            name_n = (name or "").translate(norm)
+            prop_n = (prop or "").translate(norm)
+            if any(k in prop_n for k in META_DATETIME_DICTS) or any(
+                k in name_n for k in META_DATETIME_DICTS
+            ):
+                d = textnorm.normalise_space(m.group(0).strip()).replace(",", " ")
+                meta_dates.append(d)
+            break
+    if not meta_dates:
+        return ""
+    has_times = [d for d in meta_dates if RE_TIME.search(d)]
+    no_times = [d for d in meta_dates if not RE_TIME.search(d)]
+    if has_times:
+        return max(has_times, key=len) if len(has_times) > 1 else has_times[0]
+    if lang != "zh" and no_times:
+        return max(no_times, key=len) if len(no_times) > 1 else no_times[0]
+    return ""
+
+
 def time_from_script(script_texts: list[str]) -> str:
     """getTimeByScript clone (content.go:1167-1190): JSON pub* key first,
     then the WeChat epoch ct="...". Scripts scanned in document order."""
@@ -302,16 +333,10 @@ def extract_time(
     t = time_from_meta(metas or [], "zh")
     pos = "meta" if t else ""
     if not t and lang != "zh":
-        for pat in (RE_EN_PUBLISH_DATE1, RE_EN_PUBLISH_DATE2):
-            for _, _, content in metas or []:
-                m = pat.search(content or "")
-                if m:
-                    t = textnorm.normalise_space(m.group(0)).replace(",", " ")
-                    en_format = True
-                    pos = "meta"
-                    break
-            if t:
-                break
+        t = time_from_meta_en(metas or [], lang)
+        if t:
+            en_format = True
+            pos = "meta"
     if not t and time_attr:
         m = RE_PUBLISH_DATE.search(time_attr)
         if m:

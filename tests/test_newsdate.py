@@ -134,3 +134,23 @@ class TestCascade:
         assert nd.str_to_time("2022-09-02 11:40:53") > 0
         assert nd.str_to_time("2022年9月2日 11时40分") > 0
         assert nd.str_to_time("garbage") == 0.0
+
+
+class TestMetaEn:
+    def test_en_meta_needs_publish_key(self):
+        t, pos, _ = nd.extract_time(
+            lang="en",
+            metas=[("viewport", "", "02 Sep 2022 11:40")],
+            body_text="",
+            now=NOW,
+        )
+        assert t == ""  # non-publish key rejected
+
+    def test_en_meta_longest_with_time_wins(self):
+        t, pos, _ = nd.extract_time(
+            lang="en",
+            metas=[("pubdate", "", "02 Sep 2022 11:40"),
+                   ("article:published", "og:pubtime", "03 Sep 2022 11:40:53 pm")],
+            now=NOW,
+        )
+        assert (t, pos) == ("03 Sep 2022 11:40:53 pm", "meta")
