@@ -14,3 +14,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .config import PipelineConfig  # noqa: E402
+from .oracle import oracle_row, oracle_rows  # noqa: E402
+
+__all__ = ["PipelineConfig", "oracle_row", "oracle_rows"]
+

@@ -188,3 +188,59 @@ class TestSessions:
         assert len(u1) == 3
         assert u1["n_events"].tolist() == [3, 2, 1]
         assert len(out[out.user_id == 2]) == 1
+
+
+class TestReferenceApi:
+    def test_get_news(self):
+        from spiderray.api import get_news
+
+        import time as _t
+        now = _t.mktime((2024, 6, 1, 12, 0, 0, 0, 0, -1))
+        news = get_news(
+            {
+                "title": EN_TITLE + " | Daily",
+                "body_text": "Published on 2024-01-15 09:30. " + EN_TITLE + ". Details follow here today. " * 6,
+                "headlines": [EN_TITLE],
+                "url": "http://d.com/2024/01/15/p.html",
+            },
+            now=now,
+        )
+        assert news["title"] == EN_TITLE
+        assert news["time"].startswith("2024-01-15")
+        assert news["lang"] == "en"
+
+    def test_get_link_data(self):
+        from spiderray.api import get_link_data
+
+        links = [(f"http://s.cn/a/{i}.html", "市政府召开专题会议讨论城市交通治理方案" + str(i)) for i in range(20)]
+        links.append(("http://s.cn/", "首页"))
+        res = get_link_data(links)
+        assert res["lang"] == "zh"
+        assert len(res["content"]) == 20
+        assert "http://s.cn/" in res["none"]
+
+    def test_detect_domain(self, ray_session):
+        from spiderray.api import detect_domain
+
+        res = detect_domain(
+            {
+                "host": "news.sohu.com",
+                "title": "新闻中心_搜狐",
+                "description": "d",
+                "body_text": "今日要闻内容。" * 20 + " 京ICP备05000001号",
+                "meta_lang": "",
+                "charset": "UTF-8",
+            },
+            {"news.sohu.com": (7, 2)},
+        )
+        assert res["domain_top"] == "sohu.com"
+        assert res["icp_province"] == "北京"
+        assert res["n_content"] == 7
+
+    def test_news_spider(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.api import news_spider
+
+        res = news_spider(rd.from_items(PAGES), ["http://s.com/"], depth=2)
+        assert len(res.content) >= 2
