@@ -14,7 +14,8 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _load_entry():
