@@ -182,3 +182,60 @@ def test_wide_rows_stream(ray_session):
     assert len(out) == n
     assert (out["keep"]).all()
     assert all(len(b) == len(big) for b in out["bytes"])
+
+
+def test_fuzz_random_unicode_matches_oracle(ray_session):
+    """Random multilingual/garbage transcripts: vectorized pipeline must
+    equal the row oracle on every decision field (catches divergence of the
+    codepoint kernels on unusual codepoints)."""
+    import random
+
+    import ray.data as rd
+
+    from spiderray.oracle import oracle_rows
+
+    rng = random.Random(1234)
+    pools = [
+        "abcdefghij klmnop qrstu vwxyz",
+        "的一是不了人我在有他这中大来上国",
+        "あいうえおかきくけこアイウエオ",
+        "가나다라마바사아자차",
+        "абвгдежзийклмноп",
+        "ابتثجحخدذرزسشصض",
+        "!@#$%^&*()[]{}<>~`|\\\"'",
+        "0123456789 \t\n",
+        "éèêëàâçñáíóúäöüß",
+        "   　​﻿",
+        "𐍈𝄞😀🎵𠀀",
+    ]
+    texts = []
+    for _ in range(96):
+        parts = []
+        for _ in range(rng.randint(0, 30)):
+            pool = rng.choice(pools)
+            a = rng.randint(0, len(pool) - 1)
+            b = min(len(pool), a + rng.randint(1, 8))
+            parts.append(pool[a:b])
+        texts.append("".join(parts))
+
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([f"f{i:04d}" for i in range(len(texts))], pa.string()),
+            "bytes": pa.array([b""] * len(texts), pa.binary()),
+            "sr_hz": pa.array([16000] * len(texts), pa.int32()),
+            "dur_ms": pa.array([0] * len(texts), pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * len(texts), pa.string()),
+            "transcript": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        quality_filter(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    exp = oracle_rows(tbl.to_pylist())
+    exp.sort(key=lambda r: r["clip_id"])
+    for i, e in enumerate(exp):
+        for field in ("lang", "lang_pos", "label", "keep", "drop_reason", "scrubbed_transcript"):
+            assert got[field].iloc[i] == e[field], (e["clip_id"], field, repr(texts[i][:60]))
