@@ -1060,6 +1060,75 @@ WITH terms AS (
 SELECT source, term, n FROM ranked WHERE rk <= 3 ORDER BY source, n DESC, term
 """
 
+
+def q_harvest_filter(sf_dir: str):
+    """URL harvest filter cascade (M12, /root/reference/extract/
+    web.go:242-302) over deterministic link shapes: each doc_id produces a
+    URL exercising exactly one rejection rule (or acceptance)."""
+    from .linkdata import harvest_links
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    base = "http://base7.com/a/"
+
+    def to_links(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            k = i % 6
+            if k == 0:
+                urls.append(f"http://base7.com/files/doc{i}.pdf")
+            elif k == 1:
+                urls.append(f"http://base7.com:8080/x/{i}.html")
+            elif k == 2:
+                urls.append(f"http://10.0.0.{i % 250 + 1}/x/{i}.html")
+            elif k == 3:
+                urls.append(f"http://base7.com/x/{{{i}}}.html")
+            elif k == 4:
+                urls.append(f"http://offsite{i % 9}.org/x/{i}.html")
+            else:
+                urls.append(f"http://base7.com/news/{i}.html")
+        return pa.table(
+            {
+                "page_id": pa.array([base] * len(ids), pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "title": pa.array(["t"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    links = ds.map_batches(to_links, batch_format="pyarrow", zero_copy_batch=True)
+    harvested = harvest_links(links, strict_domain=True)
+    out = harvested.to_pandas()
+    # harvest drops the doc_id column (fixed schema); rebuild from url order
+    return out[["url", "filter_reason"]].sort_values("url").reset_index(drop=True)
+
+
+SQL_HARVEST_FILTER = """
+WITH links AS (
+  SELECT doc_id, doc_id % 6 AS k,
+    CASE doc_id % 6
+      WHEN 0 THEN 'http://base7.com/files/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+      WHEN 1 THEN 'http://base7.com:8080/x/' || CAST(doc_id AS VARCHAR) || '.html'
+      WHEN 2 THEN 'http://10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) || '/x/' || CAST(doc_id AS VARCHAR) || '.html'
+      WHEN 3 THEN 'http://base7.com/x/{' || CAST(doc_id AS VARCHAR) || '}.html'
+      WHEN 4 THEN 'http://offsite' || CAST(doc_id % 9 AS VARCHAR) || '.org/x/' || CAST(doc_id AS VARCHAR) || '.html'
+      ELSE 'http://base7.com/news/' || CAST(doc_id AS VARCHAR) || '.html'
+    END AS url
+  FROM documents
+)
+SELECT url,
+  CASE k
+    WHEN 3 THEN 'invalid url with illegal characters'
+    WHEN 1 THEN 'invalid url with not 80 port'
+    WHEN 2 THEN 'invalid url with ip hostname'
+    WHEN 0 THEN 'invalid url with suffix'
+    WHEN 4 THEN 'invalid url with strict domain'
+    ELSE ''
+  END AS filter_reason
+FROM links ORDER BY url
+"""
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1072,6 +1141,7 @@ QUERIES = {
     "q_join_orders_customers": q_join_orders_customers,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
+    "q_harvest_filter": q_harvest_filter,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
@@ -1110,6 +1180,7 @@ ORACLE_SQL = {
     "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
+    "q_harvest_filter": SQL_HARVEST_FILTER,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,
     "q_doc_lang_hist": SQL_DOC_LANG_HIST,
