@@ -325,3 +325,23 @@ def embedding_near_dup_pairs(
         )
 
     return ds.groupby(part_col).map_groups(per_group, batch_format="pandas")
+
+
+def embedding_near_dup_lsh(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+):
+    """Embedding near-dup pairs WITHOUT a label partition: random-hyperplane
+    LSH buckets (ann.lsh_buckets — fixed planes, identical on every worker)
+    are the partition key; near-identical vectors share a bucket with high
+    probability.  Approximate: pairs split across buckets are missed —
+    recall rises with fewer planes or multi-probe (documented tradeoff; the
+    exact-within-`label` variant above is the recall=1 contract)."""
+    from .ann import lsh_buckets
+
+    bucketed = lsh_buckets(ds, vec_col).select_columns([id_col, vec_col, "bucket"])
+    return embedding_near_dup_pairs(
+        bucketed, vec_col=vec_col, id_col=id_col, part_col="bucket", threshold=threshold
+    )

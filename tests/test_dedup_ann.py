@@ -197,3 +197,18 @@ class TestSketch:
         )
         est = sketch.hll_estimate(regs)
         assert abs(est - 50000) / 50000 < 0.03
+
+
+class TestEmbeddingLsh:
+    def test_planted_near_dup_found(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import embedding_near_dup_lsh
+
+        rng = np.random.default_rng(3)
+        V = rng.standard_normal((400, 32))
+        V[50] = V[7] + rng.standard_normal(32) * 0.01  # planted near-dup
+        df = pd.DataFrame({"vec_id": range(400), "embedding": list(V)})
+        pairs = embedding_near_dup_lsh(rd.from_pandas(df), threshold=0.95).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (7, 50) in found
