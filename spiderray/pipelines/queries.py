@@ -114,9 +114,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
-       sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
        count(*) AS n_rows,
        round(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0/count(*), 6) AS avg_qty
 FROM lineitem
@@ -166,7 +166,7 @@ def q_region_customers(sf_dir: str):
 
 SQL_REGION_CUSTOMERS = """
 SELECT r.r_name, count(*) AS n_customers,
-       sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) AS sum_acctbal_c
+       CAST(sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name ORDER BY r.r_name
@@ -194,7 +194,7 @@ def q_events_hourly(sf_dir: str):
 
 SQL_EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
-       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """
 
@@ -221,7 +221,7 @@ def q_purchases_by_user(sf_dir: str):
 
 SQL_PURCHASES_BY_USER = """
 SELECT user_id, count(*) AS n_purchases,
-       sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events WHERE event_type = 'purchase' AND value > 50.0
 GROUP BY user_id ORDER BY user_id
 """
@@ -261,9 +261,9 @@ def q_doc_keepdrop(sf_dir: str):
 
 SQL_DOC_KEEPDROP = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN lang <> 'zh'
+       CAST(sum(CASE WHEN lang <> 'zh'
                 AND len(string_split_regex(trim(text), ' +')) >= 5
-           THEN 1 ELSE 0 END) AS n_keep
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -325,8 +325,8 @@ def q_token_counts(sf_dir: str):
 
 SQL_TOKEN_COUNTS = f"""
 SELECT source, count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), ' +'))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{BPE_SQL_PATTERN}'))) AS bpe_tokens
+       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_SQL_PATTERN}'))) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -414,7 +414,7 @@ SELECT doc_id,
        regexp_replace(text || ' contact agent' || CAST(doc_id AS VARCHAR)
                       || '@mail.example.org now',
                       '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS scrubbed,
-       1 AS n_pii
+       CAST(1 AS BIGINT) AS n_pii
 FROM documents WHERE doc_id % 7 = 0
 """
 
@@ -729,8 +729,8 @@ WITH marked AS (
   FROM events
 ), sess AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -778,7 +778,7 @@ WITH top_orders AS (
   ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 )
 SELECT l_orderkey, count(*) AS n_items,
-       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c
+       CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM top_orders)
 GROUP BY l_orderkey ORDER BY l_orderkey
 """
@@ -924,7 +924,7 @@ def q_join_orders_customers(sf_dir: str):
 
 SQL_JOIN_ORDERS_CUSTOMERS = """
 SELECT c.c_mktsegment, count(*) AS n_orders,
-       sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS sum_price_c
+       CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """

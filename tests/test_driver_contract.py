@@ -88,8 +88,19 @@ def test_all_queries_against_oracle(entry_mod, con):
         if len(got) != len(exp):
             failures.append((name, "rowcount", len(got), len(exp)))
             continue
+        # dtype-strict: the driver hashes raw values, so engine int64 vs
+        # oracle float64 (e.g. DuckDB HUGEINT sums) is a FAIL even when the
+        # numbers are equal — exactly the round-1 hash-mismatch class.
+        dtype_mismatch = [
+            (c, str(got[c].dtype), str(exp[c].dtype))
+            for c in got.columns
+            if got[c].dtype != exp[c].dtype
+        ]
+        if dtype_mismatch:
+            failures.append((name, "dtype", dtype_mismatch, ""))
+            continue
         try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
         except AssertionError as e:
             failures.append((name, "values", str(e).split("\n")[0], ""))
     assert not failures, failures
