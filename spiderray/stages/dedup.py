@@ -25,6 +25,8 @@ from ..functions import fingerprint as fp
 
 N_PARTS = 64          # coarse bucket partitions (per-group python is O(this))
 MAX_BUCKET = 256      # cap degenerate mega-buckets (all-identical corpora)
+EMBED_MAX_GROUP = 65536   # skip hot label/bucket groups beyond this (O(n²) guard)
+EMBED_BLOCK_ROWS = 256    # similarity row-block: peak extra mem = block × n doubles
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -91,17 +93,20 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     bands: int = 32,
+    verify: str = "join",
+    join_partitions: int = 8,
 ):
     """MinHash+LSH near-dup candidate pairs with signature-Jaccard >=
     threshold (b=32, r=4 → collision threshold ~0.42).
 
     Two-phase shape: the exploded band rows carry ONLY (part, band, key, id)
     — 20 bytes, not the 512-byte signature duplicated x bands — so the
-    bucket shuffle stays tiny.  Candidate pairs are then verified against a
-    signature lookup broadcast once via ``ray.put`` (id → sig; one signature
-    per doc).  At 10^12-doc scale the broadcast becomes a hash-partitioned
-    join of (pairs ⋈ sigs) on id — the shuffle/verify split is unchanged."""
-    import ray
+    bucket shuffle stays tiny.  Verification is a hash-partitioned join of
+    (candidate pairs ⋈ sigs) on id_a then id_b — signatures never leave the
+    distributed store, so nothing whole-dataset ever lands on the driver
+    (``verify="join"``, the 10^12-doc shape).  ``verify="broadcast"`` keeps
+    the small-corpus variant (driver collects id→sig, ships once via
+    ``ray.put``) for A/B testing; it is NOT the scale path."""
 
     sig_ds = ds.map_batches(
         lambda b: pa.table(
@@ -116,12 +121,6 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()  # computed once; reused for band explode + verification
-
-    sig_map: dict = {}
-    for batch in sig_ds.iter_batches(batch_format="pyarrow"):
-        for i, s in zip(batch.column(id_col).to_pylist(), batch.column("sig").to_pylist()):
-            sig_map[i] = s
-    sig_ref = ray.put(sig_map)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -143,38 +142,123 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+    def candidates_in_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["band", "band_key", id_col])
         sizes = g.groupby(["band", "band_key"])[id_col].transform("size")
         g = g[sizes <= MAX_BUCKET]
         m = g.merge(g, on=["band", "band_key"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if m.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
         m = m.drop_duplicates(subset=[f"{id_col}_a", f"{id_col}_b"])
-        sigs = ray.get(sig_ref)
-        A = np.frombuffer(
-            b"".join(sigs[i] for i in m[f"{id_col}_a"]), dtype=np.uint32
-        ).reshape(len(m), -1)
-        B = np.frombuffer(
-            b"".join(sigs[i] for i in m[f"{id_col}_b"]), dtype=np.uint32
-        ).reshape(len(m), -1)
-        est = (A == B).mean(axis=1)
-        ok = est >= threshold
+        # built from m even when empty so id dtypes survive (schema unify)
         return pd.DataFrame(
-            {
-                "id_a": m[f"{id_col}_a"].to_numpy()[ok],
-                "id_b": m[f"{id_col}_b"].to_numpy()[ok],
-                "score": est[ok],
-            }
+            {"id_a": m[f"{id_col}_a"].to_numpy(), "id_b": m[f"{id_col}_b"].to_numpy()}
         )
 
-    pairs = (
+    cands = (
         sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part", num_partitions=16)
-        .map_groups(pairs_in_part, batch_format="pandas")
-    )
-    return _dedup_pairs(pairs)
+        .map_groups(candidates_in_part, batch_format="pandas")
+    ).materialize()  # small (pairs only); also needed to inspect the schema
+
+    schema = cands.schema(fetch_if_missing=True)
+    if schema is None or "id_a" not in schema.names or cands.count() == 0:
+        # zero candidates: a zero-block dataset breaks the native join's
+        # aggregator (acero sees no id_a field on the left side) even when
+        # the schema is known.  Emit a correctly-typed empty pair set.
+        # count() is free here — cands is already materialized.
+        import ray.data as rd
+
+        id_type = sig_ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    if verify == "broadcast":
+        return _dedup_pairs(
+            _minhash_verify_broadcast(cands, sig_ds, id_col, threshold)
+        )
+
+    from .joins import hash_join
+
+    def tag(suffix: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"__k_{suffix}": b.column(id_col), f"sig_{suffix}": b.column("sig")}
+            )
+
+        return fn
+
+    # two sequential joins; materialize between them so only ONE join's
+    # aggregator-actor fleet is alive at a time (they deadlock-compete for
+    # CPU slots on small clusters otherwise)
+    sigs_a = sig_ds.map_batches(tag("a"), batch_format="pyarrow", zero_copy_batch=True)
+    sigs_b = sig_ds.map_batches(tag("b"), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        cands, sigs_a, on="id_a", right_on="__k_a", num_partitions=join_partitions
+    ).materialize()
+    j = hash_join(j, sigs_b, on="id_b", right_on="__k_b", num_partitions=join_partitions)
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], b.schema.field("id_a").type),
+                    "id_b": pa.array([], b.schema.field("id_b").type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        A = np.frombuffer(b"".join(b.column("sig_a").to_pylist()), dtype=np.uint32).reshape(n, -1)
+        B = np.frombuffer(b"".join(b.column("sig_b").to_pylist()), dtype=np.uint32).reshape(n, -1)
+        est = (A == B).mean(axis=1)
+        ok = est >= threshold
+        kept = b.select(["id_a", "id_b"]).filter(pa.array(ok))
+        return kept.append_column("score", pa.array(est[ok], pa.float64()))
+
+    return _dedup_pairs(j.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def _minhash_verify_broadcast(cands, sig_ds, id_col: str, threshold: float):
+    """Legacy small-corpus verify: driver-side id→sig dict shipped via
+    ray.put.  O(corpus) driver memory — kept only for A/B tests against the
+    join path; never the default."""
+    import ray
+
+    sig_map: dict = {}
+    for batch in sig_ds.iter_batches(batch_format="pyarrow"):
+        for i, s in zip(batch.column(id_col).to_pylist(), batch.column("sig").to_pylist()):
+            sig_map[i] = s
+    sig_ref = ray.put(sig_map)
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], b.schema.field("id_a").type),
+                    "id_b": pa.array([], b.schema.field("id_b").type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        sigs = ray.get(sig_ref)
+        A = np.frombuffer(
+            b"".join(sigs[i] for i in b.column("id_a").to_pylist()), dtype=np.uint32
+        ).reshape(n, -1)
+        B = np.frombuffer(
+            b"".join(sigs[i] for i in b.column("id_b").to_pylist()), dtype=np.uint32
+        ).reshape(n, -1)
+        est = (A == B).mean(axis=1)
+        ok = est >= threshold
+        kept = b.select(["id_a", "id_b"]).filter(pa.array(ok))
+        return kept.append_column("score", pa.array(est[ok], pa.float64()))
+
+    return cands.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_pairs(
@@ -299,28 +383,54 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     part_col: str = "label",
     threshold: float = 0.4,
+    max_group: int = EMBED_MAX_GROUP,
+    block_rows: int = EMBED_BLOCK_ROWS,
 ):
     """Embedding-cosine near-dup pairs within a partition column (the
     documented partitioning assumption: candidates must share ``part_col``;
     cross-partition near-dups are out of contract — at scale the partition
     key is an LSH hyperplane bucket, see ann.lsh_buckets).  Cosine computed
-    in float64; emits (id_a, id_b, cos) with id_a < id_b."""
+    in float64; emits (id_a, id_b, cos) with id_a < id_b.
+
+    Memory discipline: similarity is computed in row blocks (peak extra
+    memory ``block_rows × n`` doubles, never a dense n×n), and groups larger
+    than ``max_group`` are skipped entirely — the MAX_BUCKET analog of the
+    text LSH paths (one hot label/bucket must not O(n²) a worker; re-bucket
+    hot partitions with ann.lsh_buckets instead)."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype=g[id_col].dtype),
+             "id_b": np.array([], dtype=g[id_col].dtype),
+             "cos": np.array([], dtype=np.float64)}
+        )
+        if len(g) > max_group or len(g) < 2:
+            return empty
         g = g.sort_values(id_col)
         V = np.array(g[vec_col].to_list(), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         Vn = V / norms
-        S = Vn @ Vn.T
         ids = g[id_col].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = S[iu, ju] >= threshold
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            # rows s..e vs all columns > row index (upper triangle only)
+            S = Vn[s:e] @ Vn[s:].T  # (e-s) × (n-s) block, not n × n
+            bi, bj = np.nonzero(S >= threshold)
+            keep = (bj + s) > (bi + s)  # strict upper triangle
+            bi, bj = bi[keep], bj[keep]
+            out_a.append(ids[bi + s])
+            out_b.append(ids[bj + s])
+            out_c.append(S[bi, bj])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "id_a": ids[iu[mask]],
-                "id_b": ids[ju[mask]],
-                "cos": S[iu, ju][mask],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
             }
         )
 

@@ -212,3 +212,76 @@ class TestEmbeddingLsh:
         pairs = embedding_near_dup_lsh(rd.from_pandas(df), threshold=0.95).to_pandas()
         found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
         assert (7, 50) in found
+
+
+class TestMinhashJoinVerify:
+    def test_join_vs_broadcast_pair_equality(self, ray_session, docs_df):
+        """The join-shaped verify (scale path) must produce exactly the same
+        pair set + scores as the legacy broadcast verify."""
+        import ray.data as rd
+
+        def pairset(df):
+            return {
+                (a, b): round(s, 9)
+                for a, b, s in df[["id_a", "id_b", "score"]].itertuples(index=False)
+            }
+
+        j = dedup.minhash_lsh_pairs(
+            rd.from_pandas(docs_df), threshold=0.6, verify="join"
+        ).to_pandas().drop_duplicates(["id_a", "id_b"])
+        b = dedup.minhash_lsh_pairs(
+            rd.from_pandas(docs_df), threshold=0.6, verify="broadcast"
+        ).to_pandas().drop_duplicates(["id_a", "id_b"])
+        assert pairset(j) == pairset(b)
+        assert (0, 100) in pairset(j)
+
+
+class TestEmbeddingBlocked:
+    def test_blocked_matches_dense(self, ray_session):
+        """Blocked upper-triangle similarity == dense n×n reference."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        V = rng.standard_normal((500, 8))
+        df = pd.DataFrame(
+            {"vec_id": range(500), "embedding": list(V), "label": [0] * 500}
+        )
+        got = (
+            dedup.embedding_near_dup_pairs(rd.from_pandas(df), threshold=0.8, block_rows=64)
+            .to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        iu, ju = np.triu_indices(500, k=1)
+        mask = S[iu, ju] >= 0.8
+        exp = set(zip(iu[mask].tolist(), ju[mask].tolist()))
+        assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) == exp
+        assert len(exp) > 0  # the test must actually exercise matches
+
+    def test_hot_group_skipped_and_bounded(self, ray_session):
+        """A group beyond max_group is skipped (O(n²) guard) while small
+        groups still produce pairs; block_rows bounds the peak allocation."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        hot = rng.standard_normal((3000, 4))
+        cold = rng.standard_normal((10, 4))
+        cold[5] = cold[2] * 1.1  # planted pair in the small group
+        df = pd.DataFrame(
+            {
+                "vec_id": range(3010),
+                "embedding": list(np.vstack([hot, cold])),
+                "label": [0] * 3000 + [1] * 10,
+            }
+        )
+        pairs = (
+            dedup.embedding_near_dup_pairs(
+                rd.from_pandas(df), threshold=0.99, max_group=1000, block_rows=128
+            )
+            .to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (3002, 3005) in found          # small group still verified
+        assert all(a >= 3000 for a, _ in found)  # hot group skipped entirely
