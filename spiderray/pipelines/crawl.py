@@ -80,20 +80,27 @@ def crawl(pages_ds, seed_urls: list[str], depth: int = 2, strict_host: str | Non
 
         links = wave_pages.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         classified = classify_pages(links).to_pandas()
+        if classified.empty:
+            # frontier matched no pages (or pages had no links): Ray's
+            # to_pandas drops columns on 0-row datasets, so bail before
+            # touching them
+            frontier = []
+            break
 
         result.pages_visited.extend(sorted(set(classified["page_id"])))
 
-        next_frontier: list[str] = []
-        for _, row in classified.iterrows():
-            url, label, title = row["url"], row["label"], row["title"]
-            if label == keepdrop.LABEL_CONTENT:
-                if url not in result.content:
-                    result.content[url] = title
-            elif label == keepdrop.LABEL_LIST:
-                # the seen-dedup (spider_news.go:163-166), race-free
-                if url not in seen:
-                    seen.add(url)
-                    next_frontier.append(url)
-        frontier = sorted(next_frontier)
+        # vectorized label partition + seen-dedup (spider_news.go:163-166,
+        # race-free): isin masks instead of per-row Python
+        content = classified[classified["label"] == keepdrop.LABEL_CONTENT]
+        content = content.drop_duplicates("url", keep="first")
+        new_content = content[~content["url"].isin(result.content.keys())]
+        result.content.update(dict(zip(new_content["url"], new_content["title"])))
+
+        list_urls = classified.loc[
+            classified["label"] == keepdrop.LABEL_LIST, "url"
+        ].drop_duplicates()
+        fresh = list_urls[~list_urls.isin(seen)]
+        seen.update(fresh)
+        frontier = sorted(fresh)
 
     return result

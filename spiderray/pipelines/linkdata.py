@@ -108,7 +108,7 @@ def page_summaries(classified_ds):
                 pv[lbl] = 0
         pv = pv[["page_id", "content", "list", "unknown", "none"]]
         pv.columns = ["page_id", "n_content", "n_list", "n_unknown", "n_none"]
-        return pa.Table.from_pandas(pv, preserve_index=False)
+        return pa.Table.from_pandas(pv, preserve_index=False).replace_schema_metadata(None)
 
     return (
         classified_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

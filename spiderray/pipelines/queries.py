@@ -32,6 +32,14 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 ICP_SQL_PATTERN = "(京|津|沪|粤)ICP(备案|备|证)?[0-9]+"
 
 
+def _pa_from_pandas(df: pd.DataFrame) -> pa.Table:
+    """from_pandas with the pandas schema metadata stripped: the metadata
+    dict makes pa.Schema unhashable, which defeats Ray's early-exit schema
+    dedup on every block unify (and spams 'Failed to hash the schemas'
+    warnings from shuffle aggregators)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -102,7 +110,7 @@ def q_pricing_summary(sf_dir: str):
             .agg(sum_qty_c=("qty_c", "sum"), sum_base_c=("base_c", "sum"),
                  sum_disc_c=("disc_c", "sum"), n_rows=("qty_c", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["l_returnflag", "l_linestatus"],
@@ -157,7 +165,7 @@ def q_region_customers(sf_dir: str):
         g = df.groupby("r_name", as_index=False).agg(
             n_customers=("bal_c", "size"), sum_acctbal_c=("bal_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["r_name"], {"n_customers": "sum", "sum_acctbal_c": "sum"})
@@ -185,7 +193,7 @@ def q_events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["event_type", "hour"], {"n_events": "sum", "sum_value_c": "sum"})
@@ -212,11 +220,18 @@ def q_purchases_by_user(sf_dir: str):
         g = df.groupby("user_id", as_index=False).agg(
             n_purchases=("value_c", "size"), sum_value_c=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
+
+    from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    df = _final_merge(partials, ["user_id"], {"n_purchases": "sum", "sum_value_c": "sum"})
-    return df.sort_values("user_id").reset_index(drop=True)
+    # user_id cardinality grows with the corpus — merge through a keyed
+    # groupby shuffle, never a driver-side to_pandas of per-key partials
+    agg = partials.groupby("user_id", num_partitions=16).aggregate(
+        Sum("n_purchases", alias_name="n_purchases"),
+        Sum("sum_value_c", alias_name="sum_value_c"),
+    )
+    return agg.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
 SQL_PURCHASES_BY_USER = """
@@ -252,7 +267,7 @@ def q_doc_keepdrop(sf_dir: str):
         )
         df = pd.DataFrame({"lang": langs, "keep": keep})
         g = df.groupby("lang", as_index=False).agg(n_docs=("keep", "size"), n_keep=("keep", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["lang"], {"n_docs": "sum", "n_keep": "sum"})
@@ -315,7 +330,7 @@ def q_token_counts(sf_dir: str):
         g = df.groupby("source", as_index=False).agg(
             n_docs=("ws", "size"), ws_tokens=("ws", "sum"), bpe_tokens=("bpe", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["source"],
@@ -765,7 +780,7 @@ def q_semi_join_lineitems(sf_dir: str):
         g = df.groupby("l_orderkey", as_index=False).agg(
             n_items=("qty_c", "size"), sum_qty_c=("qty_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["l_orderkey"], {"n_items": "sum", "sum_qty_c": "sum"})
@@ -915,7 +930,7 @@ def q_join_orders_customers(sf_dir: str):
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("price_c", "size"), sum_price_c=("price_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     df = _final_merge(partials, ["c_mktsegment"], {"n_orders": "sum", "sum_price_c": "sum"})
@@ -1025,26 +1040,42 @@ SELECT count(DISTINCT user_id) AS n_users FROM events
 
 
 def q_top_terms(sf_dir: str):
-    """Top-3 terms per source by (count DESC, term ASC) — vectorized
-    per-batch term counting (partial) → driver merge → per-group head."""
+    """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
+    vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
+    per-token Python) → per-batch partial counts → keyed groupby Sum (term
+    cardinality grows with the corpus, so the merge must shuffle, never land
+    on the driver) → per-source map_groups head-3 (source cardinality is
+    small)."""
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        rows = []
-        for src_name, text in zip(
-            batch.column("source").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for term in (text or "").split():
-                rows.append((src_name, term))
-        df = pd.DataFrame(rows, columns=["source", "term"])
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            np.asarray(batch.column("source").to_pylist(), dtype=object), lens
+        )
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({"source": src, "term": flat.to_pandas().to_numpy()})
+        df = df[df["term"] != ""]  # arrow split keeps boundary empties; split() drops them
         g = df.groupby(["source", "term"], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    df = _final_merge(partials, ["source", "term"], {"n": "sum"})
-    df = df.sort_values(["source", "n", "term"], ascending=[True, False, True], kind="mergesort")
-    top = df.groupby("source", as_index=False).head(3)
-    return top.reset_index(drop=True)
+    agg = partials.groupby(["source", "term"], num_partitions=16).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(3)
+        return g[["source", "term", "n"]]
+
+    out = agg.groupby("source").map_groups(top3, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["source", "n", "term"], ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 SQL_TOP_TERMS = """
