@@ -29,6 +29,15 @@ def extract_news_row(
     body = row.get("body_text") or ""
     charset = row.get("charset") or "UTF-8"
 
+    # metas may arrive as Arrow structs (dicts) from the htmlparse stage or
+    # as (name, property, content) tuples from field-shaped input
+    metas = row.get("metas") or []
+    if metas and isinstance(metas[0], dict):
+        metas = [
+            (m.get("name", ""), m.get("property", ""), m.get("content", ""))
+            for m in metas
+        ]
+
     lang, lang_pos = langid.detect_lang(
         body,
         charset=charset,
@@ -50,7 +59,7 @@ def extract_news_row(
     raw_time, time_pos, time_fmt = newsdate.extract_time(
         lang=lang,
         body_text=body,
-        metas=row.get("metas"),
+        metas=metas,
         time_attr=row.get("time_attr") or "",
         script_texts=row.get("script_texts"),
         url=row.get("url") or "",
@@ -63,7 +72,10 @@ def extract_news_row(
 
     time_local = _t.strftime("%Y-%m-%d %H:%M:%S", _t.localtime(ts)) if ts > 0 else ""
 
-    content = textnorm.format_content(body)
+    # prefer the CEPF-extracted content node text (htmlparse stage) over
+    # the whole body — the reference formats the content node only
+    # (content.go:205-209)
+    content = textnorm.format_content(row.get("content") or body)
     metrics = quality.compute_metrics(content)
 
     return {
@@ -98,3 +110,14 @@ def extract_news(pages_ds, cfg: PipelineConfig | None = None, now: float | None 
         )
 
     return pages_ds.map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def get_news_from_html(ds, cfg: PipelineConfig | None = None, now: float | None = None,
+                       html_col: str = "html", id_col: str = "page_id"):
+    """GetNews end-to-end from RAW HTML rows (the reference flagship,
+    /root/reference/spider.go:207-263): parse stage (DOM build + CEPF
+    content-node scoring, stages/htmlparse.py) → news cascade.  Both stages
+    are stateless map_batches and fuse into one chain."""
+    from ..stages.htmlparse import parse_html_stage
+
+    return extract_news(parse_html_stage(ds, html_col=html_col, id_col=id_col), cfg, now)

@@ -1160,6 +1160,49 @@ SELECT url,
 FROM links ORDER BY url
 """
 
+
+
+def q_news_from_html(sf_dir: str):
+    """GetNews from RAW HTML (the reference flagship end-to-end,
+    spider.go:207-263): deterministic hermetic HTML pages synthesized from
+    documents rows → parse stage (DOM + CEPF content scoring) → news
+    cascade.  Rows-only: the CEPF max-score walk and title cascade are not
+    SQL-expressible."""
+    from .news import get_news_from_html
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_html(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages, pids = [], []
+        for i, text in zip(ids, texts):
+            words = (text or "").split()
+            title = " ".join(words[:6]) or f"Document {i}"
+            paras = "".join(
+                f"<p>{' '.join(words[k:k + 12])}.</p>"
+                for k in range(0, max(len(words), 1), 12)
+            )
+            day, minute = i % 27 + 1, i % 60
+            pages.append(
+                f'<html lang="en"><head><title>{title} | Site{i % 9}</title>'
+                f'<meta property="og:title" content="{title}">'
+                f'<meta name="publishdate" content="2022-09-{day:02d} 10:{minute:02d}:00">'
+                f'</head><body>'
+                f'<div><a href="/">Home</a> <a href="/news">News</a> <a href="/a">Archive</a></div>'
+                f'<div><h1>{title}</h1>{paras}</div>'
+                f'<div><a href="/about">About</a> <a href="/contact">Contact</a></div>'
+                f"</body></html>"
+            )
+            pids.append(f"d{i}")
+        return pa.table({"page_id": pa.array(pids, pa.string()),
+                         "html": pa.array(pages, pa.string())})
+
+    pages = ds.map_batches(to_html, batch_format="pyarrow", zero_copy_batch=True)
+    out = get_news_from_html(pages)
+    return out.select_columns(["page_id", "title", "title_pos", "time", "time_pos", "lang"])
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1194,6 +1237,7 @@ QUERIES = {
     "q_classify_links": q_classify_links,
     "q_detect_domain": q_detect_domain,
     "q_crawl_bfs": q_crawl_bfs,
+    "q_news_from_html": q_news_from_html,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
