@@ -41,9 +41,26 @@ def _pa_from_pandas(df: pd.DataFrame) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with size-aware block sizing: Ray's
+    default splits even a 600 KB file into num_cpus blocks, and the per-task
+    fixed cost across a multi-stage chain then dominates (measured 5.0s →
+    2.3s on q_exact_dedup at sf0.1 by capping).  Files ≥64 MB keep Ray's
+    own sizing — at 100 TB inputs are many large files and the default
+    target block size is the right knob."""
+    import os
+
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = None
+    if size is not None and size < (64 << 20):
+        # ~1 block per 2 MB, between 2 and 16
+        nb = max(2, min(16, size // (2 << 20) + 1))
+        return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    return rd.read_parquet(path, columns=columns)
 
 
 
@@ -227,7 +244,7 @@ def q_purchases_by_user(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # user_id cardinality grows with the corpus — merge through a keyed
     # groupby shuffle, never a driver-side to_pandas of per-key partials
-    agg = partials.groupby("user_id", num_partitions=16).aggregate(
+    agg = partials.groupby("user_id").aggregate(
         Sum("n_purchases", alias_name="n_purchases"),
         Sum("sum_value_c", alias_name="sum_value_c"),
     )
@@ -297,7 +314,7 @@ def q_doc_lang_hist(sf_dir: str):
 
     salted = (
         ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lang", "salt"], num_partitions=8)
+        .groupby(["lang", "salt"])
         .aggregate(Count(alias_name="n_part"))
     )
     out = salted.to_pandas().groupby("lang", as_index=False).agg(n_docs=("n_part", "sum"))
@@ -352,13 +369,15 @@ def q_exact_dedup(sf_dir: str):
     distinct text."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def shifted(batch: pa.Table) -> pa.Table:
+    def augment(batch: pa.Table) -> pa.Table:
+        # emit original + shifted copy in ONE pass (a union of a derived
+        # branch would read the parquet twice)
         t = _mod_filter(batch, "doc_id", 3)
         ids = pc.add(t["doc_id"], 1000000)
-        return pa.table({"doc_id": ids, "text": t["text"]})
+        dup = pa.table({"doc_id": ids, "text": t["text"]})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), dup])
 
-    dup = ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True)
-    aug = ds.union(dup)
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
     winners = dedup.exact_dedup(aug, text_col="text", id_col="doc_id")
     return winners.select_columns(["doc_id", "fingerprint"]).to_pandas().sort_values(
         "doc_id"
@@ -526,13 +545,14 @@ def q_minhash_pairs(sf_dir: str):
     copies (every 10th doc gets a near-identical twin)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def twin(batch: pa.Table) -> pa.Table:
+    def augment(batch: pa.Table) -> pa.Table:
         t = _mod_filter(batch, "doc_id", 10)
         ids = pc.add(t["doc_id"], 2000000)
         texts = [f"{x} extra trailing token" for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        twin = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), twin])
 
-    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
     pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -541,13 +561,14 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def twin(batch: pa.Table) -> pa.Table:
+    def augment(batch: pa.Table) -> pa.Table:
         t = _mod_filter(batch, "doc_id", 10)
         ids = pc.add(t["doc_id"], 3000000)
         texts = [f"{x} tail" for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        twin = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), twin])
 
-    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
     pairs = dedup.simhash_pairs(aug, max_hamming=3)
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -556,13 +577,14 @@ def q_simhash_pairs(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def twin(batch: pa.Table) -> pa.Table:
+    def augment(batch: pa.Table) -> pa.Table:
         t = _mod_filter(batch, "doc_id", 10)
         ids = pc.add(t["doc_id"], 4000000)
         texts = [f"{x} one more" for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        twin = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), twin])
 
-    aug = ds.union(ds.map_batches(twin, batch_format="pyarrow", zero_copy_batch=True))
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
     pairs = dedup.ngram_jaccard_pairs(aug, threshold=0.5)
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -1063,7 +1085,7 @@ def q_top_terms(sf_dir: str):
         return _pa_from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby(["source", "term"], num_partitions=16).aggregate(
+    agg = partials.groupby(["source", "term"]).aggregate(
         Sum("n", alias_name="n")
     )
 
@@ -1203,6 +1225,37 @@ def q_news_from_html(sf_dir: str):
     return out.select_columns(["page_id", "title", "title_pos", "time", "time_pos", "lang"])
 
 
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (width 60 min, slide 30 min) over the events stream:
+    explode each event into its two covering windows per batch, then a
+    keyed groupby Sum — the §2.9 sliding-window engine addition."""
+    from ..stages.windows import sliding
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    out = sliding(ds, ts_col="ts", key_col="event_type",
+                  width_minutes=60, slide_minutes=30)
+    df = out.to_pandas()
+    # Arrow round-trips second-aligned floors as timestamp[s]; DuckDB emits
+    # timestamp[us] — align for the dtype-sensitive driver hash
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SLIDING = """
+WITH offsets AS (SELECT 0 AS k UNION ALL SELECT 1),
+exploded AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start
+  FROM events CROSS JOIN offsets
+)
+SELECT event_type, window_start, count(*) AS n_events
+FROM exploded GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1238,6 +1291,7 @@ QUERIES = {
     "q_detect_domain": q_detect_domain,
     "q_crawl_bfs": q_crawl_bfs,
     "q_news_from_html": q_news_from_html,
+    "q_events_sliding": q_events_sliding,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1268,6 +1322,7 @@ ORACLE_SQL = {
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_extract_dates": SQL_EXTRACT_DATES,
     "q_classify_links": SQL_CLASSIFY_LINKS,
+    "q_events_sliding": SQL_EVENTS_SLIDING,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

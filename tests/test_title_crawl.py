@@ -189,6 +189,42 @@ class TestSessions:
         assert u1["n_events"].tolist() == [3, 2, 1]
         assert len(out[out.user_id == 2]) == 1
 
+    def test_tumbling(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import tumbling
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [{"k": "a", "ts": base + pd.Timedelta(minutes=m)} for m in (0, 10, 59, 60, 61, 125)]
+        out = tumbling(rd.from_items(rows), key_col="k").to_pandas().sort_values("window_start")
+        assert out["n_events"].tolist() == [3, 2, 1]
+        assert out["window_start"].iloc[0] == base
+
+    def test_sliding_counts_overlap(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import sliding
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        # one event at t=40min: covered by windows starting at 00:30 and 00:00
+        rows = [{"k": "a", "ts": base + pd.Timedelta(minutes=40)}]
+        out = sliding(rd.from_items(rows), key_col="k", width_minutes=60,
+                      slide_minutes=30).to_pandas().sort_values("window_start")
+        starts = pd.to_datetime(out["window_start"]).tolist()
+        assert starts == [base, base + pd.Timedelta(minutes=30)]
+        assert out["n_events"].tolist() == [1, 1]
+
+    def test_sliding_width_validation(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from spiderray.stages.windows import sliding
+
+        with pytest.raises(ValueError):
+            sliding(rd.from_items([{"ts": None}]), width_minutes=45, slide_minutes=30)
+
 
 class TestReferenceApi:
     def test_get_news(self):
