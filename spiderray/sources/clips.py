@@ -209,14 +209,48 @@ def clips_from_documents(sf_dir: str):
     return ds.map_batches(to_clips, batch_format="pyarrow", batch_size=4096)
 
 
-def read_clips(uri: str, columns: list[str] | None = None):
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def resolve_clip_format(fmt: str = "auto") -> str:
+    """Branch selection for the clips source/sink: 'auto' prefers Lance (the
+    BASELINE input_hint names Lance tables) and falls back to Parquet when
+    the package is absent (this container); explicit 'lance' fails loudly
+    rather than silently reading the wrong format."""
+    if fmt == "auto":
+        return "lance" if lance_available() else "parquet"
+    if fmt == "lance" and not lance_available():
+        raise ImportError(
+            "format='lance' requested but the lance package is not installed; "
+            "use format='auto' to fall back to parquet"
+        )
+    if fmt not in ("lance", "parquet"):
+        raise ValueError(f"unknown clips format {fmt!r}")
+    return fmt
+
+
+def read_clips(uri: str, columns: list[str] | None = None, fmt: str = "auto"):
     """Read a clips table: Lance when available (the at-scale path), else
     Parquet."""
     import ray.data as rd
 
-    try:
-        import lance  # noqa: F401
-
+    resolved = resolve_clip_format(fmt)
+    if resolved == "lance":
         return rd.read_lance(uri, columns=columns)
-    except ImportError:
-        return rd.read_parquet(uri, columns=columns)
+    return rd.read_parquet(uri, columns=columns)
+
+
+def write_clips(ds, uri: str, fmt: str = "auto"):
+    """Write a clips table in the same format read_clips would pick."""
+    resolved = resolve_clip_format(fmt)
+    if resolved == "lance":
+        ds.write_lance(uri)
+    else:
+        ds.write_parquet(uri)
+    return resolved

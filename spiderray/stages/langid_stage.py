@@ -139,6 +139,18 @@ class LangIdModelActor:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
+        # Real-model swap-in (north_rule names fastText lid.176): when
+        # cfg.extra["fasttext_model_path"] is set, the model loads HERE —
+        # once per actor, the whole point of the pool — and _score routes
+        # through it.  The embedded trigram profiles stay the deterministic
+        # default so tests/benches never depend on a model file.
+        self._ft = None
+        ft_path = (self.cfg.extra or {}).get("fasttext_model_path")
+        if ft_path:
+            import fasttext  # hard import: a configured path must not
+
+            # silently fall back to the toy model
+            self._ft = fasttext.load_model(ft_path)
         self.profiles: dict[str, dict[str, float]] = {}
         for lang, seed in self._SEEDS.items():
             grams: dict[str, float] = {}
@@ -150,6 +162,11 @@ class LangIdModelActor:
             self.profiles[lang] = {g: c / total for g, c in grams.items()}
 
     def _score(self, text: str) -> tuple[str, float]:
+        if self._ft is not None:
+            labels, probs = self._ft.predict(text.replace("\n", " ")[:512] or " ")
+            if labels:
+                return labels[0].replace("__label__", ""), float(probs[0])
+            return "", 0.0
         s = f"  {text.lower()[:512]}  "
         grams = [s[j : j + 3] for j in range(len(s) - 2)]
         if not grams:

@@ -86,6 +86,17 @@ class CharLM:
 class PerplexityActor:
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
+        # Real-model swap-in (north_rule names KenLM): when
+        # cfg.extra["kenlm_model_paths"] = {lang: path} is set, those
+        # binary LMs load here — once per actor — and score their langs;
+        # unlisted langs keep the embedded CharLM.  Hard import on a
+        # configured path: never silently fall back to the toy model.
+        self._kenlm: dict = {}
+        km_paths = (self.cfg.extra or {}).get("kenlm_model_paths") or {}
+        if km_paths:
+            import kenlm
+
+            self._kenlm = {lang: kenlm.Model(p) for lang, p in km_paths.items()}
         self.models = {lang: CharLM(seed) for lang, seed in _SEEDS.items()}
         self.fallback = CharLM(" ".join(_SEEDS.values()))
 
@@ -107,6 +118,12 @@ class PerplexityActor:
         for text, lang, keep in zip(texts, langs, keeps):
             if not keep:
                 ppls.append(float("inf"))
+                continue
+            km = self._kenlm.get(lang)
+            if km is not None:
+                # kenlm scores log10 per word; convert to per-word perplexity
+                words = max(len((text or "").split()), 1)
+                ppls.append(10.0 ** (-km.score(text or "") / words))
                 continue
             lm = self.models.get(lang, self.fallback)
             ppls.append(lm.perplexity(text or ""))

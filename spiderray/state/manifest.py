@@ -106,28 +106,64 @@ def run_resumable(
     out_dir: str,
     n_parts: int,
     cfg=None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Process every incomplete partition: ``shard_factory(part, n_parts)``
     yields that shard's input Dataset; ``pipeline(ds, cfg)`` decides it.
-    Returns a summary {completed, skipped, rows, kept}."""
+    Returns a summary {completed, skipped, rows, kept}.
+
+    ``max_concurrent`` > 1 keeps that many partitions in flight from driver
+    threads — safe because each partition's commit (temp dir → rename →
+    manifest) is independent and atomic, and concurrent Ray Data executions
+    share the streaming executor's resource budget.  One failed partition
+    doesn't poison the others: its manifest is simply absent, and the next
+    run retries exactly that partition."""
     done = completed_partitions(out_dir)
     skipped = len(done)
-    totals = {"rows": 0, "kept": 0}
-    completed = []
-    for part in range(n_parts):
-        if part in done:
-            continue
+    todo = [p for p in range(n_parts) if p not in done]
+
+    def process(part: int) -> dict:
         ds = shard_factory(part, n_parts)
         out = pipeline(ds, cfg) if cfg is not None else pipeline(ds)
-        m = write_partition(out, out_dir, part)
-        totals["rows"] += m["rows"]
-        totals["kept"] += m["kept"]
-        completed.append(part)
+        return write_partition(out, out_dir, part)
+
+    manifests: list[dict] = []
+    if max_concurrent <= 1:
+        for part in todo:
+            manifests.append(process(part))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's write path lazily imports fsspec.implementations.http on
+        # EVERY write (the failed import is evicted from sys.modules when
+        # aiohttp is absent, so it re-runs each time).  Two threads racing
+        # that import see a half-initialized module and raise a bare
+        # ImportError that Ray's ModuleNotFoundError guard doesn't catch.
+        # If the import fails here, register a minimal stub so the name
+        # resolves consistently — local-path writes only isinstance-check
+        # against it, which is False for real filesystems either way.
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except Exception:
+            import sys
+            import types
+
+            stub = types.ModuleType("fsspec.implementations.http")
+
+            class _NoHTTPFileSystem:  # sentinel: isinstance() is never true
+                pass
+
+            stub.HTTPFileSystem = _NoHTTPFileSystem
+            sys.modules["fsspec.implementations.http"] = stub
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            manifests = list(pool.map(process, todo))
+
     return {
-        "completed": completed,
+        "completed": [m["part"] for m in manifests],
         "skipped": skipped,
-        "rows": totals["rows"],
-        "kept": totals["kept"],
+        "rows": sum(m["rows"] for m in manifests),
+        "kept": sum(m["kept"] for m in manifests),
     }
 
 

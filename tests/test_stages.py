@@ -64,3 +64,73 @@ def test_langid_model_actor_smoke():
     out = actor(batch)
     assert out.column("lang_model").to_pylist() == ["fr", "de", "es"]
     assert all(c > 0 for c in out.column("lang_conf").to_pylist())
+
+
+class TestRealModelSwapIn:
+    """Opt-in real-model hooks (north_rule names fastText lid.176 + KenLM).
+    The real-file tests skip unless model files are provided via env vars;
+    the negative tests always run: a CONFIGURED path with the package
+    missing must fail loudly, never fall back to the toy model."""
+
+    def test_fasttext_path_without_package_fails_loudly(self):
+        import importlib.util
+
+        import pytest
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.langid_stage import LangIdModelActor
+
+        if importlib.util.find_spec("fasttext") is not None:
+            pytest.skip("fasttext installed; negative test not applicable")
+        cfg = PipelineConfig(extra={"fasttext_model_path": "/nonexistent/lid.176.bin"})
+        with pytest.raises(ImportError):
+            LangIdModelActor(cfg)
+
+    def test_kenlm_paths_without_package_fails_loudly(self):
+        import importlib.util
+
+        import pytest
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.perplexity_stage import PerplexityActor
+
+        if importlib.util.find_spec("kenlm") is not None:
+            pytest.skip("kenlm installed; negative test not applicable")
+        cfg = PipelineConfig(extra={"kenlm_model_paths": {"en": "/nonexistent/en.bin"}})
+        with pytest.raises(ImportError):
+            PerplexityActor(cfg)
+
+    def test_real_fasttext_model(self):
+        import os
+
+        import pyarrow as pa
+        import pytest
+
+        path = os.environ.get("SPIDERRAY_FASTTEXT_MODEL")
+        if not path or not os.path.exists(path):
+            pytest.skip("set SPIDERRAY_FASTTEXT_MODEL to a lid.176 file to run")
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.langid_stage import LangIdModelActor
+
+        actor = LangIdModelActor(PipelineConfig(extra={"fasttext_model_path": path}))
+        out = actor(pa.table({"transcript": ["the quick brown fox jumps over the lazy dog"],
+                              "lang_pos": [""]}))
+        assert out.column("lang_model").to_pylist() == ["en"]
+        assert out.column("lang_conf").to_pylist()[0] > 0.5
+
+    def test_real_kenlm_model(self):
+        import os
+
+        import pyarrow as pa
+        import pytest
+
+        path = os.environ.get("SPIDERRAY_KENLM_MODEL_EN")
+        if not path or not os.path.exists(path):
+            pytest.skip("set SPIDERRAY_KENLM_MODEL_EN to a kenlm binary to run")
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.perplexity_stage import PerplexityActor
+
+        actor = PerplexityActor(PipelineConfig(extra={"kenlm_model_paths": {"en": path}}))
+        out = actor(pa.table({"transcript": ["a perfectly normal english sentence"],
+                              "lang": ["en"]}))
+        assert out.column("ppl").to_pylist()[0] > 0

@@ -233,3 +233,75 @@ class TestAudioCodecs:
 
         with pytest.raises(DecodeUnsupported):
             _decode_one(b"xxxx", "opus")
+
+
+class TestClipFormatContract:
+    """Lance/Parquet branch selection (BASELINE input_hint names Lance; the
+    package is absent in this container so only branch logic + the parquet
+    path can execute)."""
+
+    def test_auto_resolves_parquet_here(self):
+        from spiderray.sources.clips import lance_available, resolve_clip_format
+
+        assert not lance_available()  # container contract
+        assert resolve_clip_format("auto") == "parquet"
+
+    def test_explicit_lance_fails_loudly(self):
+        import pytest
+
+        from spiderray.sources.clips import resolve_clip_format
+
+        with pytest.raises(ImportError, match="lance"):
+            resolve_clip_format("lance")
+        with pytest.raises(ValueError):
+            resolve_clip_format("orc")
+
+    def test_roundtrip_through_selected_branch(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.sources.clips import read_clips, write_clips
+
+        ds = rd.from_items([
+            {"clip_id": "c1", "bytes": b"\x00\x01", "sr_hz": 16000,
+             "dur_ms": 10, "codec": "pcm_s16le", "transcript": "hello"},
+        ])
+        fmt = write_clips(ds, str(tmp_path / "clips"))
+        assert fmt == "parquet"
+        back = read_clips(str(tmp_path / "clips")).to_pandas()
+        assert back.iloc[0]["clip_id"] == "c1"
+        assert back.iloc[0]["bytes"] == b"\x00\x01"
+
+
+class TestConcurrentResumable:
+    def test_concurrent_matches_serial(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.state import manifest as mf
+
+        def shard_factory(part, n_parts):
+            rows = [
+                {"clip_id": f"c{i}", "keep": i % 2 == 0,
+                 "drop_reason": "" if i % 2 == 0 else "short_transcript",
+                 "lang": "en" if i % 3 else "zh"}
+                for i in range(40) if i % n_parts == part
+            ]
+            return rd.from_items(rows)
+
+        ident = lambda ds: ds
+
+        serial = str(tmp_path / "serial")
+        conc = str(tmp_path / "conc")
+        s = mf.run_resumable(shard_factory, ident, serial, n_parts=4)
+        c = mf.run_resumable(shard_factory, ident, conc, n_parts=4, max_concurrent=4)
+        assert s["rows"] == c["rows"] and s["kept"] == c["kept"]
+        assert sorted(s["completed"]) == sorted(c["completed"]) == [0, 1, 2, 3]
+
+        ms = {m["part"]: m for m in mf.read_manifests(serial)}
+        mc = {m["part"]: m for m in mf.read_manifests(conc)}
+        for part in range(4):
+            for key in ("rows", "kept", "dropped", "lang_hist", "drop_reason_hist"):
+                assert ms[part][key] == mc[part][key], (part, key)
+
+        # rerun skips everything (both modes)
+        again = mf.run_resumable(shard_factory, ident, conc, n_parts=4, max_concurrent=4)
+        assert again["skipped"] == 4 and not again["completed"]
