@@ -1256,6 +1256,75 @@ ORDER BY event_type, window_start
 """
 
 
+
+
+def q_speech_rate(sf_dir: str):
+    """Audio/transcript agreement: words-per-second vs clip duration
+    (speech_rate_stage).  Duration is synthesized deterministically from
+    doc_id so the SQL oracle can replicate it exactly; wps is emitted as
+    integer milli-wps for the value hash."""
+    from ..stages.multimodal import speech_rate_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        dur = (ids % 195) * 100 + 500  # 0.5 s … 19.9 s
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "transcript": batch.column("text"),
+                "dur_ms": pa.array(dur.astype(np.int32), pa.int32()),
+            }
+        )
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow", zero_copy_batch=True)
+    out = speech_rate_stage(clips)
+    return out.select_columns(["doc_id", "n_words", "wps_milli", "rate_ok"])
+
+
+SQL_SPEECH_RATE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
+       CAST(floor(len(string_split_regex(trim(text), ' +'))
+                  / ((doc_id % 195) * 100 + 500) * 1000.0 * 1000.0 + 0.5) AS BIGINT)
+           AS wps_milli,
+       (len(string_split_regex(trim(text), ' +')) / (((doc_id % 195) * 100 + 500) / 1000.0)
+        BETWEEN 0.5 AND 6.0) AS rate_ok
+FROM documents
+"""
+
+
+def q_audio_spectral(sf_dir: str):
+    """FFT spectral features over the synthetic clip corpus (rows-only:
+    float FFT output is not SQL-replicable)."""
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_spectral_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_spectral_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "centroid_hz", "bandwidth_hz", "rolloff_hz",
+         "dominant_hz", "zcr"]
+    )
+
+
+def q_vad_stats(sf_dir: str):
+    """Frame-energy VAD stats chained on audio_features_stage (rows-only)."""
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_features_stage, vad_stats_stage
+
+    ds = clips_from_documents(sf_dir)
+    feats = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    out = vad_stats_stage(feats)
+    return out.select_columns(
+        ["clip_id", "silence_ratio", "lead_silence_ms", "trail_silence_ms",
+         "n_speech_segments"]
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1292,6 +1361,9 @@ QUERIES = {
     "q_crawl_bfs": q_crawl_bfs,
     "q_news_from_html": q_news_from_html,
     "q_events_sliding": q_events_sliding,
+    "q_speech_rate": q_speech_rate,
+    "q_audio_spectral": q_audio_spectral,
+    "q_vad_stats": q_vad_stats,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1323,6 +1395,7 @@ ORACLE_SQL = {
     "q_extract_dates": SQL_EXTRACT_DATES,
     "q_classify_links": SQL_CLASSIFY_LINKS,
     "q_events_sliding": SQL_EVENTS_SLIDING,
+    "q_speech_rate": SQL_SPEECH_RATE,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

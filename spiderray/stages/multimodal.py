@@ -149,3 +149,154 @@ def silence_gate_stage(ds, cfg: PipelineConfig, min_rms: float = 1e-3):
         return batch
 
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Spectral features (FFT; pure numpy — no audio libs)
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_MAX_SAMPLES = 1 << 16  # analyze at most ~4s @16k per clip (cost cap)
+
+
+def spectral_features(pcm: np.ndarray, sr: int) -> dict:
+    """Whole-clip magnitude-spectrum features: centroid, bandwidth, rolloff
+    (85%), dominant frequency, zero-crossing rate.  All float64 math on a
+    capped sample window so per-clip cost is bounded."""
+    x = pcm[:_SPECTRAL_MAX_SAMPLES].astype(np.float64)
+    if len(x) < 2 or not np.any(x):
+        return {"centroid_hz": 0.0, "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+                "dominant_hz": 0.0, "zcr": 0.0}
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / max(sr, 1))
+    power = mag * mag
+    total = power.sum()
+    if total <= 0:
+        return {"centroid_hz": 0.0, "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+                "dominant_hz": 0.0, "zcr": 0.0}
+    centroid = float((freqs * power).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / total))
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    dominant = float(freqs[int(np.argmax(mag))])
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {"centroid_hz": centroid, "bandwidth_hz": bandwidth,
+            "rolloff_hz": rolloff, "dominant_hz": dominant, "zcr": zcr}
+
+
+class AudioSpectralActor:
+    """Actor-pool stage: decode + FFT spectral features per clip.  Same
+    decode swap point as AudioFeatureActor (_decode_one)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in
+                                 ("centroid_hz", "bandwidth_hz", "rolloff_hz",
+                                  "dominant_hz", "zcr")}
+        ok = []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                feats = spectral_features(pcm, int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                feats = {k: 0.0 for k in cols}
+                ok.append(False)
+            for k in cols:
+                cols[k].append(feats[k])
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k, v in cols.items():
+            batch = batch.append_column(k, pa.array(v, pa.float32()))
+        return batch
+
+
+def audio_spectral_stage(ds, cfg: PipelineConfig, concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioSpectralActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# VAD-style silence stats over the already-computed frame energies
+# ---------------------------------------------------------------------------
+
+
+def vad_stats_from_frames(frame_rms: list[float], frame_ms: int,
+                          threshold: float) -> tuple[float, int, int, int]:
+    """(silence_ratio, lead_silence_ms, trail_silence_ms, n_speech_segments)
+    from per-frame RMS.  Pure numpy; consumes the frame_rms column that
+    audio_features_stage already produced — no re-decode."""
+    fr = np.asarray(frame_rms, dtype=np.float32)
+    if fr.size == 0:
+        return 1.0, 0, 0, 0
+    speech = fr >= threshold
+    silence_ratio = float(1.0 - speech.mean())
+    nz = np.nonzero(speech)[0]
+    if nz.size == 0:
+        return 1.0, int(fr.size * frame_ms), int(fr.size * frame_ms), 0
+    lead = int(nz[0] * frame_ms)
+    trail = int((fr.size - 1 - nz[-1]) * frame_ms)
+    n_segments = int(np.count_nonzero(np.diff(np.concatenate(([0], speech.view(np.int8)))) == 1))
+    return silence_ratio, lead, trail, n_segments
+
+
+def vad_stats_stage(ds, frame_ms: int = 20, threshold: float = 1e-3):
+    """Stateless stage over (frame_rms) → silence/segment columns.  Input
+    must already carry frame_rms (audio_features_stage)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        frames = batch.column("frame_rms").to_pylist()
+        ratios, leads, trails, segs = [], [], [], []
+        for fr in frames:
+            r, l, t, s = vad_stats_from_frames(fr or [], frame_ms, threshold)
+            ratios.append(r)
+            leads.append(l)
+            trails.append(t)
+            segs.append(s)
+        batch = batch.append_column("silence_ratio", pa.array(ratios, pa.float32()))
+        batch = batch.append_column("lead_silence_ms", pa.array(leads, pa.int32()))
+        batch = batch.append_column("trail_silence_ms", pa.array(trails, pa.int32()))
+        return batch.append_column("n_speech_segments", pa.array(segs, pa.int32()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Speech-rate consistency (audio ↔ transcript agreement signal)
+# ---------------------------------------------------------------------------
+
+
+def speech_rate_stage(ds, transcript_col: str = "transcript",
+                      dur_col: str = "dur_ms",
+                      min_wps: float = 0.5, max_wps: float = 6.0):
+    """Words-per-second from transcript length vs audio duration — the
+    cheapest audio/transcript agreement check an ASR corpus filter runs
+    (a 2 s clip with a 200-word transcript is mislabeled).  Emits
+    wps_milli (integer milli-wps: floor(wps*1000+0.5), exact for the
+    oracle hash) and rate_ok."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(transcript_col).to_pylist()
+        words = np.array([len((t or "").split()) for t in texts], dtype=np.float64)
+        dur_s = batch.column(dur_col).to_numpy(zero_copy_only=False).astype(np.float64) / 1000.0
+        wps = np.where(dur_s > 0, words / np.maximum(dur_s, 1e-12), 0.0)
+        wps_milli = np.floor(wps * 1000.0 + 0.5).astype(np.int64)
+        ok = (wps >= min_wps) & (wps <= max_wps)
+        batch = batch.append_column("n_words", pa.array(words.astype(np.int64), pa.int64()))
+        batch = batch.append_column("wps_milli", pa.array(wps_milli, pa.int64()))
+        return batch.append_column("rate_ok", pa.array(ok, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,6 +1,7 @@
 """Parity tests: vectorized batch kernels vs the row-at-a-time oracle
 functions (no Ray needed — these exercise the batch fns directly)."""
 
+import pytest
 import numpy as np
 import pyarrow as pa
 
@@ -134,3 +135,105 @@ class TestRealModelSwapIn:
         out = actor(pa.table({"transcript": ["a perfectly normal english sentence"],
                               "lang": ["en"]}))
         assert out.column("ppl").to_pylist()[0] > 0
+
+
+class TestAudioSpectral:
+    def _sine_clip(self, freq=440.0, sr=16000, sec=1.0, amp=0.5):
+        import numpy as np
+
+        t = np.arange(int(sr * sec)) / sr
+        pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+        return pcm.tobytes()
+
+    def test_sine_dominant_frequency(self):
+        from spiderray.stages.multimodal import _decode_one, spectral_features
+
+        pcm = _decode_one(self._sine_clip(freq=440.0), "pcm_s16le")
+        f = spectral_features(pcm, 16000)
+        assert abs(f["dominant_hz"] - 440.0) < 2.0
+        assert abs(f["centroid_hz"] - 440.0) < 30.0  # centroid pulled by leakage
+        assert f["zcr"] == pytest.approx(2 * 440 / 16000, rel=0.05)
+
+    def test_rolloff_orders_by_frequency(self):
+        from spiderray.stages.multimodal import _decode_one, spectral_features
+
+        lo = spectral_features(_decode_one(self._sine_clip(200.0), "pcm_s16le"), 16000)
+        hi = spectral_features(_decode_one(self._sine_clip(3000.0), "pcm_s16le"), 16000)
+        assert hi["rolloff_hz"] > lo["rolloff_hz"]
+        assert hi["dominant_hz"] > lo["dominant_hz"]
+
+    def test_silence_is_all_zero(self):
+        import numpy as np
+
+        from spiderray.stages.multimodal import spectral_features
+
+        f = spectral_features(np.zeros(16000, dtype=np.float32), 16000)
+        assert f == {"centroid_hz": 0.0, "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+                     "dominant_hz": 0.0, "zcr": 0.0}
+
+    def test_spectral_stage_ray(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import audio_spectral_stage
+
+        rows = [
+            {"clip_id": "tone", "bytes": self._sine_clip(1000.0), "sr_hz": 16000,
+             "codec": "pcm_s16le"},
+            {"clip_id": "flac", "bytes": b"\x00" * 64, "sr_hz": 16000, "codec": "flac"},
+        ]
+        out = audio_spectral_stage(rd.from_items(rows), PipelineConfig(),
+                                   concurrency=1).to_pandas().set_index("clip_id")
+        assert abs(out.loc["tone", "dominant_hz"] - 1000.0) < 2.0
+        assert bool(out.loc["tone", "decode_ok"])
+        assert not bool(out.loc["flac", "decode_ok"])
+        assert out.loc["flac", "centroid_hz"] == 0.0
+
+
+class TestVadStats:
+    def test_half_silence(self):
+        from spiderray.stages.multimodal import vad_stats_from_frames
+
+        # 50 silent frames then 50 speech frames (20 ms each)
+        frames = [0.0] * 50 + [0.1] * 50
+        ratio, lead, trail, segs = vad_stats_from_frames(frames, 20, 1e-3)
+        assert ratio == pytest.approx(0.5)
+        assert lead == 1000 and trail == 0 and segs == 1
+
+    def test_two_segments(self):
+        from spiderray.stages.multimodal import vad_stats_from_frames
+
+        frames = [0.1] * 10 + [0.0] * 10 + [0.1] * 10
+        ratio, lead, trail, segs = vad_stats_from_frames(frames, 20, 1e-3)
+        assert segs == 2 and lead == 0 and trail == 0
+        assert ratio == pytest.approx(1 / 3)
+
+    def test_all_silent(self):
+        from spiderray.stages.multimodal import vad_stats_from_frames
+
+        ratio, lead, trail, segs = vad_stats_from_frames([0.0] * 5, 20, 1e-3)
+        assert ratio == 1.0 and segs == 0 and lead == 100 and trail == 100
+
+    def test_empty(self):
+        from spiderray.stages.multimodal import vad_stats_from_frames
+
+        assert vad_stats_from_frames([], 20, 1e-3) == (1.0, 0, 0, 0)
+
+
+class TestSpeechRate:
+    def test_rate_flags(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.multimodal import speech_rate_stage
+
+        rows = [
+            {"clip_id": "ok", "transcript": "four words right here", "dur_ms": 2000},
+            {"clip_id": "fast", "transcript": " ".join(["w"] * 100), "dur_ms": 1000},
+            {"clip_id": "slow", "transcript": "one", "dur_ms": 60000},
+            {"clip_id": "empty", "transcript": "", "dur_ms": 1000},
+        ]
+        out = speech_rate_stage(rd.from_items(rows)).to_pandas().set_index("clip_id")
+        assert bool(out.loc["ok", "rate_ok"]) and out.loc["ok", "wps_milli"] == 2000
+        assert not bool(out.loc["fast", "rate_ok"])   # 100 wps
+        assert not bool(out.loc["slow", "rate_ok"])   # 0.017 wps
+        assert not bool(out.loc["empty", "rate_ok"]) and out.loc["empty", "n_words"] == 0
