@@ -1325,6 +1325,89 @@ def q_vad_stats(sf_dir: str):
     )
 
 
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash-bucket train/val/test split (stages/stats.py) —
+    per-split counts, reproducible across runs/processes (md5 bucket)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import train_test_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = (
+        train_test_split(ds, id_col="doc_id",
+                         ratios={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas().sort_values("split").reset_index(drop=True)
+
+
+SQL_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY split ORDER BY split
+"""
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the events value column (in cents):
+    value-histogram shuffle + driver cumsum, rank = ceil(q*n) 1-based."""
+    from ..stages.stats import quantiles_exact
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"value_c": pa.array(_cents(batch.column("value").to_numpy()))})
+
+    dc = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    res = quantiles_exact(dc, "value_c", qs)
+    return pd.DataFrame(
+        {"q_pct": [int(q * 100) for q, _ in res],
+         "value_c": pd.array([v for _, v in res], dtype="int64")}
+    )
+
+
+SQL_VALUE_QUANTILES = """
+WITH c AS (
+  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events
+), ordered AS (
+  SELECT value_c, row_number() OVER (ORDER BY value_c) AS rn,
+         count(*) OVER () AS n
+  FROM c
+), qs AS (
+  SELECT unnest([10, 25, 50, 75, 90, 99]) AS q_pct
+)
+SELECT CAST(q.q_pct AS BIGINT) AS q_pct, o.value_c
+FROM qs q JOIN ordered o
+  ON o.rn = greatest(CAST(ceil(q.q_pct / 100.0 * o.n) AS BIGINT), 1)
+ORDER BY q.q_pct
+"""
+
+
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF (spherical k-means) approximate cosine top-k — the FAISS-style
+    scale path beside q_lsh_topk (rows-only: approximate)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = ann.ivf_train(ds, n_centroids=16, sample_size=2000)
+    df = ann.ivf_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        _query_vec(sf_dir), C, k=10, n_probe=4,
+    )
+    return df[["vec_id"]]
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1352,6 +1435,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,
@@ -1364,6 +1448,8 @@ QUERIES = {
     "q_speech_rate": q_speech_rate,
     "q_audio_spectral": q_audio_spectral,
     "q_vad_stats": q_vad_stats,
+    "q_train_test_split": q_train_test_split,
+    "q_value_quantiles": q_value_quantiles,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1396,6 +1482,8 @@ ORACLE_SQL = {
     "q_classify_links": SQL_CLASSIFY_LINKS,
     "q_events_sliding": SQL_EVENTS_SLIDING,
     "q_speech_rate": SQL_SPEECH_RATE,
+    "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "q_value_quantiles": SQL_VALUE_QUANTILES,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

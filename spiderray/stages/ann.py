@@ -107,3 +107,83 @@ def lsh_topk(
         zero_copy_batch=True,
     )
     return brute_force_topk(pruned, q, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer (the FAISS-style scale path beside LSH)
+# ---------------------------------------------------------------------------
+
+_IVF_SEED = 20250817
+
+
+def ivf_train(ds, n_centroids: int = 64, sample_size: int = 10_000,
+              vec_col: str = "embedding", iters: int = 10) -> np.ndarray:
+    """Train a spherical k-means coarse quantizer on a corpus sample
+    (driver-side Lloyd iterations — the sample is bounded, the corpus is
+    not).  Deterministic: fixed seed + a LIMIT sample, so every run/worker
+    agrees on the centroids.  Returns unit-norm centroids (n_centroids × d)
+    for ray.put broadcast."""
+    sample = ds.limit(sample_size).to_pandas()
+    V = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    V = V / norms
+    k = min(n_centroids, len(V))
+    rng = np.random.default_rng(_IVF_SEED)
+    C = V[rng.choice(len(V), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)  # cosine on unit vectors
+        for c in range(k):
+            members = V[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Append ``ivf_cell`` = nearest-centroid id (cosine).  Centroids are
+    broadcast once via ray.put and read per task."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return batch.append_column("ivf_cell", pa.array([], pa.int32()))
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((V / norms) @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivf_topk(
+    ds,
+    query_vec: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF approximate top-k: scan only the ``n_probe`` cells nearest the
+    query, exact-rerank inside them.  Recall rises with n_probe (n_probe =
+    n_centroids degenerates to brute force)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    C = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(-(C @ qn))[: max(n_probe, 1)].astype(np.int32)
+    ok = pa.array(sorted(int(c) for c in probe), pa.int32())
+
+    pruned = ivf_assign(ds, C, vec_col).map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=ok)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return brute_force_topk(pruned, q, k, vec_col, id_col)

@@ -1,0 +1,99 @@
+"""Dataset statistics + split operators (training-data pipeline additions).
+
+``train_test_split`` is a pure per-row map — the only correct shape for a
+split at 10^12 rows: no shuffle, no state, deterministic from the row id
+alone, so re-runs (and resumed partitions) assign identically.
+
+``quantiles_exact`` computes EXACT quantiles over an integer-domain column
+(cents, token counts, durations) via a distributed value histogram:
+groupby(value).count() moves one row per DISTINCT value — bounded by the
+value domain, not the row count (documented assumption: the domain fits on
+the driver; ~10k distinct cents values ≪ 10^12 rows).  The rank definition
+is explicit (1-based rank ceil(q·n), "lower" discrete quantile) so the SQL
+oracle states the same arithmetic rather than relying on a library's
+interpolation mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def split_bucket(key: str, n_buckets: int = 10_000, salt: str = "") -> int:
+    """Deterministic bucket from md5 (stable across processes/languages;
+    DuckDB replicates it as CAST('0x'||substr(md5(k),1,8) AS UBIGINT))."""
+    h = hashlib.md5((salt + key).encode("utf-8")).hexdigest()[:8]
+    return int(h, 16) % n_buckets
+
+
+def train_test_split(
+    ds,
+    id_col: str = "doc_id",
+    ratios: dict[str, float] | None = None,
+    salt: str = "",
+    n_buckets: int = 10_000,
+):
+    """Append a ``split`` column ('train'/'val'/'test'/... per ``ratios``,
+    which must sum to 1) assigned by hash bucket of the row id.  Pure map:
+    deterministic, order-independent, no shuffle."""
+    ratios = ratios or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split ratios must sum to 1 (got {total}); otherwise the last "
+            "split silently absorbs the gap"
+        )
+    names = list(ratios)
+    bounds = np.cumsum([ratios[n] for n in names]) * n_buckets
+    bounds[-1] = n_buckets  # guard float drift so every bucket lands somewhere
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        buckets = np.fromiter(
+            (split_bucket(str(i), n_buckets, salt) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        idx = np.searchsorted(bounds, buckets, side="right")
+        split = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantiles_exact(ds, col: str, qs: list[float], num_partitions: int | None = None):
+    """Exact quantiles of an integer-domain column.  Returns a list of
+    (q, value) with value at 1-based rank ceil(q*n) of the sorted column.
+
+    Shape: per-batch partial value counts → groupby(value).Sum (one row per
+    distinct value crosses the shuffle) → driver cumsum over the sorted
+    histogram (domain-bounded)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(vals, return_counts=True)
+        return pa.table({col: pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col, num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = hist.to_pandas()
+    if df.empty:  # before sort_values: Ray drops columns on 0-row to_pandas
+        return [(q, None) for q in qs]
+    df = df.sort_values(col).reset_index(drop=True)
+    cum = df["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out.append((q, df[col].iloc[idx]))
+    return out

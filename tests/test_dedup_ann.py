@@ -285,3 +285,95 @@ class TestEmbeddingBlocked:
         found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
         assert (3002, 3005) in found          # small group still verified
         assert all(a >= 3000 for a, _ in found)  # hot group skipped entirely
+
+
+class TestStatsOps:
+    def test_split_deterministic_and_complete(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import split_bucket, train_test_split
+
+        df = pd.DataFrame({"doc_id": range(1000)})
+        out1 = train_test_split(rd.from_pandas(df)).to_pandas()
+        out2 = train_test_split(rd.from_pandas(df)).to_pandas()
+        m1 = dict(zip(out1.doc_id, out1.split))
+        m2 = dict(zip(out2.doc_id, out2.split))
+        assert m1 == m2  # deterministic across runs
+        counts = out1.split.value_counts()
+        assert set(counts.index) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        assert counts.sum() == 1000  # every row assigned
+        # salt changes the assignment
+        out3 = train_test_split(rd.from_pandas(df), salt="v2").to_pandas()
+        assert dict(zip(out3.doc_id, out3.split)) != m1
+        # bucket fn is stable and language-independent (md5)
+        assert split_bucket("42") == 2714814184 % 10000
+
+    def test_quantiles_exact_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_exact
+
+        rng = np.random.default_rng(13)
+        vals = rng.integers(0, 500, size=5000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        res = dict(quantiles_exact(ds, "v", [0.25, 0.5, 0.9, 1.0]))
+        s = np.sort(vals)
+        for q, got in res.items():
+            rank = max(int(np.ceil(q * len(s))), 1)
+            assert got == s[rank - 1], q
+
+    def test_quantiles_empty(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_exact
+
+        ds = rd.from_pandas(pd.DataFrame({"v": pd.array([], dtype="int64")}))
+        assert quantiles_exact(ds, "v", [0.5]) == [(0.5, None)]
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(21)
+        # 4 well-separated clusters + a planted near-dup of one vector
+        centers = rng.standard_normal((4, 16)) * 5
+        V = np.vstack([c + rng.standard_normal((100, 16)) for c in centers])
+        V[250] = V[37] * 1.05 + 0.01  # near-dup across the corpus
+        return pd.DataFrame({"vec_id": range(400), "embedding": list(V)})
+
+    def test_train_deterministic(self, ray_session, corpus):
+        import ray.data as rd
+
+        from spiderray.stages.ann import ivf_train
+
+        c1 = ivf_train(rd.from_pandas(corpus), n_centroids=8, sample_size=400)
+        c2 = ivf_train(rd.from_pandas(corpus), n_centroids=8, sample_size=400)
+        assert np.allclose(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_assign_covers_all(self, ray_session, corpus):
+        import ray.data as rd
+
+        from spiderray.stages.ann import ivf_assign, ivf_train
+
+        C = ivf_train(rd.from_pandas(corpus), n_centroids=8, sample_size=400)
+        out = ivf_assign(rd.from_pandas(corpus), C).to_pandas()
+        assert len(out) == 400
+        assert out["ivf_cell"].between(0, 7).all()
+        assert out["ivf_cell"].nunique() > 1  # actually partitions the space
+
+    def test_topk_recalls_planted(self, ray_session, corpus):
+        import ray.data as rd
+
+        from spiderray.stages.ann import brute_force_topk, ivf_topk, ivf_train
+
+        q = np.array(corpus.embedding[37], dtype=np.float64)
+        C = ivf_train(rd.from_pandas(corpus), n_centroids=8, sample_size=400)
+        got = ivf_topk(rd.from_pandas(corpus), q, C, k=5, n_probe=2)
+        assert got["vec_id"].iloc[0] == 37
+        assert 250 in got["vec_id"].tolist()
+        # with full probe it matches brute force exactly
+        full = ivf_topk(rd.from_pandas(corpus), q, C, k=5, n_probe=8)
+        brute = brute_force_topk(rd.from_pandas(corpus), q, k=5)
+        assert full["vec_id"].tolist() == brute["vec_id"].tolist()
