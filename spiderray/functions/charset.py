@@ -126,15 +126,24 @@ _COMMON_KO = frozenset(
 _COMMON_JA = frozenset("のにはをとがでしたますんだよりかられもこそあいうえおつてなねさしすせその")
 
 
+# frequency classes for the statistical guess: strong = characters common
+# in real text of some language; weak = valid letter blocks that a wrong-
+# codec garble also lands in; C1 controls are negative evidence (no real
+# text contains U+0080-U+009F — the ISO-8859-1-decodes-anything trap)
+_COMMON_RU = set("оеаинтсрвлкмдпуяыьгзбчйжхшюцщэфё")
+_COMMON_LATIN_EXT = set("éèêëàâäùûüîïôöçñíóáúãõåøæßœ")
+
 def _decode_score(s: str) -> float:
     """Frequency-weighted naturalness of a candidate decode: characters with
-    strong evidence (common zh/ko/ja characters, ASCII, CJK punctuation)
-    count 1.0; other CJK/kana/hangul (valid blocks but uncommon text —
-    the signature of a wrong-codec garble) count 0.1."""
+    strong evidence (common zh/ko/ja/ru characters, common accented Latin,
+    ASCII, CJK punctuation) count 1.0; other CJK/kana/hangul/Cyrillic (valid
+    blocks but uncommon text — the signature of a wrong-codec garble) count
+    0.1; C1 control characters count -1."""
     if not s:
         return 0.0
     strong = 0
     weak = 0
+    bad = 0
     for ch in s:
         cp = ord(ch)
         if (
@@ -144,15 +153,20 @@ def _decode_score(s: str) -> float:
             or 0x20 <= cp <= 0x7E            # printable ASCII
             or ch in "，。、；：？！（）“”《》　‘’—…·"
             or ch in "\t\n\r"
+            or ch in _COMMON_RU
+            or ch in _COMMON_LATIN_EXT
         ):
             strong += 1
+        elif 0x80 <= cp <= 0x9F:             # C1 controls: impossible text
+            bad += 1
         elif (
             0x3040 <= cp <= 0x30FF           # kana
             or 0xAC00 <= cp <= 0xD7A3        # hangul syllables
             or 0x4E00 <= cp <= 0x9FFF        # han
+            or 0x0400 <= cp <= 0x04FF        # other Cyrillic
         ):
             weak += 1
-    return (strong + 0.1 * weak) / len(s)
+    return (strong + 0.1 * weak - 1.0 * bad) / len(s)
 
 
 def charset_guess(body: bytes) -> str:
@@ -165,19 +179,32 @@ def charset_guess(body: bytes) -> str:
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "UTF-16"
     best_name, best_score = "", -1.0
-    for codec, name in (
-        ("utf-8", "UTF-8"),
-        ("gb18030", "GBK"),
-        ("big5", "Big5"),
-        ("shift_jis", "SHIFT_JIS"),
-        ("euc_jp", "EUC-JP"),
-        ("euc_kr", "EUC-KR"),
+    # single-byte codecs decode ANY bytes into letters, so their score is
+    # additionally gated on word structure: real alphabetic text is ~10-20%
+    # spaces, a wrong-codec garble has almost none.  Multi-byte codecs
+    # reject garble via strict decode instead.  Order encodes the prior for
+    # ties (web prevalence: utf-8, CJK, then Latin before Cyrillic).
+    for codec, name, single_byte in (
+        ("utf-8", "UTF-8", False),
+        ("gb18030", "GBK", False),
+        ("big5", "Big5", False),
+        ("shift_jis", "SHIFT_JIS", False),
+        ("euc_jp", "EUC-JP", False),
+        ("euc_kr", "EUC-KR", False),
+        ("windows-1252", "WINDOWS-1252", True),
+        ("latin-1", "ISO-8859-1", True),
+        ("windows-1251", "WINDOWS-1251", True),
+        ("koi8-r", "KOI8-R", True),
     ):
         try:
             s = body.decode(codec)
         except (UnicodeDecodeError, LookupError):
             continue
-        score = _decode_score(s[:2048])
+        window = s[:2048]
+        score = _decode_score(window)
+        if single_byte and window:
+            space_ratio = sum(1 for ch in window if ch in " \t\n\r") / len(window)
+            score *= min(1.0, space_ratio / 0.05)
         if score > best_score:
             best_name, best_score = name, score
     return best_name if best_name else "ISO-8859-1"

@@ -1408,6 +1408,33 @@ def q_ivf_topk(sf_dir: str):
     return df[["vec_id"]]
 
 
+
+
+def q_corpus_ppl(sf_dir: str):
+    """Corpus-trained perplexity: one distributed n-gram-count pass trains a
+    CharLM from the documents themselves (stages/lm_train.py), then a second
+    pass scores every document under it (model broadcast once via ray.put).
+    Rows-only: trigram smoothing is not SQL-expressible."""
+    import ray
+
+    from ..stages.lm_train import train_char_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = train_char_lm(ds, text_col="text")
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = ray.get(lm_ref)
+        texts = batch.column("text").to_pylist()
+        ppl = [model.perplexity(t or "") for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "ppl_milli": pa.array([int(p * 1000) for p in ppl], pa.int64())})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1450,6 +1477,7 @@ QUERIES = {
     "q_vad_stats": q_vad_stats,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
+    "q_corpus_ppl": q_corpus_ppl,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,

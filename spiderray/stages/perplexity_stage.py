@@ -49,7 +49,18 @@ class CharLM:
         tri = Counter(text[i : i + 3] for i in range(len(text) - 2))
         bi = Counter(text[i : i + 2] for i in range(len(text) - 1))
         uni = Counter(text)
-        n_chars = max(len(text), 1)
+        self._build(tri, bi, uni, n_chars=len(text))
+
+    @classmethod
+    def from_counts(cls, tri: dict, bi: dict, uni: dict, n_chars: int) -> "CharLM":
+        """Build from pre-aggregated n-gram counts (the distributed-training
+        path, stages/lm_train.py) — same smoothing math as __init__."""
+        lm = cls.__new__(cls)
+        lm._build(Counter(tri), Counter(bi), Counter(uni), n_chars)
+        return lm
+
+    def _build(self, tri: Counter, bi: Counter, uni: Counter, n_chars: int):
+        n_chars = max(n_chars, 1)
         vocab = max(len(uni), 1)
         kv = _ADD_K * vocab
         # seen-trigram logprobs

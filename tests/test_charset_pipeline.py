@@ -88,3 +88,52 @@ def test_decoded_transcript_replaces_raw(out):
     cfg, df = out
     zh_row = df[df.clip_id == "c0"].iloc[0]
     assert zh_row["transcript"] == ZH
+
+
+class TestCharsetGuessRoundtrip:
+    """Statistical guess correctness matrix: text in language L encoded with
+    codec C must be guessed back as C (the chardet-replacement contract;
+    round-2 additions: Cyrillic codecs, accented-Latin evidence, C1-control
+    penalty, word-structure gate for single-byte codecs)."""
+
+    SAMPLES = {
+        "zh": ("今天的新闻发布会上政府宣布了一系列改善空气质量的措施，专家对此表示欢迎。" * 3,
+               [("gb18030", "GBK"), ("utf-8", "UTF-8")]),
+        "zht": ("今天的新聞發布會上政府宣布了一系列改善空氣質量的措施，專家對此表示歡迎。" * 3,
+                [("big5", "Big5"), ("utf-8", "UTF-8")]),
+        "ja": ("政府は本日、大都市の大気質を改善するための一連の対策を発表しました。" * 3,
+               [("shift_jis", "SHIFT_JIS"), ("euc_jp", "EUC-JP"), ("utf-8", "UTF-8")]),
+        "ko": ("정부는 오늘 대도시의 공기 질을 개선하기 위한 새로운 조치를 발표했다." * 3,
+               [("euc_kr", "EUC-KR"), ("utf-8", "UTF-8")]),
+        "ru": ("Правительство объявило сегодня о новых мерах по улучшению качества воздуха." * 3,
+               [("windows-1251", "WINDOWS-1251"), ("koi8-r", "KOI8-R"), ("utf-8", "UTF-8")]),
+        "fr": ("Le gouvernement a annoncé une série de mesures pour améliorer la qualité. Où ça?" * 3,
+               [("latin-1", "ISO-8859-1"), ("utf-8", "UTF-8")]),
+    }
+
+    def test_roundtrip_matrix(self):
+        from spiderray.functions.charset import charset_guess
+
+        fails = []
+        for lang, (text, pairs) in self.SAMPLES.items():
+            for codec, name in pairs:
+                got = charset_guess(text.encode(codec))
+                ok = got == name or (
+                    name in ("ISO-8859-1", "WINDOWS-1252")
+                    and got in ("ISO-8859-1", "WINDOWS-1252")
+                )
+                if not ok:
+                    fails.append((lang, name, got))
+        assert not fails, fails
+
+    def test_ascii_is_utf8(self):
+        from spiderray.functions.charset import charset_guess
+
+        assert charset_guess(b"plain ascii text with words") == "UTF-8"
+
+    def test_garble_not_labeled_cyrillic(self):
+        # GBK bytes must not be claimed by an anything-decodes Cyrillic codec
+        from spiderray.functions.charset import charset_guess
+
+        body = ("今天的新闻发布会上政府宣布了一系列措施。" * 5).encode("gb18030")
+        assert charset_guess(body) == "GBK"

@@ -237,3 +237,53 @@ class TestSpeechRate:
         assert not bool(out.loc["fast", "rate_ok"])   # 100 wps
         assert not bool(out.loc["slow", "rate_ok"])   # 0.017 wps
         assert not bool(out.loc["empty", "rate_ok"]) and out.loc["empty", "n_words"] == 0
+
+
+class TestCorpusLmTraining:
+    def test_single_doc_parity_with_constructor(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.lm_train import train_char_lm
+        from spiderray.stages.perplexity_stage import CharLM
+
+        doc = "the quick brown fox jumps over the lazy dog again and again"
+        lm_d = train_char_lm(rd.from_items([{"text": doc}]))
+        lm_c = CharLM(doc)
+        for probe in ("the quick fox", "völlig anderes zeug", ""):
+            assert lm_d.perplexity(probe) == pytest.approx(
+                lm_c.perplexity(probe), rel=1e-12
+            )
+
+    def test_in_domain_scores_lower(self, ray_session):
+        import ray.data as rd
+
+        docs = [{"text": f"the committee discussed the new transit plan in meeting {i}"}
+                for i in range(50)]
+        from spiderray.stages.lm_train import train_char_lm
+
+        lm = train_char_lm(rd.from_items(docs))
+        in_dom = lm.perplexity("the committee discussed the plan")
+        out_dom = lm.perplexity("zxqj vvkw pffr gzzt qqwx")
+        assert in_dom < out_dom / 3
+
+    def test_max_grams_cap_degrades_smoothly(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.lm_train import train_char_lm
+
+        docs = [{"text": "abcdefg hijklmn opqrstu vwxyz"}]
+        full = train_char_lm(rd.from_items(docs))
+        capped = train_char_lm(rd.from_items(docs), max_grams=5)
+        # capped model still scores (falls back through bigrams), just worse
+        p_full = full.perplexity("abcdefg hij")
+        p_capped = capped.perplexity("abcdefg hij")
+        assert p_capped >= p_full > 0
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+
+        from spiderray.stages.lm_train import train_char_lm
+
+        lm = train_char_lm(rd.from_pandas(pd.DataFrame({"text": pd.array([], dtype="string")})))
+        assert lm.perplexity("anything") > 0
