@@ -66,6 +66,12 @@ def run_queries() -> dict[str, float]:
         ("q_events_hourly", q.q_events_hourly),
         ("q_user_sessions", q.q_user_sessions),
         ("q_join_orders_customers", q.q_join_orders_customers),
+        ("q_news_from_html", q.q_news_from_html),
+        ("q_speech_rate", q.q_speech_rate),
+        ("q_events_sliding", q.q_events_sliding),
+        ("q_train_test_split", q.q_train_test_split),
+        ("q_value_quantiles", q.q_value_quantiles),
+        ("q_corpus_ppl", q.q_corpus_ppl),
     ]
     import ray.data
 
