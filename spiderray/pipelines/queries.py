@@ -1435,6 +1435,79 @@ def q_corpus_ppl(sf_dir: str):
     )
 
 
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Cross-run exact dedup (stages/dedup.incremental_exact_dedup, anti-join
+    scale path): prior run = even doc_ids, new run = every-3rd doc_ids with
+    shifted ids; survivors are new-run winners whose text never appeared in
+    the prior run."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prior_rows(batch: pa.Table) -> pa.Table:
+        return _mod_filter(batch, "doc_id", 2)
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 3)
+        return pa.table({"doc_id": pc.add(t["doc_id"], 500000), "text": t["text"]})
+
+    prior_fps = dedup.exact_dedup(
+        ds.map_batches(prior_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ).select_columns(["fingerprint"]).materialize()
+    new_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        new_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = dedup.incremental_exact_dedup(new_ds, prior_fps, method="anti").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH prior AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id % 2 = 0
+), new_run AS (
+  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+), winners AS (
+  SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fingerprint
+  FROM new_run GROUP BY text
+)
+SELECT doc_id, fingerprint FROM winners
+WHERE fingerprint NOT IN (SELECT fp FROM prior)
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample (stages/stats.stratified_sample):
+    per-language keep rates, md5-bucket membership — per-lang counts."""
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    rates = {"en": 0.5, "zh": 0.25}
+    out = (
+        stratified_sample(ds, strata_col="lang", rate=rates)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000.0 WHEN 'zh' THEN 2500.0 ELSE 10000.0 END
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1478,6 +1551,8 @@ QUERIES = {
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_corpus_ppl": q_corpus_ppl,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_stratified_sample": q_stratified_sample,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1512,6 +1587,8 @@ ORACLE_SQL = {
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
+    "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

@@ -468,3 +468,99 @@ def embedding_near_dup_lsh(
     return embedding_near_dup_pairs(
         bucketed, vec_col=vec_col, id_col=id_col, part_col="bucket", threshold=threshold
     )
+
+
+def incremental_exact_dedup(
+    new_ds,
+    prior_fp_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "auto",
+    broadcast_max: int = 1_000_000,
+):
+    """Cross-run dedup: winners of the NEW corpus (exact_dedup) minus rows
+    whose fingerprint already exists in a PRIOR run's output — the shape of
+    "crawl N+1 against the committed corpus".  ``prior_fp_ds`` is a Dataset
+    with a ``fingerprint`` column (e.g. read back from the previous run's
+    partitioned parquet).
+
+    method="broadcast": prior fingerprints are collected once and shipped
+    via ray.put — right for priors up to ~1e6 fps (~50 MB).  method="anti":
+    an explicit bucketed anti-join (tag sides → groupby crc32 bucket → keep
+    left-only) — the 10^12-scale path; nothing whole-corpus touches the
+    driver.  "auto" picks by prior size."""
+    import zlib
+
+    import ray
+
+    winners = exact_dedup(new_ds, text_col=text_col, id_col=id_col)
+    # exact_dedup emits (fingerprint, id_col)
+
+    if method == "auto":
+        method = "broadcast" if prior_fp_ds.count() <= broadcast_max else "anti"
+
+    if method == "broadcast":
+        seen: set = set()
+        for b in prior_fp_ds.select_columns(["fingerprint"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            seen.update(b.column("fingerprint").to_pylist())
+        seen_ref = ray.put(seen)
+
+        def drop_seen(batch: pa.Table) -> pa.Table:
+            s = ray.get(seen_ref)
+            mask = [fp_ not in s for fp_ in batch.column("fingerprint").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return winners.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True)
+
+    if method != "anti":
+        raise ValueError(f"unknown method {method!r}")
+
+    n_buckets = 64
+
+    def tag(side: int, with_ids: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            fps = batch.column("fingerprint").to_pylist()
+            bucket = pa.array(
+                np.fromiter(
+                    (zlib.crc32(f.encode()) % n_buckets for f in fps),
+                    dtype=np.int64,
+                    count=len(fps),
+                )
+            )
+            # identical schema on both sides (null ids on the prior side) so
+            # the union never schema-unifies
+            ids = (
+                batch.column(id_col)
+                if with_ids
+                else pa.nulls(len(batch), pa.int64())
+            )
+            return pa.table(
+                {
+                    "fingerprint": batch.column("fingerprint"),
+                    id_col: ids,
+                    "__bucket": bucket,
+                    "__side": pa.array([side] * len(batch), pa.int8()),
+                }
+            )
+
+        return fn
+
+    left = winners.map_batches(
+        tag(0, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = prior_fp_ds.select_columns(["fingerprint"]).map_batches(
+        tag(1, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def anti_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prior = set(g.loc[g["__side"] == 1, "fingerprint"])
+        keep = g[(g["__side"] == 0) & (~g["fingerprint"].isin(prior))]
+        out = keep[["fingerprint", id_col]].copy()
+        out[id_col] = out[id_col].astype(np.int64)
+        return out
+
+    return left.union(right).groupby("__bucket").map_groups(
+        anti_in_bucket, batch_format="pandas"
+    )

@@ -97,3 +97,39 @@ def quantiles_exact(ds, col: str, qs: list[float], num_partitions: int | None = 
         idx = int(np.searchsorted(cum, rank, side="left"))
         out.append((q, df[col].iloc[idx]))
     return out
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    rate: float | dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 10_000,
+):
+    """Deterministic stratified sample: keep a row iff its id hash bucket
+    falls under its stratum's rate.  Pure map (same scale shape as
+    train_test_split): no shuffle, reproducible, and a row's membership
+    never changes when the corpus grows — the property reservoir sampling
+    lacks at scale.  ``rate`` is a global float or per-stratum dict
+    (missing strata keep everything)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        buckets = np.fromiter(
+            (split_bucket(str(i), n_buckets, salt) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        if isinstance(rate, dict):
+            cut = np.fromiter(
+                (rate.get(s, 1.0) * n_buckets for s in strata),
+                dtype=np.float64,
+                count=len(strata),
+            )
+        else:
+            cut = np.full(len(ids), rate * n_buckets)
+        return batch.filter(pa.array(buckets < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -377,3 +377,78 @@ class TestIvf:
         full = ivf_topk(rd.from_pandas(corpus), q, C, k=5, n_probe=8)
         brute = brute_force_topk(rd.from_pandas(corpus), q, k=5)
         assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+class TestIncrementalDedup:
+    def _runs(self):
+        prior = pd.DataFrame({"doc_id": range(50), "text": [f"doc number {i}" for i in range(50)]})
+        # new run: 20 repeats of prior docs + 30 fresh + an internal dup
+        new = pd.DataFrame({
+            "doc_id": list(range(100, 120)) + list(range(200, 230)) + [300],
+            "text": [f"doc number {i}" for i in range(20)]
+                    + [f"fresh document {i}" for i in range(30)]
+                    + ["fresh document 0"],  # internal dup of doc 200
+        })
+        return prior, new
+
+    def _fp_ds(self, df):
+        import ray.data as rd
+
+        return dedup.exact_dedup(rd.from_pandas(df)).select_columns(["fingerprint"])
+
+    def test_broadcast_and_anti_agree(self, ray_session):
+        import ray.data as rd
+
+        prior, new = self._runs()
+        prior_fps = self._fp_ds(prior).materialize()
+        got_b = dedup.incremental_exact_dedup(
+            rd.from_pandas(new), prior_fps, method="broadcast"
+        ).to_pandas()
+        got_a = dedup.incremental_exact_dedup(
+            rd.from_pandas(new), prior_fps, method="anti"
+        ).to_pandas()
+        ids_b = sorted(got_b.doc_id.astype(int))
+        ids_a = sorted(got_a.doc_id.astype(int))
+        assert ids_b == ids_a
+        # 30 fresh docs survive; prior repeats and the internal dup do not
+        assert ids_b == list(range(200, 230))
+
+    def test_empty_prior_keeps_all_winners(self, ray_session):
+        import ray.data as rd
+
+        _, new = self._runs()
+        empty_prior = self._fp_ds(pd.DataFrame({"doc_id": [], "text": pd.array([], dtype="string")}))
+        got = dedup.incremental_exact_dedup(
+            rd.from_pandas(new), empty_prior, method="broadcast"
+        ).to_pandas()
+        # all distinct texts of the new run (internal dedup still applies)
+        assert len(got) == 50  # 20 + 30 distinct texts
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import stratified_sample
+
+        df = pd.DataFrame({"doc_id": range(4000), "lang": ["en", "zh", "fr", "de"] * 1000})
+        out1 = stratified_sample(rd.from_pandas(df), "lang",
+                                 rate={"en": 0.5, "zh": 0.1}).to_pandas()
+        out2 = stratified_sample(rd.from_pandas(df), "lang",
+                                 rate={"en": 0.5, "zh": 0.1}).to_pandas()
+        assert sorted(out1.doc_id) == sorted(out2.doc_id)  # deterministic
+        c = out1.lang.value_counts()
+        assert abs(c["en"] - 500) < 80      # ~50% of 1000
+        assert abs(c["zh"] - 100) < 50      # ~10% of 1000
+        assert c["fr"] == 1000 and c["de"] == 1000  # unlisted strata kept
+
+    def test_membership_stable_under_growth(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import stratified_sample
+
+        small = pd.DataFrame({"doc_id": range(500), "lang": ["en"] * 500})
+        big = pd.DataFrame({"doc_id": range(2000), "lang": ["en"] * 2000})
+        s_ids = set(stratified_sample(rd.from_pandas(small), "lang", 0.3).to_pandas().doc_id)
+        b_ids = set(stratified_sample(rd.from_pandas(big), "lang", 0.3).to_pandas().doc_id)
+        assert s_ids == {i for i in b_ids if i < 500}  # growth never flips membership
