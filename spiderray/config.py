@@ -45,6 +45,13 @@ class PipelineConfig:
     n_output_partitions: int = 16
     debug_columns: bool = False  # keep intermediate metric columns (Content.Debug analog)
 
+    # audio signal gates (engine addition; applied after the transcript
+    # decision when enabled — see stages/multimodal.audio_gate_decision)
+    audio_gates: bool = False
+    min_audio_rms: float = 1e-3
+    min_wps: float = 0.5
+    max_wps: float = 6.0
+
     extra: dict = field(default_factory=dict)
 
 

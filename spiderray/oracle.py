@@ -61,6 +61,17 @@ def oracle_row(
         min_quality_score=cfg.min_quality_score,
     )
 
+    if keep and cfg.audio_gates:
+        from .stages.multimodal import audio_gate_decision
+
+        ok, reason = audio_gate_decision(
+            row.get(cfg.bytes_col), row.get(cfg.codec_col) or "",
+            row.get("sr_hz") or 0, row.get("dur_ms") or 0, transcript,
+            min_rms=cfg.min_audio_rms, min_wps=cfg.min_wps, max_wps=cfg.max_wps,
+        )
+        if not ok:
+            keep, drop_reason = False, reason
+
     if keep or cfg.scrub_dropped:
         scrubbed, found = scrub.scrub_text(transcript)
         toxicity = scrub.toxicity_score(transcript)

@@ -32,6 +32,10 @@ def quality_filter(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     ds = langid_stage(ds, cfg)
     ds = quality_stage(ds, cfg)
     ds = decide_stage(ds, cfg)
+    if cfg.audio_gates:
+        from ..stages.multimodal import audio_gate_stage
+
+        ds = audio_gate_stage(ds, cfg)
     ds = scrub_stage(ds, cfg)
     if cfg.with_perplexity:
         from ..stages.perplexity_stage import perplexity_stage

@@ -1508,6 +1508,53 @@ GROUP BY lang ORDER BY lang
 """
 
 
+
+
+def q_keepdrop_f1_audio(sf_dir: str):
+    """Conformance F1 with the AUDIO gates enabled (silent_audio /
+    speech_rate): engine vs row-oracle joined on clip_id, same shared gate
+    function both sides — F1 must be exactly 1.0.  wps bounds are tuned to
+    the synthetic corpus (sub-second clips with long transcripts)."""
+    from ..config import PipelineConfig
+    from ..oracle import oracle_rows
+    from ..sources.clips import clips_from_documents
+    from ..stages.joins import hash_join
+    from .quality_filter import quality_filter
+
+    cfg = PipelineConfig(audio_gates=True, min_wps=0.5, max_wps=80.0,
+                         with_perplexity=False)
+    engine = quality_filter(clips_from_documents(sf_dir), cfg).select_columns(
+        ["clip_id", "keep", "drop_reason"]
+    )
+
+    def oracle_batch(batch: pa.Table) -> pa.Table:
+        out = oracle_rows(batch.to_pylist(), cfg)
+        return pa.table(
+            {
+                "o_clip_id": pa.array([r["clip_id"] for r in out], pa.string()),
+                "oracle_keep": pa.array([r["keep"] for r in out], pa.bool_()),
+            }
+        )
+
+    oracle_ds = clips_from_documents(sf_dir).map_batches(
+        oracle_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(engine, oracle_ds, on="clip_id", right_on="o_clip_id",
+                       num_partitions=8)
+    df = joined.to_pandas()
+    tp = int(((df["keep"]) & (df["oracle_keep"])).sum())
+    fp = int(((df["keep"]) & (~df["oracle_keep"])).sum())
+    fn = int(((~df["keep"]) & (df["oracle_keep"])).sum())
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    n_gate = int((df["drop_reason"].isin(["silent_audio", "speech_rate"])).sum())
+    return pd.DataFrame(
+        {"n_rows": [len(df)], "tp": [tp], "fp": [fp], "fn": [fn],
+         "n_audio_dropped": [n_gate], "f1": [round(f1, 6)]}
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1556,6 +1603,7 @@ QUERIES = {
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
+    "q_keepdrop_f1_audio": q_keepdrop_f1_audio,
 }
 
 ORACLE_SQL = {

@@ -300,3 +300,91 @@ def speech_rate_stage(ds, transcript_col: str = "transcript",
         return batch.append_column("rate_ok", pa.array(ok, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Audio keep/drop gate (flagship integration; shared with the row oracle)
+# ---------------------------------------------------------------------------
+
+
+def audio_gate_decision(
+    buf: bytes,
+    codec: str,
+    sr_hz: int,
+    dur_ms: int,
+    transcript: str,
+    min_rms: float = 1e-3,
+    min_wps: float = 0.5,
+    max_wps: float = 6.0,
+) -> tuple[bool, str]:
+    """Pure per-clip audio gate: (ok, drop_reason).  Composable into both
+    the vectorized stage and the row oracle (same function → F1 stays 1.0).
+
+    Rules, in order:
+      * undecodable codec → gate does not apply (the codec allowlist is the
+        authority on codecs; this gate judges SIGNAL)
+      * rms below ``min_rms`` → 'silent_audio'
+      * words-per-second outside [min_wps, max_wps] → 'speech_rate'
+        (duration from the DECODED samples when available, else dur_ms)
+    """
+    try:
+        pcm = _decode_one(buf or b"", codec or "")
+    except DecodeUnsupported:
+        return True, ""
+    if len(pcm) == 0:
+        return False, "silent_audio"
+    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    if rms < min_rms:
+        return False, "silent_audio"
+    dur_s = len(pcm) / sr_hz if sr_hz else (dur_ms or 0) / 1000.0
+    if dur_s <= 0:
+        return False, "speech_rate"
+    wps = len((transcript or "").split()) / dur_s
+    if wps < min_wps or wps > max_wps:
+        return False, "speech_rate"
+    return True, ""
+
+
+def audio_gate_stage(ds, cfg: PipelineConfig):
+    """Flagship stage: apply audio_gate_decision to rows still kept; fails
+    flip keep→False with the gate's drop_reason.  Runs after the transcript
+    decision and BEFORE scrub (dropped rows skip scrubbing)."""
+    min_rms = getattr(cfg, "min_audio_rms", 1e-3)
+    min_wps = getattr(cfg, "min_wps", 0.5)
+    max_wps = getattr(cfg, "max_wps", 6.0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keeps = batch.column("keep").to_pylist()
+        bufs = batch.column(cfg.bytes_col).to_pylist()
+        codecs = batch.column(cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        durs = (
+            batch.column("dur_ms").to_pylist()
+            if "dur_ms" in batch.column_names
+            else [0] * len(batch)
+        )
+        texts = batch.column(cfg.text_col).to_pylist()
+        new_keep, new_reason = [], []
+        reasons = batch.column("drop_reason").to_pylist()
+        for k, buf, codec, sr, dur, text, r in zip(
+            keeps, bufs, codecs, srs, durs, texts, reasons
+        ):
+            if not k:
+                new_keep.append(False)
+                new_reason.append(r)
+                continue
+            ok, reason = audio_gate_decision(
+                buf, codec, sr, dur, text,
+                min_rms=min_rms, min_wps=min_wps, max_wps=max_wps,
+            )
+            new_keep.append(ok)
+            new_reason.append(r if ok else reason)
+        names = batch.column_names
+        batch = batch.set_column(names.index("keep"), "keep", pa.array(new_keep, pa.bool_()))
+        return batch.set_column(
+            names.index("drop_reason"), "drop_reason", pa.array(new_reason, pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

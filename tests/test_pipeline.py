@@ -239,3 +239,70 @@ def test_fuzz_random_unicode_matches_oracle(ray_session):
     for i, e in enumerate(exp):
         for field in ("lang", "lang_pos", "label", "keep", "drop_reason", "scrubbed_transcript"):
             assert got[field].iloc[i] == e[field], (e["clip_id"], field, repr(texts[i][:60]))
+
+
+class TestAudioGatedFlagship:
+    def _rows(self):
+        import numpy as np
+
+        sr = 16000
+        def tone(sec, amp=0.5):
+            t = np.arange(int(sr * sec)) / sr
+            return (amp * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2").tobytes()
+
+        words20 = " ".join(["word"] * 20)
+        return [
+            # 20 words over 10s = 2 wps → passes
+            {"clip_id": "ok", "bytes": tone(10.0), "sr_hz": sr, "dur_ms": 10000,
+             "codec": "pcm_s16le", "transcript": words20 + " quality transcript here"},
+            # silent audio → silent_audio
+            {"clip_id": "silent", "bytes": b"\x00\x00" * sr, "sr_hz": sr, "dur_ms": 1000,
+             "codec": "pcm_s16le", "transcript": words20},
+            # 20 words over 1s = 20 wps → speech_rate
+            {"clip_id": "fast", "bytes": tone(1.0), "sr_hz": sr, "dur_ms": 1000,
+             "codec": "pcm_s16le", "transcript": words20},
+            # undecodable codec: gate does not apply (codec allowlist governs)
+            {"clip_id": "flacrow", "bytes": b"\x00" * 64, "sr_hz": sr, "dur_ms": 5000,
+             "codec": "flac", "transcript": words20 + " more words to pass checks"},
+        ]
+
+    def test_engine_matches_oracle_with_gates(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.oracle import oracle_rows
+        from spiderray.pipelines.quality_filter import quality_filter
+
+        cfg = PipelineConfig(audio_gates=True, with_perplexity=False)
+        rows = self._rows()
+        out = quality_filter(rd.from_items(rows), cfg).to_pandas().set_index("clip_id")
+        orc = {r["clip_id"]: r for r in oracle_rows(rows, cfg)}
+        for cid in out.index:
+            assert bool(out.loc[cid, "keep"]) == orc[cid]["keep"], cid
+            assert out.loc[cid, "drop_reason"] == orc[cid]["drop_reason"], cid
+
+    def test_gate_reasons(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.quality_filter import quality_filter
+
+        cfg = PipelineConfig(audio_gates=True, with_perplexity=False)
+        out = quality_filter(rd.from_items(self._rows()), cfg).to_pandas().set_index("clip_id")
+        assert bool(out.loc["ok", "keep"])
+        assert out.loc["silent", "drop_reason"] == "silent_audio"
+        assert out.loc["fast", "drop_reason"] == "speech_rate"
+        # transcript-drop reasons are preserved, not overwritten by the gate
+        assert not bool(out.loc["silent", "keep"])
+
+    def test_gates_off_by_default(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.quality_filter import quality_filter
+
+        cfg = PipelineConfig(with_perplexity=False)
+        out = quality_filter(rd.from_items(self._rows()), cfg).to_pandas().set_index("clip_id")
+        # silent/fast clips survive on transcript quality alone
+        assert bool(out.loc["silent", "keep"])
+        assert bool(out.loc["fast", "keep"])
