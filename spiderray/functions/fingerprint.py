@@ -165,3 +165,44 @@ def ngram_set(text: str, n: int = 3) -> np.ndarray:
         )
     ) if grams else np.zeros(0, dtype=np.uint64)
     return out
+
+
+def cdc_chunks(
+    text: str,
+    window: int = 16,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> list[str]:
+    """Content-defined chunking: split ``text`` at positions where the
+    rolling hash of the trailing ``window`` chars satisfies
+    ``hash % avg_size == 0`` (expected chunk length ≈ avg_size), bounded by
+    [min_size, max_size].  Content-defined boundaries survive insertions —
+    an edit changes only the chunks it touches, which is the whole point for
+    sub-document dedup (fixed-size chunking would shift every boundary).
+    Returns the chunk STRINGS (callers fingerprint them)."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n <= min_size:
+        return [text]
+    hashes = rolling_hashes(text, k=window)
+    chunks = []
+    start = 0
+    pos = start + min_size
+    while pos < n:
+        # boundary test uses the shingle ENDING at pos (index pos-window+1)
+        hi = pos - window + 1
+        at_max = pos - start >= max_size
+        is_boundary = (
+            0 <= hi < len(hashes) and int(hashes[hi]) % avg_size == 0
+        )
+        if at_max or is_boundary:
+            chunks.append(text[start : pos + 1])
+            start = pos + 1
+            pos = start + min_size
+        else:
+            pos += 1
+    if start < n:
+        chunks.append(text[start:])
+    return chunks

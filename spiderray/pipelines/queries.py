@@ -1555,6 +1555,28 @@ def q_keepdrop_f1_audio(sf_dir: str):
     )
 
 
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Sub-document CDC chunk duplication stats over documents augmented
+    with partial copies (every 5th doc re-emitted with a new head but the
+    same body → its body chunks duplicate).  Rows-only: CDC boundaries are
+    not SQL-expressible."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 5)
+        ids = pc.add(t["doc_id"], 700000)
+        texts = [f"new head {i} " + (x or "") for i, x in
+                 zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())]
+        dup = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), dup])
+
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup.chunk_dedup_stats(aug, min_size=32, avg_size=64, max_size=256)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1600,6 +1622,7 @@ QUERIES = {
     "q_corpus_ppl": q_corpus_ppl,
     "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_sample": q_stratified_sample,
+    "q_chunk_dedup": q_chunk_dedup,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,

