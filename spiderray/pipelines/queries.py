@@ -1577,6 +1577,44 @@ def q_chunk_dedup(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+
+
+def q_prepare_corpus(sf_dir: str):
+    """End-to-end corpus preparation (pipelines/prepare_corpus.py): langid →
+    keep/drop → exact-dedup winner marking → token counts → deterministic
+    split; compared as the per-(split, keep) doc/token summary.  The SQL
+    oracle replicates the decision for THIS corpus's shape (ASCII word-soup:
+    language decidability ⇔ length ≥ 64 — verified row-exact against
+    detect_lang — and dedup winners = min doc_id per distinct kept text)."""
+    from .prepare_corpus import corpus_summary, prepare_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = corpus_summary(prepare_corpus(ds))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+SQL_PREPARE_CORPUS = """
+WITH decided AS (
+  SELECT doc_id, text,
+         length(text) >= 64 AS keep0,
+         len(string_split_regex(trim(text), ' +')) AS n_words,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 AS bucket
+  FROM documents
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM decided WHERE keep0 GROUP BY text
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+       (keep0 AND doc_id IN (SELECT doc_id FROM winners)) AS keep,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens
+FROM decided GROUP BY split, keep ORDER BY split, keep
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1623,6 +1661,7 @@ QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_sample": q_stratified_sample,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_prepare_corpus": q_prepare_corpus,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1660,6 +1699,7 @@ ORACLE_SQL = {
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "q_prepare_corpus": SQL_PREPARE_CORPUS,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

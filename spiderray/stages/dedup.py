@@ -631,6 +631,17 @@ def chunk_dedup_stats(
     )
 
     def per_doc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty output: empty pandas frames lose dtypes and the
+            # resulting empty-schema blocks spam unify warnings
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "total_len": pa.array([], pa.int64()),
+                    "dup_len": pa.array([], pa.int64()),
+                }
+            )
         df = batch.to_pandas()
         df["dup_len"] = df["chunk_len"].where(df["n_docs"] > 1, 0)
         g = df.groupby(id_col, as_index=False).agg(

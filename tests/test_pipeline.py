@@ -306,3 +306,41 @@ class TestAudioGatedFlagship:
         # silent/fast clips survive on transcript quality alone
         assert bool(out.loc["silent", "keep"])
         assert bool(out.loc["fast", "keep"])
+
+
+class TestPrepareCorpus:
+    def test_dedup_and_split(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import corpus_summary, prepare_corpus
+
+        long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        rows = [
+            {"doc_id": 1, "text": long_a},
+            {"doc_id": 2, "text": long_a},        # duplicate → dropped
+            {"doc_id": 3, "text": "short"},        # undecidable → too_short
+            {"doc_id": 4, "text": "totally different words forming another document body here today " * 2},
+        ]
+        df = prepare_corpus(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        assert bool(df.loc[1, "keep"]) and not bool(df.loc[2, "keep"])
+        assert df.loc[2, "drop_reason"] == "duplicate"
+        assert df.loc[3, "drop_reason"] == "too_short"
+        assert bool(df.loc[4, "keep"])
+        assert set(df["split"]) <= {"train", "val", "test"}
+        assert (df["ws_tokens"] > 0).all()
+
+        summary = corpus_summary(rd.from_pandas(df.reset_index()))
+        assert summary["n_docs"].sum() == 4
+
+    def test_deterministic_across_runs(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        rows = [{"doc_id": i, "text": f"document body with enough words to pass the gates number {i} " * 2}
+                for i in range(50)]
+        a = prepare_corpus(rd.from_items(rows)).to_pandas().sort_values("doc_id")
+        b = prepare_corpus(rd.from_items(rows)).to_pandas().sort_values("doc_id")
+        assert a[["doc_id", "keep", "split"]].reset_index(drop=True).equals(
+            b[["doc_id", "keep", "split"]].reset_index(drop=True)
+        )
