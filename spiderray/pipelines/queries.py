@@ -1615,6 +1615,38 @@ FROM decided GROUP BY split, keep ORDER BY split, keep
 """
 
 
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Generic grouped top-k (stages/stats.top_k_per_group): top-3 orders by
+    price within each market segment — partial per-batch top-k combiner,
+    then one keyed shuffle."""
+    from ..stages.joins import hash_join
+    from ..stages.stats import top_k_per_group
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey",
+                       num_partitions=8)
+    top = top_k_per_group(joined, ["c_mktsegment"], "o_totalprice", k=3,
+                          tie_col="o_orderkey")
+    df = top.to_pandas()
+    out = df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+    return out.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 3
+ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1662,6 +1694,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_chunk_dedup": q_chunk_dedup,
     "q_prepare_corpus": q_prepare_corpus,
+    "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1700,6 +1733,7 @@ ORACLE_SQL = {
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_prepare_corpus": SQL_PREPARE_CORPUS,
+    "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

@@ -80,3 +80,87 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     return tagged.groupby("__bucket", num_partitions=min(num_buckets, 16)).map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def salted_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    n_salts: int = 8,
+    hot_keys: set | None = None,
+    sample_rows: int = 100_000,
+):
+    """Hash join with HOT-KEY SALTING: a key holding a large fraction of the
+    left side would concentrate one join partition (the all-to-all skew
+    failure mode at scale).  Hot left keys are split across ``n_salts``
+    sub-keys; the matching right rows are replicated once per salt (the
+    right side of a hot key is typically the small dimension row).  Salt
+    assignment is deterministic (row position within batch), so reruns
+    produce identical partitioning.
+
+    ``hot_keys=None`` detects them from a bounded driver-side sample: keys
+    whose sample share exceeds 1/num_partitions.  Pass an explicit set when
+    the skew is known (or persisted from a previous run's stats)."""
+    import numpy as np
+
+    right_on = right_on or on
+
+    if hot_keys is None:
+        sample = left.limit(sample_rows).select_columns([on]).to_pandas()
+        if len(sample):
+            counts = sample[on].value_counts()
+            hot_keys = set(counts[counts > len(sample) / num_partitions].index)
+        else:
+            hot_keys = set()
+    hot = sorted(hot_keys)
+    if not hot:
+        return hash_join(left, right, on, right_on, num_partitions)
+
+    import ray
+
+    hot_ref = ray.put(set(hot))
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = batch.column(on).to_pylist()
+        pos = np.arange(len(keys))
+        salt = np.where(
+            np.fromiter((k in hk for k in keys), dtype=bool, count=len(keys)),
+            pos % n_salts,
+            0,
+        ).astype(np.int32)
+        return batch.append_column("__salt", pa.array(salt))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = batch.column(right_on).to_pylist()
+        is_hot = np.fromiter((k in hk for k in keys), dtype=bool, count=len(keys))
+        cold = batch.filter(pa.array(~is_hot)).append_column(
+            "__salt", pa.array(np.zeros(int((~is_hot).sum()), dtype=np.int32))
+        )
+        parts = [cold]
+        hot_rows = batch.filter(pa.array(is_hot))
+        for s in range(n_salts):
+            parts.append(
+                hot_rows.append_column(
+                    "__salt", pa.array(np.full(len(hot_rows), s, dtype=np.int32))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow", zero_copy_batch=True)
+    rsalted = right.map_batches(replicate_right, batch_format="pyarrow", zero_copy_batch=True)
+    joined = lsalted.join(
+        rsalted,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt") if right_on != on else None,
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns([c for c in ("__salt",) if c in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -133,3 +133,31 @@ def stratified_sample(
         return batch.filter(pa.array(buckets < cut))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k_per_group(ds, group_cols: list[str], sort_col: str, k: int,
+                    descending: bool = True, tie_col: str | None = None):
+    """Grouped top-k: per-partition partial top-k inside map_batches (only
+    k rows per group per batch survive — the combiner), then a keyed
+    groupby + per-group head.  Ties break on ``tie_col`` ascending for
+    determinism.  The generic form of 'top terms per source' / 'latest k
+    events per user'."""
+    import pandas as pd
+
+    by = [sort_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(group_cols, as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(group_cols).map_groups(final, batch_format="pandas")

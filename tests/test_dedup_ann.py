@@ -488,3 +488,49 @@ class TestChunkDedup:
         assert out.loc[2, "dup_chunk_ratio"] > 0.5
         assert out.loc[3, "dup_chunk_ratio"] < 0.2   # random text, little overlap
         assert (out["n_chunks"] >= 1).all()
+
+
+class TestSaltedJoin:
+    def test_skewed_equals_naive(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import hash_join, salted_join
+
+        # 90% of left rows share key 7 (the skew case)
+        left = pd.DataFrame({
+            "k": [7] * 900 + list(range(100)),
+            "lval": range(1000),
+        })
+        right = pd.DataFrame({"rk": range(100), "rval": [v * 10 for v in range(100)]})
+
+        naive = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", right_on="rk", num_partitions=4).to_pandas()
+        salted = salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                             on="k", right_on="rk", num_partitions=4,
+                             n_salts=4).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["k", "lval", "rval"]].to_numpy()))
+        assert key(salted) == key(naive)
+        assert len(salted) == 1000  # every left row matched
+
+    def test_no_hot_keys_falls_through(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import salted_join
+
+        left = pd.DataFrame({"k": list(range(50)) * 2, "lval": range(100)})
+        right = pd.DataFrame({"rk": range(50), "rval": range(50)})
+        out = salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", right_on="rk", num_partitions=4).to_pandas()
+        assert len(out) == 100
+
+    def test_explicit_hot_keys(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import salted_join
+
+        left = pd.DataFrame({"k": [1] * 20 + [2] * 5, "lval": range(25)})
+        right = pd.DataFrame({"rk": [1, 2], "rval": [10, 20]})
+        out = salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", right_on="rk", hot_keys={1}, n_salts=3).to_pandas()
+        assert len(out) == 25
+        assert (out.loc[out.k == 1, "rval"] == 10).all()
