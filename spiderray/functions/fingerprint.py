@@ -54,6 +54,30 @@ _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
 _FNV = np.uint64(1099511628211)
 
 
+def window_hashes(t: str, k: int) -> np.ndarray:
+    """Vectorized k-char window hashes of ``t`` AS-IS (no lowering/
+    normalisation, no unique): one UTF-32 decode, k-term polynomial window
+    hash mod 2^64, fmix64.  Returns len(t)-k+1 uint64 values — the fast
+    kernel behind char_shingles and cdc_chunks."""
+    if len(t) < k:
+        return np.zeros(0, dtype=np.uint64)
+    codes = np.frombuffer(t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    mask64 = (1 << 64) - 1
+    pows = np.array(
+        [pow(int(_FNV), i, 1 << 64) & mask64 for i in range(k)], dtype=np.uint64
+    )
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += codes[j : j + n] * pows[k - 1 - j]
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX1
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX2
+    acc ^= acc >> np.uint64(33)
+    return acc
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-char shingles of the lowered,
     whitespace-normalized text — fully vectorized: one UTF-32 decode, a
@@ -186,23 +210,22 @@ def cdc_chunks(
         return []
     if n <= min_size:
         return [text]
-    hashes = rolling_hashes(text, k=window)
+    # vectorized: all window hashes at once, then walk only the CANDIDATE
+    # boundary positions (expected n/avg_size of them) applying min/max
+    hashes = window_hashes(text, window)
+    cand = np.nonzero(hashes % np.uint64(avg_size) == 0)[0] + (window - 1)
     chunks = []
     start = 0
-    pos = start + min_size
-    while pos < n:
-        # boundary test uses the shingle ENDING at pos (index pos-window+1)
-        hi = pos - window + 1
-        at_max = pos - start >= max_size
-        is_boundary = (
-            0 <= hi < len(hashes) and int(hashes[hi]) % avg_size == 0
-        )
-        if at_max or is_boundary:
-            chunks.append(text[start : pos + 1])
-            start = pos + 1
-            pos = start + min_size
+    ci = 0
+    while start < n:
+        lo = start + min_size
+        hard_max = start + max_size - 1
+        # first candidate boundary position >= lo
+        ci = int(np.searchsorted(cand, lo, side="left"))
+        if ci < len(cand) and cand[ci] <= hard_max and cand[ci] < n - 1:
+            end = int(cand[ci])
         else:
-            pos += 1
-    if start < n:
-        chunks.append(text[start:])
+            end = min(hard_max, n - 1)
+        chunks.append(text[start : end + 1])
+        start = end + 1
     return chunks
