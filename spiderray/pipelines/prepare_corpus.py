@@ -102,3 +102,27 @@ def corpus_summary(ds):
         .aggregate(Count(alias_name="n_docs"), Sum("ws_tokens", alias_name="n_tokens"))
     )
     return out.to_pandas().sort_values(["split", "keep"]).reset_index(drop=True)
+
+
+def write_split_corpus(ds, out_dir: str, overwrite: bool = False):
+    """Write a prepared corpus as split-partitioned parquet
+    (out_dir/split=train/..., split=val/..., split=test/...) — the layout a
+    trainer consumes split-by-split without reading the others (partition
+    pruning at the read).
+
+    Ray's write_parquet APPENDS into an existing directory — a rerun would
+    silently double the corpus.  A non-empty ``out_dir`` therefore raises
+    unless ``overwrite=True`` (which clears it first).  For incremental /
+    restartable output use state/manifest.run_resumable instead."""
+    import os
+    import shutil
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is non-empty; pass overwrite=True to replace it "
+                "(write_parquet appends, which would duplicate the corpus)"
+            )
+        shutil.rmtree(out_dir)
+    ds.write_parquet(out_dir, partition_cols=["split"])
+    return out_dir

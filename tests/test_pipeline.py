@@ -344,3 +344,23 @@ class TestPrepareCorpus:
         assert a[["doc_id", "keep", "split"]].reset_index(drop=True).equals(
             b[["doc_id", "keep", "split"]].reset_index(drop=True)
         )
+
+
+class TestWriteSplitCorpus:
+    def test_partitioned_layout_and_pruned_read(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus, write_split_corpus
+
+        rows = [{"doc_id": i, "text": f"document body with plenty of words to pass number {i} " * 2}
+                for i in range(100)]
+        out_dir = str(tmp_path / "corpus")
+        write_split_corpus(prepare_corpus(rd.from_items(rows)), out_dir)
+        parts = sorted(os.listdir(out_dir))
+        assert parts == ["split=test", "split=train", "split=val"] or set(parts) <= {
+            "split=test", "split=train", "split=val"}
+        train = rd.read_parquet(os.path.join(out_dir, "split=train")).to_pandas()
+        full = rd.read_parquet(out_dir).to_pandas()
+        assert 0 < len(train) < len(full) == 100
