@@ -1,0 +1,100 @@
+"""Vectorized Bloom filter (numpy bit array, splitmix64 double hashing).
+
+Role in the engine: a BROADCAST PRE-FILTER, never the authority.  A Bloom
+'no' is definitive (the key was never added); a Bloom 'yes' may be a false
+positive, so exact semantics route Bloom-positives through the exact check
+(join / set probe) and let Bloom-negatives skip it.  For the cross-run
+dedup shape this shrinks the anti-join's left side to ~the duplicate rate:
+at a 1% dup rate, 99% of rows never pay the shuffle.
+
+Memory: bits = n * bits_per_key / 8 bytes — 10 bits/key ≈ 1% FP rate, so
+1e9 prior keys fit in ~1.2 GB vs ~50 GB of raw md5 strings in a set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SPLIT1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLIT2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _SPLIT1).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _SPLIT2
+    x ^= x >> np.uint64(27)
+    x *= _SPLIT3
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _key_hashes(keys) -> np.ndarray:
+    """uint64 base hashes for arbitrary keys (str/int/bytes).  Hex strings
+    (md5 fingerprints) take a fast prefix-parse path."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        if isinstance(k, str) and len(k) == 32:
+            try:
+                v = int(k, 16)  # full 128 bits folded — a prefix alone is
+                # constant for keys that only differ in the low digits
+                out[i] = np.uint64((v ^ (v >> 64)) & ((1 << 64) - 1))
+                continue
+            except ValueError:
+                pass
+        if isinstance(k, (int, np.integer)):
+            out[i] = np.uint64(int(k) & ((1 << 64) - 1))
+        else:
+            import hashlib
+
+            data = k.encode() if isinstance(k, str) else bytes(k)
+            out[i] = np.uint64(
+                int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+            )
+    return _splitmix64(out)
+
+
+class BloomFilter:
+    """add_many / contains_many over numpy arrays; double hashing
+    h_i = h1 + i*h2 (Kirsch–Mitzenmacher) over a power-of-two bit space."""
+
+    def __init__(self, n_keys: int, bits_per_key: int = 10, n_hashes: int = 7):
+        n_bits = 1 << max(int(np.ceil(np.log2(max(n_keys, 1) * bits_per_key))), 6)
+        self.n_bits = n_bits
+        self.mask = np.uint64(n_bits - 1)
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, keys) -> np.ndarray:
+        h1 = _key_hashes(keys)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        idx = np.empty((self.n_hashes, len(h1)), dtype=np.uint64)
+        for i in range(self.n_hashes):
+            idx[i] = (h1 + np.uint64(i) * h2) & self.mask
+        return idx
+
+    def add_many(self, keys) -> None:
+        if not len(keys):
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def contains_many(self, keys) -> np.ndarray:
+        """Boolean mask; False is definitive, True may be a false positive."""
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        got = (self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return got.all(axis=0)
+
+    def __getstate__(self):
+        return {"n_bits": self.n_bits, "n_hashes": self.n_hashes, "bits": self.bits}
+
+    def __setstate__(self, state):
+        self.n_bits = state["n_bits"]
+        self.mask = np.uint64(self.n_bits - 1)
+        self.n_hashes = state["n_hashes"]
+        self.bits = state["bits"]

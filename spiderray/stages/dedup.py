@@ -487,8 +487,12 @@ def incremental_exact_dedup(
     method="broadcast": prior fingerprints are collected once and shipped
     via ray.put — right for priors up to ~1e6 fps (~50 MB).  method="anti":
     an explicit bucketed anti-join (tag sides → groupby crc32 bucket → keep
-    left-only) — the 10^12-scale path; nothing whole-corpus touches the
-    driver.  "auto" picks by prior size."""
+    left-only) — nothing whole-corpus touches the driver.  method="bloom":
+    the composite scale path — a ~10-bit/key Bloom filter of the prior
+    (1e9 keys ≈ 1.2 GB vs ~50 GB as a set) broadcast as a PRE-FILTER;
+    Bloom-negative rows are definitively new and skip the shuffle entirely,
+    only Bloom-positives (≈ dup rate + ~1% FP) pay the exact anti-join.
+    "auto" picks broadcast for small priors, bloom beyond."""
     import zlib
 
     import ray
@@ -497,7 +501,7 @@ def incremental_exact_dedup(
     # exact_dedup emits (fingerprint, id_col)
 
     if method == "auto":
-        method = "broadcast" if prior_fp_ds.count() <= broadcast_max else "anti"
+        method = "broadcast" if prior_fp_ds.count() <= broadcast_max else "bloom"
 
     if method == "broadcast":
         seen: set = set()
@@ -514,8 +518,56 @@ def incremental_exact_dedup(
 
         return winners.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True)
 
+    if method == "bloom":
+        from ..functions.bloom import BloomFilter
+
+        n_prior = prior_fp_ds.count()
+        bf = BloomFilter(max(n_prior, 1))
+        # streamed build: batches visit the driver one at a time; only the
+        # fixed-size bit array persists (at larger scale: per-block partial
+        # blooms OR-merged — same filter, built distributed)
+        for b in prior_fp_ds.select_columns(["fingerprint"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            bf.add_many(b.column("fingerprint").to_pylist())
+        bf_ref = ray.put(bf)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            f = ray.get(bf_ref)
+            mask = f.contains_many(batch.column("fingerprint").to_pylist())
+            return batch.append_column("__maybe_dup", pa.array(mask))
+
+        flagged = winners.map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # ids+fps+flag only; reused by both branches
+
+        import pyarrow.compute as pc
+
+        definite_new = flagged.map_batches(
+            lambda t: t.filter(pc.equal(t["__maybe_dup"], False)).drop_columns(["__maybe_dup"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        candidates = flagged.map_batches(
+            lambda t: t.filter(pc.equal(t["__maybe_dup"], True)).drop_columns(["__maybe_dup"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if candidates.count() == 0:
+            return definite_new
+        survivors = _anti_join_fps(candidates, prior_fp_ds, id_col)
+        return definite_new.union(survivors)
+
     if method != "anti":
         raise ValueError(f"unknown method {method!r}")
+
+    return _anti_join_fps(winners, prior_fp_ds, id_col)
+
+
+def _anti_join_fps(winners, prior_fp_ds, id_col: str):
+    """Bucketed anti-join of (fingerprint, id) winners against prior
+    fingerprints — the shuffle half of incremental_exact_dedup."""
+    import zlib
 
     n_buckets = 64
 

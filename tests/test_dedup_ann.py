@@ -534,3 +534,37 @@ class TestSaltedJoin:
                           on="k", right_on="rk", hot_keys={1}, n_salts=3).to_pandas()
         assert len(out) == 25
         assert (out.loc[out.k == 1, "rval"] == 10).all()
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fp(self):
+        from spiderray.functions.bloom import BloomFilter
+
+        keys = [f"{i:032x}" for i in range(50_000)]
+        bf = BloomFilter(len(keys))
+        bf.add_many(keys)
+        assert bf.contains_many(keys).all()  # never a false negative
+        absent = [f"{i + 10_000_000:032x}" for i in range(50_000)]
+        assert bf.contains_many(absent).mean() < 0.02  # ~1% design FP
+
+    def test_mixed_key_types(self):
+        from spiderray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(100)
+        bf.add_many([1, "two", b"three", "0" * 32])
+        assert bf.contains_many([1, "two", b"three", "0" * 32]).all()
+        assert not bf.contains_many([99]).any() or True  # may FP; no crash
+
+    def test_bloom_mode_matches_anti(self, ray_session):
+        import ray.data as rd
+
+        prior = pd.DataFrame({"doc_id": range(200), "text": [f"doc number {i}" for i in range(200)]})
+        new = pd.DataFrame({
+            "doc_id": list(range(1000, 1100)),
+            "text": [f"doc number {i}" for i in range(50)]       # 50 dups
+                  + [f"fresh document {i}" for i in range(50)],  # 50 new
+        })
+        prior_fps = dedup.exact_dedup(rd.from_pandas(prior)).select_columns(["fingerprint"]).materialize()
+        a = dedup.incremental_exact_dedup(rd.from_pandas(new), prior_fps, method="anti").to_pandas()
+        b = dedup.incremental_exact_dedup(rd.from_pandas(new), prior_fps, method="bloom").to_pandas()
+        assert sorted(a.doc_id) == sorted(b.doc_id) == list(range(1050, 1100))
