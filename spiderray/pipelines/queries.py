@@ -32,6 +32,18 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 ICP_SQL_PATTERN = "(京|津|沪|粤)ICP(备案|备|证)?[0-9]+"
 
 
+# SQL fragment counting whitespace tokens with Python str.split() semantics
+# (DuckDB's bare trim()/' +' handle only U+0020; this form covers \t\n\r —
+# property-tested equal to ws_token_count in tests/test_properties.py)
+_WS_CHARS = "' ' || chr(9) || chr(10) || chr(13)"
+_WS_CLASS = "'[' || ' ' || chr(9) || chr(10) || chr(13) || ']+'"
+
+
+def _sql_ws_tokens(col: str) -> str:
+    t = f"trim({col}, {_WS_CHARS})"
+    return f"CASE WHEN {t} = '' THEN 0 ELSE len(string_split_regex({t}, {_WS_CLASS})) END"
+
+
 def _pa_from_pandas(df: pd.DataFrame) -> pa.Table:
     """from_pandas with the pandas schema metadata stripped: the metadata
     dict makes pa.Schema unhashable, which defeats Ray's early-exit schema
@@ -357,10 +369,12 @@ def q_token_counts(sf_dir: str):
 
 SQL_TOKEN_COUNTS = f"""
 SELECT source, count(*) AS n_docs,
-       CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
+       CAST(sum({{WS}}) AS BIGINT) AS ws_tokens,
        CAST(sum(len(regexp_extract_all(text, '{BPE_SQL_PATTERN}'))) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY source ORDER BY source
 """
+SQL_TOKEN_COUNTS = SQL_TOKEN_COUNTS.replace("{WS}", _sql_ws_tokens("text"))
+
 
 
 def q_exact_dedup(sf_dir: str):
@@ -1104,8 +1118,10 @@ SQL_TOP_TERMS = """
 WITH terms AS (
   SELECT source, unnest(string_split_regex(trim(text), ' +')) AS term
   FROM documents
+), nonempty AS (
+  SELECT source, term FROM terms WHERE term <> ''
 ), counts AS (
-  SELECT source, term, count(*) AS n FROM terms GROUP BY source, term
+  SELECT source, term, count(*) AS n FROM nonempty GROUP BY source, term
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rk
   FROM counts
@@ -1284,15 +1300,21 @@ def q_speech_rate(sf_dir: str):
 
 
 SQL_SPEECH_RATE = """
+WITH w AS (
+  SELECT doc_id,
+         {WS} AS n_words
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
-       CAST(floor(len(string_split_regex(trim(text), ' +'))
-                  / ((doc_id % 195) * 100 + 500) * 1000.0 * 1000.0 + 0.5) AS BIGINT)
-           AS wps_milli,
-       (len(string_split_regex(trim(text), ' +')) / (((doc_id % 195) * 100 + 500) / 1000.0)
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(floor(n_words / ((doc_id % 195) * 100 + 500) * 1000.0 * 1000.0 + 0.5)
+            AS BIGINT) AS wps_milli,
+       (n_words / (((doc_id % 195) * 100 + 500) / 1000.0)
         BETWEEN 0.5 AND 6.0) AS rate_ok
-FROM documents
+FROM w
 """
+SQL_SPEECH_RATE = SQL_SPEECH_RATE.replace("{WS}", _sql_ws_tokens("text"))
+
 
 
 def q_audio_spectral(sf_dir: str):
@@ -1599,7 +1621,7 @@ SQL_PREPARE_CORPUS = """
 WITH decided AS (
   SELECT doc_id, text,
          length(text) >= 64 AS keep0,
-         len(string_split_regex(trim(text), ' +')) AS n_words,
+         {WS} AS n_words,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
            % 10000 AS bucket
   FROM documents
@@ -1613,6 +1635,8 @@ SELECT CASE WHEN bucket < 9000 THEN 'train'
        CAST(sum(n_words) AS BIGINT) AS n_tokens
 FROM decided GROUP BY split, keep ORDER BY split, keep
 """
+SQL_PREPARE_CORPUS = SQL_PREPARE_CORPUS.replace("{WS}", _sql_ws_tokens("text"))
+
 
 
 
