@@ -128,6 +128,27 @@ def minhash_bands(sig: np.ndarray, bands: int = 32) -> list[int]:
     return keys
 
 
+def minhash_band_matrix(sigs: np.ndarray, bands: int = 32) -> np.ndarray:
+    """Vectorized band keys for a WHOLE BATCH of signatures: (n, num_perm)
+    uint32 → (n, bands) int64 — an FNV fold of each band's r rows + fmix64,
+    replacing per-row per-band blake2b calls.  Deterministic pure-numpy, so
+    every worker derives identical keys (the LSH shuffle correctness
+    property).  Key family differs from minhash_bands (blake2b), which is
+    kept for single-row call sites."""
+    n, perm = sigs.shape
+    r = perm // bands
+    M = sigs[:, : bands * r].reshape(n, bands, r).astype(np.uint64)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(r):
+        acc = acc * _FNV ^ M[:, :, j]
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX1
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX2
+    acc ^= acc >> np.uint64(33)
+    return (acc & np.uint64((1 << 62) - 1)).astype(np.int64)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard over shingle-hash sets."""
     if len(a) == 0 and len(b) == 0:

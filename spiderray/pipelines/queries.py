@@ -1671,6 +1671,79 @@ ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
 """
 
 
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Grouped aggregate over the part table (brand × type rollup with
+    cents-exact price sums) — covers the last unused tables together with
+    the supplier broadcast in q_supplier_balance."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_retailprice", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = _cents(df["p_retailprice"])
+        g = df.groupby(["p_brand", "p_type"], as_index=False).agg(
+            n_parts=("price_c", "size"), sum_price_c=("price_c", "sum"),
+            max_size=("p_size", "max"),
+        )
+        return _pa_from_pandas(g)
+
+    from ray.data.aggregate import Max, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["p_brand", "p_type"]).aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("sum_price_c", alias_name="sum_price_c"),
+        Max("max_size", alias_name="max_size"),
+    )
+    df = agg.to_pandas()
+    df["max_size"] = df["max_size"].astype("int64")
+    return df.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, p_type,
+       count(*) AS n_parts,
+       CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type
+"""
+
+
+def q_supplier_balance(sf_dir: str):
+    """Supplier balances rolled up to region via the nation/region broadcast
+    dims (the J4 pattern over the remaining dimension table)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region = {r["r_regionkey"]: r["r_name"] for r in pq.read_table(f"{sf_dir}/region.parquet").to_pylist()}
+    nat_to_region = {n["n_nationkey"]: region[n["n_regionkey"]] for n in nation}
+
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(nat_to_region)
+        df["bal_c"] = _cents(df["s_acctbal"])
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("bal_c", "size"), sum_acctbal_c=("bal_c", "sum")
+        )
+        return _pa_from_pandas(g)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = _final_merge(partials, ["r_name"], {"n_suppliers": "sum", "sum_acctbal_c": "sum"})
+    return df.sort_values("r_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_BALANCE = """
+SELECT r.r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1719,6 +1792,8 @@ QUERIES = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_prepare_corpus": q_prepare_corpus,
     "q_top_orders_per_segment": q_top_orders_per_segment,
+    "q_parts_by_brand": q_parts_by_brand,
+    "q_supplier_balance": q_supplier_balance,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -1758,6 +1833,8 @@ ORACLE_SQL = {
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_prepare_corpus": SQL_PREPARE_CORPUS,
     "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+    "q_parts_by_brand": SQL_PARTS_BY_BRAND,
+    "q_supplier_balance": SQL_SUPPLIER_BALANCE,
     # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
     # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
 }

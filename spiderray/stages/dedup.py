@@ -134,22 +134,27 @@ def minhash_lsh_pairs(
     ).materialize()  # computed once; reused for band explode + verification
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = batch.column("sig").to_pylist()
-        out_part, out_band, out_key, out_id = [], [], [], []
-        for i, sb in zip(ids, sigs):
-            sig = np.frombuffer(sb, dtype=np.uint32)
-            for b, key in enumerate(fp.minhash_bands(sig, bands)):
-                out_part.append(key % N_PARTS)
-                out_band.append(b)
-                out_key.append(key)
-                out_id.append(i)
+        sig_bytes = batch.column("sig").to_pylist()
+        n = len(sig_bytes)
+        if n == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                }
+            )
+        S = np.frombuffer(b"".join(sig_bytes), dtype=np.uint32).reshape(n, -1)
+        keys = fp.minhash_band_matrix(S, bands)  # (n, bands), fully vectorized
+        flat = keys.ravel()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "part": pa.array(out_part, pa.int32()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id),
+                "part": pa.array((flat % N_PARTS).astype(np.int32)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_key": pa.array(flat),
+                id_col: pa.array(np.repeat(ids, bands)),
             }
         )
 
