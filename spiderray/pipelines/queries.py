@@ -1744,6 +1744,21 @@ GROUP BY r.r_name ORDER BY r.r_name
 """
 
 
+
+
+def q_audio_transform(sf_dir: str):
+    """Rate+loudness normalisation over the synthetic clip corpus
+    (audio_transform_stage): every decodable clip re-emitted as 16 kHz
+    pcm_s16le at RMS 0.1 (rows-only: float DSP not SQL-replicable)."""
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_transform_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_transform_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(["clip_id", "sr_hz", "codec", "transform_ok"])
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1784,6 +1799,7 @@ QUERIES = {
     "q_speech_rate": q_speech_rate,
     "q_audio_spectral": q_audio_spectral,
     "q_vad_stats": q_vad_stats,
+    "q_audio_transform": q_audio_transform,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_corpus_ppl": q_corpus_ppl,

@@ -388,3 +388,101 @@ def audio_gate_stage(ds, cfg: PipelineConfig):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Audio transforms: resample + loudness normalize (emit NEW pcm bytes)
+# ---------------------------------------------------------------------------
+
+
+def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample (pure numpy).  Fine for rate
+    normalisation of speech (8k/22k/44.1k → 16k); a real production path
+    would swap in a polyphase filter here — same column contract."""
+    if sr_in == sr_out or len(pcm) == 0 or sr_in <= 0 or sr_out <= 0:
+        return pcm
+    n_out = max(int(round(len(pcm) * sr_out / sr_in)), 1)
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(x_out, np.arange(len(pcm), dtype=np.float64), pcm).astype(np.float32)
+
+
+def normalize_loudness(pcm: np.ndarray, target_rms: float = 0.1,
+                       max_gain: float = 30.0) -> np.ndarray:
+    """Scale to a target RMS with a gain cap (silent clips must not explode
+    into noise) and a hard clip at ±1."""
+    if len(pcm) == 0:
+        return pcm
+    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    if rms <= 0:
+        return pcm
+    gain = min(target_rms / rms, max_gain)
+    return np.clip(pcm * gain, -1.0, 1.0).astype(np.float32)
+
+
+def _encode_pcm16(pcm: np.ndarray) -> bytes:
+    return (np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+class AudioTransformActor:
+    """Actor-pool stage: decode → (resample to target_sr_hz) → (loudness
+    normalize) → re-encode pcm_s16le.  Emits NEW bytes/sr_hz/codec columns;
+    undecodable codecs pass through untouched with transform_ok=False.
+    The canonical 'make the corpus uniform for the ASR trainer' stage."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 target_sr_hz: int | None = 16000,
+                 target_rms: float | None = 0.1):
+        self.cfg = cfg or PipelineConfig()
+        self.target_sr = target_sr_hz
+        self.target_rms = target_rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_sr, out_codec, ok = [], [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_sr.append(sr)
+                out_codec.append(codec)
+                ok.append(False)
+                continue
+            sr_out = sr
+            if self.target_sr and sr and sr != self.target_sr:
+                pcm = resample_linear(pcm, int(sr), self.target_sr)
+                sr_out = self.target_sr
+            if self.target_rms is not None:
+                pcm = normalize_loudness(pcm, self.target_rms)
+            out_bytes.append(_encode_pcm16(pcm))
+            out_sr.append(sr_out)
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+        names = batch.column_names
+        batch = batch.set_column(
+            names.index(self.cfg.bytes_col), self.cfg.bytes_col,
+            pa.array(out_bytes, pa.binary()),
+        )
+        batch = batch.set_column(names.index("sr_hz"), "sr_hz",
+                                 pa.array(out_sr, batch.schema.field("sr_hz").type))
+        batch = batch.set_column(names.index(self.cfg.codec_col), self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        return batch.append_column("transform_ok", pa.array(ok, pa.bool_()))
+
+
+def audio_transform_stage(ds, cfg: PipelineConfig, target_sr_hz: int | None = 16000,
+                          target_rms: float | None = 0.1,
+                          concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioTransformActor,
+        fn_constructor_args=(cfg, target_sr_hz, target_rms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -287,3 +287,71 @@ class TestCorpusLmTraining:
 
         lm = train_char_lm(rd.from_pandas(pd.DataFrame({"text": pd.array([], dtype="string")})))
         assert lm.perplexity("anything") > 0
+
+
+class TestAudioTransforms:
+    def _sine(self, freq=440.0, sr=16000, sec=0.5, amp=0.3):
+        import numpy as np
+
+        t = np.arange(int(sr * sec)) / sr
+        return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+    def test_resample_preserves_tone(self):
+        import numpy as np
+
+        from spiderray.stages.multimodal import resample_linear, spectral_features
+
+        pcm8k = self._sine(freq=440.0, sr=8000)
+        pcm16k = resample_linear(pcm8k, 8000, 16000)
+        assert len(pcm16k) == 2 * len(pcm8k)
+        f = spectral_features(pcm16k, 16000)
+        assert abs(f["dominant_hz"] - 440.0) < 4.0
+
+    def test_resample_identity_and_empty(self):
+        import numpy as np
+
+        from spiderray.stages.multimodal import resample_linear
+
+        x = self._sine()
+        assert resample_linear(x, 16000, 16000) is x
+        assert len(resample_linear(np.zeros(0, dtype=np.float32), 8000, 16000)) == 0
+
+    def test_normalize_hits_target_and_caps_gain(self):
+        import numpy as np
+
+        from spiderray.stages.multimodal import normalize_loudness
+
+        quiet = self._sine(amp=0.01)
+        n = normalize_loudness(quiet, target_rms=0.1)
+        assert abs(float(np.sqrt(np.mean(n.astype(np.float64) ** 2))) - 0.1) < 0.01
+        # near-silent clip: gain capped, not exploded
+        tiny = self._sine(amp=1e-6)
+        capped = normalize_loudness(tiny, target_rms=0.1, max_gain=30.0)
+        assert float(np.abs(capped).max()) <= 1e-6 * 30 * 1.01
+        # silence untouched
+        z = np.zeros(100, dtype=np.float32)
+        assert (normalize_loudness(z) == 0).all()
+
+    def test_transform_stage_ray(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import audio_transform_stage, _decode_one
+
+        pcm8 = (self._sine(freq=440, sr=8000, amp=0.01) * 32767).astype("<i2").tobytes()
+        rows = [
+            {"clip_id": "a", "bytes": pcm8, "sr_hz": 8000, "codec": "pcm_s16le"},
+            {"clip_id": "flac", "bytes": b"\x00" * 32, "sr_hz": 16000, "codec": "flac"},
+        ]
+        out = audio_transform_stage(rd.from_items(rows), PipelineConfig(),
+                                    concurrency=1).to_pandas().set_index("clip_id")
+        assert bool(out.loc["a", "transform_ok"])
+        assert out.loc["a", "sr_hz"] == 16000 and out.loc["a", "codec"] == "pcm_s16le"
+        dec = _decode_one(out.loc["a", "bytes"], "pcm_s16le")
+        rms = float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+        assert abs(rms - 0.1) < 0.01  # normalized
+        # stubbed codec passes through untouched
+        assert not bool(out.loc["flac", "transform_ok"])
+        assert out.loc["flac", "bytes"] == b"\x00" * 32
+        assert out.loc["flac", "codec"] == "flac"
