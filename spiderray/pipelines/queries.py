@@ -1759,6 +1759,41 @@ def q_audio_transform(sf_dir: str):
     return out.select_columns(["clip_id", "sr_hz", "codec", "transform_ok"])
 
 
+
+
+def q_flac_roundtrip(sf_dir: str):
+    """Real FLAC decode through the audio feature stage: clips whose codec
+    stratum is 'flac' get their PCM re-encoded as actual FLAC bytes
+    (functions/flacdec, from-scratch subset codec), then the standard
+    feature stage decodes them — decode_ok must be True for every flac row
+    and the decoded features must match the PCM original exactly
+    (lossless).  Rows-only."""
+    from ..config import PipelineConfig
+    from ..functions.flacdec import encode_flac
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_features_stage
+
+    ds = clips_from_documents(sf_dir)
+
+    def flacify(batch: pa.Table) -> pa.Table:
+        codecs = batch.column("codec").to_pylist()
+        bufs = batch.column("bytes").to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out = []
+        for codec, buf, sr in zip(codecs, bufs, srs):
+            if codec == "flac":
+                samples = np.frombuffer(buf, dtype="<i2")
+                out.append(encode_flac(samples, int(sr)))
+            else:
+                out.append(buf)
+        names = batch.column_names
+        return batch.set_column(names.index("bytes"), "bytes", pa.array(out, pa.binary()))
+
+    flac_ds = ds.map_batches(flacify, batch_format="pyarrow", zero_copy_batch=True)
+    out = audio_features_stage(flac_ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1800,6 +1835,7 @@ QUERIES = {
     "q_audio_spectral": q_audio_spectral,
     "q_vad_stats": q_vad_stats,
     "q_audio_transform": q_audio_transform,
+    "q_flac_roundtrip": q_flac_roundtrip,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_corpus_ppl": q_corpus_ppl,

@@ -60,7 +60,17 @@ def _decode_one(buf: bytes, codec: str) -> np.ndarray:
         return _mulaw_expand(np.frombuffer(buf, dtype=np.uint8))
     if codec == "wav":
         return _parse_wav(buf)
-    # flac/opus/... need soundfile/libsndfile — not in this container
+    if codec == "flac":
+        # from-scratch FLAC subset (functions/flacdec.py): mono ≤16-bit,
+        # CONSTANT/VERBATIM/FIXED subframes; LPC/stereo → unsupported
+        from ..functions.flacdec import FlacError, FlacUnsupported, decode_flac
+
+        try:
+            samples, _sr = decode_flac(buf)
+        except (FlacUnsupported, FlacError, IndexError):
+            raise DecodeUnsupported("flac") from None
+        return samples.astype(np.float32) / 32767.0
+    # opus/... need libopus — not in this container
     raise DecodeUnsupported(codec)
 
 
