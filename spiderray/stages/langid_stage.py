@@ -151,6 +151,12 @@ class LangIdModelActor:
 
             # silently fall back to the toy model
             self._ft = fasttext.load_model(ft_path)
+        trained = (self.cfg.extra or {}).get("langid_profiles")
+        if trained:
+            # corpus-trained profiles (stages/lm_train.train_langid_profiles)
+            # replace the embedded seeds wholesale
+            self.profiles = dict(trained)
+            return
         self.profiles: dict[str, dict[str, float]] = {}
         for lang, seed in self._SEEDS.items():
             grams: dict[str, float] = {}

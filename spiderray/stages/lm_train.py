@@ -78,3 +78,50 @@ def train_char_lm(ds, text_col: str = "text", max_grams: int = 500_000):
     uni = dict(df[df["kind"] == "1"][["gram", "n"]].itertuples(index=False))
     n_chars = int(df[df["kind"] == "N"]["n"].sum())
     return CharLM.from_counts(tri, bi, uni, n_chars)
+
+
+def train_langid_profiles(ds, text_col: str = "text", lang_col: str = "lang",
+                          max_grams_per_lang: int = 20_000):
+    """Distributed training of per-language char-trigram profiles from a
+    LABELED corpus: one pass of per-batch (lang, gram) partial counts, a
+    keyed groupby-Sum (domain-bounded shuffle), then driver-side
+    normalisation to frequency profiles — the dict shape
+    ``LangIdModelActor`` consumes via ``cfg.extra['langid_profiles']``.
+    The corpus-trained upgrade of the embedded seed profiles."""
+    from ray.data.aggregate import Sum
+
+    def count(batch: pa.Table) -> pa.Table:
+        per_lang: dict[str, Counter] = {}
+        for text, lang in zip(
+            batch.column(text_col).to_pylist(), batch.column(lang_col).to_pylist()
+        ):
+            if not lang:
+                continue
+            s = f"  {(text or '').lower()[:2048]}  "
+            c = per_lang.setdefault(lang, Counter())
+            c.update(s[i : i + 3] for i in range(len(s) - 2))
+        langs, grams, ns = [], [], []
+        for lang, c in per_lang.items():
+            for g, n in c.items():
+                langs.append(lang)
+                grams.append(g)
+                ns.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "gram": pa.array(grams, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["lang", "gram"]).aggregate(Sum("n", alias_name="n"))
+    df = merged.to_pandas()
+    profiles: dict[str, dict[str, float]] = {}
+    if df.empty:
+        return profiles
+    for lang, g in df.groupby("lang"):
+        top = g.nlargest(max_grams_per_lang, "n")
+        total = float(top["n"].sum())
+        profiles[str(lang)] = {gr: c / total for gr, c in zip(top["gram"], top["n"])}
+    return profiles

@@ -355,3 +355,40 @@ class TestAudioTransforms:
         assert not bool(out.loc["flac", "transform_ok"])
         assert out.loc["flac", "bytes"] == b"\x00" * 32
         assert out.loc["flac", "codec"] == "flac"
+
+
+class TestCorpusLangidTraining:
+    def test_trained_profiles_classify(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.langid_stage import LangIdModelActor
+        from spiderray.stages.lm_train import train_langid_profiles
+
+        rows = (
+            [{"text": "the government announced new measures for the city today number %d" % i,
+              "lang": "en"} for i in range(30)]
+            + [{"text": "le gouvernement a annoncé de nouvelles mesures pour la ville %d" % i,
+                "lang": "fr"} for i in range(30)]
+        )
+        profiles = train_langid_profiles(rd.from_items(rows))
+        assert set(profiles) == {"en", "fr"}
+        actor = LangIdModelActor(PipelineConfig(extra={"langid_profiles": profiles}))
+        out = actor(pa.table({
+            "transcript": ["the city announced more measures",
+                           "la ville a annoncé de nouvelles mesures"],
+            "lang_pos": ["", ""],
+        }))
+        assert out.column("lang_model").to_pylist() == ["en", "fr"]
+
+    def test_empty_corpus_profiles(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.lm_train import train_langid_profiles
+
+        p = train_langid_profiles(rd.from_pandas(
+            pd.DataFrame({"text": pd.array([], dtype="string"),
+                          "lang": pd.array([], dtype="string")})))
+        assert p == {}
