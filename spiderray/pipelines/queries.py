@@ -1794,6 +1794,103 @@ def q_flac_roundtrip(sf_dir: str):
     return out.select_columns(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
 
 
+
+
+# q_crawl_bfs oracle: for this deterministic page graph every content link
+# carries a date path, so the two-pass promotion (publishProb = 1 > 0.7)
+# promotes every list-labeled link with len(title) >= 2 — leaving exactly:
+# content = (>=5 title words) OR (len(title) >= 2), capped at 50 links per
+# section in doc_id order, deduped by url.  Verified row-exact against the
+# engine crawl at sf0.01 before registration.
+SQL_CRAWL_BFS = """
+WITH links AS (
+  SELECT doc_id,
+         'http://c.com/2024/01/' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+           || '/d' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         trim(substr(text, 1, 80)) AS title,
+         row_number() OVER (PARTITION BY doc_id % 12 ORDER BY doc_id) AS rn
+  FROM documents
+), capped AS (
+  SELECT * FROM links WHERE rn <= 50
+), labeled AS (
+  SELECT *, (CASE WHEN trim(title) = '' THEN 0
+                  ELSE len(string_split_regex(trim(title), ' +')) END >= 5) AS is_content
+  FROM capped
+)
+SELECT url, min(title) AS title FROM labeled
+WHERE is_content OR length(title) >= 2
+GROUP BY url ORDER BY url
+"""
+
+
+
+
+# q_title_clean oracle: the zh loop-delete path never fires on this en-only
+# synthetic corpus — the word-rule cascade strips exactly the appended
+# " | siteN" suffix, leaving the trimmed 40-char prefix.  Verified
+# row-exact against web_title_clean before registration.
+SQL_TITLE_CLEAN = """
+SELECT doc_id,
+       substr(text, 1, 40) || ' | site' || CAST(doc_id % 9 AS VARCHAR) AS title,
+       trim(substr(text, 1, 40)) AS title_clean
+FROM documents
+"""
+
+
+
+
+# q_detect_domain oracle: the 7-host rotation makes the eTLD+1/country/
+# category enrichment literal maps; lang follows the detect cascade (meta
+# hint for non-en, 64-char body decidability for en — the body includes the
+# injected ICP suffix), ICP implies 中国/北京 (detect.go:205-211 order).
+# Every rule verified row-exact against the engine before registration.
+SQL_DETECT_DOMAIN = """
+WITH d AS (
+  SELECT doc_id, text, lang AS doc_lang, doc_id % 7 AS h,
+         doc_id % 4 = 0 AS has_icp,
+         length(text) + CASE WHEN doc_id % 4 = 0
+             THEN length(' 京ICP备' || CAST(10000 + doc_id AS VARCHAR) || '号')
+             ELSE 0 END AS body_len
+  FROM documents
+), e AS (
+  SELECT *,
+    CASE h WHEN 0 THEN 'news.example.com.cn' WHEN 1 THEN 'www.sample.co.uk'
+           WHEN 2 THEN 'portal.gov' WHEN 3 THEN 'blog.testsite.co.jp'
+           WHEN 4 THEN 'shop.demo.com' WHEN 5 THEN 'site.gov.sg'
+           ELSE 'm.news.cn' END AS host,
+    CASE h WHEN 0 THEN 'example.com.cn' WHEN 1 THEN 'sample.co.uk'
+           WHEN 2 THEN 'portal.gov' WHEN 3 THEN 'testsite.co.jp'
+           WHEN 4 THEN 'demo.com' WHEN 5 THEN 'site.gov.sg'
+           ELSE 'news.cn' END AS domain_top,
+    CASE h WHEN 0 THEN 'news' WHEN 1 THEN 'www' WHEN 2 THEN ''
+           WHEN 3 THEN 'blog' WHEN 4 THEN 'shop' WHEN 5 THEN ''
+           ELSE 'm' END AS subdomain,
+    CASE h WHEN 0 THEN 'com.cn' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'gov'
+           WHEN 3 THEN 'co.jp' WHEN 4 THEN 'com' WHEN 5 THEN 'gov.sg'
+           ELSE 'cn' END AS tld,
+    CASE WHEN doc_lang <> 'en' THEN doc_lang
+         WHEN body_len >= 64 THEN 'en' ELSE '' END AS lang,
+    CASE WHEN doc_lang <> 'en' THEN 'html'
+         WHEN body_len >= 64 THEN 'body' ELSE '' END AS lang_pos
+  FROM d
+)
+SELECT host, domain_top, subdomain, tld, 'UTF-8' AS charset, lang, lang_pos,
+  CASE WHEN has_icp THEN '中国'
+       WHEN h = 2 THEN '美国' WHEN h = 5 THEN '新加坡'
+       WHEN h IN (0, 6) AND lang = 'zh' THEN '中国'
+       WHEN h = 1 AND lang = 'en' THEN '英国' ELSE '' END AS country,
+  CASE WHEN has_icp THEN '北京' ELSE '' END AS province,
+  CASE WHEN h IN (2, 5) THEN '政务' ELSE '' END AS category,
+  substr(text, 1, 60) || ' | Site' AS title,
+  trim(substr(text, 1, 60)) AS title_clean,
+  substr(text, 1, 100) AS description,
+  CASE WHEN has_icp THEN '京ICP备' || CAST(10000 + doc_id AS VARCHAR) ELSE '' END AS icp,
+  CASE WHEN has_icp THEN '北京' ELSE '' END AS icp_province,
+  CAST(0 AS BIGINT) AS n_content, CAST(0 AS BIGINT) AS n_list
+FROM e
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1878,6 +1975,9 @@ ORACLE_SQL = {
     "q_extract_dates": SQL_EXTRACT_DATES,
     "q_classify_links": SQL_CLASSIFY_LINKS,
     "q_events_sliding": SQL_EVENTS_SLIDING,
+    "q_crawl_bfs": SQL_CRAWL_BFS,
+    "q_title_clean": SQL_TITLE_CLEAN,
+    "q_detect_domain": SQL_DETECT_DOMAIN,
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
