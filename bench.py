@@ -72,6 +72,7 @@ def run_queries() -> dict[str, float]:
         ("q_train_test_split", q.q_train_test_split),
         ("q_value_quantiles", q.q_value_quantiles),
         ("q_corpus_ppl", q.q_corpus_ppl),
+        ("q_prepare_corpus", q.q_prepare_corpus),
     ]
     import ray.data
 
