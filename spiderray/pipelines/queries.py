@@ -1891,6 +1891,29 @@ FROM e
 """
 
 
+
+
+# q_news_from_html oracle: for the hermetic synthetic pages the cascade
+# deterministically resolves to the og:title meta (first 6 words) and the
+# publishdate meta — validated row-exact against the full DOM-parse +
+# CEPF + cascade engine path before registration.
+SQL_NEWS_FROM_HTML = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 'Document ' || CAST(doc_id AS VARCHAR)
+              ELSE array_to_string(list_slice(string_split_regex(trim(text), ' +'), 1, 6), ' ')
+         END AS title
+  FROM documents
+)
+SELECT 'd' || CAST(doc_id AS VARCHAR) AS page_id,
+       title, 'meta' AS title_pos,
+       '2022-09-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+         || ' 10:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00' AS time,
+       'meta' AS time_pos, 'en' AS lang
+FROM w
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1978,6 +2001,7 @@ ORACLE_SQL = {
     "q_crawl_bfs": SQL_CRAWL_BFS,
     "q_title_clean": SQL_TITLE_CLEAN,
     "q_detect_domain": SQL_DETECT_DOMAIN,
+    "q_news_from_html": SQL_NEWS_FROM_HTML,
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
