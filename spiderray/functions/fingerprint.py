@@ -180,6 +180,41 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized simhash64 over a batch: hash each UNIQUE token once
+    (vocab ≪ token count on real text), unpack all bit rows in one
+    np.unpackbits, then accumulate ±1 bit votes per row by fancy-indexed
+    sum.  Identical output to simhash64 row-by-row (same per-token
+    blake2b)."""
+    token_lists = [t.lower().split() for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for tok in toks:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+    if not vocab:
+        return np.zeros(len(texts), dtype=np.uint64)
+    hashes = np.empty(len(vocab), dtype=np.uint64)
+    for tok, j in vocab.items():
+        hashes[j] = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+    votes = (2 * bits.astype(np.int64) - 1)  # (vocab, 64) in msb-first order
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+        acc = votes[idx].sum(axis=0)
+        h = np.uint64(0)
+        bitvals = (acc > 0)
+        # msb-first: bit position 63-i for column i (matches simhash64)
+        h = np.packbits(bitvals.astype(np.uint8)).view(">u8")[0] if len(bitvals) == 64 else 0
+        out[i] = np.uint64(h)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -290,24 +290,23 @@ def simhash_pairs(
     chunk)."""
 
     def add_chunks(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        out = {"part": [], "chunk_id": [], "chunk": [], id_col: [], "sim": []}
-        for i, t in enumerate(texts):
-            h = fp.simhash64(t or "")
-            for ci, cv in enumerate(fp.simhash_chunks(h)):
-                out["part"].append((cv * 4 + ci) % N_PARTS)
-                out["chunk_id"].append(ci)
-                out["chunk"].append(cv)
-                out[id_col].append(ids[i])
-                out["sim"].append(h)
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        n = len(texts)
+        sims = fp.simhash64_batch(texts)  # vectorized batch kernel
+        # explode the 4 pigeonhole chunks per row vectorized
+        chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (np.uint64(16) * chunk_ids.astype(np.uint64))
+        sims_rep = np.repeat(sims, 4)
+        chunks = ((sims_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        parts = ((chunks * 4 + chunk_ids) % N_PARTS).astype(np.int32)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "part": pa.array(out["part"], pa.int32()),
-                "chunk_id": pa.array(out["chunk_id"], pa.int32()),
-                "chunk": pa.array(out["chunk"], pa.int64()),
-                id_col: pa.array(out[id_col]),
-                "sim": pa.array(out["sim"], pa.uint64()),
+                "part": pa.array(parts),
+                "chunk_id": pa.array(chunk_ids),
+                "chunk": pa.array(chunks),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "sim": pa.array(sims_rep, pa.uint64()),
             }
         )
 
