@@ -97,3 +97,13 @@ class TestSplitProperties:
             params=[str(doc_id)],
         ).fetchone()[0]
         assert b == sql
+
+
+class TestSimhashBatchParity:
+    @given(st.lists(_text, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_batch_equals_row_kernel(self, texts):
+        from spiderray.functions.fingerprint import simhash64, simhash64_batch
+
+        batch = simhash64_batch(texts)
+        assert [int(b) for b in batch] == [simhash64(t) for t in texts]
