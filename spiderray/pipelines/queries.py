@@ -1914,6 +1914,43 @@ FROM w
 """
 
 
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (stages/stats.
+    grouped_quantiles_exact): one (group, value) histogram shuffle, rank
+    pick per group."""
+    from ..stages.stats import grouped_quantiles_exact
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value_c": pa.array(_cents(batch.column("value").to_numpy()))})
+
+    dc = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_quantiles_exact(dc, "event_type", "value_c", [0.25, 0.5, 0.9])
+    df = out.to_pandas()
+    df["q_pct"] = df["q_pct"].astype("int64")
+    return df.sort_values(["event_type", "q_pct"]).reset_index(drop=True)
+
+
+SQL_GROUPED_QUANTILES = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c FROM events
+), ordered AS (
+  SELECT event_type, value_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), qs AS (SELECT unnest([25, 50, 90]) AS q_pct)
+SELECT o.event_type, CAST(q.q_pct AS BIGINT) AS q_pct, o.value_c
+FROM qs q JOIN ordered o
+  ON o.rn = greatest(CAST(ceil(q.q_pct / 100.0 * o.n) AS BIGINT), 1)
+ORDER BY o.event_type, q.q_pct
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1958,6 +1995,7 @@ QUERIES = {
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
+    "q_grouped_quantiles": q_grouped_quantiles,
     "q_corpus_ppl": q_corpus_ppl,
     "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_sample": q_stratified_sample,
@@ -2005,6 +2043,7 @@ ORACLE_SQL = {
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
+    "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_prepare_corpus": SQL_PREPARE_CORPUS,

@@ -161,3 +161,37 @@ def top_k_per_group(ds, group_cols: list[str], sort_col: str, k: int,
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(group_cols).map_groups(final, batch_format="pandas")
+
+
+def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
+    """Exact per-group quantiles of an integer-domain column: one
+    (group, value) histogram shuffle, then each group's cumsum + rank pick
+    inside map_groups (same rank=ceil(q·n) definition as quantiles_exact).
+    Returns a Dataset of (group, q_pct, value)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        g = df.groupby([group_col, col], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        rows = []
+        for q in qs:
+            rank = max(int(np.ceil(q * n)), 1)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((g[group_col].iloc[0], int(q * 100), g[col].iloc[idx]))
+        return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
+
+    return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -568,3 +568,25 @@ class TestBloomFilter:
         a = dedup.incremental_exact_dedup(rd.from_pandas(new), prior_fps, method="anti").to_pandas()
         b = dedup.incremental_exact_dedup(rd.from_pandas(new), prior_fps, method="bloom").to_pandas()
         assert sorted(a.doc_id) == sorted(b.doc_id) == list(range(1050, 1100))
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_quantiles_exact
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame({
+            "g": np.repeat(["a", "b", "c"], 1000),
+            "v": np.concatenate([rng.integers(0, 100, 1000),
+                                 rng.integers(500, 600, 1000),
+                                 rng.integers(0, 10, 1000)]),
+        })
+        out = grouped_quantiles_exact(rd.from_pandas(df), "g", "v", [0.5, 0.9]).to_pandas()
+        for g in ("a", "b", "c"):
+            s = np.sort(df.loc[df.g == g, "v"].to_numpy())
+            for q in (0.5, 0.9):
+                rank = max(int(np.ceil(q * len(s))), 1)
+                got = out[(out.g == g) & (out.q_pct == int(q * 100))].v.iloc[0]
+                assert got == s[rank - 1], (g, q)
