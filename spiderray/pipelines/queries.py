@@ -1446,11 +1446,15 @@ def q_corpus_ppl(sf_dir: str):
     lm_ref = ray.put(lm)
 
     def score(batch: pa.Table) -> pa.Table:
+        import math
+
         model = ray.get(lm_ref)
         texts = batch.column("text").to_pylist()
         ppl = [model.perplexity(t or "") for t in texts]
+        # empty/whitespace docs score inf → sentinel -1 (int(inf) overflows)
+        milli = [int(p * 1000) if math.isfinite(p) else -1 for p in ppl]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "ppl_milli": pa.array([int(p * 1000) for p in ppl], pa.int64())})
+                         "ppl_milli": pa.array(milli, pa.int64())})
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True

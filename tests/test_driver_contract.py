@@ -104,3 +104,43 @@ def test_all_queries_against_oracle(entry_mod, con):
         except AssertionError as e:
             failures.append((name, "values", str(e).split("\n")[0], ""))
     assert not failures, failures
+
+
+class TestNullTextRobustness:
+    """The driver corpus never contains null/empty/whitespace/huge texts —
+    real corpora do.  Key text queries must not crash on them (fuzz that
+    caught the q_corpus_ppl int(inf) overflow)."""
+
+    @pytest.fixture(scope="class")
+    def fuzz_dir(self, tmp_path_factory):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+        base.loc[0, "text"] = None
+        base.loc[1, "text"] = ""
+        base.loc[2, "text"] = " \t\n "
+        base.loc[3, "text"] = "word " * 50_000
+        base.loc[4, "text"] = "中文 🎉 mixed"
+        d = str(tmp_path_factory.mktemp("fuzzdocs"))
+        pq.write_table(pa.Table.from_pandas(base, preserve_index=False),
+                       os.path.join(d, "documents.parquet"))
+        for t in ["events", "embeddings", "orders", "customer", "lineitem",
+                  "nation", "region", "part", "supplier"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+        return d
+
+    @pytest.mark.parametrize("name", [
+        "q_doc_keepdrop", "q_token_counts", "q_exact_dedup", "q_corpus_ppl",
+        "q_prepare_corpus", "q_chunk_dedup", "q_news_from_html", "q_speech_rate",
+    ])
+    def test_query_survives_fuzz_corpus(self, ray_session, fuzz_dir, name):
+        import ray.data
+
+        from spiderray.pipelines.queries import QUERIES
+
+        res = QUERIES[name](fuzz_dir)
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        assert n > 0
