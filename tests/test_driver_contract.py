@@ -144,3 +144,13 @@ class TestNullTextRobustness:
         res = QUERIES[name](fuzz_dir)
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n > 0
+
+
+def test_dataops_facade_exports():
+    """Every __all__ name in the training-data façade imports and is
+    callable/class."""
+    import spiderray.dataops as d
+
+    for name in d.__all__:
+        obj = getattr(d, name)
+        assert callable(obj), name
