@@ -1955,6 +1955,78 @@ ORDER BY o.event_type, q.q_pct
 """
 
 
+
+
+def _synth_image_rows(batch: pa.Table) -> pa.Table:
+    """Deterministic small images derived from doc_id: 2/3 real PPM
+    gradients (phase from doc_id), 1/3 stub 'png' rows."""
+    from ..stages.image import encode_ppm
+
+    ids = batch.column("doc_id").to_numpy()
+    bufs, fmts, cids = [], [], []
+    for i in ids:
+        cids.append(f"img_{int(i):08d}")
+        if i % 3 == 2:
+            bufs.append(b"\x89PNG\r\n\x1a\n stub")
+            fmts.append("png")
+        else:
+            h, w = 24, 32
+            y = (np.arange(h, dtype=np.int64)[:, None] * 8 + int(i)) % 256
+            x = (np.arange(w, dtype=np.int64)[None, :] * 8 + int(i) * 3) % 256
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[..., 0] = y
+            img[..., 1] = x
+            img[..., 2] = int(i) % 256
+            bufs.append(encode_ppm(img))
+            fmts.append("ppm")
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "format": pa.array(fmts, pa.string()),
+        }
+    )
+
+
+def q_image_features(sf_dir: str):
+    """Image decode + stats + resize plumbing (stages/image.py): real PPM
+    decodes, stubbed png rows flow through decode_ok=False (rows-only)."""
+    from ..config import PipelineConfig
+    from ..stages.image import image_features_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    imgs = ds.map_batches(_synth_image_rows, batch_format="pyarrow", zero_copy_batch=True)
+    out = image_features_stage(imgs, PipelineConfig(), resize_to=(12, 16), concurrency=4)
+    return out.select_columns(["clip_id", "format", "decode_ok", "width", "height",
+                               "mean_lum", "std_lum"])
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing: every 10th doc becomes a 9-frame toy
+    container, sampled every 4 frames (rows-only)."""
+    from ..config import PipelineConfig
+    from ..stages.image import encode_ppm, encode_rawv, frame_sample_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_videos(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 10)
+        ids, bufs = [], []
+        for i in t.column("doc_id").to_numpy():
+            frames = []
+            for f in range(9):
+                img = np.full((8, 8, 3), (int(i) + f) % 256, dtype=np.uint8)
+                frames.append(img)
+            ids.append(f"vid_{int(i):08d}")
+            bufs.append(encode_rawv(frames))
+        return pa.table({"clip_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(bufs, pa.binary())})
+
+    vids = ds.map_batches(to_videos, batch_format="pyarrow", zero_copy_batch=True)
+    out = frame_sample_stage(vids, PipelineConfig(), every_k=4, concurrency=4)
+    return out.select_columns(["clip_id", "frame_index", "decode_ok"])
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -1997,6 +2069,8 @@ QUERIES = {
     "q_vad_stats": q_vad_stats,
     "q_audio_transform": q_audio_transform,
     "q_flac_roundtrip": q_flac_roundtrip,
+    "q_image_features": q_image_features,
+    "q_video_frames": q_video_frames,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,

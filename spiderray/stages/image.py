@@ -1,0 +1,269 @@
+"""Image / video columns as opaque bytes + typed metadata (engine
+additions; the multimodal plumbing contract of SURVEY §2.9 extended from
+audio to the remaining modalities).
+
+Decoders implemented from the public formats that need no libraries:
+binary PPM (P6) / PGM (P5) and uncompressed 24-bit BMP — real numpy
+decodes.  PNG / JPEG / WEBP raise ``ImageDecodeUnsupported`` (zlib/DCT
+codecs need the absent imaging libs) — the same clearly-marked stub
+pattern as flac/opus: rows flow through with ``decode_ok=False`` and the
+Ray-side plumbing (schema, actor pool, byte-capped batches, output
+layout) is real and tested.
+
+"Video" is a deterministic toy container (``RAWV`` header + concatenated
+P6 frames) so the frame-sampling stage exercises real sampling math and
+real per-frame decode without a codec.  Swapping in ffmpeg/pyav changes
+only ``_iter_video_frames``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+
+
+class ImageDecodeUnsupported(NotImplementedError):
+    """Format outside the no-library subset (png/jpeg/webp/...)."""
+
+
+# ---------------------------------------------------------------------------
+# decoders (pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def _parse_pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, data_offset) for P5/P6."""
+    parts = []
+    i = 0
+    while len(parts) < 4 and i < len(buf):
+        # skip whitespace and comments
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        parts.append(buf[i:j])
+        i = j
+    if len(parts) < 4:
+        raise ImageDecodeUnsupported("truncated pnm header")
+    magic = parts[0]
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    return magic, w, h, maxval, i + 1  # single whitespace after maxval
+
+
+def decode_image(buf: bytes, fmt: str) -> np.ndarray:
+    """bytes → (h, w, 3) uint8 RGB.  ppm/pgm/bmp real; rest stubbed."""
+    fmt = (fmt or "").lower()
+    if fmt in ("ppm", "pgm"):
+        magic, w, h, maxval, off = _parse_pnm_header(buf)
+        if maxval > 255:
+            raise ImageDecodeUnsupported("16-bit pnm")
+        if magic == b"P6":
+            if len(buf) < off + w * h * 3:
+                raise ImageDecodeUnsupported("truncated ppm payload")
+            arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
+            return arr.reshape(h, w, 3).copy()
+        if magic == b"P5":
+            if len(buf) < off + w * h:
+                raise ImageDecodeUnsupported("truncated pgm payload")
+            arr = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=off)
+            return np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+        raise ImageDecodeUnsupported(f"pnm magic {magic!r}")
+    if fmt == "bmp":
+        if buf[:2] != b"BM":
+            raise ImageDecodeUnsupported("bad bmp magic")
+        data_off = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ImageDecodeUnsupported(f"bmp bpp={bpp} comp={comp}")
+        row_bytes = (w * 3 + 3) & ~3  # 4-byte aligned rows
+        if len(buf) < data_off + row_bytes * abs(h):
+            raise ImageDecodeUnsupported("truncated bmp payload")
+        out = np.empty((abs(h), w, 3), dtype=np.uint8)
+        flip = h > 0  # positive height = bottom-up
+        for r in range(abs(h)):
+            start = data_off + r * row_bytes
+            row = np.frombuffer(buf, dtype=np.uint8, count=w * 3, offset=start).reshape(w, 3)
+            out[abs(h) - 1 - r if flip else r] = row[:, ::-1]  # BGR → RGB
+        return out
+    # png/jpeg/webp need zlib-inflate + filters / DCT — absent imaging libs
+    raise ImageDecodeUnsupported(fmt)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbour resize (index maps, no loops)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_stats(img: np.ndarray) -> dict:
+    lum = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "mean_lum": float(lum.mean()),
+        "std_lum": float(lum.std()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# toy video container: b"RAWV" + uint32 n_frames + n × (uint32 len + P6 bytes)
+# ---------------------------------------------------------------------------
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    out = bytearray(b"RAWV")
+    out += len(frames).to_bytes(4, "little")
+    for f in frames:
+        p = encode_ppm(f)
+        out += len(p).to_bytes(4, "little")
+        out += p
+    return bytes(out)
+
+
+def _iter_video_frames(buf: bytes):
+    if buf[:4] != b"RAWV":
+        raise ImageDecodeUnsupported("video container")
+    n = int.from_bytes(buf[4:8], "little")
+    pos = 8
+    for _ in range(n):
+        ln = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        yield buf[pos : pos + ln]
+        pos += ln
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+class ImageFeatureActor:
+    """Actor-pool stage: decode + stats (+ optional resize emitting new
+    bytes).  Columns in: (bytes, format); out adds decode_ok, width,
+    height, mean_lum, std_lum [, bytes/format replaced by the resized
+    PPM]."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 resize_to: tuple[int, int] | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.resize_to = resize_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        fmts = batch.column("format").to_pylist()
+        ok, ws, hs, means, stds = [], [], [], [], []
+        new_bytes, new_fmt = [], []
+        for buf, fmt in zip(bufs, fmts):
+            try:
+                img = decode_image(buf or b"", fmt or "")
+            except (ImageDecodeUnsupported, ValueError, IndexError):
+                # malformed headers can slip numeric errors past the format
+                # checks; corrupt input must mark the row, never kill a task
+                ok.append(False)
+                ws.append(0)
+                hs.append(0)
+                means.append(0.0)
+                stds.append(0.0)
+                new_bytes.append(buf)
+                new_fmt.append(fmt)
+                continue
+            ok.append(True)
+            if self.resize_to is not None:
+                img = resize_nearest(img, *self.resize_to)
+                new_bytes.append(encode_ppm(img))
+                new_fmt.append("ppm")
+            else:
+                new_bytes.append(buf)
+                new_fmt.append(fmt)
+            s = image_stats(img)
+            ws.append(s["width"])
+            hs.append(s["height"])
+            means.append(s["mean_lum"])
+            stds.append(s["std_lum"])
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col), self.cfg.bytes_col,
+                                 pa.array(new_bytes, pa.binary()))
+        batch = batch.set_column(names.index("format"), "format",
+                                 pa.array(new_fmt, pa.string()))
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("width", pa.array(ws, pa.int32()))
+        batch = batch.append_column("height", pa.array(hs, pa.int32()))
+        batch = batch.append_column("mean_lum", pa.array(means, pa.float32()))
+        return batch.append_column("std_lum", pa.array(stds, pa.float32()))
+
+
+def image_features_stage(ds, cfg: PipelineConfig,
+                         resize_to: tuple[int, int] | None = None,
+                         concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        ImageFeatureActor,
+        fn_constructor_args=(cfg, resize_to),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 128, 128),  # image rows are wide
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
+                       concurrency: int | tuple[int, int] = 4):
+    """Video frame sampling: one row per SAMPLED frame (flat-map shape) —
+    (video_id, frame_index, bytes='ppm' frame).  Unsupported containers emit
+    zero frames with a decode_ok=False marker row."""
+    from .perplexity_stage import _adaptive_pool
+
+    id_col = cfg.id_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, fidx, frames, ok = [], [], [], []
+        for vid, buf in zip(batch.column(id_col).to_pylist(),
+                            batch.column(cfg.bytes_col).to_pylist()):
+            try:
+                for i, frame in enumerate(_iter_video_frames(buf or b"")):
+                    if i % every_k == 0:
+                        ids_out.append(vid)
+                        fidx.append(i)
+                        frames.append(frame)
+                        ok.append(True)
+            except ImageDecodeUnsupported:
+                ids_out.append(vid)
+                fidx.append(-1)
+                frames.append(b"")
+                ok.append(False)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "bytes": pa.array(frames, pa.binary()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 32, 32),  # video rows are very wide
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

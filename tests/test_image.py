@@ -1,0 +1,148 @@
+"""Image/video multimodal plumbing (stages/image.py): real PPM/PGM/BMP
+decodes, vectorized resize, toy-container frame sampling, stub path."""
+
+import numpy as np
+import pytest
+
+from spiderray.stages import image as im
+
+
+def _grad_img(h=40, w=60):
+    y = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    x = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = y
+    img[..., 1] = x
+    img[..., 2] = 128
+    return img
+
+
+def _bmp_bytes(img):
+    """Minimal bottom-up 24-bit BMP writer (test-only)."""
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    data = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = img[r][:, ::-1].tobytes()  # RGB → BGR
+        data += row + b"\x00" * (row_bytes - len(row))
+    header_size = 14 + 40
+    total = header_size + len(data)
+    out = bytearray(b"BM")
+    out += total.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    out += header_size.to_bytes(4, "little")
+    out += (40).to_bytes(4, "little")
+    out += w.to_bytes(4, "little") + h.to_bytes(4, "little")
+    out += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    out += (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+    out += b"\x00" * 16
+    return bytes(out) + bytes(data)
+
+
+class TestDecoders:
+    def test_ppm_roundtrip(self):
+        img = _grad_img()
+        dec = im.decode_image(im.encode_ppm(img), "ppm")
+        assert (dec == img).all()
+
+    def test_ppm_with_comment(self):
+        img = _grad_img(4, 4)
+        raw = im.encode_ppm(img)
+        commented = raw[:3] + b"# a comment\n" + raw[3:]
+        assert (im.decode_image(commented, "ppm") == img).all()
+
+    def test_pgm_gray(self):
+        gray = np.arange(0, 250, 10, dtype=np.uint8).reshape(5, 5)
+        buf = b"P5\n5 5\n255\n" + gray.tobytes()
+        dec = im.decode_image(buf, "pgm")
+        assert dec.shape == (5, 5, 3)
+        assert (dec[..., 0] == gray).all() and (dec[..., 1] == gray).all()
+
+    def test_bmp_roundtrip(self):
+        img = _grad_img(10, 7)  # odd width exercises row padding
+        dec = im.decode_image(_bmp_bytes(img), "bmp")
+        assert (dec == img).all()
+
+    def test_stub_formats(self):
+        for fmt in ("png", "jpeg", "webp", ""):
+            with pytest.raises(im.ImageDecodeUnsupported):
+                im.decode_image(b"\x89PNG\r\n", fmt)
+
+    def test_resize(self):
+        img = _grad_img(40, 60)
+        small = im.resize_nearest(img, 10, 15)
+        assert small.shape == (10, 15, 3)
+        assert (small[0, 0] == img[0, 0]).all()
+        assert small[..., 2].min() == small[..., 2].max() == 128  # flat plane survives
+
+
+class TestImageStageRay:
+    def test_features_and_resize(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        img = _grad_img()
+        rows = [
+            {"clip_id": "ok", "bytes": im.encode_ppm(img), "format": "ppm"},
+            {"clip_id": "stub", "bytes": b"\x89PNG", "format": "png"},
+        ]
+        out = im.image_features_stage(
+            rd.from_items(rows), PipelineConfig(), resize_to=(8, 12), concurrency=1
+        ).to_pandas().set_index("clip_id")
+        assert bool(out.loc["ok", "decode_ok"])
+        # stats are computed on the RESIZED image (8x12)
+        assert out.loc["ok", "width"] == 12 and out.loc["ok", "height"] == 8
+        dec = im.decode_image(out.loc["ok", "bytes"], "ppm")
+        assert dec.shape == (8, 12, 3)
+        assert not bool(out.loc["stub", "decode_ok"])
+        assert out.loc["stub", "bytes"] == b"\x89PNG"  # untouched passthrough
+
+    def test_frame_sampling(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        frames = [_grad_img(6, 6) + i for i in range(12)]
+        video = im.encode_rawv([f.astype(np.uint8) for f in frames])
+        rows = [
+            {"clip_id": "v1", "bytes": video},
+            {"clip_id": "bad", "bytes": b"not a video"},
+        ]
+        out = im.frame_sample_stage(
+            rd.from_items(rows), PipelineConfig(), every_k=5, concurrency=1
+        ).to_pandas()
+        v1 = out[out.clip_id == "v1"]
+        assert v1.frame_index.tolist() == [0, 5, 10]
+        f0 = im.decode_image(v1.iloc[0]["bytes"], "ppm")
+        assert f0.shape == (6, 6, 3)
+        bad = out[out.clip_id == "bad"]
+        assert len(bad) == 1 and not bool(bad.iloc[0]["decode_ok"])
+
+
+class TestImageRobustness:
+    def test_truncated_and_garbage_mark_not_crash(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        rows = [
+            {"clip_id": "trunc", "bytes": b"P6\n100 100\n255\n\x00\x01", "format": "ppm"},
+            {"clip_id": "empty", "bytes": b"", "format": "ppm"},
+            {"clip_id": "badhdr", "bytes": b"P6\nxx yy\n255\n", "format": "ppm"},
+        ]
+        out = im.image_features_stage(
+            rd.from_items(rows), PipelineConfig(), concurrency=1
+        ).to_pandas()
+        assert not out.decode_ok.any()
+        assert (out.width == 0).all()
+
+    def test_zero_frame_video(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        out = im.frame_sample_stage(
+            rd.from_items([{"clip_id": "v0", "bytes": im.encode_rawv([])}]),
+            PipelineConfig(), every_k=2, concurrency=1,
+        ).to_pandas()
+        assert len(out) == 0
