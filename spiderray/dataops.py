@@ -38,6 +38,15 @@ from .stages.stats import (
     top_k_per_group,
     train_test_split,
 )
+from .stages.image import frame_sample_stage, image_features_stage
+from .stages.multimodal import (
+    audio_features_stage,
+    audio_gate_stage,
+    audio_spectral_stage,
+    audio_transform_stage,
+    speech_rate_stage,
+    vad_stats_stage,
+)
 from .stages.windows import sessionize, sliding, tumbling
 
 __all__ = [
@@ -50,4 +59,8 @@ __all__ = [
     "sliding", "stratified_sample", "top_k_per_group", "train_char_lm",
     "train_langid_profiles", "train_test_split", "tumbling",
     "write_split_corpus",
+    # multimodal stages
+    "audio_features_stage", "audio_gate_stage", "audio_spectral_stage",
+    "audio_transform_stage", "frame_sample_stage", "image_features_stage",
+    "speech_rate_stage", "vad_stats_stage",
 ]
