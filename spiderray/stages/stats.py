@@ -148,6 +148,8 @@ def top_k_per_group(ds, group_cols: list[str], sort_col: str, k: int,
     asc = [not descending] + ([True] if tie_col else [])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch  # keep the input schema; empty pandas loses dtypes
         df = batch.to_pandas()
         g = (
             df.sort_values(by, ascending=asc, kind="mergesort")
@@ -173,6 +175,14 @@ def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], batch.schema.field(group_col).type),
+                    col: pa.array([], batch.schema.field(col).type),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         df = batch.select([group_col, col]).to_pandas()
         g = df.groupby([group_col, col], as_index=False).size().rename(columns={"size": "n"})
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
