@@ -13,6 +13,8 @@ Memory: bits = n * bits_per_key / 8 bytes — 10 bits/key ≈ 1% FP rate, so
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 
 _SPLIT1 = np.uint64(0x9E3779B97F4A7C15)
@@ -31,23 +33,34 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _key_hashes(keys) -> np.ndarray:
-    """uint64 base hashes for arbitrary keys (str/int/bytes).  Hex strings
-    (md5 fingerprints) take a fast prefix-parse path."""
-    out = np.empty(len(keys), dtype=np.uint64)
+    """uint64 base hashes for arbitrary keys (str/int/bytes).
+
+    Bulk fast paths (the 1e9-key build must not loop in Python):
+      * all-32-hex strings (md5 fingerprints): one ``bytes.fromhex`` over
+        the joined column → uint64 pairs → fold — fully vectorized
+      * integers: direct uint64 view
+    Mixed/other keys fall back to per-key blake2b."""
+    n = len(keys)
+    first = keys[0] if n else 0
+    if n and isinstance(first, str) and len(first) == 32:
+        try:
+            blob = bytes.fromhex("".join(keys))
+            if len(blob) == n * 16:
+                pair = np.frombuffer(blob, dtype=">u8").reshape(n, 2)
+                return _splitmix64(pair[:, 0] ^ pair[:, 1])
+        except (ValueError, TypeError):
+            pass  # not uniformly hex → slow path
+    if n and isinstance(first, (int, np.integer)):
+        try:
+            arr = np.asarray(keys, dtype=np.uint64)
+            return _splitmix64(arr)
+        except (ValueError, TypeError, OverflowError):
+            pass
+    out = np.empty(n, dtype=np.uint64)
     for i, k in enumerate(keys):
-        if isinstance(k, str) and len(k) == 32:
-            try:
-                v = int(k, 16)  # full 128 bits folded — a prefix alone is
-                # constant for keys that only differ in the low digits
-                out[i] = np.uint64((v ^ (v >> 64)) & ((1 << 64) - 1))
-                continue
-            except ValueError:
-                pass
         if isinstance(k, (int, np.integer)):
             out[i] = np.uint64(int(k) & ((1 << 64) - 1))
         else:
-            import hashlib
-
             data = k.encode() if isinstance(k, str) else bytes(k)
             out[i] = np.uint64(
                 int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")

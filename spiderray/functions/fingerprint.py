@@ -80,28 +80,13 @@ def window_hashes(t: str, k: int) -> np.ndarray:
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-char shingles of the lowered,
-    whitespace-normalized text — fully vectorized: one UTF-32 decode, a
-    k-term polynomial window hash (wraparound mod 2^64), murmur-style final
-    mix, then unique."""
+    whitespace-normalized text: normalise, then the shared window_hashes
+    kernel, then unique.  (One kernel for both call sites — a divergence
+    would silently break cross-path fingerprint comparability.)"""
     t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k)
-    codes = np.frombuffer(t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
-    n = len(codes) - k + 1
-    mask64 = (1 << 64) - 1
-    pows = np.array(
-        [pow(int(_FNV), i, 1 << 64) & mask64 for i in range(k)], dtype=np.uint64
-    )
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        acc += codes[j : j + n] * pows[k - 1 - j]
-    # fmix64
-    acc ^= acc >> np.uint64(33)
-    acc *= _MIX1
-    acc ^= acc >> np.uint64(33)
-    acc *= _MIX2
-    acc ^= acc >> np.uint64(33)
-    return np.unique(acc)
+    return np.unique(window_hashes(t, k))
 
 
 def minhash_signature(text: str, k: int = 5, num_perm: int = NUM_PERM) -> np.ndarray:

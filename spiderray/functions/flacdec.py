@@ -151,17 +151,18 @@ def crc16(data: bytes) -> int:
 
 
 def _encode_utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 frame-number coding: an nbytes sequence
+    carries (7 - nbytes) + 6*(nbytes - 1) payload bits (nbytes ≥ 2)."""
     if n < 0x80:
         return bytes([n])
-    out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)) and nbytes < 6:
+    while nbytes < 7 and n >= (1 << ((7 - nbytes) + 6 * (nbytes - 1))):
         nbytes += 1
-    # standard UTF-8 pattern generalised
+    out = []
     first_prefix = (0xFF << (8 - nbytes)) & 0xFF
     shifts = 6 * (nbytes - 1)
     out.append(first_prefix | (n >> shifts))
-    for i in range(nbytes - 1):
+    for _ in range(nbytes - 1):
         shifts -= 6
         out.append(0x80 | ((n >> shifts) & 0x3F))
     return bytes(out)

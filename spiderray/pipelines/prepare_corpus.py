@@ -8,7 +8,10 @@ Shuffle budget: exactly ONE all-to-all (the exact-dedup fingerprint
 groupby).  Everything else is a stateless map (langid, metrics, tokens,
 split) or a broadcast (the winner-id set rides back into a map as a
 semi-join filter — at 10^12 docs swap it for the incremental anti-join
-in stages/dedup; same split point, documented there).
+in stages/dedup; same split point, documented there).  The decided rows
+are materialized once (object-store resident, spillable) because two
+passes consume them; the alternative is recomputing the langid+metrics
+map twice.
 
 Output schema: (doc_id, lang, keep, drop_reason, quality_score,
 ws_tokens, split, text) — the columns a downstream trainer consumes.
@@ -50,7 +53,12 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     """documents Dataset → decided/deduped/split corpus Dataset (lazy)."""
     import ray
 
-    decided = ds.map_batches(_decide_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: the decided rows feed BOTH the winners pass and the
+    # final mark/split pass — without this the langid+metrics map (the
+    # dominant CPU cost) executes twice end-to-end
+    decided = ds.map_batches(
+        _decide_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     # ONE shuffle: exact-dedup winners (min id per distinct text) of the
     # KEPT rows only — dropped rows never pay the shuffle

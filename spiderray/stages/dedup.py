@@ -570,8 +570,14 @@ def incremental_exact_dedup(
 
 def _anti_join_fps(winners, prior_fp_ds, id_col: str):
     """Bucketed anti-join of (fingerprint, id) winners against prior
-    fingerprints — the shuffle half of incremental_exact_dedup."""
+    fingerprints — the shuffle half of incremental_exact_dedup.  Works for
+    any id dtype: the prior side's null ids are typed from the winners
+    schema (winners is materialized here — ids+fps only, bounded)."""
     import zlib
+
+    winners = winners.materialize()
+    id_type = winners.schema(fetch_if_missing=True).base_schema.field(id_col).type
+    id_is_int = pa.types.is_integer(id_type)
 
     n_buckets = 64
 
@@ -590,7 +596,7 @@ def _anti_join_fps(winners, prior_fp_ds, id_col: str):
             ids = (
                 batch.column(id_col)
                 if with_ids
-                else pa.nulls(len(batch), pa.int64())
+                else pa.nulls(len(batch), id_type)
             )
             return pa.table(
                 {
@@ -614,7 +620,10 @@ def _anti_join_fps(winners, prior_fp_ds, id_col: str):
         prior = set(g.loc[g["__side"] == 1, "fingerprint"])
         keep = g[(g["__side"] == 0) & (~g["fingerprint"].isin(prior))]
         out = keep[["fingerprint", id_col]].copy()
-        out[id_col] = out[id_col].astype(np.int64)
+        if id_is_int:
+            # int ids arrive as float64 (the typed nulls on the prior side
+            # force pandas to a nullable representation); restore exactly
+            out[id_col] = out[id_col].astype(np.int64)
         return out
 
     return left.union(right).groupby("__bucket").map_groups(
@@ -663,17 +672,19 @@ def chunk_dedup_stats(
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
     def ones(batch: pa.Table) -> pa.Table:
+        # count DISTINCT docs per chunk: a doc repeating its own chunk is
+        # not cross-document duplication.  All chunks of one document land
+        # in the same explode batch (explode is per input row), so a
+        # per-batch (id, chunk_fp) drop_duplicates IS the per-document
+        # dedup, exactly.
+        df = batch.select([id_col, "chunk_fp"]).to_pandas().drop_duplicates()
         return pa.table(
             {
-                "chunk_fp": batch.column("chunk_fp"),
-                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "chunk_fp": pa.array(df["chunk_fp"].to_numpy(), pa.string()),
+                "n_docs": pa.array(np.ones(len(df), dtype=np.int64)),
             }
         )
 
-    # count DISTINCT docs per chunk (a doc repeating its own chunk is not
-    # cross-document duplication): dedup (id, fp) pairs inside explode
-    # output first via groupby-min trick — cheaper: drop duplicates per
-    # batch, accept cross-batch doc repeats as rare (documented)
     counts = (
         exploded.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("chunk_fp")

@@ -67,9 +67,16 @@ class _Node:
         self.parent = parent
 
 
+_MAX_DEPTH = 200  # caps every later recursive walk (Python default
+# recursion limit is 1000; real pages nest < 50 deep — beyond the cap new
+# elements become SIBLINGS at the cap depth instead of children, which
+# degrades layout fidelity but never crashes a task)
+
+
 class _TreeBuilder(HTMLParser):
     """Tolerant tree builder: mis-nested close tags pop to the nearest
-    matching open element (browsers' adoption-agency lite)."""
+    matching open element (browsers' adoption-agency lite); nesting is
+    capped at _MAX_DEPTH."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -79,7 +86,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
-        if tag not in _VOID_TAGS:
+        if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):

@@ -590,3 +590,34 @@ class TestGroupedQuantiles:
                 rank = max(int(np.ceil(q * len(s))), 1)
                 got = out[(out.g == g) & (out.q_pct == int(q * 100))].v.iloc[0]
                 assert got == s[rank - 1], (g, q)
+
+
+class TestChunkDedupDistinctDocs:
+    def test_internal_repeat_not_cross_doc_dup(self, ray_session):
+        """A chunk repeating INSIDE one doc (shared with nobody) must score
+        dup_ratio 0 — counts are per-distinct-document (regression)."""
+        import ray.data as rd
+
+        from spiderray.stages.dedup import chunk_dedup_stats
+
+        blob = "repeated paragraph body " * 8
+        rows = [{"doc_id": 1, "text": blob + blob},
+                {"doc_id": 2, "text": "completely different words " * 10}]
+        out = chunk_dedup_stats(rd.from_items(rows), min_size=32, avg_size=64,
+                                max_size=128).to_pandas().set_index("doc_id")
+        assert out.loc[1, "dup_chunk_ratio"] == 0.0
+
+
+class TestIncrementalStringIds:
+    def test_all_modes_with_string_ids(self, ray_session):
+        import ray.data as rd
+
+        prior = pd.DataFrame({"doc_id": [f"p{i}" for i in range(40)],
+                              "text": [f"doc {i}" for i in range(40)]})
+        new = pd.DataFrame({"doc_id": [f"n{i}" for i in range(30)],
+                            "text": [f"doc {i}" for i in range(15)]
+                                  + [f"fresh {i}" for i in range(15)]})
+        pf = dedup.exact_dedup(rd.from_pandas(prior)).select_columns(["fingerprint"]).materialize()
+        for method in ("anti", "bloom", "broadcast"):
+            out = dedup.incremental_exact_dedup(rd.from_pandas(new), pf, method=method).to_pandas()
+            assert sorted(out.doc_id) == [f"n{i}" for i in range(15, 30)], method

@@ -92,3 +92,19 @@ class TestSubsetBoundaries:
 
         with pytest.raises(DecodeUnsupported):
             _decode_one(b"\x00" * 64, "opus")
+
+
+class TestLongStream:
+    def test_past_frame_2047(self):
+        """Frame-number UTF-8 coding regression: frame 2048 needs the
+        3-byte form (the old threshold mis-sized it)."""
+        n = 2100 * 4096
+        x = np.zeros(n, dtype=np.int16)
+        dec, _ = F.decode_flac(F.encode_flac(x, 16000))
+        assert len(dec) == n and (dec == 0).all()
+
+    def test_utf8_number_roundtrip_boundaries(self):
+        for n in (0, 127, 128, 2047, 2048, 65535, 65536, 2**21 - 1, 2**21,
+                  2**26 - 1, 2**26, 2**31, 2**36 - 1):
+            enc = F._encode_utf8_number(n)
+            assert F._decode_utf8_number(F._BitReader(enc)) == n, n

@@ -111,3 +111,16 @@ class TestNewsFromHtmlRay:
         assert len(df) == 500
         assert (df["lang"] == "en").all()
         assert (df["time_pos"] == "meta").all()
+
+
+class TestDeepNesting:
+    def test_3000_deep_survives(self):
+        deep = ("<html><body>" + "<div>" * 3000
+                + "<p>deep text survives here with several words.</p>"
+                + "</div>" * 3000 + "</body></html>")
+        f = hp.parse_page_fields(deep)
+        assert "deep text survives" in (f["content"] + f["body_text"])
+
+    def test_10k_deep_unterminated(self):
+        f = hp.parse_page_fields("<body>" + "<div>" * 10_000 + "visible x")
+        assert "visible x" in f["body_text"]
