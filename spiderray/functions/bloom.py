@@ -60,11 +60,21 @@ def _key_hashes(keys) -> np.ndarray:
     for i, k in enumerate(keys):
         if isinstance(k, (int, np.integer)):
             out[i] = np.uint64(int(k) & ((1 << 64) - 1))
-        else:
-            data = k.encode() if isinstance(k, str) else bytes(k)
-            out[i] = np.uint64(
-                int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
-            )
+            continue
+        if isinstance(k, str) and len(k) == 32:
+            # per-key hex fold IDENTICAL to the bulk fast path: a key's
+            # hash must never depend on the composition of its batch (a
+            # mismatch would be a Bloom false negative — contract breach)
+            try:
+                v = int(k, 16)
+                out[i] = np.uint64((v ^ (v >> 64)) & ((1 << 64) - 1))
+                continue
+            except ValueError:
+                pass
+        data = k.encode() if isinstance(k, str) else bytes(k)
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+        )
     return _splitmix64(out)
 
 

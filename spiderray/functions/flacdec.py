@@ -322,7 +322,6 @@ def _decode_frame(data: bytes, pos: int, sr: int, bps: int):
         r.read(8)
     elif sr_code in (13, 14):
         r.read(16)
-    header_end = r.byte_pos() + (1 if r.pos & 7 else 0)
     # CRC-8 covers the header bytes up to (not incl.) the crc byte itself
     r.align()
     crc_offset = r.byte_pos()
@@ -394,7 +393,6 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
     si.write(0, 3)        # channels - 1
     si.write(15, 5)       # bits per sample - 1 = 15
     si.write(n, 36)
-    si_body = si_bytes = None
     si.write(0, 128)      # md5 (unset)
     si_bytes = si.bytes()
     out.append(0x80)      # last block, type 0

@@ -16,6 +16,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrowutil import pa_from_pandas
+
 from ..functions import linkclassify
 
 
@@ -108,7 +110,7 @@ def page_summaries(classified_ds):
                 pv[lbl] = 0
         pv = pv[["page_id", "content", "list", "unknown", "none"]]
         pv.columns = ["page_id", "n_content", "n_list", "n_unknown", "n_none"]
-        return pa.Table.from_pandas(pv, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(pv)
 
     return (
         classified_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

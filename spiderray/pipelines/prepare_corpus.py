@@ -28,8 +28,8 @@ from ..stages import dedup
 from ..stages.stats import train_test_split
 
 
-def _decide_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
+def _decide_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
     langs, keeps, reasons, scores, toks = [], [], [], [], []
     for t in texts:
         t = t or ""
@@ -57,7 +57,9 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     # final mark/split pass — without this the langid+metrics map (the
     # dominant CPU cost) executes twice end-to-end
     decided = ds.map_batches(
-        _decide_batch, batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _decide_batch(b, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).materialize()
 
     # ONE shuffle: exact-dedup winners (min id per distinct text) of the

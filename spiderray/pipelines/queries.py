@@ -44,12 +44,7 @@ def _sql_ws_tokens(col: str) -> str:
     return f"CASE WHEN {t} = '' THEN 0 ELSE len(string_split_regex({t}, {_WS_CLASS})) END"
 
 
-def _pa_from_pandas(df: pd.DataFrame) -> pa.Table:
-    """from_pandas with the pandas schema metadata stripped: the metadata
-    dict makes pa.Schema unhashable, which defeats Ray's early-exit schema
-    dedup on every block unify (and spams 'Failed to hash the schemas'
-    warnings from shuffle aggregators)."""
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+from ..functions.arrowutil import pa_from_pandas as _pa_from_pandas  # noqa: E402
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1307,7 +1302,7 @@ WITH w AS (
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       CAST(floor(n_words / ((doc_id % 195) * 100 + 500) * 1000.0 * 1000.0 + 0.5)
+       CAST(floor(n_words / (((doc_id % 195) * 100 + 500) / 1000.0) * 1000.0 + 0.5)
             AS BIGINT) AS wps_milli,
        (n_words / (((doc_id % 195) * 100 + 500) / 1000.0)
         BETWEEN 0.5 AND 6.0) AS rate_ok

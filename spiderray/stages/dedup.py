@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrowutil import pa_from_pandas
+
 from ..functions import fingerprint as fp
 
 N_PARTS = 64          # coarse bucket partitions (per-group python is O(this))
@@ -577,7 +579,6 @@ def _anti_join_fps(winners, prior_fp_ds, id_col: str):
 
     winners = winners.materialize()
     id_type = winners.schema(fetch_if_missing=True).base_schema.field(id_col).type
-    id_is_int = pa.types.is_integer(id_type)
 
     n_buckets = 64
 
@@ -616,18 +617,23 @@ def _anti_join_fps(winners, prior_fp_ds, id_col: str):
         tag(1, False), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def anti_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        prior = set(g.loc[g["__side"] == 1, "fingerprint"])
-        keep = g[(g["__side"] == 0) & (~g["fingerprint"].isin(prior))]
-        out = keep[["fingerprint", id_col]].copy()
-        if id_is_int:
-            # int ids arrive as float64 (the typed nulls on the prior side
-            # force pandas to a nullable representation); restore exactly
-            out[id_col] = out[id_col].astype(np.int64)
-        return out
+    def anti_in_bucket(g: pa.Table) -> pa.Table:
+        # pure-Arrow group fn: pandas would round-trip int ids through
+        # float64 (typed nulls on the prior side) and corrupt ids > 2^53
+        import pyarrow.compute as pc
+
+        side = g.column("__side")
+        prior_fps = g.filter(pc.equal(side, 1)).column("fingerprint")
+        lhs = g.filter(pc.equal(side, 0))
+        if len(prior_fps) == 0:
+            keep = lhs
+        else:
+            mask = pc.invert(pc.is_in(lhs.column("fingerprint"), value_set=prior_fps))
+            keep = lhs.filter(mask)
+        return keep.select(["fingerprint", id_col])
 
     return left.union(right).groupby("__bucket").map_groups(
-        anti_in_bucket, batch_format="pandas"
+        anti_in_bucket, batch_format="pyarrow"
     )
 
 
@@ -716,7 +722,7 @@ def chunk_dedup_stats(
             total_len=("chunk_len", "sum"),
             dup_len=("dup_len", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(g)
 
     agg = (
         joined.map_batches(per_doc_partial, batch_format="pyarrow", zero_copy_batch=True)

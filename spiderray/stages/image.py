@@ -141,10 +141,18 @@ def _iter_video_frames(buf: bytes):
     if buf[:4] != b"RAWV":
         raise ImageDecodeUnsupported("video container")
     n = int.from_bytes(buf[4:8], "little")
+    # a corrupt header count must not drive a multi-billion empty-frame
+    # loop: every frame needs >= 4 header bytes, so cap n by the payload
+    if n > max((len(buf) - 8) // 4, 0):
+        raise ImageDecodeUnsupported("video frame count exceeds payload")
     pos = 8
     for _ in range(n):
+        if pos + 4 > len(buf):
+            raise ImageDecodeUnsupported("truncated video frame table")
         ln = int.from_bytes(buf[pos : pos + 4], "little")
         pos += 4
+        if pos + ln > len(buf):
+            raise ImageDecodeUnsupported("truncated video frame payload")
         yield buf[pos : pos + ln]
         pos += ln
 

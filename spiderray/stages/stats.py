@@ -21,6 +21,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrowutil import pa_from_pandas
+
 
 def split_bucket(key: str, n_buckets: int = 10_000, salt: str = "") -> int:
     """Deterministic bucket from md5 (stable across processes/languages;
@@ -156,7 +158,7 @@ def top_k_per_group(ds, group_cols: list[str], sort_col: str, k: int,
             .groupby(group_cols, as_index=False, sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(g)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
@@ -185,7 +187,7 @@ def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
             )
         df = batch.select([group_col, col]).to_pandas()
         g = df.groupby([group_col, col], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(g)
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrowutil import pa_from_pandas
+
 N_PARTS = 32  # key-hash partitions; per-partition work is fully vectorized
 
 
@@ -84,7 +86,7 @@ def tumbling(ds, ts_col: str = "ts", key_col: str | None = None,
         if agg_col:
             aggs[f"sum_{agg_col}"] = (agg_col, "sum")
         g = df.groupby(keys, as_index=False).agg(**aggs)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -118,7 +120,7 @@ def sliding(ds, ts_col: str = "ts", key_col: str | None = None,
         out = pd.concat(frames, ignore_index=True)
         keys = ([key_col] if key_col else []) + ["window_start"]
         g = out.groupby(keys, as_index=False).agg(n_events=(ts_col, "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
