@@ -1082,6 +1082,14 @@ def q_top_terms(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty pandas object columns convert to Arrow NULL type and
+            # break block-schema unification with the string-typed blocks
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
         toks = pc.utf8_split_whitespace(batch.column("text"))
         lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False)
         src = np.repeat(

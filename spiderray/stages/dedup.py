@@ -669,7 +669,9 @@ def chunk_dedup_stats(
                 lens.append(len(chunk))
         return pa.table(
             {
-                id_col: pa.array(ids),
+                # typed explicitly: an all-empty batch would otherwise emit
+                # a NULL-typed id column that breaks schema unification
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
                 "chunk_fp": pa.array(fps, pa.string()),
                 "chunk_len": pa.array(lens, pa.int64()),
             }
@@ -697,11 +699,61 @@ def chunk_dedup_stats(
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
 
-    from .joins import hash_join
+    # explicit bucketed join, Arrow-native inside each bucket: Ray 2.49's
+    # hash-shuffle join raises ArrowInvalid when a ZERO-ROW block reaches a
+    # partition (reproduced minimally; batches whose documents are all
+    # empty naturally emit zero chunks here), and a pandas merge would
+    # degrade int ids to float64 via the union's nulls
+    import zlib
 
-    joined = hash_join(
-        exploded, counts, on="chunk_fp", num_partitions=join_partitions
+    def tag0(batch: pa.Table) -> pa.Table:
+        fps = batch.column("chunk_fp").to_pylist()
+        bucket = pa.array(np.fromiter((zlib.crc32(f.encode()) % 64 for f in fps),
+                                      dtype=np.int64, count=len(fps)))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "chunk_fp": batch.column("chunk_fp"),
+            "chunk_len": batch.column("chunk_len"),
+            "n_docs": pa.nulls(len(batch), pa.int64()),
+            "__bucket": bucket,
+            "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    left_id_type = exploded.schema(fetch_if_missing=True).base_schema.field(id_col).type
+
+    def tag1(batch: pa.Table) -> pa.Table:
+        fps = batch.column("chunk_fp").to_pylist()
+        bucket = pa.array(np.fromiter((zlib.crc32(f.encode()) % 64 for f in fps),
+                                      dtype=np.int64, count=len(fps)))
+        return pa.table({
+            id_col: pa.nulls(len(batch), left_id_type),
+            "chunk_fp": batch.column("chunk_fp"),
+            "chunk_len": pa.nulls(len(batch), pa.int64()),
+            "n_docs": batch.column("n_docs"),
+            "__bucket": bucket,
+            "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
+        })
+
+    tagged = exploded.map_batches(tag0, batch_format="pyarrow", zero_copy_batch=True).union(
+        counts.map_batches(tag1, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+    def join_in_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("__side")
+        lhs = g.filter(pc.equal(side, 0)).select([id_col, "chunk_fp", "chunk_len"])
+        rhs = g.filter(pc.equal(side, 1)).select(["chunk_fp", "n_docs"])
+        if lhs.num_rows == 0 or rhs.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], left_id_type),
+                "chunk_fp": pa.array([], pa.string()),
+                "chunk_len": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            })
+        return lhs.join(rhs, keys=["chunk_fp"], join_type="inner")
+
+    joined = tagged.groupby("__bucket").map_groups(join_in_bucket, batch_format="pyarrow")
 
     def per_doc_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -39,10 +39,13 @@ import pyarrow as pa
 
 from ..functions.textnorm import normalise_space
 
-# content.go:20 ContentRemoveTags (br is handled as a void separator below)
+# content.go:20 ContentRemoveTags; br is removed from SCORING like the
+# reference (it would inflate TagCount and deflate density ~(1+n_br)x on
+# br-formatted bodies) but kept as a line separator in text rendering
 REMOVE_TAGS = frozenset(
     {"script", "noscript", "style", "iframe", "link", "svg", "textarea"}
 )
+SCORING_REMOVE_TAGS = REMOVE_TAGS | {"br"}
 
 _VOID_TAGS = frozenset(
     {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
@@ -83,7 +86,28 @@ class _TreeBuilder(HTMLParser):
         self.root = _Node("#root")
         self.stack = [self.root]
 
+    # HTML5 implied end tags (subset): an opening tag auto-closes these
+    # still-open elements, as the reference's net/html parser does — without
+    # this, unclosed <p>/<li>/<tr> chains NEST and reshape the CEPF tree
+    _SIBLING_CLOSERS = {
+        "p": {"p"}, "li": {"li"}, "tr": {"tr", "td", "th"},
+        "td": {"td", "th"}, "th": {"td", "th"}, "option": {"option"},
+        "dd": {"dd", "dt"}, "dt": {"dd", "dt"},
+    }
+    _CLOSES_P = frozenset(
+        {"address", "article", "aside", "blockquote", "div", "dl",
+         "fieldset", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+         "header", "hr", "main", "nav", "ol", "p", "pre", "section",
+         "table", "ul"}
+    )
+
     def handle_starttag(self, tag, attrs):
+        closes = self._SIBLING_CLOSERS.get(tag, set())
+        while len(self.stack) > 1 and (
+            self.stack[-1].tag in closes
+            or (self.stack[-1].tag == "p" and tag in self._CLOSES_P)
+        ):
+            self.stack.pop()
         node = _Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:
@@ -140,8 +164,8 @@ def _compute_info(node: _Node, info_map: dict) -> _CountInfo:
             n = len(normalise_space(child))
             ci.text += n
             ci.leaves.append(n)
-        elif child.tag in REMOVE_TAGS:
-            continue  # ContentRemoveTags removed before scoring
+        elif child.tag in SCORING_REMOVE_TAGS:
+            continue  # ContentRemoveTags (incl. br) removed before scoring
         else:
             cci = _compute_info(child, info_map)
             ci.text += cci.text
@@ -259,9 +283,11 @@ def parse_page_fields(html: str) -> dict:
     metas: list[tuple[str, str, str]] = []
     meta_titles: list[str] = []
     script_texts: list[str] = []
-    meta_lang = ""
+    html_lang = ""
+    meta_http_lang = ""
     charset = ""
     time_attr = ""
+    saw_time_tag = False
 
     for node in _walk(root):
         tag = node.tag
@@ -280,7 +306,7 @@ def parse_page_fields(html: str) -> dict:
             if node.attrs.get("charset"):
                 charset = node.attrs["charset"].strip()
             if (node.attrs.get("http-equiv") or "").lower() == "content-language":
-                meta_lang = content
+                meta_http_lang = meta_http_lang or content
             if name or prop or content:
                 metas.append((name, prop, content))
             key = (name or prop).lower()
@@ -290,9 +316,12 @@ def parse_page_fields(html: str) -> dict:
             text = "".join(c for c in node.children if isinstance(c, str))
             if text.strip():
                 script_texts.append(text)
-        elif tag == "html" and not meta_lang:
-            meta_lang = (node.attrs.get("lang") or "").strip()
-        elif tag == "time" and not time_attr:
+        elif tag == "html" and not html_lang:
+            html_lang = (node.attrs.get("lang") or "").strip()
+        elif tag == "time" and not saw_time_tag:
+            # reference getTimeByTag inspects only the FIRST time tag and
+            # gives up if its datetime is empty (content.go:593-600)
+            saw_time_tag = True
             time_attr = (node.attrs.get("datetime") or "").strip()
 
     body = _find_first(root, "body") or root
@@ -306,7 +335,7 @@ def parse_page_fields(html: str) -> dict:
         "metas": metas,
         "meta_titles": meta_titles,
         "script_texts": script_texts,
-        "meta_lang": meta_lang,
+        "meta_lang": html_lang or meta_http_lang,
         "charset": _canon_charset(charset),
         "time_attr": time_attr,
         "body_text": body_text,

@@ -296,8 +296,6 @@ def speech_rate_stage(ds, transcript_col: str = "transcript",
     (a 2 s clip with a 200-word transcript is mislabeled).  Emits
     wps_milli (integer milli-wps: floor(wps*1000+0.5), exact for the
     oracle hash) and rate_ok."""
-    import pyarrow.compute as pc
-
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(transcript_col).to_pylist()
         words = np.array([len((t or "").split()) for t in texts], dtype=np.float64)
@@ -364,8 +362,6 @@ def audio_gate_stage(ds, cfg: PipelineConfig):
     max_wps = getattr(cfg, "max_wps", 6.0)
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         keeps = batch.column("keep").to_pylist()
         bufs = batch.column(cfg.bytes_col).to_pylist()
         codecs = batch.column(cfg.codec_col).to_pylist()

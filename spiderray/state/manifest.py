@@ -116,8 +116,9 @@ def run_resumable(
     threads — safe because each partition's commit (temp dir → rename →
     manifest) is independent and atomic, and concurrent Ray Data executions
     share the streaming executor's resource budget.  One failed partition
-    doesn't poison the others: its manifest is simply absent, and the next
-    run retries exactly that partition."""
+    doesn't poison the others: every other partition still runs and
+    commits, then a RuntimeError lists the failures (their manifests are
+    absent, so the next run retries exactly those partitions)."""
     done = completed_partitions(out_dir)
     skipped = len(done)
     todo = [p for p in range(n_parts) if p not in done]
@@ -156,8 +157,24 @@ def run_resumable(
             stub.HTTPFileSystem = _NoHTTPFileSystem
             sys.modules["fsspec.implementations.http"] = stub
 
+        from concurrent.futures import as_completed
+
+        failures: list[tuple[int, str]] = []
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
-            manifests = list(pool.map(process, todo))
+            futs = {pool.submit(process, part): part for part in todo}
+            for fut in as_completed(futs):
+                part = futs[fut]
+                try:
+                    manifests.append(fut.result())
+                except Exception as e:  # one partition must not poison the rest
+                    failures.append((part, f"{type(e).__name__}: {e}"))
+        if failures:
+            # every successful partition HAS committed (manifest on disk; a
+            # rerun skips them) — surface the failures loudly afterwards
+            raise RuntimeError(
+                f"{len(failures)} partition(s) failed after "
+                f"{len(manifests)} committed: {failures[:5]}"
+            )
 
     return {
         "completed": [m["part"] for m in manifests],
