@@ -1970,8 +1970,9 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
     for i in ids:
         cids.append(f"img_{int(i):08d}")
         if i % 3 == 2:
-            bufs.append(b"\x89PNG\r\n\x1a\n stub")
-            fmts.append("png")
+            # jpeg is the remaining stub format (png decodes for real now)
+            bufs.append(b"\xff\xd8\xff\xe0 jpeg stub")
+            fmts.append("jpeg")
         else:
             h, w = 24, 32
             y = (np.arange(h, dtype=np.int64)[:, None] * 8 + int(i)) % 256
@@ -1993,7 +1994,7 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
 
 def q_image_features(sf_dir: str):
     """Image decode + stats + resize plumbing (stages/image.py): real PPM
-    decodes, stubbed png rows flow through decode_ok=False (rows-only)."""
+    decodes, stubbed jpeg rows flow through decode_ok=False (rows-only)."""
     from ..config import PipelineConfig
     from ..stages.image import image_features_stage
 

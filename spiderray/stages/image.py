@@ -2,13 +2,14 @@
 additions; the multimodal plumbing contract of SURVEY §2.9 extended from
 audio to the remaining modalities).
 
-Decoders implemented from the public formats that need no libraries:
-binary PPM (P6) / PGM (P5) and uncompressed 24-bit BMP — real numpy
-decodes.  PNG / JPEG / WEBP raise ``ImageDecodeUnsupported`` (zlib/DCT
-codecs need the absent imaging libs) — the same clearly-marked stub
-pattern as flac/opus: rows flow through with ``decode_ok=False`` and the
-Ray-side plumbing (schema, actor pool, byte-capped batches, output
-layout) is real and tested.
+Decoders implemented from the public formats that need no external
+libraries: binary PPM (P6) / PGM (P5), uncompressed 24-bit BMP, and
+8-bit non-interlaced PNG (zlib inflate + the five per-row filters —
+gray / RGB / gray+alpha / RGBA; palette, 16-bit and Adam7 raise).
+JPEG / WEBP raise ``ImageDecodeUnsupported`` (DCT/VP8 codecs) — the
+same clearly-marked stub pattern as opus: rows flow through with
+``decode_ok=False`` and the Ray-side plumbing (schema, actor pool,
+byte-capped batches, output layout) is real and tested.
 
 "Video" is a deterministic toy container (``RAWV`` header + concatenated
 P6 frames) so the frame-sampling stage exercises real sampling math and
@@ -95,8 +96,129 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
             row = np.frombuffer(buf, dtype=np.uint8, count=w * 3, offset=start).reshape(w, 3)
             out[abs(h) - 1 - r if flip else r] = row[:, ::-1]  # BGR → RGB
         return out
-    # png/jpeg/webp need zlib-inflate + filters / DCT — absent imaging libs
+    if fmt == "png":
+        return _decode_png(buf)
+    # jpeg/webp need DCT/VP8 codecs — absent imaging libs
     raise ImageDecodeUnsupported(fmt)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth).  Sequential by nature (each row depends on the previous);
+    rows are numpy-vectorized across their width where the filter allows."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    cur[i] = (row[i] + left) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+                else:
+                    pp = left + up - ul
+                    pa_, pb, pc_ = abs(pp - left), abs(pp - up), abs(pp - ul)
+                    pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+                    cur[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ImageDecodeUnsupported(f"png filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode for the 8-bit non-interlaced subset: gray (0),
+    RGB (2), gray+alpha (4), RGBA (6).  Palette (3), 16-bit and Adam7
+    interlacing raise ImageDecodeUnsupported."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_MAGIC:
+        raise ImageDecodeUnsupported("bad png magic")
+    pos = 8
+    w = h = 0
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        length = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ImageDecodeUnsupported("truncated png chunk")
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w == 0 or h == 0:
+        raise ImageDecodeUnsupported("png missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ImageDecodeUnsupported(f"png depth={bit_depth} interlace={interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ImageDecodeUnsupported(f"png color type {color_type} (palette)")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ImageDecodeUnsupported(f"png inflate: {e}") from None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ImageDecodeUnsupported("truncated png pixel data")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[..., :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(px[..., :3])
+    return px
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal conformant 8-bit RGB PNG writer (filter 0 rows) — hermetic
+    test counterpart of _decode_png."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter None
+        raw += np.ascontiguousarray(img[r], dtype=np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

@@ -63,9 +63,9 @@ class TestDecoders:
         assert (dec == img).all()
 
     def test_stub_formats(self):
-        for fmt in ("png", "jpeg", "webp", ""):
+        for fmt in ("jpeg", "webp", ""):
             with pytest.raises(im.ImageDecodeUnsupported):
-                im.decode_image(b"\x89PNG\r\n", fmt)
+                im.decode_image(b"\xff\xd8\xff", fmt)
 
     def test_resize(self):
         img = _grad_img(40, 60)
@@ -146,3 +146,61 @@ class TestImageRobustness:
             PipelineConfig(), every_k=2, concurrency=1,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestPng:
+    def test_rgb_roundtrip(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(30, 45, 3)).astype(np.uint8)
+        assert (im.decode_image(im.encode_png(img), "png") == img).all()
+
+    def test_gray_and_alpha_channels(self):
+        import struct
+        import zlib
+
+        def make(color_type, channels, w=6, h=4):
+            rng = np.random.default_rng(color_type)
+            px = rng.integers(0, 256, size=(h, w, channels)).astype(np.uint8)
+            raw = bytearray()
+            for r in range(h):
+                raw.append(0)
+                raw += px[r].tobytes()
+            def chunk(ctype, data):
+                return (len(data).to_bytes(4, "big") + ctype + data
+                        + zlib.crc32(ctype + data).to_bytes(4, "big"))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+            buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+            return px, buf
+
+        px, buf = make(0, 1)  # gray
+        dec = im.decode_image(buf, "png")
+        assert (dec[..., 0] == px[..., 0]).all() and dec.shape[2] == 3
+        px, buf = make(6, 4)  # RGBA → alpha dropped
+        dec = im.decode_image(buf, "png")
+        assert (dec == px[..., :3]).all()
+        px, buf = make(4, 2)  # gray+alpha
+        dec = im.decode_image(buf, "png")
+        assert (dec[..., 0] == px[..., 0]).all()
+
+    def test_unsupported_variants(self):
+        import struct
+        import zlib
+
+        def ihdr_only(bit_depth=8, color_type=3, interlace=0):
+            def chunk(ctype, data):
+                return (len(data).to_bytes(4, "big") + ctype + data
+                        + zlib.crc32(ctype + data).to_bytes(4, "big"))
+            ihdr = struct.pack(">IIBBBBB", 4, 4, bit_depth, color_type, 0, 0, interlace)
+            return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+        for buf in (ihdr_only(color_type=3), ihdr_only(bit_depth=16),
+                    ihdr_only(interlace=1), b"\x89PNG\r\n\x1a\n", b"not png"):
+            with pytest.raises(im.ImageDecodeUnsupported):
+                im.decode_image(buf, "png")
+
+    def test_truncated_idat(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        enc = bytearray(im.encode_png(img))
+        with pytest.raises(im.ImageDecodeUnsupported):
+            im.decode_image(bytes(enc[:40]), "png")
