@@ -3,10 +3,10 @@
 Upgrades the engine's flac path from a stub to a real decode for the
 common archival case: the container + bitstream layers of the public FLAC
 format (https://xiph.org/flac/format.html) — STREAMINFO parse, frame
-headers with CRC-8, and CONSTANT / VERBATIM / FIXED(0-4) subframes with
-Rice-coded residuals — for mono streams up to 16-bit.  LPC subframes,
-multi-channel decorrelation and >16-bit depths raise ``FlacUnsupported``
-(the caller's DecodeUnsupported path, exactly as before).
+headers with CRC-8, and CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes
+with Rice-coded residuals — for mono streams up to 16-bit.  Multi-channel
+decorrelation and >16-bit depths raise ``FlacUnsupported`` (the caller's
+DecodeUnsupported path, exactly as before).
 
 A minimal encoder (VERBATIM / CONSTANT / FIXED frames) exists so tests are
 hermetic: encode → decode must be bit-exact.  The encoder writes fully
@@ -361,8 +361,22 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
         for e in resid:
             pred = sum(c * out[-i - 1] for i, c in enumerate(coeffs))
             out.append(pred + e)
-    elif stype & 0x20:  # LPC
-        raise FlacUnsupported("LPC subframe")
+    elif stype & 0x20:  # LPC, order = (type & 0x1F) + 1
+        order = (stype & 0x1F) + 1
+        warm = [r.read_signed(eff_bps) for _ in range(order)]
+        precision = r.read(4)
+        if precision == 0b1111:
+            raise FlacError("invalid qlp precision")
+        precision += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise FlacError("negative qlp shift")
+        coefs = [r.read_signed(precision) for _ in range(order)]
+        resid = _read_rice_residual(r, block_size, order)
+        out = list(warm)
+        for e in resid:
+            pred = sum(c * out[-j - 1] for j, c in enumerate(coefs)) >> shift
+            out.append(pred + e)
     else:
         raise FlacError("reserved subframe type")
     if wasted:

@@ -108,3 +108,83 @@ class TestLongStream:
                   2**26 - 1, 2**26, 2**31, 2**36 - 1):
             enc = F._encode_utf8_number(n)
             assert F._decode_utf8_number(F._BitReader(enc)) == n, n
+
+
+class TestLpc:
+    """LPC subframe decode, driven by hand-encoded frames (the minimal
+    encoder only writes CONSTANT/VERBATIM/FIXED, so LPC coverage builds
+    its frames with the module's own bit-writer per the public spec)."""
+
+    @staticmethod
+    def _encode_lpc_frame(block, frame_no, coefs, precision, shift, param):
+        w = F._BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(7, 4)
+        w.write(0, 4)
+        w.write(0, 4)
+        w.write(4, 3)
+        w.write(0, 1)
+        for b in F._encode_utf8_number(frame_no):
+            w.write(b, 8)
+        w.write(len(block) - 1, 16)
+        w.align()
+        header = w.bytes() + bytes([F.crc8(w.bytes())])
+        body = F._BitWriter()
+        order = len(coefs)
+        body.write(0, 1)
+        body.write(0x20 | (order - 1), 6)
+        body.write(0, 1)
+        for v in block[:order]:
+            body.write(int(v), 16)
+        body.write(precision - 1, 4)
+        body.write(shift & 0x1F, 5)
+        for c in coefs:
+            body.write(int(c), precision)
+        resid = []
+        hist = list(block[:order])
+        for x in block[order:]:
+            pred = sum(c * hist[-j - 1] for j, c in enumerate(coefs)) >> shift
+            resid.append(int(x) - pred)
+            hist.append(int(x))
+        F._write_rice_residual(body, np.array(resid, dtype=np.int64), param)
+        body.align()
+        frame = header + body.bytes()
+        return frame + F.crc16(frame).to_bytes(2, "big")
+
+    def _stream_with(self, block, frame_bytes):
+        meta = F.encode_flac(block.astype(np.int16), 16000, mode="verbatim")
+        meta_end = 4 + 4 + 34  # magic + block header + STREAMINFO
+        return bytes(meta[:meta_end]) + frame_bytes
+
+    def test_order2_lpc_equals_input(self):
+        block = (_sine(sec=0.256) if False else
+                 (0.4 * np.sin(2 * np.pi * 440 * np.arange(4096) / 16000) * 32767
+                  ).astype(np.int64))
+        frame = self._encode_lpc_frame(block, 0, [2, -1], 4, 0, 6)
+        dec, _ = F.decode_flac(self._stream_with(block, frame))
+        assert (dec.astype(np.int64) == block).all()
+
+    def test_order4_quantized_shifted(self):
+        block = (0.3 * np.sin(2 * np.pi * 700 * np.arange(4096) / 16000) * 32767
+                 ).astype(np.int64)
+        frame = self._encode_lpc_frame(block, 0, [20, -15, 8, -3], 6, 5, 8)
+        dec, _ = F.decode_flac(self._stream_with(block, frame))
+        assert (dec.astype(np.int64) == block).all()
+
+    def test_invalid_precision_rejected(self):
+        block = np.zeros(64, dtype=np.int64)
+        frame = bytearray(self._encode_lpc_frame(block, 0, [1], 4, 0, 4))
+        # corrupt the qlp precision nibble to 0b1111 is intricate; instead
+        # assert negative shift rejection via direct reader simulation
+        w = F._BitWriter()
+        w.write(0, 1)
+        w.write(0x20, 6)  # LPC order 1
+        w.write(0, 1)
+        w.write(0, 16)    # warmup
+        w.write(0b1111, 4)  # invalid precision marker
+        w.align()
+        r = F._BitReader(w.bytes())
+        with pytest.raises((F.FlacError, F.FlacUnsupported)):
+            F._decode_subframe(r, 4, 16)
