@@ -121,3 +121,34 @@ class BloomFilter:
         self.mask = np.uint64(self.n_bits - 1)
         self.n_hashes = state["n_hashes"]
         self.bits = state["bits"]
+
+
+def build_bloom_distributed(ds, column: str, n_keys: int,
+                            bits_per_key: int = 10, n_hashes: int = 7) -> BloomFilter:
+    """Build a BloomFilter over ``ds[column]`` WITHOUT streaming every key
+    through the driver: each block builds a partial filter of identical
+    geometry inside map_batches, and only the fixed-size bit arrays travel
+    back to be OR-merged.  Driver traffic = n_blocks × bits/8 bytes,
+    independent of the key count — the scale path past driver-streamed
+    ``add_many`` (~1e9 keys would stream ~50 GB of strings otherwise)."""
+    proto = BloomFilter(n_keys, bits_per_key=bits_per_key, n_hashes=n_hashes)
+    n_bits, nh = proto.n_bits, proto.n_hashes
+
+    def partial(batch) -> dict:
+        import pyarrow as pa
+
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.n_bits = n_bits
+        bf.mask = np.uint64(n_bits - 1)
+        bf.n_hashes = nh
+        bf.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        bf.add_many(batch.column(column).to_pylist())
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    merged = proto
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            merged.bits |= np.frombuffer(blob, dtype=np.uint8)
+    return merged

@@ -525,17 +525,18 @@ def incremental_exact_dedup(
         return winners.map_batches(drop_seen, batch_format="pyarrow", zero_copy_batch=True)
 
     if method == "bloom":
-        from ..functions.bloom import BloomFilter
+        from ..functions.bloom import build_bloom_distributed
 
         n_prior = prior_fp_ds.count()
-        bf = BloomFilter(max(n_prior, 1))
-        # streamed build: batches visit the driver one at a time; only the
-        # fixed-size bit array persists (at larger scale: per-block partial
-        # blooms OR-merged — same filter, built distributed)
-        for b in prior_fp_ds.select_columns(["fingerprint"]).iter_batches(
-            batch_format="pyarrow"
-        ):
-            bf.add_many(b.column("fingerprint").to_pylist())
+        # distributed build: every block adds into a partial filter of
+        # identical geometry inside map_batches; only fixed-size bit arrays
+        # reach the driver for the OR-merge (bit-identical to a driver-
+        # streamed build, but driver traffic is n_blocks x bits/8 instead
+        # of every key)
+        bf = build_bloom_distributed(
+            prior_fp_ds.select_columns(["fingerprint"]), "fingerprint",
+            max(n_prior, 1),
+        )
         bf_ref = ray.put(bf)
 
         def flag(batch: pa.Table) -> pa.Table:

@@ -621,3 +621,29 @@ class TestIncrementalStringIds:
         for method in ("anti", "bloom", "broadcast"):
             out = dedup.incremental_exact_dedup(rd.from_pandas(new), pf, method=method).to_pandas()
             assert sorted(out.doc_id) == [f"n{i}" for i in range(15, 30)], method
+
+
+class TestDistributedBloom:
+    def test_bit_identical_and_wired(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.bloom import BloomFilter, build_bloom_distributed
+
+        keys = [f"{i * 31:032x}" for i in range(30_000)]
+        ds = rd.from_pandas(pd.DataFrame({"fingerprint": keys})).repartition(6)
+        dist = build_bloom_distributed(ds, "fingerprint", len(keys))
+        driver = BloomFilter(len(keys))
+        driver.add_many(keys)
+        assert (dist.bits == driver.bits).all()
+        assert dist.contains_many(keys).all()
+
+    def test_bloom_mode_uses_it(self, ray_session):
+        import ray.data as rd
+
+        prior = pd.DataFrame({"doc_id": range(300), "text": [f"doc {i}" for i in range(300)]})
+        new = pd.DataFrame({"doc_id": range(1000, 1040),
+                            "text": [f"doc {i}" for i in range(20)]
+                                  + [f"fresh {i}" for i in range(20)]})
+        pf = dedup.exact_dedup(rd.from_pandas(prior)).select_columns(["fingerprint"]).materialize()
+        out = dedup.incremental_exact_dedup(rd.from_pandas(new), pf, method="bloom").to_pandas()
+        assert sorted(out.doc_id) == list(range(1020, 1040))
