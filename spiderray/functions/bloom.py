@@ -130,7 +130,11 @@ def build_bloom_distributed(ds, column: str, n_keys: int,
     geometry inside map_batches, and only the fixed-size bit arrays travel
     back to be OR-merged.  Driver traffic = n_blocks × bits/8 bytes,
     independent of the key count — the scale path past driver-streamed
-    ``add_many`` (~1e9 keys would stream ~50 GB of strings otherwise)."""
+    ``add_many`` (~1e9 keys would stream ~50 GB of strings otherwise).
+    Caveat at extreme filter sizes: each block ships a full bit array, so
+    keep blocks large (n_blocks ≪ n_keys/bits ratio) or tree-reduce;
+    with 1e9 keys (≈2 GiB filter) a few hundred blocks is the right
+    shape, thousands is not."""
     proto = BloomFilter(n_keys, bits_per_key=bits_per_key, n_hashes=n_hashes)
     n_bits, nh = proto.n_bits, proto.n_hashes
 
@@ -146,8 +150,11 @@ def build_bloom_distributed(ds, column: str, n_keys: int,
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
     merged = proto
+    # batch_size=None → ONE partial per input block, so driver traffic is
+    # n_blocks × bits/8 as documented (a small fixed batch size would ship
+    # n_keys/batch_size copies of the full bit array instead)
     for b in ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).iter_batches(batch_format="pyarrow"):
         for blob in b.column("bits").to_pylist():
             merged.bits |= np.frombuffer(blob, dtype=np.uint8)

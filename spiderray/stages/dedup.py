@@ -707,10 +707,17 @@ def chunk_dedup_stats(
     # degrade int ids to float64 via the union's nulls
     import zlib
 
+    n_buckets = max(join_partitions, 8)
+
+    def _fp_buckets(fps):
+        return pa.array(np.fromiter(
+            (zlib.crc32(f.encode()) % n_buckets for f in fps),
+            dtype=np.int64, count=len(fps),
+        ))
+
     def tag0(batch: pa.Table) -> pa.Table:
         fps = batch.column("chunk_fp").to_pylist()
-        bucket = pa.array(np.fromiter((zlib.crc32(f.encode()) % 64 for f in fps),
-                                      dtype=np.int64, count=len(fps)))
+        bucket = _fp_buckets(fps)
         return pa.table({
             id_col: batch.column(id_col),
             "chunk_fp": batch.column("chunk_fp"),
@@ -724,8 +731,7 @@ def chunk_dedup_stats(
 
     def tag1(batch: pa.Table) -> pa.Table:
         fps = batch.column("chunk_fp").to_pylist()
-        bucket = pa.array(np.fromiter((zlib.crc32(f.encode()) % 64 for f in fps),
-                                      dtype=np.int64, count=len(fps)))
+        bucket = _fp_buckets(fps)
         return pa.table({
             id_col: pa.nulls(len(batch), left_id_type),
             "chunk_fp": batch.column("chunk_fp"),

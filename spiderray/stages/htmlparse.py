@@ -97,17 +97,29 @@ class _TreeBuilder(HTMLParser):
     _CLOSES_P = frozenset(
         {"address", "article", "aside", "blockquote", "div", "dl",
          "fieldset", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
-         "header", "hr", "main", "nav", "ol", "p", "pre", "section",
-         "table", "ul"}
+         "header", "hr", "li", "dd", "dt", "main", "nav", "ol", "p", "pre",
+         "section", "table", "ul"}
     )
+    # "button scope" boundaries: an open <p> beyond one of these is not
+    # closed by a p-closing start tag (HTML5 in-body insertion rules)
+    _P_SCOPE_STOP = frozenset({"#root", "html", "body", "table", "td", "th",
+                               "caption", "button"})
 
     def handle_starttag(self, tag, attrs):
         closes = self._SIBLING_CLOSERS.get(tag, set())
-        while len(self.stack) > 1 and (
-            self.stack[-1].tag in closes
-            or (self.stack[-1].tag == "p" and tag in self._CLOSES_P)
-        ):
+        while len(self.stack) > 1 and self.stack[-1].tag in closes:
             self.stack.pop()
+        if tag in self._CLOSES_P:
+            # close an open p even across unclosed INLINE elements (the
+            # HTML5 'close a p element' algorithm pops until the p is
+            # popped): search down to the nearest scope boundary
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in self._P_SCOPE_STOP or t in self._CLOSES_P:
+                    break
         node = _Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:

@@ -118,23 +118,33 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         pos += 1 + stride
         if ftype == 0:
             cur = row
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — fully vectorized
             cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
-            cur = row.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                ul = prev[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    cur[i] = (row[i] + left) & 0xFF
-                elif ftype == 3:
-                    cur[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 1:  # Sub — per-lane cumulative sum mod 256
+            lanes = row.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+        elif ftype in (3, 4):  # Average / Paeth: per-PIXEL channel-vector scan
+            cur = np.empty(stride, dtype=np.int32)
+            n_px = stride // bpp
+            row2 = row.reshape(n_px, bpp)
+            prev2 = prev.reshape(n_px, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            out2 = cur.reshape(n_px, bpp)
+            for i in range(n_px):
+                up = prev2[i]
+                if ftype == 3:
+                    out2[i] = (row2[i] + ((left + up) >> 1)) & 0xFF
                 else:
                     pp = left + up - ul
-                    pa_, pb, pc_ = abs(pp - left), abs(pp - up), abs(pp - ul)
-                    pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
-                    cur[i] = (row[i] + pred) & 0xFF
+                    pa_ = np.abs(pp - left)
+                    pb = np.abs(pp - up)
+                    pc_ = np.abs(pp - ul)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                    np.where(pb <= pc_, up, ul))
+                    out2[i] = (row2[i] + pred) & 0xFF
+                left = out2[i]
+                ul = up
         else:
             raise ImageDecodeUnsupported(f"png filter {ftype}")
         out[r] = cur.astype(np.uint8)
@@ -162,6 +172,8 @@ def _decode_png(buf: bytes) -> np.ndarray:
         if len(data) < length:
             raise ImageDecodeUnsupported("truncated png chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ImageDecodeUnsupported("bad IHDR length")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -177,12 +189,21 @@ def _decode_png(buf: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ImageDecodeUnsupported(f"png color type {color_type} (palette)")
+    stride = w * channels
+    expected = h * (stride + 1)
+    if expected > (1 << 31):
+        raise ImageDecodeUnsupported("png dimensions exceed decode budget")
     try:
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        # bounded inflate: a decompression bomb must not allocate past the
+        # size IHDR implies (+1 to detect overruns)
+        d = zlib.decompressobj()
+        inflated = d.decompress(bytes(idat), expected + 1)
+        if len(inflated) > expected:
+            raise ImageDecodeUnsupported("png inflated size exceeds IHDR")
+        raw = np.frombuffer(inflated, dtype=np.uint8)
     except zlib.error as e:
         raise ImageDecodeUnsupported(f"png inflate: {e}") from None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         raise ImageDecodeUnsupported("truncated png pixel data")
     px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if channels == 1:
@@ -303,7 +324,8 @@ class ImageFeatureActor:
         for buf, fmt in zip(bufs, fmts):
             try:
                 img = decode_image(buf or b"", fmt or "")
-            except (ImageDecodeUnsupported, ValueError, IndexError):
+            except (ImageDecodeUnsupported, ValueError, IndexError,
+                    MemoryError):
                 # malformed headers can slip numeric errors past the format
                 # checks; corrupt input must mark the row, never kill a task
                 ok.append(False)
@@ -368,18 +390,24 @@ def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
         ids_out, fidx, frames, ok = [], [], [], []
         for vid, buf in zip(batch.column(id_col).to_pylist(),
                             batch.column(cfg.bytes_col).to_pylist()):
+            # buffer per video: a mid-stream truncation must not leave the
+            # video both sampled AND marked failed — discard partial frames
+            pend_i, pend_f = [], []
             try:
                 for i, frame in enumerate(_iter_video_frames(buf or b"")):
                     if i % every_k == 0:
-                        ids_out.append(vid)
-                        fidx.append(i)
-                        frames.append(frame)
-                        ok.append(True)
+                        pend_i.append(i)
+                        pend_f.append(frame)
             except ImageDecodeUnsupported:
                 ids_out.append(vid)
                 fidx.append(-1)
                 frames.append(b"")
                 ok.append(False)
+                continue
+            ids_out.extend([vid] * len(pend_i))
+            fidx.extend(pend_i)
+            frames.extend(pend_f)
+            ok.extend([True] * len(pend_i))
         return pa.table(
             {
                 id_col: pa.array(ids_out, pa.string()),

@@ -124,3 +124,24 @@ class TestDeepNesting:
     def test_10k_deep_unterminated(self):
         f = hp.parse_page_fields("<body>" + "<div>" * 10_000 + "visible x")
         assert "visible x" in f["body_text"]
+
+
+class TestImpliedEndTagsScope:
+    def test_p_closes_across_inline(self):
+        root = hp.parse_html("<div><p>one<em>x<p>two<p>three</div>")
+        div = root.children[0]
+        ps = [c for c in div.children if not isinstance(c, str) and c.tag == "p"]
+        assert len(ps) == 3  # HTML5: each new p pops the open p (and the em)
+
+    def test_li_closes_p(self):
+        root = hp.parse_html("<ul><p>intro<li>item one<li>item two</ul>")
+        ul = root.children[0]
+        lis = [c for c in ul.children if not isinstance(c, str) and c.tag == "li"]
+        assert len(lis) == 2
+
+    def test_p_inside_table_cell_not_closed_from_outside(self):
+        # scope boundary: a p inside a td is untouched by a div after the table
+        root = hp.parse_html("<table><tr><td><p>cell")
+        # no crash + p stays nested under td
+        f = hp.parse_page_fields("<body><table><tr><td><p>cell text</p></td></tr></table><div>after</div></body>")
+        assert "cell text" in f["body_text"]

@@ -204,3 +204,109 @@ class TestPng:
         enc = bytearray(im.encode_png(img))
         with pytest.raises(im.ImageDecodeUnsupported):
             im.decode_image(bytes(enc[:40]), "png")
+
+
+def _png_with_filters(img, ftypes):
+    """Spec-filtered PNG writer (test-only): encodes each row with the
+    requested filter so decode exercises Sub/Up/Average/Paeth for real."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for r in range(h):
+        ftype = ftypes[r % len(ftypes)]
+        cur = img[r].reshape(-1).astype(np.int32)
+        row = np.zeros(w * 3, dtype=np.int32)
+        for i in range(w * 3):
+            left = cur[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pp = left + up - ul
+                pa_, pb, pc_ = abs(pp - left), abs(pp - up), abs(pp - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+            row[i] = (cur[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += row.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+class TestPngFilters:
+    def test_all_five_filters_exact(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(25, 33, 3)).astype(np.uint8)
+        for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            dec = im.decode_image(_png_with_filters(img, ftypes), "png")
+            assert (dec == img).all(), ftypes
+
+    def test_malformed_ihdr_marks_row(self, ray_session):
+        import struct
+        import zlib
+
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        def chunk(ctype, data):
+            return (len(data).to_bytes(4, "big") + ctype + data
+                    + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+        bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 10) + chunk(b"IEND", b"")
+        out = im.image_features_stage(
+            rd.from_items([{"clip_id": "x", "bytes": bad, "format": "png"}]),
+            PipelineConfig(), concurrency=1,
+        ).to_pandas()
+        assert not bool(out.decode_ok[0])
+
+    def test_decompression_bomb_bounded(self):
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (len(data).to_bytes(4, "big") + ctype + data
+                    + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+        # 4x4 image whose IDAT inflates to 100 MB of zeros
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (100 * 1024 * 1024))
+        buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        with pytest.raises(im.ImageDecodeUnsupported):
+            im.decode_image(buf, "png")
+
+
+class TestVideoPartialTruncation:
+    def test_truncated_video_yields_only_marker(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        frames = [np.full((4, 4, 3), i, np.uint8) for i in range(8)]
+        video = im.encode_rawv(frames)
+        truncated = video[: len(video) - 30]  # cut inside the last frames
+        out = im.frame_sample_stage(
+            rd.from_items([{"clip_id": "t", "bytes": truncated}]),
+            PipelineConfig(), every_k=2, concurrency=1,
+        ).to_pandas()
+        # either all-good (truncation after the needed frames) or ONLY the
+        # failure marker — never both sampled rows and a failure row
+        if (~out.decode_ok).any():
+            assert len(out) == 1 and out.frame_index[0] == -1
