@@ -42,7 +42,16 @@ def _key_hashes(keys) -> np.ndarray:
     Mixed/other keys fall back to per-key blake2b."""
     n = len(keys)
     first = keys[0] if n else 0
-    if n and isinstance(first, str) and len(first) == 32:
+    if (
+        n
+        and isinstance(first, str)
+        and len(first) == 32
+        # EVERY key must be a 32-char string: a total-length check alone
+        # (len(blob) == n*16) accepts mixed 16/48-char batches whose join
+        # happens to sum right, misaligning the reshape so a key's hash
+        # depends on batch composition — a Bloom false-negative vector.
+        and all(isinstance(k, str) and len(k) == 32 for k in keys)
+    ):
         try:
             blob = bytes.fromhex("".join(keys))
             if len(blob) == n * 16:

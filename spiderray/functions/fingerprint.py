@@ -184,7 +184,10 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         hashes[j] = np.uint64(
             int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
         )
-    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+    # endian-explicit big-endian byte order: .view(np.uint8)[:, ::-1] would
+    # only reconstruct MSB-first bytes on little-endian hosts, silently
+    # splitting LSH bucket keys between this path and simhash64 elsewhere
+    bits = np.unpackbits(hashes.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
     votes = (2 * bits.astype(np.int64) - 1)  # (vocab, 64) in msb-first order
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, toks in enumerate(token_lists):

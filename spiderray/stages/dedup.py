@@ -660,14 +660,23 @@ def chunk_dedup_stats(
     from ..functions.fingerprint import cdc_chunks, md5_fingerprint
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, fps, lens = [], [], []
+        ids, fps, lens, firsts = [], [], [], []
         for i, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
+            seen: set = set()
             for chunk in cdc_chunks(text or "", **cdc_kwargs):
+                f = md5_fingerprint(chunk)
                 ids.append(i)
-                fps.append(md5_fingerprint(chunk))
+                fps.append(f)
                 lens.append(len(chunk))
+                # per-document first-occurrence flag, computed HERE where
+                # document boundaries are guaranteed: downstream batches may
+                # be re-blocked mid-document (Ray dynamic block splitting),
+                # so a per-batch drop_duplicates there could double-count an
+                # intra-document repeat straddling a split as 2 docs
+                firsts.append(f not in seen)
+                seen.add(f)
         return pa.table(
             {
                 # typed explicitly: an all-empty batch would otherwise emit
@@ -675,6 +684,7 @@ def chunk_dedup_stats(
                 id_col: pa.array(ids, batch.schema.field(id_col).type),
                 "chunk_fp": pa.array(fps, pa.string()),
                 "chunk_len": pa.array(lens, pa.int64()),
+                "first_in_doc": pa.array(firsts, pa.bool_()),
             }
         )
 
@@ -682,15 +692,14 @@ def chunk_dedup_stats(
 
     def ones(batch: pa.Table) -> pa.Table:
         # count DISTINCT docs per chunk: a doc repeating its own chunk is
-        # not cross-document duplication.  All chunks of one document land
-        # in the same explode batch (explode is per input row), so a
-        # per-batch (id, chunk_fp) drop_duplicates IS the per-document
-        # dedup, exactly.
-        df = batch.select([id_col, "chunk_fp"]).to_pandas().drop_duplicates()
+        # not cross-document duplication.  The per-document dedup is the
+        # first_in_doc flag computed inside explode() (where document
+        # boundaries are guaranteed — batches here may split a document).
+        t = batch.filter(batch.column("first_in_doc"))
         return pa.table(
             {
-                "chunk_fp": pa.array(df["chunk_fp"].to_numpy(), pa.string()),
-                "n_docs": pa.array(np.ones(len(df), dtype=np.int64)),
+                "chunk_fp": t.column("chunk_fp"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
 

@@ -17,29 +17,36 @@ from ..config import PipelineConfig
 from ..functions import keepdrop
 
 
-def _decide_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    m = len(batch)
-    texts = batch.column(cfg.text_col).to_pylist()
-    langs = batch.column("lang").to_pylist()
+def batch_decide(
+    texts: list,
+    langs: list,
+    metrics: dict,
+    *,
+    codec_ok: np.ndarray | None = None,
+    charset_ok: np.ndarray | None = None,
+    min_quality_score: float = keepdrop.MIN_QUALITY_SCORE,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ``keepdrop.decide`` over a batch → (keeps, reasons, labels).
 
-    codec_ok = (
-        pc.is_in(batch.column(cfg.codec_col), value_set=pa.array(cfg.codec_allowlist))
-        .to_numpy(zero_copy_only=False)
-        if cfg.codec_col in batch.column_names
-        else np.ones(m, dtype=bool)
-    )
-    charset_ok = (
-        batch.column("charset_ok").to_numpy(zero_copy_only=False)
-        if "charset_ok" in batch.column_names
-        else np.ones(m, dtype=bool)
-    )
+    ``metrics`` maps metric name → numpy array (the shape produced by
+    quality_stage.batch_metrics, or equivalently the metric columns of a
+    decided batch).  Guard order and thresholds are keepdrop.decide's; only
+    the per-row classifier tail (the minority that survives the guards)
+    stays Python.  Shared by the flagship decide_stage and the composed
+    prepare_corpus pipeline — a divergence between the two would silently
+    split keep/drop semantics."""
+    m = len(texts)
+    if codec_ok is None:
+        codec_ok = np.ones(m, dtype=bool)
+    if charset_ok is None:
+        charset_ok = np.ones(m, dtype=bool)
 
-    brace = batch.column("brace_pairs").to_numpy(zero_copy_only=False)
-    n_lines = batch.column("n_lines").to_numpy(zero_copy_only=False)
-    dup = batch.column("max_line_dup").to_numpy(zero_copy_only=False)
-    punct = batch.column("punct_ratio").to_numpy(zero_copy_only=False)
-    symbol = batch.column("symbol_ratio").to_numpy(zero_copy_only=False)
-    score = batch.column("quality_score").to_numpy(zero_copy_only=False)
+    brace = np.asarray(metrics["brace_pairs"])
+    n_lines = np.asarray(metrics["n_lines"])
+    dup = np.asarray(metrics["max_line_dup"])
+    punct = np.asarray(metrics["punct_ratio"])
+    symbol = np.asarray(metrics["symbol_ratio"])
+    score = np.asarray(metrics["quality_score"])
 
     keeps = np.zeros(m, dtype=bool)
     reasons = np.full(m, "", dtype=object)
@@ -72,7 +79,7 @@ def _decide_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             reasons[i] = "punct_noise"
         elif label == keepdrop.LABEL_CONTENT:
             keeps[i] = True
-        elif label == keepdrop.LABEL_UNKNOWN and score[i] > cfg.min_quality_score:
+        elif label == keepdrop.LABEL_UNKNOWN and score[i] > min_quality_score:
             keeps[i] = True
         else:
             reasons[i] = {
@@ -81,6 +88,35 @@ def _decide_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 keepdrop.LABEL_NONE: "no_lang_chars",
             }[label]
 
+    return keeps, reasons, labels
+
+
+def _decide_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    m = len(batch)
+    texts = batch.column(cfg.text_col).to_pylist()
+    langs = batch.column("lang").to_pylist()
+
+    codec_ok = (
+        pc.is_in(batch.column(cfg.codec_col), value_set=pa.array(cfg.codec_allowlist))
+        .to_numpy(zero_copy_only=False)
+        if cfg.codec_col in batch.column_names
+        else None
+    )
+    charset_ok = (
+        batch.column("charset_ok").to_numpy(zero_copy_only=False)
+        if "charset_ok" in batch.column_names
+        else None
+    )
+    metrics = {
+        name: batch.column(name).to_numpy(zero_copy_only=False)
+        for name in ("brace_pairs", "n_lines", "max_line_dup",
+                     "punct_ratio", "symbol_ratio", "quality_score")
+    }
+    keeps, reasons, labels = batch_decide(
+        texts, langs, metrics,
+        codec_ok=codec_ok, charset_ok=charset_ok,
+        min_quality_score=cfg.min_quality_score,
+    )
     batch = batch.append_column("label", pa.array(labels, pa.string()))
     batch = batch.append_column("keep", pa.array(keeps, pa.bool_()))
     return batch.append_column("drop_reason", pa.array(reasons, pa.string()))

@@ -647,3 +647,57 @@ class TestDistributedBloom:
         pf = dedup.exact_dedup(rd.from_pandas(prior)).select_columns(["fingerprint"]).materialize()
         out = dedup.incremental_exact_dedup(rd.from_pandas(new), pf, method="bloom").to_pandas()
         assert sorted(out.doc_id) == list(range(1020, 1040))
+
+
+class TestAdviceR2Regressions:
+    """Round-3 regression tests for the three ADVICE r2 findings."""
+
+    def test_bloom_mixed_hex_lengths_batch_independent(self):
+        # bloom.py fast path: a batch mixing 16- and 48-char hex strings
+        # whose total length sums to n*16 must NOT take the bulk reshape —
+        # each key's hash must be identical alone vs in the mixed batch.
+        from spiderray.functions.bloom import _key_hashes
+
+        k16, k48 = "a" * 16, "b" * 48
+        mixed = [k16, k48]  # total 64 chars = 2*32 → old fast path misfired
+        alone = [_key_hashes([k16])[0], _key_hashes([k48])[0]]
+        got = _key_hashes(mixed)
+        assert got[0] == alone[0] and got[1] == alone[1]
+
+        # and a genuine all-32-hex batch still takes the (identical) fast path
+        hexes = [f"{i:032x}" for i in range(100)]
+        bulk = _key_hashes(hexes)
+        for i in (0, 37, 99):
+            assert bulk[i] == _key_hashes([hexes[i]])[0]
+
+    def test_chunk_dedup_split_document_batches(self, ray_session):
+        # first_in_doc is computed in explode() where document boundaries
+        # are guaranteed; re-blocking downstream must not double-count an
+        # intra-document repeat as 2 docs.  Simulate the hostile re-blocking
+        # by forcing tiny downstream batches via many small input blocks.
+        import ray.data as rd
+
+        from spiderray.stages.dedup import chunk_dedup_stats
+
+        blob = "repeated paragraph body " * 8
+        rows = [{"doc_id": 1, "text": blob * 6}] + [
+            {"doc_id": i, "text": f"unique words for document {i} " * 12}
+            for i in range(2, 10)
+        ]
+        out = (
+            chunk_dedup_stats(
+                rd.from_items(rows).repartition(5),
+                min_size=32, avg_size=64, max_size=128,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "dup_chunk_ratio"] == 0.0
+
+    def test_simhash_batch_endian_explicit(self):
+        # astype('>u8') path: parity with the scalar simhash64 regardless of
+        # host byte order (the scalar path is already endian-explicit).
+        texts = ["the quick brown fox", "jumps over the lazy dog", "", "a b a b a"]
+        batch = fp.simhash64_batch(texts)
+        for t, h in zip(texts, batch):
+            assert int(h) == fp.simhash64(t), t

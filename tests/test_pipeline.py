@@ -332,6 +332,61 @@ class TestPrepareCorpus:
         summary = corpus_summary(rd.from_pandas(df.reset_index()))
         assert summary["n_docs"].sum() == 4
 
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        """broadcast_max_losers=0 forces the bucketed Arrow mark join (the
+        >1e6-loser scale path); it must agree row-for-row with the
+        loser-broadcast path on duplicates, keeps and splits."""
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        rows = []
+        for i in range(120):
+            body = f"document body with enough words to pass number {i % 40} " * 2
+            rows.append({"doc_id": i, "text": body})  # 3 copies of each of 40
+        cols = ["doc_id", "lang", "keep", "drop_reason", "split", "ws_tokens"]
+        a = (prepare_corpus(rd.from_items(rows))
+             .to_pandas().sort_values("doc_id")[cols].reset_index(drop=True))
+        b = (prepare_corpus(rd.from_items(rows), broadcast_max_losers=0)
+             .to_pandas().sort_values("doc_id")[cols].reset_index(drop=True))
+        assert a.equals(b)
+        # winners = min doc_id per distinct text → ids 0..39 keep, rest dup
+        kept = a[a.keep]
+        assert set(kept.doc_id) == set(range(40))
+        assert (a.loc[~a.keep, "drop_reason"] == "duplicate").all()
+
+    def test_vectorized_decide_matches_row_oracle(self, ray_session):
+        """The composed pipeline's batch decide (langid+metrics+keepdrop
+        kernels) must agree with the per-row oracle functions on a
+        stratified corpus — the round-3 vectorization must not drift."""
+        import ray.data as rd
+
+        from spiderray.functions import keepdrop, langid, quality
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta " * 4,
+            "short",
+            "",
+            "这是一个包含足够多汉字的中文句子用于测试流程。" * 3,
+            "{ } { } { } { } { } dynamic render guard trips here",
+            "line\nline\nline\nline\nline\nline",
+            "https://example.com/x " * 20,
+            "правительство объявило сегодня о новых мерах по улучшению качества " * 2,
+        ]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        df = prepare_corpus(rd.from_items(rows)).to_pandas().set_index("doc_id")
+        for i, t in enumerate(texts):
+            lang, _ = langid.detect_lang(t)
+            m = quality.compute_metrics(t)
+            keep, reason, _lbl = keepdrop.decide(t, lang, m)
+            assert df.loc[i, "lang"] == lang, t[:40]
+            # dedup may overwrite keep/reason only with "duplicate"
+            if df.loc[i, "drop_reason"] != "duplicate":
+                assert bool(df.loc[i, "keep"]) == keep, t[:40]
+                assert df.loc[i, "drop_reason"] == reason, t[:40]
+                assert df.loc[i, "quality_score"] == m.quality_score, t[:40]
+
     def test_deterministic_across_runs(self, ray_session):
         import ray.data as rd
 
