@@ -701,3 +701,91 @@ class TestAdviceR2Regressions:
         batch = fp.simhash64_batch(texts)
         for t, h in zip(texts, batch):
             assert int(h) == fp.simhash64(t), t
+
+
+class TestNgramJoinVerify:
+    """Round-3: n-gram Jaccard band rows no longer carry the gram sets;
+    verify re-acquires grams via broadcast or join (minhash r1's cure)."""
+
+    def _docs(self):
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(200)]
+        rows = []
+        for i in range(60):
+            body = " ".join(rng.choice(words, 30))
+            rows.append({"doc_id": 2 * i, "text": body})
+            if i < 15:  # planted near-dup: one word changed
+                toks = body.split()
+                toks[5] = "CHANGED"
+                rows.append({"doc_id": 2 * i + 1, "text": " ".join(toks)})
+        return pd.DataFrame(rows)
+
+    def test_modes_agree_and_find_planted(self, ray_session):
+        import ray.data as rd
+
+        docs = self._docs()
+        out = {}
+        for mode in ("broadcast", "join"):
+            p = dedup.ngram_jaccard_pairs(
+                rd.from_pandas(docs), threshold=0.5, verify=mode
+            ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            out[mode] = p
+        a, b = out["broadcast"], out["join"]
+        assert list(a.id_a) == list(b.id_a) and list(a.id_b) == list(b.id_b)
+        assert np.allclose(a.score.to_numpy(), b.score.to_numpy())
+        planted = {(2 * i, 2 * i + 1) for i in range(15)}
+        found = set(zip(a.id_a, a.id_b))
+        assert planted <= found
+
+    def test_band_rows_carry_no_grams(self, ray_session):
+        # the exploded band-row schema must be exactly (part, band,
+        # band_key, id) — shuffle bytes per doc independent of bands
+        import inspect
+
+        src = inspect.getsource(dedup.ngram_jaccard_pairs)
+        assert '"grams": pa.array' in src  # gram table exists...
+        assert "np.repeat(ids, bands)" in src  # ...but explode emits ids only
+        # structural check on the live explode output
+        import pyarrow as pa
+
+        from spiderray.functions import fingerprint as fpr
+
+        tbl = pa.table({"doc_id": [1], "grams": [fpr.ngram_set("a b c d e", 3).tobytes()]})
+        # reproduce the explode schema via a tiny run
+        import ray.data as rd
+
+        pairs_input = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f g h i", "a b c d e f g h i"]}))
+        p = dedup.ngram_jaccard_pairs(pairs_input, threshold=0.5).to_pandas()
+        assert set(p.columns) == {"id_a", "id_b", "score"}
+        # a pair may surface once per coarse part (consumer dedups — same
+        # contract as minhash_lsh_pairs); the distinct pair is unique
+        distinct = p.drop_duplicates(subset=["id_a", "id_b"])
+        assert len(distinct) == 1 and distinct.score.iloc[0] == 1.0
+
+
+class TestMinhashSigStore:
+    def test_persisted_sigs_match_materialized(self, ray_session, tmp_path):
+        """sig_store_dir: signatures written to parquet and re-read must
+        produce the identical pair set + scores as the in-object-store
+        path (round-3 scale item: object-store footprint independent of
+        corpus size)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        words = [f"tok{i}" for i in range(300)]
+        rows = []
+        for i in range(80):
+            body = " ".join(rng.choice(words, 40))
+            rows.append({"doc_id": 2 * i, "text": body})
+            if i % 4 == 0:
+                rows.append({"doc_id": 2 * i + 1, "text": body + " extra"})
+        docs = pd.DataFrame(rows)
+        key = ["id_a", "id_b"]
+        a = (dedup.minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.6, verify="join")
+             .to_pandas().drop_duplicates(subset=key).sort_values(key).reset_index(drop=True))
+        b = (dedup.minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.6, verify="join",
+                                     sig_store_dir=str(tmp_path / "sigs"))
+             .to_pandas().drop_duplicates(subset=key).sort_values(key).reset_index(drop=True))
+        assert a[key].equals(b[key])
+        assert np.allclose(a.score.to_numpy(), b.score.to_numpy())
+        assert (tmp_path / "sigs").exists() and any((tmp_path / "sigs").iterdir())
