@@ -18,6 +18,10 @@ import subprocess
 import sys
 import time
 
+# benchmarks time the ENGINE: skip the serial-oracle fixture (re)generation
+# some contract queries perform on entry (see pipelines/serial_oracles.py)
+os.environ.setdefault("SPIDERRAY_SKIP_FIXTURES", "1")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "50000"))

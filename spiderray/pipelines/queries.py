@@ -552,6 +552,7 @@ ORDER BY id_a, id_b
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents augmented with perturbed
     copies (every 10th doc gets a near-identical twin)."""
+    _ensure_fixture("q_minhash_pairs", sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -568,6 +569,7 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    _ensure_fixture("q_simhash_pairs", sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -584,6 +586,7 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
+    _ensure_fixture("q_ngram_jaccard_pairs", sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -601,6 +604,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 def q_lsh_topk(sf_dir: str):
     """Approximate (LSH-bucketed) cosine top-k — the scale path of ann."""
+    _ensure_fixture("q_lsh_topk", sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = ann.lsh_topk(ds, _query_vec(sf_dir), k=10)
     return df[["vec_id"]]
@@ -702,6 +706,7 @@ def q_title_clean(sf_dir: str):
 
 def q_perplexity(sf_dir: str):
     """Char-LM perplexity actor-pool stage over documents (rows-only)."""
+    _ensure_fixture("q_perplexity", sf_dir)
     from ..config import PipelineConfig
     from ..stages.perplexity_stage import perplexity_stage
 
@@ -717,6 +722,7 @@ def q_perplexity(sf_dir: str):
 def q_audio_features(sf_dir: str):
     """Audio decode + feature extraction over documents-derived clips
     (pcm path real, compressed codecs stubbed; rows-only)."""
+    _ensure_fixture("q_audio_features", sf_dir)
     from ..config import PipelineConfig
     from ..sources.clips import clips_from_documents
     from ..stages.multimodal import audio_features_stage
@@ -1323,6 +1329,7 @@ SQL_SPEECH_RATE = SQL_SPEECH_RATE.replace("{WS}", _sql_ws_tokens("text"))
 def q_audio_spectral(sf_dir: str):
     """FFT spectral features over the synthetic clip corpus (rows-only:
     float FFT output is not SQL-replicable)."""
+    _ensure_fixture("q_audio_spectral", sf_dir)
     from ..config import PipelineConfig
     from ..sources.clips import clips_from_documents
     from ..stages.multimodal import audio_spectral_stage
@@ -1337,6 +1344,7 @@ def q_audio_spectral(sf_dir: str):
 
 def q_vad_stats(sf_dir: str):
     """Frame-energy VAD stats chained on audio_features_stage (rows-only)."""
+    _ensure_fixture("q_vad_stats", sf_dir)
     from ..config import PipelineConfig
     from ..sources.clips import clips_from_documents
     from ..stages.multimodal import audio_features_stage, vad_stats_stage
@@ -1424,6 +1432,7 @@ ORDER BY q.q_pct
 def q_ivf_topk(sf_dir: str):
     """IVF (spherical k-means) approximate cosine top-k — the FAISS-style
     scale path beside q_lsh_topk (rows-only: approximate)."""
+    _ensure_fixture("q_ivf_topk", sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     C = ann.ivf_train(ds, n_centroids=16, sample_size=2000)
     df = ann.ivf_topk(
@@ -1440,6 +1449,7 @@ def q_corpus_ppl(sf_dir: str):
     CharLM from the documents themselves (stages/lm_train.py), then a second
     pass scores every document under it (model broadcast once via ray.put).
     Rows-only: trigram smoothing is not SQL-expressible."""
+    _ensure_fixture("q_corpus_ppl", sf_dir)
     import ray
 
     from ..stages.lm_train import train_char_lm
@@ -1591,6 +1601,7 @@ def q_chunk_dedup(sf_dir: str):
     with partial copies (every 5th doc re-emitted with a new head but the
     same body → its body chunks duplicate).  Rows-only: CDC boundaries are
     not SQL-expressible."""
+    _ensure_fixture("q_chunk_dedup", sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -1646,6 +1657,75 @@ SQL_PREPARE_CORPUS = SQL_PREPARE_CORPUS.replace("{WS}", _sql_ws_tokens("text"))
 
 
 
+
+
+def _skewed_orders(sf_dir: str):
+    """Orders with a planted hot key: every 3rd order is reassigned to
+    custkey 1, so one customer owns ~33% of the left side — the all-to-all
+    skew failure mode a plain hash join concentrates on one partition."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def skew(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False).copy()
+        cust[ok % 3 == 0] = 1
+        names = batch.column_names
+        return batch.set_column(
+            names.index("o_custkey"), "o_custkey",
+            pa.array(cust, batch.schema.field("o_custkey").type),
+        )
+
+    return ds.map_batches(skew, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_salted_skew_join(sf_dir: str, use_salt: bool = True):
+    """Hot-key join through stages/joins.salted_join with AUTO hot-key
+    detection (the sampled 33%-share key is split across 8 salts; matching
+    customer rows replicate once per salt), rolled up per market segment.
+    ``use_salt=False`` runs the identical plan through the plain hash join
+    for the bench straggler comparison."""
+    from ..stages.joins import hash_join, salted_join
+
+    orders = _skewed_orders(sf_dir)
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    if use_salt:
+        joined = salted_join(orders, customer, on="o_custkey",
+                             right_on="c_custkey", num_partitions=16, n_salts=8)
+    else:
+        joined = hash_join(orders, customer, on="o_custkey",
+                           right_on="c_custkey", num_partitions=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["c_mktsegment", "o_totalprice"]).to_pandas()
+        df["price_c"] = _cents(df["o_totalprice"])
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"), sum_price_c=("price_c", "sum")
+        )
+        return _pa_from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_price_c", alias_name="sum_price_c"))
+    )
+    return agg.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS k,
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(o.price_c) AS BIGINT) AS sum_price_c
+FROM o JOIN customer c ON o.k = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
 
 
 def q_top_orders_per_segment(sf_dir: str):
@@ -1757,6 +1837,7 @@ def q_audio_transform(sf_dir: str):
     """Rate+loudness normalisation over the synthetic clip corpus
     (audio_transform_stage): every decodable clip re-emitted as 16 kHz
     pcm_s16le at RMS 0.1 (rows-only: float DSP not SQL-replicable)."""
+    _ensure_fixture("q_audio_transform", sf_dir)
     from ..config import PipelineConfig
     from ..sources.clips import clips_from_documents
     from ..stages.multimodal import audio_transform_stage
@@ -1768,6 +1849,25 @@ def q_audio_transform(sf_dir: str):
 
 
 
+def _flacify_batch(batch: pa.Table) -> pa.Table:
+    """Re-encode the 'flac'-stratum clips' PCM as real FLAC bytes (shared by
+    q_flac_roundtrip and its serial oracle)."""
+    from ..functions.flacdec import encode_flac
+
+    codecs = batch.column("codec").to_pylist()
+    bufs = batch.column("bytes").to_pylist()
+    srs = batch.column("sr_hz").to_pylist()
+    out = []
+    for codec, buf, sr in zip(codecs, bufs, srs):
+        if codec == "flac":
+            samples = np.frombuffer(buf, dtype="<i2")
+            out.append(encode_flac(samples, int(sr)))
+        else:
+            out.append(buf)
+    names = batch.column_names
+    return batch.set_column(names.index("bytes"), "bytes", pa.array(out, pa.binary()))
+
+
 def q_flac_roundtrip(sf_dir: str):
     """Real FLAC decode through the audio feature stage: clips whose codec
     stratum is 'flac' get their PCM re-encoded as actual FLAC bytes
@@ -1775,28 +1875,14 @@ def q_flac_roundtrip(sf_dir: str):
     feature stage decodes them — decode_ok must be True for every flac row
     and the decoded features must match the PCM original exactly
     (lossless).  Rows-only."""
+    _ensure_fixture("q_flac_roundtrip", sf_dir)
     from ..config import PipelineConfig
     from ..functions.flacdec import encode_flac
     from ..sources.clips import clips_from_documents
     from ..stages.multimodal import audio_features_stage
 
     ds = clips_from_documents(sf_dir)
-
-    def flacify(batch: pa.Table) -> pa.Table:
-        codecs = batch.column("codec").to_pylist()
-        bufs = batch.column("bytes").to_pylist()
-        srs = batch.column("sr_hz").to_pylist()
-        out = []
-        for codec, buf, sr in zip(codecs, bufs, srs):
-            if codec == "flac":
-                samples = np.frombuffer(buf, dtype="<i2")
-                out.append(encode_flac(samples, int(sr)))
-            else:
-                out.append(buf)
-        names = batch.column_names
-        return batch.set_column(names.index("bytes"), "bytes", pa.array(out, pa.binary()))
-
-    flac_ds = ds.map_batches(flacify, batch_format="pyarrow", zero_copy_batch=True)
+    flac_ds = ds.map_batches(_flacify_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = audio_features_stage(flac_ds, PipelineConfig(), concurrency=4)
     return out.select_columns(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
 
@@ -1995,6 +2081,7 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
 def q_image_features(sf_dir: str):
     """Image decode + stats + resize plumbing (stages/image.py): real PPM
     decodes, stubbed jpeg rows flow through decode_ok=False (rows-only)."""
+    _ensure_fixture("q_image_features", sf_dir)
     from ..config import PipelineConfig
     from ..stages.image import image_features_stage
 
@@ -2005,28 +2092,33 @@ def q_image_features(sf_dir: str):
                                "mean_lum", "std_lum"])
 
 
+def _synth_video_rows(batch: pa.Table) -> pa.Table:
+    """Every 10th doc → a 9-frame toy video container (shared by
+    q_video_frames and its serial oracle)."""
+    from ..stages.image import encode_rawv
+
+    t = _mod_filter(batch, "doc_id", 10)
+    ids, bufs = [], []
+    for i in t.column("doc_id").to_numpy():
+        frames = []
+        for f in range(9):
+            img = np.full((8, 8, 3), (int(i) + f) % 256, dtype=np.uint8)
+            frames.append(img)
+        ids.append(f"vid_{int(i):08d}")
+        bufs.append(encode_rawv(frames))
+    return pa.table({"clip_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(bufs, pa.binary())})
+
+
 def q_video_frames(sf_dir: str):
     """Video frame-sampling plumbing: every 10th doc becomes a 9-frame toy
     container, sampled every 4 frames (rows-only)."""
+    _ensure_fixture("q_video_frames", sf_dir)
     from ..config import PipelineConfig
-    from ..stages.image import encode_ppm, encode_rawv, frame_sample_stage
+    from ..stages.image import frame_sample_stage
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def to_videos(batch: pa.Table) -> pa.Table:
-        t = _mod_filter(batch, "doc_id", 10)
-        ids, bufs = [], []
-        for i in t.column("doc_id").to_numpy():
-            frames = []
-            for f in range(9):
-                img = np.full((8, 8, 3), (int(i) + f) % 256, dtype=np.uint8)
-                frames.append(img)
-            ids.append(f"vid_{int(i):08d}")
-            bufs.append(encode_rawv(frames))
-        return pa.table({"clip_id": pa.array(ids, pa.string()),
-                         "bytes": pa.array(bufs, pa.binary())})
-
-    vids = ds.map_batches(to_videos, batch_format="pyarrow", zero_copy_batch=True)
+    vids = ds.map_batches(_synth_video_rows, batch_format="pyarrow", zero_copy_batch=True)
     out = frame_sample_stage(vids, PipelineConfig(), every_k=4, concurrency=4)
     return out.select_columns(["clip_id", "frame_index", "decode_ok"])
 
@@ -2084,6 +2176,7 @@ QUERIES = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_prepare_corpus": q_prepare_corpus,
     "q_top_orders_per_segment": q_top_orders_per_segment,
+    "q_salted_skew_join": q_salted_skew_join,
     "q_parts_by_brand": q_parts_by_brand,
     "q_supplier_balance": q_supplier_balance,
     "q_clips_flagship": q_clips_flagship,
@@ -2130,8 +2223,30 @@ ORACLE_SQL = {
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_prepare_corpus": SQL_PREPARE_CORPUS,
     "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+    "q_salted_skew_join": SQL_SALTED_SKEW_JOIN,
     "q_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
-    # q_minhash_pairs / q_simhash_pairs / q_ngram_jaccard_pairs / q_lsh_topk /
-    # q_clips_flagship / q_clips_keep_stats: not SQL-expressible → rows-only
+    # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
+    # flagship outputs → rows-only
 }
+
+# Fixture-backed oracles for the non-SQL-expressible pipelines: an
+# independent SERIAL computation (pipelines/serial_oracles.py — plain Python
+# over the raw parquet, same per-row function bank) writes
+# fixtures/<query>.parquet, and the registered SQL reads it back.  This
+# hash-checks the full distributed machinery (shuffles, joins, actor pools,
+# batch boundaries) against a single-threaded reference; the query builders
+# regenerate their fixture on entry so the pair stays in lockstep with the
+# corpus it runs on.
+from .serial_oracles import SERIAL_ORACLES as _SERIAL_ORACLES  # noqa: E402
+from .serial_oracles import fixture_sql as _fixture_sql  # noqa: E402
+
+
+def _ensure_fixture(name: str, sf_dir: str) -> None:
+    from .serial_oracles import ensure_fixture
+
+    ensure_fixture(name, sf_dir)
+
+
+for _name in _SERIAL_ORACLES:
+    ORACLE_SQL[_name] = _fixture_sql(_name)

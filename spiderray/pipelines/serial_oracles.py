@@ -1,0 +1,427 @@
+"""Serial (no-Ray) oracles for the non-SQL-expressible contract queries.
+
+The driver compares every ``queries()`` entry against its ``oracle_sql()``
+SQL via DuckDB.  The LSH/DSP/model pipelines are not SQL-expressible, so
+their oracle is a FIXTURE: an independent serial computation — plain Python
+loops over the raw parquet, reusing the same per-row function bank the
+stages share with the row oracle (the repo's established oracle pattern,
+e.g. q_doc_keepdrop) — written to ``fixtures/<query>.parquet``, which the
+registered SQL reads back with ``SELECT * FROM read_parquet(...)``.
+
+What this verifies: the entire distributed machinery — band-explode
+shuffles, coarse-partition groupbys, hash-join verification, actor pools,
+batch boundaries, block ordering, schema flow — against a single-threaded
+reference executed in one pass over one table.  The per-row math is shared
+by construction (same function bank), exactly like the keep/drop oracle.
+
+Each fixture-backed query calls ``ensure_fixture(name, sf_dir)`` on entry,
+(re)writing its fixture for the corpus it is about to run on — so fixtures
+self-heal if the testdata changes — and the repo also ships fixtures
+pre-generated at sf0.01 (the driver's correctness scale) in case the SQL
+side runs first.  ``SPIDERRAY_SKIP_FIXTURES=1`` (set by bench.py) skips
+generation so benchmark timings measure only the engine.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import fingerprint as fp
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+# engine constants the serial candidate generation must mirror
+from ..stages.dedup import MAX_BUCKET  # noqa: E402
+
+
+def fixture_path(name: str) -> str:
+    return os.path.join(FIXTURE_DIR, f"{name}.parquet")
+
+
+def fixture_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{fixture_path(name)}')"
+
+
+def write_fixture(name: str, table: pa.Table) -> str:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = fixture_path(name)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: a concurrent reader never sees a torn file
+    return path
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _augmented_docs(sf_dir: str, mod: int, id_offset: int, suffix: str):
+    """Serial twin of the q_*_pairs augment step: every ``mod``-th doc gets
+    a near-identical twin with ``suffix`` appended and id += id_offset."""
+    t = _docs(sf_dir)
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    texts = t.column("text").to_pylist()
+    out_ids = list(ids)
+    out_texts = list(texts)
+    for i, x in zip(ids, texts):
+        if i % mod == 0:
+            out_ids.append(int(i) + id_offset)
+            out_texts.append(f"{x}{suffix}")
+    return np.asarray(out_ids, dtype=np.int64), out_texts
+
+
+def _pairs_table(pairs: set[tuple[int, int]]) -> pa.Table:
+    rows = sorted(pairs)
+    return pa.table(
+        {
+            "id_a": pa.array([a for a, _ in rows], pa.int64()),
+            "id_b": pa.array([b for _, b in rows], pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(ids: np.ndarray, keys_per_doc) -> set[tuple[int, int]]:
+    """Candidate pairs from LSH buckets with the engine's MAX_BUCKET cap:
+    ``keys_per_doc[row]`` yields hashable bucket keys for that row."""
+    buckets: dict = defaultdict(list)
+    for row in range(len(ids)):
+        for key in keys_per_doc(row):
+            buckets[key].append(row)
+    cand: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        if len(rows) > MAX_BUCKET:
+            continue  # engine skips degenerate mega-buckets
+        rows = sorted(set(rows))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = int(ids[rows[i]]), int(ids[rows[j]])
+                if a != b:
+                    cand.add((min(a, b), max(a, b)))
+    return cand
+
+
+# ---------------------------------------------------------------------------
+# near-dup pair oracles
+# ---------------------------------------------------------------------------
+
+
+def so_minhash_pairs(sf_dir: str) -> pa.Table:
+    ids, texts = _augmented_docs(sf_dir, 10, 2_000_000, " extra trailing token")
+    sigs = np.stack([fp.minhash_signature(t or "") for t in texts])
+    keys = fp.minhash_band_matrix(sigs, 32)  # (n, 32)
+
+    cand = _bucket_pairs(ids, lambda r: ((b, int(keys[r, b])) for b in range(32)))
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    ok = {
+        (a, b)
+        for a, b in cand
+        if (sigs[id_to_row[a]] == sigs[id_to_row[b]]).mean() >= 0.7
+    }
+    return _pairs_table(ok)
+
+
+def so_simhash_pairs(sf_dir: str) -> pa.Table:
+    ids, texts = _augmented_docs(sf_dir, 10, 3_000_000, " tail")
+    sims = [fp.simhash64(t or "") for t in texts]
+    chunk_lists = [fp.simhash_chunks(h) for h in sims]
+
+    cand = _bucket_pairs(
+        ids, lambda r: ((ci, c) for ci, c in enumerate(chunk_lists[r]))
+    )
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    ok = {
+        (a, b)
+        for a, b in cand
+        if fp.hamming64(sims[id_to_row[a]], sims[id_to_row[b]]) <= 3
+    }
+    return _pairs_table(ok)
+
+
+def so_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    ids, texts = _augmented_docs(sf_dir, 10, 4_000_000, " one more")
+    bands = 16
+    grams = [fp.ngram_set(t or "", 3) for t in texts]
+    sigs = np.zeros((len(texts), bands * 4), dtype=np.uint32)
+    for r, g in enumerate(grams):
+        if len(g):
+            prod = fp._PERM_A[: bands * 4, None] * g[None, :] + fp._PERM_B[: bands * 4, None]
+            sigs[r] = (prod >> np.uint64(32)).min(axis=1).astype(np.uint32)
+    keys = fp.minhash_band_matrix(sigs, bands)
+
+    cand = _bucket_pairs(ids, lambda r: ((b, int(keys[r, b])) for b in range(bands)))
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    ok = {
+        (a, b)
+        for a, b in cand
+        if fp.jaccard(grams[id_to_row[a]], grams[id_to_row[b]]) >= 0.5
+    }
+    return _pairs_table(ok)
+
+
+# ---------------------------------------------------------------------------
+# chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def so_chunk_dedup(sf_dir: str) -> pa.Table:
+    from ..functions.fingerprint import cdc_chunks, md5_fingerprint
+
+    t = _docs(sf_dir)
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    # serial twin of the augment step: every 5th doc re-emitted with a new
+    # head but the same body (its body chunks duplicate)
+    rows += [
+        (int(i) + 700_000, f"new head {i} " + (x or ""))
+        for i, x in rows
+        if i % 5 == 0
+    ]
+    per_doc: list[tuple[int, list[tuple[str, int]]]] = []
+    chunk_docs: dict[str, set[int]] = defaultdict(set)
+    for i, text in rows:
+        chunks = [(md5_fingerprint(c), len(c)) for c in cdc_chunks(
+            text or "", min_size=32, avg_size=64, max_size=256)]
+        per_doc.append((i, chunks))
+        for f, _ in chunks:
+            chunk_docs[f].add(i)
+    ids, n_chunks, ratios = [], [], []
+    for i, chunks in per_doc:
+        if not chunks:
+            continue  # no exploded rows → absent from the engine output too
+        total = sum(ln for _, ln in chunks)
+        dup = sum(ln for f, ln in chunks if len(chunk_docs[f]) > 1)
+        ids.append(i)
+        n_chunks.append(len(chunks))
+        ratios.append(dup / max(total, 1) if total > 0 else 0.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "dup_chunk_ratio": pa.array(ratios, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, V
+
+
+def _serial_topk(ids: np.ndarray, V: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
+    qn = q / (np.linalg.norm(q) or 1.0)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (V @ qn) / norms
+    order = np.lexsort((ids, -cos))[:k]
+    return ids[order]
+
+
+def so_lsh_topk(sf_dir: str) -> pa.Table:
+    from ..stages.ann import N_PLANES, _bucket_of, _planes
+
+    ids, V = _embeddings(sf_dir)
+    q = V[int(np.nonzero(ids == 0)[0][0])]
+    planes = _planes(V.shape[1])
+    qb = int(_bucket_of(q.reshape(1, -1), planes)[0])
+    ok_buckets = {qb} | {qb ^ (1 << i) for i in range(N_PLANES)}
+    buckets = _bucket_of(V, planes)
+    mask = np.isin(buckets, sorted(ok_buckets))
+    top = _serial_topk(ids[mask], V[mask], q, 10)
+    return pa.table({"vec_id": pa.array(top, pa.int64())})
+
+
+def so_ivf_topk(sf_dir: str) -> pa.Table:
+    from ..stages.ann import spherical_kmeans
+
+    ids, V = _embeddings(sf_dir)
+    q = V[int(np.nonzero(ids == 0)[0][0])]
+    # serial twin of ivf_train(sample_size=2000): the LIMIT sample is the
+    # parquet head (row order), normalized inside spherical_kmeans
+    C = spherical_kmeans(V[:2000].copy(), 16)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(C @ qn))[:4]
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cells = np.argmax((V / norms) @ C.T, axis=1)
+    mask = np.isin(cells, probe)
+    top = _serial_topk(ids[mask], V[mask], q, 10)
+    return pa.table({"vec_id": pa.array(top, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# perplexity oracles
+# ---------------------------------------------------------------------------
+
+
+def so_perplexity(sf_dir: str) -> pa.Table:
+    from ..stages.perplexity_stage import _SEEDS, CharLM
+
+    models = {lang: CharLM(seed) for lang, seed in _SEEDS.items()}
+    fallback = CharLM(" ".join(_SEEDS.values()))
+    t = _docs(sf_dir, ("doc_id", "text", "lang"))
+    ppls = [
+        models.get(lang, fallback).perplexity(text or "")
+        for text, lang in zip(t.column("text").to_pylist(), t.column("lang").to_pylist())
+    ]
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "ppl": pa.array(ppls, pa.float32())}
+    )
+
+
+def so_corpus_ppl(sf_dir: str) -> pa.Table:
+    import math
+
+    from ..stages.lm_train import _count_batch
+    from ..stages.perplexity_stage import CharLM
+
+    t = _docs(sf_dir)
+    counts = _count_batch(t, "text")  # whole corpus in one serial pass
+    kinds = counts.column("kind").to_pylist()
+    grams = counts.column("gram").to_pylist()
+    ns = counts.column("n").to_pylist()
+    tri = {g: n for k, g, n in zip(kinds, grams, ns) if k == "3"}
+    bi = {g: n for k, g, n in zip(kinds, grams, ns) if k == "2"}
+    uni = {g: n for k, g, n in zip(kinds, grams, ns) if k == "1"}
+    n_chars = sum(n for k, _, n in zip(kinds, grams, ns) if k == "N")
+    if len(tri) > 500_000:
+        # the engine's max_grams cap would truncate by count with pandas
+        # nlargest tie-order — refuse to fixture that nondeterminism
+        raise RuntimeError("corpus trigram domain exceeds the fixture-safe cap")
+    lm = CharLM.from_counts(tri, bi, uni, n_chars)
+    milli = []
+    for text in t.column("text").to_pylist():
+        p = lm.perplexity(text or "")
+        milli.append(int(p * 1000) if math.isfinite(p) else -1)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "ppl_milli": pa.array(milli, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio / image / video oracles — serial input synthesis + the SAME batch
+# callables the stages run, applied once to the whole table
+# ---------------------------------------------------------------------------
+
+
+def _clips(sf_dir: str) -> pa.Table:
+    from ..sources.clips import clips_table_from_documents
+
+    return clips_table_from_documents(sf_dir)
+
+
+def so_audio_features(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioFeatureActor
+
+    out = AudioFeatureActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "codec", "decode_ok", "n_samples", "audio_rms", "clip_ratio"]
+    )
+
+
+def so_audio_spectral(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioSpectralActor
+
+    out = AudioSpectralActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "decode_ok", "centroid_hz", "bandwidth_hz", "rolloff_hz",
+         "dominant_hz", "zcr"]
+    )
+
+
+def so_vad_stats(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioFeatureActor, vad_stats_batch
+
+    feats = AudioFeatureActor(PipelineConfig())(_clips(sf_dir))
+    out = vad_stats_batch(feats)
+    return out.select(
+        ["clip_id", "silence_ratio", "lead_silence_ms", "trail_silence_ms",
+         "n_speech_segments"]
+    )
+
+
+def so_audio_transform(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioTransformActor
+
+    out = AudioTransformActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(["clip_id", "sr_hz", "codec", "transform_ok"])
+
+
+def so_flac_roundtrip(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioFeatureActor
+    from .queries import _flacify_batch
+
+    out = AudioFeatureActor(PipelineConfig())(_flacify_batch(_clips(sf_dir)))
+    return out.select(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
+
+
+def so_image_features(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.image import ImageFeatureActor
+    from .queries import _synth_image_rows
+
+    imgs = _synth_image_rows(_docs(sf_dir, ("doc_id",)))
+    out = ImageFeatureActor(PipelineConfig(), (12, 16))(imgs)
+    return out.select(
+        ["clip_id", "format", "decode_ok", "width", "height", "mean_lum", "std_lum"]
+    )
+
+
+def so_video_frames(sf_dir: str) -> pa.Table:
+    from ..stages.image import frame_sample_batch
+    from .queries import _synth_video_rows
+
+    vids = _synth_video_rows(_docs(sf_dir, ("doc_id",)))
+    out = frame_sample_batch(vids, "clip_id", "bytes", 4)
+    return out.select(["clip_id", "frame_index", "decode_ok"])
+
+
+# ---------------------------------------------------------------------------
+# registry + entry point
+# ---------------------------------------------------------------------------
+
+SERIAL_ORACLES = {
+    "q_minhash_pairs": so_minhash_pairs,
+    "q_simhash_pairs": so_simhash_pairs,
+    "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
+    "q_chunk_dedup": so_chunk_dedup,
+    "q_lsh_topk": so_lsh_topk,
+    "q_ivf_topk": so_ivf_topk,
+    "q_perplexity": so_perplexity,
+    "q_corpus_ppl": so_corpus_ppl,
+    "q_audio_features": so_audio_features,
+    "q_audio_spectral": so_audio_spectral,
+    "q_vad_stats": so_vad_stats,
+    "q_audio_transform": so_audio_transform,
+    "q_flac_roundtrip": so_flac_roundtrip,
+    "q_image_features": so_image_features,
+    "q_video_frames": so_video_frames,
+}
+
+
+def ensure_fixture(name: str, sf_dir: str) -> None:
+    """(Re)write the fixture for ``name`` against ``sf_dir``.  Called by the
+    query builders on entry; SPIDERRAY_SKIP_FIXTURES=1 (bench.py) skips it
+    so benchmark timings measure the engine, not the oracle."""
+    if os.environ.get("SPIDERRAY_SKIP_FIXTURES"):
+        return
+    write_fixture(name, SERIAL_ORACLES[name](sf_dir))

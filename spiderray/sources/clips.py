@@ -186,6 +186,21 @@ def synth_clips_dataset(n: int, with_audio: bool = True, override_num_blocks: in
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=4096)
 
 
+def docs_to_clips_batch(batch: pa.Table) -> pa.Table:
+    """One documents batch → one clips batch (pure per-row arithmetic; the
+    shared unit behind the distributed ``clips_from_documents`` and the
+    serial oracle path in pipelines/serial_oracles.py)."""
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    out = synth_clips_batch(ids)
+    # replace two of every three transcripts with the document text
+    mixed = [
+        texts[j] if (int(ids[j]) % 3) else out.column("transcript")[j].as_py()
+        for j in range(len(ids))
+    ]
+    return out.set_column(5, "transcript", pa.array(mixed, pa.string()))
+
+
 def clips_from_documents(sf_dir: str):
     """Derive a clips Dataset from the driver's documents table (FIXTURES.md
     F8): doc text becomes the transcript; audio bytes seeded by doc_id.
@@ -194,19 +209,16 @@ def clips_from_documents(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(docs_to_clips_batch, batch_format="pyarrow", batch_size=4096)
 
-    def to_clips(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
-        out = synth_clips_batch(ids)
-        # replace two of every three transcripts with the document text
-        mixed = [
-            texts[j] if (int(ids[j]) % 3) else out.column("transcript")[j].as_py()
-            for j in range(len(ids))
-        ]
-        return out.set_column(5, "transcript", pa.array(mixed, pa.string()))
 
-    return ds.map_batches(to_clips, batch_format="pyarrow", batch_size=4096)
+def clips_table_from_documents(sf_dir: str) -> pa.Table:
+    """Serial (no-Ray) twin of ``clips_from_documents`` — identical rows,
+    one table.  Used by the serial oracles."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs_to_clips_batch(t)
 
 
 def lance_available() -> bool:

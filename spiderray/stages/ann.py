@@ -116,15 +116,10 @@ def lsh_topk(
 _IVF_SEED = 20250817
 
 
-def ivf_train(ds, n_centroids: int = 64, sample_size: int = 10_000,
-              vec_col: str = "embedding", iters: int = 10) -> np.ndarray:
-    """Train a spherical k-means coarse quantizer on a corpus sample
-    (driver-side Lloyd iterations — the sample is bounded, the corpus is
-    not).  Deterministic: fixed seed + a LIMIT sample, so every run/worker
-    agrees on the centroids.  Returns unit-norm centroids (n_centroids × d)
-    for ray.put broadcast."""
-    sample = ds.limit(sample_size).to_pandas()
-    V = np.array(sample[vec_col].to_list(), dtype=np.float64)
+def spherical_kmeans(V: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over a (normalized) sample matrix —
+    the pure-numpy core shared by ``ivf_train`` (distributed sample) and the
+    serial oracle path (same matrix → bit-identical centroids)."""
     norms = np.linalg.norm(V, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     V = V / norms
@@ -141,6 +136,18 @@ def ivf_train(ds, n_centroids: int = 64, sample_size: int = 10_000,
                 if n > 0:
                     C[c] = m / n
     return C
+
+
+def ivf_train(ds, n_centroids: int = 64, sample_size: int = 10_000,
+              vec_col: str = "embedding", iters: int = 10) -> np.ndarray:
+    """Train a spherical k-means coarse quantizer on a corpus sample
+    (driver-side Lloyd iterations — the sample is bounded, the corpus is
+    not).  Deterministic: fixed seed + a LIMIT sample, so every run/worker
+    agrees on the centroids.  Returns unit-norm centroids (n_centroids × d)
+    for ray.put broadcast."""
+    sample = ds.limit(sample_size).to_pandas()
+    V = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    return spherical_kmeans(V, n_centroids, iters)
 
 
 def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):

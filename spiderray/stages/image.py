@@ -377,6 +377,41 @@ def image_features_stage(ds, cfg: PipelineConfig,
     )
 
 
+def frame_sample_batch(batch: pa.Table, id_col: str, bytes_col: str,
+                       every_k: int) -> pa.Table:
+    """One videos batch → one sampled-frames batch (pure; shared by the
+    distributed stage and the serial oracle path)."""
+    ids_out, fidx, frames, ok = [], [], [], []
+    for vid, buf in zip(batch.column(id_col).to_pylist(),
+                        batch.column(bytes_col).to_pylist()):
+        # buffer per video: a mid-stream truncation must not leave the
+        # video both sampled AND marked failed — discard partial frames
+        pend_i, pend_f = [], []
+        try:
+            for i, frame in enumerate(_iter_video_frames(buf or b"")):
+                if i % every_k == 0:
+                    pend_i.append(i)
+                    pend_f.append(frame)
+        except ImageDecodeUnsupported:
+            ids_out.append(vid)
+            fidx.append(-1)
+            frames.append(b"")
+            ok.append(False)
+            continue
+        ids_out.extend([vid] * len(pend_i))
+        fidx.extend(pend_i)
+        frames.extend(pend_f)
+        ok.extend([True] * len(pend_i))
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, pa.string()),
+            "frame_index": pa.array(fidx, pa.int32()),
+            "bytes": pa.array(frames, pa.binary()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
                        concurrency: int | tuple[int, int] = 4):
     """Video frame sampling: one row per SAMPLED frame (flat-map shape) —
@@ -385,40 +420,10 @@ def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
     from .perplexity_stage import _adaptive_pool
 
     id_col = cfg.id_col
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_out, fidx, frames, ok = [], [], [], []
-        for vid, buf in zip(batch.column(id_col).to_pylist(),
-                            batch.column(cfg.bytes_col).to_pylist()):
-            # buffer per video: a mid-stream truncation must not leave the
-            # video both sampled AND marked failed — discard partial frames
-            pend_i, pend_f = [], []
-            try:
-                for i, frame in enumerate(_iter_video_frames(buf or b"")):
-                    if i % every_k == 0:
-                        pend_i.append(i)
-                        pend_f.append(frame)
-            except ImageDecodeUnsupported:
-                ids_out.append(vid)
-                fidx.append(-1)
-                frames.append(b"")
-                ok.append(False)
-                continue
-            ids_out.extend([vid] * len(pend_i))
-            fidx.extend(pend_i)
-            frames.extend(pend_f)
-            ok.extend([True] * len(pend_i))
-        return pa.table(
-            {
-                id_col: pa.array(ids_out, pa.string()),
-                "frame_index": pa.array(fidx, pa.int32()),
-                "bytes": pa.array(frames, pa.binary()),
-                "decode_ok": pa.array(ok, pa.bool_()),
-            }
-        )
+    bytes_col = cfg.bytes_col
 
     return ds.map_batches(
-        fn,
+        lambda b: frame_sample_batch(b, id_col, bytes_col, every_k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=min(cfg.batch_size or 32, 32),  # video rows are very wide

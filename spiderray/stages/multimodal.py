@@ -262,25 +262,32 @@ def vad_stats_from_frames(frame_rms: list[float], frame_ms: int,
     return silence_ratio, lead, trail, n_segments
 
 
+def vad_stats_batch(batch: pa.Table, frame_ms: int = 20,
+                    threshold: float = 1e-3) -> pa.Table:
+    """One frame_rms-carrying batch → batch + VAD columns (pure; shared by
+    the distributed stage and the serial oracle path)."""
+    frames = batch.column("frame_rms").to_pylist()
+    ratios, leads, trails, segs = [], [], [], []
+    for fr in frames:
+        r, l, t, s = vad_stats_from_frames(fr or [], frame_ms, threshold)
+        ratios.append(r)
+        leads.append(l)
+        trails.append(t)
+        segs.append(s)
+    batch = batch.append_column("silence_ratio", pa.array(ratios, pa.float32()))
+    batch = batch.append_column("lead_silence_ms", pa.array(leads, pa.int32()))
+    batch = batch.append_column("trail_silence_ms", pa.array(trails, pa.int32()))
+    return batch.append_column("n_speech_segments", pa.array(segs, pa.int32()))
+
+
 def vad_stats_stage(ds, frame_ms: int = 20, threshold: float = 1e-3):
     """Stateless stage over (frame_rms) → silence/segment columns.  Input
     must already carry frame_rms (audio_features_stage)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        frames = batch.column("frame_rms").to_pylist()
-        ratios, leads, trails, segs = [], [], [], []
-        for fr in frames:
-            r, l, t, s = vad_stats_from_frames(fr or [], frame_ms, threshold)
-            ratios.append(r)
-            leads.append(l)
-            trails.append(t)
-            segs.append(s)
-        batch = batch.append_column("silence_ratio", pa.array(ratios, pa.float32()))
-        batch = batch.append_column("lead_silence_ms", pa.array(leads, pa.int32()))
-        batch = batch.append_column("trail_silence_ms", pa.array(trails, pa.int32()))
-        return batch.append_column("n_speech_segments", pa.array(segs, pa.int32()))
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: vad_stats_batch(b, frame_ms, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ---------------------------------------------------------------------------

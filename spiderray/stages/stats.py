@@ -66,16 +66,42 @@ def train_test_split(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _require_integer_domain(ds, col: str, caller: str) -> None:
+    """The exact-quantile shuffle is O(distinct values) — cheap for integer
+    domains (cents, counts, ms), ~O(n) for continuous doubles, where it
+    silently degenerates into shuffling every row.  Refuse floats loudly and
+    point at the bounded-error variant (round-2 verdict finding #4)."""
+    schema = ds.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", schema)
+    if hasattr(base, "field"):  # Arrow schema
+        t = base.field(col).type
+        is_float = pa.types.is_floating(t)
+    else:  # PandasBlockSchema (from_pandas datasets): names/types lists
+        t = dict(zip(base.names, base.types)).get(col)
+        is_float = t is not None and np.issubdtype(np.dtype(t), np.floating)
+    if is_float:
+        raise TypeError(
+            f"{caller}({col!r}): column is {t} — the value-histogram shuffle "
+            "is O(distinct values) and a continuous float column would "
+            "shuffle ~every row.  Quantize to an integer domain first "
+            "(e.g. cents) or use quantiles_approx() for a bounded-error "
+            "estimate over floats."
+        )
+
+
 def quantiles_exact(ds, col: str, qs: list[float], num_partitions: int | None = None):
     """Exact quantiles of an integer-domain column.  Returns a list of
     (q, value) with value at 1-based rank ceil(q*n) of the sorted column.
 
     Shape: per-batch partial value counts → groupby(value).Sum (one row per
     distinct value crosses the shuffle) → driver cumsum over the sorted
-    histogram (domain-bounded)."""
+    histogram (domain-bounded).  Floating-point columns are rejected — see
+    ``_require_integer_domain`` / ``quantiles_approx``."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
+
+    _require_integer_domain(ds, col, "quantiles_exact")
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_numpy(zero_copy_only=False)
@@ -98,6 +124,54 @@ def quantiles_exact(ds, col: str, qs: list[float], num_partitions: int | None = 
         rank = max(int(np.ceil(q * n)), 1)
         idx = int(np.searchsorted(cum, rank, side="left"))
         out.append((q, df[col].iloc[idx]))
+    return out
+
+
+def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
+    """Bounded-error quantiles for CONTINUOUS (float) columns: a fixed-bin
+    histogram between the distributed min/max.  Two passes — one Min/Max
+    aggregate, then a bin-count shuffle of at most ``n_bins`` rows — so the
+    shuffle is bounded by ``n_bins`` regardless of row count or value
+    domain (the t-digest-lite shape; a mergeable digest would add weighted
+    centroids but the error story is the same).
+
+    Error bound: the returned value is the UPPER EDGE of the bin containing
+    the true rank, so |estimate − true quantile value| ≤ (max−min)/n_bins.
+    Rank definition matches quantiles_exact (1-based ceil(q·n))."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = mm.get(f"min({col})"), mm.get(f"max({col})")
+    if lo is None or hi is None:
+        return [(q, None) for q in qs]
+    lo, hi = float(lo), float(hi)
+    if lo == hi:
+        return [(q, lo) for q in qs]
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = hist.to_pandas()
+    if df.empty:
+        return [(q, None) for q in qs]
+    df = df.sort_values("bin").reset_index(drop=True)
+    cum = df["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        b = int(df["bin"].iloc[idx])
+        out.append((q, lo + (b + 1) * width))
     return out
 
 
@@ -175,6 +249,8 @@ def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
     import pandas as pd
 
     from ray.data.aggregate import Sum
+
+    _require_integer_domain(ds, col, "grouped_quantiles_exact")
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

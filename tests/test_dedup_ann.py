@@ -789,3 +789,42 @@ class TestMinhashSigStore:
         assert a[key].equals(b[key])
         assert np.allclose(a.score.to_numpy(), b.score.to_numpy())
         assert (tmp_path / "sigs").exists() and any((tmp_path / "sigs").iterdir())
+
+
+class TestQuantileFloatGuard:
+    def test_float_column_rejected_loudly(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_quantiles_exact, quantiles_exact
+
+        ds = rd.from_pandas(pd.DataFrame({"g": ["a"] * 10, "v": np.linspace(0, 1, 10)}))
+        with pytest.raises(TypeError, match="integer domain"):
+            quantiles_exact(ds, "v", [0.5])
+        with pytest.raises(TypeError, match="integer domain"):
+            grouped_quantiles_exact(ds, "g", "v", [0.5]).to_pandas()
+
+    def test_int_path_unchanged(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_exact
+
+        vals = np.arange(1, 101, dtype=np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        out = dict(quantiles_exact(ds, "v", [0.5, 0.9]))
+        assert out[0.5] == 50 and out[0.9] == 90
+
+    def test_approx_bounded_error(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_approx
+
+        rng = np.random.default_rng(5)
+        vals = rng.normal(100.0, 15.0, 20_000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        n_bins = 4096
+        width = (vals.max() - vals.min()) / n_bins
+        s = np.sort(vals)
+        for q, est in quantiles_approx(ds, "v", [0.1, 0.5, 0.99], n_bins=n_bins):
+            rank = max(int(np.ceil(q * len(s))), 1)
+            true = s[rank - 1]
+            assert abs(est - true) <= width + 1e-9, (q, est, true, width)

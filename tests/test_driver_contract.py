@@ -136,11 +136,16 @@ class TestNullTextRobustness:
         "q_doc_keepdrop", "q_token_counts", "q_exact_dedup", "q_corpus_ppl",
         "q_prepare_corpus", "q_chunk_dedup", "q_news_from_html", "q_speech_rate",
     ])
-    def test_query_survives_fuzz_corpus(self, ray_session, fuzz_dir, name):
+    def test_query_survives_fuzz_corpus(self, ray_session, fuzz_dir, name,
+                                        monkeypatch):
         import ray.data
 
         from spiderray.pipelines.queries import QUERIES
 
+        # don't overwrite the committed sf0.01 oracle fixtures with
+        # fuzz-corpus content (serial_oracles.ensure_fixture regenerates on
+        # query entry; irrelevant here — no oracle compare happens)
+        monkeypatch.setenv("SPIDERRAY_SKIP_FIXTURES", "1")
         res = QUERIES[name](fuzz_dir)
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n > 0
