@@ -4,15 +4,18 @@ Upgrades the engine's flac path from a stub to a real decode for the
 common archival case: the container + bitstream layers of the public FLAC
 format (https://xiph.org/flac/format.html) — STREAMINFO parse, frame
 headers with CRC-8, and CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes
-with Rice-coded residuals — for mono streams up to 16-bit.  Multi-channel
-decorrelation and >16-bit depths raise ``FlacUnsupported`` (the caller's
-DecodeUnsupported path, exactly as before).
+with Rice-coded residuals — for mono AND stereo streams up to 24-bit.
+Stereo covers all four channel layouts: independent L/R and the three
+decorrelated modes (left/side, right/side, mid/side — the side subframe
+carries bps+1 bits per the spec).  >2 channels and >24-bit raise
+``FlacUnsupported`` (the caller's DecodeUnsupported path).
 
-A minimal encoder (VERBATIM / CONSTANT / FIXED frames) exists so tests are
-hermetic: encode → decode must be bit-exact.  The encoder writes fully
-spec-conformant streams — any compliant decoder reads them — but the pair
-being self-tested is documented: correctness is proven against the written
-spec and the roundtrip, not against libFLAC output.
+A minimal encoder (VERBATIM / CONSTANT / FIXED frames; all four stereo
+layouts; 16/24-bit) exists so tests are hermetic: encode → decode must be
+bit-exact.  The encoder writes fully spec-conformant streams — any
+compliant decoder reads them — but the pair being self-tested is
+documented: correctness is proven against the written spec and the
+roundtrip, not against libFLAC output.
 """
 
 from __future__ import annotations
@@ -245,7 +248,16 @@ def _write_rice_residual(w: _BitWriter, resid: np.ndarray, param: int) -> None:
 
 
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """bytes → (int16 samples, sample_rate).  Mono 16-bit subset."""
+    """bytes → (samples, sample_rate) — compat wrapper over
+    ``decode_flac_info``.  Mono ≤16-bit returns 1-D int16 (the historical
+    contract); stereo returns (n, 2) and 24-bit returns int32."""
+    samples, sr, _bps = decode_flac_info(data)
+    return samples, sr
+
+
+def decode_flac_info(data: bytes) -> tuple[np.ndarray, int, int]:
+    """bytes → (samples, sample_rate, bits_per_sample).  Mono → 1-D array,
+    stereo → (n, 2); dtype int16 for ≤16-bit, int32 for 17-24-bit."""
     if data[:4] != b"fLaC":
         raise FlacUnsupported("not a flac stream")
     pos = 4
@@ -274,19 +286,27 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         pos += 4 + length
         if last:
             break
-    if n_channels != 1:
-        raise FlacUnsupported(f"{n_channels} channels (mono subset)")
-    if bits_per_sample > 16:
-        raise FlacUnsupported(f"{bits_per_sample}-bit depth")
+    if n_channels not in (1, 2):
+        raise FlacUnsupported(f"{n_channels} channels (mono/stereo subset)")
+    if bits_per_sample > 24:
+        raise FlacUnsupported(f"{bits_per_sample}-bit depth (<=24 subset)")
 
-    samples: list[int] = []
+    chunks: list[np.ndarray] = []
+    n_done = 0
     while pos < len(data):
         frame, pos = _decode_frame(data, pos, sample_rate, bits_per_sample)
-        samples.extend(frame)
-        if total_samples and len(samples) >= total_samples:
+        chunks.append(frame)  # (block,) mono or (block, 2) stereo
+        n_done += len(frame)
+        if total_samples and n_done >= total_samples:
             break
-    out = np.array(samples[: total_samples or None], dtype=np.int16)
-    return out, sample_rate
+    dtype = np.int16 if bits_per_sample <= 16 else np.int32
+    if not chunks:
+        shape = (0,) if n_channels == 1 else (0, 2)
+        return np.zeros(shape, dtype=dtype), sample_rate, bits_per_sample
+    out = np.concatenate(chunks, axis=0)
+    if total_samples:
+        out = out[:total_samples]
+    return out.astype(dtype), sample_rate, bits_per_sample
 
 
 _BLOCKSIZE_TABLE = {
@@ -307,8 +327,10 @@ def _decode_frame(data: bytes, pos: int, sr: int, bps: int):
     ch_code = r.read(4)
     ss_code = r.read(3)
     r.read(1)  # reserved
-    if ch_code != 0:
-        raise FlacUnsupported("channel layout (mono subset)")
+    # channel assignment: 0 = mono, 1 = 2 independent channels,
+    # 8 = left/side, 9 = right/side, 10 = mid/side (side carries bps+1)
+    if ch_code not in (0, 1, 8, 9, 10):
+        raise FlacUnsupported("channel layout (mono/stereo subset)")
     _decode_utf8_number(r)  # frame number (unused; sequential decode)
     if bs_code == 6:
         block_size = r.read(8) + 1
@@ -329,7 +351,26 @@ def _decode_frame(data: bytes, pos: int, sr: int, bps: int):
     if crc8(data[pos:crc_offset]) != expect_crc8:
         raise FlacError("frame header crc8 mismatch")
 
-    samples = _decode_subframe(r, block_size, bps)
+    if ch_code == 0:
+        samples = np.array(_decode_subframe(r, block_size, bps), dtype=np.int64)
+    else:
+        # per-channel effective bps: the SIDE subframe carries one extra bit
+        # (left/side: ch1 is side; right/side: ch0 is side; mid/side: ch1)
+        extra = {1: (0, 0), 8: (0, 1), 9: (1, 0), 10: (0, 1)}[ch_code]
+        ch0 = np.array(_decode_subframe(r, block_size, bps + extra[0]), dtype=np.int64)
+        ch1 = np.array(_decode_subframe(r, block_size, bps + extra[1]), dtype=np.int64)
+        if ch_code == 1:      # independent
+            left, right = ch0, ch1
+        elif ch_code == 8:    # left/side: right = left - side
+            left, right = ch0, ch0 - ch1
+        elif ch_code == 9:    # right/side: left = right + side
+            left, right = ch0 + ch1, ch1
+        else:                 # mid/side (spec reconstruction):
+            mid, side = ch0, ch1
+            m2 = (mid << 1) | (side & 1)
+            left = (m2 + side) >> 1
+            right = (m2 - side) >> 1
+        samples = np.stack([left, right], axis=1)
 
     r.align()
     crc_pos = r.byte_pos()
@@ -390,11 +431,21 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> list[int]:
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
-                mode: str = "auto") -> bytes:
-    """int16 mono samples → FLAC bytes.  mode: 'verbatim' | 'constant-ok'
-    ('auto': constant frames for flat blocks, fixed order-2 when it wins,
-    else verbatim)."""
+                mode: str = "auto", bits_per_sample: int = 16,
+                stereo_mode: str = "independent") -> bytes:
+    """mono (n,) or stereo (n, 2) int samples → FLAC bytes.
+
+    mono mode: 'verbatim' | 'constant-ok' ('auto': constant frames for flat
+    blocks, fixed order-2 when it wins, else verbatim).  Stereo frames are
+    VERBATIM subframes in the chosen ``stereo_mode`` ('independent' |
+    'left-side' | 'right-side' | 'mid-side' — the decorrelated layouts per
+    the spec, side subframe at bps+1).  ``bits_per_sample``: 16 or 24."""
     samples = np.asarray(samples, dtype=np.int64)
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise ValueError("stereo input must be (n, 2)")
+    if bits_per_sample not in (16, 24):
+        raise ValueError("bits_per_sample must be 16 or 24")
     n = len(samples)
     out = bytearray(b"fLaC")
     # STREAMINFO (last metadata block)
@@ -404,8 +455,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)        # channels - 1
-    si.write(15, 5)       # bits per sample - 1 = 15
+    si.write(1 if stereo else 0, 3)       # channels - 1
+    si.write(bits_per_sample - 1, 5)
     si.write(n, 36)
     si.write(0, 128)      # md5 (unset)
     si_bytes = si.bytes()
@@ -418,13 +469,21 @@ def encode_flac(samples: np.ndarray, sample_rate: int, block_size: int = 4096,
         block = samples[start : start + block_size]
         if len(block) == 0:
             break
-        out += _encode_frame(block, sample_rate, frame_no, block_size, mode)
+        if stereo:
+            out += _encode_stereo_frame(block, frame_no, bits_per_sample, stereo_mode)
+        else:
+            out += _encode_frame(block, sample_rate, frame_no, block_size, mode,
+                                 bits_per_sample)
         frame_no += 1
     return bytes(out)
 
 
+# frame-header sample-size codes (subset): bps → 3-bit code
+_SS_CODE = {16: 4, 24: 6}
+
+
 def _encode_frame(block: np.ndarray, sr: int, frame_no: int, nominal_bs: int,
-                  mode: str) -> bytes:
+                  mode: str, bps: int = 16) -> bytes:
     w = _BitWriter()
     w.write(0b11111111111110, 14)
     w.write(0, 1)   # reserved
@@ -432,7 +491,7 @@ def _encode_frame(block: np.ndarray, sr: int, frame_no: int, nominal_bs: int,
     w.write(7, 4)   # block size: 16-bit field follows
     w.write(0, 4)   # sample rate: from STREAMINFO
     w.write(0, 4)   # mono
-    w.write(4, 3)   # 16 bps
+    w.write(_SS_CODE[bps], 3)
     w.write(0, 1)
     for b in _encode_utf8_number(frame_no):
         w.write(b, 8)
@@ -451,13 +510,13 @@ def _encode_frame(block: np.ndarray, sr: int, frame_no: int, nominal_bs: int,
         body.write(0, 1)
         body.write(0, 6)       # CONSTANT
         body.write(0, 1)
-        body.write(int(block[0]), 16)
+        body.write(int(block[0]), bps)
     elif use_fixed:
         body.write(0, 1)
         body.write(8 + 2, 6)   # FIXED order 2
         body.write(0, 1)
-        body.write(int(block[0]), 16)
-        body.write(int(block[1]), 16)
+        body.write(int(block[0]), bps)
+        body.write(int(block[1]), bps)
         resid = block[2:] - 2 * block[1:-1] + block[:-2]
         mean_abs = max(float(np.abs(resid).mean()), 1.0)
         param = min(max(int(np.log2(mean_abs)) + 1, 0), 14)
@@ -467,7 +526,56 @@ def _encode_frame(block: np.ndarray, sr: int, frame_no: int, nominal_bs: int,
         body.write(1, 6)       # VERBATIM
         body.write(0, 1)
         for v in block:
-            body.write(int(v), 16)
+            body.write(int(v), bps)
+    body.align()
+    frame = header + body.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _write_verbatim_subframe(body: _BitWriter, ch: np.ndarray, eff_bps: int) -> None:
+    body.write(0, 1)
+    body.write(1, 6)   # VERBATIM
+    body.write(0, 1)   # no wasted bits
+    for v in ch:
+        body.write(int(v), eff_bps)
+
+
+def _encode_stereo_frame(block: np.ndarray, frame_no: int, bps: int,
+                         stereo_mode: str) -> bytes:
+    """One stereo frame, VERBATIM subframes in the requested channel layout
+    (the hermetic counterpart of the stereo decode paths)."""
+    left = block[:, 0].astype(np.int64)
+    right = block[:, 1].astype(np.int64)
+    if stereo_mode == "independent":
+        ch_code, ch0, ch1, extra = 1, left, right, (0, 0)
+    elif stereo_mode == "left-side":
+        ch_code, ch0, ch1, extra = 8, left, left - right, (0, 1)
+    elif stereo_mode == "right-side":
+        ch_code, ch0, ch1, extra = 9, left - right, right, (1, 0)
+    elif stereo_mode == "mid-side":
+        ch_code, ch0, ch1, extra = 10, (left + right) >> 1, left - right, (0, 1)
+    else:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)   # reserved
+    w.write(0, 1)   # fixed blocking
+    w.write(7, 4)   # block size: 16-bit field follows
+    w.write(0, 4)   # sample rate: from STREAMINFO
+    w.write(ch_code, 4)
+    w.write(_SS_CODE[bps], 3)
+    w.write(0, 1)
+    for b in _encode_utf8_number(frame_no):
+        w.write(b, 8)
+    w.write(len(block) - 1, 16)
+    w.align()
+    header = w.bytes()
+    header += bytes([crc8(header)])
+
+    body = _BitWriter()
+    _write_verbatim_subframe(body, ch0, bps + extra[0])
+    _write_verbatim_subframe(body, ch1, bps + extra[1])
     body.align()
     frame = header + body.bytes()
     return frame + crc16(frame).to_bytes(2, "big")

@@ -61,15 +61,20 @@ def _decode_one(buf: bytes, codec: str) -> np.ndarray:
     if codec == "wav":
         return _parse_wav(buf)
     if codec == "flac":
-        # from-scratch FLAC subset (functions/flacdec.py): mono ≤16-bit,
-        # CONSTANT/VERBATIM/FIXED subframes; LPC/stereo → unsupported
-        from ..functions.flacdec import FlacError, FlacUnsupported, decode_flac
+        # from-scratch FLAC subset (functions/flacdec.py): mono/stereo
+        # ≤24-bit, CONSTANT/VERBATIM/FIXED/LPC subframes, all four stereo
+        # layouts; >2ch / >24-bit → unsupported
+        from ..functions.flacdec import FlacError, FlacUnsupported, decode_flac_info
 
         try:
-            samples, _sr = decode_flac(buf)
+            samples, _sr, bps = decode_flac_info(buf)
         except (FlacUnsupported, FlacError, IndexError):
             raise DecodeUnsupported("flac") from None
-        return samples.astype(np.float32) / 32767.0
+        x = samples.astype(np.float32)
+        if x.ndim == 2:
+            x = x.mean(axis=1)  # downmix stereo for the mono feature path
+        scale = float((1 << (bps - 1)) - 1) or 1.0
+        return x / scale
     # opus/... need libopus — not in this container
     raise DecodeUnsupported(codec)
 

@@ -1,4 +1,4 @@
-"""From-scratch FLAC subset codec (functions/flacdec.py): hermetic
+"""From-scratch FLAC subset codec (functions/F.py): hermetic
 encode→decode roundtrips, stream-integrity checks, and subset boundaries.
 Correctness is proven against the public format spec + roundtrip (no
 libFLAC in this container; documented in the module docstring)."""
@@ -68,13 +68,12 @@ class TestIntegrity:
 
 
 class TestSubsetBoundaries:
-    def test_stereo_rejected(self):
-        # hand-build a STREAMINFO with 2 channels
+    def test_three_channels_rejected(self):
+        # stereo is now a supported layout (round 3); >2 channels stays
+        # outside the subset — hand-build a STREAMINFO claiming 3 channels
         enc = bytearray(F.encode_flac(_sine(sec=0.05), 16000))
-        # STREAMINFO channel bits live in byte 4+4+12 (20-bit sr + 3-bit ch)
-        # easier: flip via re-encode of the streaminfo field — patch the byte
-        # holding channels-1 (bits 4-6 of byte offset 8+12=20)
-        enc[20] = (enc[20] & 0b11110001) | (1 << 1)  # channels-1 = 1
+        # channels-1 sits in bits 4-6 of STREAMINFO body byte 12 (abs 20)
+        enc[20] = (enc[20] & 0b11110001) | (2 << 1)  # channels-1 = 2
         with pytest.raises(F.FlacUnsupported):
             F.decode_flac(bytes(enc))
 
@@ -188,3 +187,87 @@ class TestLpc:
         r = F._BitReader(w.bytes())
         with pytest.raises((F.FlacError, F.FlacUnsupported)):
             F._decode_subframe(r, 4, 16)
+
+
+class TestStereo24:
+    """Round-3: stereo decorrelation (all four layouts) + 24-bit depth."""
+
+    def _stereo(self, n=5000, seed=3):
+        rng = np.random.default_rng(seed)
+        left = (rng.standard_normal(n) * 9000).astype(np.int64)
+        right = (left * 0.8 + rng.standard_normal(n) * 500).astype(np.int64)
+        return np.stack([np.clip(left, -32768, 32767),
+                         np.clip(right, -32768, 32767)], axis=1)
+
+    @pytest.mark.parametrize("mode", ["independent", "left-side",
+                                      "right-side", "mid-side"])
+    def test_stereo_roundtrip_bit_exact(self, mode):
+        s = self._stereo()
+        buf = F.encode_flac(s, 16000, stereo_mode=mode)
+        out, sr, bps = F.decode_flac_info(buf)
+        assert sr == 16000 and bps == 16
+        assert out.shape == s.shape
+        assert (out == s).all(), mode
+
+    def test_mid_side_odd_sums(self):
+        # mid = (l+r)>>1 floors; reconstruction must recover exact values
+        # when l+r is odd (the (side & 1) carry bit in the spec decode)
+        s = np.array([[3, 2], [-3, 2], [1, 0], [-1, 0], [32767, -32768]],
+                     dtype=np.int64)
+        buf = F.encode_flac(s, 8000, stereo_mode="mid-side", block_size=5)
+        out, _, _ = F.decode_flac_info(buf)
+        assert (out == s).all()
+
+    def test_24bit_mono_roundtrip(self):
+        rng = np.random.default_rng(7)
+        s = (rng.standard_normal(4000) * 4_000_000).astype(np.int64)
+        s = np.clip(s, -(1 << 23), (1 << 23) - 1)
+        buf = F.encode_flac(s, 22050, bits_per_sample=24, mode="verbatim")
+        out, sr, bps = F.decode_flac_info(buf)
+        assert bps == 24 and out.dtype == np.int32
+        assert (out == s).all()
+
+    def test_24bit_stereo_roundtrip(self):
+        rng = np.random.default_rng(11)
+        s = (rng.standard_normal((3000, 2)) * 3_000_000).astype(np.int64)
+        s = np.clip(s, -(1 << 23), (1 << 23) - 1)
+        for mode in ("left-side", "mid-side"):
+            buf = F.encode_flac(s, 16000, bits_per_sample=24,
+                                      stereo_mode=mode)
+            out, _, bps = F.decode_flac_info(buf)
+            assert bps == 24 and (out == s).all(), mode
+
+    def test_stereo_flows_audio_gate(self):
+        # a stereo flac clip must decode_ok=True through the feature stage
+        # kernel and pass the audio gate (decode_ok path, not pass-through)
+        import pyarrow as pa
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import AudioFeatureActor, audio_gate_decision
+
+        t = np.arange(16000) / 16000.0
+        wave = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int64)
+        s = np.stack([wave, wave // 2], axis=1)
+        buf = F.encode_flac(s, 16000, stereo_mode="mid-side")
+        batch = pa.table({
+            "clip_id": ["st1"], "bytes": [buf], "sr_hz": pa.array([16000], pa.int32()),
+            "dur_ms": pa.array([1000], pa.int32()), "codec": ["flac"],
+            "transcript": ["three words here"],
+        })
+        out = AudioFeatureActor(PipelineConfig())(batch)
+        assert out.column("decode_ok")[0].as_py() is True
+        assert out.column("n_samples")[0].as_py() == 16000
+        assert out.column("audio_rms")[0].as_py() > 0.1
+        ok, reason = audio_gate_decision(buf, "flac", 16000, 1000, "three words here")
+        assert ok and reason == ""
+
+    def test_three_channels_still_unsupported(self):
+        # hand-build a STREAMINFO claiming 3 channels → FlacUnsupported
+        buf = bytearray(F.encode_flac(np.zeros(10, dtype=np.int64), 8000))
+        # STREAMINFO byte layout: channels sit in byte 4+4+ (16+16+24+24+20 bits)
+        # = bit offset 100 within the 34-byte body starting at offset 8
+        body_off = 8
+        b = buf[body_off + 12]
+        buf[body_off + 12] = (b & 0b11110001) | (2 << 1)  # channels-1 = 2
+        with pytest.raises(F.FlacUnsupported):
+            F.decode_flac_info(bytes(buf))
