@@ -77,6 +77,11 @@ def run_queries() -> dict[str, float]:
         ("q_value_quantiles", q.q_value_quantiles),
         ("q_corpus_ppl", q.q_corpus_ppl),
         ("q_prepare_corpus", q.q_prepare_corpus),
+        ("q_ngram_jaccard_pairs", q.q_ngram_jaccard_pairs),
+        # hot-key join: salted vs unsalted on the same planted 33%-share key
+        # (the straggler-partition comparison the salted join exists for)
+        ("q_salted_skew_join", q.q_salted_skew_join),
+        ("q_skew_join_unsalted", lambda sf: q.q_salted_skew_join(sf, use_salt=False)),
     ]
     import ray.data
 

@@ -117,6 +117,29 @@ def synth_audio(i: int, sr_hz: int, n_samples: int) -> bytes:
     return pcm.tobytes()
 
 
+def _clip_bytes(i: int, sr_hz: int, n_samples: int) -> bytes:
+    """Per-clip audio payload: raw PCM16 for most codecs; opus rows are
+    wrapped in a REAL Ogg-Opus container (functions/oggopus.py — valid
+    framing/CRCs/OpusHead, opaque payload) whose granule duration matches
+    the clip metadata, so the container gate exercises its pass path on
+    real structure.  Two deterministic fault strata per opus rotation:
+    every 8th opus clip (phase 7) gets a flipped CRC → 'bad_container';
+    phase 3 gets a granule claiming 2x the samples → 'duration_mismatch'."""
+    pcm = synth_audio(i, sr_hz, n_samples)
+    if _CODECS[i % len(_CODECS)] != "opus":
+        return pcm
+    from ..functions.oggopus import encode_ogg_opus
+
+    phase = (i // len(_CODECS)) % 8
+    claimed = n_samples * 2 if phase == 3 else n_samples
+    buf = encode_ogg_opus(pcm, claimed, sr_hz)
+    if phase == 7:
+        buf = bytearray(buf)
+        buf[-1] ^= 0xFF  # corrupt the final page body → CRC mismatch
+        buf = bytes(buf)
+    return buf
+
+
 def decode_pcm16(b: bytes) -> np.ndarray:
     """PCM16LE → float64 samples in [-1, 1] (the decode side of the
     decoded-PCM allclose invariant)."""
@@ -146,7 +169,7 @@ def synth_clips_batch(indices: np.ndarray, with_audio: bool = True) -> pa.Table:
     n_samples = srs // 4 + (idx % 5) * srs // 100  # ~250-300 ms
     if with_audio:
         bufs = [
-            synth_audio(int(i), int(sr), int(n))
+            _clip_bytes(int(i), int(sr), int(n))
             for i, sr, n in zip(idx, srs, n_samples)
         ]
     else:

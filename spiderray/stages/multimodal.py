@@ -1,13 +1,16 @@
 """Multimodal (audio) stages — opaque ``bytes`` columns with typed metadata
 (SURVEY.md engine-additions).
 
-The pcm_s16le path is REAL: zero-copy-ish numpy decode, per-clip features
-(rms/peak/clipping), 20 ms frame-energy sampling.  Compressed codecs
-(flac/opus/...) are STUBBED — the audio libraries are not in this container —
-behind ``DecodeUnsupported``: the stage marks ``decode_ok=False`` and emits
-zeroed features for those rows (a clearly-marked deterministic fake; the Ray
-plumbing — schema, actor signature, batch sizing, output layout — is real and
-tested).  Swapping in a real decoder changes only ``_decode_one``.
+Per-codec decode semantics:
+  * pcm_s16le / mulaw / wav — REAL numpy decode.
+  * flac — REAL from-scratch subset decode (functions/flacdec.py:
+    mono/stereo ≤24-bit, all subframe + stereo-decorrelation modes).
+  * opus — PCM decode is STUBBED (libopus absent → ``decode_ok=False``),
+    but the Ogg CONTAINER layer is REAL (functions/oggopus.py): the audio
+    gate validates framing/CRC/OpusHead and the granule-position duration,
+    so corrupt or metadata-contradicting opus clips drop with a real
+    reason instead of passing through.
+Swapping in a real PCM decoder changes only ``_decode_one``.
 
 Batch sizing: audio rows are wide (bytes payload), so these stages run with a
 smaller batch_size than text stages — batch bytes ≈ batch_size × avg clip
@@ -341,12 +344,27 @@ def audio_gate_decision(
     the vectorized stage and the row oracle (same function → F1 stays 1.0).
 
     Rules, in order:
-      * undecodable codec → gate does not apply (the codec allowlist is the
-        authority on codecs; this gate judges SIGNAL)
+      * opus → CONTAINER judgment (functions/oggopus.py): corrupt Ogg
+        framing/CRC/OpusHead → 'bad_container'; granule duration
+        contradicting the dur_ms metadata by >80 ms → 'duration_mismatch';
+        a valid container passes (PCM decode_ok stays False — libopus is
+        absent, so signal rules below cannot apply)
+      * other undecodable codecs → gate does not apply (the codec
+        allowlist is the authority on codecs; this gate judges SIGNAL)
       * rms below ``min_rms`` → 'silent_audio'
       * words-per-second outside [min_wps, max_wps] → 'speech_rate'
         (duration from the DECODED samples when available, else dur_ms)
     """
+    if (codec or "") == "opus":
+        from ..functions.oggopus import OggError, parse_ogg_opus
+
+        try:
+            info = parse_ogg_opus(buf or b"")
+        except OggError:
+            return False, "bad_container"
+        if dur_ms and abs(info["duration_ms"] - dur_ms) > 80:
+            return False, "duration_mismatch"
+        return True, ""
     try:
         pcm = _decode_one(buf or b"", codec or "")
     except DecodeUnsupported:

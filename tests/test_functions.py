@@ -342,6 +342,35 @@ class TestDomains:
     def test_domain_top(self, host, top):
         assert domains.domain_top(host) == top
 
+    # round-3 snapshot widening: multi-label ccTLD suffixes the round-2
+    # verdict named as silently mis-split (com.pe, co.ve, com.co) plus the
+    # PSL wildcard (*.ck, *.np, *.kh, ...) and exception (!www.ck) rules
+    @pytest.mark.parametrize(
+        "host,top",
+        [
+            ("www.elcomercio.com.pe", "elcomercio.com.pe"),
+            ("noticias.eluniversal.co.ve", "eluniversal.co.ve"),
+            ("www.eltiempo.com.co", "eltiempo.com.co"),
+            ("portal.gob.pe", "portal.gob.pe"),
+            ("a.b.com.uy", "b.com.uy"),
+            ("site.com.np", "site.com.np"),      # *.np wildcard
+            ("x.y.anything.np", "y.anything.np"),  # wildcard: any 2nd label
+            ("news.com.kh", "news.com.kh"),      # *.kh wildcard
+            ("www.ck", "www.ck"),                # !www.ck: registrable
+            ("shop.www.ck", "www.ck"),           # eTLD+1 under the exception
+            ("foo.other.ck", "foo.other.ck"),
+        ],
+    )
+    def test_widened_psl(self, host, top):
+        assert domains.domain_top(host) == top
+
+    def test_wildcard_exception_www_ck(self):
+        # !www.ck: www.ck is registrable (suffix is plain "ck"), while any
+        # other x.ck is itself a public suffix
+        d = domains.domain_parse("www.ck")
+        assert d is not None and (d.domain, d.tld) == ("www", "ck")
+        assert domains.domain_parse("other.ck") is None
+
     def test_domain_parse_parts(self):
         d = domains.domain_parse("dealer.auto.sohu.com")
         assert (d.subdomain, d.domain, d.tld) == ("dealer.auto", "sohu", "com")
