@@ -85,3 +85,71 @@ class TestStressDedup:
         found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
         assert (50_003, 50_007) in found
         assert all(a >= 50_000 for a, _ in found)
+
+
+class TestStressPrepareCorpus:
+    def test_many_winners_no_driver_id_set(self, ray_session, monkeypatch):
+        """>1e6 winners with planted duplicates through the round-3
+        loser-shaped dup marking (pipelines/prepare_corpus): the winner id
+        set must never materialize on the driver — only LOSER ids (== dup
+        volume) may broadcast, and with broadcast_max_losers=0 the bucketed
+        mark join runs with nothing driver-side at all.  Drives the marking
+        machinery directly on a pre-decided 1.2M-row table (the decide
+        kernels are covered elsewhere; this is the shuffle/broadcast
+        contract)."""
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from spiderray.pipelines import prepare_corpus as pc
+
+        n = 1_200_000
+        n_dups = 2_000
+        ids = np.concatenate([np.arange(n), np.arange(n, n + n_dups)])
+        texts = [f"doc {i}" for i in range(n)] + [f"doc {i}" for i in range(n_dups)]
+        decided = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "keep": pa.array(np.ones(len(ids), dtype=bool)),
+            "drop_reason": pa.array([""] * len(ids), pa.string()),
+        })).materialize()
+
+        losers = pc._loser_ids(decided, "text", "doc_id").materialize()
+        assert losers.count() == n_dups
+        loser_ids = set(losers.to_pandas()["doc_id"])
+        assert loser_ids == set(range(n, n + n_dups))
+
+        # (a) join path: nothing rides ray.put
+        put_sizes = []
+        real_put = ray.put
+
+        def spy_put(obj, *a, **kw):
+            try:
+                size = len(obj)
+            except TypeError:
+                size = -1
+            put_sizes.append(size)
+            return real_put(obj, *a, **kw)
+
+        monkeypatch.setattr(ray, "put", spy_put)
+        marked = pc._mark_losers_join(decided, losers, "doc_id")
+        got = marked.map_batches(
+            lambda t: t.select(["doc_id", "keep", "drop_reason"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+        assert len(got) == n + n_dups
+        dup_rows = got[got.drop_reason == "duplicate"]
+        assert len(dup_rows) == n_dups and (dup_rows.doc_id >= n).all()
+        assert not dup_rows.keep.any()
+        assert all(sz < 0 or sz < 10_000 for sz in put_sizes), put_sizes
+
+        # (b) broadcast path: the ONLY sized ray.put payload is loser-sized
+        put_sizes.clear()
+        marked_b = pc._mark_losers_broadcast(decided, losers, "doc_id")
+        got_b = marked_b.map_batches(
+            lambda t: t.select(["doc_id", "keep", "drop_reason"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+        assert int((got_b.drop_reason == "duplicate").sum()) == n_dups
+        sized = [sz for sz in put_sizes if sz >= 0]
+        assert sized and max(sized) <= n_dups, put_sizes
