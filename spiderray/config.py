@@ -34,10 +34,16 @@ class PipelineConfig:
     # ActorPoolStrategy stage for models too large to replicate per worker
     perplexity_actor_pool: bool = False
 
-    # execution knobs — sized so that at 32 cpus the langid/quality stages
-    # don't starve the read/write stages; batch counts not bytes because rows
-    # carry the audio payload (batch bytes ≈ batch_size × avg clip size).
-    batch_size: int = 1024
+    # execution knobs.  batch_size=None = "one batch per block": the BLOCK
+    # is the parallelism unit, so the read/generator block count (or the
+    # DataContext target block size at scale) sets both task granularity
+    # and vectorization width.  A fixed row count here made Ray's batch
+    # coalescer bundle multiple small blocks per task and collapse the
+    # fused flagship chain to ceil(n/batch_size) tasks — 13 tasks on 32
+    # cpus (measured 3.1x slower end-to-end, round 3).  Stages with wide
+    # payload rows (audio/image/video) still cap their own batch size
+    # bytes-wise via min(batch_size or cap, cap).
+    batch_size: int | None = None
     langid_concurrency: int | tuple[int, int] = (1, 8)
     perplexity_concurrency: int | tuple[int, int] = 8  # fixed pool: actor creation mid-run costs more than idle actors
 

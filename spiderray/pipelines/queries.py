@@ -2048,25 +2048,30 @@ ORDER BY o.event_type, q.q_pct
 
 def _synth_image_rows(batch: pa.Table) -> pa.Table:
     """Deterministic small images derived from doc_id: 2/3 real PPM
-    gradients (phase from doc_id), 1/3 stub 'png' rows."""
+    gradients, 1/3 REAL baseline JPEGs (functions/jpegdec.py) — of which
+    every 3rd is truncated mid-stream to exercise the mark-don't-crash
+    path (decode_ok=False)."""
+    from ..functions.jpegdec import encode_jpeg
     from ..stages.image import encode_ppm
 
     ids = batch.column("doc_id").to_numpy()
     bufs, fmts, cids = [], [], []
     for i in ids:
         cids.append(f"img_{int(i):08d}")
+        h, w = 24, 32
+        y = (np.arange(h, dtype=np.int64)[:, None] * 8 + int(i)) % 256
+        x = (np.arange(w, dtype=np.int64)[None, :] * 8 + int(i) * 3) % 256
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[..., 0] = y
+        img[..., 1] = x
+        img[..., 2] = int(i) % 256
         if i % 3 == 2:
-            # jpeg is the remaining stub format (png decodes for real now)
-            bufs.append(b"\xff\xd8\xff\xe0 jpeg stub")
+            jb = encode_jpeg(img, quality=90)
+            if (i // 3) % 3 == 2:
+                jb = jb[: len(jb) // 2]  # deterministic corrupt stratum
+            bufs.append(jb)
             fmts.append("jpeg")
         else:
-            h, w = 24, 32
-            y = (np.arange(h, dtype=np.int64)[:, None] * 8 + int(i)) % 256
-            x = (np.arange(w, dtype=np.int64)[None, :] * 8 + int(i) * 3) % 256
-            img = np.zeros((h, w, 3), dtype=np.uint8)
-            img[..., 0] = y
-            img[..., 1] = x
-            img[..., 2] = int(i) % 256
             bufs.append(encode_ppm(img))
             fmts.append("ppm")
     return pa.table(

@@ -206,7 +206,12 @@ def synth_clips_dataset(n: int, with_audio: bool = True, override_num_blocks: in
     def gen(batch: pa.Table) -> pa.Table:
         return synth_clips_batch(batch.column("id").to_numpy(), with_audio=with_audio)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=4096)
+    # batch_size=None → one task per input block: the caller's block count
+    # (not the batch coalescer) sets the parallelism.  A fixed 4096 here
+    # made the FUSED downstream chain bundle 4096-row tasks — 13 tasks for
+    # 50k clips, starving 32 cpus (measured: the whole flagship collapsed
+    # to ceil(n/4096) tasks).
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def docs_to_clips_batch(batch: pa.Table) -> pa.Table:

@@ -98,7 +98,20 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         return out
     if fmt == "png":
         return _decode_png(buf)
-    # jpeg/webp need DCT/VP8 codecs — absent imaging libs
+    if fmt in ("jpeg", "jpg"):
+        # from-scratch baseline JPEG (functions/jpegdec.py): T.81 markers,
+        # Annex-F Huffman, dequant + IDCT, 4:2:0/4:2:2 chroma upsampling.
+        # Progressive/arithmetic/12-bit stay unsupported.
+        from ..functions.jpegdec import JpegError, JpegUnsupported, decode_jpeg
+
+        try:
+            img = decode_jpeg(buf)
+        except (JpegError, JpegUnsupported, IndexError, ValueError):
+            raise ImageDecodeUnsupported("jpeg") from None
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img
+    # webp needs a VP8 codec — absent imaging libs
     raise ImageDecodeUnsupported(fmt)
 
 

@@ -105,3 +105,12 @@ class TestOpusGate:
             assert (reason or "") == expect, (i, phase, reason)
         assert got["bad_container"] > 0 and got["duration_mismatch"] > 0
         assert got["pass"] > got["bad_container"]
+
+
+class TestCrcParity:
+    def test_fast_crc_equals_table_reference(self):
+        import os
+
+        for n in (0, 1, 3, 255, 4096, 16001):
+            d = os.urandom(n)
+            assert O.ogg_crc32(d) == O._ogg_crc32_table(d), n
