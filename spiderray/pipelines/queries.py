@@ -66,8 +66,20 @@ def _read(sf_dir: str, table: str, columns=None):
     if size is not None and size < (64 << 20):
         # ~1 block per 2 MB, between 2 and 16
         nb = max(2, min(16, size // (2 << 20) + 1))
-        return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
-    return rd.read_parquet(path, columns=columns)
+        ds = rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    else:
+        ds = rd.read_parquet(path, columns=columns)
+    # strip file-level schema metadata (the pandas-metadata dict): Ray's
+    # schema-dedup cache hashes schemas and fails on it ("Failed to hash
+    # the schemas ... unhashable type: 'dict'"), re-unifying per block —
+    # the same defect class the round-2 pandas-metadata strip fixed.  The
+    # strip is zero-copy and fuses with the read.
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
 
 
 

@@ -47,6 +47,13 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     must be disjoint apart from the key."""
     right_on = right_on or on
 
+    # column provenance resolved ONCE from the schemas: merge_bucket slices
+    # each side by its own column list, so a legitimately all-null data
+    # column within a bucket survives (the old dropna(axis=1, how='all')
+    # union-unpadding silently dropped it — round-2 verdict minor #6)
+    left_cols = list(left.schema(fetch_if_missing=True).names)
+    right_cols = list(right.schema(fetch_if_missing=True).names)
+
     def tag(side: int, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
@@ -73,8 +80,8 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
         rhs = g[g["__side"] == 1]
         if lhs.empty or rhs.empty:
             return pd.DataFrame()
-        lhs = lhs.dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
-        rhs = rhs.dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        lhs = lhs[[c for c in left_cols if c in g.columns]]
+        rhs = rhs[[c for c in right_cols if c in g.columns]]
         return lhs.merge(rhs, left_on=on, right_on=right_on)
 
     return tagged.groupby("__bucket", num_partitions=min(num_buckets, 16)).map_groups(

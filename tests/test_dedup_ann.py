@@ -828,3 +828,22 @@ class TestQuantileFloatGuard:
             rank = max(int(np.ceil(q * len(s))), 1)
             true = s[rank - 1]
             assert abs(est - true) <= width + 1e-9, (q, est, true, width)
+
+
+class TestBucketedJoinNullColumn:
+    def test_all_null_data_column_survives(self, ray_session):
+        """A legitimately all-null column on one side must survive the
+        bucketed join (regression: union-unpadding via dropna dropped it)."""
+        import ray.data as rd
+
+        from spiderray.stages.joins import bucketed_join
+
+        left = rd.from_pandas(pd.DataFrame({
+            "k": [1, 2, 3], "lval": [10, 20, 30],
+            "maybe": pd.array([None, None, None], dtype="Int64"),
+        }))
+        right = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "rval": [7, 8, 9]}))
+        out = bucketed_join(left, right, on="k").to_pandas().sort_values("k")
+        assert "maybe" in out.columns
+        assert out["maybe"].isna().all()
+        assert list(out["rval"]) == [7, 8, 9]
