@@ -47,7 +47,7 @@ def run_flagship() -> tuple[float, int]:
     t0 = time.perf_counter()
     # block count independent of cpu count so the scaling comparison runs the
     # SAME physical plan at both parallelism levels
-    n_blocks = max(64, N_CLIPS // 4096)
+    n_blocks = max(64, N_CLIPS // 4096)  # ≈4096-row blocks (bundled to 1024-row batches): measured best at low cpu counts; the 64-block floor governs ≤256k clips
     ds = quality_filter(synth_clips_dataset(N_CLIPS, override_num_blocks=n_blocks))
     n = ds.count()
     dt = time.perf_counter() - t0
@@ -183,7 +183,7 @@ def bench_stats() -> None:
 
     configure_context()
     _warmup()
-    n_blocks = max(64, N_CLIPS // 4096)
+    n_blocks = max(64, N_CLIPS // 4096)  # ≈4096-row blocks (bundled to 1024-row batches): measured best at low cpu counts; the 64-block floor governs ≤256k clips
     mat = quality_filter(synth_clips_dataset(N_CLIPS, override_num_blocks=n_blocks)).materialize()
     print(mat.stats())
     ray.shutdown()

@@ -34,16 +34,18 @@ class PipelineConfig:
     # ActorPoolStrategy stage for models too large to replicate per worker
     perplexity_actor_pool: bool = False
 
-    # execution knobs.  batch_size=None = "one batch per block": the BLOCK
-    # is the parallelism unit, so the read/generator block count (or the
-    # DataContext target block size at scale) sets both task granularity
-    # and vectorization width.  A fixed row count here made Ray's batch
-    # coalescer bundle multiple small blocks per task and collapse the
-    # fused flagship chain to ceil(n/batch_size) tasks — 13 tasks on 32
-    # cpus (measured 3.1x slower end-to-end, round 3).  Stages with wide
-    # payload rows (audio/image/video) still cap their own batch size
+    # execution knobs.  1024 measured most stable across {8, 32} cpus and
+    # {781, 4096}-row blocks in the round-3 matrix (blocks × batch_size ×
+    # cpus, interleaved trials): kernels stay cache-sized and Ray's batch
+    # coalescer keeps ~1 task per ~1024-row block.  Two failure modes to
+    # avoid when retuning: (a) blocks much SMALLER than batch_size → the
+    # coalescer bundles several blocks per task and task count collapses
+    # (starves wide hosts); (b) batch_size=None with FAT blocks → whole
+    # multi-MB blocks become single batches (UTF-32 temporaries blow the
+    # cache; 4-10x slower).  Match source block size ≈ batch_size.  Stages
+    # with wide payload rows (audio/image/video) cap their own batch size
     # bytes-wise via min(batch_size or cap, cap).
-    batch_size: int | None = None
+    batch_size: int | None = 1024
     langid_concurrency: int | tuple[int, int] = (1, 8)
     perplexity_concurrency: int | tuple[int, int] = 8  # fixed pool: actor creation mid-run costs more than idle actors
 
