@@ -280,3 +280,41 @@ class TestReferenceApi:
 
         res = news_spider(rd.from_items(PAGES), ["http://s.com/"], depth=2)
         assert len(res.content) >= 2
+
+
+class TestCrawlShuffleSeen:
+    def test_shuffle_mode_identical_to_driver(self, ray_session):
+        """seen_mode='shuffle' (distributed anti-join seen set) must produce
+        the identical crawl result as the driver-set mode."""
+        import ray.data as rd
+
+        from spiderray.pipelines.crawl import crawl
+
+        a = crawl(rd.from_items(PAGES), ["http://s.com/"], depth=3)
+        b = crawl(rd.from_items(PAGES), ["http://s.com/"], depth=3,
+                  seen_mode="shuffle")
+        assert a.content == b.content
+        assert a.pages_visited == b.pages_visited
+        assert a.waves == b.waves
+
+    def test_revisit_suppressed_across_waves(self, ray_session):
+        """A list link pointing BACK at an already-visited page must not
+        re-enter the frontier in shuffle mode (the seen-set contract)."""
+        import ray.data as rd
+
+        from spiderray.pipelines.crawl import crawl
+
+        title = "News Section"  # <5 words -> LIST label -> frontier
+        pages = [
+            {"url": "http://x.com/", "lang": "en",
+             "links": [{"url": "http://x.com/a/", "title": title}]},
+            {"url": "http://x.com/a/", "lang": "en",
+             "links": [{"url": "http://x.com/", "title": title},
+                        {"url": "http://x.com/b/", "title": title}]},
+            {"url": "http://x.com/b/", "lang": "en",
+             "links": [{"url": "http://x.com/a/", "title": title}]},
+        ]
+        res = crawl(rd.from_items(pages), ["http://x.com/"], depth=5,
+                    seen_mode="shuffle")
+        assert res.pages_visited == ["http://x.com/", "http://x.com/a/", "http://x.com/b/"]
+        assert res.waves <= 4
