@@ -1740,6 +1740,89 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Full-corpus distributed k-means (stages/ann.kmeans_fit_distributed:
+    Lloyd iterations where assignment + per-cluster partial sums run in
+    map_batches and only (k × d) integer counters return per block) →
+    per-cluster membership summary (n_vecs, exact id_sum pins the exact
+    assignment).  Bit-deterministic via integer micro-unit accumulation,
+    so the serial-oracle fixture matches exactly."""
+    _ensure_fixture("q_kmeans_clusters", sf_dir)
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.ann import kmeans_assign, kmeans_fit_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = kmeans_fit_distributed(ds, n_centroids=8, iters=4)
+    assigned = kmeans_assign(ds, C).select_columns(["vec_id", "cluster"])
+    out = (
+        assigned.groupby("cluster")
+        .aggregate(Count(alias_name="n_vecs"), Sum("vec_id", alias_name="id_sum"))
+        .to_pandas()
+    )
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["id_sum"] = out["id_sum"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+_BM25_QUERY = ["stream", "hash", "join"]
+_BM25_K1, _BM25_B = 1.5, 0.75
+
+
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 top-10 for a fixed 3-term query
+    (stages/textindex.bm25_topk): corpus stats + query-pruned document
+    frequencies (only query-term rows shuffle), then a scoring pass that
+    emits k rows per block.  Scores compared as micro-ints; the SQL oracle
+    states the identical Robertson idf/tf arithmetic."""
+    from ..stages.textindex import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(ds, _BM25_QUERY, k=10, k1=_BM25_K1, b=_BM25_B)
+    out["score_micro"] = np.floor(out["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return out[["doc_id", "score_micro"]].reset_index(drop=True)
+
+
+SQL_BM25_TOPK = """
+WITH lens AS (
+  SELECT doc_id, {WS} AS dl, text FROM documents
+), stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text, {WSC}), {WSCL})) AS term
+  FROM documents WHERE trim(text, {WSC}) <> ''
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('stream', 'hash', 'join')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE term IN ('stream', 'hash', 'join')
+  GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.5 + 1.0))
+             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_micro
+FROM scores WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+SQL_BM25_TOPK = (
+    SQL_BM25_TOPK
+    .replace("{WS}", _sql_ws_tokens("text"))
+    .replace("{WSC}", _WS_CHARS)
+    .replace("{WSCL}", _WS_CLASS)
+)
+
+
 def q_top_orders_per_segment(sf_dir: str):
     """Generic grouped top-k (stages/stats.top_k_per_group): top-3 orders by
     price within each market segment — partial per-batch top-k combiner,
@@ -2194,6 +2277,8 @@ QUERIES = {
     "q_prepare_corpus": q_prepare_corpus,
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_salted_skew_join": q_salted_skew_join,
+    "q_bm25_topk": q_bm25_topk,
+    "q_kmeans_clusters": q_kmeans_clusters,
     "q_parts_by_brand": q_parts_by_brand,
     "q_supplier_balance": q_supplier_balance,
     "q_clips_flagship": q_clips_flagship,
@@ -2241,6 +2326,7 @@ ORACLE_SQL = {
     "q_prepare_corpus": SQL_PREPARE_CORPUS,
     "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
     "q_salted_skew_join": SQL_SALTED_SKEW_JOIN,
+    "q_bm25_topk": SQL_BM25_TOPK,
     "q_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite

@@ -263,6 +263,42 @@ def so_ivf_topk(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": pa.array(top, pa.int64())})
 
 
+def so_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Serial twin of q_kmeans_clusters: same init (first 8 rows), same
+    Lloyd iterations with integer micro-unit accumulation (exact and
+    order-independent, so serial ≡ any distributed block partitioning)."""
+    ids, V = _embeddings(sf_dir)
+    k, iters, scale_bits = 8, 4, 20
+    scale = float(1 << scale_bits)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    Vn = V / n
+    C = Vn[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(Vn @ C.T, axis=1)
+        q = np.round(Vn * scale).astype(np.int64)
+        for c in range(k):
+            members = q[assign == c]
+            if len(members):
+                m = members.sum(axis=0).astype(np.float64) / (len(members) * scale)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[c] = m / nm
+    assign = np.argmax(Vn @ C.T, axis=1)
+    clusters, n_vecs, id_sums = [], [], []
+    for c in range(k):
+        mask = assign == c
+        if mask.any():
+            clusters.append(c)
+            n_vecs.append(int(mask.sum()))
+            id_sums.append(int(ids[mask].sum()))
+    return pa.table({
+        "cluster": pa.array(clusters, pa.int64()),
+        "n_vecs": pa.array(n_vecs, pa.int64()),
+        "id_sum": pa.array(id_sums, pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # perplexity oracles
 # ---------------------------------------------------------------------------
@@ -405,6 +441,7 @@ SERIAL_ORACLES = {
     "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
     "q_chunk_dedup": so_chunk_dedup,
     "q_lsh_topk": so_lsh_topk,
+    "q_kmeans_clusters": so_kmeans_clusters,
     "q_ivf_topk": so_ivf_topk,
     "q_perplexity": so_perplexity,
     "q_corpus_ppl": so_corpus_ppl,

@@ -138,6 +138,96 @@ def spherical_kmeans(V: np.ndarray, n_centroids: int, iters: int = 10) -> np.nda
     return C
 
 
+def kmeans_fit_distributed(ds, n_centroids: int = 16, iters: int = 5,
+                           vec_col: str = "embedding",
+                           scale_bits: int = 20) -> np.ndarray:
+    """FULL-CORPUS spherical k-means: assignment and per-cluster partial
+    sums run distributed (map_batches), only (k × d) counters return per
+    block, the driver merges and re-normalizes — Lloyd over the whole
+    corpus, unlike ``ivf_train``'s bounded driver sample.
+
+    Bit-deterministic BY CONSTRUCTION: member vectors are accumulated as
+    integer micro-units (``round(v_norm · 2^scale_bits)`` in int64), so
+    the reduction is exact and ORDER-INDEPENDENT — any block partitioning
+    (or a serial pass) produces identical centroids, which makes the
+    distributed run oracle-checkable against a serial reference.  Init =
+    the first ``n_centroids`` corpus rows (normalized), deterministic.
+    Empty clusters keep their previous centroid."""
+    import ray
+
+    head = ds.limit(n_centroids).to_pandas()
+    C = np.array(head[vec_col].to_list(), dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = C / norms
+    k, d = C.shape
+    scale = float(1 << scale_bits)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(c_ref)
+            V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            if len(V) == 0:
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "count": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.int64()))})
+            n = np.linalg.norm(V, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Vn = V / n
+            assign = np.argmax(Vn @ Cc.T, axis=1)
+            q = np.round(Vn * scale).astype(np.int64)  # exact int accumulation
+            clusters, counts, sums = [], [], []
+            for c in np.unique(assign):
+                members = q[assign == c]
+                clusters.append(int(c))
+                counts.append(int(len(members)))
+                sums.append(members.sum(axis=0).tolist())
+            return pa.table({"cluster": pa.array(clusters, pa.int32()),
+                             "count": pa.array(counts, pa.int64()),
+                             "sums": pa.array(sums, pa.list_(pa.int64()))})
+
+        tot_count = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, d), dtype=np.int64)
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for c, cnt, s in zip(b.column("cluster").to_pylist(),
+                                 b.column("count").to_pylist(),
+                                 b.column("sums").to_pylist()):
+                tot_count[c] += cnt
+                tot_sum[c] += np.asarray(s, dtype=np.int64)
+
+        for c in range(k):
+            if tot_count[c]:
+                m = tot_sum[c].astype(np.float64) / (tot_count[c] * scale)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[c] = m / nm
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Append ``cluster`` = nearest-centroid id (cosine) — same broadcast
+    shape as ivf_assign, for corpus-trained centroids."""
+    import ray
+
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return batch.append_column("cluster", pa.array([], pa.int32()))
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cl = np.argmax((V / n) @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cl))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ivf_train(ds, n_centroids: int = 64, sample_size: int = 10_000,
               vec_col: str = "embedding", iters: int = 10) -> np.ndarray:
     """Train a spherical k-means coarse quantizer on a corpus sample

@@ -1,0 +1,130 @@
+"""Distributed text ranking: document frequencies + BM25 top-k (engine
+addition — the IR-shaped sibling of the token-counting bank in
+functions/tokenize.py).
+
+Scale shape (nothing corpus-sized ever reaches the driver):
+
+* corpus stats — per-batch partial (n_docs, total_tokens) counters → one
+  tiny aggregate (ints, exact).
+* document frequencies — per-batch per-DOC distinct-term rows, PRUNED to
+  the query terms before the shuffle (only |query|·n_docs rows can ever
+  move, and in practice far fewer), then a keyed groupby-Sum.
+* scoring — a stateless map over the corpus computing each doc's BM25
+  against the broadcast (tiny) idf table, emitting only the per-block
+  LOCAL top-k; the driver merges k·n_blocks rows.
+
+Tokenization is Python ``str.split()`` (identical to functions/tokenize
+ws semantics and to the DuckDB ``_sql_ws_tokens`` fragment, so the SQL
+oracle states the same arithmetic).  BM25: the Robertson/Sparck-Jones
+variant with idf = ln(1 + (N − df + ½)/(df + ½)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.arrowutil import pa_from_pandas
+
+
+def corpus_token_stats(ds, text_col: str = "text") -> tuple[int, int]:
+    """(n_docs, total_ws_tokens) in one pass of integer partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = sum(len((t or "").split()) for t in texts)
+        return pa.table({"n_docs": pa.array([len(texts)], pa.int64()),
+                         "n_tokens": pa.array([toks], pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+    )
+    return int(out["n_docs"] or 0), int(out["n_tokens"] or 0)
+
+
+def term_doc_freqs(ds, terms: list[str] | None = None,
+                   text_col: str = "text"):
+    """Dataset[(term, df)] — number of DISTINCT documents containing each
+    term.  ``terms`` prunes at the partial stage (the query-terms case:
+    only matching rows ever shuffle); None computes the full DF table
+    (vocabulary-bounded shuffle)."""
+    from ray.data.aggregate import Sum
+
+    want = set(terms) if terms is not None else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            doc_terms = set((t or "").split())
+            if want is not None:
+                doc_terms &= want
+            for term in doc_terms:
+                counts[term] = counts.get(term, 0) + 1
+        return pa.table({"term": pa.array(list(counts), pa.string()),
+                         "df": pa.array(list(counts.values()), pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def bm25_topk(ds, query_terms: list[str], k: int = 10,
+              k1: float = 1.5, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
+    """BM25 top-k documents for ``query_terms`` → DataFrame
+    (id, score) sorted by (-score, id).  Two passes over the corpus
+    (stats+df, then scoring); the scoring pass emits k rows per block."""
+    n_docs, total_tokens = corpus_token_stats(ds, text_col)
+    if n_docs == 0:
+        return pd.DataFrame({id_col: [], "score": []})
+    avgdl = total_tokens / n_docs  # exact ints → one IEEE division
+
+    df_tbl = term_doc_freqs(ds, query_terms, text_col).to_pandas()
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
+    idf = {
+        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in query_terms
+    }
+    q_terms = list(dict.fromkeys(query_terms))  # defined summation order
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids, out_scores = [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            dl = len(toks)
+            score = 0.0
+            for term in q_terms:
+                tf = toks.count(term)
+                if tf:
+                    score += idf[term] * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+            if score > 0.0:
+                out_ids.append(i)
+                out_scores.append(score)
+        if not out_ids:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "score": pa.array([], pa.float64())})
+        order = np.lexsort((np.asarray(out_ids), -np.asarray(out_scores)))[:k]
+        return pa.table({
+            id_col: pa.array([out_ids[j] for j in order],
+                             batch.schema.field(id_col).type),
+            "score": pa.array([out_scores[j] for j in order], pa.float64()),
+        })
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    out = local.to_pandas()  # ≤ k rows per block
+    out = out.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)

@@ -847,3 +847,58 @@ class TestBucketedJoinNullColumn:
         assert "maybe" in out.columns
         assert out["maybe"].isna().all()
         assert list(out["rval"]) == [7, 8, 9]
+
+
+class TestBm25:
+    def test_matches_serial_reference(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from spiderray.stages.textindex import bm25_topk
+
+        docs = pd.DataFrame({
+            "doc_id": range(8),
+            "text": [
+                "stream join hash stream",
+                "hash table build probe",
+                "stream stream stream",
+                "unrelated words entirely different",
+                "",
+                "join join join hash",
+                "a b c d e f g h i j k l m n o p stream",
+                "hash",
+            ],
+        })
+        out = bm25_topk(rd.from_pandas(docs), ["stream", "hash"], k=5,
+                        k1=1.5, b=0.75)
+        # serial reference with identical arithmetic
+        toks = [t.split() for t in docs.text]
+        n = len(docs)
+        avgdl = sum(len(t) for t in toks) / n
+        dfs = {q: sum(1 for t in toks if q in t) for q in ("stream", "hash")}
+        exp = {}
+        for i, t in enumerate(toks):
+            if not t:
+                continue
+            s = 0.0
+            for q in ("stream", "hash"):
+                tf = t.count(q)
+                if tf:
+                    idf = math.log(1 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+                    s += idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * len(t) / avgdl))
+            if s > 0:
+                exp[i] = s
+        top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(out.doc_id) == [i for i, _ in top]
+        assert np.allclose(out.score.to_numpy(), [s for _, s in top])
+
+    def test_df_pruned_to_query(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import term_doc_freqs
+
+        docs = pd.DataFrame({"doc_id": range(4),
+                             "text": ["a b a", "b c", "c", "a c c"]})
+        df = term_doc_freqs(rd.from_pandas(docs), ["a", "c"]).to_pandas()
+        assert dict(zip(df.term, df.df)) == {"a": 2, "c": 3}
