@@ -2142,11 +2142,12 @@ ORDER BY o.event_type, q.q_pct
 
 
 def _synth_image_rows(batch: pa.Table) -> pa.Table:
-    """Deterministic small images derived from doc_id: 2/3 real PPM
-    gradients, 1/3 REAL baseline JPEGs (functions/jpegdec.py) — of which
-    every 3rd is truncated mid-stream to exercise the mark-don't-crash
-    path (decode_ok=False)."""
+    """Deterministic small images derived from doc_id: real PPM gradients,
+    real baseline JPEGs (functions/jpegdec.py — every 3rd truncated
+    mid-stream to exercise mark-don't-crash), and real lossless WebPs
+    (functions/webpdec.py, VP8L with subtract-green + LZ77)."""
     from ..functions.jpegdec import encode_jpeg
+    from ..functions.webpdec import encode_webp_lossless
     from ..stages.image import encode_ppm
 
     ids = batch.column("doc_id").to_numpy()
@@ -2166,6 +2167,9 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
                 jb = jb[: len(jb) // 2]  # deterministic corrupt stratum
             bufs.append(jb)
             fmts.append("jpeg")
+        elif i % 3 == 1 and (i // 3) % 2 == 1:
+            bufs.append(encode_webp_lossless(img, subtract_green=True))
+            fmts.append("webp")
         else:
             bufs.append(encode_ppm(img))
             fmts.append("ppm")

@@ -2,14 +2,14 @@
 additions; the multimodal plumbing contract of SURVEY §2.9 extended from
 audio to the remaining modalities).
 
-Decoders implemented from the public formats that need no external
-libraries: binary PPM (P6) / PGM (P5), uncompressed 24-bit BMP, and
-8-bit non-interlaced PNG (zlib inflate + the five per-row filters —
-gray / RGB / gray+alpha / RGBA; palette, 16-bit and Adam7 raise).
-JPEG / WEBP raise ``ImageDecodeUnsupported`` (DCT/VP8 codecs) — the
-same clearly-marked stub pattern as opus: rows flow through with
-``decode_ok=False`` and the Ray-side plumbing (schema, actor pool,
-byte-capped batches, output layout) is real and tested.
+Decoders implemented from the public formats, no external libraries:
+binary PPM (P6) / PGM (P5), uncompressed 24-bit BMP, 8-bit
+non-interlaced PNG (zlib inflate + the five per-row filters), baseline
+JPEG (functions/jpegdec.py — T.81 markers/Huffman/IDCT/chroma
+upsampling), and lossless WebP (functions/webpdec.py — VP8L huffman +
+LZ77 + color cache + all four transforms).  Progressive JPEG, lossy
+(VP8) WebP, PNG palette/16-bit/Adam7 raise ``ImageDecodeUnsupported`` —
+rows flow through with ``decode_ok=False`` (mark, don't crash).
 
 "Video" is a deterministic toy container (``RAWV`` header + concatenated
 P6 frames) so the frame-sampling stage exercises real sampling math and
@@ -111,7 +111,17 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return img
-    # webp needs a VP8 codec — absent imaging libs
+    if fmt == "webp":
+        # from-scratch VP8L lossless decode (functions/webpdec.py: RIFF +
+        # canonical huffman + LZ77 + color cache + all four transforms).
+        # Lossy VP8 stays unsupported (DCT+loop-filter codec).
+        from ..functions.webpdec import WebpError, WebpUnsupported, decode_webp_lossless
+
+        try:
+            rgba = decode_webp_lossless(buf)
+        except (WebpError, WebpUnsupported, IndexError, ValueError):
+            raise ImageDecodeUnsupported("webp") from None
+        return rgba[..., :3].copy()
     raise ImageDecodeUnsupported(fmt)
 
 
