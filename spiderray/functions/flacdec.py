@@ -295,6 +295,11 @@ def decode_flac_info(data: bytes) -> tuple[np.ndarray, int, int]:
     n_done = 0
     while pos < len(data):
         frame, pos = _decode_frame(data, pos, sample_rate, bits_per_sample)
+        # a frame whose channel layout contradicts STREAMINFO is corrupt:
+        # without this check np.concatenate mixes (n,) and (n, 2) chunks
+        # and raises ValueError PAST the callers' FlacError catch lists
+        if (frame.ndim == 1) != (n_channels == 1):
+            raise FlacError("frame channel layout contradicts STREAMINFO")
         chunks.append(frame)  # (block,) mono or (block, 2) stereo
         n_done += len(frame)
         if total_samples and n_done >= total_samples:

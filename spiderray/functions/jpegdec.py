@@ -268,6 +268,8 @@ def _decode_scan(buf, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
     for c in comps:
         if c["tq"] not in qt:
             raise JpegError("missing quant table")
+        if c["id"] not in sel:
+            raise JpegError("SOS component id absent from SOF")
         dc_id, ac_id = sel[c["id"]]
         if dc_id not in huff_dc or ac_id not in huff_ac:
             raise JpegError("missing huffman table")
@@ -535,7 +537,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         coefs = _dct2(blocks)
-        q = (ql if ci == 0 else qc).astype(np.float64)[_ZZ].reshape(8, 8)
         qzz = np.zeros((len(coefs), 64), dtype=np.int32)
         qn = np.round(coefs.reshape(-1, 64)[:, _ZZ] / (ql if ci == 0 else qc)[_ZZ][None, :])
         qzz[:, :] = qn.astype(np.int32)

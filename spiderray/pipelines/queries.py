@@ -1794,17 +1794,17 @@ WITH lens AS (
   FROM documents WHERE trim(text, {WSC}) <> ''
 ), tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM toks WHERE term IN ('stream', 'hash', 'join')
+  FROM toks WHERE term IN ({TERMS})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-  FROM toks WHERE term IN ('stream', 'hash', 'join')
+  FROM toks WHERE term IN ({TERMS})
   GROUP BY term
 ), scores AS (
   SELECT tf.doc_id,
          sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-             * (tf.tf * (1.5 + 1.0))
-             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) AS score
   FROM tf
   JOIN df USING (term)
   JOIN lens l ON tf.doc_id = l.doc_id
@@ -1820,6 +1820,12 @@ SQL_BM25_TOPK = (
     .replace("{WS}", _sql_ws_tokens("text"))
     .replace("{WSC}", _WS_CHARS)
     .replace("{WSCL}", _WS_CLASS)
+    # interpolate the SAME constants the engine passes to bm25_topk, so
+    # editing them cannot desynchronize the oracle (repr() of the floats
+    # preserves the exact IEEE values both sides compute with)
+    .replace("{TERMS}", ", ".join(f"'" + t + "'" for t in _BM25_QUERY))
+    .replace("{K1}", repr(_BM25_K1))
+    .replace("{B}", repr(_BM25_B))
 )
 
 
@@ -2183,8 +2189,9 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
 
 
 def q_image_features(sf_dir: str):
-    """Image decode + stats + resize plumbing (stages/image.py): real PPM
-    decodes, stubbed jpeg rows flow through decode_ok=False (rows-only)."""
+    """Image decode + stats + resize plumbing (stages/image.py): real PPM,
+    real baseline-JPEG and real lossless-WebP decodes; the deterministic
+    truncated-jpeg stratum flows through decode_ok=False."""
     _ensure_fixture("q_image_features", sf_dir)
     from ..config import PipelineConfig
     from ..stages.image import image_features_stage

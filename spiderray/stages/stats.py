@@ -137,10 +137,18 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
 
     Error bound: the returned value is the UPPER EDGE of the bin containing
     the true rank, so |estimate − true quantile value| ≤ (max−min)/n_bins.
-    Rank definition matches quantiles_exact (1-based ceil(q·n))."""
+    Rank definition matches quantiles_exact (1-based ceil(q·n)).  NaN rows
+    are IGNORED (np.nanquantile semantics) — without the explicit filter
+    they would cast to undefined int64 and silently land in bin 0."""
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = ds.aggregate(Min(col), Max(col))
+    def drop_nan(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(vals)
+        return pa.table({col: pa.array(vals[keep], pa.float64())})
+
+    clean = ds.map_batches(drop_nan, batch_format="pyarrow", zero_copy_batch=True)
+    mm = clean.aggregate(Min(col), Max(col))
     lo, hi = mm.get(f"min({col})"), mm.get(f"max({col})")
     if lo is None or hi is None:
         return [(q, None) for q in qs]
@@ -150,13 +158,13 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
     width = (hi - lo) / n_bins
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
         bins = np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1)
         uniq, counts = np.unique(bins, return_counts=True)
         return pa.table({"bin": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
 
     hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        clean.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
     )

@@ -27,9 +27,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.arrowutil import pa_from_pandas
-
-
 def corpus_token_stats(ds, text_col: str = "text") -> tuple[int, int]:
     """(n_docs, total_ws_tokens) in one pass of integer partials."""
     from ray.data.aggregate import Sum

@@ -902,3 +902,24 @@ class TestBm25:
                              "text": ["a b a", "b c", "c", "a c c"]})
         df = term_doc_freqs(rd.from_pandas(docs), ["a", "c"]).to_pandas()
         assert dict(zip(df.term, df.df)) == {"a": 2, "c": 3}
+
+
+class TestQuantilesApproxNan:
+    def test_nan_rows_ignored(self, ray_session):
+        """NaNs must be ignored (np.nanquantile semantics), not cast to
+        undefined int64 and counted in bin 0 (round-3 review finding)."""
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_approx
+
+        rng = np.random.default_rng(9)
+        vals = rng.normal(50.0, 5.0, 10_000)
+        with_nan = np.concatenate([vals, np.full(2_000, np.nan)])
+        rng.shuffle(with_nan)
+        ds = rd.from_pandas(pd.DataFrame({"v": with_nan}))
+        n_bins = 2048
+        width = (np.nanmax(with_nan) - np.nanmin(with_nan)) / n_bins
+        s = np.sort(vals)
+        for q, est in quantiles_approx(ds, "v", [0.1, 0.5, 0.9], n_bins=n_bins):
+            rank = max(int(np.ceil(q * len(s))), 1)
+            assert abs(est - s[rank - 1]) <= width + 1e-9, q

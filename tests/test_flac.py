@@ -271,3 +271,32 @@ class TestStereo24:
         buf[body_off + 12] = (b & 0b11110001) | (2 << 1)  # channels-1 = 2
         with pytest.raises(F.FlacUnsupported):
             F.decode_flac_info(bytes(buf))
+
+
+class TestReviewR3Regressions:
+    def test_mixed_channel_frames_mark_not_crash(self):
+        """STREAMINFO says stereo but a mono frame follows: must raise
+        FlacError (not ValueError escaping _decode_one's catch list and
+        killing the Ray task — round-3 review finding)."""
+        s = np.stack([np.arange(100, dtype=np.int64)] * 2, axis=1)
+        stereo = F.encode_flac(s, 8000, block_size=50)
+        mono = F.encode_flac(np.arange(50, dtype=np.int64), 8000, block_size=50)
+        # splice: stereo header + first stereo frame + a mono frame
+        # find frame starts (after 4 + 4 + 34 metadata bytes)
+        meta_end = 4 + 4 + 34
+        spliced = bytearray(stereo)
+        # locate the second frame of the stereo stream and replace its tail
+        # with the mono stream's first frame bytes
+        mono_frame = mono[meta_end:]
+        # first stereo frame length: scan for next sync from meta_end+2
+        body = stereo[meta_end:]
+        idx = body[2:].find(b"\xff\xf8")
+        assert idx > 0
+        spliced = stereo[: meta_end + 2 + idx] + mono_frame
+        with pytest.raises((F.FlacError, F.FlacUnsupported)):
+            F.decode_flac_info(bytes(spliced))
+        # and the stage marks, never raises
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        with pytest.raises(DecodeUnsupported):
+            _decode_one(bytes(spliced), "flac")

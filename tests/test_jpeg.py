@@ -117,3 +117,20 @@ class TestStageIntegration:
         lum = out.column("mean_lum")[0].as_py()
         exp = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
         assert abs(lum - exp) < 4.0
+
+
+class TestReviewR3Regressions:
+    def test_sos_component_mismatch_marked_not_crash(self):
+        """SOS selecting a component id absent from SOF must raise
+        JpegError (not KeyError escaping every catch list — round-3 review
+        finding)."""
+        buf = bytearray(J.encode_jpeg(_gradient(), quality=80))
+        idx = buf.find(b"\xff\xda")
+        # SOS layout: marker(2) len(2) ns(1) then (id, tables) pairs
+        buf[idx + 5] = 9  # component id 9 never declared in SOF
+        with pytest.raises((J.JpegError, J.JpegUnsupported)):
+            J.decode_jpeg(bytes(buf))
+        from spiderray.stages.image import ImageDecodeUnsupported, decode_image
+
+        with pytest.raises(ImageDecodeUnsupported):
+            decode_image(bytes(buf), "jpeg")
