@@ -1740,6 +1740,132 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+def q_asof_join(sf_dir: str):
+    """AS-OF join (stages/joins.asof_join): every 'purchase' event paired
+    with the same user's LATEST prior-or-simultaneous 'view' event; ties on
+    ts break to the larger view event_id (right side sorted (ts, event_id),
+    merge_asof keeps the last).  Output gap in exact micros."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(batch: pa.Table, etype: str, prefix: str) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), etype))
+        cols = {
+            f"{prefix}event_id": t.column("event_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "user_id": t.column("user_id"),
+        }
+        if prefix:  # merge_asof consumes the right 'on' column — keep a copy
+            cols[f"{prefix}ts_us"] = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(cols)
+
+    purchases = ev.map_batches(
+        lambda b: to_us(b, "purchase", ""), batch_format="pyarrow", zero_copy_batch=True
+    )
+    views = ev.map_batches(
+        lambda b: to_us(b, "view", "view_"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = asof_join(purchases, views, on="ts_us", by="user_id",
+                       right_tiebreak="view_event_id")
+    df = joined.to_pandas()
+    df["gap_us"] = (df["ts_us"] - df["view_ts_us"]).astype("int64")
+    out = df[["event_id", "user_id", "view_event_id", "gap_us"]].copy()
+    for c in ("event_id", "user_id", "view_event_id"):
+        out[c] = out[c].astype("int64")  # undo union-padding float upcast
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_event_id, epoch_us(ts) AS ts_us, user_id FROM events
+  WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id, p.user_id, v.view_event_id,
+         p.ts_us - v.ts_us AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts_us DESC, v.view_event_id DESC) AS rk
+  FROM p JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+)
+SELECT event_id, user_id, view_event_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM j WHERE rk = 1 ORDER BY event_id
+"""
+
+
+# deterministic maintenance-window intervals over the events time range:
+# interval i covers [BASE + i*STEP, BASE + i*STEP + 17min + (i%5)*3min]
+_RJ_BASE_US = 1_704_067_200_000_000  # epoch_us('2024-01-01 00:00:00')
+_RJ_STEP_US = 47 * 60 * 1_000_000
+_RJ_N = 120
+
+
+def q_range_join(sf_dir: str):
+    """RANGE join (stages/joins.range_join): events bucketed by time,
+    deterministic maintenance-window intervals replicated to overlapped
+    buckets, exact containment per bucket, then per-interval counts +
+    cents-exact value sums."""
+    import ray.data as rd
+
+    from ..stages.joins import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "value_c": pa.array(_cents(batch.column("value").to_numpy(zero_copy_only=False))),
+        })
+
+    points = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    iv = pa.table({
+        "interval_id": pa.array(np.arange(_RJ_N, dtype=np.int64)),
+        "start_us": pa.array(_RJ_BASE_US + np.arange(_RJ_N, dtype=np.int64) * _RJ_STEP_US),
+        "end_us": pa.array(
+            _RJ_BASE_US + np.arange(_RJ_N, dtype=np.int64) * _RJ_STEP_US
+            + (17 * 60 + (np.arange(_RJ_N, dtype=np.int64) % 5) * 180) * 1_000_000
+        ),
+    })
+    joined = range_join(points, rd.from_arrow(iv), "ts_us", "start_us", "end_us",
+                        bucket_width=3_600_000_000)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("interval_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+        .to_pandas()
+    )
+    # the union-padded pandas group frames upcast ints to float64 (typed
+    # nulls); values are exact at this magnitude — cast back for the hash
+    for c in ("interval_id", "n_events", "sum_value_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("interval_id").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN = f"""
+WITH iv AS (
+  SELECT i AS interval_id,
+         {_RJ_BASE_US} + i * {_RJ_STEP_US} AS start_us,
+         {_RJ_BASE_US} + i * {_RJ_STEP_US}
+           + (17*60 + (i % 5) * 180) * 1000000 AS end_us
+  FROM range({_RJ_N}) t(i)
+), e AS (
+  SELECT epoch_us(ts) AS ts_us,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT iv.interval_id, count(*) AS n_events,
+       CAST(sum(e.value_c) AS BIGINT) AS sum_value_c
+FROM iv JOIN e ON e.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY iv.interval_id ORDER BY iv.interval_id
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Full-corpus distributed k-means (stages/ann.kmeans_fit_distributed:
     Lloyd iterations where assignment + per-cluster partial sums run in
@@ -2289,6 +2415,8 @@ QUERIES = {
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_parts_by_brand": q_parts_by_brand,
     "q_supplier_balance": q_supplier_balance,
@@ -2338,6 +2466,8 @@ ORACLE_SQL = {
     "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
     "q_salted_skew_join": SQL_SALTED_SKEW_JOIN,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join": SQL_RANGE_JOIN,
     "q_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite

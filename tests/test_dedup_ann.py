@@ -923,3 +923,63 @@ class TestQuantilesApproxNan:
         for q, est in quantiles_approx(ds, "v", [0.1, 0.5, 0.9], n_bins=n_bins):
             rank = max(int(np.ceil(q * len(s))), 1)
             assert abs(est - s[rank - 1]) <= width + 1e-9, q
+
+
+class TestAsofRangeJoins:
+    def test_asof_backward_semantics(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        left = rd.from_pandas(pd.DataFrame({
+            "t": [10, 20, 30, 5], "k": ["a", "a", "b", "b"], "lv": [1, 2, 3, 4],
+        }))
+        right = rd.from_pandas(pd.DataFrame({
+            "t": [8, 15, 15, 25], "k": ["a", "a", "a", "b"],
+            "rv": [100, 200, 201, 300], "rt": [8, 15, 15, 25],
+        }))
+        out = (asof_join(left, right, on="t", by="k", right_tiebreak="rv")
+               .to_pandas().sort_values("lv").reset_index(drop=True))
+        # lv=1 (a,10) -> rv 100 (t=8); lv=2 (a,20) -> tie at t=15 -> rv 201;
+        # lv=3 (b,30) -> rv 300; lv=4 (b,5) -> no prior row -> dropped
+        assert list(out.lv) == [1, 2, 3]
+        assert list(out.rv.astype(int)) == [100, 201, 300]
+
+    def test_asof_overlapping_columns_rejected(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        l = rd.from_pandas(pd.DataFrame({"t": [1], "k": [1], "v": [1]}))
+        r = rd.from_pandas(pd.DataFrame({"t": [1], "k": [1], "v": [2]}))
+        with pytest.raises(ValueError, match="overlapping"):
+            asof_join(l, r, on="t", by="k")
+
+    def test_range_join_exact_once_across_buckets(self, ray_session):
+        """An interval spanning several buckets must pair each contained
+        point exactly once (replication covers the span, the point's single
+        bucket dedups)."""
+        import ray.data as rd
+
+        from spiderray.stages.joins import range_join
+
+        pts = rd.from_pandas(pd.DataFrame({
+            "p": [5, 15, 25, 35, 45, 55], "pid": range(6),
+        }))
+        ivs = rd.from_pandas(pd.DataFrame({
+            "s": [0, 12], "e": [52, 28], "iid": [0, 1],  # iid 0 spans 6 buckets
+        }))
+        out = range_join(pts, ivs, "p", "s", "e", bucket_width=10).to_pandas()
+        pairs = sorted(zip(out.pid.astype(int), out.iid.astype(int)))
+        assert pairs == [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (4, 0)]
+        assert len(pairs) == len(set(pairs))  # exactly once
+
+    def test_range_join_inclusive_bounds(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import range_join
+
+        pts = rd.from_pandas(pd.DataFrame({"p": [10, 20], "pid": [0, 1]}))
+        ivs = rd.from_pandas(pd.DataFrame({"s": [10], "e": [20], "iid": [7]}))
+        out = range_join(pts, ivs, "p", "s", "e", bucket_width=7).to_pandas()
+        assert sorted(out.pid.astype(int)) == [0, 1]
