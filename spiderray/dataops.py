@@ -5,9 +5,11 @@ tooling that goes beyond the reference's crawler semantics:
         exact_dedup, incremental_exact_dedup, minhash_lsh_pairs,
         simhash_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
         chunk_dedup_stats, brute_force_topk, lsh_topk, ivf_train, ivf_topk,
+        kmeans_fit_distributed, kmeans_assign, bm25_topk, term_doc_freqs,
         train_test_split, stratified_sample, quantiles_exact,
-        grouped_quantiles_exact, top_k_per_group, hash_join, bucketed_join,
-        salted_join, sessionize, tumbling, sliding, train_char_lm,
+        quantiles_approx, grouped_quantiles_exact, top_k_per_group,
+        hash_join, bucketed_join, salted_join, asof_join, range_join,
+        sessionize, tumbling, sliding, train_char_lm,
         train_langid_profiles, prepare_corpus, corpus_summary,
         write_split_corpus, BloomFilter,
     )
@@ -29,15 +31,18 @@ from .stages.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .stages.joins import bucketed_join, hash_join, salted_join
+from .stages.ann import kmeans_assign, kmeans_fit_distributed
+from .stages.joins import asof_join, bucketed_join, hash_join, range_join, salted_join
 from .stages.lm_train import train_char_lm, train_langid_profiles
 from .stages.stats import (
     grouped_quantiles_exact,
+    quantiles_approx,
     quantiles_exact,
     stratified_sample,
     top_k_per_group,
     train_test_split,
 )
+from .stages.textindex import bm25_topk, corpus_token_stats, term_doc_freqs
 from .stages.image import frame_sample_stage, image_features_stage
 from .stages.multimodal import (
     audio_features_stage,
@@ -50,13 +55,16 @@ from .stages.multimodal import (
 from .stages.windows import sessionize, sliding, tumbling
 
 __all__ = [
-    "BloomFilter", "brute_force_topk", "bucketed_join", "chunk_dedup_stats",
-    "corpus_summary", "embedding_near_dup_lsh", "embedding_near_dup_pairs",
-    "exact_dedup", "grouped_quantiles_exact", "hash_join",
-    "incremental_exact_dedup", "ivf_assign", "ivf_topk", "ivf_train",
-    "lsh_topk", "minhash_lsh_pairs", "ngram_jaccard_pairs", "prepare_corpus",
-    "quantiles_exact", "salted_join", "sessionize", "simhash_pairs",
-    "sliding", "stratified_sample", "top_k_per_group", "train_char_lm",
+    "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
+    "bucketed_join", "chunk_dedup_stats", "corpus_summary",
+    "corpus_token_stats", "embedding_near_dup_lsh",
+    "embedding_near_dup_pairs", "exact_dedup", "grouped_quantiles_exact",
+    "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
+    "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "prepare_corpus",
+    "quantiles_approx", "quantiles_exact", "range_join", "salted_join",
+    "sessionize", "simhash_pairs", "sliding", "stratified_sample",
+    "term_doc_freqs", "top_k_per_group", "train_char_lm",
     "train_langid_profiles", "train_test_split", "tumbling",
     "write_split_corpus",
     # multimodal stages
