@@ -269,7 +269,7 @@ def _decode_scan(buf, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
         if c["tq"] not in qt:
             raise JpegError("missing quant table")
         if c["id"] not in sel:
-            raise JpegError("SOS component id absent from SOF")
+            raise JpegError("SOF component has no SOS selector entry")
         dc_id, ac_id = sel[c["id"]]
         if dc_id not in huff_dc or ac_id not in huff_ac:
             raise JpegError("missing huffman table")

@@ -42,6 +42,27 @@ def hash_join(left, right, on: str, right_on: str | None = None, num_partitions:
     )
 
 
+def _tag_side(key: str, side: int, num_buckets: int):
+    """Shared bucketing map for the explicit join family: append
+    ``__bucket = stable_hash(key) % num_buckets`` and ``__side``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        batch = batch.append_column(
+            "__bucket",
+            pa.array(
+                np.array(
+                    [_stable_bucket(v, num_buckets) for v in batch.column(key).to_pylist()],
+                    dtype=np.int64,
+                )
+            ),
+        )
+        return batch.append_column("__side", pa.array([side] * len(batch), pa.int8()))
+
+    return fn
+
+
 def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 32):
     """Explicit partitioned hash join (inner).  Column sets of the two sides
     must be disjoint apart from the key."""
@@ -54,25 +75,12 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     left_cols = list(left.schema(fetch_if_missing=True).names)
     right_cols = list(right.schema(fetch_if_missing=True).names)
 
-    def tag(side: int, key: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            batch = batch.append_column(
-                "__bucket",
-                pa.array(
-                    np.array(
-                        [_stable_bucket(v, num_buckets) for v in batch.column(key).to_pylist()],
-                        dtype=np.int64,
-                    )
-                ),
-            )
-            return batch.append_column("__side", pa.array([side] * len(batch), pa.int8()))
-
-        return fn
-
-    tagged = left.map_batches(tag(0, on), batch_format="pyarrow", zero_copy_batch=True).union(
-        right.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    tagged = left.map_batches(
+        _tag_side(on, 0, num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            _tag_side(right_on, 1, num_buckets), batch_format="pyarrow", zero_copy_batch=True
+        )
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,14 +103,14 @@ def asof_join(
     on: str,
     by: str,
     num_buckets: int = 32,
-    suffix: str = "_r",
     right_tiebreak: str | None = None,
 ):
     """AS-OF JOIN (backward): for every left row, the latest right row with
     ``right.on <= left.on`` within the same ``by`` key — the canonical
     "price at the time of the trade" operator Ray Data lacks (task brief
     §custom operators).  Inner semantics: left rows with no prior right
-    row are dropped.
+    row are dropped; rows whose ``on`` is null never match (SQL
+    comparison semantics) on either side.
 
     Scale shape: both sides bucket by hash(by) — every row of one key
     lands in one bucket (the documented partitioning assumption; salt hot
@@ -118,22 +126,12 @@ def asof_join(
     if overlap:
         raise ValueError(f"asof_join: overlapping columns {sorted(overlap)}")
 
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            keys = batch.column(by).to_pylist()
-            bucket = pa.array(
-                np.array([_stable_bucket(v, num_buckets) for v in keys],
-                         dtype=np.int64)
-            )
-            batch = batch.append_column("__bucket", bucket)
-            return batch.append_column("__side", pa.array([side] * len(batch), pa.int8()))
-
-        return fn
-
-    tagged = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
-        right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    tagged = left.map_batches(
+        _tag_side(by, 0, num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            _tag_side(by, 1, num_buckets), batch_format="pyarrow", zero_copy_batch=True
+        )
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -141,15 +139,22 @@ def asof_join(
         rhs = g[g["__side"] == 1]
         if lhs.empty or rhs.empty:
             return pd.DataFrame()
+        # null 'on' keys never match (and crash merge_asof): drop them
+        lhs = lhs[lhs[on].notna()]
+        rhs = rhs[rhs[on].notna()]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame()
         lhs = lhs[[c for c in left_cols if c in g.columns]].sort_values(on, kind="mergesort")
         rkeys = [on] + ([right_tiebreak] if right_tiebreak else [])
         rhs = rhs[[c for c in right_cols if c in g.columns]].sort_values(rkeys, kind="mergesort")
-        out = pd.merge_asof(
-            lhs, rhs, on=on, by=by, direction="backward", suffixes=("", suffix)
-        )
-        right_on = on + suffix if on + suffix in out.columns else None
-        check = right_on or (set(right_cols) - {on, by}).pop()
-        return out[out[check].notna()]
+        # guaranteed-non-null match indicator: a copy of the right 'on'
+        # column (merge_asof consumes the original).  Detecting matches
+        # off a DATA column would silently drop matches whose data value
+        # is legitimately null (round-3 review finding).
+        rhs = rhs.assign(__rmatch=rhs[on])
+        out = pd.merge_asof(lhs, rhs, on=on, by=by, direction="backward")
+        out = out[out["__rmatch"].notna()]
+        return out.drop(columns=["__rmatch"])
 
     return tagged.groupby("__bucket", num_partitions=min(num_buckets, 16)).map_groups(
         merge_bucket, batch_format="pandas"
@@ -200,9 +205,15 @@ def range_join(
             return t.append_column("__side", pa.array([], pa.int8()))
         b0 = (starts // bucket_width).astype(np.int64)
         b1 = (ends // bucket_width).astype(np.int64)
-        reps = b1 - b0 + 1
+        # inverted intervals (start > end) contain nothing — replicate to
+        # zero buckets instead of feeding np.repeat a negative count
+        reps = np.maximum(b1 - b0 + 1, 0)
         idx = np.repeat(np.arange(len(batch)), reps)
-        buckets = np.concatenate([np.arange(a, b + 1) for a, b in zip(b0, b1)])
+        buckets = (
+            np.concatenate([np.arange(a, a + r) for a, r in zip(b0, reps)])
+            if reps.sum()
+            else np.array([], dtype=np.int64)
+        )
         t = batch.take(pa.array(idx))  # type-preserving replication
         t = t.append_column("__bucket", pa.array(buckets))
         return t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8)))

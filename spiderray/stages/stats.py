@@ -137,19 +137,28 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
 
     Error bound: the returned value is the UPPER EDGE of the bin containing
     the true rank, so |estimate − true quantile value| ≤ (max−min)/n_bins.
-    Rank definition matches quantiles_exact (1-based ceil(q·n)).  NaN rows
-    are IGNORED (np.nanquantile semantics) — without the explicit filter
-    they would cast to undefined int64 and silently land in bin 0."""
+    Rank definition matches quantiles_exact (1-based ceil(q·n)).
+    NON-FINITE rows (NaN and ±inf) are IGNORED — NaN would cast to
+    undefined int64 and land in bin 0, and a single inf would make the
+    bin width infinite, poisoning every estimate."""
     from ray.data.aggregate import Max, Min, Sum
 
-    def drop_nan(batch: pa.Table) -> pa.Table:
+    # pass 1: finite-aware min/max via per-batch partials over the RAW
+    # dataset (no filtered float copy of the column is ever materialized)
+    def mm_partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = ~np.isnan(vals)
-        return pa.table({col: pa.array(vals[keep], pa.float64())})
+        vals = vals[np.isfinite(vals)]
+        if len(vals) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(vals.min())]),
+                         "hi": pa.array([float(vals.max())])})
 
-    clean = ds.map_batches(drop_nan, batch_format="pyarrow", zero_copy_batch=True)
-    mm = clean.aggregate(Min(col), Max(col))
-    lo, hi = mm.get(f"min({col})"), mm.get(f"max({col})")
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("lo"), Max("hi"))
+    )
+    lo, hi = mm.get("min(lo)"), mm.get("max(hi)")
     if lo is None or hi is None:
         return [(q, None) for q in qs]
     lo, hi = float(lo), float(hi)
@@ -158,13 +167,14 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
     width = (hi - lo) / n_bins
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[np.isfinite(vals)]
         bins = np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1)
         uniq, counts = np.unique(bins, return_counts=True)
         return pa.table({"bin": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
 
     hist = (
-        clean.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
     )

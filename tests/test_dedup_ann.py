@@ -983,3 +983,62 @@ class TestAsofRangeJoins:
         ivs = rd.from_pandas(pd.DataFrame({"s": [10], "e": [20], "iid": [7]}))
         out = range_join(pts, ivs, "p", "s", "e", bucket_width=7).to_pandas()
         assert sorted(out.pid.astype(int)) == [0, 1]
+
+
+class TestReviewR3bRegressions:
+    """Second round-3 review pass: join/quantile edge semantics."""
+
+    def test_asof_null_data_column_match_survives(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        left = rd.from_pandas(pd.DataFrame({"t": [10], "k": [1], "lv": [1]}))
+        right = rd.from_pandas(pd.DataFrame(
+            {"t": [5], "k": [1], "rv": pd.array([None], dtype="Float64")}))
+        out = asof_join(left, right, on="t", by="k").to_pandas()
+        assert len(out) == 1  # matched even though rv is null
+        assert pd.isna(out.rv.iloc[0])
+
+    def test_asof_right_side_keys_only(self, ray_session):
+        # 'does a prior event exist' use: right carries ONLY (on, by)
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        left = rd.from_pandas(pd.DataFrame({"t": [10, 1], "k": [1, 1], "lv": [1, 2]}))
+        right = rd.from_pandas(pd.DataFrame({"t": [5], "k": [1]}))
+        out = asof_join(left, right, on="t", by="k").to_pandas()
+        assert list(out.lv) == [1]  # t=1 has no prior row
+
+    def test_asof_null_on_rows_never_match(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        left = rd.from_pandas(pd.DataFrame(
+            {"t": pd.array([10, None], dtype="Int64"), "k": [1, 1], "lv": [1, 2]}))
+        right = rd.from_pandas(pd.DataFrame({"t": [5], "k": [1], "rv": [9]}))
+        out = asof_join(left, right, on="t", by="k").to_pandas()
+        assert list(out.lv) == [1]
+
+    def test_range_join_inverted_interval_empty(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.joins import range_join
+
+        pts = rd.from_pandas(pd.DataFrame({"p": [30], "pid": [0]}))
+        ivs = rd.from_pandas(pd.DataFrame({"s": [50, 20], "e": [20, 40],
+                                           "iid": [0, 1]}))
+        out = range_join(pts, ivs, "p", "s", "e", bucket_width=10).to_pandas()
+        assert list(out.iid.astype(int)) == [1]  # inverted interval matches nothing
+
+    def test_quantiles_approx_inf_ignored(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import quantiles_approx
+
+        vals = np.concatenate([np.linspace(0, 100, 1000), [np.inf, -np.inf, np.nan]])
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        out = dict(quantiles_approx(ds, "v", [0.5], n_bins=1000))
+        assert np.isfinite(out[0.5]) and abs(out[0.5] - 50) < 1.0
