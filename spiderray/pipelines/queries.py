@@ -635,6 +635,7 @@ def q_clips_flagship(sf_dir: str):
 def q_clips_keep_stats(sf_dir: str):
     """Drop-reason histogram of the flagship pipeline (salted-groupby-free:
     the result is tiny)."""
+    _ensure_fixture("q_clips_keep_stats", sf_dir)
     from ray.data.aggregate import Count
 
     out = (
@@ -1000,6 +1001,7 @@ def q_keepdrop_f1(sf_dir: str):
     clip_id (hash join) and report precision/recall/F1.  The oracle shares
     the function bank, so F1 must be exactly 1.0 — the query exists to
     exercise the conformance-join shape the north rule names."""
+    _ensure_fixture("q_keepdrop_f1", sf_dir)
     from ..oracle import oracle_rows
     from ..sources.clips import clips_from_documents
     from ..stages.joins import hash_join
@@ -1566,6 +1568,7 @@ def q_keepdrop_f1_audio(sf_dir: str):
     speech_rate): engine vs row-oracle joined on clip_id, same shared gate
     function both sides — F1 must be exactly 1.0.  wps bounds are tuned to
     the synthetic corpus (sub-second clips with long transcripts)."""
+    _ensure_fixture("q_keepdrop_f1_audio", sf_dir)
     from ..config import PipelineConfig
     from ..oracle import oracle_rows
     from ..sources.clips import clips_from_documents

@@ -431,6 +431,66 @@ def so_video_frames(sf_dir: str) -> pa.Table:
     return out.select(["clip_id", "frame_index", "decode_ok"])
 
 
+def _oracle_decisions(sf_dir: str, cfg=None):
+    from ..config import DEFAULT_CONFIG
+    from ..oracle import oracle_rows
+
+    rows = _clips(sf_dir).to_pylist()
+    return oracle_rows(rows, cfg or DEFAULT_CONFIG)
+
+
+def so_clips_keep_stats(sf_dir: str) -> pa.Table:
+    """Serial (keep, drop_reason) histogram from the row oracle — pins the
+    flagship pipeline's drop-reason distribution exactly (the oracle and
+    the engine share the function bank, so any engine deviation shows up
+    as a histogram shift)."""
+    counts: dict[tuple, int] = defaultdict(int)
+    for r in _oracle_decisions(sf_dir):
+        counts[(bool(r["keep"]), r["drop_reason"])] += 1
+    keys = sorted(counts)
+    return pa.table({
+        "keep": pa.array([k for k, _ in keys], pa.bool_()),
+        "drop_reason": pa.array([d for _, d in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
+def _f1_fixture(decisions, n_audio_dropped: bool) -> pa.Table:
+    n = len(decisions)
+    tp = sum(1 for r in decisions if r["keep"])
+    cols = {
+        "n_rows": pa.array([n], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([0], pa.int64()),
+        "fn": pa.array([0], pa.int64()),
+    }
+    if n_audio_dropped:
+        gate = sum(1 for r in decisions
+                   if r["drop_reason"] in ("silent_audio", "speech_rate"))
+        cols["n_audio_dropped"] = pa.array([gate], pa.int64())
+        cols["f1"] = pa.array([1.0], pa.float64())
+    else:
+        cols["precision"] = pa.array([1.0], pa.float64())
+        cols["recall"] = pa.array([1.0], pa.float64())
+        cols["f1"] = pa.array([1.0], pa.float64())
+    return pa.table(cols)
+
+
+def so_keepdrop_f1(sf_dir: str) -> pa.Table:
+    """The conformance join's expected outcome: the engine must agree with
+    the oracle on every row (fp = fn = 0, F1 = 1.0) and tp must equal the
+    serial oracle's keep count — a deviation in EITHER direction fails."""
+    return _f1_fixture(_oracle_decisions(sf_dir), n_audio_dropped=False)
+
+
+def so_keepdrop_f1_audio(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+
+    cfg = PipelineConfig(audio_gates=True, min_wps=0.5, max_wps=80.0,
+                         with_perplexity=False)
+    return _f1_fixture(_oracle_decisions(sf_dir, cfg), n_audio_dropped=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + entry point
 # ---------------------------------------------------------------------------
@@ -442,6 +502,9 @@ SERIAL_ORACLES = {
     "q_chunk_dedup": so_chunk_dedup,
     "q_lsh_topk": so_lsh_topk,
     "q_kmeans_clusters": so_kmeans_clusters,
+    "q_clips_keep_stats": so_clips_keep_stats,
+    "q_keepdrop_f1": so_keepdrop_f1,
+    "q_keepdrop_f1_audio": so_keepdrop_f1_audio,
     "q_ivf_topk": so_ivf_topk,
     "q_perplexity": so_perplexity,
     "q_corpus_ppl": so_corpus_ppl,
