@@ -2,6 +2,7 @@
 must hold for ARBITRARY input, not just fixtures."""
 
 import numpy as np
+import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -107,3 +108,79 @@ class TestSimhashBatchParity:
 
         batch = simhash64_batch(texts)
         assert [int(b) for b in batch] == [simhash64(t) for t in texts]
+
+
+class TestJoinProperties:
+    """Randomized engine-vs-DuckDB equivalence for the round-3 join
+    operators (the property-suite pattern: same inputs, independent
+    implementations)."""
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=8, deadline=None)
+    def test_asof_join_matches_duckdb(self, seed):
+        import duckdb
+        import ray.data as rd
+
+        from spiderray.stages.joins import asof_join
+
+        rng = np.random.default_rng(seed)
+        nl, nr = rng.integers(1, 40, 2)
+        left = pd.DataFrame({
+            "t": rng.integers(0, 50, nl).astype("int64"),
+            "k": rng.integers(0, 4, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        })
+        right = pd.DataFrame({
+            "t": rng.integers(0, 50, nr).astype("int64"),
+            "k": rng.integers(0, 4, nr).astype("int64"),
+            "rid": np.arange(100, 100 + nr, dtype="int64"),
+        })
+        got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="t", by="k", right_tiebreak="rid")
+               .to_pandas())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        exp = con.execute("""
+            SELECT lid, rid FROM (
+              SELECT l.lid, r.rid,
+                     row_number() OVER (PARTITION BY l.lid
+                                        ORDER BY r.t DESC, r.rid DESC) AS rk
+              FROM l JOIN r ON l.k = r.k AND r.t <= l.t
+            ) WHERE rk = 1
+        """).fetchdf()
+        got_pairs = sorted(zip(got.lid.astype(int), got.rid.astype(int)))
+        exp_pairs = sorted(zip(exp.lid.astype(int), exp.rid.astype(int)))
+        assert got_pairs == exp_pairs, seed
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=8, deadline=None)
+    def test_range_join_matches_duckdb(self, seed):
+        import duckdb
+        import ray.data as rd
+
+        from spiderray.stages.joins import range_join
+
+        rng = np.random.default_rng(seed)
+        npts, niv = rng.integers(1, 50, 2)
+        pts = pd.DataFrame({
+            "p": rng.integers(0, 200, npts).astype("int64"),
+            "pid": np.arange(npts, dtype="int64"),
+        })
+        starts = rng.integers(0, 200, niv).astype("int64")
+        ivs = pd.DataFrame({
+            "s": starts,
+            "e": starts + rng.integers(-10, 60, niv).astype("int64"),  # some inverted
+            "iid": np.arange(niv, dtype="int64"),
+        })
+        got = range_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                         "p", "s", "e", bucket_width=17).to_pandas()
+        con = duckdb.connect()
+        con.register("p", pts)
+        con.register("iv", ivs)
+        exp = con.execute(
+            "SELECT pid, iid FROM p JOIN iv ON p.p BETWEEN iv.s AND iv.e"
+        ).fetchdf()
+        got_pairs = sorted(zip(got.pid.astype(int), got.iid.astype(int))) if len(got) else []
+        exp_pairs = sorted(zip(exp.pid.astype(int), exp.iid.astype(int)))
+        assert got_pairs == exp_pairs, seed
