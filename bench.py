@@ -62,8 +62,8 @@ def run_queries() -> dict[str, float]:
     to_run = [
         ("q_pricing_summary", q.q_pricing_summary),
         # hot-key join comparison runs EARLY (session state distorts the
-        # delta at slot 20 — measured), and UNSALTED FIRST so the baseline
-        # absorbs the post-flagship cold-start, not the treatment
+        # delta at slot 20 — measured); the untimed warm pass below
+        # absorbs the post-flagship session cost for both members
         ("q_skew_join_unsalted", lambda sf: q.q_salted_skew_join(sf, use_salt=False)),
         ("q_salted_skew_join", q.q_salted_skew_join),
         ("q_exact_dedup", q.q_exact_dedup),

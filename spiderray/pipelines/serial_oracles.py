@@ -431,12 +431,24 @@ def so_video_frames(sf_dir: str) -> pa.Table:
     return out.select(["clip_id", "frame_index", "decode_ok"])
 
 
+_ORACLE_CACHE: dict = {}
+
+
 def _oracle_decisions(sf_dir: str, cfg=None):
+    """Serial row-oracle decisions over the clips table, memoized per
+    (sf_dir, cfg identity) — the conformance trio shares two of three
+    passes, and a full clips synthesis + oracle pass is the expensive part
+    of fixture generation."""
     from ..config import DEFAULT_CONFIG
     from ..oracle import oracle_rows
 
-    rows = _clips(sf_dir).to_pylist()
-    return oracle_rows(rows, cfg or DEFAULT_CONFIG)
+    cfg = cfg or DEFAULT_CONFIG
+    key = (sf_dir, id(cfg) if cfg is not DEFAULT_CONFIG else "default")
+    if key not in _ORACLE_CACHE:
+        rows = _clips(sf_dir).to_pylist()
+        _ORACLE_CACHE.clear()  # bound: one corpus's decisions at a time
+        _ORACLE_CACHE[key] = oracle_rows(rows, cfg)
+    return _ORACLE_CACHE[key]
 
 
 def so_clips_keep_stats(sf_dir: str) -> pa.Table:

@@ -137,8 +137,6 @@ def asof_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__side"] == 0]
         rhs = g[g["__side"] == 1]
-        if lhs.empty or rhs.empty:
-            return pd.DataFrame()
         # null 'on' keys never match (and crash merge_asof): drop them
         lhs = lhs[lhs[on].notna()]
         rhs = rhs[rhs[on].notna()]

@@ -149,7 +149,9 @@ class TestJoinProperties:
               FROM l JOIN r ON l.k = r.k AND r.t <= l.t
             ) WHERE rk = 1
         """).fetchdf()
-        got_pairs = sorted(zip(got.lid.astype(int), got.rid.astype(int)))
+        # Ray drops columns on 0-row to_pandas — guard like the range test
+        got_pairs = (sorted(zip(got.lid.astype(int), got.rid.astype(int)))
+                     if len(got) else [])
         exp_pairs = sorted(zip(exp.lid.astype(int), exp.rid.astype(int)))
         assert got_pairs == exp_pairs, seed
 
