@@ -153,3 +153,40 @@ class TestStressPrepareCorpus:
         assert int((got_b.drop_reason == "duplicate").sum()) == n_dups
         sized = [sz for sz in put_sizes if sz >= 0]
         assert sized and max(sized) <= n_dups, put_sizes
+
+
+class TestStressJoins:
+    def test_asof_join_1m_rows(self, ray_session):
+        """as-of join at 1M left rows x 100k right rows across 200 keys:
+        correctness sampled against a per-key serial check, wall bounded by
+        the bucketed merge_asof shape (no driver materialization)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(29)
+        nl, nr, nk = 1_000_000, 100_000, 200
+        left = pd.DataFrame({
+            "t": rng.integers(0, 10_000_000, nl).astype("int64"),
+            "k": rng.integers(0, nk, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        })
+        right = pd.DataFrame({
+            "t": rng.integers(0, 10_000_000, nr).astype("int64"),
+            "k": rng.integers(0, nk, nr).astype("int64"),
+            "rid": np.arange(nr, dtype="int64"),
+        })
+        from spiderray.stages.joins import asof_join
+
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="t", by="k", right_tiebreak="rid").to_pandas()
+        assert 0 < len(out) <= nl
+        # serial spot-check on 3 keys
+        got = out.set_index("lid")
+        for k in (0, 57, 199):
+            lk = left[left.k == k]
+            rk = right[right.k == k].sort_values(["t", "rid"])
+            for _, row in lk.head(50).iterrows():
+                prior = rk[rk.t <= row.t]
+                if prior.empty:
+                    assert row.lid not in got.index
+                else:
+                    assert int(got.loc[row.lid, "rid"]) == int(prior.iloc[-1].rid)
