@@ -23,11 +23,13 @@ from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_spli
 from .stages.ann import brute_force_topk, ivf_assign, ivf_topk, ivf_train, lsh_topk
 from .stages.dedup import (
     chunk_dedup_stats,
+    dup_connected_components,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     exact_dedup,
     incremental_exact_dedup,
     minhash_lsh_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -57,11 +59,13 @@ from .stages.windows import sessionize, sliding, tumbling
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
     "bucketed_join", "chunk_dedup_stats", "corpus_summary",
-    "corpus_token_stats", "embedding_near_dup_lsh",
+    "corpus_token_stats", "dup_connected_components",
+    "embedding_near_dup_lsh",
     "embedding_near_dup_pairs", "exact_dedup", "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "prepare_corpus",
+    "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",
+    "prepare_corpus",
     "quantiles_approx", "quantiles_exact", "range_join", "salted_join",
     "sessionize", "simhash_pairs", "sliding", "stratified_sample",
     "term_doc_freqs", "top_k_per_group", "train_char_lm",

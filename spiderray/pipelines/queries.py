@@ -561,10 +561,10 @@ ORDER BY id_a, id_b
 # Non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
-def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents augmented with perturbed
-    copies (every 10th doc gets a near-identical twin)."""
-    _ensure_fixture("q_minhash_pairs", sf_dir)
+def _minhash_augmented(sf_dir: str):
+    """Documents augmented with perturbed copies (every 10th doc gets a
+    near-identical twin) — shared by the minhash pair/cluster/dedup trio so
+    their serial oracles see the identical corpus."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def augment(batch: pa.Table) -> pa.Table:
@@ -574,10 +574,57 @@ def q_minhash_pairs(sf_dir: str):
         twin = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
         return pa.concat_tables([batch.select(["doc_id", "text"]), twin])
 
-    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
+    return ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents augmented with perturbed
+    copies (every 10th doc gets a near-identical twin)."""
+    _ensure_fixture("q_minhash_pairs", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(_minhash_augmented(sf_dir), threshold=0.7)
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup pairs resolved into clusters: the q_minhash_pairs corpus and
+    pair producer, then distributed connected components (iterative
+    min-label propagation + pointer jumping over bucketed label-lookup
+    shuffles, stages/dedup.py) assign every paired doc the min id of its
+    component.  Oracle: serial union-find over the serially-recomputed
+    pair set."""
+    _ensure_fixture("q_dup_clusters", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(_minhash_augmented(sf_dir), threshold=0.7)
+    cc = dedup.dup_connected_components(pairs)
+    df = cc.to_pandas().sort_values("node").reset_index(drop=True)
+    return df[["node", "cluster_id"]]
+
+
+def q_near_dedup(sf_dir: str):
+    """The full near-dedup composition a text-corpus user runs: pairs →
+    connected components → drop every cluster member except the min-id
+    representative (broadcast loser filter at this scale; bucketed
+    anti-filter beyond 1e6 losers).  Output: one distributed-aggregate row
+    (counts + surviving-id checksum) that pins exactly which rows
+    survived."""
+    from ray.data.aggregate import Count, Sum
+
+    _ensure_fixture("q_near_dedup", sf_dir)
+    aug = _minhash_augmented(sf_dir).materialize()
+    n_total = aug.count()
+    pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
+    kept = dedup.near_dedup(aug, pairs, id_col="doc_id")
+    agg = kept.aggregate(
+        Count(alias_name="n_kept"), Sum("doc_id", alias_name="kept_id_sum")
+    )
+    return pa.table(
+        {
+            "n_total": pa.array([n_total], pa.int64()),
+            "n_kept": pa.array([int(agg["n_kept"])], pa.int64()),
+            "n_dropped": pa.array([n_total - int(agg["n_kept"])], pa.int64()),
+            "kept_id_sum": pa.array([int(agg["kept_id_sum"])], pa.int64()),
+        }
+    ).to_pandas()
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -2387,6 +2434,8 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_embed_near_dup": q_embed_near_dup,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_dup_clusters": q_dup_clusters,
+    "q_near_dedup": q_near_dedup,
     "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_lsh_topk": q_lsh_topk,

@@ -168,6 +168,63 @@ def so_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# connected components / near-dedup oracles
+# ---------------------------------------------------------------------------
+
+
+def _union_find(pairs) -> dict[int, int]:
+    """Serial union-find: node → min id of its connected component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _minhash_pair_labels(sf_dir: str) -> dict[int, int]:
+    t = so_minhash_pairs(sf_dir)
+    return _union_find(
+        zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist())
+    )
+
+
+def so_dup_clusters(sf_dir: str) -> pa.Table:
+    labels = _minhash_pair_labels(sf_dir)
+    nodes = sorted(labels)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([labels[n] for n in nodes], pa.int64()),
+        }
+    )
+
+
+def so_near_dedup(sf_dir: str) -> pa.Table:
+    ids, _ = _augmented_docs(sf_dir, 10, 2_000_000, " extra trailing token")
+    labels = _minhash_pair_labels(sf_dir)
+    losers = {n for n, c in labels.items() if n != c}
+    kept = [int(i) for i in ids if int(i) not in losers]
+    return pa.table(
+        {
+            "n_total": pa.array([len(ids)], pa.int64()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "n_dropped": pa.array([len(ids) - len(kept)], pa.int64()),
+            "kept_id_sum": pa.array([sum(kept)], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # chunk dedup
 # ---------------------------------------------------------------------------
 
@@ -509,6 +566,8 @@ def so_keepdrop_f1_audio(sf_dir: str) -> pa.Table:
 
 SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
+    "q_dup_clusters": so_dup_clusters,
+    "q_near_dedup": so_near_dedup,
     "q_simhash_pairs": so_simhash_pairs,
     "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
     "q_chunk_dedup": so_chunk_dedup,

@@ -921,3 +921,329 @@ def chunk_dedup_stats(
         )
 
     return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# connected components over dup pairs → clusters → near-dedup
+# ---------------------------------------------------------------------------
+
+CC_BUCKETS = 64       # hash buckets per label-lookup shuffle
+CC_MAX_ROUNDS = 48    # backstop; min-label + pointer jumping is O(log n) rounds
+
+
+def _cc_int_buckets(col: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return pa.array(v % n)
+
+
+def _cc_lookup_min(refs, labels, n_buckets: int = CC_BUCKETS,
+                   num_partitions: int | None = None):
+    """For every (a, b) row of ``refs``: look up b's current label in
+    ``labels`` (node, label) and emit (node=a, label=label(b)), pre-reduced
+    to the per-bucket min per node.
+
+    Explicit bucket-union-groupby join (hash(b) % B co-locates reference
+    rows with the label rows they need) — only (int64, int64) pairs ever
+    shuffle.  Refs whose b has no label entry are dropped; CC's callers
+    never produce one (every b is a node of the graph, and every label
+    value is itself a node id)."""
+
+    def tag_refs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "__bucket": _cc_int_buckets(batch.column("b"), n_buckets),
+                "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("node"),
+                "b": batch.column("label"),
+                "__bucket": _cc_int_buckets(batch.column("node"), n_buckets),
+                "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
+            }
+        )
+
+    def lookup_in_bucket(g: pd.DataFrame) -> pa.Table:
+        # emit Arrow so the downstream union with Arrow-block datasets never
+        # mixes block types (Ray's sort/groupby asserts homogeneous blocks)
+        lhs = g[g["__side"] == 0]
+        rhs = g[g["__side"] == 1]
+        m = lhs.merge(rhs, left_on="b", right_on="a", suffixes=("", "_r"))
+        if m.empty:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        out = m.groupby("a", as_index=False)["b_r"].min()
+        return pa.table(
+            {
+                "node": pa.array(out["a"].to_numpy(dtype=np.int64)),
+                "label": pa.array(out["b_r"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    tagged = refs.map_batches(
+        tag_refs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("__bucket", num_partitions=num_partitions).map_groups(
+        lookup_in_bucket, batch_format="pandas"
+    )
+
+
+def dup_connected_components(
+    pairs_ds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_buckets: int = CC_BUCKETS,
+    max_rounds: int = CC_MAX_ROUNDS,
+):
+    """Dup-pair edge list → (node, cluster_id) where ``cluster_id`` is the
+    minimum node id of the connected component — the pairs→clusters step a
+    near-dedup pipeline needs before it can pick winners (the reference's
+    seen-set dedup has no analog; this serves the engine's MinHash/SimHash/
+    Jaccard/embedding pair producers).
+
+    Algorithm: iterative min-label propagation with pointer jumping — each
+    round ONE bucketed label-lookup shuffle over (edges ∪ current labels)
+    computes min(label(neighbor)) per node AND label(label(node)) (the jump
+    rides the same shuffle), merged with the node's own label through a
+    keyed groupby-min.  Labels are monotone non-increasing and bounded, so
+    the global label sum (a one-scalar aggregate) is a sound convergence
+    signal: unchanged sum ⇒ fixpoint ⇒ labels constant per component and
+    equal to the component minimum.  Pointer jumping makes rounds
+    O(log diameter); LSH dup graphs are clique-ish, so 2-4 rounds typical.
+
+    Scale: only (int64, int64) rows shuffle; the per-round materialize holds
+    the label table — O(nodes touched by any pair), far smaller than the
+    corpus (at 10^12-doc scale, persist labels to parquet per round exactly
+    like minhash's ``sig_store_dir``).  Node ids must be integers (hash
+    string ids to int64 first).  Nodes in no pair are absent from the
+    output — they are their own singleton clusters by definition."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).cast(pa.int64()).combine_chunks()
+        b = batch.column(id_b).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a, b]),
+                "b": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # shuffle width scales with the edge volume: tiny label tables must
+    # not pay hundreds of fixed-cost shuffle tasks per round (the measured
+    # ~40-70 ms Ray task floor dominates below ~200k rows/partition); on a
+    # real cluster this grows to ~total cores at large n_edges
+    parts = max(2, min(n_buckets, n_edges // 200_000 + 1))
+    edges = edges.repartition(parts).materialize()
+
+    # round 0: label(v) = min(v, min neighbor)
+    def with_self(batch: pa.Table) -> pa.Table:
+        node = batch.column("a")
+        lab = pc.min_element_wise(batch.column("label"), node)
+        return pa.table({"node": node, "label": lab})
+
+    # NB: repartition before every materialize — groupby's shuffle emits
+    # ~3x the input block count regardless of num_partitions, and block
+    # counts compound across rounds (measured 6→18→54→162… without this,
+    # turning O(log n) rounds into exponential wall time)
+    labels = (
+        edges.groupby("a", num_partitions=parts)
+        .aggregate(Min("b", alias_name="label"))
+        .map_batches(with_self, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(parts)
+        .materialize()
+    )
+
+    def labels_as_refs(batch: pa.Table) -> pa.Table:
+        # (node, label) → lookup label(label): the pointer jump
+        return pa.table({"a": batch.column("node"), "b": batch.column("label")})
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("a"), "label": batch.column("label")})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        refs = edges.union(
+            labels.map_batches(
+                labels_as_refs, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        looked = _cc_lookup_min(refs, labels, n_buckets, num_partitions=parts)
+        labels = (
+            looked.union(labels)
+            .groupby("node", num_partitions=parts)
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: pa.table({"node": t.column("node"), "label": t.column("label")}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .repartition(parts)
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"dup_connected_components did not converge in {max_rounds} rounds"
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _drop_ids_join(ds, drop_ids, id_col: str, n_buckets: int = CC_BUCKETS):
+    """Bucketed anti-filter: drop every ``ds`` row whose id appears in
+    ``drop_ids`` (a Dataset with column ``id_col``).  The payload shuffles
+    ONCE by hash(id); drop ids shuffle alongside; each bucket filters
+    Arrow-natively (no pandas: typed nulls must not float-corrupt int
+    ids).  The large-loser twin of the broadcast path in ``near_dedup``."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    schema = ds.schema(fetch_if_missing=True).base_schema
+
+    def _id_buckets(col) -> pa.Array:
+        vals = col.to_pylist()
+        return pa.array(
+            np.fromiter(
+                (
+                    v % n_buckets
+                    if isinstance(v, int)
+                    else zlib.crc32(str(v).encode()) % n_buckets
+                    for v in vals
+                ),
+                dtype=np.int64,
+                count=len(vals),
+            )
+        )
+
+    def tag_payload(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__bucket", _id_buckets(batch.column(id_col)))
+        return batch.append_column(
+            "__side", pa.array(np.zeros(len(batch), dtype=np.int8))
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for field in schema:
+            if field.name == id_col:
+                cols[field.name] = batch.column(id_col).cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(len(batch), field.type)
+        t = pa.table(cols)
+        t = t.append_column("__bucket", _id_buckets(batch.column(id_col)))
+        return t.append_column("__side", pa.array(np.ones(len(batch), dtype=np.int8)))
+
+    tagged = ds.map_batches(
+        tag_payload, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        drop_ids.select_columns([id_col]).map_batches(
+            tag_drops, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out_names = schema.names
+
+    def filter_in_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        bad = g.filter(pc.equal(side, 1)).column(id_col)
+        lhs = g.filter(pc.equal(side, 0)).select(out_names)
+        if len(bad) == 0:
+            return lhs
+        return lhs.filter(
+            pc.invert(pc.is_in(lhs.column(id_col), value_set=bad.combine_chunks()))
+        )
+
+    return tagged.groupby("__bucket").map_groups(
+        filter_in_bucket, batch_format="pyarrow"
+    )
+
+
+def near_dedup(
+    ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    broadcast_max_losers: int = 1_000_000,
+):
+    """Near-duplicate removal: given the corpus and a dup-pair Dataset from
+    any pair producer (minhash_lsh_pairs / simhash_pairs /
+    ngram_jaccard_pairs / embedding_near_dup_pairs), resolve pairs into
+    connected components and drop every member except the min-id
+    representative.
+
+    Loser ids (node ≠ cluster_id) broadcast once via ray.put below
+    ``broadcast_max_losers`` (vectorized pc.is_in filter — the payload
+    never shuffles); above it the payload shuffles ONCE through the
+    bucketed anti-filter.  Nothing corpus-sized ever reaches the driver."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    cc = dup_connected_components(pairs_ds)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("node"), batch.column("cluster_id")))
+        return pa.table({id_col: batch.filter(keep).column("node")})
+
+    losers = cc.map_batches(
+        losers_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers > broadcast_max_losers:
+        return _drop_ids_join(ds, losers, id_col)
+
+    id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
+    chunks = [
+        b.column(id_col).cast(id_type).combine_chunks()
+        for b in losers.iter_batches(batch_format="pyarrow")
+    ]
+    loser_arr = pa.concat_arrays(chunks) if chunks else pa.array([], id_type)
+    ref = ray.put(loser_arr)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        arr = _ray.get(ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(id_col), value_set=arr))
+        )
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
