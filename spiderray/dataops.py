@@ -9,7 +9,7 @@ tooling that goes beyond the reference's crawler semantics:
         train_test_split, stratified_sample, quantiles_exact,
         quantiles_approx, grouped_quantiles_exact, top_k_per_group,
         hash_join, bucketed_join, salted_join, asof_join, range_join,
-        sessionize, tumbling, sliding, train_char_lm,
+        sessionize, tumbling, sliding, window_functions, train_char_lm,
         train_langid_profiles, prepare_corpus, corpus_summary,
         write_split_corpus, BloomFilter,
     )
@@ -54,7 +54,7 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_stats_stage,
 )
-from .stages.windows import sessionize, sliding, tumbling
+from .stages.windows import sessionize, sliding, tumbling, window_functions
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
@@ -70,7 +70,7 @@ __all__ = [
     "sessionize", "simhash_pairs", "sliding", "stratified_sample",
     "term_doc_freqs", "top_k_per_group", "train_char_lm",
     "train_langid_profiles", "train_test_split", "tumbling",
-    "write_split_corpus",
+    "window_functions", "write_split_corpus",
     # multimodal stages
     "audio_features_stage", "audio_gate_stage", "audio_spectral_stage",
     "audio_transform_stage", "frame_sample_stage", "image_features_stage",

@@ -2035,6 +2035,63 @@ ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
 """
 
 
+def q_window_analytics(sf_dir: str):
+    """Analytic OVER-clause window functions (stages/windows.window_functions):
+    per-customer order history enriched with row_number, lag, running sum,
+    3-row rolling sum and a price rank — one hash(partition-key) shuffle,
+    then one vectorized pandas pass per hash partition (cython groupby
+    kernels, no per-key Python)."""
+    from ..stages.windows import window_functions
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = _cents(df["o_totalprice"])
+        return _pa_from_pandas(df[["o_orderkey", "o_custkey", "o_orderdate",
+                                   "price_c"]])
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = window_functions(
+        ds, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        [
+            {"fn": "row_number", "out": "rn"},
+            {"fn": "lag", "col": "price_c", "offset": 1, "default": -1,
+             "out": "prev_price_c"},
+            {"fn": "cumsum", "col": "price_c", "out": "run_price_c"},
+            {"fn": "rolling_sum", "col": "price_c", "window": 3,
+             "out": "roll3_price_c"},
+            {"fn": "rank", "col": "price_c", "ascending": False,
+             "out": "price_rank"},
+        ],
+    )
+    df = out.to_pandas()
+    df = df[["o_orderkey", "o_custkey", "rn", "prev_price_c", "run_price_c",
+             "roll3_price_c", "price_rank"]]
+    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+SQL_WINDOW_ANALYTICS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(COALESCE(lag(price_c, 1) OVER w, -1) AS BIGINT) AS prev_price_c,
+       CAST(sum(price_c) OVER w AS BIGINT) AS run_price_c,
+       CAST(sum(price_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_price_c,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY price_c DESC)
+            AS BIGINT) AS price_rank
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
+"""
 
 
 def q_parts_by_brand(sf_dir: str):
@@ -2465,6 +2522,7 @@ QUERIES = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_prepare_corpus": q_prepare_corpus,
     "q_top_orders_per_segment": q_top_orders_per_segment,
+    "q_window_analytics": q_window_analytics,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,
@@ -2516,6 +2574,7 @@ ORACLE_SQL = {
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_prepare_corpus": SQL_PREPARE_CORPUS,
     "q_top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+    "q_window_analytics": SQL_WINDOW_ANALYTICS,
     "q_salted_skew_join": SQL_SALTED_SKEW_JOIN,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_asof_join": SQL_ASOF_JOIN,

@@ -98,6 +98,73 @@ def tumbling(ds, ts_col: str = "ts", key_col: str | None = None,
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def window_functions(ds, partition_by: list[str], order_by: list[str],
+                     specs: list[dict], n_parts: int = N_PARTS):
+    """Analytic (SQL OVER-clause) window functions: row_number / rank /
+    dense_rank / lag / lead / cumsum / cummax / cummin / rolling_sum /
+    rolling_mean, computed per partition key in ``order_by`` order and
+    appended as new columns to the input rows.
+
+    ``specs`` is a list of dicts:
+      {"fn": "row_number", "out": "rn"}
+      {"fn": "lag"|"lead", "col": c, "offset": 1, "default": d, "out": o}
+      {"fn": "rank"|"dense_rank", "col": c, "ascending": bool, "out": o}
+      {"fn": "cumsum"|"cummax"|"cummin", "col": c, "out": o}
+      {"fn": "rolling_sum"|"rolling_mean", "col": c, "window": w, "out": o}
+
+    Shape (same as sessionize): ONE shuffle on hash(partition_by[0]) %
+    n_parts, then each hash partition computes every key's windows in a
+    single vectorized pandas pass — one stable sort by (partition_by +
+    order_by), then one cython groupby kernel per spec.  No per-key Python.
+    Ordering assumption, stated: all rows of one partition key must fit one
+    hash partition (same contract as sessionize); ``order_by`` should be a
+    total order within a key or frame-based fns (lag/rolling) are
+    tie-order-dependent.  Integer inputs stay integers in the output
+    (rank/lag/rolling intermediates are cast back)."""
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part").sort_values(
+            partition_by + order_by, kind="mergesort").reset_index(drop=True)
+        gb = g.groupby(partition_by, sort=False)
+        for s in specs:
+            fn, out = s["fn"], s["out"]
+            col = s.get("col")
+            if fn == "row_number":
+                g[out] = (gb.cumcount() + 1).astype(np.int64)
+            elif fn in ("rank", "dense_rank"):
+                method = "min" if fn == "rank" else "dense"
+                g[out] = gb[col].rank(
+                    method=method, ascending=s.get("ascending", True)
+                ).astype(np.int64)
+            elif fn in ("lag", "lead"):
+                off = s.get("offset", 1)
+                shifted = gb[col].shift(off if fn == "lag" else -off)
+                default = s.get("default")
+                if default is not None:
+                    shifted = shifted.fillna(default)
+                    if pd.api.types.is_integer_dtype(g[col]):
+                        shifted = shifted.astype(np.int64)
+                g[out] = shifted
+            elif fn in ("cumsum", "cummax", "cummin"):
+                g[out] = getattr(gb[col], fn)()
+            elif fn in ("rolling_sum", "rolling_mean"):
+                w = s["window"]
+                # groupby(sort=False) on a frame already sorted by the keys
+                # iterates groups in row order, so the concatenated rolling
+                # result aligns positionally with g's rows
+                rolled = gb[col].rolling(w, min_periods=1)
+                vals = (rolled.sum() if fn == "rolling_sum" else rolled.mean()
+                        ).to_numpy()
+                if fn == "rolling_sum" and pd.api.types.is_integer_dtype(g[col]):
+                    vals = np.rint(vals).astype(np.int64)
+                g[out] = vals
+            else:
+                raise ValueError(f"unknown window fn {fn!r}")
+        return g
+
+    parted = _add_part(ds, partition_by[0], n_parts)
+    return parted.groupby("__part").map_groups(per_part, batch_format="pandas")
+
+
 def sliding(ds, ts_col: str = "ts", key_col: str | None = None,
             width_minutes: int = 60, slide_minutes: int = 30):
     """Sliding windows: each event lands in width/slide overlapping windows

@@ -226,6 +226,76 @@ class TestSessions:
             sliding(rd.from_items([{"ts": None}]), width_minutes=45, slide_minutes=30)
 
 
+class TestWindowFunctions:
+    def _frame(self):
+        import pandas as pd
+
+        # two keys, deliberate value ties inside key 1 (rank vs dense_rank)
+        return pd.DataFrame({
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "seq": [1, 2, 3, 4, 1, 2, 3],
+            "v": [10, 30, 30, 20, 5, 5, 7],
+        })
+
+    def test_against_duckdb_window_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from spiderray.stages.windows import window_functions
+
+        df = self._frame()
+        out = window_functions(
+            rd.from_pandas(df), ["k"], ["seq"],
+            [
+                {"fn": "row_number", "out": "rn"},
+                {"fn": "lag", "col": "v", "offset": 1, "default": -1, "out": "prev_v"},
+                {"fn": "lead", "col": "v", "offset": 1, "default": -1, "out": "next_v"},
+                {"fn": "cumsum", "col": "v", "out": "run_v"},
+                {"fn": "cummax", "col": "v", "out": "max_v"},
+                {"fn": "rank", "col": "v", "ascending": False, "out": "rk"},
+                {"fn": "dense_rank", "col": "v", "ascending": False, "out": "drk"},
+                {"fn": "rolling_sum", "col": "v", "window": 2, "out": "roll2_v"},
+                {"fn": "rolling_mean", "col": "v", "window": 2, "out": "roll2_mean"},
+            ],
+        ).to_pandas().sort_values(["k", "seq"]).reset_index(drop=True)
+
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute("""
+            SELECT k, seq, v,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(COALESCE(lag(v) OVER w, -1) AS BIGINT) AS prev_v,
+                   CAST(COALESCE(lead(v) OVER w, -1) AS BIGINT) AS next_v,
+                   CAST(sum(v) OVER w AS BIGINT) AS run_v,
+                   CAST(max(v) OVER w AS BIGINT) AS max_v,
+                   CAST(rank() OVER (PARTITION BY k ORDER BY v DESC) AS BIGINT) AS rk,
+                   CAST(dense_rank() OVER (PARTITION BY k ORDER BY v DESC) AS BIGINT) AS drk,
+                   CAST(sum(v) OVER (PARTITION BY k ORDER BY seq
+                        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll2_v,
+                   avg(v) OVER (PARTITION BY k ORDER BY seq
+                        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS roll2_mean
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY seq)
+            ORDER BY k, seq
+        """).fetchdf()
+        con.close()
+        for c in exp.columns:
+            assert out[c].tolist() == exp[c].tolist(), c
+        for c in ("rn", "prev_v", "next_v", "run_v", "rk", "drk", "roll2_v"):
+            assert str(out[c].dtype) == "int64", c
+
+    def test_unknown_fn_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from spiderray.stages.windows import window_functions
+
+        with pytest.raises(Exception):
+            window_functions(
+                rd.from_pandas(self._frame()), ["k"], ["seq"],
+                [{"fn": "ntile", "out": "x"}],
+            ).materialize()
+
+
 class TestReferenceApi:
     def test_get_news(self):
         from spiderray.api import get_news
