@@ -2437,19 +2437,31 @@ def q_image_features(sf_dir: str):
 
 
 def _synth_video_rows(batch: pa.Table) -> pa.Table:
-    """Every 10th doc → a 9-frame toy video container (shared by
-    q_video_frames and its serial oracle)."""
-    from ..stages.image import encode_rawv
+    """Every 10th doc → a 9-frame video (shared by q_video_frames and its
+    serial oracle).  Containers alternate deterministically: real YUV4MPEG2
+    streams (C420jpeg / C444 / mono — full header + FRAME parse + YUV→RGB)
+    and the toy RAWV container; every 7th video is a truncated Y4M stream to
+    exercise the decode_ok=False marker path."""
+    from ..stages.image import encode_rawv, encode_y4m
 
     t = _mod_filter(batch, "doc_id", 10)
     ids, bufs = [], []
     for i in t.column("doc_id").to_numpy():
+        i = int(i)
         frames = []
         for f in range(9):
-            img = np.full((8, 8, 3), (int(i) + f) % 256, dtype=np.uint8)
+            img = np.full((8, 8, 3), (i + f) % 256, dtype=np.uint8)
             frames.append(img)
-        ids.append(f"vid_{int(i):08d}")
-        bufs.append(encode_rawv(frames))
+        ids.append(f"vid_{i:08d}")
+        k = (i // 10) % 4
+        if k == 0:
+            buf = encode_rawv(frames)
+        else:
+            buf = encode_y4m(frames,
+                             colorspace=("420jpeg", "444", "mono")[k - 1])
+        if (i // 10) % 7 == 3:
+            buf = buf[: len(buf) * 2 // 3]  # mid-frame truncation
+        bufs.append(buf)
     return pa.table({"clip_id": pa.array(ids, pa.string()),
                      "bytes": pa.array(bufs, pa.binary())})
 

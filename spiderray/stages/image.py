@@ -11,10 +11,15 @@ LZ77 + color cache + all four transforms).  Progressive JPEG, lossy
 (VP8) WebP, PNG palette/16-bit/Adam7 raise ``ImageDecodeUnsupported`` —
 rows flow through with ``decode_ok=False`` (mark, don't crash).
 
-"Video" is a deterministic toy container (``RAWV`` header + concatenated
-P6 frames) so the frame-sampling stage exercises real sampling math and
-real per-frame decode without a codec.  Swapping in ffmpeg/pyav changes
-only ``_iter_video_frames``.
+Video containers: **YUV4MPEG2 (Y4M)** — the real, public uncompressed
+video interchange format (mjpegtools/ffmpeg ``-f yuv4mpeg``; plain-text
+stream header ``YUV4MPEG2 W.. H.. F..`` then ``FRAME\n`` + planar YUV per
+frame) — decoded from the spec with vectorized BT.601 YUV→RGB and 4:2:0
+chroma upsampling (C420/C420jpeg/C420mpeg2/C420paldv, C422, C444, Cmono);
+plus the deterministic toy ``RAWV`` container (header + concatenated P6
+frames) kept for plumbing tests.  ``_iter_video_frames`` dispatches on the
+magic and yields uniform P6 frame bytes either way; compressed codecs
+(h264/vp9/...) would slot in at the same seam.
 """
 
 from __future__ import annotations
@@ -304,6 +309,13 @@ def encode_rawv(frames: list[np.ndarray]) -> bytes:
 
 
 def _iter_video_frames(buf: bytes):
+    """Uniform frame iterator: dispatches on the container magic and yields
+    P6 (PPM) frame bytes for every supported container — Y4M (real format,
+    decoded YUV→RGB) and the RAWV test container alike."""
+    if buf.startswith(_Y4M_MAGIC):
+        for rgb in _iter_y4m_frames(buf):
+            yield encode_ppm(rgb)
+        return
     if buf[:4] != b"RAWV":
         raise ImageDecodeUnsupported("video container")
     n = int.from_bytes(buf[4:8], "little")
@@ -321,6 +333,151 @@ def _iter_video_frames(buf: bytes):
             raise ImageDecodeUnsupported("truncated video frame payload")
         yield buf[pos : pos + ln]
         pos += ln
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 (Y4M): the real, public uncompressed video interchange format
+# (mjpegtools; what `ffmpeg -f yuv4mpeg` writes).  Stream header
+# b"YUV4MPEG2" + space-separated tagged params (W H F I A C X) up to \n,
+# then per frame b"FRAME"[params]\n + planar YUV bytes.  Chroma math is the
+# full-range BT.601 (JPEG/JFIF) matrix for every colorspace — the canonical
+# C420jpeg case; limited-range siting variants (C420mpeg2/C420paldv) decode
+# with the same matrix, a documented deviation that keeps the codec
+# deterministic and library-free.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_MAX_PIXELS = 1 << 26  # 64 Mpx/frame: a corrupt header must not OOM
+
+# colorspace tag -> (chroma x-subsample, y-subsample); "mono" is special
+_Y4M_CS = {
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1),
+}
+
+
+def _parse_y4m_header(buf: bytes) -> tuple[int, int, str, int]:
+    """(width, height, colorspace, data_offset); raises on anything that is
+    not a well-formed YUV4MPEG2 stream header."""
+    if not buf.startswith(_Y4M_MAGIC):
+        raise ImageDecodeUnsupported("y4m magic")
+    nl = buf.find(b"\n", 0, 4096)
+    if nl < 0:
+        raise ImageDecodeUnsupported("y4m header unterminated")
+    w = h = 0
+    cs = "420"  # spec default when no C tag
+    for tok in buf[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cs = val.decode("ascii")
+            elif tag == b"F":
+                num, den = val.split(b":")
+                if int(num) <= 0 or int(den) <= 0:
+                    raise ValueError("non-positive frame rate")
+            # I (interlace), A (aspect), X (extension) are legal; ignored
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise ImageDecodeUnsupported(f"y4m header tag {tok[:16]!r}") from exc
+    if w <= 0 or h <= 0 or w * h > _Y4M_MAX_PIXELS:
+        raise ImageDecodeUnsupported("y4m dimensions")
+    return w, h, cs, nl + 1
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 inverse (JFIF matrix), vectorized over the frame."""
+    yf = y.astype(np.float64)
+    uf = u.astype(np.float64) - 128.0
+    vf = v.astype(np.float64) - 128.0
+    rgb = np.stack(
+        [yf + 1.402 * vf,
+         yf - 0.344136 * uf - 0.714136 * vf,
+         yf + 1.772 * uf], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _iter_y4m_frames(buf: bytes):
+    """Yield decoded RGB uint8 (h, w, 3) frames from a Y4M stream."""
+    w, h, cs, pos = _parse_y4m_header(buf)
+    mono = cs == "mono"
+    if mono:
+        fsize = w * h
+    else:
+        if cs not in _Y4M_CS:
+            raise ImageDecodeUnsupported(f"y4m colorspace {cs[:16]}")
+        sx, sy = _Y4M_CS[cs]
+        if w % sx or h % sy:
+            raise ImageDecodeUnsupported("y4m odd dims for subsampling")
+        cw, ch = w // sx, h // sy
+        fsize = w * h + 2 * cw * ch
+    while pos < len(buf):
+        if not buf.startswith(b"FRAME", pos):
+            raise ImageDecodeUnsupported("y4m frame marker")
+        nl = buf.find(b"\n", pos, pos + 256)
+        if nl < 0:
+            raise ImageDecodeUnsupported("y4m frame header unterminated")
+        pos = nl + 1
+        if pos + fsize > len(buf):
+            raise ImageDecodeUnsupported("truncated y4m frame payload")
+        data = np.frombuffer(buf, np.uint8, fsize, pos)
+        pos += fsize
+        yp = data[: w * h].reshape(h, w)
+        if mono:
+            yield np.repeat(yp[..., None], 3, axis=2)
+            continue
+        up = data[w * h : w * h + cw * ch].reshape(ch, cw)
+        vp = data[w * h + cw * ch :].reshape(ch, cw)
+        if sx > 1:
+            up = np.repeat(up, sx, axis=1)
+            vp = np.repeat(vp, sx, axis=1)
+        if sy > 1:
+            up = np.repeat(up, sy, axis=0)
+            vp = np.repeat(vp, sy, axis=0)
+        yield _yuv_to_rgb(yp, up, vp)
+
+
+def encode_y4m(frames: list[np.ndarray], colorspace: str = "420jpeg",
+               fps: tuple[int, int] = (25, 1)) -> bytes:
+    """RGB uint8 frames → a YUV4MPEG2 stream (full-range BT.601 forward
+    matrix; chroma subsampled by block mean).  All frames must share the
+    first frame's dimensions.  Gray frames (R=G=B) round-trip bit-exactly
+    (U=V=128, Y=R)."""
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if colorspace == "mono":
+        sx = sy = 1
+    elif colorspace in _Y4M_CS:
+        sx, sy = _Y4M_CS[colorspace]
+        if w % sx or h % sy:
+            raise ValueError(f"dims {w}x{h} not divisible for C{colorspace}")
+    else:
+        raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+        % (w, h, fps[0], fps[1], colorspace.encode("ascii")))
+    for img in frames:
+        if img.shape[:2] != (h, w):
+            raise ValueError("frame dimensions differ within one stream")
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        out += b"FRAME\n"
+        out += np.clip(np.rint(y), 0, 255).astype(np.uint8).tobytes()
+        if colorspace == "mono":
+            continue
+        u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        for plane in (u, v):
+            if sx > 1 or sy > 1:
+                plane = plane.reshape(h // sy, sy, w // sx, sx).mean(axis=(1, 3))
+            out += np.clip(np.rint(plane), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

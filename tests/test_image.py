@@ -310,3 +310,86 @@ class TestVideoPartialTruncation:
         # failure marker — never both sampled rows and a failure row
         if (~out.decode_ok).any():
             assert len(out) == 1 and out.frame_index[0] == -1
+
+
+class TestY4M:
+    """YUV4MPEG2 — the real public uncompressed video format (mjpegtools /
+    `ffmpeg -f yuv4mpeg`): header parse, FRAME iteration, YUV→RGB, chroma
+    subsampling, and the uniform _iter_video_frames dispatch."""
+
+    def _frames(self, n=5, h=16, w=24):
+        rng = np.random.default_rng(7)
+        return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)]
+
+    def test_roundtrip_every_colorspace(self):
+        frames = self._frames()
+        for cs in ("420jpeg", "420", "420mpeg2", "420paldv", "422", "444",
+                   "mono"):
+            dec = list(im._iter_y4m_frames(im.encode_y4m(frames, colorspace=cs)))
+            assert len(dec) == len(frames), cs
+            assert dec[0].shape == (16, 24, 3), cs
+
+    def test_444_is_rounding_exact(self):
+        # no subsampling: the only loss is the forward+inverse BT.601
+        # rounding, which is bounded by 1 count per channel
+        frames = self._frames()
+        dec = list(im._iter_y4m_frames(im.encode_y4m(frames, colorspace="444")))
+        for d, f in zip(dec, frames):
+            assert np.abs(d.astype(int) - f.astype(int)).max() <= 1
+
+    def test_gray_frames_bit_exact(self):
+        # R=G=B ⇒ U=V=128 and Y=R exactly, in every colorspace
+        frames = [np.full((8, 8, 3), v, np.uint8) for v in (0, 17, 128, 255)]
+        for cs in ("420jpeg", "422", "444", "mono"):
+            dec = list(im._iter_y4m_frames(im.encode_y4m(frames, colorspace=cs)))
+            for d, f in zip(dec, frames):
+                assert (d == f).all(), cs
+
+    def test_header_extras_ignored(self):
+        # interlace/aspect/extension tags and FRAME params are legal noise
+        buf = im.encode_y4m([np.full((4, 4, 3), 9, np.uint8)], colorspace="444")
+        buf = buf.replace(b" Ip A1:1 ", b" Ip A4:3 Xcustom ", 1)
+        buf = buf.replace(b"FRAME\n", b"FRAME Ix\n", 1)
+        dec = list(im._iter_y4m_frames(buf))
+        assert len(dec) == 1 and (dec[0] == 9).all()
+
+    def test_corrupt_streams_raise(self):
+        ok = im.encode_y4m([np.full((8, 8, 3), 1, np.uint8)], colorspace="444")
+        bad = [
+            b"YUV4MPEG3" + ok[9:],                     # wrong magic
+            ok[:-10],                                   # truncated payload
+            ok.replace(b"C444", b"C999"),               # unknown colorspace
+            ok.replace(b"W8", b"W0"),                   # zero width
+            ok.replace(b"W8", b"W99999999"),            # pixel-count bomb
+            ok.replace(b"F25:1", b"F0:1"),              # bad frame rate
+            ok.replace(b"FRAME", b"FRAMX"),             # bad frame marker
+            b"YUV4MPEG2 W8 H7 C420\n" + b"\0" * 84,     # odd dims for 4:2:0
+            b"YUV4MPEG2 W8 H8 C444" + b" " * 5000,      # unterminated header
+        ]
+        for buf in bad:
+            with pytest.raises(im.ImageDecodeUnsupported):
+                list(im._iter_y4m_frames(buf))
+
+    def test_dispatch_and_sampling_stage(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+
+        frames = [np.full((6, 6, 3), 10 * i, np.uint8) for i in range(12)]
+        rows = [
+            {"clip_id": "y4m", "bytes": im.encode_y4m(frames)},
+            {"clip_id": "rawv", "bytes": im.encode_rawv(frames)},
+            {"clip_id": "junk", "bytes": b"YUV4MPEG2 W6 H6 C420\nFRAME"},
+        ]
+        out = im.frame_sample_stage(
+            rd.from_items(rows), PipelineConfig(), every_k=5, concurrency=1
+        ).to_pandas()
+        for cid in ("y4m", "rawv"):
+            part = out[out.clip_id == cid]
+            assert part.frame_index.tolist() == [0, 5, 10], cid
+            # gray frames: both containers decode to identical PPM bytes
+            f5 = part[part.frame_index == 5].iloc[0]["bytes"]
+            assert (im.decode_image(f5, "ppm") == 50).all(), cid
+        junk = out[out.clip_id == "junk"]
+        assert len(junk) == 1 and not bool(junk.iloc[0]["decode_ok"])
