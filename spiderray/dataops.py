@@ -4,7 +4,8 @@ tooling that goes beyond the reference's crawler semantics:
     from spiderray.dataops import (
         exact_dedup, incremental_exact_dedup, minhash_lsh_pairs,
         simhash_pairs, ngram_jaccard_pairs, embedding_near_dup_pairs,
-        chunk_dedup_stats, brute_force_topk, lsh_topk, ivf_train, ivf_topk,
+        semantic_dedup, decontaminate, chunk_dedup_stats,
+        brute_force_topk, lsh_topk, ivf_train, ivf_topk,
         kmeans_fit_distributed, kmeans_assign, bm25_topk, term_doc_freqs,
         train_test_split, stratified_sample, quantiles_exact,
         quantiles_approx, grouped_quantiles_exact, top_k_per_group,
@@ -23,6 +24,7 @@ from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_spli
 from .stages.ann import brute_force_topk, ivf_assign, ivf_topk, ivf_train, lsh_topk
 from .stages.dedup import (
     chunk_dedup_stats,
+    decontaminate,
     dup_connected_components,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
@@ -31,6 +33,7 @@ from .stages.dedup import (
     minhash_lsh_pairs,
     near_dedup,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_pairs,
 )
 from .stages.ann import kmeans_assign, kmeans_fit_distributed
@@ -59,7 +62,7 @@ from .stages.windows import sessionize, sliding, tumbling, window_functions
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
     "bucketed_join", "chunk_dedup_stats", "corpus_summary",
-    "corpus_token_stats", "dup_connected_components",
+    "corpus_token_stats", "decontaminate", "dup_connected_components",
     "embedding_near_dup_lsh",
     "embedding_near_dup_pairs", "exact_dedup", "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
@@ -67,7 +70,7 @@ __all__ = [
     "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",
     "prepare_corpus",
     "quantiles_approx", "quantiles_exact", "range_join", "salted_join",
-    "sessionize", "simhash_pairs", "sliding", "stratified_sample",
+    "semantic_dedup", "sessionize", "simhash_pairs", "sliding", "stratified_sample",
     "term_doc_freqs", "top_k_per_group", "train_char_lm",
     "train_langid_profiles", "train_test_split", "tumbling",
     "window_functions", "write_split_corpus",

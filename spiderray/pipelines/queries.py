@@ -2479,6 +2479,77 @@ def q_video_frames(sf_dir: str):
     return out.select_columns(["clip_id", "frame_index", "decode_ok"])
 
 
+def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
+    """Planted near-duplicates for q_semantic_dedup (shared with its serial
+    oracle): every 25th vector gets a copy at id + 1_000_000, perturbed by
+    5% of its rolled self — cos ≈ 0.999, far above natural pairs (≤0.6 on
+    this corpus) and the 0.95 threshold.  Returned float32 so the stored
+    copy is bit-identical to what the parquet list<float> column holds."""
+    m = ids % 25 == 0
+    W = (V[m] + 0.05 * np.roll(V[m], 1, axis=1)).astype(np.float32)
+    return ids[m] + 1_000_000, W
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/dedup.semantic_dedup):
+    distributed k-means partitions the embedding space, within-cluster
+    cosine pairs ≥0.95 resolve through connected components, each component
+    keeps its min-id representative.  Corpus = embeddings plus planted
+    near-copies; summary row pins the exact surviving membership."""
+    _ensure_fixture("q_semantic_dedup", sf_dir)
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb_type = pa.list_(pa.float32())
+
+    def copies(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        V = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        cid, W = (_semdedup_copies(ids, V) if len(ids)
+                  else (ids, np.zeros((0, 0), np.float32)))
+        return pa.table({
+            "vec_id": pa.array(cid, pa.int64()),
+            "embedding": pa.array([list(w) for w in W], emb_type),
+        })
+
+    aug = ds.union(ds.map_batches(copies, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    kept = dedup.semantic_dedup(aug, n_clusters=8, iters=4, threshold=0.95)
+    summary = kept.aggregate(Count(alias_name="n_kept"),
+                             Sum("vec_id", alias_name="kept_id_sum"))
+    n_total = aug.count()
+    n_kept = int(summary["n_kept"])
+    return pd.DataFrame({
+        "n_total": pd.array([n_total], dtype="int64"),
+        "n_kept": pd.array([n_kept], dtype="int64"),
+        "n_dropped": pd.array([n_total - n_kept], dtype="int64"),
+        "kept_id_sum": pd.array([int(summary["kept_id_sum"])], dtype="int64"),
+    })
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.decontaminate — the GPT-3 /
+    Pile training-corpus hygiene op): the eval set is the first 12 words of
+    every 17th doc; any doc sharing a word 8-gram with it is flagged.
+    Bench grams broadcast once; the corpus streams through one vectorized
+    membership map — no corpus shuffle."""
+    _ensure_fixture("q_decontaminate", sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 17)
+        texts = [" ".join((x or "").split()[:12])
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"text": pa.array(texts, pa.string())})
+
+    bench = ds.map_batches(bench_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = dedup.decontaminate(ds, bench, n=8, mode="flag")
+    df = out.select_columns(
+        ["doc_id", "overlap_grams", "contaminated"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2535,6 +2606,8 @@ QUERIES = {
     "q_prepare_corpus": q_prepare_corpus,
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_window_analytics": q_window_analytics,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_decontaminate": q_decontaminate,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

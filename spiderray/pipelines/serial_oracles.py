@@ -564,6 +564,102 @@ def so_keepdrop_f1_audio(sf_dir: str) -> pa.Table:
 # registry + entry point
 # ---------------------------------------------------------------------------
 
+def so_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin of q_semantic_dedup: same augmentation helper, same
+    micro-unit Lloyd (k=8, iters=4, init = first 8 rows — copies are
+    appended after the originals, matching the distributed union order),
+    serial within-cluster O(n²) cosine pairs ≥0.95, union-find, min-id
+    representative kept."""
+    from .queries import _semdedup_copies
+
+    ids, V = _embeddings(sf_dir)
+    cid, W = _semdedup_copies(ids, V)
+    ids_a = np.concatenate([ids, cid])
+    V_a = np.concatenate([V, W.astype(np.float64)])
+
+    nrm = np.linalg.norm(V_a, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Vn = V_a / nrm
+    k, iters, scale_bits = 8, 4, 20
+    scale = float(1 << scale_bits)
+    C = Vn[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(Vn @ C.T, axis=1)
+        q = np.round(Vn * scale).astype(np.int64)
+        for c in range(k):
+            members = q[assign == c]
+            if len(members):
+                m = members.sum(axis=0).astype(np.float64) / (len(members) * scale)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[c] = m / nm
+    assign = np.argmax(Vn @ C.T, axis=1)
+
+    parent = {int(i): int(i) for i in ids_a}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in range(k):
+        idx = np.nonzero(assign == c)[0]
+        if len(idx) < 2:
+            continue
+        S = Vn[idx] @ Vn[idx].T
+        ii, jj = np.nonzero(np.triu(S >= 0.95, 1))
+        for a, b in zip(idx[ii], idx[jj]):
+            ra, rb = find(int(ids_a[a])), find(int(ids_a[b]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, list[int]] = {}
+    for i in parent:
+        comps.setdefault(find(i), []).append(i)
+    losers = {i for members in comps.values() if len(members) > 1
+              for i in members if i != min(members)}
+    kept = [int(i) for i in ids_a if int(i) not in losers]
+    return pa.table({
+        "n_total": pa.array([len(ids_a)], pa.int64()),
+        "n_kept": pa.array([len(kept)], pa.int64()),
+        "n_dropped": pa.array([len(ids_a) - len(kept)], pa.int64()),
+        "kept_id_sum": pa.array([sum(kept)], pa.int64()),
+    })
+
+
+def so_decontaminate(sf_dir: str) -> pa.Table:
+    """Serial twin of q_decontaminate: same bench construction (first 12
+    words of every 17th doc) and the same ngram_set function bank, computed
+    single-threaded over the raw parquet."""
+    from ..functions.fingerprint import ngram_set
+
+    t = _docs(sf_dir)
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    texts = t.column("text").to_pylist()
+    bench_arrs = [ngram_set(" ".join((txt or "").split()[:12]), 8)
+                  for i, txt in zip(ids, texts) if i % 17 == 0]
+    bench_arrs = [a for a in bench_arrs if len(a)]
+    bench = (np.unique(np.concatenate(bench_arrs)) if bench_arrs
+             else np.zeros(0, dtype=np.uint64))
+    counts = []
+    for txt in texts:
+        g = ngram_set(txt or "", 8)
+        if len(g) and len(bench):
+            idx = np.searchsorted(bench, g)
+            idx[idx == len(bench)] = 0
+            counts.append(int((bench[idx] == g).sum()))
+        else:
+            counts.append(0)
+    order = np.argsort(ids, kind="stable")
+    counts = np.array(counts, dtype=np.int64)[order]
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "overlap_grams": pa.array(counts, pa.int64()),
+        "contaminated": pa.array(counts > 0, pa.bool_()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
@@ -586,6 +682,8 @@ SERIAL_ORACLES = {
     "q_flac_roundtrip": so_flac_roundtrip,
     "q_image_features": so_image_features,
     "q_video_frames": so_video_frames,
+    "q_semantic_dedup": so_semantic_dedup,
+    "q_decontaminate": so_decontaminate,
 }
 
 

@@ -1247,3 +1247,121 @@ def near_dedup(
         )
 
     return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 4,
+    threshold: float = 0.95,
+    max_group: int = EMBED_MAX_GROUP,
+):
+    """SemDeDup-style semantic deduplication (the public recipe: cluster the
+    embedding space, then search for near-duplicates only WITHIN a cluster):
+    distributed k-means (ann.kmeans_fit_distributed — bit-deterministic
+    integer micro-unit Lloyd, only k×d counters per block) partitions the
+    corpus; embedding_near_dup_pairs finds within-cluster cosine pairs;
+    connected components resolve them; each component keeps its min-id
+    representative (near_dedup).
+
+    Scale shape: the cluster partition bounds the O(n²) pair search to
+    cluster size (plus the max_group hot-cluster guard), one keyed shuffle
+    for the cluster groupby, and the loser set follows near_dedup's
+    broadcast-or-anti-join auto mode.  Documented SemDeDup tradeoff:
+    near-dups straddling a cluster boundary are out of contract."""
+    from .ann import kmeans_assign, kmeans_fit_distributed
+
+    C = kmeans_fit_distributed(ds, n_centroids=n_clusters, iters=iters,
+                               vec_col=vec_col)
+    assigned = kmeans_assign(ds, C, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs(
+        assigned, vec_col=vec_col, id_col=id_col, part_col="cluster",
+        threshold=threshold, max_group=max_group)
+    return near_dedup(ds, pairs, id_col=id_col)
+
+
+def decontaminate(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    mode: str = "flag",
+    max_bench_grams: int = 5_000_000,
+):
+    """Benchmark decontamination — the training-corpus hygiene operator of
+    the published GPT-3 / Pile methodology: find (``mode="flag"``) or drop
+    (``mode="filter"``) training documents that share any word ``n``-gram
+    with an evaluation/benchmark set.
+
+    Scale shape: the benchmark side is SMALL by contract (an eval set, not
+    a second corpus).  Its distinct gram hashes are reduced per block
+    (map_batches partial-unique), unioned on the driver under a hard cap,
+    and broadcast ONCE via ray.put; the corpus then streams through a
+    single vectorized membership map_batches (np.searchsorted against the
+    sorted gram array + np.add.reduceat per-doc overlap counts).  The
+    corpus is never shuffled and nothing corpus-sized reaches the driver.
+    A benchmark exceeding ``max_bench_grams`` distinct grams raises — at
+    that size it is a corpus, and the pair-shaped ngram_jaccard_pairs path
+    applies instead."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+
+    def partial_grams(batch: pa.Table) -> pa.Table:
+        arrs = [fp.ngram_set(t or "", n)
+                for t in batch.column(text_col).to_pylist()]
+        arrs = [a for a in arrs if len(a)]
+        grams = (np.unique(np.concatenate(arrs)) if arrs
+                 else np.zeros(0, dtype=np.uint64))
+        return pa.table({"gram": pa.array(grams, pa.uint64())})
+
+    chunks, total = [], 0
+    for b in bench_ds.map_batches(
+        partial_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        a = b.column("gram").to_numpy()
+        total += len(a)
+        if total > max_bench_grams:
+            raise ValueError(
+                f"benchmark exceeds {max_bench_grams} distinct {n}-grams; "
+                "that is a corpus, not an eval set — use ngram_jaccard_pairs")
+        chunks.append(a)
+    bench = (np.unique(np.concatenate(chunks)) if chunks
+             else np.zeros(0, dtype=np.uint64))
+    ref = ray.put(bench)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bg = _ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        counts = np.zeros(len(texts), dtype=np.int64)
+        if len(bg) and texts:
+            arrs = [fp.ngram_set(t or "", n) for t in texts]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate([a for a in arrs if len(a)])
+                idx = np.searchsorted(bg, flat)
+                # idx == len(bg) means gram > every bench gram: clamping to 0
+                # cannot false-positive because then gram > bg[0] too
+                idx[idx == len(bg)] = 0
+                hits = (bg[idx] == flat).astype(np.int64)
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[lens > 0])[:-1]))
+                counts[lens > 0] = np.add.reduceat(hits, starts)
+        batch = batch.append_column(
+            "overlap_grams", pa.array(counts, pa.int64()))
+        batch = batch.append_column(
+            "contaminated", pa.array(counts > 0, pa.bool_()))
+        if mode == "filter":
+            batch = batch.filter(
+                pc.invert(batch.column("contaminated").combine_chunks()))
+        return batch
+
+    return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)

@@ -1042,3 +1042,80 @@ class TestReviewR3bRegressions:
         ds = rd.from_pandas(pd.DataFrame({"v": vals}))
         out = dict(quantiles_approx(ds, "v", [0.5], n_bins=1000))
         assert np.isfinite(out[0.5]) and abs(out[0.5] - 50) < 1.0
+
+
+class TestDecontaminate:
+    def _corpus(self):
+        import ray.data as rd
+
+        docs = [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 2, "text": "one two three four five six seven"},
+            {"doc_id": 3, "text": "totally different words here now ok"},
+            {"doc_id": 4, "text": ""},
+        ]
+        bench = [{"text": "x alpha beta gamma delta epsilon zeta y"},
+                 {"text": "unrelated eval prompt entirely"}]
+        return rd.from_items(docs), rd.from_items(bench)
+
+    def test_flag_counts(self, ray_session):
+        ds, bench = self._corpus()
+        out = dedup.decontaminate(ds, bench, n=3).to_pandas().set_index("doc_id")
+        # doc 1 shares all four of its 3-grams with the bench superstring
+        assert out.loc[1, "overlap_grams"] == 4 and bool(out.loc[1, "contaminated"])
+        assert not out.loc[[2, 3, 4], "contaminated"].any()
+        assert len(out) == 4  # flag mode keeps every row
+
+    def test_filter_drops(self, ray_session):
+        ds, bench = self._corpus()
+        out = dedup.decontaminate(ds, bench, n=3, mode="filter").to_pandas()
+        assert sorted(out.doc_id.tolist()) == [2, 3, 4]
+
+    def test_empty_bench_flags_nothing(self, ray_session):
+        import ray.data as rd
+
+        ds, _ = self._corpus()
+        bench = rd.from_items([{"text": ""}])
+        out = dedup.decontaminate(ds, bench, n=3).to_pandas()
+        assert not out.contaminated.any()
+
+    def test_bench_cap_raises(self, ray_session):
+        ds, bench = self._corpus()
+        with pytest.raises(ValueError, match="corpus, not an eval set"):
+            dedup.decontaminate(ds, bench, n=3, max_bench_grams=2)
+
+    def test_bad_mode_raises(self, ray_session):
+        ds, bench = self._corpus()
+        with pytest.raises(ValueError, match="mode"):
+            dedup.decontaminate(ds, bench, mode="drop")
+
+
+class TestSemanticDedup:
+    def test_planted_copies_dropped(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        V = rng.normal(size=(60, 16))
+        rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(60)]
+        # planted near-copies of vecs 0..4 at ids 100..104
+        for i in range(5):
+            w = V[i] + 0.03 * np.roll(V[i], 1)
+            rows.append({"vec_id": 100 + i, "embedding": w.tolist()})
+        kept = dedup.semantic_dedup(
+            rd.from_items(rows), n_clusters=4, iters=3, threshold=0.95
+        ).to_pandas()
+        kept_ids = set(kept.vec_id.tolist())
+        # every original survives (min-id representative), every copy goes
+        assert set(range(60)) <= kept_ids
+        assert not kept_ids & {100, 101, 102, 103, 104}
+
+    def test_no_pairs_is_identity(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(12)
+        rows = [{"vec_id": i, "embedding": rng.normal(size=16).tolist()}
+                for i in range(40)]
+        kept = dedup.semantic_dedup(
+            rd.from_items(rows), n_clusters=4, iters=2, threshold=0.99
+        ).to_pandas()
+        assert sorted(kept.vec_id.tolist()) == list(range(40))
