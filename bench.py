@@ -83,6 +83,12 @@ def run_queries() -> dict[str, float]:
         ("q_corpus_ppl", q.q_corpus_ppl),
         ("q_prepare_corpus", q.q_prepare_corpus),
         ("q_ngram_jaccard_pairs", q.q_ngram_jaccard_pairs),
+        ("q_window_analytics", q.q_window_analytics),
+        ("q_bm25_topk", q.q_bm25_topk),
+        ("q_asof_join", q.q_asof_join),
+        ("q_semantic_dedup", q.q_semantic_dedup),
+        ("q_decontaminate", q.q_decontaminate),
+        ("q_gopher_quality", q.q_gopher_quality),
     ]
     import ray.data
 

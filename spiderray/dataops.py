@@ -57,6 +57,7 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_stats_stage,
 )
+from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
 
 __all__ = [
@@ -64,7 +65,8 @@ __all__ = [
     "bucketed_join", "chunk_dedup_stats", "corpus_summary",
     "corpus_token_stats", "decontaminate", "dup_connected_components",
     "embedding_near_dup_lsh",
-    "embedding_near_dup_pairs", "exact_dedup", "grouped_quantiles_exact",
+    "embedding_near_dup_pairs", "exact_dedup", "gopher_stage",
+    "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
     "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",

@@ -2550,6 +2550,57 @@ def q_decontaminate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_GOPHER_COLS = ["doc_id", "n_words", "mean_word_len", "dup_line_frac",
+                "top_2gram_char_frac", "top_3gram_char_frac",
+                "dup_5gram_char_frac", "dup_10gram_char_frac",
+                "alpha_word_frac", "n_stopwords", "gopher_keep",
+                "gopher_reason"]
+
+
+def _gopher_augment(ids: np.ndarray, texts: list) -> tuple[list, list]:
+    """Deterministic corpus variants for q_gopher_quality (shared with its
+    serial oracle) so every rule family fires: the raw synthetic vocabulary
+    holds at most one Gopher stopword, which would leave the keep branch and
+    the repetition rules untested.  Every 5th doc gains a stopword-prefixed
+    twin (keep-eligible), every 11th a line-duplicated twin (dup_line_frac),
+    every 13th a bigram-spammed twin (top_2gram_char_frac)."""
+    out_ids, out_texts = list(map(int, ids)), list(texts)
+    for i, txt in zip(ids, texts):
+        i, txt = int(i), txt or ""
+        if i % 5 == 0:
+            out_ids.append(i + 10_000_000)
+            out_texts.append("the be to of and that have with " + txt)
+        if i % 11 == 0:
+            out_ids.append(i + 20_000_000)
+            out_texts.append("\n".join([txt] * 6))
+        if i % 13 == 0:
+            words = txt.split()[:2]
+            out_ids.append(i + 30_000_000)
+            out_texts.append(txt + (" " + " ".join(words)) * 30 if words else txt)
+    return out_ids, out_texts
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher repetition + quality rule bank (stages/quality_stage.
+    gopher_stage; published Rae et al. A1.1 thresholds) over the documents
+    table plus deterministic branch-exercising variants: per-doc signals +
+    keep/drop + first-failing-rule reason."""
+    _ensure_fixture("q_gopher_quality", sf_dir)
+    from ..stages.quality_stage import gopher_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids, texts = _gopher_augment(
+            batch.column("doc_id").to_numpy(), batch.column("text").to_pylist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    df = gopher_stage(aug).select_columns(_GOPHER_COLS).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2608,6 +2659,7 @@ QUERIES = {
     "q_window_analytics": q_window_analytics,
     "q_semantic_dedup": q_semantic_dedup,
     "q_decontaminate": q_decontaminate,
+    "q_gopher_quality": q_gopher_quality,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

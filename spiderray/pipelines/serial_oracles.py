@@ -660,6 +660,37 @@ def so_decontaminate(sf_dir: str) -> pa.Table:
     })
 
 
+
+
+def so_gopher_quality(sf_dir: str) -> pa.Table:
+    """Serial twin of q_gopher_quality: the same gopher_doc function bank
+    applied single-threaded over the raw parquet (the fixture pins the
+    distributed stage's batch/column plumbing; float columns are
+    bit-identical because both sides share the pure function)."""
+    from ..functions.gopher import gopher_doc
+    from .queries import _GOPHER_COLS, _gopher_augment
+
+    t = _docs(sf_dir)
+    aug_ids, aug_texts = _gopher_augment(
+        t.column("doc_id").to_numpy().astype(np.int64),
+        t.column("text").to_pylist())
+    ids = np.asarray(aug_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    rows = [gopher_doc(txt or "") for txt in aug_texts]
+    cols: dict[str, pa.Array] = {"doc_id": pa.array(ids[order], pa.int64())}
+    for name in _GOPHER_COLS[1:]:
+        vals = [rows[i][name] for i in order]
+        if name in ("n_words", "n_stopwords"):
+            cols[name] = pa.array(vals, pa.int64())
+        elif name == "gopher_keep":
+            cols[name] = pa.array(vals, pa.bool_())
+        elif name == "gopher_reason":
+            cols[name] = pa.array(vals, pa.string())
+        else:
+            cols[name] = pa.array(vals, pa.float64())
+    return pa.table(cols)
+
+
 SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
@@ -684,6 +715,7 @@ SERIAL_ORACLES = {
     "q_video_frames": so_video_frames,
     "q_semantic_dedup": so_semantic_dedup,
     "q_decontaminate": so_decontaminate,
+    "q_gopher_quality": so_gopher_quality,
 }
 
 

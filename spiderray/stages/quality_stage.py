@@ -70,3 +70,35 @@ def quality_stage(ds, cfg: PipelineConfig):
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
     )
+
+
+def gopher_stage(ds, text_col: str = "text", mode: str = "flag"):
+    """Gopher repetition + quality signal stage (functions/gopher.py — the
+    published Rae et al. A1.1 rule bank): appends every signal column plus
+    (gopher_keep, gopher_reason); ``mode="filter"`` drops failing rows.
+    Pure stateless map_batches — fuses with neighbors, no shuffle; the
+    per-doc Counter work is the same order as the n-gram dedup kernels."""
+    from ..functions import gopher
+
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+
+    _FLOATS = [s for s, _ in gopher.REPETITION_RULES] + [
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [gopher.gopher_doc(t) for t in batch.column(text_col).to_pylist()]
+        for col in _FLOATS:
+            batch = batch.append_column(
+                col, pa.array([r[col] for r in rows], pa.float64()))
+        for col, typ in (("n_words", pa.int64()), ("n_stopwords", pa.int64()),
+                         ("gopher_keep", pa.bool_()),
+                         ("gopher_reason", pa.string())):
+            batch = batch.append_column(
+                col, pa.array([r[col] for r in rows], typ))
+        if mode == "filter":
+            batch = batch.filter(batch.column("gopher_keep").combine_chunks())
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

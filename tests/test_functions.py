@@ -458,3 +458,91 @@ class TestSimilarity:
     def test_threshold(self):
         assert similarity.title_sim_threshold("zh") == 0.3
         assert similarity.title_sim_threshold("en") == 0.5
+
+
+class TestGopher:
+    """Hand-computed cases for the published Gopher rule bank (independent
+    of the shared-function fixture oracle, which pins plumbing not math)."""
+
+    def test_dup_fracs(self):
+        from spiderray.functions.gopher import _dup_fracs
+
+        # "aa" ×3 + "b": 2 duplicate units of 4, dup chars 6 of 7
+        frac, cfrac = _dup_fracs(["aa", "aa", "aa", "b"])
+        assert frac == 2 / 4 and cfrac == 6 / 7
+        assert _dup_fracs([]) == (0.0, 0.0)
+        assert _dup_fracs(["x", "y"]) == (0.0, 0.0)
+
+    def test_top_ngram_frac(self):
+        from spiderray.functions.gopher import _top_ngram_frac
+
+        words = "a b a b a b c".split()
+        text_len = len("a b a b a b c")
+        # top 2-gram ("a","b") occurs 3×, 2 chars per occurrence
+        assert _top_ngram_frac(words, 2, text_len) == 3 * 2 / text_len
+        # a gram must repeat to count
+        assert _top_ngram_frac("x y z".split(), 2, 5) == 0.0
+
+    def test_dup_ngram_coverage_counts_each_word_once(self):
+        from spiderray.functions.gopher import _dup_ngram_frac
+
+        # "p q r p q r p q r": the 2-gram coverage marks every word once
+        # even though occurrences overlap
+        words = "p q r p q r p q r".split()
+        text_len = len("p q r p q r p q r")
+        assert _dup_ngram_frac(words, 2, text_len) == 9 / text_len
+        assert _dup_ngram_frac("a b c d".split(), 2, 7) == 0.0
+
+    def test_quality_signals(self):
+        from spiderray.functions.gopher import quality_signals
+
+        q = quality_signals("• one\n• two\nplain line...\n")
+        assert q["bullet_line_frac"] == 2 / 3
+        assert q["ellipsis_line_frac"] == 1 / 3
+        q2 = quality_signals("The cat, with a hat, must have been of note.")
+        # the, with, have, of  (punctuation stripped before matching)
+        assert q2["n_stopwords"] == 4
+        assert quality_signals("12 34 x1")["alpha_word_frac"] == 1 / 3
+        assert quality_signals("")["n_words"] == 0
+
+    def test_decide_first_failing_rule_order(self):
+        from spiderray.functions.gopher import gopher_doc
+
+        # line-dup fires before the quality rules even though both fail
+        d = gopher_doc("\n".join(["same line here"] * 10))
+        assert not d["gopher_keep"] and d["gopher_reason"] == "dup_line_frac"
+        # a clean long document with stopwords keeps
+        good = ("the be to of and that have with " +
+                "word " * 60).strip()
+        d2 = gopher_doc(good)
+        # repeated "word word" bigram dominates -> repetition catches it
+        assert d2["gopher_reason"] == "top_2gram_char_frac"
+        varied = ("the be to of and that have with " + " ".join(
+            f"w{i}x" for i in range(60)))
+        d3 = gopher_doc(varied)
+        assert d3["gopher_keep"] and d3["gopher_reason"] == ""
+
+    def test_stage_flag_and_filter(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.quality_stage import gopher_stage
+
+        varied = ("the be to of and that have with " + " ".join(
+            f"w{i}x" for i in range(60)))
+        ds = rd.from_items([
+            {"doc_id": 1, "text": varied},
+            {"doc_id": 2, "text": "too short"},
+        ])
+        out = gopher_stage(ds).to_pandas().set_index("doc_id")
+        assert bool(out.loc[1, "gopher_keep"]) and not bool(out.loc[2, "gopher_keep"])
+        kept = gopher_stage(ds, mode="filter").to_pandas()
+        assert kept.doc_id.tolist() == [1]
+
+    def test_stage_bad_mode(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from spiderray.stages.quality_stage import gopher_stage
+
+        with pytest.raises(ValueError, match="mode"):
+            gopher_stage(rd.from_items([{"text": "x"}]), mode="nope")
