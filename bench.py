@@ -89,6 +89,7 @@ def run_queries() -> dict[str, float]:
         ("q_semantic_dedup", q.q_semantic_dedup),
         ("q_decontaminate", q.q_decontaminate),
         ("q_gopher_quality", q.q_gopher_quality),
+        ("q_c4_span_dedup", q.q_c4_span_dedup),
     ]
     import ray.data
 

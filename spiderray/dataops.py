@@ -57,12 +57,14 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_stats_stage,
 )
+from .stages.c4 import c4_filter_stage, c4_span_dedup
 from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
-    "bucketed_join", "chunk_dedup_stats", "corpus_summary",
+    "bucketed_join", "c4_filter_stage", "c4_span_dedup",
+    "chunk_dedup_stats", "corpus_summary",
     "corpus_token_stats", "decontaminate", "dup_connected_components",
     "embedding_near_dup_lsh",
     "embedding_near_dup_pairs", "exact_dedup", "gopher_stage",

@@ -2601,6 +2601,72 @@ def q_gopher_quality(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _c4_corpus(ids, texts) -> tuple[list, list]:
+    """Sentence-ified document variants for the C4 queries (shared with
+    their serial oracles): the synthetic text is punctuation-free word
+    soup, so each doc is re-lined into 6-word sentences ending in '.';
+    every 10th doc spawns a twin (id + 40M) sharing its first three
+    sentences — a planted global duplicate span — with a distinct tail;
+    every 7th doc gains a javascript line, every 11th a lorem-ipsum
+    sentence, every 13th a curly-brace line (page-rule branches)."""
+    out_ids, out_texts = [], []
+    for i, txt in zip(ids, texts):
+        i = int(i)
+        words = (txt or "").split()
+        sents = [" ".join(words[j : j + 6]) + "."
+                 for j in range(0, len(words), 6)]
+        body = "\n".join(sents)
+        if i % 7 == 0:
+            body += "\nplease enable javascript to continue viewing."
+        if i % 11 == 0:
+            body += "\nlorem ipsum dolor sit amet friend."
+        if i % 13 == 0:
+            body += "\nthis has a { brace inside it."
+        out_ids.append(i)
+        out_texts.append(body)
+        if i % 10 == 0 and len(sents) >= 3:
+            out_ids.append(i + 40_000_000)
+            out_texts.append("\n".join(sents[:3])
+                             + f"\nunique twin tail sentence number {i} extra.")
+    return out_ids, out_texts
+
+
+def _c4_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids, texts = _c4_corpus(batch.column("doc_id").to_numpy(),
+                                batch.column("text").to_pylist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_c4_filters(sf_dir: str):
+    """C4 line + page filter (stages/c4.c4_filter_stage; published Raffel
+    et al. §2.2 rules) over the sentence-ified corpus: keep/drop + first
+    failing rule + cleaned-text length per doc."""
+    _ensure_fixture("q_c4_filters", sf_dir)
+    from ..stages.c4 import c4_filter_stage
+
+    out = c4_filter_stage(_c4_docs(sf_dir)).to_pandas()
+    out["c4_len"] = out["c4_text"].str.len().astype("int64")
+    return (out[["doc_id", "c4_keep", "c4_reason", "c4_len"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_c4_span_dedup(sf_dir: str):
+    """C4's global three-sentence-span dedup (stages/c4.c4_span_dedup):
+    planted twin docs lose their shared leading span to the lower-id
+    original; everything else passes through byte-identical."""
+    _ensure_fixture("q_c4_span_dedup", sf_dir)
+    from ..stages.c4 import c4_span_dedup
+
+    out = c4_span_dedup(_c4_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2660,6 +2726,8 @@ QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_decontaminate": q_decontaminate,
     "q_gopher_quality": q_gopher_quality,
+    "q_c4_filters": q_c4_filters,
+    "q_c4_span_dedup": q_c4_span_dedup,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

@@ -691,6 +691,59 @@ def so_gopher_quality(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def so_c4_filters(sf_dir: str) -> pa.Table:
+    """Serial twin of q_c4_filters: same corpus construction and the same
+    clean_lines/page_keep function bank, single-threaded."""
+    from ..functions.c4 import clean_lines, page_keep
+    from .queries import _c4_corpus
+
+    t = _docs(sf_dir)
+    ids, texts = _c4_corpus(t.column("doc_id").to_numpy().astype(np.int64),
+                            t.column("text").to_pylist())
+    rows = []
+    for i, txt in zip(ids, texts):
+        c = clean_lines(txt)
+        keep, reason = page_keep(c)
+        rows.append((int(i), keep, reason, len(c)))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "c4_keep": pa.array([r[1] for r in rows], pa.bool_()),
+        "c4_reason": pa.array([r[2] for r in rows], pa.string()),
+        "c4_len": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def so_c4_span_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin of q_c4_span_dedup: global span occurrence map, winner =
+    min (id, start) per hash, losers' sentences removed — one pass, one
+    process."""
+    from ..functions.c4 import doc_span_hashes, remove_spans
+    from .queries import _c4_corpus
+
+    t = _docs(sf_dir)
+    ids, texts = _c4_corpus(t.column("doc_id").to_numpy().astype(np.int64),
+                            t.column("text").to_pylist())
+    occ: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for i, txt in zip(ids, texts):
+        for h, s in doc_span_hashes(txt):
+            occ[h].append((int(i), s))
+    loser_starts: dict[int, list[int]] = defaultdict(list)
+    for h, lst in occ.items():
+        if len(lst) > 1:
+            lst.sort()
+            for i, s in lst[1:]:
+                loser_starts[i].append(s)
+    rows = sorted(
+        (int(i), remove_spans(txt, loser_starts[int(i)])
+         if int(i) in loser_starts else txt)
+        for i, txt in zip(ids, texts))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
@@ -716,6 +769,8 @@ SERIAL_ORACLES = {
     "q_semantic_dedup": so_semantic_dedup,
     "q_decontaminate": so_decontaminate,
     "q_gopher_quality": so_gopher_quality,
+    "q_c4_filters": so_c4_filters,
+    "q_c4_span_dedup": so_c4_span_dedup,
 }
 
 

@@ -1,0 +1,129 @@
+"""C4 cleaning stages (functions/c4.py rule bank): the line/page filter as
+a stateless fused map_batches, and C4's signature GLOBAL three-sentence-span
+deduplication as a two-exchange distributed operator.
+
+Span-dedup shape (designed for 10^12 docs): the corpus explodes into
+20-byte span rows (hash, id, start) — never the text — shuffled once by
+hash(span) to resolve losers vectorized per hash partition (winner = global
+min (id, start), deterministic under any partitioning); loser rows then
+shuffle once by hash(id) into the same buckets as the documents, and each
+document's text crosses the exchange exactly once to be rebuilt.  Nothing
+corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import c4
+
+N_PARTS = 64
+
+
+def c4_filter_stage(ds, text_col: str = "text", badwords: tuple[str, ...] = (),
+                    mode: str = "flag"):
+    """Line + page filter: appends ``c4_text`` (line-cleaned), ``c4_keep``
+    and ``c4_reason``; ``mode="filter"`` keeps passing rows only."""
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cleaned, keeps, reasons = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            c = c4.clean_lines(t or "")
+            keep, reason = c4.page_keep(c, badwords)
+            cleaned.append(c)
+            keeps.append(keep)
+            reasons.append(reason)
+        batch = batch.append_column("c4_text", pa.array(cleaned, pa.string()))
+        batch = batch.append_column("c4_keep", pa.array(keeps, pa.bool_()))
+        batch = batch.append_column("c4_reason", pa.array(reasons, pa.string()))
+        if mode == "filter":
+            batch = batch.filter(batch.column("c4_keep").combine_chunks())
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  n_parts: int = N_PARTS):
+    """Remove all but one occurrence of any three-sentence span occurring
+    more than once in the corpus (C4 §2.2).  The retained occurrence is the
+    global minimum (id, start) — deterministic under any partitioning.
+    Documents that lose a span are rebuilt from their surviving sentences
+    (single-space joined, the convention of the line-cleaned C4 text);
+    untouched documents pass through byte-identical."""
+    id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ids_out, hashes, starts = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for h, s in c4.doc_span_hashes(t or ""):
+                ids_out.append(i)
+                hashes.append(h)
+                starts.append(s)
+        h = np.asarray(hashes, dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(ids_out, id_type),
+            "start": pa.array(starts, pa.int32()),
+            "__part": pa.array((h % n_parts).astype(np.int32)),
+            "h": pa.array(h, pa.uint64()),
+        })
+
+    def losers_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col, "start"], kind="mergesort")
+        dup = g.duplicated("h", keep="first")  # first (min id,start) wins
+        return g.loc[dup, [id_col, "start"]]
+
+    losers = (
+        ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(losers_in_part, batch_format="pandas")
+    )
+
+    # bucket docs and loser rows identically on hash(id); text crosses once
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        part = pa.array(
+            (ids.to_numpy(zero_copy_only=False).astype(np.int64) % n_parts
+             ).astype(np.int32))
+        return pa.table({
+            id_col: ids,
+            text_col: batch.column(text_col),
+            "start": pa.array(np.full(len(batch), -1, np.int32)),
+            "__part": part,
+        })
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        part = pa.array(
+            (ids.to_numpy(zero_copy_only=False).astype(np.int64) % n_parts
+             ).astype(np.int32))
+        return pa.table({
+            id_col: ids,
+            text_col: pa.array([None] * len(batch), pa.string()),
+            "start": batch.column("start"),
+            "__part": part,
+        })
+
+    tagged = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(losers.map_batches(
+        tag_losers, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["start"] < 0]
+        rem = g[g["start"] >= 0]
+        starts_by_id = rem.groupby(id_col)["start"].apply(list).to_dict()
+        out_texts = []
+        for i, t in zip(docs[id_col], docs[text_col]):
+            starts = starts_by_id.get(i)
+            out_texts.append(
+                c4.remove_spans(t or "", starts) if starts else (t or ""))
+        return pd.DataFrame({id_col: docs[id_col].to_numpy(),
+                             text_col: out_texts})
+
+    return tagged.groupby("__part").map_groups(rebuild, batch_format="pandas")

