@@ -190,3 +190,84 @@ class TestStressJoins:
                     assert row.lid not in got.index
                 else:
                     assert int(got.loc[row.lid, "rid"]) == int(prior.iloc[-1].rid)
+
+
+class TestStressC4Decontam:
+    def _sentence_docs(self, n_docs: int, seed: int = 5):
+        """Deterministic sentence-structured corpus: ~8 six-word sentences
+        per doc from a 1000-word vocabulary; every 50th doc's first three
+        sentences are copied into the next doc (planted global dup span)."""
+        rng = np.random.default_rng(seed)
+        vocab = np.array([f"w{i:03d}" for i in range(1000)])
+        docs = []
+        for i in range(n_docs):
+            words = vocab[rng.integers(0, 1000, size=48)]
+            sents = [" ".join(words[j : j + 6]) + "." for j in range(0, 48, 6)]
+            docs.append(sents)
+        for i in range(0, n_docs - 1, 50):
+            docs[i + 1][:3] = docs[i][:3]
+        return [{"doc_id": i, "text": " ".join(s)} for i, s in enumerate(docs)]
+
+    def test_c4_span_dedup_100k(self, ray_session):
+        """100k docs (~800k span rows): planted cross-doc spans resolve to
+        the min-id winner; a serial per-doc spot check over a sample plus
+        exact counts of modified docs."""
+        import time
+
+        import ray.data as rd
+
+        from spiderray.functions.c4 import remove_spans
+        from spiderray.stages.c4 import c4_span_dedup
+
+        n = 100_000
+        rows = self._sentence_docs(n)
+        # right-size blocks: from_items yields 500-row blocks and the
+        # ~40-70 ms/task Ray floor then dominates every stage (measured
+        # 34-48 s → 8 s); a parquet _read at this size would give ≤16
+        ds = rd.from_items(rows).repartition(16)
+        t0 = time.perf_counter()
+        out = c4_span_dedup(ds).to_pandas()
+        dt = time.perf_counter() - t0
+        out = out.set_index("doc_id").sort_index()
+        orig = {r["doc_id"]: r["text"] for r in rows}
+        changed = sum(1 for i in out.index if out.loc[i, "text"] != orig[i])
+        # exactly the planted loser docs change (vocab 1000^18 per span —
+        # natural collisions impossible)
+        assert changed == len(range(0, n - 1, 50))
+        # winners byte-identical; losers = original minus sentences 0-2
+        for i in range(0, 2000, 50):
+            assert out.loc[i, "text"] == orig[i]
+            assert out.loc[i + 1, "text"] == remove_spans(orig[i + 1], [0])
+        print(f"c4_span_dedup 100k docs: {dt:.1f}s, {changed} modified")
+
+    def test_decontaminate_200k_corpus(self, ray_session):
+        """200k-doc corpus vs a 500-doc benchmark: flagged set equals the
+        serial reference on a sample; bench side stays under the broadcast
+        cap (the documented eval-set contract)."""
+        import time
+
+        import ray.data as rd
+
+        from spiderray.functions.fingerprint import ngram_set
+        from spiderray.stages.dedup import decontaminate
+
+        corpus = self._sentence_docs(200_000, seed=9)
+        bench_rows = [{"text": corpus[i * 400]["text"]} for i in range(500)]
+        t0 = time.perf_counter()
+        out = decontaminate(
+            rd.from_items(corpus).repartition(16), rd.from_items(bench_rows),
+            n=8,
+        ).to_pandas().set_index("doc_id")
+        dt = time.perf_counter() - t0
+        # every bench source doc self-flags
+        assert all(bool(out.loc[i * 400, "contaminated"]) for i in range(500))
+        # serial spot check on a slice
+        bench_grams = np.unique(np.concatenate(
+            [ngram_set(r["text"], 8) for r in bench_rows]))
+        for i in range(0, 5000, 37):
+            g = ngram_set(corpus[i]["text"], 8)
+            idx = np.searchsorted(bench_grams, g)
+            idx[idx == len(bench_grams)] = 0
+            expect = int((bench_grams[idx] == g).sum())
+            assert out.loc[i, "overlap_grams"] == expect, i
+        print(f"decontaminate 200k docs: {dt:.1f}s")
