@@ -59,7 +59,7 @@ def page_keep(cleaned: str, badwords: tuple[str, ...] = ()) -> tuple[bool, str]:
     if "{" in cleaned:
         return False, "curly_brace"
     for w in badwords:
-        if w in low:
+        if w.lower() in low:
             return False, "badword"
     return True, ""
 

@@ -43,8 +43,6 @@ def _top_ngram_frac(words: list[str], n: int, text_len: int) -> float:
         return 0.0
     grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
     gram, cnt = grams.most_common(1)[0]
-    if cnt < 2:
-        return 0.0
     return cnt * sum(len(w) for w in gram) / text_len
 
 

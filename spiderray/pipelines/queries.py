@@ -2440,8 +2440,8 @@ def _synth_video_rows(batch: pa.Table) -> pa.Table:
     """Every 10th doc → a 9-frame video (shared by q_video_frames and its
     serial oracle).  Containers alternate deterministically: real YUV4MPEG2
     streams (C420jpeg / C444 / mono — full header + FRAME parse + YUV→RGB)
-    and the toy RAWV container; every 7th video is a truncated Y4M stream to
-    exercise the decode_ok=False marker path."""
+    and the toy RAWV container; every 7th video (of either container) is
+    truncated mid-stream to exercise the decode_ok=False marker path."""
     from ..stages.image import encode_rawv, encode_y4m
 
     t = _mod_filter(batch, "doc_id", 10)
@@ -2512,8 +2512,12 @@ def q_semantic_dedup(sf_dir: str):
             "embedding": pa.array([list(w) for w in W], emb_type),
         })
 
+    # materialize: kmeans (4 Lloyd passes + init), assignment, pair search,
+    # near_dedup's filter and the count below each consume aug — lazily it
+    # would re-run read+copies+union per consumer (same precedent as
+    # _minhash_augmented)
     aug = ds.union(ds.map_batches(copies, batch_format="pyarrow",
-                                  zero_copy_batch=True))
+                                  zero_copy_batch=True)).materialize()
     kept = dedup.semantic_dedup(aug, n_clusters=8, iters=4, threshold=0.95)
     summary = kept.aggregate(Count(alias_name="n_kept"),
                              Sum("vec_id", alias_name="kept_id_sum"))

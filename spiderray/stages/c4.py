@@ -85,28 +85,37 @@ def c4_span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
     # bucket docs and loser rows identically on hash(id); text crosses once
+    def _id_part(ids: pa.ChunkedArray) -> pa.Array:
+        # same integer-or-crc32 bucketing as windows._add_part so string
+        # ids (urls, uuids) work; both sides of the second exchange share it
+        if pa.types.is_integer(ids.type):
+            part = (ids.to_numpy(zero_copy_only=False).astype(np.int64)
+                    % n_parts).astype(np.int32)
+        else:
+            import zlib
+
+            part = np.fromiter(
+                (zlib.crc32(str(k).encode()) % n_parts
+                 for k in ids.to_pylist()),
+                dtype=np.int32, count=len(ids))
+        return pa.array(part)
+
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        part = pa.array(
-            (ids.to_numpy(zero_copy_only=False).astype(np.int64) % n_parts
-             ).astype(np.int32))
         return pa.table({
             id_col: ids,
             text_col: batch.column(text_col),
             "start": pa.array(np.full(len(batch), -1, np.int32)),
-            "__part": part,
+            "__part": _id_part(ids),
         })
 
     def tag_losers(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        part = pa.array(
-            (ids.to_numpy(zero_copy_only=False).astype(np.int64) % n_parts
-             ).astype(np.int32))
         return pa.table({
             id_col: ids,
             text_col: pa.array([None] * len(batch), pa.string()),
             "start": batch.column("start"),
-            "__part": part,
+            "__part": _id_part(ids),
         })
 
     tagged = ds.map_batches(

@@ -480,8 +480,9 @@ class TestGopher:
         text_len = len("a b a b a b c")
         # top 2-gram ("a","b") occurs 3×, 2 chars per occurrence
         assert _top_ngram_frac(words, 2, text_len) == 3 * 2 / text_len
-        # a gram must repeat to count
-        assert _top_ngram_frac("x y z".split(), 2, 5) == 0.0
+        # the paper's signal has no repetition requirement: a single
+        # occurrence still contributes its characters
+        assert _top_ngram_frac("x y z".split(), 2, 5) == 2 / 5
 
     def test_dup_ngram_coverage_counts_each_word_once(self):
         from spiderray.functions.gopher import _dup_ngram_frac
@@ -588,7 +589,7 @@ class TestC4:
         # spans at 0 and 2 cover sentences 0-4 entirely
         assert remove_spans(text, [0, 2]) == ""
         assert remove_spans(text, [1]) == "S0 a. S4 e."
-        assert remove_spans(text, []) == text or True  # callers skip empty
+        assert remove_spans(text, []) == text
 
     def test_span_dedup_stage(self, ray_session):
         import ray.data as rd
@@ -633,3 +634,25 @@ class TestC4:
         assert kept.doc_id.tolist() == [1]
         with pytest.raises(ValueError, match="mode"):
             c4_filter_stage(ds, mode="x")
+
+    def test_span_dedup_string_ids(self, ray_session):
+        # review regression: the id→bucket tagging must accept non-integer
+        # ids (urls) like the span exchange already did
+        import ray.data as rd
+
+        from spiderray.stages.c4 import c4_span_dedup
+
+        shared = "One two three alpha. Four five six beta. Seven eight nine gamma."
+        docs = [{"url": "a.com/1", "text": shared + " Unique tail here one."},
+                {"url": "b.com/2", "text": shared + " Different ending words two."}]
+        out = c4_span_dedup(
+            rd.from_items(docs), id_col="url").to_pandas().set_index("url")
+        assert out.loc["a.com/1", "text"] == docs[0]["text"]
+        assert out.loc["b.com/2", "text"] == "Different ending words two."
+
+    def test_badwords_case_folded(self):
+        # review regression: mixed-case blocklist entries must still match
+        from spiderray.functions.c4 import page_keep
+
+        five = "One sentence here now. " * 5
+        assert page_keep(five + "verboten word.", ("Verboten",))[1] == "badword"
