@@ -41,19 +41,104 @@ def _mulaw_expand(u: np.ndarray) -> np.ndarray:
     return linear / 32124.0
 
 
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law → linear float32 (pure numpy; the µ-law sibling).
+    Reference arithmetic: a ^= 0x55; seg 0 → (m<<4)+8, seg ≥1 →
+    ((m<<4)+0x108)<<(seg-1); MSB set = positive; peak 32256."""
+    a = a.astype(np.int64) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(seg == 0, mant + 8,
+                   (mant + 0x108) << np.maximum(seg - 1, 0))
+    linear = np.where(a & 0x80, mag, -mag).astype(np.float32)
+    return linear / 32256.0
+
+
 def _parse_wav(buf: bytes) -> np.ndarray:
-    """Minimal RIFF/WAVE container parse (PCM16 data chunk only)."""
+    """RIFF/WAVE container parse honoring the fmt chunk: PCM 8-bit
+    unsigned / 16-bit (format 1), A-law (6), µ-law (7); multi-channel
+    downmixed to mono for the feature path.  A data chunk with no fmt
+    chunk decodes as mono PCM16 (the historical fallback)."""
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise DecodeUnsupported("wav")
     pos = 12
+    fmt_tag, n_ch, bits = 1, 1, 16
+    data = None
     while pos + 8 <= len(buf):
         chunk_id = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-        if chunk_id == b"data":
-            data = buf[pos + 8 : pos + 8 + size]
-            return np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2").astype(np.float32) / 32767.0
+        body = buf[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt " and size >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            n_ch = max(int.from_bytes(body[2:4], "little"), 1)
+            bits = int.from_bytes(body[14:16], "little")
+        elif chunk_id == b"data":
+            data = body
         pos += 8 + size + (size & 1)
-    raise DecodeUnsupported("wav")
+    if data is None:
+        raise DecodeUnsupported("wav")
+    if fmt_tag == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) - len(data) % 2],
+                          dtype="<i2").astype(np.float32) / 32767.0
+    elif fmt_tag == 1 and bits == 8:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 127.0
+    elif fmt_tag == 6:
+        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_tag == 7:
+        x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise DecodeUnsupported(f"wav fmt {fmt_tag}/{bits}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x
+
+
+def _float80_be(b: bytes) -> float:
+    """80-bit IEEE 754 extended big-endian → float (AIFF COMM sample rate):
+    1 sign, 15 exponent (bias 16383), 64-bit mantissa with explicit
+    integer bit."""
+    if len(b) != 10:
+        raise DecodeUnsupported("aiff float80")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def _parse_aiff(buf: bytes) -> np.ndarray:
+    """AIFF (IFF FORM/AIFF) container parse: COMM (channels, sample size,
+    80-bit-float rate) + SSND big-endian PCM 8/16-bit, downmixed to mono."""
+    if len(buf) < 12 or buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise DecodeUnsupported("aiff")
+    pos = 12
+    n_ch, bits, data = 1, 16, None
+    while pos + 8 <= len(buf):
+        chunk_id = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+        body = buf[pos + 8 : pos + 8 + size]
+        if chunk_id == b"COMM" and size >= 18:
+            n_ch = max(int.from_bytes(body[0:2], "big"), 1)
+            bits = int.from_bytes(body[6:8], "big")
+            _float80_be(body[8:18])  # validates the rate field
+        elif chunk_id == b"SSND" and size >= 8:
+            offset = int.from_bytes(body[0:4], "big")
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise DecodeUnsupported("aiff")
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) - len(data) % 2],
+                          dtype=">i2").astype(np.float32) / 32767.0
+    elif bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float32) / 127.0
+    else:
+        raise DecodeUnsupported(f"aiff {bits}-bit")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x
 
 
 def _decode_one(buf: bytes, codec: str) -> np.ndarray:
@@ -61,8 +146,12 @@ def _decode_one(buf: bytes, codec: str) -> np.ndarray:
         return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32767.0
     if codec in ("pcm_mulaw", "mulaw", "ulaw"):
         return _mulaw_expand(np.frombuffer(buf, dtype=np.uint8))
+    if codec in ("pcm_alaw", "alaw"):
+        return _alaw_expand(np.frombuffer(buf, dtype=np.uint8))
     if codec == "wav":
         return _parse_wav(buf)
+    if codec == "aiff":
+        return _parse_aiff(buf)
     if codec == "flac":
         # from-scratch FLAC subset (functions/flacdec.py): mono/stereo
         # ≤24-bit, CONSTANT/VERBATIM/FIXED/LPC subframes, all four stereo

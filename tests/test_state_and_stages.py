@@ -305,3 +305,127 @@ class TestConcurrentResumable:
         # rerun skips everything (both modes)
         again = mf.run_resumable(shard_factory, ident, conc, n_parts=4, max_concurrent=4)
         assert again["skipped"] == 4 and not again["completed"]
+
+
+class TestAlawAiff:
+    """G.711 A-law expander + AIFF container (public specs, pure numpy)."""
+
+    def test_alaw_known_codes(self):
+        from spiderray.stages.multimodal import _alaw_expand
+
+        dec = _alaw_expand(np.arange(256, dtype=np.uint8)) * 32256.0
+        # ITU reference points: 0x55 -> -8 (smallest negative), 0xD5 -> +8,
+        # 0x2A -> -32256 (most negative), 0xAA -> +32256 (most positive)
+        assert dec[0x55] == -8 and dec[0xD5] == 8
+        assert dec[0x2A] == -32256 and dec[0xAA] == 32256
+        # decoder must be odd-symmetric: flipping the sign bit negates
+        assert np.array_equal(dec[:128], -dec[128:])
+
+    def test_alaw_roundtrip_snr(self):
+        from spiderray.stages.multimodal import _alaw_expand, _decode_one
+
+        # reference G.711 linear2alaw (classic g711.c arithmetic)
+        seg_end = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+        t = np.arange(4000) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 220 * t)
+        pcm = (x * 32256.0).astype(np.int64) >> 3
+        mask = np.where(pcm >= 0, 0xD5, 0x55)
+        mag = np.where(pcm >= 0, pcm, -pcm - 1)
+        seg = np.searchsorted(seg_end, mag, side="left")
+        shift = np.where(seg < 2, 1, seg)
+        aval = np.where(seg >= 8, 0x7F,
+                        (np.minimum(seg, 7) << 4) | ((mag >> shift) & 0x0F))
+        enc = (aval ^ mask).astype(np.uint8)
+        dec = _alaw_expand(enc)
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((x - dec) ** 2))
+        assert snr > 30.0  # A-law mid-level SNR ≈ 35 dB
+        assert np.array_equal(dec, _decode_one(enc.tobytes(), "pcm_alaw"))
+
+    def _aiff(self, data: bytes, n_ch: int, bits: int, rate: float = 8000.0) -> bytes:
+        import struct
+
+        m, e = np.frexp(rate)
+        mant = int(m * (1 << 64))
+        f80 = struct.pack(">HQ", e + 16382, mant)
+        n_frames = len(data) // (n_ch * bits // 8)
+        comm = (b"COMM" + (18).to_bytes(4, "big")
+                + n_ch.to_bytes(2, "big") + n_frames.to_bytes(4, "big")
+                + bits.to_bytes(2, "big") + f80)
+        ssnd = (b"SSND" + (8 + len(data)).to_bytes(4, "big")
+                + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data)
+        body = b"AIFF" + comm + ssnd
+        return b"FORM" + len(body).to_bytes(4, "big") + body
+
+    def test_float80(self):
+        from spiderray.stages.multimodal import _float80_be
+
+        for rate in (8000.0, 16000.0, 22050.0, 44100.0):
+            buf = self._aiff(b"\x00\x00", 1, 16, rate)
+            # COMM rate field sits 8 bytes into the COMM body
+            i = buf.index(b"COMM") + 8 + 8
+            assert _float80_be(buf[i : i + 10]) == rate
+
+    def test_aiff_pcm16_mono(self):
+        from spiderray.stages.multimodal import _decode_one
+
+        pcm = (np.sin(np.arange(500) / 7.0) * 20000).astype(">i2")
+        out = _decode_one(self._aiff(pcm.tobytes(), 1, 16), "aiff")
+        np.testing.assert_allclose(out, pcm.astype(np.float32) / 32767.0)
+
+    def test_aiff_stereo_downmix_and_8bit(self):
+        from spiderray.stages.multimodal import _decode_one
+
+        left = (np.arange(100) * 100).astype(">i2")
+        right = (np.arange(100) * -100).astype(">i2")
+        inter = np.empty(200, dtype=">i2")
+        inter[0::2], inter[1::2] = left, right
+        out = _decode_one(self._aiff(inter.tobytes(), 2, 16), "aiff")
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)  # L+R cancel
+        s8 = np.array([0, 127, -127, -64], dtype=np.int8)
+        out8 = _decode_one(self._aiff(s8.tobytes(), 1, 8), "aiff")
+        np.testing.assert_allclose(out8, s8.astype(np.float32) / 127.0)
+
+    def test_aiff_corrupt(self):
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        import pytest
+
+        good = self._aiff(b"\x00\x00" * 4, 1, 16)
+        for bad in (b"FORMxxxxAIFC" + good[12:],     # wrong form type
+                    good[: good.index(b"SSND")],      # no sound chunk
+                    b""):
+            with pytest.raises(DecodeUnsupported):
+                _decode_one(bad, "aiff")
+
+    def test_wav_fmt_variants(self):
+        from spiderray.stages.multimodal import (DecodeUnsupported, _decode_one,
+                                                 _mulaw_expand)
+
+        import pytest
+
+        def wav(fmt_tag, n_ch, bits, data):
+            fmt = (b"fmt " + (16).to_bytes(4, "little")
+                   + fmt_tag.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+                   + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+                   + (1).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+            chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+            return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                    + b"WAVE" + chunks)
+
+        # 8-bit unsigned PCM
+        u8 = np.array([128, 255, 0, 64], dtype=np.uint8)
+        np.testing.assert_allclose(
+            _decode_one(wav(1, 1, 8, u8.tobytes()), "wav"),
+            (u8.astype(np.float32) - 128.0) / 127.0)
+        # stereo PCM16 downmix: L = -R cancels
+        inter = np.empty(20, dtype="<i2")
+        inter[0::2], inter[1::2] = 1000, -1000
+        np.testing.assert_allclose(
+            _decode_one(wav(1, 2, 16, inter.tobytes()), "wav"), 0.0, atol=1e-6)
+        # µ-law-in-WAV matches the raw expander
+        mu = np.arange(0, 250, 13, dtype=np.uint8)
+        np.testing.assert_allclose(
+            _decode_one(wav(7, 1, 8, mu.tobytes()), "wav"), _mulaw_expand(mu))
+        # unknown format tag marks, never guesses
+        with pytest.raises(DecodeUnsupported):
+            _decode_one(wav(3, 1, 32, b"\x00" * 8), "wav")
