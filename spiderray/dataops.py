@@ -40,6 +40,7 @@ from .stages.ann import kmeans_assign, kmeans_fit_distributed
 from .stages.joins import asof_join, bucketed_join, hash_join, range_join, salted_join
 from .stages.lm_train import train_char_lm, train_langid_profiles
 from .stages.stats import (
+    grouped_quantiles_approx,
     grouped_quantiles_exact,
     quantiles_approx,
     quantiles_exact,
@@ -68,7 +69,7 @@ __all__ = [
     "corpus_token_stats", "decontaminate", "dup_connected_components",
     "embedding_near_dup_lsh",
     "embedding_near_dup_pairs", "exact_dedup", "gopher_stage",
-    "grouped_quantiles_exact",
+    "grouped_quantiles_approx", "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
     "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",

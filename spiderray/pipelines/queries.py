@@ -2671,6 +2671,23 @@ def q_c4_span_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_grouped_quantiles_approx(sf_dir: str):
+    """Bounded-error per-group quantiles over a CONTINUOUS column
+    (stages/stats.grouped_quantiles_approx — the grouped companion of
+    quantiles_approx): lineitem extendedprice per returnflag, K·n_bins
+    bounded shuffle, result ± (max−min)/n_bins per group."""
+    _ensure_fixture("q_grouped_quantiles_approx", sf_dir)
+    from ..stages.stats import grouped_quantiles_approx
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles_approx(
+        ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9], n_bins=1024
+    ).to_pandas()
+    out["q_pct"] = out["q_pct"].astype("int64")
+    return (out.sort_values(["l_returnflag", "q_pct"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2732,6 +2749,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_c4_filters": q_c4_filters,
     "q_c4_span_dedup": q_c4_span_dedup,
+    "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

@@ -744,6 +744,44 @@ def so_c4_span_dedup(sf_dir: str) -> pa.Table:
     })
 
 
+def so_grouped_quantiles_approx(sf_dir: str) -> pa.Table:
+    """Serial twin of q_grouped_quantiles_approx: identical float64
+    binning arithmetic (lo/width, clip, rank=ceil(q·n), upper bin edge)
+    computed single-threaded per group — integer histogram merge makes the
+    distributed result bit-identical."""
+    n_bins, qs = 1024, [0.25, 0.5, 0.9]
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_extendedprice"])
+    keys = np.asarray(t.column("l_returnflag").to_pylist())
+    vals = t.column("l_extendedprice").to_numpy().astype(np.float64)
+    fin = np.isfinite(vals)
+    keys, vals = keys[fin], vals[fin]
+    rows = []
+    for k in sorted(set(keys)):
+        v = vals[keys == k]
+        lo, hi = float(v.min()), float(v.max())
+        width = (hi - lo) / n_bins
+        if width == 0.0:
+            for q in qs:
+                rows.append((k, int(q * 100), lo))
+            continue
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        present = np.nonzero(counts)[0]
+        cum = counts[present].cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(int(np.ceil(q * n)), 1)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            b = int(present[idx])
+            rows.append((k, int(q * 100), lo + (b + 1) * width))
+    return pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "q_pct": pa.array([r[1] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
@@ -771,6 +809,7 @@ SERIAL_ORACLES = {
     "q_gopher_quality": so_gopher_quality,
     "q_c4_filters": so_c4_filters,
     "q_c4_span_dedup": so_c4_span_dedup,
+    "q_grouped_quantiles_approx": so_grouped_quantiles_approx,
 }
 
 

@@ -301,3 +301,103 @@ def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
         return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
 
     return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def grouped_quantiles_approx(ds, group_col: str, col: str, qs: list[float],
+                             n_bins: int = 1024):
+    """Bounded-error per-group quantiles for CONTINUOUS (float) columns —
+    the grouped companion of quantiles_approx, closing the integer-domain
+    restriction of grouped_quantiles_exact.  Two passes: (1) per-group
+    finite min/max (per-batch pandas partials, one keyed groupby), edges
+    broadcast once via ray.put; (2) per-batch (group, bin) partial counts,
+    one keyed groupby — the shuffle is ≤ K·n_bins rows for K groups
+    regardless of row count or value domain.  Per-group error bound:
+    the result is the upper edge of the bin holding the true rank, so
+    |estimate − true| ≤ (max_g − min_g)/n_bins.  Non-finite rows are
+    ignored (same rationale as quantiles_approx).  Returns a Dataset of
+    (group, q_pct, value); the output is inherently K-sized, so K is
+    assumed driver-representable (the same contract every grouped
+    quantile result carries)."""
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], batch.schema.field(group_col).type),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        df = batch.select([group_col, col]).to_pandas()
+        df[col] = df[col].astype(np.float64)
+        df = df[np.isfinite(df[col])]
+        g = df.groupby(group_col, as_index=False)[col].agg(["min", "max"])
+        g.columns = [group_col, "lo", "hi"]
+        return pa_from_pandas(g)
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    if mm.empty:
+        import ray.data as rd
+
+        return rd.from_items([])
+    edges = {row[group_col]: (float(row["lo"]), float(row["hi"]))
+             for _, row in mm.iterrows()}
+    edges_ref = ray.put(edges)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        e = _ray.get(edges_ref)
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], batch.schema.field(group_col).type),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        df = batch.select([group_col, col]).to_pandas()
+        df[col] = df[col].astype(np.float64)
+        df = df[np.isfinite(df[col])].reset_index(drop=True)
+        lo = df[group_col].map(lambda k: e[k][0]).to_numpy()
+        hi = df[group_col].map(lambda k: e[k][1]).to_numpy()
+        width = (hi - lo) / n_bins
+        vals = df[col].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bins = np.where(width > 0,
+                            np.clip(((vals - lo) / np.where(width > 0, width, 1.0)
+                                     ).astype(np.int64), 0, n_bins - 1), 0)
+        df["bin"] = bins.astype(np.int64)
+        g = df.groupby([group_col, "bin"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa_from_pandas(g)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_group(g):
+        import pandas as pd
+        import ray as _ray
+
+        e = _ray.get(edges_ref)
+        key = g[group_col].iloc[0]
+        lo, hi = e[key]
+        width = (hi - lo) / n_bins
+        g = g.sort_values("bin", kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        rows = []
+        for q in qs:
+            if width == 0.0:
+                rows.append((key, int(q * 100), lo))
+                continue
+            rank = max(int(np.ceil(q * n)), 1)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            b = int(g["bin"].iloc[idx])
+            rows.append((key, int(q * 100), lo + (b + 1) * width))
+        return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
+
+    return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -1119,3 +1119,46 @@ class TestSemanticDedup:
             rd.from_items(rows), n_clusters=4, iters=2, threshold=0.99
         ).to_pandas()
         assert sorted(kept.vec_id.tolist()) == list(range(40))
+
+
+class TestGroupedQuantilesApprox:
+    def test_error_bound_vs_exact(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_quantiles_approx
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 5, size=20_000),
+            "v": rng.normal(scale=100.0, size=20_000),
+        })
+        qs = [0.1, 0.5, 0.9]
+        out = grouped_quantiles_approx(
+            rd.from_pandas(df), "k", "v", qs, n_bins=512
+        ).to_pandas().set_index(["k", "q_pct"])
+        for k, sub in df.groupby("k"):
+            vals = np.sort(sub["v"].to_numpy())
+            bound = (vals[-1] - vals[0]) / 512
+            for q in qs:
+                rank = max(int(np.ceil(q * len(vals))), 1)
+                exact = vals[rank - 1]
+                approx = out.loc[(k, int(q * 100)), "v"]
+                assert abs(approx - exact) <= bound + 1e-9, (k, q)
+
+    def test_constant_and_nonfinite(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_quantiles_approx
+
+        df = pd.DataFrame({
+            "k": ["a"] * 4 + ["b"] * 4,
+            "v": [7.0, 7.0, 7.0, np.nan, 1.0, 2.0, np.inf, 4.0],
+        })
+        out = grouped_quantiles_approx(
+            rd.from_pandas(df), "k", "v", [0.5], n_bins=16
+        ).to_pandas().set_index("k")
+        assert out.loc["a", "v"] == 7.0  # constant group returns the value
+        # group b ignores the inf: median over {1,2,4} within bound of 2
+        assert abs(out.loc["b", "v"] - 2.0) <= (4.0 - 1.0) / 16 + 1e-9
