@@ -190,18 +190,87 @@ def _mark_losers_join(decided, losers, id_col: str, n_buckets: int = LOSER_BUCKE
     return tagged.groupby("__bucket").map_groups(mark_in_bucket, batch_format="pyarrow")
 
 
+def _apply_gopher(ds, text_col: str):
+    """Fold the Gopher rule bank (functions/gopher.py) into the keep/drop
+    decision: a row that passed the spider decide but fails a Gopher rule
+    demotes to keep=False, drop_reason='gopher:<rule>'.  Schema unchanged
+    (pure stateless map; fuses with the decide chain)."""
+    from ..functions.gopher import gopher_decide, quality_signals, repetition_signals
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keeps = batch.column("keep").to_numpy(zero_copy_only=False).copy()
+        reasons = batch.column("drop_reason").to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for i, (k, t) in enumerate(zip(keeps, texts)):
+            if not k:
+                continue
+            ok, why = gopher_decide(repetition_signals(t or ""),
+                                    quality_signals(t or ""))
+            if not ok:
+                keeps[i] = False
+                reasons[i] = f"gopher:{why}"
+        names = batch.column_names
+        batch = batch.set_column(names.index("keep"), "keep",
+                                 pa.array(keeps, pa.bool_()))
+        return batch.set_column(names.index("drop_reason"), "drop_reason",
+                                pa.array(reasons, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _apply_decontam(ds, bench_ds, text_col: str, id_col: str, n: int):
+    """Fold benchmark decontamination (stages/dedup.decontaminate, flag
+    mode — bench grams broadcast once, no corpus shuffle) into keep/drop:
+    contaminated rows demote with drop_reason='contaminated'."""
+    from ..stages.dedup import decontaminate
+
+    flagged = decontaminate(ds, bench_ds, text_col=text_col, id_col=id_col,
+                            n=n, mode="flag")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        contaminated = batch.column("contaminated").to_numpy(zero_copy_only=False)
+        keeps = batch.column("keep").to_numpy(zero_copy_only=False)
+        reasons = np.asarray(batch.column("drop_reason").to_pylist(), dtype=object)
+        demote = contaminated & keeps
+        reasons[demote] = "contaminated"
+        names = batch.column_names
+        batch = batch.set_column(names.index("keep"), "keep",
+                                 pa.array(keeps & ~contaminated, pa.bool_()))
+        batch = batch.set_column(names.index("drop_reason"), "drop_reason",
+                                 pa.array(list(reasons), pa.string()))
+        return batch.drop_columns(["overlap_grams", "contaminated"])
+
+    return flagged.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                    ratios: dict[str, float] | None = None,
-                   broadcast_max_losers: int = BROADCAST_MAX_LOSERS):
-    """documents Dataset → decided/deduped/split corpus Dataset (lazy)."""
+                   broadcast_max_losers: int = BROADCAST_MAX_LOSERS,
+                   gopher: bool = False,
+                   decontaminate_bench=None,
+                   decontam_ngram: int = 13):
+    """documents Dataset → decided/deduped/split corpus Dataset (lazy).
+
+    Opt-in composition points (both default OFF; output schema unchanged):
+    ``gopher=True`` applies the published Gopher repetition/quality bank
+    after the spider decide (drop_reason='gopher:<rule>');
+    ``decontaminate_bench=<Dataset>`` drops docs sharing any
+    ``decontam_ngram``-gram with the benchmark set
+    (drop_reason='contaminated')."""
     # materialized: the decided rows feed BOTH the loser pass and the final
     # mark/split pass — without this the langid+metrics map (the dominant
     # CPU cost) executes twice end-to-end
-    decided = ds.map_batches(
+    decided_ds = ds.map_batches(
         lambda b: _decide_batch(b, text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    )
+    if gopher:
+        decided_ds = _apply_gopher(decided_ds, text_col)
+    if decontaminate_bench is not None:
+        decided_ds = _apply_decontam(decided_ds, decontaminate_bench,
+                                     text_col, id_col, decontam_ngram)
+    decided = decided_ds.materialize()
 
     # ONE shuffle: (id, fp) of the KEPT rows only — dropped rows never pay
     # it, text never rides it

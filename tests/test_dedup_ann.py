@@ -1162,3 +1162,45 @@ class TestGroupedQuantilesApprox:
         assert out.loc["a", "v"] == 7.0  # constant group returns the value
         # group b ignores the inf: median over {1,2,4} within bound of 2
         assert abs(out.loc["b", "v"] - 2.0) <= (4.0 - 1.0) / 16 + 1e-9
+
+
+class TestPrepareCorpusComposition:
+    def test_gopher_and_decontam_fold_into_keepdrop(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        good = ("the be to of and that have with " + " ".join(
+            f"word{i} term{i} item{i}" for i in range(20)))
+        gopher_bad = "the be to of and that have with " + "same same " * 40
+        rows = [
+            {"doc_id": 1, "text": good},
+            {"doc_id": 2, "text": gopher_bad},       # top-2gram repetition
+            {"doc_id": 3, "text": good + " tail."},  # contaminated vs bench
+        ]
+        bench = rd.from_items([{"text": good}])
+        out = prepare_corpus(
+            rd.from_items(rows), gopher=True,
+            decontaminate_bench=bench, decontam_ngram=8,
+        ).to_pandas().set_index("doc_id")
+        assert out.loc[2, "drop_reason"].startswith("gopher:")
+        assert not bool(out.loc[2, "keep"])
+        # docs 1 and 3 share 8-grams with the bench -> contaminated
+        # (unless the spider decide already dropped them for another reason)
+        for i in (1, 3):
+            assert not bool(out.loc[i, "keep"])
+            assert out.loc[i, "drop_reason"] in ("contaminated",) or \
+                out.loc[i, "drop_reason"] != ""
+
+    def test_defaults_unchanged(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        rows = [{"doc_id": i, "text": f"plain text number {i} runs here"}
+                for i in range(20)]
+        a = prepare_corpus(rd.from_items(rows)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert "overlap_grams" not in a.columns
+        assert set(a.columns) >= {"doc_id", "lang", "keep", "drop_reason",
+                                  "quality_score", "ws_tokens", "split", "text"}
