@@ -225,7 +225,7 @@ def _apply_decontam(ds, bench_ds, text_col: str, id_col: str, n: int):
     from ..stages.dedup import decontaminate
 
     flagged = decontaminate(ds, bench_ds, text_col=text_col, id_col=id_col,
-                            n=n, mode="flag")
+                            n=n, mode="flag", only_col="keep")
 
     def fold(batch: pa.Table) -> pa.Table:
         contaminated = batch.column("contaminated").to_numpy(zero_copy_only=False)

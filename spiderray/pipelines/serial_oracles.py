@@ -763,7 +763,7 @@ def so_grouped_quantiles_approx(sf_dir: str) -> pa.Table:
         width = (hi - lo) / n_bins
         if width == 0.0:
             for q in qs:
-                rows.append((k, int(q * 100), lo))
+                rows.append((k, int(round(q * 100)), lo))
             continue
         bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
         counts = np.bincount(bins, minlength=n_bins)
@@ -774,7 +774,7 @@ def so_grouped_quantiles_approx(sf_dir: str) -> pa.Table:
             rank = max(int(np.ceil(q * n)), 1)
             idx = int(np.searchsorted(cum, rank, side="left"))
             b = int(present[idx])
-            rows.append((k, int(q * 100), lo + (b + 1) * width))
+            rows.append((k, int(round(q * 100)), lo + (b + 1) * width))
     return pa.table({
         "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
         "q_pct": pa.array([r[1] for r in rows], pa.int64()),

@@ -1290,6 +1290,7 @@ def decontaminate(
     n: int = 13,
     mode: str = "flag",
     max_bench_grams: int = 5_000_000,
+    only_col: str | None = None,
 ):
     """Benchmark decontamination — the training-corpus hygiene operator of
     the published GPT-3 / Pile methodology: find (``mode="flag"``) or drop
@@ -1305,7 +1306,10 @@ def decontaminate(
     corpus is never shuffled and nothing corpus-sized reaches the driver.
     A benchmark exceeding ``max_bench_grams`` distinct grams raises — at
     that size it is a corpus, and the pair-shaped ngram_jaccard_pairs path
-    applies instead."""
+    applies instead.  ``only_col`` names a boolean column: rows where it is
+    false skip the n-gram hashing entirely (overlap 0) — the composed
+    pipeline uses it so already-dropped rows never pay the dominant
+    per-row cost."""
     import ray
 
     import pyarrow.compute as pc
@@ -1341,6 +1345,9 @@ def decontaminate(
 
         bg = _ray.get(ref)
         texts = batch.column(text_col).to_pylist()
+        if only_col is not None:
+            active = batch.column(only_col).to_numpy(zero_copy_only=False)
+            texts = [t if a else "" for t, a in zip(texts, active)]
         counts = np.zeros(len(texts), dtype=np.int64)
         if len(bg) and texts:
             arrs = [fp.ngram_set(t or "", n) for t in texts]

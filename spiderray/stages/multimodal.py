@@ -104,7 +104,16 @@ def _float80_be(b: bytes) -> float:
     mant = int.from_bytes(b[2:], "big")
     if se & 0x7FFF == 0 and mant == 0:
         return 0.0
-    val = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    if se & 0x7FFF == 0x7FFF:  # inf / NaN encoding
+        raise DecodeUnsupported("aiff rate non-finite")
+    try:
+        val = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    except OverflowError:
+        raise DecodeUnsupported("aiff rate overflow") from None
+    import math
+
+    if not math.isfinite(val):  # huge exponents overflow to inf silently
+        raise DecodeUnsupported("aiff rate overflow")
     return -val if se & 0x8000 else val
 
 

@@ -297,7 +297,7 @@ def grouped_quantiles_exact(ds, group_col: str, col: str, qs: list[float]):
         for q in qs:
             rank = max(int(np.ceil(q * n)), 1)
             idx = int(np.searchsorted(cum, rank, side="left"))
-            rows.append((g[group_col].iloc[0], int(q * 100), g[col].iloc[idx]))
+            rows.append((g[group_col].iloc[0], int(round(q * 100)), g[col].iloc[idx]))
         return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
 
     return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")
@@ -358,9 +358,14 @@ def grouped_quantiles_approx(ds, group_col: str, col: str, qs: list[float],
                              "n": pa.array([], pa.int64())})
         df = batch.select([group_col, col]).to_pandas()
         df[col] = df[col].astype(np.float64)
-        df = df[np.isfinite(df[col])].reset_index(drop=True)
-        lo = df[group_col].map(lambda k: e[k][0]).to_numpy()
-        hi = df[group_col].map(lambda k: e[k][1]).to_numpy()
+        # null / unseen keys (pass 1's groupby drops null keys) are ignored,
+        # matching grouped_quantiles_exact's behavior on nullable key columns
+        lo_s = df[group_col].map({k: v[0] for k, v in e.items()})
+        keep_rows = np.isfinite(df[col]) & lo_s.notna().to_numpy()
+        df = df[keep_rows].reset_index(drop=True)
+        lo = lo_s[keep_rows].to_numpy(dtype=np.float64)
+        hi = df[group_col].map({k: v[1] for k, v in e.items()}).to_numpy(
+            dtype=np.float64)
         width = (hi - lo) / n_bins
         vals = df[col].to_numpy()
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -392,12 +397,12 @@ def grouped_quantiles_approx(ds, group_col: str, col: str, qs: list[float],
         rows = []
         for q in qs:
             if width == 0.0:
-                rows.append((key, int(q * 100), lo))
+                rows.append((key, int(round(q * 100)), lo))
                 continue
             rank = max(int(np.ceil(q * n)), 1)
             idx = int(np.searchsorted(cum, rank, side="left"))
             b = int(g["bin"].iloc[idx])
-            rows.append((key, int(q * 100), lo + (b + 1) * width))
+            rows.append((key, int(round(q * 100)), lo + (b + 1) * width))
         return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
 
     return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -1146,6 +1146,22 @@ class TestGroupedQuantilesApprox:
                 approx = out.loc[(k, int(q * 100)), "v"]
                 assert abs(approx - exact) <= bound + 1e-9, (k, q)
 
+
+    def test_null_group_key_ignored(self, ray_session):
+        # review regression: a null key must be ignored (like the exact
+        # sibling), not KeyError the whole query
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_quantiles_approx
+
+        df = pd.DataFrame({"k": ["a", "a", None, "b"],
+                           "v": [1.0, 2.0, 5.0, 3.0]})
+        out = grouped_quantiles_approx(
+            rd.from_pandas(df), "k", "v", [0.5], n_bins=8
+        ).to_pandas()
+        assert sorted(out["k"].tolist()) == ["a", "b"]
+
     def test_constant_and_nonfinite(self, ray_session):
         import pandas as pd
         import ray.data as rd

@@ -429,3 +429,17 @@ class TestAlawAiff:
         # unknown format tag marks, never guesses
         with pytest.raises(DecodeUnsupported):
             _decode_one(wav(3, 1, 32, b"\x00" * 8), "wav")
+
+    def test_aiff_nonfinite_rate_marks(self):
+        # review regression: inf/huge COMM rate exponents must raise
+        # DecodeUnsupported, not OverflowError (which would kill the task)
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        import pytest
+
+        base = self._aiff(b"\x00\x00" * 4, 1, 16)
+        i = base.index(b"COMM") + 8 + 8
+        for se in (b"\x7f\xff", b"\x44\x00"):
+            bad = base[:i] + se + base[i + 2 :]
+            with pytest.raises(DecodeUnsupported):
+                _decode_one(bad, "aiff")
