@@ -58,6 +58,8 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_stats_stage,
 )
+from .stages.audiodedup import audio_fingerprint_pairs
+from .stages.audioquality import audio_loudness_stage, audio_mfcc_stage, mfcc_vector_batch
 from .stages.c4 import c4_filter_stage, c4_span_dedup
 from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
@@ -80,7 +82,8 @@ __all__ = [
     "train_langid_profiles", "train_test_split", "tumbling",
     "window_functions", "write_split_corpus",
     # multimodal stages
-    "audio_features_stage", "audio_gate_stage", "audio_spectral_stage",
+    "audio_features_stage", "audio_fingerprint_pairs", "audio_gate_stage",
+    "audio_loudness_stage", "audio_mfcc_stage", "audio_spectral_stage",
     "audio_transform_stage", "frame_sample_stage", "image_features_stage",
-    "speech_rate_stage", "vad_stats_stage",
+    "mfcc_vector_batch", "speech_rate_stage", "vad_stats_stage",
 ]

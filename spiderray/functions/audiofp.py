@@ -1,0 +1,267 @@
+"""Audio fingerprinting and quality-measurement kernels (pure numpy).
+
+Three public-method banks, shared between the distributed stages
+(stages/audioquality.py, stages/audiodedup.py) and their serial oracles —
+the repo's established shared-function-bank pattern:
+
+* **Spectral-peak landmark fingerprints** — the constellation-map method of
+  Wang 2003 ("An Industrial-Strength Audio Search Algorithm", ISMIR): STFT
+  peak per frame → (anchor, target, dt) landmark triples hashed into one
+  uint64 each.  Gain-invariant by construction (argmax bins), robust to
+  additive low-level noise; used for acoustic near-duplicate detection.
+* **K-weighted gated loudness** per ITU-R BS.1770-4 / EBU R128 semantics:
+  400 ms blocks at 75% overlap, −70 LKFS absolute gate, −10 LU relative
+  gate for the integrated value, −20 LU gate + 10th/95th percentiles for
+  the loudness range.  The K-weighting filter is applied in the FREQUENCY
+  domain — the analytic |H(e^jw)|^2 of the spec's two 48 kHz biquads
+  evaluated at each block-FFT bin's physical frequency (no scipy in this
+  container; per-block mean-square energy is what the gate consumes, and
+  by Parseval the frequency-domain weighting matches the time-domain
+  filter's energy up to block-edge transients — documented approximation).
+* **MFCC** — HTK-formula mel filterbank + log + orthonormal DCT-II, the
+  standard speech front-end; per-clip mean coefficients summarize a clip
+  as a fixed-size vector (feeds the embedding near-dup / ANN operators).
+
+All kernels are per-clip deterministic (no cross-clip state, float64
+internally), so the distributed and serial paths agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spectral-peak landmark fingerprints
+# ---------------------------------------------------------------------------
+
+_HANN_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hann(n: int) -> np.ndarray:
+    w = _HANN_CACHE.get(n)
+    if w is None:
+        w = np.hanning(n).astype(np.float64)
+        _HANN_CACHE[n] = w
+    return w
+
+
+def spectral_landmarks(
+    pcm: np.ndarray,
+    sr: int,
+    frame: int = 512,
+    hop: int = 256,
+    fanout: int = 3,
+    hz_quant: float = 100.0,
+    ms_quant: float = 20.0,
+    max_frames: int = 512,
+    min_peak_mag: float = 1e-4,
+) -> np.ndarray:
+    """Unique landmark hashes for one clip: per-frame spectral peak →
+    (anchor_hz, target_hz, dt) triples for targets 1..fanout frames ahead,
+    quantized to physical units (``hz_quant`` Hz / ``ms_quant`` ms) so
+    clips at different sample rates hash into the same space.  Pairs whose
+    two peaks quantize equal are dropped — a held tone yields runs of
+    identical frames whose self-pairs carry no melodic information but
+    would let any two clips sharing ONE pitch collide on several hashes.
+    ``hz_quant`` should be at least the analysis bin width (sr/frame; 86 Hz
+    at 44.1 kHz) so adjacent-bin argmax jitter from low-level noise stays
+    inside one cell.  Returns a sorted unique uint64 array; frames whose
+    peak magnitude is below ``min_peak_mag`` (near-silence) contribute no
+    landmarks."""
+    if sr <= 0 or len(pcm) < frame + hop:
+        return np.empty(0, dtype=np.uint64)
+    x = pcm[: frame + hop * max_frames].astype(np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    mags = np.abs(np.fft.rfft(x[idx] * _hann(frame), axis=1))
+    peak_bins = mags.argmax(axis=1)
+    peak_mag = mags[np.arange(n_frames), peak_bins]
+    voiced = peak_mag >= min_peak_mag
+    peak_q = np.round(peak_bins * (sr / frame) / hz_quant).astype(np.uint64)
+    frame_ms = hop * 1000.0 / sr
+    hashes = []
+    for d in range(1, fanout + 1):
+        if n_frames <= d:
+            break
+        ok = voiced[:-d] & voiced[d:] & (peak_q[:-d] != peak_q[d:])
+        if not ok.any():
+            continue
+        dt = np.uint64(max(int(round(d * frame_ms / ms_quant)), 0)) & np.uint64(0xFF)
+        h = (
+            (peak_q[:-d][ok] << np.uint64(32))
+            ^ (peak_q[d:][ok] << np.uint64(8))
+            ^ dt
+        )
+        hashes.append(h)
+    if not hashes:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(hashes))
+
+
+# ---------------------------------------------------------------------------
+# BS.1770-style K-weighted gated loudness
+# ---------------------------------------------------------------------------
+
+# ITU-R BS.1770-4 Table 1/2 biquad coefficients, defined at 48 kHz:
+# stage 1 high-shelf (head response), stage 2 high-pass (RLB weighting).
+_KW_FS = 48000.0
+_KW_SHELF_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+_KW_SHELF_A = (1.0, -1.69065929318241, 0.73248077421585)
+_KW_HP_B = (1.0, -2.0, 1.0)
+_KW_HP_A = (1.0, -1.99004745483398, 0.99007225036621)
+
+
+def kweight_mag2(freqs_hz: np.ndarray) -> np.ndarray:
+    """Analytic squared magnitude of the BS.1770 K-weighting cascade at
+    physical frequencies (Hz).  The biquads are defined at 48 kHz; their
+    discrete-time response is evaluated at w = 2*pi*f/48000 — valid for any
+    clip sample rate because the weighting is a function of physical Hz."""
+    w = 2.0 * np.pi * np.asarray(freqs_hz, dtype=np.float64) / _KW_FS
+    z1 = np.exp(-1j * w)
+    z2 = z1 * z1
+
+    def _h2(b, a):
+        num = b[0] + b[1] * z1 + b[2] * z2
+        den = a[0] + a[1] * z1 + a[2] * z2
+        return (num.real**2 + num.imag**2) / (den.real**2 + den.imag**2)
+
+    return _h2(_KW_SHELF_B, _KW_SHELF_A) * _h2(_KW_HP_B, _KW_HP_A)
+
+
+_KW_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _block_loudness(pcm: np.ndarray, sr: int,
+                    block_ms: int = 400, step_ms: int = 100) -> np.ndarray:
+    """Per-block loudness (LKFS) over ``block_ms`` windows at ``step_ms``
+    stride (75% overlap at the defaults) — K-weighted mean-square energy
+    computed in the frequency domain via Parseval."""
+    blen = max(int(sr * block_ms / 1000), 2)
+    step = max(int(sr * step_ms / 1000), 1)
+    if len(pcm) < blen:
+        return np.empty(0, dtype=np.float64)
+    n_blocks = 1 + (len(pcm) - blen) // step
+    idx = np.arange(blen)[None, :] + step * np.arange(n_blocks)[:, None]
+    X = np.fft.rfft(pcm[idx].astype(np.float64), axis=1)
+    key = (sr, blen)
+    w2s = _KW_CACHE.get(key)
+    if w2s is None:
+        w2 = kweight_mag2(np.fft.rfftfreq(blen, d=1.0 / sr))
+        # Parseval for rfft: double every bin except DC (and Nyquist when
+        # blen is even), normalize by blen^2 → time-domain mean square
+        scale = np.full(len(w2), 2.0)
+        scale[0] = 1.0
+        if blen % 2 == 0:
+            scale[-1] = 1.0
+        w2s = w2 * scale / (blen * blen)
+        _KW_CACHE[key] = w2s
+    ms = ((X.real**2 + X.imag**2) * w2s).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        return -0.691 + 10.0 * np.log10(ms)
+
+
+_LUFS_FLOOR = -99.0
+
+
+def _gated_mean_lufs(block_lufs: np.ndarray, rel_gate_lu: float) -> float:
+    """Two-stage gated integrated loudness: −70 LKFS absolute gate, then a
+    relative gate ``rel_gate_lu`` below the absolutely-gated mean."""
+    absd = block_lufs[block_lufs > -70.0]
+    if absd.size == 0:
+        return _LUFS_FLOOR
+    mean_ms = np.mean(10.0 ** ((absd + 0.691) / 10.0))
+    rel_thresh = -0.691 + 10.0 * np.log10(mean_ms) + rel_gate_lu
+    gated = absd[absd > rel_thresh]
+    if gated.size == 0:
+        return _LUFS_FLOOR
+    return float(-0.691 + 10.0 * np.log10(
+        np.mean(10.0 ** ((gated + 0.691) / 10.0))))
+
+
+def loudness_stats(pcm: np.ndarray, sr: int) -> dict:
+    """Integrated loudness (LUFS), loudness range (LU), clipping ratio and
+    DC offset for one mono clip in [-1, 1] float.  Short/silent clips clamp
+    to the −99 floor rather than emitting −inf."""
+    if sr <= 0 or len(pcm) == 0:
+        return {"lufs_integrated": _LUFS_FLOOR, "lufs_range": 0.0,
+                "clip_ratio": 0.0, "dc_offset": 0.0}
+    bl = _block_loudness(pcm, sr)
+    integrated = _gated_mean_lufs(bl, -10.0) if bl.size else _LUFS_FLOOR
+    # EBU R128 loudness range: −20 LU relative gate, 10th→95th percentile
+    lra = 0.0
+    if bl.size:
+        absd = bl[bl > -70.0]
+        if absd.size:
+            mean_ms = np.mean(10.0 ** ((absd + 0.691) / 10.0))
+            rel = absd[absd > -0.691 + 10.0 * np.log10(mean_ms) - 20.0]
+            if rel.size >= 2:
+                lo, hi = np.percentile(rel, [10.0, 95.0])
+                lra = float(hi - lo)
+    return {
+        "lufs_integrated": float(max(integrated, _LUFS_FLOOR)),
+        "lufs_range": lra,
+        "clip_ratio": float(np.mean(np.abs(pcm) >= 0.999)),
+        "dc_offset": float(np.mean(pcm)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# MFCC
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+_MEL_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _mel_dct(sr: int, n_fft: int, n_mels: int, n_mfcc: int):
+    key = (sr, n_fft, n_mels, n_mfcc)
+    got = _MEL_CACHE.get(key)
+    if got is not None:
+        return got
+    # triangular filters on the HTK mel scale, 0..sr/2
+    pts = _mel_to_hz(np.linspace(0.0, _hz_to_mel(sr / 2.0), n_mels + 2))
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    fb = np.zeros((n_mels, len(bins)), dtype=np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins - lo) / max(mid - lo, 1e-9)
+        down = (hi - bins) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    # orthonormal DCT-II
+    k = np.arange(n_mfcc)[:, None]
+    m = np.arange(n_mels)[None, :]
+    dct = np.sqrt(2.0 / n_mels) * np.cos(np.pi * k * (2 * m + 1) / (2 * n_mels))
+    dct[0] /= np.sqrt(2.0)
+    got = (fb, dct)
+    _MEL_CACHE[key] = got
+    return got
+
+
+def mfcc_mean(
+    pcm: np.ndarray,
+    sr: int,
+    frame: int = 512,
+    hop: int = 256,
+    n_mels: int = 24,
+    n_mfcc: int = 13,
+    max_frames: int = 512,
+) -> np.ndarray:
+    """Mean MFCC vector over the clip's frames (float64, length n_mfcc);
+    zeros for clips too short for one frame."""
+    if sr <= 0 or len(pcm) < frame:
+        return np.zeros(n_mfcc, dtype=np.float64)
+    x = pcm[: frame + hop * max_frames].astype(np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * _hann(frame), axis=1)) ** 2
+    fb, dct = _mel_dct(sr, frame, n_mels, n_mfcc)
+    mel = np.log(spec @ fb.T + 1e-10)
+    return (mel @ dct.T).mean(axis=0)

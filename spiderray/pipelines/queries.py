@@ -1421,6 +1421,53 @@ def q_vad_stats(sf_dir: str):
 
 
 
+def q_audio_loudness(sf_dir: str):
+    """ITU-R BS.1770-style K-weighted gated loudness + clipping/DC quality
+    columns and the too_quiet/clipped gate flags over the clip corpus
+    (stages/audioquality.py; fixture oracle — float DSP)."""
+    _ensure_fixture("q_audio_loudness", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import audio_loudness_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_loudness_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "lufs_integrated", "lufs_range",
+         "clip_ratio", "dc_offset", "too_quiet", "clipped"]
+    )
+
+
+def q_audio_mfcc(sf_dir: str):
+    """Mean MFCC vector (mel filterbank + DCT-II) per clip as scalar
+    columns — the standard speech front-end (stages/audioquality.py;
+    fixture oracle)."""
+    _ensure_fixture("q_audio_mfcc", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import audio_mfcc_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_mfcc_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok"] + [f"mfcc_{k}" for k in range(13)]
+    )
+
+
+def q_audio_fp_pairs(sf_dir: str):
+    """Acoustic near-duplicate pairs via constellation landmark
+    fingerprints (Wang 2003) over a note-melody corpus with planted twins
+    (every 40th clip gets a gain/noise-perturbed copy).  Oracle: an
+    independent serial inverted-index implementation
+    (serial_oracles.so_audio_fp_pairs)."""
+    _ensure_fixture("q_audio_fp_pairs", sf_dir)
+    from ..sources.clips import note_clips_from_documents
+    from ..stages.audiodedup import audio_fingerprint_pairs
+
+    ds = note_clips_from_documents(sf_dir)
+    return audio_fingerprint_pairs(ds)
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split (stages/stats.py) —
     per-split counts, reproducible across runs/processes (md5 bucket)."""
@@ -2731,6 +2778,9 @@ QUERIES = {
     "q_audio_spectral": q_audio_spectral,
     "q_vad_stats": q_vad_stats,
     "q_audio_transform": q_audio_transform,
+    "q_audio_loudness": q_audio_loudness,
+    "q_audio_mfcc": q_audio_mfcc,
+    "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,

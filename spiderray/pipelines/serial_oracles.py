@@ -782,7 +782,39 @@ def so_grouped_quantiles_approx(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_loudness(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioLoudnessActor
+
+    out = AudioLoudnessActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "decode_ok", "lufs_integrated", "lufs_range",
+         "clip_ratio", "dc_offset", "too_quiet", "clipped"]
+    )
+
+
+def so_audio_mfcc(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioMfccActor
+
+    out = AudioMfccActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(["clip_id", "decode_ok"] + [f"mfcc_{k}" for k in range(13)])
+
+
+def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
+    """Independent single-threaded constellation-fingerprint pair search
+    (dict inverted index) over the note-melody corpus — not the distributed
+    code path."""
+    from ..sources.clips import note_clips_table_from_documents
+    from ..stages.audiodedup import serial_audio_fingerprint_pairs
+
+    return serial_audio_fingerprint_pairs(note_clips_table_from_documents(sf_dir))
+
+
 SERIAL_ORACLES = {
+    "q_audio_loudness": so_audio_loudness,
+    "q_audio_mfcc": so_audio_mfcc,
+    "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
     "q_near_dedup": so_near_dedup,

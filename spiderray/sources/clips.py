@@ -214,6 +214,85 @@ def synth_clips_dataset(n: int, with_audio: bool = True, override_num_blocks: in
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
+def synth_note_audio(key: int, sr_hz: int, n_samples: int,
+                     gain: float = 0.6, noise_salt: int = 0) -> bytes:
+    """Deterministic NON-stationary PCM16: an 8-note melody whose pitches
+    derive from md5(key) (two digest bytes per note → 65536 pitch levels,
+    so unrelated keys almost never share a quantized note transition),
+    plus a noise-table slice.  Unlike ``synth_audio`` (one stationary
+    sine), note sequences give spectral-peak landmark fingerprints
+    (functions/audiofp.py) real time structure to hash: a twin with the
+    same ``key`` but different ``gain``/``noise_salt`` keeps the
+    constellation."""
+    import hashlib
+
+    dig = hashlib.md5(f"note{key}".encode()).digest()
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    wave = np.zeros(n_samples, dtype=np.float64)
+    seg = max(n_samples // 8, 1)
+    top = 0.45 * sr_hz
+    for k in range(8):
+        f = 150.0 + ((dig[2 * k] << 8 | dig[2 * k + 1]) / 65535.0) * (top - 150.0)
+        s = k * seg
+        e = n_samples if k == 7 else min((k + 1) * seg, n_samples)
+        if s >= e:
+            break
+        wave[s:e] = np.sin(2 * np.pi * f * t[s:e])
+    off = ((key * 2654435761) + noise_salt * 97003) % (len(_NOISE) - n_samples)
+    pcm = np.clip((gain * wave + 0.05 * _NOISE[off : off + n_samples]) * 32767.0,
+                  -32768, 32767).astype("<i2")
+    return pcm.tobytes()
+
+
+def note_clips_batch(ids: np.ndarray, twin_mod: int = 40,
+                     id_offset: int = 10_000_000) -> pa.Table:
+    """Note-melody clip rows for the given doc ids; every ``twin_mod``-th id
+    additionally emits an acoustic NEAR-DUPLICATE twin (same melody key and
+    sample rate, lower gain, different noise slice) at ``id + id_offset`` —
+    the planted ground truth for audio-fingerprint dedup.  Pure per-row
+    arithmetic shared by the distributed source and the serial oracle."""
+    idx = np.asarray(ids, dtype=np.int64)
+    out_ids, bufs, srs = [], [], []
+    for i in map(int, idx):
+        sr = _SR_CHOICES[i % len(_SR_CHOICES)]
+        n = sr // 4 + (i % 5) * sr // 100
+        out_ids.append(i)
+        srs.append(sr)
+        bufs.append(synth_note_audio(i, sr, n))
+        if i % twin_mod == 0:
+            out_ids.append(i + id_offset)
+            srs.append(sr)
+            bufs.append(synth_note_audio(i, sr, n, gain=0.42, noise_salt=7))
+    return pa.table({
+        "clip_id": pa.array(out_ids, pa.int64()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "sr_hz": pa.array(srs, pa.int32()),
+        "codec": pa.array(["pcm_s16le"] * len(out_ids), pa.string()),
+    })
+
+
+def note_clips_from_documents(sf_dir: str, twin_mod: int = 40,
+                              id_offset: int = 10_000_000):
+    """Distributed note-melody corpus over the documents table ids."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        lambda b: note_clips_batch(b.column("doc_id").to_numpy(),
+                                   twin_mod, id_offset),
+        batch_format="pyarrow", batch_size=4096,
+    )
+
+
+def note_clips_table_from_documents(sf_dir: str, twin_mod: int = 40,
+                                    id_offset: int = 10_000_000) -> pa.Table:
+    """Serial (no-Ray) twin of ``note_clips_from_documents``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return note_clips_batch(t.column("doc_id").to_numpy(), twin_mod, id_offset)
+
+
 def docs_to_clips_batch(batch: pa.Table) -> pa.Table:
     """One documents batch → one clips batch (pure per-row arithmetic; the
     shared unit behind the distributed ``clips_from_documents`` and the

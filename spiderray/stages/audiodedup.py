@@ -1,0 +1,203 @@
+"""Acoustic near-duplicate detection over audio clips — the constellation
+fingerprint method (Wang 2003) in the repo's established LSH pair shape
+(stages/dedup.py): explode small fixed-size hash rows, shuffle by hash
+partition, self-merge per hash bucket with a hot-bucket cap, then a keyed
+count aggregation with a match-fraction verify.
+
+Scale shape (mirrors minhash_lsh_pairs, the 10^12-doc template):
+
+* exploded rows carry (part:int32, lmh:int64, id, n_hashes:int32) — ~24 B
+  per landmark regardless of clip size; the audio bytes never cross the
+  shuffle.
+* all rows of one landmark hash land in ONE partition (part = lmh mod
+  N_PARTS), so the MAX_BUCKET hot-hash cap is globally consistent — a hash
+  shared by more clips than the cap (a jingle, silence pattern) is skipped
+  entirely rather than generating O(n^2) candidate pairs.
+* per-partition pair counts are PARTIAL (combiner before the shuffle); the
+  global groupby sums them, so the second exchange is pair-sized, not
+  landmark-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.audiofp import spectral_landmarks
+from .dedup import MAX_BUCKET, N_PARTS
+
+
+def audio_fingerprint_pairs(
+    ds,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    min_shared: int = 2,
+    min_fraction: float = 0.6,
+    **landmark_kwargs,
+):
+    """Near-duplicate clip pairs: clips sharing >= ``min_shared`` landmark
+    hashes are candidates; a pair is emitted when its shared-hash count is
+    at least ``min_fraction`` of the smaller clip's fingerprint (the exact
+    verify — a single coincidentally-shared note transition yields a few
+    matches but a small fraction).  Output: (id_a, id_b, n_matches,
+    match_fraction), id_a < id_b."""
+    from ray.data.aggregate import Max, Sum
+
+    from .multimodal import DecodeUnsupported, _decode_one
+
+    def explode(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids_out, hashes = [], []
+        n_per: list[int] = []
+        for i, buf, codec, sr in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(bytes_col).to_pylist(),
+            batch.column(codec_col).to_pylist(),
+            batch.column(sr_col).to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            lms = spectral_landmarks(pcm, int(sr or 0), **landmark_kwargs)
+            if len(lms) == 0:
+                continue
+            ids_out.extend([i] * len(lms))
+            hashes.append(lms)
+            n_per.extend([len(lms)] * len(lms))
+        if not hashes:
+            return pa.table({
+                "part": pa.array([], pa.int32()),
+                "lmh": pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
+                "n_hashes": pa.array([], pa.int32()),
+            })
+        h = np.concatenate(hashes).view(np.int64)
+        return pa.table({
+            "part": pa.array((h % N_PARTS).astype(np.int32)),
+            "lmh": pa.array(h),
+            id_col: pa.array(ids_out, id_type),
+            "n_hashes": pa.array(np.asarray(n_per, dtype=np.int32)),
+        })
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # the empty frame's id dtype must match non-empty groups' output or
+        # Ray's block schema unification fails across groups
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=g[id_col].dtype),
+            "id_b": pd.Series([], dtype=g[id_col].dtype),
+            "n_matches": pd.Series([], dtype=np.int64),
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+        })
+        g = g.drop_duplicates(subset=["lmh", id_col])
+        sizes = g.groupby("lmh")[id_col].transform("size")
+        g = g[sizes <= MAX_BUCKET]
+        if g.empty:
+            return empty
+        m = g.merge(g, on="lmh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        # partial per-partition pair counts (combiner); n_hashes is a
+        # per-clip constant so any representative value is exact
+        agg = (
+            m.groupby([f"{id_col}_a", f"{id_col}_b"])
+            .agg(
+                n_matches=("lmh", "size"),
+                n_a=("n_hashes_a", "first"),
+                n_b=("n_hashes_b", "first"),
+            )
+            .reset_index()
+        )
+        return agg.rename(
+            columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
+        ).astype({"n_matches": np.int64, "n_a": np.int64, "n_b": np.int64})
+
+    partial = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+    totals = partial.groupby(["id_a", "id_b"]).aggregate(
+        Sum("n_matches", alias_name="n_matches"),
+        Max("n_a", alias_name="n_a"),
+        Max("n_b", alias_name="n_b"),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_matches").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = n / np.maximum(np.minimum(na, nb), 1)
+        keep = (n >= min_shared) & (frac >= min_fraction)
+        out = pa.table({
+            "id_a": batch.column("id_a").filter(pa.array(keep)),
+            "id_b": batch.column("id_b").filter(pa.array(keep)),
+            "n_matches": pa.array(n[keep]),
+            "match_fraction": pa.array(frac[keep], pa.float64()),
+        })
+        return out
+
+    return totals.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def serial_audio_fingerprint_pairs(
+    clips: pa.Table,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    min_shared: int = 2,
+    min_fraction: float = 0.6,
+    **landmark_kwargs,
+) -> pa.Table:
+    """Single-threaded oracle twin of ``audio_fingerprint_pairs`` — one pass
+    over one table, plain dict inverted index, same per-clip kernel and the
+    same global MAX_BUCKET hot-hash skip."""
+    from collections import Counter, defaultdict
+
+    from .multimodal import DecodeUnsupported, _decode_one
+
+    fp_sets: dict = {}
+    for i, buf, codec, sr in zip(
+        clips.column(id_col).to_pylist(),
+        clips.column(bytes_col).to_pylist(),
+        clips.column(codec_col).to_pylist(),
+        clips.column(sr_col).to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            continue
+        lms = spectral_landmarks(pcm, int(sr or 0), **landmark_kwargs)
+        if len(lms):
+            fp_sets[i] = lms
+    inv = defaultdict(list)
+    for i, lms in fp_sets.items():
+        for h in lms.tolist():
+            inv[h].append(i)
+    counts: Counter = Counter()
+    for h, ids in inv.items():
+        if len(ids) > MAX_BUCKET:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                counts[(ids[x], ids[y])] += 1
+    rows = []
+    for (a, b), n in counts.items():
+        frac = n / max(min(len(fp_sets[a]), len(fp_sets[b])), 1)
+        if n >= min_shared and frac >= min_fraction:
+            rows.append((a, b, n, frac))
+    rows.sort()
+    id_type = clips.schema.field(id_col).type
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], id_type),
+        "id_b": pa.array([r[1] for r in rows], id_type),
+        "n_matches": pa.array([r[2] for r in rows], pa.int64()),
+        "match_fraction": pa.array([r[3] for r in rows], pa.float64()),
+    })

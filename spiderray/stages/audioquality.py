@@ -1,0 +1,147 @@
+"""Audio quality-measurement stages: K-weighted gated loudness (ITU-R
+BS.1770 / EBU R128 semantics) and MFCC front-end features, over the same
+decode swap point as the other audio stages (stages/multimodal._decode_one).
+
+Both are actor-pool ``map_batches`` stages in the repo's standard shape —
+setup (none beyond config today; a real loudness meter or model handle
+later) once per actor in ``__init__``, per-clip numpy kernels from
+functions/audiofp.py in ``__call__``.  Every kernel is per-clip
+deterministic, so the serial oracles reuse the same actor classes
+in-process (the established fixture-oracle pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.audiofp import loudness_stats, mfcc_mean
+from .multimodal import DecodeUnsupported, _decode_one
+
+# quality_filter gate defaults: a speech corpus drops clips that are
+# essentially silence (integrated loudness below the floor) or audibly
+# clipped.  -40 LUFS is far below conversational speech (-25..-15) but
+# above noise-floor recordings; 1% clipped samples is audible distortion.
+MIN_LUFS = -40.0
+MAX_CLIP_RATIO = 0.01
+
+_LOUDNESS_COLS = ("lufs_integrated", "lufs_range", "clip_ratio", "dc_offset")
+
+
+class AudioLoudnessActor:
+    """Decode + BS.1770-style loudness columns + keep/drop gate flags."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_lufs: float = MIN_LUFS,
+                 max_clip_ratio: float = MAX_CLIP_RATIO):
+        self.cfg = cfg or PipelineConfig()
+        self.min_lufs = min_lufs
+        self.max_clip_ratio = max_clip_ratio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _LOUDNESS_COLS}
+        ok, too_quiet, clipped = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = loudness_stats(pcm, int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _LOUDNESS_COLS}
+                ok.append(False)
+            for k in _LOUDNESS_COLS:
+                cols[k].append(stats[k])
+            too_quiet.append(ok[-1] and stats["lufs_integrated"] < self.min_lufs)
+            clipped.append(ok[-1] and stats["clip_ratio"] > self.max_clip_ratio)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _LOUDNESS_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        batch = batch.append_column("too_quiet", pa.array(too_quiet, pa.bool_()))
+        return batch.append_column("clipped", pa.array(clipped, pa.bool_()))
+
+
+def audio_loudness_stage(ds, cfg: PipelineConfig,
+                         concurrency: int | tuple[int, int] = 4,
+                         min_lufs: float = MIN_LUFS,
+                         max_clip_ratio: float = MAX_CLIP_RATIO):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioLoudnessActor,
+        fn_constructor_args=(cfg, min_lufs, max_clip_ratio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+class AudioMfccActor:
+    """Decode + per-clip mean MFCC vector as scalar columns mfcc_0..mfcc_N
+    (scalar columns keep the output SQL/hash-comparable; the list-column
+    variant for ANN feeding is ``mfcc_vector_batch``)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, n_mfcc: int = 13):
+        self.cfg = cfg or PipelineConfig()
+        self.n_mfcc = n_mfcc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out = np.zeros((len(bufs), self.n_mfcc), dtype=np.float64)
+        ok = []
+        for j, (buf, codec, sr) in enumerate(zip(bufs, codecs, srs)):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                out[j] = mfcc_mean(pcm, int(sr or 0), n_mfcc=self.n_mfcc)
+                ok.append(True)
+            except DecodeUnsupported:
+                ok.append(False)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in range(self.n_mfcc):
+            batch = batch.append_column(
+                f"mfcc_{k}", pa.array(out[:, k].astype(np.float32))
+            )
+        return batch
+
+
+def audio_mfcc_stage(ds, cfg: PipelineConfig,
+                     concurrency: int | tuple[int, int] = 4, n_mfcc: int = 13):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioMfccActor,
+        fn_constructor_args=(cfg, n_mfcc),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def mfcc_vector_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
+                      n_mfcc: int = 13,
+                      out_col: str = "embedding") -> pa.Table:
+    """One clips batch → batch + ``out_col`` list<float> of mean MFCCs —
+    the adapter that lets the audio corpus feed the embedding operators
+    (stages/dedup.embedding_near_dup, stages/ann) unchanged."""
+    cfg = cfg or PipelineConfig()
+    vecs = []
+    for buf, codec, sr in zip(
+        batch.column(cfg.bytes_col).to_pylist(),
+        batch.column(cfg.codec_col).to_pylist(),
+        batch.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            vecs.append(mfcc_mean(pcm, int(sr or 0), n_mfcc=n_mfcc)
+                        .astype(np.float32).tolist())
+        except DecodeUnsupported:
+            vecs.append([0.0] * n_mfcc)
+    return batch.append_column(out_col, pa.array(vecs, pa.list_(pa.float32())))

@@ -1,0 +1,137 @@
+"""Audio quality + acoustic-fingerprint operators: BS.1770 loudness
+calibration physics, MFCC determinism, constellation-landmark invariances,
+and the distributed fingerprint-pair search vs its independent serial
+oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spiderray.functions.audiofp import (
+    kweight_mag2,
+    loudness_stats,
+    mfcc_mean,
+    spectral_landmarks,
+)
+
+
+def _sine(freq, sr, secs=2.0, amp=1.0):
+    t = np.arange(int(sr * secs), dtype=np.float64) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestLoudness:
+    def test_bs1770_sine_calibration(self):
+        # the spec's calibration point: a 0 dBFS 997 Hz sine reads
+        # −3.01 LKFS — at every sample rate, since K-weighting is a
+        # function of physical Hz
+        for sr in (48000, 44100, 16000, 8000):
+            s = loudness_stats(_sine(997.0, sr), sr)
+            assert abs(s["lufs_integrated"] - (-3.01)) < 0.05, sr
+
+    def test_gain_shifts_lufs_linearly(self):
+        a = loudness_stats(_sine(997.0, 48000, amp=1.0), 48000)
+        b = loudness_stats(_sine(997.0, 48000, amp=0.1), 48000)
+        assert abs((a["lufs_integrated"] - b["lufs_integrated"]) - 20.0) < 0.05
+
+    def test_kweight_unity_near_1khz(self):
+        # −0.691 dB offset exists to cancel |H(997)| ≈ +0.691 dB
+        h2 = kweight_mag2(np.array([997.0]))[0]
+        assert abs(10 * np.log10(h2) - 0.691) < 0.02
+        # RLB high-pass attenuates low frequencies (spec: ~−13 dB at 20 Hz;
+        # it is a gentle 2nd-order roll-off, not a brick wall)
+        assert kweight_mag2(np.array([20.0]))[0] < 0.1
+        assert kweight_mag2(np.array([20.0]))[0] < kweight_mag2(np.array([100.0]))[0]
+
+    def test_silence_floors_not_inf(self):
+        s = loudness_stats(np.zeros(48000, np.float32), 48000)
+        assert s["lufs_integrated"] == -99.0
+        assert np.isfinite(s["lufs_range"])
+
+    def test_clipping_and_dc(self):
+        sq = np.sign(_sine(200.0, 48000)).astype(np.float32)
+        s = loudness_stats(sq, 48000)
+        assert s["clip_ratio"] > 0.99
+        s2 = loudness_stats(np.full(48000, 0.25, np.float32) , 48000)
+        assert abs(s2["dc_offset"] - 0.25) < 1e-6
+
+    def test_actor_marks_undecodable(self):
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.audioquality import AudioLoudnessActor
+
+        batch = pa.table({
+            "bytes": pa.array([b"\x00\x00" * 100, b"xx"], pa.binary()),
+            "codec": pa.array(["pcm_s16le", "opus"], pa.string()),
+            "sr_hz": pa.array([8000, 8000], pa.int32()),
+        })
+        out = AudioLoudnessActor(PipelineConfig())(batch)
+        assert out.column("decode_ok").to_pylist() == [True, False]
+        # silence is too quiet, not clipped
+        assert out.column("too_quiet").to_pylist() == [True, False]
+        assert out.column("clipped").to_pylist() == [False, False]
+
+
+class TestMfcc:
+    def test_deterministic_and_discriminative(self):
+        tone = _sine(440.0, 16000)
+        noise = (0.1 * np.random.default_rng(0).standard_normal(16000)).astype(np.float32)
+        a, a2 = mfcc_mean(tone, 16000), mfcc_mean(tone, 16000)
+        b = mfcc_mean(noise, 16000)
+        assert np.array_equal(a, a2)
+        assert np.linalg.norm(a - b) > 1.0
+
+    def test_short_clip_zeros(self):
+        assert not mfcc_mean(np.zeros(10, np.float32), 16000).any()
+        assert not mfcc_mean(np.zeros(0, np.float32), 0).any()
+
+
+class TestLandmarks:
+    def test_gain_invariant(self):
+        from spiderray.sources.clips import synth_note_audio
+
+        def pcm(b):
+            return np.frombuffer(b, dtype="<i2").astype(np.float32) / 32767.0
+
+        loud = spectral_landmarks(pcm(synth_note_audio(7, 16000, 8000)), 16000)
+        # same key+noise, 12 dB quieter: identical constellation
+        quiet = spectral_landmarks(
+            pcm(synth_note_audio(7, 16000, 8000, gain=0.15)), 16000)
+        assert len(loud) > 5
+        assert np.array_equal(loud, quiet)
+
+    def test_stationary_tone_yields_nothing(self):
+        # held tone → every frame the same peak → all pairs are self-pairs,
+        # which carry no melodic information and are excluded
+        assert len(spectral_landmarks(_sine(440.0, 16000), 16000)) == 0
+
+    def test_silence_and_short_clips(self):
+        assert len(spectral_landmarks(np.zeros(16000, np.float32), 16000)) == 0
+        assert len(spectral_landmarks(np.zeros(100, np.float32), 16000)) == 0
+
+
+class TestFingerprintPairs:
+    def test_planted_twins_distributed_matches_serial(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.sources.clips import note_clips_batch
+        from spiderray.stages.audiodedup import (
+            audio_fingerprint_pairs,
+            serial_audio_fingerprint_pairs,
+        )
+
+        clips = note_clips_batch(np.arange(200), twin_mod=40)
+        got = (
+            audio_fingerprint_pairs(rd.from_arrow(clips))
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        exp = serial_audio_fingerprint_pairs(clips).to_pandas()
+        assert got[["id_a", "id_b", "n_matches"]].values.tolist() == \
+            exp[["id_a", "id_b", "n_matches"]].values.tolist()
+        # every planted twin recovered
+        found = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+        for i in range(0, 200, 40):
+            assert (i, i + 10_000_000) in found
+        # and nothing else at these parameters
+        assert len(found) == 5
