@@ -19,6 +19,7 @@ Every callable takes/returns ``ray.data.Dataset`` (or plain values for the
 trainers) and is individually documented at its definition site.
 """
 
+from .functions.arpa import quantize_lm, read_arpa, write_arpa
 from .functions.bloom import BloomFilter
 from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_split_corpus
 from .stages.ann import brute_force_topk, ivf_assign, ivf_topk, ivf_train, lsh_topk
@@ -58,6 +59,13 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_stats_stage,
 )
+from .stages.bpe_train import bpe_encode_stage, corpus_word_freqs, train_bpe
+from .stages.dsir import (
+    corpus_bucket_counts,
+    dsir_score_stage,
+    dsir_select,
+    log_ratio_vector,
+)
 from .stages.audiodedup import audio_fingerprint_pairs
 from .stages.audioquality import audio_loudness_stage, audio_mfcc_stage, mfcc_vector_batch
 from .stages.c4 import c4_filter_stage, c4_span_dedup
@@ -65,8 +73,11 @@ from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
 
 __all__ = [
-    "BloomFilter", "asof_join", "bm25_topk", "brute_force_topk",
+    "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
+    "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
+    "corpus_bucket_counts", "corpus_word_freqs",
+    "dsir_score_stage", "dsir_select", "log_ratio_vector",
     "chunk_dedup_stats", "corpus_summary",
     "corpus_token_stats", "decontaminate", "dup_connected_components",
     "embedding_near_dup_lsh",
@@ -76,11 +87,12 @@ __all__ = [
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
     "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",
     "prepare_corpus",
-    "quantiles_approx", "quantiles_exact", "range_join", "salted_join",
+    "quantiles_approx", "quantiles_exact", "quantize_lm", "range_join",
+    "read_arpa", "salted_join",
     "semantic_dedup", "sessionize", "simhash_pairs", "sliding", "stratified_sample",
-    "term_doc_freqs", "top_k_per_group", "train_char_lm",
+    "term_doc_freqs", "top_k_per_group", "train_bpe", "train_char_lm",
     "train_langid_profiles", "train_test_split", "tumbling",
-    "window_functions", "write_split_corpus",
+    "window_functions", "write_arpa", "write_split_corpus",
     # multimodal stages
     "audio_features_stage", "audio_fingerprint_pairs", "audio_gate_stage",
     "audio_loudness_stage", "audio_mfcc_stage", "audio_spectral_stage",

@@ -2735,6 +2735,141 @@ def q_grouped_quantiles_approx(sf_dir: str):
             .reset_index(drop=True))
 
 
+_BPE_TRAIN_KW = dict(num_merges=200, max_words=20_000)
+
+
+def q_bpe_vocab(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/bpe_train): one
+    map_batches word-count pass + vocabulary-bounded groupby-Sum feed the
+    incremental driver merge loop.  Oracle: an independent NAIVE trainer
+    (full pair recount per merge) over the same parquet — merge-table
+    equality is the strongest check the algorithm admits."""
+    _ensure_fixture("q_bpe_vocab", sf_dir)
+    from ..stages.bpe_train import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(ds, **_BPE_TRAIN_KW)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(len(merges)), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Corpus-trained BPE encode (stages/bpe_train.bpe_encode_stage): the
+    learned ranks ship once per actor, word→pieces memoized per actor.
+    Oracle replays the merge list in rank order (different encode
+    algorithm, same fixed point)."""
+    _ensure_fixture("q_bpe_tokens", sf_dir)
+    from ..stages.bpe_train import bpe_encode_stage, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, **_BPE_TRAIN_KW)
+    out = bpe_encode_stage(ds, merges).select_columns(["doc_id", "n_bpe_tokens"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_arpa_ppl(sf_dir: str):
+    """Model-FILE perplexity round-trip: distributed n-gram training →
+    standard ARPA serialization (functions/arpa.py) → an actor pool whose
+    __init__ loads the ARPA from disk (the north rule's "models loaded once
+    per actor" with a real file) → per-doc scores.  Oracle: the serial
+    in-memory model (so_corpus_ppl math) — equality proves the file
+    round-trip is bit-exact."""
+    _ensure_fixture("q_arpa_ppl", sf_dir)
+    import os
+    import tempfile
+
+    from ..functions.arpa import write_arpa
+    from ..stages.lm_train import train_char_lm
+    from ..stages.perplexity_stage import _adaptive_pool
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = train_char_lm(ds, text_col="text")
+    fd, tmp = tempfile.mkstemp(suffix=".tmp", dir="/tmp")
+    os.close(fd)
+    write_arpa(lm, tmp)
+    path = tmp[: -len(".tmp")] + ".arpa"
+    os.replace(tmp, path)  # atomic: actors only ever see a complete file
+
+    class ArpaScorer:
+        def __init__(self, model_path: str):
+            from ..functions.arpa import read_arpa
+
+            self.lm = read_arpa(model_path)  # once per actor, from disk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import math
+
+            milli = []
+            for t in batch.column("text").to_pylist():
+                p = self.lm.perplexity(t or "")
+                milli.append(int(p * 1000) if math.isfinite(p) else -1)
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "ppl_milli": pa.array(milli, pa.int64())})
+
+    out = ds.map_batches(
+        ArpaScorer,
+        fn_constructor_args=(path,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_adaptive_pool(4),
+    ).to_pandas()
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (stages/dsir — Xie et al. 2023 hashed-n-gram
+    importance resampling): target = the corpus's English docs, raw = all
+    docs; two n_buckets-bounded count shuffles fit the bag models, one
+    broadcast log-ratio vector scores every doc, distributed top-200 by
+    (score desc, id asc).  Oracle: serial numpy bincount + same formula."""
+    _ensure_fixture("q_dsir_scores", sf_dir)
+    from ..stages.dsir import (
+        N_BUCKETS,
+        corpus_bucket_counts,
+        dsir_score_stage,
+        log_ratio_vector,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tgt_counts = corpus_bucket_counts(target)
+    raw_counts = corpus_bucket_counts(ds)
+    lr = log_ratio_vector(tgt_counts, raw_counts)
+    scored = dsir_score_stage(ds, lr)
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[("dsir_score", "descending"), ("doc_id", "ascending")]
+        )
+        return batch.take(idx[: min(200, batch.num_rows)])
+
+    head = scored.select_columns(["doc_id", "dsir_score"]).map_batches(
+        local_head, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        head.sort(["dsir_score", "doc_id"], descending=[True, False])
+        .limit(200)
+        .to_pandas()
+    )
+    out["score_micro"] = np.floor(
+        out["dsir_score"].to_numpy() * 1e6 + 0.5
+    ).astype(np.int64)
+    return out[["doc_id", "score_micro"]].reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2807,6 +2942,10 @@ QUERIES = {
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_parts_by_brand": q_parts_by_brand,
     "q_supplier_balance": q_supplier_balance,
+    "q_bpe_vocab": q_bpe_vocab,
+    "q_bpe_tokens": q_bpe_tokens,
+    "q_dsir_scores": q_dsir_scores,
+    "q_arpa_ppl": q_arpa_ppl,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,

@@ -811,7 +811,212 @@ def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     return serial_audio_fingerprint_pairs(note_clips_table_from_documents(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (q_bpe_vocab / q_bpe_tokens)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 200
+_BPE_MAX_WORDS = 20_000
+
+
+def _serial_bpe_train(sf_dir: str):
+    """Independent serial BPE trainer: plain-Python word counts over the
+    raw parquet, then the NAIVE algorithm — full pair recount every merge,
+    no incremental maintenance — against the engine's incremental trainer.
+    Shares only the pre-tokenizer regex (the repo's function-bank rule)."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+    from ..stages.bpe_train import END
+
+    wc = defaultdict(int)
+    for text in _docs(sf_dir).column("text").to_pylist():
+        for tok in RE_BPE_TOKEN.findall(text or ""):
+            wc[tok.lower()] += 1
+    rows = sorted(wc.items(), key=lambda t: (-t[1], t[0]))[:_BPE_MAX_WORDS]
+
+    def symbols(word):
+        chars = list(word)
+        chars[-1] += END
+        return tuple(chars)
+
+    words = {symbols(w): n for w, n in rows}
+    merges = []
+    for _ in range(_BPE_MERGES):
+        counts = defaultdict(int)
+        for syms, n in words.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] += n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda t: (-t[1], t[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = defaultdict(int)
+        for syms, n in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] += n
+        words = new_words
+    return merges
+
+
+def so_bpe_vocab(sf_dir: str) -> pa.Table:
+    merges = _serial_bpe_train(sf_dir)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
+def so_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Serial encode: REPLAY the merge list in rank order over each word
+    (vs the engine's greedy lowest-rank-present loop — different algorithm,
+    provably the same fixed point because a merge's output symbol can only
+    feed merges learned later)."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+    from ..stages.bpe_train import END
+
+    merges = _serial_bpe_train(sf_dir)
+
+    cache: dict[str, int] = {}
+
+    def encode_len(word: str) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        chars = list(word)
+        chars[-1] += END
+        syms = chars
+        for a, b in merges:
+            if len(syms) < 2:
+                break
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = len(syms)
+        return len(syms)
+
+    t = _docs(sf_dir)
+    ids = t.column("doc_id").to_numpy()
+    counts = []
+    for text in t.column("text").to_pylist():
+        counts.append(
+            sum(encode_len(tok.lower()) for tok in RE_BPE_TOKEN.findall(text or ""))
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ARPA model-file perplexity (q_arpa_ppl)
+# ---------------------------------------------------------------------------
+
+def so_arpa_ppl(sf_dir: str) -> pa.Table:
+    """Serial twin of q_arpa_ppl: serial counts → in-memory CharLM →
+    ``quantize_lm`` (the exact ≤1-ulp effect of one ARPA write→read cycle,
+    applied WITHOUT the file) → per-doc scores.  The engine side goes
+    through the actual file + actor pool; equality proves the distributed
+    training AND the file round-trip introduce nothing beyond the
+    documented quantization."""
+    import math
+
+    from ..functions.arpa import quantize_lm
+    from ..stages.lm_train import _count_batch
+    from ..stages.perplexity_stage import CharLM
+
+    t = _docs(sf_dir)
+    counts = _count_batch(t, "text")
+    kinds = counts.column("kind").to_pylist()
+    grams = counts.column("gram").to_pylist()
+    ns = counts.column("n").to_pylist()
+    tri = {g: n for k, g, n in zip(kinds, grams, ns) if k == "3"}
+    bi = {g: n for k, g, n in zip(kinds, grams, ns) if k == "2"}
+    uni = {g: n for k, g, n in zip(kinds, grams, ns) if k == "1"}
+    n_chars = sum(n for k, _, n in zip(kinds, grams, ns) if k == "N")
+    if len(tri) > 500_000:
+        raise RuntimeError("corpus trigram domain exceeds the fixture-safe cap")
+    lm = quantize_lm(CharLM.from_counts(tri, bi, uni, n_chars))
+    milli = []
+    for text in t.column("text").to_pylist():
+        p = lm.perplexity(text or "")
+        milli.append(int(p * 1000) if math.isfinite(p) else -1)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "ppl_milli": pa.array(milli, pa.int64())}
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (q_dsir_scores)
+# ---------------------------------------------------------------------------
+
+def so_dsir_scores(sf_dir: str) -> pa.Table:
+    """Serial DSIR: one numpy bincount per corpus (vs the engine's
+    per-batch partials + bounded groupby-Sum), same per-row feature bank
+    (doc_feature_ids — the repo's function-bank rule), same smoothing
+    formula, same (score desc, id asc) top-200."""
+    from ..stages.dsir import (
+        N_BUCKETS,
+        _HashCache,
+        doc_feature_ids,
+        log_ratio_vector,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+
+    hasher = _HashCache(N_BUCKETS)
+    feats = [doc_feature_ids(x, hasher, N_BUCKETS) for x in texts]
+    raw = np.zeros(N_BUCKETS, dtype=np.int64)
+    tgt = np.zeros(N_BUCKETS, dtype=np.int64)
+    for f, lang in zip(feats, langs):
+        if len(f):
+            c = np.bincount(f, minlength=N_BUCKETS)
+            raw += c
+            if lang == "en":
+                tgt += c
+    lr = log_ratio_vector(tgt, raw)
+    scores = np.array(
+        [float(lr[f].sum()) if len(f) else 0.0 for f in feats], dtype=np.float64
+    )
+    order = np.lexsort((ids, -scores))[:200]
+    micro = np.floor(scores[order] * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_micro": pa.array(micro, pa.int64()),
+        }
+    )
+
+
 SERIAL_ORACLES = {
+    "q_bpe_vocab": so_bpe_vocab,
+    "q_bpe_tokens": so_bpe_tokens,
+    "q_dsir_scores": so_dsir_scores,
+    "q_arpa_ppl": so_arpa_ppl,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
     "q_audio_fp_pairs": so_audio_fp_pairs,

@@ -110,6 +110,21 @@ class PerplexityActor:
             self._kenlm = {lang: kenlm.Model(p) for lang, p in km_paths.items()}
         self.models = {lang: CharLM(seed) for lang, seed in _SEEDS.items()}
         self.fallback = CharLM(" ".join(_SEEDS.values()))
+        # ARPA model files (functions/arpa.py): the in-container realization
+        # of "models loaded once per actor from shared storage" — a
+        # distributed-trained CharLM serialized to standard ARPA loads here
+        # and scores bit-identically to the in-memory model.  Missing path =
+        # loud FileNotFoundError, same contract as the kenlm hook.
+        arpa_paths = (self.cfg.extra or {}).get("arpa_model_paths") or {}
+        if arpa_paths:
+            from ..functions.arpa import read_arpa
+
+            for lang, p in arpa_paths.items():
+                lm = read_arpa(p)
+                if lang == "*":
+                    self.fallback = lm
+                else:
+                    self.models[lang] = lm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.cfg.text_col).to_pylist()

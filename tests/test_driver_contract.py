@@ -135,7 +135,7 @@ class TestNullTextRobustness:
     @pytest.mark.parametrize("name", [
         "q_doc_keepdrop", "q_token_counts", "q_exact_dedup", "q_corpus_ppl",
         "q_prepare_corpus", "q_chunk_dedup", "q_news_from_html", "q_speech_rate",
-        "q_bm25_topk",
+        "q_bm25_topk", "q_bpe_tokens",
     ])
     def test_query_survives_fuzz_corpus(self, ray_session, fuzz_dir, name,
                                         monkeypatch):
