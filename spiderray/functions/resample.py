@@ -1,0 +1,84 @@
+"""Windowed-sinc (Kaiser) sample-rate conversion — the production-quality
+resampler behind the audio transform stage.
+
+Textbook polyphase-equivalent design (public DSP: Smith's "Digital Audio
+Resampling", CCRMA; Oppenheim & Schafer ch. 4): each output sample at
+fractional input time ``t_j = j·sr_in/sr_out`` is a windowed-sinc
+interpolation of the neighbouring input samples; when DOWN-sampling the
+sinc is stretched by the rate ratio so its cutoff lands at the OUTPUT
+Nyquist — that stretch is the anti-aliasing filter linear interpolation
+lacks (a 10 kHz tone resampled 44.1k→16k must vanish, not fold to 6 kHz;
+tested in tests/test_resample.py).
+
+Pure numpy, fully vectorized: output samples are computed in blocks with a
+(block × taps) gather + one matmul-shaped weighted sum — no Python loop
+over samples.  Deterministic (no state, no rng).
+
+Cost model at scale: O(n_out × taps) with taps ≈ 2·half·max(1, M/L);
+8k→16k costs ~24 taps/output, 44.1k→16k ~67.  The per-clip work is
+embarrassingly parallel across the actor pool — the stage's distribution
+shape (stages/multimodal.AudioTransformActor) is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_HALF = 12          # zero crossings per side at the (stretched) cutoff
+_KAISER_BETA = 8.6  # ≈ Blackman-Harris-level sidelobe suppression (−80 dB)
+_BLOCK = 65536      # output samples per gather block (bounds temp memory)
+
+
+def _i0(x: np.ndarray) -> np.ndarray:
+    """Modified Bessel I0 via the series — enough terms for beta ≤ 20.
+    (numpy has np.i0 but its docs allow implementation drift; pinning the
+    series keeps resampled bytes stable across numpy versions.)"""
+    x = np.asarray(x, dtype=np.float64)
+    acc = np.ones_like(x)
+    term = np.ones_like(x)
+    half_sq = (x / 2.0) ** 2
+    for k in range(1, 25):
+        term = term * half_sq / (k * k)
+        acc = acc + term
+    return acc
+
+
+def _kaiser(offsets: np.ndarray, half_width: float, beta: float) -> np.ndarray:
+    r = offsets / half_width
+    w = np.zeros_like(r)
+    inside = np.abs(r) <= 1.0
+    w[inside] = _i0(beta * np.sqrt(1.0 - r[inside] ** 2)) / float(_i0(np.array(beta)))
+    return w
+
+
+def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int,
+                  half: int = _HALF, beta: float = _KAISER_BETA) -> np.ndarray:
+    """Resample float PCM from sr_in to sr_out with a Kaiser-windowed-sinc
+    kernel.  Returns float32; identity when rates match or input is empty."""
+    if sr_in == sr_out or len(pcm) == 0 or sr_in <= 0 or sr_out <= 0:
+        return np.asarray(pcm, dtype=np.float32)
+    x = np.asarray(pcm, dtype=np.float64)
+    n_in = len(x)
+    ratio = sr_in / sr_out            # input samples per output sample
+    stretch = max(1.0, ratio)         # sinc dilation = anti-alias cutoff
+    taps_side = int(math.ceil(half * stretch))
+    n_out = max(int(round(n_in * sr_out / sr_in)), 1)
+
+    offsets = np.arange(-taps_side + 1, taps_side + 1, dtype=np.float64)
+    out = np.empty(n_out, dtype=np.float64)
+    for start in range(0, n_out, _BLOCK):
+        j = np.arange(start, min(start + _BLOCK, n_out), dtype=np.float64)
+        t = j * ratio                                # fractional input times
+        base = np.floor(t).astype(np.int64)
+        frac = t - base
+        # (block, taps): input index and sinc argument per contribution
+        idx = base[:, None] + offsets[None, :].astype(np.int64)
+        u = offsets[None, :] - frac[:, None]       # input-sample distances
+        w = np.sinc(u / stretch) * _kaiser(u, half * stretch, beta)
+        # gather with zero padding outside the signal
+        valid = (idx >= 0) & (idx < n_in)
+        vals = np.where(valid, x[np.clip(idx, 0, n_in - 1)], 0.0)
+        out[int(j[0]) : int(j[-1]) + 1] = (vals * w).sum(axis=1) / stretch
+    return out.astype(np.float32)

@@ -2777,8 +2777,9 @@ def q_arpa_ppl(sf_dir: str):
     standard ARPA serialization (functions/arpa.py) → an actor pool whose
     __init__ loads the ARPA from disk (the north rule's "models loaded once
     per actor" with a real file) → per-doc scores.  Oracle: the serial
-    in-memory model (so_corpus_ppl math) — equality proves the file
-    round-trip is bit-exact."""
+    model passed through the same documented ≤1-ulp ARPA quantization
+    (quantize_lm) — equality proves file round-trip + distributed training
+    add nothing beyond that quantization."""
     _ensure_fixture("q_arpa_ppl", sf_dir)
     import os
     import tempfile

@@ -530,9 +530,10 @@ def audio_gate_stage(ds, cfg: PipelineConfig):
 
 
 def resample_linear(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interpolation resample (pure numpy).  Fine for rate
-    normalisation of speech (8k/22k/44.1k → 16k); a real production path
-    would swap in a polyphase filter here — same column contract."""
+    """Linear-interpolation resample (pure numpy) — the cheap fallback
+    (``resample_method="linear"``).  No anti-alias filter: content above
+    the output Nyquist folds back.  The default path is the Kaiser
+    windowed-sinc resampler (functions/resample.py)."""
     if sr_in == sr_out or len(pcm) == 0 or sr_in <= 0 or sr_out <= 0:
         return pcm
     n_out = max(int(round(len(pcm) * sr_out / sr_in)), 1)
@@ -565,10 +566,21 @@ class AudioTransformActor:
 
     def __init__(self, cfg: PipelineConfig | None = None,
                  target_sr_hz: int | None = 16000,
-                 target_rms: float | None = 0.1):
+                 target_rms: float | None = 0.1,
+                 resample_method: str = "sinc"):
         self.cfg = cfg or PipelineConfig()
         self.target_sr = target_sr_hz
         self.target_rms = target_rms
+        if resample_method == "sinc":
+            # Kaiser windowed-sinc (functions/resample.py): real anti-alias
+            # cutoff at the output Nyquist — the production default
+            from ..functions.resample import resample_sinc
+
+            self._resample = resample_sinc
+        elif resample_method == "linear":
+            self._resample = resample_linear
+        else:
+            raise ValueError(f"unknown resample_method {resample_method!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs = batch.column(self.cfg.bytes_col).to_pylist()
@@ -586,7 +598,7 @@ class AudioTransformActor:
                 continue
             sr_out = sr
             if self.target_sr and sr and sr != self.target_sr:
-                pcm = resample_linear(pcm, int(sr), self.target_sr)
+                pcm = self._resample(pcm, int(sr), self.target_sr)
                 sr_out = self.target_sr
             if self.target_rms is not None:
                 pcm = normalize_loudness(pcm, self.target_rms)
@@ -608,12 +620,13 @@ class AudioTransformActor:
 
 def audio_transform_stage(ds, cfg: PipelineConfig, target_sr_hz: int | None = 16000,
                           target_rms: float | None = 0.1,
-                          concurrency: int | tuple[int, int] = 4):
+                          concurrency: int | tuple[int, int] = 4,
+                          resample_method: str = "sinc"):
     from .perplexity_stage import _adaptive_pool
 
     return ds.map_batches(
         AudioTransformActor,
-        fn_constructor_args=(cfg, target_sr_hz, target_rms),
+        fn_constructor_args=(cfg, target_sr_hz, target_rms, resample_method),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=min(cfg.batch_size or 256, 256),
