@@ -60,6 +60,7 @@ from .stages.multimodal import (
     vad_stats_stage,
 )
 from .stages.bpe_train import bpe_encode_stage, corpus_word_freqs, train_bpe
+from .stages.nbayes import NaiveBayesModel, nb_predict_stage, train_naive_bayes
 from .stages.dsir import (
     corpus_bucket_counts,
     dsir_score_stage,
@@ -85,12 +86,14 @@ __all__ = [
     "grouped_quantiles_approx", "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
-    "minhash_lsh_pairs", "near_dedup", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs", "NaiveBayesModel", "nb_predict_stage", "near_dedup",
+    "ngram_jaccard_pairs",
     "prepare_corpus",
     "quantiles_approx", "quantiles_exact", "quantize_lm", "range_join",
     "read_arpa", "salted_join",
     "semantic_dedup", "sessionize", "simhash_pairs", "sliding", "stratified_sample",
     "term_doc_freqs", "top_k_per_group", "train_bpe", "train_char_lm",
+    "train_naive_bayes",
     "train_langid_profiles", "train_test_split", "tumbling",
     "window_functions", "write_arpa", "write_split_corpus",
     # multimodal stages

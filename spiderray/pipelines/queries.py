@@ -2871,6 +2871,33 @@ def q_dsir_scores(sf_dir: str):
     return out[["doc_id", "score_micro"]].reset_index(drop=True)
 
 
+def q_nb_langid(sf_dir: str):
+    """Distributed-trained Naive Bayes language classifier (stages/nbayes):
+    one labeled-count pass with a (class × bucket)-bounded shuffle trains
+    the model, an actor pool predicts every doc (model via ray.put).  The
+    engine's rule-free langid distillation path.  Oracle: serial per-class
+    bincounts + the same model assembly — integer sufficient statistics
+    make the match exact.  (The synthetic corpus's lang labels are
+    uncorrelated with its text by construction, so is_correct sits at
+    chance — separability is covered by tests/test_nbayes.py; THIS query
+    verifies the distributed training/scoring machinery.)"""
+    _ensure_fixture("q_nb_langid", sf_dir)
+    from ..stages.nbayes import nb_predict_stage, train_naive_bayes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = train_naive_bayes(ds, text_col="text", label_col="lang")
+    out = nb_predict_stage(ds, model).to_pandas()
+    out["nb_logp_micro"] = np.floor(
+        out["nb_logp"].to_numpy() * 1e6 + 0.5
+    ).astype(np.int64)
+    out["is_correct"] = (out["nb_label"] == out["lang"]).astype(np.int64)
+    return (
+        out[["doc_id", "nb_label", "nb_logp_micro", "is_correct"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2947,6 +2974,7 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_dsir_scores": q_dsir_scores,
     "q_arpa_ppl": q_arpa_ppl,
+    "q_nb_langid": q_nb_langid,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,

@@ -966,6 +966,54 @@ def so_arpa_ppl(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Naive Bayes language-ID distillation (q_nb_langid)
+# ---------------------------------------------------------------------------
+
+def so_nb_langid(sf_dir: str) -> pa.Table:
+    """Serial NB twin: per-class numpy bincounts over the raw parquet (vs
+    the engine's per-batch partials + (class × bucket)-bounded groupby-Sum),
+    then the SAME model assembly + scoring bank (NaiveBayesModel — the
+    function-bank rule, like CharLM.from_counts).  Integer sufficient
+    statistics make the comparison exact."""
+    from ..stages.dsir import N_BUCKETS, _HashCache, doc_feature_ids
+    from ..stages.nbayes import NaiveBayesModel
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    langs = [str(x) for x in t.column("lang").to_pylist()]
+
+    hasher = _HashCache(N_BUCKETS)
+    feats = [doc_feature_ids(x, hasher, N_BUCKETS) for x in texts]
+    classes = sorted(set(langs))
+    cindex = {c: i for i, c in enumerate(classes)}
+    feat = np.zeros((len(classes), N_BUCKETS), dtype=np.int64)
+    docs = np.zeros(len(classes), dtype=np.int64)
+    for f, lang in zip(feats, langs):
+        docs[cindex[lang]] += 1
+        if len(f):
+            feat[cindex[lang]] += np.bincount(f, minlength=N_BUCKETS)
+    model = NaiveBayesModel(classes, docs, feat)
+
+    preds, micro, match = [], [], []
+    for f, lang in zip(feats, langs):
+        label, logp = model.predict_ids(f)
+        preds.append(label)
+        micro.append(int(np.floor(logp * 1e6 + 0.5)))
+        match.append(int(label == lang))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "nb_label": pa.array(preds, pa.string()),
+            "nb_logp_micro": pa.array(micro, pa.int64()),
+            "is_correct": pa.array(match, pa.int64()),
+        }
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance resampling (q_dsir_scores)
 # ---------------------------------------------------------------------------
 
@@ -1017,6 +1065,7 @@ SERIAL_ORACLES = {
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,
     "q_arpa_ppl": so_arpa_ppl,
+    "q_nb_langid": so_nb_langid,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
     "q_audio_fp_pairs": so_audio_fp_pairs,
