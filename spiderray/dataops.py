@@ -57,6 +57,7 @@ from .stages.multimodal import (
     audio_spectral_stage,
     audio_transform_stage,
     speech_rate_stage,
+    vad_segment_stage,
     vad_stats_stage,
 )
 from .stages.bpe_train import bpe_encode_stage, corpus_word_freqs, train_bpe
@@ -100,5 +101,6 @@ __all__ = [
     "audio_features_stage", "audio_fingerprint_pairs", "audio_gate_stage",
     "audio_loudness_stage", "audio_mfcc_stage", "audio_spectral_stage",
     "audio_transform_stage", "frame_sample_stage", "image_features_stage",
-    "mfcc_vector_batch", "speech_rate_stage", "vad_stats_stage",
+    "mfcc_vector_batch", "speech_rate_stage", "vad_segment_stage",
+    "vad_stats_stage",
 ]

@@ -2898,6 +2898,34 @@ def q_nb_langid(sf_dir: str):
     )
 
 
+def q_vad_segments(sf_dir: str):
+    """VAD utterance segmentation (stages/multimodal.vad_segment_stage):
+    clips get a deterministic speech–silence–speech structure
+    (gapped_clips_batch), then the explode stage cuts each into speech
+    segments (decode → frame RMS → hangover-merged runs → one row per
+    segment).  Oracle: the same per-row bank applied serially to the
+    serial clip table."""
+    _ensure_fixture("q_vad_segments", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import gapped_clips_batch, vad_segment_stage
+
+    ds = clips_from_documents(sf_dir).map_batches(
+        gapped_clips_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = vad_segment_stage(ds, PipelineConfig(), emit_audio=False).to_pandas()
+    out["seg_rms_milli"] = np.floor(
+        out["seg_rms"].to_numpy().astype(np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    out = out[["clip_id", "seg_idx", "start_ms", "end_ms", "dur_ms",
+               "seg_rms_milli"]]
+    out["seg_idx"] = out["seg_idx"].astype(np.int64)
+    out["start_ms"] = out["start_ms"].astype(np.int64)
+    out["end_ms"] = out["end_ms"].astype(np.int64)
+    out["dur_ms"] = out["dur_ms"].astype(np.int64)
+    return out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -2975,6 +3003,7 @@ QUERIES = {
     "q_dsir_scores": q_dsir_scores,
     "q_arpa_ppl": q_arpa_ppl,
     "q_nb_langid": q_nb_langid,
+    "q_vad_segments": q_vad_segments,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,

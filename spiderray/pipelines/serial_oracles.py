@@ -458,6 +458,26 @@ def so_audio_transform(sf_dir: str) -> pa.Table:
     return out.select(["clip_id", "sr_hz", "codec", "transform_ok"])
 
 
+def so_vad_segments(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import VadSegmentActor, gapped_clips_batch
+
+    gapped = gapped_clips_batch(_clips(sf_dir))
+    out = VadSegmentActor(PipelineConfig(), emit_audio=False)(gapped)
+    df = out.to_pandas()
+    df["seg_rms_milli"] = np.floor(
+        df["seg_rms"].to_numpy().astype(np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    for c in ("seg_idx", "start_ms", "end_ms", "dur_ms"):
+        df[c] = df[c].astype(np.int64)
+    df = df[["clip_id", "seg_idx", "start_ms", "end_ms", "dur_ms",
+             "seg_rms_milli"]]
+    return pa.Table.from_pandas(
+        df.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def so_flac_roundtrip(sf_dir: str) -> pa.Table:
     from ..config import PipelineConfig
     from ..stages.multimodal import AudioFeatureActor
@@ -1066,6 +1086,7 @@ SERIAL_ORACLES = {
     "q_dsir_scores": so_dsir_scores,
     "q_arpa_ppl": so_arpa_ppl,
     "q_nb_langid": so_nb_langid,
+    "q_vad_segments": so_vad_segments,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
     "q_audio_fp_pairs": so_audio_fp_pairs,

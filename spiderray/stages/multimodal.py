@@ -633,3 +633,154 @@ def audio_transform_stage(ds, cfg: PipelineConfig, target_sr_hz: int | None = 16
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# VAD segmentation: explode clips into speech segments (utterances)
+# ---------------------------------------------------------------------------
+
+
+def speech_segments(speech: np.ndarray, min_gap_frames: int,
+                    min_seg_frames: int) -> list:
+    """Merge-and-prune speech runs from a boolean per-frame VAD mask:
+    gaps shorter than ``min_gap_frames`` are bridged (hangover), then runs
+    shorter than ``min_seg_frames`` are dropped.  Returns
+    ``[(start_frame, end_frame_exclusive), ...]``.  Pure function — shared
+    by the distributed stage and the serial oracle."""
+    speech = np.asarray(speech, dtype=bool)
+    if speech.size == 0 or not speech.any():
+        return []
+    edges = np.diff(np.concatenate(([0], speech.view(np.int8), [0])))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    merged = [[int(starts[0]), int(ends[0])]]
+    for s, e in zip(starts[1:], ends[1:]):
+        if s - merged[-1][1] < min_gap_frames:
+            merged[-1][1] = int(e)
+        else:
+            merged.append([int(s), int(e)])
+    return [(s, e) for s, e in merged if e - s >= min_seg_frames]
+
+
+class VadSegmentActor:
+    """Actor-pool explode stage: decode → frame RMS → VAD mask → merged
+    speech segments → one OUTPUT ROW PER SEGMENT with the sliced pcm16
+    bytes.  The distributed form of 'cut long recordings into utterances';
+    undecodable clips emit zero rows (their drop is the gate stage's job).
+
+    Output columns: clip_id, seg_idx, start_ms, end_ms, dur_ms, seg_rms
+    (+ bytes/sr_hz/codec for the segment audio when emit_audio=True)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, frame_ms: int = 20,
+                 threshold: float = 1e-3, min_gap_ms: int = 200,
+                 min_seg_ms: int = 200, emit_audio: bool = True):
+        self.cfg = cfg or PipelineConfig()
+        self.frame_ms = frame_ms
+        self.threshold = threshold
+        self.min_gap_frames = max(int(round(min_gap_ms / frame_ms)), 1)
+        self.min_seg_frames = max(int(round(min_seg_ms / frame_ms)), 1)
+        self.emit_audio = emit_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out = {k: [] for k in ("clip_id", "seg_idx", "start_ms", "end_ms",
+                               "dur_ms", "seg_rms")}
+        seg_bytes, seg_sr = [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            sr = int(sr or 0)
+            if sr <= 0 or len(pcm) == 0:
+                continue
+            flen = max(int(sr * self.frame_ms / 1000), 1)
+            n_frames = len(pcm) // flen
+            if n_frames == 0:
+                continue
+            fr = pcm[: n_frames * flen].reshape(n_frames, flen)
+            frame_rms = np.sqrt((fr.astype(np.float64) ** 2).mean(axis=1))
+            mask = frame_rms >= self.threshold
+            for k, (s, e) in enumerate(
+                speech_segments(mask, self.min_gap_frames, self.min_seg_frames)
+            ):
+                seg = pcm[s * flen : e * flen]
+                out["clip_id"].append(cid)
+                out["seg_idx"].append(k)
+                out["start_ms"].append(s * self.frame_ms)
+                out["end_ms"].append(e * self.frame_ms)
+                out["dur_ms"].append((e - s) * self.frame_ms)
+                out["seg_rms"].append(float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))))
+                if self.emit_audio:
+                    seg_bytes.append(_encode_pcm16(seg))
+                    seg_sr.append(sr)
+        cols = {
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "seg_idx": pa.array(out["seg_idx"], pa.int32()),
+            "start_ms": pa.array(out["start_ms"], pa.int32()),
+            "end_ms": pa.array(out["end_ms"], pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], pa.int32()),
+            "seg_rms": pa.array(out["seg_rms"], pa.float32()),
+        }
+        if self.emit_audio:
+            cols["bytes"] = pa.array(seg_bytes, pa.binary())
+            cols["sr_hz"] = pa.array(seg_sr, pa.int32())
+            cols["codec"] = pa.array(["pcm_s16le"] * len(seg_sr), pa.string())
+        return pa.table(cols)
+
+
+def vad_segment_stage(ds, cfg: PipelineConfig, frame_ms: int = 20,
+                      threshold: float = 1e-3, min_gap_ms: int = 200,
+                      min_seg_ms: int = 200, emit_audio: bool = True,
+                      concurrency: int | tuple[int, int] = 4):
+    """Explode clips into VAD speech segments (one row per utterance).
+    Row-count changes through this stage; everything stays streaming —
+    a clip's segments are produced inside the batch that carries it."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        VadSegmentActor,
+        fn_constructor_args=(cfg, frame_ms, threshold, min_gap_ms,
+                             min_seg_ms, emit_audio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def gapped_clips_batch(batch: pa.Table, lead_ms: int = 100,
+                       gap_ms_base: int = 300) -> pa.Table:
+    """Derive a segmentation test corpus: each decodable clip becomes
+    lead-silence + clip + gap-silence + (0.8× clip) re-encoded as pcm16 —
+    two speech bursts around a deterministic per-clip gap
+    (``gap_ms_base + 100·(md5-free: last 2 id digits % 3)``).  Undecodable
+    clips pass through untouched.  Pure per-row function shared by
+    q_vad_segments and its serial oracle."""
+    ids = batch.column("clip_id").to_pylist()
+    bufs = batch.column("bytes").to_pylist()
+    codecs = batch.column("codec").to_pylist()
+    srs = batch.column("sr_hz").to_pylist()
+    out_b, out_c = [], []
+    for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            out_b.append(buf)
+            out_c.append(codec)
+            continue
+        sr = int(sr or 16000)
+        num = int(cid.rsplit("_", 1)[-1]) if cid and cid[-1].isdigit() else 0
+        gap_ms = gap_ms_base + 100 * (num % 3)
+        lead = np.zeros(int(sr * lead_ms / 1000), dtype=np.float32)
+        gap = np.zeros(int(sr * gap_ms / 1000), dtype=np.float32)
+        out_b.append(_encode_pcm16(np.concatenate([lead, pcm, gap, 0.8 * pcm])))
+        out_c.append("pcm_s16le")
+    batch = batch.set_column(batch.column_names.index("bytes"), "bytes",
+                             pa.array(out_b, pa.binary()))
+    return batch.set_column(batch.column_names.index("codec"), "codec",
+                            pa.array(out_c, pa.string()))
