@@ -69,7 +69,12 @@ from .stages.dsir import (
     log_ratio_vector,
 )
 from .stages.audiodedup import audio_fingerprint_pairs
-from .stages.audioquality import audio_loudness_stage, audio_mfcc_stage, mfcc_vector_batch
+from .stages.audioquality import (
+    audio_loudness_stage,
+    audio_mfcc_stage,
+    audio_snr_stage,
+    mfcc_vector_batch,
+)
 from .stages.c4 import c4_filter_stage, c4_span_dedup
 from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
@@ -99,7 +104,8 @@ __all__ = [
     "window_functions", "write_arpa", "write_split_corpus",
     # multimodal stages
     "audio_features_stage", "audio_fingerprint_pairs", "audio_gate_stage",
-    "audio_loudness_stage", "audio_mfcc_stage", "audio_spectral_stage",
+    "audio_loudness_stage", "audio_mfcc_stage", "audio_snr_stage",
+    "audio_spectral_stage",
     "audio_transform_stage", "frame_sample_stage", "image_features_stage",
     "mfcc_vector_batch", "speech_rate_stage", "vad_segment_stage",
     "vad_stats_stage",

@@ -265,3 +265,101 @@ def mfcc_mean(
     fb, dct = _mel_dct(sr, frame, n_mels, n_mfcc)
     mel = np.log(spec @ fb.T + 1e-10)
     return (mel @ dct.T).mean(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# SNR / noise-floor estimation and pitch (F0) tracking
+# ---------------------------------------------------------------------------
+#
+# * ``snr_stats`` — the standard percentile (energy-histogram) SNR estimator
+#   for speech: frame mean-square powers, noise floor = mean of the quietest
+#   20% of frames, signal = mean of the loudest 50%.  It assumes the clip
+#   contains pauses (true for conversational speech); a pause-free signal
+#   reports ~0 dB by construction — documented, and the gate treats only
+#   LOW values as suspicious.
+# * ``pitch_stats`` — frame-level autocorrelation F0 tracking (the classic
+#   method; computed via FFT power spectrum → IFFT for all frames at once):
+#   a frame is voiced when the normalized autocorrelation peak in the
+#   [fmin, fmax] lag range exceeds ``clarity``; clip F0 = median of voiced
+#   frames with parabolic sub-sample lag interpolation.  Speech F0 lives in
+#   50-450 Hz; a clip of decodable audio with voiced_ratio≈0 is noise-like.
+
+_SNR_EPS = 1e-12
+
+
+def snr_stats(pcm: np.ndarray, sr: int, frame_ms: float = 30.0) -> dict:
+    """Percentile-method SNR estimate over non-overlapping frames.
+
+    Returns ``snr_db`` (signal-over-noise-floor, >=0), ``noise_floor_db``
+    (dBFS of the quietest-quintile mean power, floored at -120) and
+    ``active_ratio`` (fraction of frames >6 dB above the noise floor).
+    Zeros for undecodable/too-short input."""
+    out = {"snr_db": 0.0, "noise_floor_db": -120.0, "active_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    flen = max(int(sr * frame_ms / 1000.0), 1)
+    n_frames = len(pcm) // flen
+    if n_frames < 1:
+        return out
+    x = pcm[: n_frames * flen].astype(np.float64).reshape(n_frames, flen)
+    powers = np.mean(x * x, axis=1)
+    order = np.sort(powers)
+    n_noise = max(1, int(round(0.2 * n_frames)))
+    n_sig = max(1, int(round(0.5 * n_frames)))
+    noise_p = float(np.mean(order[:n_noise]))
+    sig_p = float(np.mean(order[-n_sig:]))
+    out["noise_floor_db"] = max(-120.0, 10.0 * np.log10(noise_p + _SNR_EPS))
+    out["snr_db"] = max(0.0, 10.0 * np.log10((sig_p + _SNR_EPS) / (noise_p + _SNR_EPS)))
+    out["active_ratio"] = float(np.mean(powers > 4.0 * noise_p)) if noise_p > 0 \
+        else float(np.mean(powers > _SNR_EPS))
+    return out
+
+
+def pitch_stats(
+    pcm: np.ndarray,
+    sr: int,
+    fmin: float = 50.0,
+    fmax: float = 450.0,
+    frame_ms: float = 40.0,
+    clarity: float = 0.5,
+    max_frames: int = 512,
+) -> dict:
+    """Autocorrelation pitch tracking: ``f0_hz`` (median over voiced frames,
+    0.0 when none) and ``voiced_ratio``.  Deterministic float64 numpy."""
+    out = {"f0_hz": 0.0, "voiced_ratio": 0.0}
+    if sr <= 0 or pcm is None:
+        return out
+    flen = int(sr * frame_ms / 1000.0)
+    lag_min = max(2, int(sr / fmax))
+    lag_max = int(sr / fmin)
+    if flen < 16 or lag_max + 2 >= flen or len(pcm) < flen:
+        return out
+    n_frames = min(len(pcm) // flen, max_frames)
+    x = pcm[: n_frames * flen].astype(np.float64).reshape(n_frames, flen)
+    x = x - x.mean(axis=1, keepdims=True)
+    nfft = 1 << int(np.ceil(np.log2(2 * flen)))
+    spec = np.abs(np.fft.rfft(x, n=nfft, axis=1)) ** 2
+    r = np.fft.irfft(spec, n=nfft, axis=1)[:, :flen]
+    r0 = r[:, 0]
+    live = r0 > 1e-7 * flen  # silence guard: mean-square > 1e-7
+    hi = min(lag_max, flen - 2)
+    window = r[:, lag_min: hi + 1]
+    k_rel = np.argmax(window, axis=1)
+    k = k_rel + lag_min
+    rows = np.arange(n_frames)
+    peak = r[rows, k]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cl = np.where(r0 > 0, peak / r0, 0.0)
+    voiced = live & (cl > clarity)
+    if not voiced.any():
+        return out
+    # parabolic sub-sample interpolation around each voiced peak
+    rm1, rp1 = r[rows, k - 1], r[rows, k + 1]
+    denom = rm1 - 2.0 * peak + rp1
+    delta = np.where(np.abs(denom) > _SNR_EPS,
+                     0.5 * (rm1 - rp1) / denom, 0.0)
+    delta = np.clip(delta, -0.5, 0.5)
+    f0 = sr / (k + delta)
+    out["f0_hz"] = float(np.median(f0[voiced]))
+    out["voiced_ratio"] = float(np.mean(voiced))
+    return out

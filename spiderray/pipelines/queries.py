@@ -1454,6 +1454,24 @@ def q_audio_mfcc(sf_dir: str):
     )
 
 
+def q_audio_snr(sf_dir: str):
+    """Percentile-method SNR / noise-floor estimate + autocorrelation pitch
+    (F0, voiced ratio) per clip with noisy/unvoiced gate flags — the two
+    remaining classic speech-corpus gate signals (stages/audioquality.py;
+    fixture oracle — float DSP)."""
+    _ensure_fixture("q_audio_snr", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import audio_snr_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_snr_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "snr_db", "noise_floor_db", "active_ratio",
+         "f0_hz", "voiced_ratio", "noisy", "unvoiced"]
+    )
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -2971,6 +2989,7 @@ QUERIES = {
     "q_audio_transform": q_audio_transform,
     "q_audio_loudness": q_audio_loudness,
     "q_audio_mfcc": q_audio_mfcc,
+    "q_audio_snr": q_audio_snr,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

@@ -821,6 +821,17 @@ def so_audio_mfcc(sf_dir: str) -> pa.Table:
     return out.select(["clip_id", "decode_ok"] + [f"mfcc_{k}" for k in range(13)])
 
 
+def so_audio_snr(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioSnrPitchActor
+
+    out = AudioSnrPitchActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "decode_ok", "snr_db", "noise_floor_db", "active_ratio",
+         "f0_hz", "voiced_ratio", "noisy", "unvoiced"]
+    )
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1089,6 +1100,7 @@ SERIAL_ORACLES = {
     "q_vad_segments": so_vad_segments,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
+    "q_audio_snr": so_audio_snr,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

@@ -145,3 +145,70 @@ def mfcc_vector_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
         except DecodeUnsupported:
             vecs.append([0.0] * n_mfcc)
     return batch.append_column(out_col, pa.array(vecs, pa.list_(pa.float32())))
+
+
+_SNR_COLS = ("snr_db", "noise_floor_db", "active_ratio", "f0_hz", "voiced_ratio")
+
+# gate defaults: percentile-SNR under 5 dB with real signal present means the
+# pauses are as loud as the speech (noise-dominated recording); decodable
+# audio whose voiced_ratio is ~0 has no periodic (speech-like) content.
+MIN_SNR_DB = 5.0
+MIN_VOICED_RATIO = 0.05
+
+
+class AudioSnrPitchActor:
+    """Decode + percentile-SNR / noise-floor / pitch columns and the
+    noisy / unvoiced gate flags (kernels: functions/audiofp.snr_stats,
+    pitch_stats)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_snr_db: float = MIN_SNR_DB,
+                 min_voiced_ratio: float = MIN_VOICED_RATIO):
+        self.cfg = cfg or PipelineConfig()
+        self.min_snr_db = min_snr_db
+        self.min_voiced_ratio = min_voiced_ratio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import pitch_stats, snr_stats
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _SNR_COLS}
+        ok, noisy, unvoiced = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = snr_stats(pcm, int(sr or 0))
+                stats.update(pitch_stats(pcm, int(sr or 0)))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _SNR_COLS}
+                ok.append(False)
+            for k in _SNR_COLS:
+                cols[k].append(stats[k])
+            has_signal = ok[-1] and stats["active_ratio"] > 0.0
+            noisy.append(has_signal and stats["snr_db"] < self.min_snr_db)
+            unvoiced.append(ok[-1] and stats["voiced_ratio"] < self.min_voiced_ratio)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _SNR_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        batch = batch.append_column("noisy", pa.array(noisy, pa.bool_()))
+        return batch.append_column("unvoiced", pa.array(unvoiced, pa.bool_()))
+
+
+def audio_snr_stage(ds, cfg: PipelineConfig,
+                    concurrency: int | tuple[int, int] = 4,
+                    min_snr_db: float = MIN_SNR_DB,
+                    min_voiced_ratio: float = MIN_VOICED_RATIO):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioSnrPitchActor,
+        fn_constructor_args=(cfg, min_snr_db, min_voiced_ratio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
