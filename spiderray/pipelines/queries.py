@@ -2944,6 +2944,28 @@ def q_vad_segments(sf_dir: str):
     return out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters over events.user_id (stages/stats.heavy_hitters):
+    Misra-Gries-compressed per-batch summaries (mergeable-summaries shape —
+    ≤ sketch_size+1 rows per block cross the shuffle regardless of user
+    cardinality), candidate filter at min_count − N/(m+1), then a bounded
+    exact recount of candidates only.  Analog of go-pkg-spider's hot-link
+    frequency tallies at a scale where the full tally can't shuffle."""
+    from ..stages.stats import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", min_count=80, sketch_size=2048)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT CAST(user_id AS VARCHAR) AS item, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 80
+ORDER BY n DESC, item
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3023,6 +3045,7 @@ QUERIES = {
     "q_arpa_ppl": q_arpa_ppl,
     "q_nb_langid": q_nb_langid,
     "q_vad_segments": q_vad_segments,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3074,6 +3097,7 @@ ORACLE_SQL = {
     "q_range_join": SQL_RANGE_JOIN,
     "q_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -406,3 +406,122 @@ def grouped_quantiles_approx(ds, group_col: str, col: str, qs: list[float],
         return pd.DataFrame(rows, columns=[group_col, "q_pct", col])
 
     return hist.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, m: int):
+    """Compress an exact (item, count) histogram to a Misra-Gries summary of
+    ≤ m entries: subtract the (m+1)-th largest count from every counter and
+    drop non-positives.  Each surviving weight underestimates the true count
+    by at most that pivot, which is ≤ batch_total/(m+1) — the mergeable-
+    summaries bound (Agarwal et al., PODS'12)."""
+    if len(items) <= m:
+        return items, counts
+    # pivot = (m+1)-th largest count (kth order statistic, no full sort)
+    pivot = np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)]
+    w = counts - pivot
+    keep = w > 0
+    return items[keep], w[keep]
+
+
+def heavy_hitters(ds, col: str, min_count: int, sketch_size: int = 4096,
+                  tokenize: bool = False):
+    """EXACT heavy hitters: every distinct value (or whitespace token when
+    ``tokenize=True``) of ``col`` whose global count is ≥ ``min_count``,
+    with its exact count.  Returns a Dataset of (item, n).
+
+    Scale shape — the point is that NOTHING proportional to the distinct-item
+    cardinality ever shuffles or lands on the driver:
+
+    1. Per-batch exact counts compressed to a Misra-Gries summary of
+       ``sketch_size`` entries (``_mg_compress``) → each block contributes
+       ≤ m+1 rows to the shuffle regardless of its vocabulary.
+    2. groupby(item).Sum merges the summaries; summed weight underestimates
+       the true count by at most N/(m+1) (sum of per-batch pivots), so
+       filtering at ``min_count − N/(m+1)`` yields a candidate superset —
+       and that bound also caps the candidate count at N/(min_count−slack).
+    3. Candidates broadcast via ray.put; a second pass exactly recounts ONLY
+       candidate items (shuffle is O(|candidates|)) and filters ≥ min_count.
+
+    Exactness requires min_count > N/(sketch_size+1); if the corpus turns
+    out too large for the sketch, this raises with the sketch_size that
+    would restore the guarantee instead of returning a silently incomplete
+    answer."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    m = int(sketch_size)
+
+    def to_items(batch: pa.Table):
+        if tokenize:
+            toks = pc.utf8_split_whitespace(batch.column(col))
+            flat = pc.list_flatten(toks)
+            arr = flat.to_numpy(zero_copy_only=False)
+            return arr[arr != ""]
+        # item domain is strings (matches the SQL oracle's CAST); non-string
+        # columns are cast so the sentinel-append and Arrow output stay typed
+        return pc.cast(batch.column(col), pa.string()).to_numpy(zero_copy_only=False)
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        items = to_items(batch)
+        if len(items) == 0:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string())})
+        uniq, counts = np.unique(items, return_counts=True)
+        kept, w = _mg_compress(uniq, counts, m)
+        return pa.table({
+            "item": pa.array(np.append(kept, "").astype(object), pa.string()),
+            "w": pa.array(np.append(w, len(items)).astype(np.int64)),
+            # 't' sentinel row carries the batch's total item count so N is
+            # an output of the same pass (no extra scan); '' item can also be
+            # a real value, so the kind column (not the item) disambiguates
+            "kind": pa.array(["i"] * len(kept) + ["t"], pa.string()),
+        })
+
+    summary = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind", "item"])
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()
+    )
+    totals = summary.filter(expr="kind == 't'").to_pandas()
+    n_total = int(totals["w"].sum()) if len(totals) else 0
+    slack = n_total // (m + 1)  # max total underestimate across all batches
+    if min_count <= slack:
+        raise ValueError(
+            f"heavy_hitters: min_count={min_count} ≤ N/(m+1)={slack} — the "
+            f"sketch cannot guarantee completeness at this corpus size "
+            f"(N={n_total}).  Use sketch_size ≥ {n_total // max(min_count - 1, 1) + 1}."
+        )
+    cand_df = (
+        summary.filter(expr="kind == 'i'")
+        .filter(expr=f"w >= {min_count - slack}")
+        .to_pandas()  # bounded: ≤ N/(min_count − slack) rows by the MG bound
+    )
+    candidates = set(cand_df["item"].tolist())
+    if not candidates:
+        return ray.data.from_arrow(
+            pa.table({"item": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        items = to_items(batch)
+        cands = ray.get(cand_ref)
+        if len(items) == 0:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(items, return_counts=True)
+        mask = np.fromiter((u in cands for u in uniq), dtype=bool, count=len(uniq))
+        return pa.table({"item": pa.array(uniq[mask].astype(object), pa.string()),
+                         "n": pa.array(counts[mask].astype(np.int64))})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("item")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {min_count}")
+    )
+    return exact

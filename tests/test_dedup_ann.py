@@ -1220,3 +1220,82 @@ class TestPrepareCorpusComposition:
         assert "overlap_grams" not in a.columns
         assert set(a.columns) >= {"doc_id", "lang", "keep", "drop_reason",
                                   "quality_score", "ws_tokens", "split", "text"}
+
+
+class TestHeavyHitters:
+    """stages/stats.heavy_hitters — exact heavy hitters via Misra-Gries
+    partial summaries + bounded candidate recount."""
+
+    def test_matches_exact_counts_under_compression(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        vocab = np.array([f"v{i}" for i in range(20000)], dtype=object)
+        items = vocab[rng.integers(0, 20000, size=80000)]
+        heavies = np.repeat(
+            np.array(["hotA", "hotB", "hotC"], dtype=object), [3000, 700, 260]
+        )
+        allitems = np.concatenate([items, heavies])
+        rng.shuffle(allitems)
+        # sketch (1024) ≪ per-batch vocabulary → the MG compression path runs
+        ds = rd.from_pandas(pd.DataFrame({"v": allitems})).repartition(8)
+        out = heavy_hitters(ds, "v", min_count=200, sketch_size=1024).to_pandas()
+        s = pd.Series(allitems).value_counts()
+        expect = s[s >= 200].sort_index().rename_axis("item")
+        got = out.set_index("item")["n"].sort_index()
+        assert got.equals(expect)
+
+    def test_batch_composition_independent(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import heavy_hitters
+
+        rng = np.random.default_rng(11)
+        items = np.array(
+            ["a"] * 500 + ["b"] * 120 + [f"t{i}" for i in rng.integers(0, 3000, size=6000)],
+            dtype=object,
+        )
+        rng.shuffle(items)
+        df = pd.DataFrame({"v": items})
+        a = heavy_hitters(rd.from_pandas(df).repartition(2), "v",
+                          min_count=100, sketch_size=512).to_pandas()
+        b = heavy_hitters(rd.from_pandas(df).repartition(13), "v",
+                          min_count=100, sketch_size=512).to_pandas()
+        key = lambda d: sorted(map(tuple, d[["item", "n"]].to_numpy()))
+        assert key(a) == key(b)
+        assert set(a["item"]) == {"a", "b"}
+
+    def test_guarantee_violation_raises(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import heavy_hitters
+
+        items = np.array([f"u{i}" for i in range(5000)], dtype=object)
+        ds = rd.from_pandas(pd.DataFrame({"v": items}))
+        with pytest.raises(ValueError, match="sketch_size"):
+            heavy_hitters(ds, "v", min_count=3, sketch_size=64).to_pandas()
+
+    def test_mg_compress_bound(self):
+        from spiderray.stages.stats import _mg_compress
+
+        rng = np.random.default_rng(3)
+        counts = rng.integers(1, 50, size=1000)
+        items = np.array([f"i{k}" for k in range(1000)], dtype=object)
+        kept, w = _mg_compress(items, counts, 64)
+        assert len(kept) <= 64
+        pivot = np.sort(counts)[::-1][64]
+        true = dict(zip(items, counts))
+        for it, wt in zip(kept, w):
+            # each kept weight underestimates by exactly the pivot
+            assert wt == true[it] - pivot > 0
+
+    def test_non_string_column_casts(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import heavy_hitters
+
+        df = pd.DataFrame({"v": [7] * 40 + [9] * 5})
+        out = heavy_hitters(rd.from_pandas(df), "v", min_count=10).to_pandas()
+        assert list(out["item"]) == ["7"] and list(out["n"]) == [40]
