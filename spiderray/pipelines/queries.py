@@ -2966,6 +2966,47 @@ ORDER BY n DESC, item
 """
 
 
+def q_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing (stages/windows.pack_chunks): the
+    GPT-style shard map — documents concatenated in doc_id order, split into
+    512-token chunks; each doc gets its global token offset + first chunk id
+    and position.  Exercises the global_scan distributed prefix-sum primitive
+    (sampled range buckets → bucket-total prefix → per-bucket local cumsum);
+    nothing row-count-sized touches the driver."""
+    from ..stages.windows import pack_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = np.asarray([ws_token_count(t or "") for t in texts], dtype=np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "ws_tokens": pa.array(ws)})
+
+    ds = ds.map_batches(add_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    out = pack_chunks(ds, "doc_id", "ws_tokens", chunk_size=512, n_buckets=16)
+    return out.select_columns(
+        ["doc_id", "ws_tokens", "tok_offset", "chunk_id", "chunk_pos"])
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, CAST({{WS}} AS BIGINT) AS ws_tokens FROM documents
+), s AS (
+  SELECT doc_id, ws_tokens,
+         CAST(COALESCE(sum(ws_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+)
+SELECT doc_id, ws_tokens, tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS chunk_id,
+       CAST(tok_offset % 512 AS BIGINT) AS chunk_pos
+FROM s ORDER BY doc_id
+"""
+SQL_PACK_CHUNKS = SQL_PACK_CHUNKS.replace("{WS}", _sql_ws_tokens("text"))
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3046,6 +3087,7 @@ QUERIES = {
     "q_nb_langid": q_nb_langid,
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_pack_chunks": q_pack_chunks,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3098,6 +3140,7 @@ ORACLE_SQL = {
     "q_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_pack_chunks": SQL_PACK_CHUNKS,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -194,3 +194,123 @@ def sliding(ds, ts_col: str = "ts", key_col: str | None = None,
     keys = ([key_col] if key_col else []) + ["window_start"]
     partials = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(keys).aggregate(Sum("n_events", alias_name="n_events"))
+
+
+def global_scan(ds, order_col: str, size_col: str, out_col: str = "offset",
+                n_buckets: int = 256, per_block_samples: int = 32):
+    """GLOBAL ordered exclusive prefix sum: append ``out_col`` = sum of
+    ``size_col`` over every row whose ``order_col`` sorts strictly before
+    this row's.  ``order_col`` must be unique (ties would make the scan
+    order — and therefore the offsets — ambiguous).
+
+    This is the distributed-scan primitive ``window_functions`` (keyed
+    partitions) cannot express: there is ONE logical partition.  Shape:
+
+    1. Per-block local quantiles of ``order_col`` (≤ ``per_block_samples``
+       rows each) → driver picks ``n_buckets``−1 range boundaries — the
+       same sampling a distributed sort does, so bucket sizes are balanced
+       even under key skew.
+    2. One tiny shuffle of (bucket, partial size sum) rows → driver prefix
+       over the ≤ n_buckets totals → broadcast exclusive bucket bases.
+    3. groupby(bucket).map_groups: local sort + cumsum + base.  Each bucket
+       must fit in a worker (n_buckets is the knob; at 10^12 rows pass
+       n_buckets ≈ rows × row_bytes / 1 GiB).
+
+    Nothing row-count-sized ever lands on the driver; the only all-to-all
+    movement is the bucket-keyed shuffle any global sort needs.  The
+    (order, size) projection is materialized so the sampling and
+    bucket-total passes don't re-execute the caller's upstream chain — it
+    is ~16 B/row in the object store (spillable), ~1000× smaller than a
+    text corpus; the full input itself is consumed exactly once, by the
+    final bucket shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([order_col, size_col]).materialize()
+
+    # -- 1: sampled range boundaries ------------------------------------
+    def local_quantiles(batch: pa.Table) -> pa.Table:
+        keys = np.sort(batch.column(order_col).to_numpy(zero_copy_only=False))
+        if len(keys) == 0:
+            return pa.table({"k": pa.array([], batch.schema.field(order_col).type)})
+        take = min(per_block_samples, len(keys))
+        idx = np.linspace(0, len(keys) - 1, take).astype(np.int64)
+        return pa.table({"k": pa.array(keys[idx])})
+
+    sample = slim.map_batches(
+        local_quantiles, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()["k"].to_numpy()
+    sample = np.sort(sample)
+    if len(sample) == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    nb = max(1, min(n_buckets, len(sample)))
+    cut = np.linspace(0, len(sample) - 1, nb + 1).astype(np.int64)[1:-1]
+    bounds = np.unique(sample[cut])  # right-exclusive range boundaries
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(order_col).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, keys, side="right").astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    # -- 2: exclusive bucket bases (over the slim projection) -----------
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = np.searchsorted(
+            bounds, batch.column(order_col).to_numpy(zero_copy_only=False),
+            side="right",
+        ).astype(np.int64)
+        s = batch.column(size_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table({"__bucket": pa.array(uniq),
+                         "s": pa.array(np.bincount(inv, weights=s).astype(np.int64))})
+
+    totals = (
+        slim.map_batches(bucket_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("__bucket")
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # ≤ n_buckets rows
+        .sort_values("__bucket")
+    )
+    csum = totals["s"].cumsum().to_numpy()
+    bases = dict(zip(totals["__bucket"].tolist(),
+                     np.concatenate([[0], csum[:-1]]).astype(np.int64).tolist()))
+    bases_ref = ray.put(bases)
+
+    # -- 3: per-bucket local sort + cumsum (the one full-input pass) ----
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref)[int(g["__bucket"].iloc[0])]
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        sizes = g[size_col].to_numpy().astype(np.int64)
+        g[out_col] = base + np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        return g.drop(columns="__bucket")
+
+    return bucketed.groupby("__bucket").map_groups(per_bucket,
+                                                   batch_format="pandas")
+
+
+def pack_chunks(ds, order_col: str, size_col: str, chunk_size: int,
+                n_buckets: int = 256):
+    """Concat-and-chunk sequence packing index (the GPT-style tokenizer
+    shard map): documents are logically concatenated in ``order_col`` order
+    and split into fixed ``chunk_size`` token chunks; each row gets its
+    global token ``offset``, the ``chunk_id`` its first token lands in and
+    the position ``chunk_pos`` within that chunk.  A pure function of the
+    global scan — no chunk ever needs co-residency with its documents."""
+    scanned = global_scan(ds, order_col, size_col, out_col="tok_offset",
+                          n_buckets=n_buckets)
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        off = batch.column("tok_offset").to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            "chunk_id", pa.array((off // chunk_size).astype(np.int64)))
+        return batch.append_column(
+            "chunk_pos", pa.array((off % chunk_size).astype(np.int64)))
+
+    return scanned.map_batches(add_chunk, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -388,3 +388,76 @@ class TestCrawlShuffleSeen:
                     seen_mode="shuffle")
         assert res.pages_visited == ["http://x.com/", "http://x.com/a/", "http://x.com/b/"]
         assert res.waves <= 4
+
+
+class TestGlobalScan:
+    """stages/windows.global_scan / pack_chunks — the single-logical-
+    partition distributed prefix sum."""
+
+    def test_offsets_match_serial_cumsum(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import global_scan
+
+        rng = np.random.default_rng(5)
+        ids = rng.permutation(3000)
+        sizes = rng.integers(1, 900, size=3000)
+        df = pd.DataFrame({"doc_id": ids, "tok": sizes, "payload": ids * 2})
+        out = global_scan(
+            rd.from_pandas(df).repartition(7), "doc_id", "tok", n_buckets=11
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ser = df.sort_values("doc_id").reset_index(drop=True)
+        expect = np.concatenate([[0], np.cumsum(ser["tok"].to_numpy())[:-1]])
+        assert (out["offset"].to_numpy() == expect).all()
+        # payload columns ride through untouched
+        assert (out["payload"].to_numpy() == ser["payload"].to_numpy()).all()
+
+    def test_string_order_keys(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import global_scan
+
+        df = pd.DataFrame({"k": [f"d{i:04d}" for i in range(200)],
+                           "s": np.arange(200) % 7 + 1})
+        shuf = df.sample(frac=1, random_state=3).reset_index(drop=True)
+        out = global_scan(rd.from_pandas(shuf).repartition(4), "k", "s",
+                          n_buckets=5).to_pandas().sort_values("k")
+        expect = np.concatenate([[0], np.cumsum(df["s"].to_numpy())[:-1]])
+        assert (out["offset"].to_numpy() == expect).all()
+
+    def test_skewed_keys_stay_balanced(self, ray_session):
+        # keys concentrated in a narrow range: sampled boundaries adapt
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import global_scan
+
+        rng = np.random.default_rng(9)
+        ids = np.concatenate([rng.permutation(100) + 1_000_000,
+                              np.arange(2000)])
+        df = pd.DataFrame({"doc_id": ids, "tok": np.ones(len(ids), dtype=np.int64)})
+        out = global_scan(rd.from_pandas(df).repartition(5), "doc_id", "tok",
+                          n_buckets=8).to_pandas().sort_values("doc_id")
+        assert (out["offset"].to_numpy() == np.arange(len(ids))).all()
+
+    def test_pack_chunks_chunk_math(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import pack_chunks
+
+        df = pd.DataFrame({"doc_id": np.arange(50),
+                           "tok": np.full(50, 300, dtype=np.int64)})
+        out = pack_chunks(rd.from_pandas(df).repartition(3), "doc_id", "tok",
+                          chunk_size=512, n_buckets=4
+                          ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        off = np.arange(50) * 300
+        assert (out["tok_offset"].to_numpy() == off).all()
+        assert (out["chunk_id"].to_numpy() == off // 512).all()
+        assert (out["chunk_pos"].to_numpy() == off % 512).all()
