@@ -3007,6 +3007,36 @@ FROM s ORDER BY doc_id
 SQL_PACK_CHUNKS = SQL_PACK_CHUNKS.replace("{WS}", _sql_ws_tokens("text"))
 
 
+def q_temperature_resample(sf_dir: str):
+    """Temperature (alpha=0.5) language rebalancing
+    (stages/stats.temperature_resample): keep rate per lang is
+    sqrt(n_min/n_lang), decided by the deterministic md5 bucket of doc_id —
+    the mT5-style corpus sampling as a pure filter map after one
+    #langs-sized histogram."""
+    from ..stages.stats import temperature_resample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = temperature_resample(ds, key_col="lang", id_col="doc_id", alpha=0.5)
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), thr AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n) * 10000
+                    + 0.5) AS BIGINT) AS t
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        % 10000 < thr.t
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3088,6 +3118,7 @@ QUERIES = {
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,
+    "q_temperature_resample": q_temperature_resample,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3141,6 +3172,7 @@ ORACLE_SQL = {
     "q_supplier_balance": SQL_SUPPLIER_BALANCE,
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
     "q_pack_chunks": SQL_PACK_CHUNKS,
+    "q_temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -525,3 +525,54 @@ def heavy_hitters(ds, col: str, min_count: int, sketch_size: int = 4096,
         .filter(expr=f"n >= {min_count}")
     )
     return exact
+
+
+def temperature_resample(ds, key_col: str, id_col: str, alpha: float = 0.5,
+                         n_buckets: int = 10_000, salt: str = ""):
+    """Temperature-based downsampling to rebalance a skewed key (the
+    multilingual-corpus sampling of mT5/XLM-R, exponent ``alpha``): after
+    filtering, each key's expected share is ∝ n_key^alpha.  Keep rate per
+    key is (n_min/n_key)^(1-alpha) — the smallest key keeps everything,
+    dominant keys are thinned — and the keep decision is the deterministic
+    md5 bucket of the row id (``split_bucket``), so membership is stable
+    across runs, processes and resumed partitions, exactly like
+    ``train_test_split``/``stratified_sample``.
+
+    Scale shape: one small groupby(key).count() (rows = #keys), thresholds
+    broadcast, then a pure filter map — no data shuffle.  With alpha=0.5
+    the rate is computed with IEEE-correctly-rounded ops only (divide,
+    sqrt), so an independent SQL implementation reproduces the integer
+    thresholds bit-exactly; other alphas go through pow(), whose last-ulp
+    behavior may differ across math libraries (boundary rows could then
+    differ from an external oracle — fine for production, noted for
+    conformance)."""
+    import math
+
+    import ray
+
+    counts = ds.groupby(key_col).count().to_pandas()
+    n_col = [c for c in counts.columns if c != key_col][0]
+    n_min = int(counts[n_col].min())
+    thresholds = {}
+    for k, n in zip(counts[key_col], counts[n_col]):
+        if alpha == 0.5:
+            rate = math.sqrt(n_min / int(n))
+        else:
+            rate = (n_min / int(n)) ** (1.0 - alpha)
+        thresholds[k] = int(math.floor(rate * n_buckets + 0.5))
+    thr_ref = ray.put(thresholds)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        thr = _ray.get(thr_ref)
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        keep = np.fromiter(
+            (split_bucket(str(i), n_buckets, salt) < thr.get(k, n_buckets)
+             for i, k in zip(ids, keys)),
+            dtype=bool, count=len(ids),
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

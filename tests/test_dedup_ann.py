@@ -1299,3 +1299,40 @@ class TestHeavyHitters:
         df = pd.DataFrame({"v": [7] * 40 + [9] * 5})
         out = heavy_hitters(rd.from_pandas(df), "v", min_count=10).to_pandas()
         assert list(out["item"]) == ["7"] and list(out["n"]) == [40]
+
+
+class TestTemperatureResample:
+    def test_rebalances_toward_alpha_distribution(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import temperature_resample
+
+        rng = np.random.default_rng(21)
+        langs = np.array(["en"] * 8000 + ["fr"] * 1000 + ["sw"] * 250, dtype=object)
+        df = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+        out = temperature_resample(
+            rd.from_pandas(df).repartition(6), "lang", "doc_id", alpha=0.5
+        ).to_pandas()
+        got = out["lang"].value_counts()
+        # smallest key keeps everything
+        assert got["sw"] == 250
+        # expected keeps: n * sqrt(n_min/n) = sqrt(n_min * n)
+        for lang, n in (("en", 8000), ("fr", 1000)):
+            expect = (250 * n) ** 0.5
+            assert abs(got[lang] - expect) / expect < 0.15, (lang, got[lang], expect)
+        # deterministic: same membership on a different partitioning
+        out2 = temperature_resample(
+            rd.from_pandas(df).repartition(13), "lang", "doc_id", alpha=0.5
+        ).to_pandas()
+        assert set(out["doc_id"]) == set(out2["doc_id"])
+
+    def test_alpha_one_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import temperature_resample
+
+        df = pd.DataFrame({"doc_id": np.arange(300),
+                           "lang": np.array(["a"] * 200 + ["b"] * 100, dtype=object)})
+        out = temperature_resample(rd.from_pandas(df), "lang", "doc_id",
+                                   alpha=1.0).to_pandas()
+        assert len(out) == 300  # rate = (n_min/n)^0 = 1 for every key
