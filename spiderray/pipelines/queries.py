@@ -3037,6 +3037,42 @@ ORDER BY d.doc_id
 """
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-domain document cap (the RefinedWeb/CommonCrawl anti-spam rule:
+    at most K pages per site): keep ≤ 15 docs per source, selected
+    deterministically by md5(doc_id) order so the sample is unbiased by
+    crawl order and stable across runs.  Pure composition over
+    stages/stats.top_k_per_group — per-batch partial head caps what crosses
+    the keyed shuffle at K rows per (source, block)."""
+    from ..stages.stats import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("pick", pa.array(h, pa.string()))
+
+    ds = ds.map_batches(add_rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(ds, ["source"], "pick", k=15,
+                          descending=False, tie_col="doc_id")
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_DOMAIN_CAP = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -3119,6 +3155,7 @@ QUERIES = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,
     "q_temperature_resample": q_temperature_resample,
+    "q_domain_cap": q_domain_cap,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3173,6 +3210,7 @@ ORACLE_SQL = {
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
     "q_pack_chunks": SQL_PACK_CHUNKS,
     "q_temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "q_domain_cap": SQL_DOMAIN_CAP,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }
