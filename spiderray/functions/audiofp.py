@@ -363,3 +363,35 @@ def pitch_stats(
     out["f0_hz"] = float(np.median(f0[voiced]))
     out["voiced_ratio"] = float(np.mean(voiced))
     return out
+
+
+def _max_run(mask: np.ndarray) -> int:
+    """Length of the longest True run (vectorized edge-detect, no Python
+    loop over samples)."""
+    if len(mask) == 0 or not mask.any():
+        return 0
+    padded = np.concatenate([[0], mask.astype(np.int8), [0]])
+    d = np.diff(padded)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return int((ends - starts).max())
+
+
+def clipping_stats(pcm: np.ndarray, sr: int, clip_thresh: float = 0.999) -> dict:
+    """Digital-defect stats for a decoded clip: ``clip_ratio`` (fraction of
+    samples at/above ``clip_thresh`` of full scale), ``max_clip_run_ms``
+    (longest saturated run — sustained saturation is audible distortion
+    even at a low overall ratio), ``max_zero_run_ms`` (longest exactly-zero
+    run: a digital dropout, distinct from quiet-but-dithered silence) and
+    ``peak`` (max |sample|).  Zeros for undecodable/too-short input."""
+    out = {"clip_ratio": 0.0, "max_clip_run_ms": 0.0,
+           "max_zero_run_ms": 0.0, "peak": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    a = np.abs(pcm.astype(np.float64))
+    out["peak"] = float(a.max())
+    clipped = a >= clip_thresh
+    out["clip_ratio"] = float(np.mean(clipped))
+    out["max_clip_run_ms"] = _max_run(clipped) * 1000.0 / sr
+    out["max_zero_run_ms"] = _max_run(a == 0.0) * 1000.0 / sr
+    return out

@@ -1472,6 +1472,27 @@ def q_audio_snr(sf_dir: str):
     )
 
 
+def q_audio_defects(sf_dir: str):
+    """Clipping / dropout defect gates over a deterministically distorted
+    corpus (every 3rd clip hard-saturated, every 3rd+1 given a spliced
+    zero-run dropout): saturation-run and zero-run lengths per clip plus
+    clipped/dropout flags (stages/audioquality.AudioDefectActor; fixture
+    oracle — same per-row bank applied serially)."""
+    _ensure_fixture("q_audio_defects", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import audio_defect_stage, distorted_clips_batch
+
+    ds = clips_from_documents(sf_dir).map_batches(
+        distorted_clips_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = audio_defect_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "clip_ratio", "max_clip_run_ms",
+         "max_zero_run_ms", "peak", "clipped", "dropout"]
+    )
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3119,6 +3140,7 @@ QUERIES = {
     "q_audio_loudness": q_audio_loudness,
     "q_audio_mfcc": q_audio_mfcc,
     "q_audio_snr": q_audio_snr,
+    "q_audio_defects": q_audio_defects,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

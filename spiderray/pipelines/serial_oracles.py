@@ -832,6 +832,17 @@ def so_audio_snr(sf_dir: str) -> pa.Table:
     )
 
 
+def so_audio_defects(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioDefectActor, distorted_clips_batch
+
+    out = AudioDefectActor(PipelineConfig())(distorted_clips_batch(_clips(sf_dir)))
+    return out.select(
+        ["clip_id", "decode_ok", "clip_ratio", "max_clip_run_ms",
+         "max_zero_run_ms", "peak", "clipped", "dropout"]
+    )
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1101,6 +1112,7 @@ SERIAL_ORACLES = {
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
     "q_audio_snr": so_audio_snr,
+    "q_audio_defects": so_audio_defects,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

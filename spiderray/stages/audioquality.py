@@ -212,3 +212,114 @@ def audio_snr_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# Digital-defect gate: saturation runs + dropout (zero-run) detection
+# --------------------------------------------------------------------------
+
+_DEFECT_COLS = ("clip_ratio", "max_clip_run_ms", "max_zero_run_ms", "peak")
+
+# sustained saturation ≥2 ms is audible distortion even when the overall
+# clipped-sample ratio is small; an exactly-zero run ≥50 ms inside a clip
+# that otherwise has signal is a digital dropout (buffer underrun/splice),
+# not natural silence (real silence has dither/noise-floor energy)
+MAX_CLIP_RUN_MS = 2.0
+MIN_DROPOUT_MS = 50.0
+
+
+def distorted_clips_batch(batch: pa.Table) -> pa.Table:
+    """Derive a defect test corpus: per clip id N, N%3==0 → hard-saturated
+    (gain 4, clipped to full scale), N%3==1 → a (60+20·(N%4)) ms zero run
+    spliced at 40% — a digital dropout, N%3==2 → untouched.  Re-encoded
+    pcm16; undecodable clips pass through.  Pure per-row function shared by
+    q_audio_defects and its serial oracle (the gapped_clips_batch shape)."""
+    from .multimodal import _encode_pcm16
+
+    ids = batch.column("clip_id").to_pylist()
+    bufs = batch.column("bytes").to_pylist()
+    codecs = batch.column("codec").to_pylist()
+    srs = batch.column("sr_hz").to_pylist()
+    out_b, out_c = [], []
+    for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            out_b.append(buf)
+            out_c.append(codec)
+            continue
+        sr = int(sr or 16000)
+        num = int(cid.rsplit("_", 1)[-1]) if cid and cid[-1].isdigit() else 0
+        mode = num % 3
+        if mode == 0:
+            pcm = np.clip(pcm.astype(np.float32) * 4.0, -1.0, 1.0)
+        elif mode == 1 and len(pcm) > 0:
+            hole = np.zeros(int(sr * (60 + 20 * (num % 4)) / 1000.0),
+                            dtype=np.float32)
+            cut = int(0.4 * len(pcm))
+            pcm = np.concatenate([pcm[:cut], hole, pcm[cut:]])
+        out_b.append(_encode_pcm16(pcm))
+        out_c.append("pcm_s16le")
+    batch = batch.set_column(batch.schema.get_field_index("bytes"), "bytes",
+                             pa.array(out_b, pa.binary()))
+    return batch.set_column(batch.schema.get_field_index("codec"), "codec",
+                            pa.array(out_c, pa.string()))
+
+
+class AudioDefectActor:
+    """Decode + clipping/dropout defect columns and the clipped / dropout
+    gate flags (kernel: functions/audiofp.clipping_stats)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 max_clip_run_ms: float = MAX_CLIP_RUN_MS,
+                 min_dropout_ms: float = MIN_DROPOUT_MS):
+        self.cfg = cfg or PipelineConfig()
+        self.max_clip_run_ms = max_clip_run_ms
+        self.min_dropout_ms = min_dropout_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import clipping_stats
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _DEFECT_COLS}
+        ok, clipped, dropout = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = clipping_stats(pcm, int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _DEFECT_COLS}
+                ok.append(False)
+            for k in _DEFECT_COLS:
+                cols[k].append(stats[k])
+            clipped.append(ok[-1] and (stats["clip_ratio"] >= MAX_CLIP_RATIO
+                           or stats["max_clip_run_ms"] >= self.max_clip_run_ms))
+            # a dropout needs surrounding signal: an all-zero clip is
+            # silence (the loudness gate's business), not a splice defect
+            dropout.append(ok[-1] and stats["peak"] > 0.0
+                           and stats["max_zero_run_ms"] >= self.min_dropout_ms)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _DEFECT_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        batch = batch.append_column("clipped", pa.array(clipped, pa.bool_()))
+        return batch.append_column("dropout", pa.array(dropout, pa.bool_()))
+
+
+def audio_defect_stage(ds, cfg: PipelineConfig,
+                       concurrency: int | tuple[int, int] = 4,
+                       max_clip_run_ms: float = MAX_CLIP_RUN_MS,
+                       min_dropout_ms: float = MIN_DROPOUT_MS):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioDefectActor,
+        fn_constructor_args=(cfg, max_clip_run_ms, min_dropout_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

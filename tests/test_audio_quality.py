@@ -135,3 +135,66 @@ class TestFingerprintPairs:
             assert (i, i + 10_000_000) in found
         # and nothing else at these parameters
         assert len(found) == 5
+
+
+class TestClippingStats:
+    def test_clean_sine_not_clipped(self):
+        from spiderray.functions.audiofp import clipping_stats
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        s = clipping_stats(x, sr)
+        assert s["clip_ratio"] == 0.0
+        assert s["max_clip_run_ms"] == 0.0
+        assert 0.49 < s["peak"] < 0.51
+
+    def test_saturated_runs_measured(self):
+        from spiderray.functions.audiofp import clipping_stats
+
+        sr = 8000
+        x = np.full(sr, 0.3, dtype=np.float32)
+        x[1000:1080] = 1.0      # 10 ms positive saturation
+        x[4000:4040] = -1.0     # 5 ms negative saturation
+        s = clipping_stats(x, sr)
+        assert abs(s["max_clip_run_ms"] - 10.0) < 1e-9
+        assert abs(s["clip_ratio"] - 120 / sr) < 1e-12
+
+    def test_zero_run_is_dropout_not_silence(self):
+        from spiderray.functions.audiofp import clipping_stats
+
+        sr = 16000
+        x = (0.4 * np.sin(2 * np.pi * 180 * np.arange(sr) / sr)).astype(np.float32)
+        x[6400:7680] = 0.0  # 80 ms hole
+        s = clipping_stats(x, sr)
+        assert abs(s["max_zero_run_ms"] - 80.0) < 1.0
+
+    def test_empty_and_bad_sr(self):
+        from spiderray.functions.audiofp import clipping_stats
+
+        assert clipping_stats(np.array([]), 16000)["peak"] == 0.0
+        assert clipping_stats(np.ones(100), 0)["clip_ratio"] == 0.0
+
+    def test_actor_gate_flags(self):
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.audioquality import AudioDefectActor
+        from spiderray.stages.multimodal import _encode_pcm16
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        clean = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        sat = np.clip(clean * 4.0, -1.0, 1.0)
+        holed = clean.copy(); holed[3200:4800] = 0.0  # 100 ms dropout
+        silent = np.zeros(sr, dtype=np.float32)
+        batch = pa.table({
+            "clip_id": ["c0", "c1", "c2", "c3", "c4"],
+            "bytes": [_encode_pcm16(clean), _encode_pcm16(sat),
+                      _encode_pcm16(holed), _encode_pcm16(silent), b"xx"],
+            "codec": ["pcm_s16le"] * 4 + ["opus"],
+            "sr_hz": [sr] * 5,
+        })
+        out = AudioDefectActor(PipelineConfig())(batch).to_pandas()
+        assert list(out["clipped"]) == [False, True, False, False, False]
+        # all-zero clip is silence, not a dropout; undecodable is neither
+        assert list(out["dropout"]) == [False, False, True, False, False]
+        assert list(out["decode_ok"]) == [True, True, True, True, False]
