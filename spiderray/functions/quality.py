@@ -181,3 +181,29 @@ def compute_metrics(text: str) -> QualityMetrics:
         han_count=han,
         quality_score=lm["quality_score"],
     )
+
+
+def compression_signals(text: str, level: int = 6) -> dict:
+    """Compressibility + codepoint-entropy quality signals (the
+    RedPajama/Dolma-style gibberish-and-boilerplate catchers a rule bank
+    can't see): ``comp_ratio`` = len(zlib(text)) / len(utf8(text)) — near 0
+    for pathological repetition, near/above 1 for random noise — and
+    ``char_entropy`` = Shannon entropy in bits over codepoints (English
+    prose ~4.0-4.5; single-char spam → ~0; uniform-random alphanumerics →
+    ~6).  zlib with a fixed level is bit-deterministic across platforms, so
+    the signals are reproducible corpus-wide."""
+    data = (text or "").encode("utf-8")
+    if not data:
+        return {"n_bytes": 0, "comp_len": 0, "comp_ratio": 0.0,
+                "char_entropy": 0.0}
+    import zlib
+
+    import numpy as np
+
+    comp_len = len(zlib.compress(data, level))
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(cps, return_counts=True)
+    p = counts / len(cps)
+    ent = float(-(p * np.log2(p)).sum())
+    return {"n_bytes": len(data), "comp_len": comp_len,
+            "comp_ratio": comp_len / len(data), "char_entropy": ent}

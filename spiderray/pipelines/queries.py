@@ -1493,6 +1493,26 @@ def q_audio_defects(sf_dir: str):
     )
 
 
+def q_compression_quality(sf_dir: str):
+    """Compressibility + codepoint-entropy quality gates over a
+    deterministically degraded corpus (every 7th doc templated spam, every
+    11th pseudo-random noise): zlib ratio, Shannon entropy and the
+    too_repetitive / too_random flags (stages/quality_stage
+    .compression_signals_batch; fixture oracle — same per-row bank applied
+    serially)."""
+    _ensure_fixture("q_compression_quality", sf_dir)
+    from ..stages.quality_stage import compression_stage, degraded_docs_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        degraded_docs_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = compression_stage(ds)
+    return out.select_columns(
+        ["doc_id", "n_bytes", "comp_len", "comp_ratio", "char_entropy",
+         "too_repetitive", "too_random"]
+    )
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3141,6 +3161,7 @@ QUERIES = {
     "q_audio_mfcc": q_audio_mfcc,
     "q_audio_snr": q_audio_snr,
     "q_audio_defects": q_audio_defects,
+    "q_compression_quality": q_compression_quality,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

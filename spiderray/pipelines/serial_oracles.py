@@ -843,6 +843,18 @@ def so_audio_defects(sf_dir: str) -> pa.Table:
     )
 
 
+def so_compression_quality(sf_dir: str) -> pa.Table:
+    from ..stages.quality_stage import (compression_signals_batch,
+                                        degraded_docs_batch)
+
+    docs = _docs(sf_dir).select(["doc_id", "text"])
+    out = compression_signals_batch(degraded_docs_batch(docs))
+    return out.select(
+        ["doc_id", "n_bytes", "comp_len", "comp_ratio", "char_entropy",
+         "too_repetitive", "too_random"]
+    )
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1113,6 +1125,7 @@ SERIAL_ORACLES = {
     "q_audio_mfcc": so_audio_mfcc,
     "q_audio_snr": so_audio_snr,
     "q_audio_defects": so_audio_defects,
+    "q_compression_quality": so_compression_quality,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

@@ -102,3 +102,74 @@ def gopher_stage(ds, text_col: str = "text", mode: str = "flag"):
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Compressibility / entropy signals (repetition + gibberish catchers)
+# --------------------------------------------------------------------------
+
+# a doc ≥200 B compressing below 10% is pathological repetition (templated
+# boilerplate, spam); codepoint entropy above 5.5 bits on ≥64 B is
+# random-noise territory (prose sits ~4-4.5 even multilingual)
+MAX_REPETITIVE_RATIO = 0.1
+MIN_SIGNAL_BYTES = 200
+MAX_CHAR_ENTROPY = 5.5
+MIN_ENTROPY_BYTES = 64
+
+
+def degraded_docs_batch(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Derive a degradation test corpus: per doc id N, N%7==0 → the text's
+    first word repeated to ~1 KiB (templated spam), N%11==0 (and not %7) →
+    deterministic pseudo-random printable noise from an md5 chain keyed on
+    the id (gibberish), else untouched.  Pure per-row function shared by
+    q_compression_quality and its serial oracle."""
+    import hashlib
+
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        n = int(i)
+        if n % 7 == 0:
+            word = ((t or "spam").split() or ["spam"])[0]
+            reps = max(1, 1024 // (len(word) + 1))
+            out.append(" ".join([word] * reps))
+        elif n % 11 == 0:
+            chunks, seed = [], str(i).encode()
+            for k in range(64):
+                seed = hashlib.md5(seed + bytes([k])).digest()
+                chunks.append(bytes(33 + b % 94 for b in seed))
+            out.append(b"".join(chunks).decode("ascii"))
+        else:
+            out.append(t)
+    return batch.set_column(batch.schema.get_field_index(text_col), text_col,
+                            pa.array(out, pa.string()))
+
+
+def compression_signals_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append compressibility/entropy columns + the too_repetitive /
+    too_random gate flags (kernel: functions/quality.compression_signals).
+    Stateless map — no actor pool needed; zlib is released-GIL C."""
+    from ..functions.quality import compression_signals
+
+    texts = batch.column(text_col).to_pylist()
+    rows = [compression_signals(t) for t in texts]
+    for col, typ in (("n_bytes", pa.int64()), ("comp_len", pa.int64())):
+        batch = batch.append_column(col, pa.array([r[col] for r in rows], typ))
+    for col in ("comp_ratio", "char_entropy"):
+        batch = batch.append_column(
+            col, pa.array([r[col] for r in rows], pa.float64()))
+    rep = [r["n_bytes"] >= MIN_SIGNAL_BYTES
+           and r["comp_ratio"] < MAX_REPETITIVE_RATIO for r in rows]
+    rnd = [r["n_bytes"] >= MIN_ENTROPY_BYTES
+           and r["char_entropy"] > MAX_CHAR_ENTROPY for r in rows]
+    batch = batch.append_column("too_repetitive", pa.array(rep, pa.bool_()))
+    return batch.append_column("too_random", pa.array(rnd, pa.bool_()))
+
+
+def compression_stage(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: compression_signals_batch(t, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

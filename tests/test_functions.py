@@ -656,3 +656,42 @@ class TestC4:
 
         five = "One sentence here now. " * 5
         assert page_keep(five + "verboten word.", ("Verboten",))[1] == "badword"
+
+
+class TestCompressionSignals:
+    def test_repetition_vs_prose_vs_noise(self):
+        import hashlib
+
+        from spiderray.functions.quality import compression_signals
+
+        spam = compression_signals("spam " * 300)
+        assert spam["comp_ratio"] < 0.05
+        prose = compression_signals(
+            "A different sentence with varied words appears here. " * 10)
+        assert 0.05 < prose["comp_ratio"] < 0.8
+        noise = "".join(
+            bytes(33 + b % 94 for b in hashlib.md5(bytes([k])).digest()).decode()
+            for k in range(64))
+        rnd = compression_signals(noise)
+        assert rnd["char_entropy"] > 5.5
+        assert rnd["comp_ratio"] > 0.7
+        assert compression_signals("")["n_bytes"] == 0
+
+    def test_batch_flags_and_degraded_corpus(self):
+        import pyarrow as pa
+
+        from spiderray.stages.quality_stage import (compression_signals_batch,
+                                                    degraded_docs_batch)
+
+        ids = list(range(30))
+        batch = pa.table({"doc_id": ids,
+                          "text": ["plain words here mixed evenly"] * 30})
+        out = compression_signals_batch(degraded_docs_batch(batch)).to_pandas()
+        for _, r in out.iterrows():
+            n = int(r["doc_id"])
+            if n % 7 == 0:
+                assert r["too_repetitive"] and not r["too_random"], n
+            elif n % 11 == 0:
+                assert r["too_random"] and not r["too_repetitive"], n
+            else:
+                assert not r["too_repetitive"] and not r["too_random"], n
