@@ -95,9 +95,12 @@ def _loser_ids(kept, text_col: str, id_col: str, n_buckets: int = LOSER_BUCKETS)
     )
 
 
-def _mark_losers_broadcast(decided, losers, id_col: str):
-    """Small-loser path: ship the loser ids ONCE as an Arrow array via
-    ray.put; the mark pass is a stateless vectorized map (pc.is_in)."""
+def _mark_losers_broadcast(decided, losers, id_col: str,
+                           reason: str = "duplicate", invert: bool = False):
+    """Small-set path: ship the id set ONCE as an Arrow array via ray.put;
+    the mark pass is a stateless vectorized map (pc.is_in).  ``invert=True``
+    demotes kept rows NOT in the set (winner-shaped marking, e.g. the
+    per-domain cap's survivors)."""
     import ray
 
     chunks = [
@@ -115,29 +118,39 @@ def _mark_losers_broadcast(decided, losers, id_col: str):
         import ray as _ray
 
         arr = _ray.get(ref)
-        is_loser = pc.is_in(batch.column(id_col), value_set=arr)
-        return _apply_dup_mark(batch, is_loser)
+        in_set = pc.is_in(batch.column(id_col), value_set=arr)
+        return _apply_dup_mark(batch, in_set, reason=reason, invert=invert)
 
     return decided.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _apply_dup_mark(batch: pa.Table, is_loser) -> pa.Table:
-    is_loser = pc.fill_null(is_loser, False)
+def _apply_dup_mark(batch: pa.Table, in_set, reason: str = "duplicate",
+                    invert: bool = False) -> pa.Table:
+    in_set = pc.fill_null(in_set, False)
+    is_loser = pc.invert(in_set) if invert else in_set
+    # only currently-kept rows demote: an already-dropped row keeps its
+    # original reason (matters for invert marking, where every non-winner
+    # id — including long-dropped rows — tests "not in set")
+    is_loser = pc.and_(batch.column("keep"), is_loser)
     names = batch.column_names
     new_keep = pc.and_(batch.column("keep"), pc.invert(is_loser))
     new_reason = pc.if_else(
-        is_loser, pa.scalar("duplicate", pa.string()), batch.column("drop_reason")
+        is_loser, pa.scalar(reason, pa.string()), batch.column("drop_reason")
     )
     batch = batch.set_column(names.index("keep"), "keep", new_keep)
     return batch.set_column(names.index("drop_reason"), "drop_reason", new_reason)
 
 
-def _mark_losers_join(decided, losers, id_col: str, n_buckets: int = LOSER_BUCKETS):
-    """Large-loser path: explicit bucketed mark join by hash(id) — the
-    payload shuffles ONCE, loser ids shuffle alongside, and each bucket
+def _mark_losers_join(decided, losers, id_col: str, n_buckets: int = LOSER_BUCKETS,
+                      reason: str = "duplicate", invert: bool = False):
+    """Large-set path: explicit bucketed mark join by hash(id) — the
+    payload shuffles ONCE, the id set shuffles alongside, and each bucket
     marks Arrow-natively (no pandas: typed nulls must not float-corrupt
-    int ids).  Used when the loser volume exceeds the broadcast ceiling —
-    nothing driver-side at any scale."""
+    int ids).  Used when the set volume exceeds the broadcast ceiling —
+    nothing driver-side at any scale.  Bucketing by the SAME id hash on
+    both sides makes the in-bucket membership test globally correct for
+    ``invert`` marking too (an id's set row can only land in its own
+    bucket)."""
     schema = decided.schema(fetch_if_missing=True).base_schema
 
     def _id_buckets(col) -> pa.Array:
@@ -181,11 +194,14 @@ def _mark_losers_join(decided, losers, id_col: str, n_buckets: int = LOSER_BUCKE
 
     def mark_in_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
-        loser_ids = g.filter(pc.equal(side, 1)).column(id_col)
+        set_ids = g.filter(pc.equal(side, 1)).column(id_col)
         lhs = g.filter(pc.equal(side, 0)).select(out_names)
-        if len(loser_ids) == 0:
+        if len(set_ids) == 0 and not invert:
             return lhs
-        return _apply_dup_mark(lhs, pc.is_in(lhs.column(id_col), value_set=loser_ids))
+        return _apply_dup_mark(
+            lhs, pc.is_in(lhs.column(id_col), value_set=set_ids.combine_chunks()),
+            reason=reason, invert=invert,
+        )
 
     return tagged.groupby("__bucket").map_groups(mark_in_bucket, batch_format="pyarrow")
 
@@ -243,12 +259,133 @@ def _apply_decontam(ds, bench_ds, text_col: str, id_col: str, n: int):
     return flagged.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _apply_compression_gate(ds, text_col: str):
+    """Fold the compressibility/entropy gates (stages/quality_stage
+    .compression_signals_batch) into keep/drop: kept rows flagged
+    too_repetitive / too_random demote with
+    drop_reason='compression:<which>'.  Stateless map, schema unchanged."""
+    from ..stages.quality_stage import compression_signals_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = compression_signals_batch(batch.select([text_col]), text_col)
+        rep = sig.column("too_repetitive").to_numpy(zero_copy_only=False)
+        rnd = sig.column("too_random").to_numpy(zero_copy_only=False)
+        keeps = batch.column("keep").to_numpy(zero_copy_only=False)
+        reasons = np.asarray(batch.column("drop_reason").to_pylist(), dtype=object)
+        reasons[keeps & rep] = "compression:repetitive"
+        reasons[keeps & ~rep & rnd] = "compression:random"
+        names = batch.column_names
+        batch = batch.set_column(names.index("keep"), "keep",
+                                 pa.array(keeps & ~(rep | rnd), pa.bool_()))
+        return batch.set_column(names.index("drop_reason"), "drop_reason",
+                                pa.array(list(reasons), pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _apply_domain_cap(marked, id_col: str, domain_col: str, cap: int,
+                      broadcast_max: int):
+    """Per-domain cap over the KEPT rows (the RefinedWeb anti-spam rule):
+    at most ``cap`` survivors per domain, selected by md5(id) order so the
+    sample is crawl-order-unbiased and deterministic.  WINNER-shaped: the
+    survivor set is built by stages/stats.top_k_per_group (per-batch
+    partial head — ≤ cap rows per (domain, block) cross the keyed
+    shuffle), then kept rows NOT in it demote via the inverted mark
+    (broadcast below ``broadcast_max`` winners, bucketed join beyond).
+    Winner volume is cap × #domains — at 10^8 domains route the join."""
+    import hashlib
+
+    from ..stages.stats import top_k_per_group
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("keep").combine_chunks())
+        ids = t.column(id_col).to_pylist()
+        pick = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({id_col: t.column(id_col),
+                         domain_col: t.column(domain_col),
+                         "pick": pa.array(pick, pa.string())})
+
+    winners = top_k_per_group(
+        marked.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True),
+        [domain_col], "pick", k=cap, descending=False, tie_col=id_col,
+    ).materialize()
+
+    if winners.count() <= broadcast_max:
+        return _mark_losers_broadcast(marked, winners, id_col,
+                                      reason="domain_cap", invert=True)
+    return _mark_losers_join(marked, winners, id_col,
+                             reason="domain_cap", invert=True)
+
+
+def _apply_temperature(marked, id_col: str, key_col: str, alpha: float):
+    """Temperature resampling of the KEPT rows (stages/stats
+    .temperature_resample semantics, folded as a demotion instead of a
+    filter): keep rate per key = (n_min/n_key)^(1-alpha) over the
+    post-dedup kept histogram, membership = deterministic md5 bucket of
+    the id; unsampled rows demote with drop_reason='resampled'.  One
+    #keys-sized histogram + a stateless map — no data shuffle."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import split_bucket
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("keep").combine_chunks())
+        return t.select([key_col])
+
+    counts = (
+        marked.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if counts.empty:
+        return marked
+    n_min = int(counts["n"].min())
+    thr = {}
+    for k, n in zip(counts[key_col], counts["n"]):
+        rate = math.sqrt(n_min / int(n)) if alpha == 0.5 \
+            else (n_min / int(n)) ** (1.0 - alpha)
+        thr[k] = int(math.floor(rate * 10_000 + 0.5))
+    thr_ref = ray.put(thr)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = _ray.get(thr_ref)
+        keeps = batch.column("keep").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        sampled = np.fromiter(
+            (split_bucket(str(i), 10_000) < t.get(k, 10_000)
+             for i, k in zip(ids, keys)),
+            dtype=bool, count=len(ids),
+        )
+        demote = keeps & ~sampled
+        reasons = np.asarray(batch.column("drop_reason").to_pylist(), dtype=object)
+        reasons[demote] = "resampled"
+        names = batch.column_names
+        batch = batch.set_column(names.index("keep"), "keep",
+                                 pa.array(keeps & sampled, pa.bool_()))
+        return batch.set_column(names.index("drop_reason"), "drop_reason",
+                                pa.array(list(reasons), pa.string()))
+
+    return marked.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                    ratios: dict[str, float] | None = None,
                    broadcast_max_losers: int = BROADCAST_MAX_LOSERS,
                    gopher: bool = False,
                    decontaminate_bench=None,
-                   decontam_ngram: int = 13):
+                   decontam_ngram: int = 13,
+                   compression_gate: bool = False,
+                   domain_cap: int | None = None,
+                   domain_col: str = "source",
+                   temperature: float | None = None,
+                   temperature_key: str = "lang"):
     """documents Dataset → decided/deduped/split corpus Dataset (lazy).
 
     Opt-in composition points (both default OFF; output schema unchanged):
@@ -256,7 +393,14 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     after the spider decide (drop_reason='gopher:<rule>');
     ``decontaminate_bench=<Dataset>`` drops docs sharing any
     ``decontam_ngram``-gram with the benchmark set
-    (drop_reason='contaminated')."""
+    (drop_reason='contaminated'); ``compression_gate=True`` adds the
+    zlib-ratio/entropy gates (drop_reason='compression:<which>');
+    ``domain_cap=K`` caps survivors per ``domain_col`` after dedup
+    (drop_reason='domain_cap'); ``temperature=alpha`` resamples survivors
+    by ``temperature_key`` after every other step
+    (drop_reason='resampled').  Order: decide → gopher → compression →
+    decontam → dedup → domain_cap → temperature → split, so each later
+    step sees only what survived the earlier ones."""
     # materialized: the decided rows feed BOTH the loser pass and the final
     # mark/split pass — without this the langid+metrics map (the dominant
     # CPU cost) executes twice end-to-end
@@ -267,6 +411,8 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     )
     if gopher:
         decided_ds = _apply_gopher(decided_ds, text_col)
+    if compression_gate:
+        decided_ds = _apply_compression_gate(decided_ds, text_col)
     if decontaminate_bench is not None:
         decided_ds = _apply_decontam(decided_ds, decontaminate_bench,
                                      text_col, id_col, decontam_ngram)
@@ -288,6 +434,15 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
         marked = _mark_losers_broadcast(decided, losers, id_col)
     else:
         marked = _mark_losers_join(decided, losers, id_col)
+    if domain_cap is not None:
+        # marked re-derives cheaply from the materialized `decided` (the
+        # mark pass is a broadcast is_in map), so consuming it twice here
+        # does not re-run the decide kernels
+        marked = _apply_domain_cap(marked, id_col, domain_col, domain_cap,
+                                   broadcast_max_losers)
+    if temperature is not None:
+        marked = _apply_temperature(marked, id_col, temperature_key,
+                                    temperature)
     return train_test_split(marked, id_col=id_col, ratios=ratios)
 
 

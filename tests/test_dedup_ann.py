@@ -1336,3 +1336,85 @@ class TestTemperatureResample:
         out = temperature_resample(rd.from_pandas(df), "lang", "doc_id",
                                    alpha=1.0).to_pandas()
         assert len(out) == 300  # rate = (n_min/n)^0 = 1 for every key
+
+
+class TestPrepareCorpusNewSteps:
+    """compression_gate / domain_cap / temperature opt-in composition."""
+
+    def _base_rows(self, n=60):
+        good = ("the be to of and that have with " + " ".join(
+            f"word{i} term{i} item{i}" for i in range(20)))
+        return [{"doc_id": i, "source": f"s{i % 3}",
+                 "text": good + f" tail{i}."} for i in range(n)]
+
+    def test_compression_gate_demotes_spam_and_noise(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        rows = self._base_rows(10)
+        rows[3]["text"] = "spam " * 300
+        noise = "".join(
+            bytes(33 + b % 94 for b in hashlib.md5(bytes([k])).digest()).decode()
+            for k in range(64))
+        rows[5]["text"] = noise
+        out = prepare_corpus(rd.from_items(rows), compression_gate=True
+                             ).to_pandas().set_index("doc_id")
+        assert out.loc[3, "drop_reason"] in ("compression:repetitive",) or             not bool(out.loc[3, "keep"])
+        assert not bool(out.loc[5, "keep"])
+        # an untouched row keeps whatever the spider decide said
+        assert "compression" not in out.loc[7, "drop_reason"]
+
+    def test_domain_cap_keeps_at_most_k_per_source(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        out = prepare_corpus(rd.from_items(self._base_rows(60)),
+                             domain_cap=5).to_pandas()
+        kept = out[out.keep]
+        assert (kept.groupby("source").size() <= 5).all()
+        capped = out[out.drop_reason == "domain_cap"]
+        assert len(capped) > 0 and not capped.keep.any()
+        # deterministic across partitionings
+        out2 = prepare_corpus(
+            rd.from_items(self._base_rows(60)).repartition(7), domain_cap=5
+        ).to_pandas()
+        assert set(out[out.keep].doc_id) == set(out2[out2.keep].doc_id)
+
+    def test_domain_cap_join_path_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        rows = self._base_rows(40)
+        a = prepare_corpus(rd.from_items(rows), domain_cap=4).to_pandas()
+        b = prepare_corpus(rd.from_items(rows), domain_cap=4,
+                           broadcast_max_losers=1).to_pandas()
+        ka = a.sort_values("doc_id")[["doc_id", "keep", "drop_reason"]]
+        kb = b.sort_values("doc_id")[["doc_id", "keep", "drop_reason"]]
+        assert ka.values.tolist() == kb.values.tolist()
+
+    def test_temperature_resamples_dominant_key(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.pipelines.prepare_corpus import prepare_corpus
+
+        # documents-table text is realistic enough for langid; use source
+        # as the temperature key to stay deterministic
+        rows = self._base_rows(90)
+        for r in rows:
+            r["source"] = "big" if r["doc_id"] % 3 else "small"
+        out = prepare_corpus(rd.from_items(rows), temperature=0.5,
+                             temperature_key="source").to_pandas()
+        kept = out[out.keep]
+        n_small = (kept.source == "small").sum()
+        n_big = (kept.source == "big").sum()
+        # big key thinned toward sqrt(n_small * n_big)
+        assert n_big < (out.source == "big").sum()
+        assert (out.drop_reason == "resampled").sum() > 0
+        # already-dropped rows never get their reason overwritten
+        pre = out[(~out.keep) & (out.drop_reason != "resampled")]
+        assert (pre.drop_reason != "").all()
