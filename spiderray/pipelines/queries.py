@@ -1513,6 +1513,25 @@ def q_compression_quality(sf_dir: str):
     )
 
 
+def q_audio_windows(sf_dir: str):
+    """Fixed-window audio chunking (stages/multimodal.WindowChunkActor):
+    the Whisper-style ASR batching cut — 100 ms windows every 50 ms (50%
+    overlap), ≥30 ms tail kept — one row per window with clip-relative
+    times + RMS.  Complements VAD segmentation: cuts on the clock, not at
+    silence (fixture oracle — same per-row bank applied serially)."""
+    _ensure_fixture("q_audio_windows", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import window_chunk_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = window_chunk_stage(ds, PipelineConfig(), win_ms=100, hop_ms=50,
+                             min_tail_ms=30, emit_audio=False)
+    return out.select_columns(
+        ["clip_id", "win_idx", "start_ms", "end_ms", "dur_ms", "win_rms"]
+    )
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3162,6 +3181,7 @@ QUERIES = {
     "q_audio_snr": q_audio_snr,
     "q_audio_defects": q_audio_defects,
     "q_compression_quality": q_compression_quality,
+    "q_audio_windows": q_audio_windows,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

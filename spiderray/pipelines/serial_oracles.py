@@ -855,6 +855,17 @@ def so_compression_quality(sf_dir: str) -> pa.Table:
     )
 
 
+def so_audio_windows(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import WindowChunkActor
+
+    out = WindowChunkActor(PipelineConfig(), win_ms=100, hop_ms=50,
+                           min_tail_ms=30, emit_audio=False)(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "win_idx", "start_ms", "end_ms", "dur_ms", "win_rms"]
+    )
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1126,6 +1137,7 @@ SERIAL_ORACLES = {
     "q_audio_snr": so_audio_snr,
     "q_audio_defects": so_audio_defects,
     "q_compression_quality": so_compression_quality,
+    "q_audio_windows": so_audio_windows,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

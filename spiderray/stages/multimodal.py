@@ -784,3 +784,97 @@ def gapped_clips_batch(batch: pa.Table, lead_ms: int = 100,
                              pa.array(out_b, pa.binary()))
     return batch.set_column(batch.column_names.index("codec"), "codec",
                             pa.array(out_c, pa.string()))
+
+
+class WindowChunkActor:
+    """Actor-pool explode stage: decode → fixed-length analysis windows
+    with overlap (the Whisper-style ASR batching cut: win_ms windows every
+    hop_ms, the final partial window kept if ≥ min_tail_ms) → one OUTPUT
+    ROW PER WINDOW.  Complements VadSegmentActor: VAD cuts at silence,
+    this cuts on the clock — the right shape when a downstream model has a
+    fixed receptive field regardless of content.
+
+    Output columns: clip_id, win_idx, start_ms, end_ms, dur_ms, win_rms
+    (+ bytes/sr_hz/codec for the window audio when emit_audio=True;
+    windows re-encode pcm16)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 win_ms: int = 30_000, hop_ms: int | None = None,
+                 min_tail_ms: int = 1_000, emit_audio: bool = True):
+        if hop_ms is not None and hop_ms <= 0:
+            raise ValueError("hop_ms must be positive")
+        self.cfg = cfg or PipelineConfig()
+        self.win_ms = int(win_ms)
+        self.hop_ms = int(hop_ms) if hop_ms is not None else int(win_ms)
+        self.min_tail_ms = int(min_tail_ms)
+        self.emit_audio = emit_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out = {k: [] for k in ("clip_id", "win_idx", "start_ms", "end_ms",
+                               "dur_ms", "win_rms")}
+        w_bytes, w_sr = [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            sr = int(sr or 0)
+            if sr <= 0 or len(pcm) == 0:
+                continue
+            wlen = max(int(sr * self.win_ms / 1000), 1)
+            hop = max(int(sr * self.hop_ms / 1000), 1)
+            tail_min = int(sr * self.min_tail_ms / 1000)
+            k = 0
+            for s in range(0, len(pcm), hop):
+                w = pcm[s : s + wlen]
+                if s > 0 and len(w) < max(tail_min, 1):
+                    break
+                out["clip_id"].append(cid)
+                out["win_idx"].append(k)
+                out["start_ms"].append(int(s * 1000 / sr))
+                out["end_ms"].append(int((s + len(w)) * 1000 / sr))
+                out["dur_ms"].append(int(len(w) * 1000 / sr))
+                out["win_rms"].append(
+                    float(np.sqrt(np.mean(w.astype(np.float64) ** 2))))
+                if self.emit_audio:
+                    w_bytes.append(_encode_pcm16(w))
+                    w_sr.append(sr)
+                k += 1
+                if s + wlen >= len(pcm):
+                    break
+        cols = {
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "win_idx": pa.array(out["win_idx"], pa.int32()),
+            "start_ms": pa.array(out["start_ms"], pa.int32()),
+            "end_ms": pa.array(out["end_ms"], pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], pa.int32()),
+            "win_rms": pa.array(out["win_rms"], pa.float32()),
+        }
+        if self.emit_audio:
+            cols["bytes"] = pa.array(w_bytes, pa.binary())
+            cols["sr_hz"] = pa.array(w_sr, pa.int32())
+            cols["codec"] = pa.array(["pcm_s16le"] * len(w_sr), pa.string())
+        return pa.table(cols)
+
+
+def window_chunk_stage(ds, cfg: PipelineConfig, win_ms: int = 30_000,
+                       hop_ms: int | None = None, min_tail_ms: int = 1_000,
+                       emit_audio: bool = True,
+                       concurrency: int | tuple[int, int] = 4):
+    """Explode clips into fixed windows (one row per window); streaming —
+    a clip's windows are produced inside the batch that carries it."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        WindowChunkActor,
+        fn_constructor_args=(cfg, win_ms, hop_ms, min_tail_ms, emit_audio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

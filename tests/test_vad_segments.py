@@ -108,3 +108,42 @@ def test_stage_runs_distributed(ray_session):
     serial = serial.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
     assert out.equals(serial)
     assert (out.groupby("clip_id").size() == 2).all()
+
+
+class TestWindowChunks:
+    def test_window_math_exact(self):
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import WindowChunkActor, _encode_pcm16
+
+        sr = 16000
+        pcm = np.full(sr, 0.25, dtype=np.float32)  # exactly 1000 ms
+        batch = pa.table({"clip_id": ["c"], "bytes": [_encode_pcm16(pcm)],
+                          "codec": ["pcm_s16le"], "sr_hz": [sr]})
+        out = WindowChunkActor(PipelineConfig(), win_ms=300, hop_ms=200,
+                               min_tail_ms=100, emit_audio=True)(batch).to_pandas()
+        # windows at 0,200,400,600,800 ms; the 800 ms one is a 200 ms tail
+        assert list(out["start_ms"]) == [0, 200, 400, 600, 800]
+        assert list(out["dur_ms"]) == [300, 300, 300, 300, 200]
+        assert (out["win_rms"].to_numpy() > 0.24).all()
+        # emitted audio decodes back to the window lengths
+        from spiderray.stages.multimodal import _decode_one
+        lens = [len(_decode_one(b, "pcm_s16le")) for b in out["bytes"]]
+        assert lens == [4800, 4800, 4800, 4800, 3200]
+
+    def test_short_tail_dropped_and_undecodable_skipped(self):
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import WindowChunkActor, _encode_pcm16
+
+        sr = 8000
+        pcm = np.full(int(sr * 0.45), 0.2, dtype=np.float32)  # 450 ms
+        batch = pa.table({
+            "clip_id": ["a", "b"],
+            "bytes": [_encode_pcm16(pcm), b"zz"],
+            "codec": ["pcm_s16le", "opus"],
+            "sr_hz": [sr, sr],
+        })
+        out = WindowChunkActor(PipelineConfig(), win_ms=200, hop_ms=200,
+                               min_tail_ms=100, emit_audio=False)(batch).to_pandas()
+        # 0-200, 200-400 kept; the 50 ms tail at 400 dropped; opus skipped
+        assert list(out["clip_id"]) == ["a", "a"]
+        assert list(out["dur_ms"]) == [200, 200]
