@@ -3067,6 +3067,44 @@ FROM s ORDER BY doc_id
 SQL_PACK_CHUNKS = SQL_PACK_CHUNKS.replace("{WS}", _sql_ws_tokens("text"))
 
 
+def q_profile_columns(sf_dir: str):
+    """Data-quality column profile (stages/stats.profile_columns): per
+    column n / nulls / exact distinct / lexical min-max (explicit
+    cast-to-string so both sides state the same comparison); per-batch
+    pre-dedup bounds the shuffle at distinct-values × blocks."""
+    from ..stages.stats import profile_columns
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_columns(ds, ["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_PROFILE_COLUMNS = """
+SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       min(CAST(doc_id AS VARCHAR)) AS min_v,
+       max(CAST(doc_id AS VARCHAR)) AS max_v FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+FROM documents
+ORDER BY "column"
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature (alpha=0.5) language rebalancing
     (stages/stats.temperature_resample): keep rate per lang is
@@ -3219,6 +3257,7 @@ QUERIES = {
     "q_pack_chunks": q_pack_chunks,
     "q_temperature_resample": q_temperature_resample,
     "q_domain_cap": q_domain_cap,
+    "q_profile_columns": q_profile_columns,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3274,6 +3313,7 @@ ORACLE_SQL = {
     "q_pack_chunks": SQL_PACK_CHUNKS,
     "q_temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "q_domain_cap": SQL_DOMAIN_CAP,
+    "q_profile_columns": SQL_PROFILE_COLUMNS,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -576,3 +576,71 @@ def temperature_resample(ds, key_col: str, id_col: str, alpha: float = 0.5,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def profile_columns(ds, columns: list[str]):
+    """Data-quality profile: one row per column with (n, n_null,
+    n_distinct, min_v, max_v), values compared AS STRINGS (the cast is
+    explicit so the SQL twin states the same lexical min/max).
+
+    Scale shape: per-batch partials pre-deduplicate values (a block
+    contributes each distinct (column, value) once) and pre-aggregate
+    row/null counts, so the value shuffle is O(Σ per-column distinct ×
+    blocks) and the count shuffle is O(columns × blocks); nothing
+    row-count-sized moves or lands on the driver.  Returns a small
+    Dataset (#columns rows)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial_vals(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in columns:
+            col = batch.column(c)
+            s = pc.cast(col, pa.string())
+            arr = s.to_numpy(zero_copy_only=False)
+            arr = np.unique(arr[pc.is_valid(s).to_numpy(zero_copy_only=False)])
+            names.extend([c] * len(arr))
+            vals.extend(arr.tolist())
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "v": pa.array(vals, pa.string())})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = batch.column(c)
+            n_null = int(pc.sum(pc.is_null(col)).as_py() or 0)
+            rows.append((c, len(batch), n_null))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    # distinct (column, value) pairs, then per-column distinct count + range
+    pairs = (
+        ds.map_batches(partial_vals, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column", "v"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+    ranges = (
+        pairs.groupby("column")
+        .aggregate(Count(alias_name="n_distinct"),
+                   Min("v", alias_name="min_v"),
+                   Max("v", alias_name="max_v"))
+        .to_pandas()
+    )
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
+        .to_pandas()
+    )
+    out = counts.merge(ranges, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    import ray
+
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out[["column", "n", "n_null", "n_distinct", "min_v", "max_v"]],
+        preserve_index=False,
+    ))

@@ -1418,3 +1418,25 @@ class TestPrepareCorpusNewSteps:
         # already-dropped rows never get their reason overwritten
         pre = out[(~out.keep) & (out.drop_reason != "resampled")]
         assert (pre.drop_reason != "").all()
+
+
+class TestProfileColumns:
+    def test_profile_with_nulls_and_types(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import profile_columns
+
+        df = pd.DataFrame({
+            "id": np.arange(100, dtype=np.int64),
+            "k": pd.array(["a", "b", None, "c"] * 25, dtype="string"),
+            "v": np.arange(100, dtype=np.int64) % 7,
+        })
+        out = profile_columns(rd.from_pandas(df).repartition(5),
+                              ["id", "k", "v"]).to_pandas().set_index("column")
+        assert out.loc["id", "n"] == 100 and out.loc["id", "n_null"] == 0
+        assert out.loc["id", "n_distinct"] == 100
+        # lexical min/max on the string cast: "0" < "99" but max is "99"
+        assert out.loc["id", "min_v"] == "0" and out.loc["id", "max_v"] == "99"
+        assert out.loc["k", "n_null"] == 25 and out.loc["k", "n_distinct"] == 3
+        assert out.loc["k", "min_v"] == "a" and out.loc["k", "max_v"] == "c"
+        assert out.loc["v", "n_distinct"] == 7
