@@ -3105,6 +3105,46 @@ ORDER BY "column"
 """
 
 
+def q_event_outliers(sf_dir: str):
+    """Per-event-type z-score outliers (stages/stats.grouped_outliers):
+    values quantized to milli-units, exact integer sufficient statistics
+    through one #groups-sized shuffle, then bit-deterministic double
+    arithmetic — the SQL twin states the identical integer sums and op
+    sequence, so even the z boundary decisions match exactly."""
+    from ..stages.stats import grouped_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_outliers(ds, "event_type", "value", ["event_id"],
+                           z_thresh=3.0, scale=1000)
+    return out.select_columns(["event_id", "event_type", "v_int", "z_micro"])
+
+
+SQL_EVENT_OUTLIERS = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(vi) AS BIGINT) AS DOUBLE) AS sv,
+         CAST(CAST(sum(vi * vi) AS BIGINT) AS DOUBLE) AS ss
+  FROM q GROUP BY event_type
+), m AS (
+  SELECT event_type, sv / n AS mean_vi,
+         sqrt(greatest(ss / n - (sv / n) * (sv / n), 0)) AS sd_vi
+  FROM s
+)
+SELECT q.event_id, q.event_type, q.vi AS v_int,
+       CAST(floor(((CAST(q.vi AS DOUBLE) - m.mean_vi) / m.sd_vi) * 1000000
+                  + 0.5) AS BIGINT) AS z_micro
+FROM q JOIN m USING (event_type)
+WHERE m.sd_vi > 0
+  AND abs((CAST(q.vi AS DOUBLE) - m.mean_vi) / m.sd_vi) > 3
+ORDER BY event_id
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature (alpha=0.5) language rebalancing
     (stages/stats.temperature_resample): keep rate per lang is
@@ -3258,6 +3298,7 @@ QUERIES = {
     "q_temperature_resample": q_temperature_resample,
     "q_domain_cap": q_domain_cap,
     "q_profile_columns": q_profile_columns,
+    "q_event_outliers": q_event_outliers,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3314,6 +3355,7 @@ ORACLE_SQL = {
     "q_temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "q_domain_cap": SQL_DOMAIN_CAP,
     "q_profile_columns": SQL_PROFILE_COLUMNS,
+    "q_event_outliers": SQL_EVENT_OUTLIERS,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

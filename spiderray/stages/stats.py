@@ -644,3 +644,76 @@ def profile_columns(ds, columns: list[str]):
         out[["column", "n", "n_null", "n_distinct", "min_v", "max_v"]],
         preserve_index=False,
     ))
+
+
+def grouped_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
+                     z_thresh: float = 3.0, scale: int = 1000):
+    """Per-group z-score outliers with BIT-DETERMINISTIC statistics: values
+    quantize to ``scale`` units (int64), per-batch partial (n, Σv, Σv²)
+    integer sums merge exactly through one #groups-sized shuffle, and the
+    mean/std/z arithmetic then uses only IEEE-correctly-rounded double ops
+    in a fixed order — so an independent SQL implementation stating the
+    same integer sums and the same op sequence reproduces every z bit-for-
+    bit (float summation order, the usual distributed-stddev
+    nondeterminism, never enters).  Σv² must fit int64: |v|·scale ≤ ~3e9
+    per value at 10^12 rows; raise ``scale`` awareness accordingly.
+
+    Returns rows whose |z| > z_thresh: (*id_cols, group, v_int, z_micro)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vi = np.floor(v * scale + 0.5).astype(np.int64)
+        return batch.append_column("__vi", pa.array(vi))
+
+    quanted = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(zero_copy_only=False),
+            "vi": batch.column("__vi").to_numpy(zero_copy_only=False),
+        })
+        df["vi2"] = df["vi"] * df["vi"]
+        g = df.groupby(group_col, as_index=False).agg(
+            n=("vi", "size"), s=("vi", "sum"), ss=("vi2", "sum"))
+        return pa_from_pandas(g)
+
+    stats = (
+        quanted.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .to_pandas()  # #groups rows
+    )
+    params = {}
+    for _, r in stats.iterrows():
+        n = float(int(r["n"]))
+        s = float(int(r["s"]))       # exact int → correctly-rounded double
+        ss = float(int(r["ss"]))
+        mean = s / n
+        sd = float(np.sqrt(max(ss / n - mean * mean, 0.0)))
+        params[r[group_col]] = (mean, sd)
+    p_ref = ray.put(params)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = _ray.get(p_ref)
+        keys = batch.column(group_col).to_pylist()
+        vi = batch.column("__vi").to_numpy(zero_copy_only=False)
+        mean = np.array([p[k][0] for k in keys])
+        sd = np.array([p[k][1] for k in keys])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (vi.astype(np.float64) - mean) / sd, 0.0)
+        keep = (sd > 0) & (np.abs(z) > z_thresh)
+        out = batch.select(id_cols + [group_col]).filter(pa.array(keep))
+        out = out.append_column(
+            "v_int", pa.array(vi[keep].astype(np.int64)))
+        return out.append_column(
+            "z_micro",
+            pa.array(np.floor(z[keep] * 1e6 + 0.5).astype(np.int64)))
+
+    return quanted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

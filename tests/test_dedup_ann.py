@@ -1440,3 +1440,38 @@ class TestProfileColumns:
         assert out.loc["k", "n_null"] == 25 and out.loc["k", "n_distinct"] == 3
         assert out.loc["k", "min_v"] == "a" and out.loc["k", "max_v"] == "c"
         assert out.loc["v", "n_distinct"] == 7
+
+
+class TestGroupedOutliers:
+    def test_flags_planted_outliers_bit_deterministically(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_outliers
+
+        rng = np.random.default_rng(17)
+        vals = rng.normal(50, 5, size=4000)
+        vals[[10, 500, 2222]] = [500.0, -400.0, 999.0]  # way outside
+        df = pd.DataFrame({"event_id": np.arange(4000),
+                           "g": np.array(["a", "b"] * 2000, dtype=object),
+                           "value": vals})
+        out = grouped_outliers(rd.from_pandas(df).repartition(6), "g",
+                               "value", ["event_id"]).to_pandas()
+        assert {10, 500, 2222} <= set(out["event_id"])
+        # identical output (incl. z_micro bits) on another partitioning
+        out2 = grouped_outliers(rd.from_pandas(df).repartition(13), "g",
+                                "value", ["event_id"]).to_pandas()
+        a = out.sort_values("event_id").reset_index(drop=True)
+        b = out2.sort_values("event_id").reset_index(drop=True)
+        assert a[["event_id", "v_int", "z_micro"]].values.tolist() == \
+            b[["event_id", "v_int", "z_micro"]].values.tolist()
+
+    def test_constant_group_flags_nothing(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_outliers
+
+        df = pd.DataFrame({"event_id": np.arange(100),
+                           "g": ["c"] * 100, "value": [7.25] * 100})
+        out = grouped_outliers(rd.from_pandas(df), "g", "value",
+                               ["event_id"]).to_pandas()
+        assert len(out) == 0  # sd == 0 → no z, no division blowup
