@@ -90,6 +90,9 @@ def run_queries() -> dict[str, float]:
         ("q_decontaminate", q.q_decontaminate),
         ("q_gopher_quality", q.q_gopher_quality),
         ("q_c4_span_dedup", q.q_c4_span_dedup),
+        ("q_heavy_hitters", q.q_heavy_hitters),
+        ("q_pack_chunks", q.q_pack_chunks),
+        ("q_event_outliers", q.q_event_outliers),
     ]
     import ray.data
 

@@ -1532,6 +1532,25 @@ def q_audio_windows(sf_dir: str):
     )
 
 
+def q_audio_augment(sf_dir: str):
+    """Deterministic waveform augmentation
+    (stages/multimodal.AudioAugmentActor): per-clip gain jitter + time
+    masks derived from an md5 chain on (clip_id, salt) — reproducible,
+    partition-independent, one epoch per salt.  Audit columns only here;
+    the audio itself re-encodes pcm16 in the stage (fixture oracle — same
+    per-row bank applied serially)."""
+    _ensure_fixture("q_audio_augment", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_augment_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = audio_augment_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "gain_milli", "n_masks", "masked_ms", "out_rms"]
+    )
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3260,6 +3279,7 @@ QUERIES = {
     "q_audio_defects": q_audio_defects,
     "q_compression_quality": q_compression_quality,
     "q_audio_windows": q_audio_windows,
+    "q_audio_augment": q_audio_augment,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

@@ -866,6 +866,16 @@ def so_audio_windows(sf_dir: str) -> pa.Table:
     )
 
 
+def so_audio_augment(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioAugmentActor
+
+    out = AudioAugmentActor(PipelineConfig(), salt="e1")(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "aug_ok", "gain_milli", "n_masks", "masked_ms", "out_rms"]
+    )
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1138,6 +1148,7 @@ SERIAL_ORACLES = {
     "q_audio_defects": so_audio_defects,
     "q_compression_quality": so_compression_quality,
     "q_audio_windows": so_audio_windows,
+    "q_audio_augment": so_audio_augment,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

@@ -878,3 +878,113 @@ def window_chunk_stage(ds, cfg: PipelineConfig, win_ms: int = 30_000,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class AudioAugmentActor:
+    """Actor-pool training-augmentation stage (the SpecAugment-adjacent
+    waveform policy): decode → per-clip DETERMINISTIC gain jitter + time
+    masking → re-encode pcm16.  All randomness derives from an md5 chain
+    keyed on (clip_id, salt) — no RNG state, so the augmentation is
+    order-independent, partition-independent and reproducible on resume
+    (the same properties train_test_split gets from its hash bucket);
+    changing ``salt`` yields a fresh epoch of augmentations.
+
+    Emits bytes/sr_hz/codec (pcm16) + audit columns: aug_ok, gain_milli,
+    n_masks, masked_ms, out_rms.  Undecodable clips pass through with
+    aug_ok=False."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 gain_range: tuple[float, float] = (0.6, 1.4),
+                 max_masks: int = 3, max_mask_ms: int = 60):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.gain_lo, self.gain_hi = gain_range
+        self.max_masks = int(max_masks)
+        self.max_mask_ms = int(max_mask_ms)
+
+    def _params(self, cid: str, n_samples: int, sr: int):
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:{self.salt}".encode()).digest()
+        gain = self.gain_lo + (int.from_bytes(d[0:2], "big") / 65535.0) \
+            * (self.gain_hi - self.gain_lo)
+        n_masks = 1 + d[2] % self.max_masks
+        masks = []
+        max_len = max(int(sr * self.max_mask_ms / 1000), 1)
+        for k in range(n_masks):
+            dk = hashlib.md5(d + bytes([k])).digest()
+            start = int.from_bytes(dk[0:4], "big") % max(n_samples, 1)
+            length = 1 + int.from_bytes(dk[4:6], "big") % max_len
+            masks.append((start, min(start + length, n_samples)))
+        return gain, masks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_sr, out_codec = [], [], []
+        ok, gains, n_masks_c, masked_ms, out_rms = [], [], [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_sr.append(sr)
+                out_codec.append(codec)
+                ok.append(False)
+                gains.append(0)
+                n_masks_c.append(0)
+                masked_ms.append(0)
+                out_rms.append(0.0)
+                continue
+            gain, masks = self._params(str(cid), len(pcm), sr)
+            x = np.clip(pcm.astype(np.float32) * np.float32(gain), -1.0, 1.0)
+            covered = np.zeros(len(x), dtype=bool)
+            for s, e in masks:
+                x[s:e] = 0.0
+                covered[s:e] = True
+            out_bytes.append(_encode_pcm16(x))
+            out_sr.append(sr)
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            gains.append(int(np.floor(gain * 1000 + 0.5)))
+            n_masks_c.append(len(masks))
+            masked_ms.append(int(covered.sum() * 1000 / sr))
+            out_rms.append(float(np.sqrt(np.mean(x.astype(np.float64) ** 2))))
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index("sr_hz"), "sr_hz",
+                                 pa.array(out_sr, pa.int32()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("gain_milli", pa.array(gains, pa.int32()))
+        batch = batch.append_column("n_masks", pa.array(n_masks_c, pa.int32()))
+        batch = batch.append_column("masked_ms", pa.array(masked_ms, pa.int32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def audio_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
+                        gain_range: tuple[float, float] = (0.6, 1.4),
+                        max_masks: int = 3, max_mask_ms: int = 60,
+                        concurrency: int | tuple[int, int] = 4):
+    """Deterministic waveform augmentation (gain jitter + time masks keyed
+    on clip id + salt); one epoch per salt value."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioAugmentActor,
+        fn_constructor_args=(cfg, salt, gain_range, max_masks, max_mask_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

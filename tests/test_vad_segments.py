@@ -147,3 +147,49 @@ class TestWindowChunks:
         # 0-200, 200-400 kept; the 50 ms tail at 400 dropped; opus skipped
         assert list(out["clip_id"]) == ["a", "a"]
         assert list(out["dur_ms"]) == [200, 200]
+
+
+class TestAudioAugment:
+    def _batch(self, sr=16000):
+        from spiderray.stages.multimodal import _encode_pcm16
+        t = np.arange(sr) / sr
+        pcm = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        return pa.table({"clip_id": ["c1", "c2"],
+                         "bytes": [_encode_pcm16(pcm)] * 2,
+                         "codec": ["pcm_s16le", "pcm_s16le"],
+                         "sr_hz": [sr, sr]})
+
+    def test_deterministic_per_salt(self):
+        from spiderray.stages.multimodal import AudioAugmentActor
+
+        a = AudioAugmentActor(PipelineConfig(), salt="s")(self._batch()).to_pandas()
+        b = AudioAugmentActor(PipelineConfig(), salt="s")(self._batch()).to_pandas()
+        assert a[["gain_milli", "n_masks", "masked_ms"]].values.tolist() == \
+            b[["gain_milli", "n_masks", "masked_ms"]].values.tolist()
+        # a different salt is a different epoch
+        c = AudioAugmentActor(PipelineConfig(), salt="t")(self._batch()).to_pandas()
+        assert a[["gain_milli", "masked_ms"]].values.tolist() != \
+            c[["gain_milli", "masked_ms"]].values.tolist()
+        # and different clips draw different params under one salt
+        assert a.loc[0, "gain_milli"] != a.loc[1, "gain_milli"] or \
+            a.loc[0, "masked_ms"] != a.loc[1, "masked_ms"]
+
+    def test_masks_actually_zero_audio(self):
+        from spiderray.stages.multimodal import AudioAugmentActor, _decode_one
+
+        out = AudioAugmentActor(PipelineConfig(), salt="s")(self._batch())
+        df = out.to_pandas()
+        pcm = _decode_one(df.loc[0, "bytes"], "pcm_s16le")
+        n_zero = int((pcm == 0).sum())
+        sr = 16000
+        assert n_zero >= int(df.loc[0, "masked_ms"] * sr / 1000) - 2
+        assert bool(df.loc[0, "aug_ok"])
+
+    def test_undecodable_passthrough(self):
+        from spiderray.stages.multimodal import AudioAugmentActor
+
+        batch = pa.table({"clip_id": ["x"], "bytes": [b"zz"],
+                          "codec": ["opus"], "sr_hz": [16000]})
+        df = AudioAugmentActor(PipelineConfig())(batch).to_pandas()
+        assert not bool(df.loc[0, "aug_ok"])
+        assert df.loc[0, "bytes"] == b"zz" and df.loc[0, "codec"] == "opus"
