@@ -665,6 +665,13 @@ def grouped_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
     def quant(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
         vi = np.floor(v * scale + 0.5).astype(np.int64)
+        if len(vi) and int(np.abs(vi).max()) > 3_037_000_499:
+            # sqrt(int64 max): one vi² would already wrap silently
+            raise OverflowError(
+                f"grouped_outliers: |value|·scale exceeds {3_037_000_499} "
+                f"(max seen {int(np.abs(vi).max())}) — Σv² would overflow "
+                "int64 and corrupt the statistics silently.  Lower `scale`."
+            )
         return batch.append_column("__vi", pa.array(vi))
 
     quanted = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)

@@ -221,8 +221,10 @@ def global_scan(ds, order_col: str, size_col: str, out_col: str = "offset",
     (order, size) projection is materialized so the sampling and
     bucket-total passes don't re-execute the caller's upstream chain — it
     is ~16 B/row in the object store (spillable), ~1000× smaller than a
-    text corpus; the full input itself is consumed exactly once, by the
-    final bucket shuffle."""
+    text corpus.  The upstream chain therefore executes twice end-to-end
+    (once column-pruned for the slim projection, once full-width for the
+    final bucket shuffle) — the standard price of a sampled range
+    partition; materialize upstream first if it is expensive."""
     import ray
     from ray.data.aggregate import Sum
 

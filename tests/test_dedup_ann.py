@@ -1475,3 +1475,16 @@ class TestGroupedOutliers:
         out = grouped_outliers(rd.from_pandas(df), "g", "value",
                                ["event_id"]).to_pandas()
         assert len(out) == 0  # sd == 0 → no z, no division blowup
+
+
+class TestGroupedOutliersOverflowGuard:
+    def test_oversized_scale_raises(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_outliers
+
+        df = pd.DataFrame({"event_id": [1, 2], "g": ["a", "a"],
+                           "value": [4.0e9, 1.0]})
+        with pytest.raises(Exception, match="overflow|Overflow"):
+            grouped_outliers(rd.from_pandas(df), "g", "value",
+                             ["event_id"], scale=1000).to_pandas()
