@@ -1551,6 +1551,22 @@ def q_audio_augment(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed integer PageRank over the deterministic synthetic link
+    graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
+    bucketed join + keyed groupby-Sum, all arithmetic int64 micro-units —
+    bit-identical under any partitioning, so the serial dict twin is an
+    exact fixture oracle.  The spider-domain authority score over the
+    harvested link graph."""
+    _ensure_fixture("q_pagerank", sf_dir)
+    from ..stages.graph import pagerank_edges_batch, pagerank_int
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = ds.map_batches(pagerank_edges_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_int(edges).select_columns(["node", "rank"])
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3280,6 +3296,7 @@ QUERIES = {
     "q_compression_quality": q_compression_quality,
     "q_audio_windows": q_audio_windows,
     "q_audio_augment": q_audio_augment,
+    "q_pagerank": q_pagerank,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

@@ -876,6 +876,16 @@ def so_audio_augment(sf_dir: str) -> pa.Table:
     )
 
 
+def so_pagerank(sf_dir: str) -> pa.Table:
+    from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
+
+    ids = _docs(sf_dir, columns=("doc_id",)).column("doc_id").to_pylist()
+    ranks = serial_pagerank_int(pagerank_edge_pairs(ids))
+    nodes = sorted(ranks)
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "rank": pa.array([ranks[n] for n in nodes], pa.int64())})
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1149,6 +1159,7 @@ SERIAL_ORACLES = {
     "q_compression_quality": so_compression_quality,
     "q_audio_windows": so_audio_windows,
     "q_audio_augment": so_audio_augment,
+    "q_pagerank": so_pagerank,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

@@ -1,0 +1,169 @@
+"""Link-graph authority scoring: distributed PageRank with INTEGER
+micro-unit arithmetic.
+
+go-pkg-spider's domain is the web link graph (extract/link.go harvests it;
+SURVEY.md §2.4/§3.2 classify it); PageRank is the canonical "which pages
+matter" aggregate over exactly that data.  Ray Data has no graph engine —
+the iteration is expressed as the join/groupby exchanges it actually is:
+
+    per iteration:  edges(+out-degree) ⋈ ranks on src   (bucketed join)
+                    → contribution = rank // out_degree  (exact int)
+                    → groupby(dst).Sum                   (exact int)
+                    → rank' = teleport + damping·sum//100
+
+Every operation is int64 — no float summation order anywhere — so the
+result is bit-identical under any partitioning, batch composition or
+execution order, and a serial dict implementation (the fixture oracle)
+reproduces it exactly.  Mass bookkeeping: integer floor division sheds
+< out_degree micro-units per node per iteration and dangling nodes shed
+their full rank (both documented, both deterministic); with base = 1e9
+micro-units per node the shed mass is ≤ ppm-scale and the per-dst sums
+stay far inside int64 for graphs up to ~1e9 nodes.
+
+Scale shape: ranks and edges stay Datasets end-to-end (nothing node- or
+edge-sized lands on the driver); each iteration is one bucketed join +
+one keyed groupby — the irreducible PageRank exchange; ranks materialize
+per iteration to truncate lineage (re-execution would otherwise replay
+every prior iteration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BASE_RANK = 1_000_000_000  # micro-units per node
+DAMPING_PCT = 85           # 0.85, as an integer percentage
+
+
+def _distinct_nodes(edges, src_col: str, dst_col: str):
+    """Distinct node ids from both edge endpoints — one groupby over
+    (endpoint) rows, pre-deduped per batch."""
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_numpy(zero_copy_only=False)
+        b = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([a, b]))
+        return pa.table({"node": pa.array(u.astype(object), pa.string())})
+
+    return (
+        edges.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+
+
+def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
+                 iterations: int = 5, base: int = BASE_RANK,
+                 damping_pct: int = DAMPING_PCT, num_buckets: int = 32):
+    """Fixed-iteration integer PageRank.  Returns a Dataset of
+    (node, rank) with ranks in micro-units (initial mass ``base`` per
+    node, teleport share (100-damping_pct)% of base).  Parallel edges
+    count as distinct votes; self-loops participate normally; dangling
+    nodes keep receiving teleport but forward nothing."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import bucketed_join
+
+    teleport = (100 - damping_pct) * base // 100
+
+    # out-degree attached to edges ONCE (degree counts parallel edges)
+    deg = (
+        edges.groupby(src_col)
+        .aggregate(Count(alias_name="outdeg"))
+    )
+    edges_deg = bucketed_join(
+        edges.select_columns([src_col, dst_col]),
+        deg.rename_columns({src_col: "__dsrc"}),
+        on=src_col, right_on="__dsrc", num_buckets=num_buckets,
+    ).select_columns([src_col, dst_col, "outdeg"]).materialize()
+
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, base, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iterations):
+        joined = bucketed_join(
+            edges_deg,
+            ranks.rename_columns({"node": "__rsrc"}),
+            on=src_col, right_on="__rsrc", num_buckets=num_buckets,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            d = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": batch.column(dst_col),
+                "c": pa.array((r // d).astype(np.int64)),
+            })
+
+        contribs = joined.map_batches(contrib, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        # union zero rows so teleport-only nodes (no in-edges) survive
+        zeros = nodes.map_batches(
+            lambda t: t.append_column(
+                "c", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        insum = (
+            contribs.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="in_c"))
+        )
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = batch.column("in_c").to_numpy(zero_copy_only=False)
+            rank = teleport + (damping_pct * s) // 100
+            return pa.table({"node": batch.column("node"),
+                             "rank": pa.array(rank.astype(np.int64))})
+
+        ranks = insum.map_batches(apply_rank, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    return ranks
+
+
+def serial_pagerank_int(edge_list, iterations: int = 5, base: int = BASE_RANK,
+                        damping_pct: int = DAMPING_PCT) -> dict[str, int]:
+    """Independent serial twin (dict arithmetic) — the fixture oracle.
+    Must match pagerank_int bit-for-bit on any graph."""
+    teleport = (100 - damping_pct) * base // 100
+    outdeg: dict[str, int] = {}
+    nodes: set[str] = set()
+    for s, d in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    ranks = {n: base for n in nodes}
+    for _ in range(iterations):
+        insum = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            insum[d] += ranks[s] // outdeg[s]
+        ranks = {n: teleport + (damping_pct * insum[n]) // 100 for n in nodes}
+    return ranks
+
+
+def pagerank_edge_pairs(ids) -> list[tuple[str, str]]:
+    """Deterministic synthetic link graph from document ids (200 core
+    nodes, a second modular ring every 3rd doc, a hub edge to n0 every
+    5th): parallel edges and dangling nodes both occur.  Pure function
+    shared by the distributed edge builder and the serial oracle."""
+    out = []
+    for i in ids:
+        s = f"n{i % 200}"
+        out.append((s, f"n{(i * 7 + 13) % 200}"))
+        if i % 3 == 0:
+            out.append((s, f"n{(i * 11 + 1) % 97}"))
+        if i % 5 == 0:
+            out.append((s, "n0"))
+    return out
+
+
+def pagerank_edges_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    pairs = pagerank_edge_pairs(batch.column(id_col).to_pylist())
+    return pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string()),
+    })

@@ -152,3 +152,48 @@ def test_near_dedup_no_pairs_is_identity(ray_session):
     ds = _docs_ds(5)
     out = dedup.near_dedup(ds, _pairs_ds([]), id_col="doc_id")
     assert sorted(out.to_pandas()["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+class TestPagerank:
+    def test_matches_serial_twin_bitwise(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.graph import (pagerank_edge_pairs, pagerank_int,
+                                            serial_pagerank_int)
+
+        pairs = pagerank_edge_pairs(range(300))
+        edges = rd.from_items([{"src": s, "dst": d} for s, d in pairs]
+                              ).repartition(5)
+        got = dict(pagerank_int(edges, num_buckets=8, iterations=3)
+                   .to_pandas().itertuples(index=False, name=None))
+        expect = serial_pagerank_int(pairs, iterations=3)
+        assert got == expect  # exact int equality, every node
+
+    def test_structure_sensible(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.graph import pagerank_int
+
+        # star: everyone links to hub; hub links to one spoke
+        rows = [{"src": f"s{i}", "dst": "hub"} for i in range(10)]
+        rows.append({"src": "hub", "dst": "s0"})
+        got = pagerank_int(rd.from_items(rows), num_buckets=4,
+                           iterations=4).to_pandas().set_index("node")["rank"]
+        # hub and s0 trade the mass (hub's single out-edge hands it all to
+        # s0 each round); both sit far above the teleport floor
+        assert got["hub"] > 10 * 150_000_000
+        assert got["s0"] > 10 * 150_000_000
+        # spokes without in-edges sit at pure teleport
+        assert got["s1"] == got["s2"] == 150_000_000
+
+    def test_dangling_and_self_loop(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.graph import pagerank_int, serial_pagerank_int
+
+        # b self-loops; d has no out-edges (dangling mass is shed)
+        pairs = [("a", "b"), ("b", "b"), ("c", "a"), ("x", "a"), ("a", "d")]
+        edges = rd.from_items([{"src": s, "dst": d} for s, d in pairs])
+        got = dict(pagerank_int(edges, num_buckets=4, iterations=3)
+                   .to_pandas().itertuples(index=False, name=None))
+        assert got == serial_pagerank_int(pairs, iterations=3)
