@@ -53,6 +53,17 @@ def _distinct_nodes(edges, src_col: str, dst_col: str):
     )
 
 
+def _rename_col(ds, old: str, new: str):
+    """Arrow-batch rename.  Dataset.rename_columns applies the Arrow method
+    name to whatever block format arrives — a pandas block (which groupby
+    aggregates emit at scale) raises AttributeError — so rename explicitly
+    in pyarrow format (reproduced here at the 300k-edge stress scale)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if c == old else c for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
                  iterations: int = 5, base: int = BASE_RANK,
                  damping_pct: int = DAMPING_PCT, num_buckets: int = 32):
@@ -74,7 +85,7 @@ def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
     )
     edges_deg = bucketed_join(
         edges.select_columns([src_col, dst_col]),
-        deg.rename_columns({src_col: "__dsrc"}),
+        _rename_col(deg, src_col, "__dsrc"),
         on=src_col, right_on="__dsrc", num_buckets=num_buckets,
     ).select_columns([src_col, dst_col, "outdeg"]).materialize()
 
@@ -88,7 +99,7 @@ def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
     for _ in range(iterations):
         joined = bucketed_join(
             edges_deg,
-            ranks.rename_columns({"node": "__rsrc"}),
+            _rename_col(ranks, "node", "__rsrc"),
             on=src_col, right_on="__rsrc", num_buckets=num_buckets,
         )
 

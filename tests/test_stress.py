@@ -271,3 +271,67 @@ class TestStressC4Decontam:
             expect = int((bench_grams[idx] == g).sum())
             assert out.loc[i, "overlap_grams"] == expect, i
         print(f"decontaminate 200k docs: {dt:.1f}s")
+
+
+class TestStressFourthContinuation:
+    def test_heavy_hitters_5m_items(self, ray_session):
+        """5M items over a 500k vocabulary (every batch compresses through
+        the MG sketch) with 30 planted heavies: exact recovery, nothing
+        vocabulary-sized on the driver."""
+        import ray.data as rd
+
+        from spiderray.stages.stats import heavy_hitters
+
+        rng = np.random.default_rng(23)
+        n = 5_000_000
+        base = rng.integers(0, 500_000, size=n)
+        hot = np.repeat(np.arange(30), 4000) + 1_000_000  # 30 × 4000 hits
+        vals = np.concatenate([base, hot])
+        rng.shuffle(vals)
+        df = pd.DataFrame({"v": vals.astype(np.int64)})
+        ds = rd.from_pandas(df).repartition(32)
+        out = heavy_hitters(ds, "v", min_count=3000, sketch_size=8192).to_pandas()
+        got = {int(i) for i in out["item"].astype(int)}
+        assert {1_000_000 + k for k in range(30)} <= got
+        # uniform base terms average 10 hits; none can reach 3000
+        assert all(int(i) >= 1_000_000 for i in got)
+        assert (out.set_index(out["item"].astype(int))["n"]
+                .loc[1_000_000] == 4000)
+
+    def test_global_scan_5m_rows(self, ray_session):
+        """5M-row global prefix sum matches the serial cumsum exactly —
+        bucket boundaries sampled, totals exchanged, per-bucket cumsum."""
+        import ray.data as rd
+
+        from spiderray.stages.windows import global_scan
+
+        rng = np.random.default_rng(29)
+        n = 5_000_000
+        ids = rng.permutation(n)
+        sizes = rng.integers(1, 600, size=n)
+        df = pd.DataFrame({"k": ids, "s": sizes})
+        out = global_scan(rd.from_pandas(df).repartition(32), "k", "s",
+                          n_buckets=64).to_pandas().sort_values("k")
+        ser = df.sort_values("k")
+        expect = np.concatenate([[0], np.cumsum(ser["s"].to_numpy())[:-1]])
+        assert (out["offset"].to_numpy() == expect).all()
+
+    def test_pagerank_300k_edges(self, ray_session):
+        """300k-edge multigraph (10k nodes): distributed == serial, bit
+        for bit, 3 iterations."""
+        import ray.data as rd
+
+        from spiderray.stages.graph import pagerank_int, serial_pagerank_int
+
+        rng = np.random.default_rng(31)
+        m = 300_000
+        src = rng.integers(0, 10_000, size=m)
+        dst = (src * 31 + rng.integers(0, 997, size=m)) % 10_000
+        pairs = [(f"n{a}", f"n{b}") for a, b in zip(src, dst)]
+        edges = rd.from_pandas(pd.DataFrame(
+            {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs]}
+        )).repartition(16)
+        got = dict(pagerank_int(edges, iterations=3, num_buckets=32)
+                   .to_pandas().itertuples(index=False, name=None))
+        expect = serial_pagerank_int(pairs, iterations=3)
+        assert got == expect
