@@ -1567,6 +1567,22 @@ def q_pagerank(sf_dir: str):
     return pagerank_int(edges).select_columns(["node", "rank"])
 
 
+def q_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the synthetic link graph
+    (stages/graph.hits_int) — the formal version of the reference's
+    hub-vs-content page distinction (linkdata G1-G3): per half-step one
+    bucketed join + keyed groupby + a single scalar max for integer
+    renormalization; exact-int arithmetic ⇒ serial twin is an exact
+    fixture oracle."""
+    _ensure_fixture("q_hits", sf_dir)
+    from ..stages.graph import hits_int, pagerank_edges_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = ds.map_batches(pagerank_edges_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return hits_int(edges).select_columns(["node", "hub", "auth"])
+
+
 def q_audio_fp_pairs(sf_dir: str):
     """Acoustic near-duplicate pairs via constellation landmark
     fingerprints (Wang 2003) over a note-melody corpus with planted twins
@@ -3297,6 +3313,7 @@ QUERIES = {
     "q_audio_windows": q_audio_windows,
     "q_audio_augment": q_audio_augment,
     "q_pagerank": q_pagerank,
+    "q_hits": q_hits,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_image_features": q_image_features,

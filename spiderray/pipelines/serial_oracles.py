@@ -886,6 +886,19 @@ def so_pagerank(sf_dir: str) -> pa.Table:
                      "rank": pa.array([ranks[n] for n in nodes], pa.int64())})
 
 
+def so_hits(sf_dir: str) -> pa.Table:
+    from ..stages.graph import pagerank_edge_pairs, serial_hits_int
+
+    ids = _docs(sf_dir, columns=("doc_id",)).column("doc_id").to_pylist()
+    scores = serial_hits_int(pagerank_edge_pairs(ids))
+    nodes = sorted(scores)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "hub": pa.array([scores[n][0] for n in nodes], pa.int64()),
+        "auth": pa.array([scores[n][1] for n in nodes], pa.int64()),
+    })
+
+
 def so_audio_fp_pairs(sf_dir: str) -> pa.Table:
     """Independent single-threaded constellation-fingerprint pair search
     (dict inverted index) over the note-melody corpus — not the distributed
@@ -1160,6 +1173,7 @@ SERIAL_ORACLES = {
     "q_audio_windows": so_audio_windows,
     "q_audio_augment": so_audio_augment,
     "q_pagerank": so_pagerank,
+    "q_hits": so_hits,
     "q_audio_fp_pairs": so_audio_fp_pairs,
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,

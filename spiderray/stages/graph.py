@@ -178,3 +178,130 @@ def pagerank_edges_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
         "src": pa.array([p[0] for p in pairs], pa.string()),
         "dst": pa.array([p[1] for p in pairs], pa.string()),
     })
+
+
+HITS_SCALE = 1_000_000_000
+
+
+def hits_int(edges, src_col: str = "src", dst_col: str = "dst",
+             iterations: int = 3, scale: int = HITS_SCALE,
+             num_buckets: int = 32):
+    """Kleinberg HITS (hubs & authorities) with integer arithmetic — the
+    formal version of go-pkg-spider's hub-vs-content page distinction
+    (extract/link.go's list-page heuristics, SURVEY §2.4 G1-G3).
+
+    Per iteration: auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v),
+    each renormalized to max = ``scale`` via integer ``raw·scale//max`` —
+    the only global coordination is one scalar max per half-step (a single
+    number on the driver, size-independent).  All arithmetic exact-int ⇒
+    bit-identical under any partitioning; serial dict twin is an exact
+    oracle.  Returns (node, hub, auth); nodes missing a side score 0.
+    Raw per-node sums are bounded by in-degree·scale — int64-safe to
+    ~9·10^9 in-edges per node at the default scale."""
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_join
+
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    e = edges.select_columns([src_col, dst_col]).materialize()
+
+    def const_col(ds, name, value):
+        return ds.map_batches(
+            lambda t: t.append_column(
+                name, pa.array(np.full(t.num_rows, value, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    hubs = const_col(nodes, "hub", scale).materialize()
+
+    def propagate(scores, score_col, join_on, emit_col):
+        """scores keyed by node joined to edges on ``join_on``; sums land
+        on the opposite endpoint ``emit_col`` → (node, raw)."""
+        joined = bucketed_join(
+            e, _rename_col(scores.select_columns(["node", score_col]),
+                           "node", "__jn"),
+            on=join_on, right_on="__jn", num_buckets=num_buckets,
+        )
+
+        def emit(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column(emit_col),
+                "raw": batch.column(score_col),
+            })
+
+        contribs = joined.map_batches(emit, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        zeros = nodes.map_batches(
+            lambda t: t.append_column(
+                "raw", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return (
+            contribs.union(zeros).groupby("node")
+            .aggregate(Sum("raw", alias_name="raw"))
+        )
+
+    def normalize(raw_ds, out_name):
+        mx = raw_ds.max("raw")  # one scalar on the driver
+        mx = int(mx if mx else 0)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            r = batch.column("raw").to_pylist()
+            # Python-int multiply: raw·scale reaches ~1e24 on hub nodes,
+            # which silently wraps in int64 numpy; the serial twin uses
+            # exact ints, so the engine must too (result ≤ scale fits)
+            val = [(int(x) * scale) // mx for x in r] if mx > 0 \
+                else [0] * len(r)
+            return pa.table({"node": batch.column("node"),
+                             out_name: pa.array(val, pa.int64())})
+
+        return raw_ds.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    auths = None
+    for _ in range(iterations):
+        auths = normalize(propagate(hubs, "hub", src_col, dst_col), "auth")
+        hubs = normalize(propagate(auths, "auth", dst_col, src_col), "hub")
+
+    out = bucketed_join(hubs, _rename_col(auths, "node", "__an"),
+                        on="node", right_on="__an", num_buckets=num_buckets)
+
+    import pyarrow.compute as pc
+
+    def cast_out(t: pa.Table) -> pa.Table:
+        # the pandas merge inside bucketed_join can promote int64 → float64
+        # (empty-bucket dtype degradation); values stay exact (≤ scale ≪
+        # 2^53) but the dtype-sensitive contract hash would not
+        return pa.table({
+            "node": pc.cast(t.column("node"), pa.string()),
+            "hub": pc.cast(t.column("hub"), pa.int64()),
+            "auth": pc.cast(t.column("auth"), pa.int64()),
+        })
+
+    return out.select_columns(["node", "hub", "auth"]).map_batches(
+        cast_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def serial_hits_int(edge_list, iterations: int = 3,
+                    scale: int = HITS_SCALE) -> dict[str, tuple[int, int]]:
+    """Serial dict twin of hits_int — must match bit-for-bit."""
+    nodes = set()
+    for s, d in edge_list:
+        nodes.add(s)
+        nodes.add(d)
+    hubs = {n: scale for n in nodes}
+    auths = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        raw_a = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            raw_a[d] += hubs[s]
+        mx = max(raw_a.values(), default=0)
+        auths = {n: (v * scale) // mx if mx > 0 else 0
+                 for n, v in raw_a.items()}
+        raw_h = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            raw_h[s] += auths[d]
+        mx = max(raw_h.values(), default=0)
+        hubs = {n: (v * scale) // mx if mx > 0 else 0
+                for n, v in raw_h.items()}
+    return {n: (hubs[n], auths[n]) for n in nodes}

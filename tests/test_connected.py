@@ -197,3 +197,37 @@ class TestPagerank:
         got = dict(pagerank_int(edges, num_buckets=4, iterations=3)
                    .to_pandas().itertuples(index=False, name=None))
         assert got == serial_pagerank_int(pairs, iterations=3)
+
+
+class TestHits:
+    def test_matches_serial_twin_bitwise(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.graph import (hits_int, pagerank_edge_pairs,
+                                            serial_hits_int)
+
+        pairs = pagerank_edge_pairs(range(120))
+        edges = rd.from_items([{"src": s, "dst": d} for s, d in pairs]
+                              ).repartition(3)
+        df = hits_int(edges, num_buckets=2, iterations=2).to_pandas()
+        assert str(df["hub"].dtype) == "int64" == str(df["auth"].dtype)
+        got = {r.node: (int(r.hub), int(r.auth))
+               for r in df.itertuples(index=False)}
+        assert got == serial_hits_int(pairs, iterations=2)
+
+    def test_bipartite_hub_authority_separation(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.graph import hits_int
+
+        # pure hubs h0-h3 each link every authority a0-a2
+        rows = [{"src": f"h{i}", "dst": f"a{j}"}
+                for i in range(4) for j in range(3)]
+        got = hits_int(rd.from_items(rows), num_buckets=2,
+                       iterations=2).to_pandas().set_index("node")
+        for i in range(4):
+            assert got.loc[f"h{i}", "hub"] == 1_000_000_000
+            assert got.loc[f"h{i}", "auth"] == 0
+        for j in range(3):
+            assert got.loc[f"a{j}", "auth"] == 1_000_000_000
+            assert got.loc[f"a{j}", "hub"] == 0
