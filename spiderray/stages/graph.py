@@ -66,17 +66,46 @@ def _rename_col(ds, old: str, new: str):
 
 def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
                  iterations: int = 5, base: int = BASE_RANK,
-                 damping_pct: int = DAMPING_PCT, num_buckets: int = 32):
+                 damping_pct: int = DAMPING_PCT, num_buckets: int = 32,
+                 checkpoint_dir: str | None = None):
     """Fixed-iteration integer PageRank.  Returns a Dataset of
     (node, rank) with ranks in micro-units (initial mass ``base`` per
     node, teleport share (100-damping_pct)% of base).  Parallel edges
     count as distinct votes; self-loops participate normally; dangling
-    nodes keep receiving teleport but forward nothing."""
+    nodes keep receiving teleport but forward nothing.
+
+    ``checkpoint_dir`` makes the iteration RESUMABLE: after each round the
+    rank table writes to ``<dir>/iter_<k>/`` (parquet) and an empty
+    ``_DONE`` marker promotes it; a rerun scans for the highest complete
+    round ≤ iterations and continues from it, so a job killed at round k
+    repeats no earlier round.  Because the arithmetic is bit-deterministic,
+    a resumed run is EXACTLY the uninterrupted run — tested, not assumed.
+    Stale later-round directories (from a longer previous run) are ignored
+    rather than trusted, and a partial directory without ``_DONE`` is
+    overwritten."""
+    import os
+    import shutil
+
+    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     from .joins import bucketed_join
 
     teleport = (100 - damping_pct) * base // 100
+
+    def _ckpt_path(k: int) -> str:
+        return os.path.join(checkpoint_dir, f"iter_{k:04d}")
+
+    start_iter = 0
+    resume_ranks = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for k in range(iterations, 0, -1):
+            p = _ckpt_path(k)
+            if os.path.exists(os.path.join(p, "_DONE")):
+                resume_ranks = rd.read_parquet(p)
+                start_iter = k
+                break
 
     # out-degree attached to edges ONCE (degree counts parallel edges)
     deg = (
@@ -90,13 +119,16 @@ def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
     ).select_columns([src_col, dst_col, "outdeg"]).materialize()
 
     nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
-    ranks = nodes.map_batches(
-        lambda t: t.append_column(
-            "rank", pa.array(np.full(t.num_rows, base, dtype=np.int64))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    if resume_ranks is not None:
+        ranks = resume_ranks.materialize()
+    else:
+        ranks = nodes.map_batches(
+            lambda t: t.append_column(
+                "rank", pa.array(np.full(t.num_rows, base, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
 
-    for _ in range(iterations):
+    for it in range(start_iter, iterations):
         joined = bucketed_join(
             edges_deg,
             _rename_col(ranks, "node", "__rsrc"),
@@ -104,11 +136,14 @@ def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
         )
 
         def contrib(batch: pa.Table) -> pa.Table:
-            r = batch.column("rank").to_numpy(zero_copy_only=False)
-            d = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            # cast defensively: the bucketed-join pandas merge can emit
+            # outdeg as float64 (empty-bucket dtype degradation) and a
+            # float floor-division would lose exactness past 2^53 mass
+            r = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({
                 "node": batch.column(dst_col),
-                "c": pa.array((r // d).astype(np.int64)),
+                "c": pa.array(r // d),
             })
 
         contribs = joined.map_batches(contrib, batch_format="pyarrow",
@@ -133,6 +168,13 @@ def pagerank_int(edges, src_col: str = "src", dst_col: str = "dst",
 
         ranks = insum.map_batches(apply_rank, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
+        if checkpoint_dir:
+            p = _ckpt_path(it + 1)
+            if os.path.isdir(p):  # partial from a killed run: replace
+                shutil.rmtree(p)
+            ranks.write_parquet(p)
+            with open(os.path.join(p, "_DONE"), "w"):
+                pass
     return ranks
 
 

@@ -231,3 +231,39 @@ class TestHits:
         for j in range(3):
             assert got.loc[f"a{j}", "auth"] == 1_000_000_000
             assert got.loc[f"a{j}", "hub"] == 0
+
+
+class TestPagerankCheckpoint:
+    def test_resume_equals_uninterrupted(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from spiderray.stages.graph import (pagerank_edge_pairs, pagerank_int,
+                                            serial_pagerank_int)
+
+        pairs = pagerank_edge_pairs(range(150))
+        def edges():
+            # repartition: from_items yields one-row blocks, and 255 blocks
+            # × per-op fixed cost turns a 30 s test into minutes
+            return rd.from_items([{"src": s, "dst": d} for s, d in pairs]
+                                 ).repartition(3)
+
+        ck = str(tmp_path / "pr")
+        # run 2 rounds with checkpointing (simulates a job killed after 2)
+        pagerank_int(edges(), iterations=2, num_buckets=2,
+                     checkpoint_dir=ck).to_pandas()
+        assert os.path.exists(os.path.join(ck, "iter_0002", "_DONE"))
+        # resumed 4-round run continues from round 2 and matches serial 4
+        got = dict(pagerank_int(edges(), iterations=4, num_buckets=2,
+                                checkpoint_dir=ck).to_pandas()
+                   .itertuples(index=False, name=None))
+        assert got == serial_pagerank_int(pairs, iterations=4)
+        # a partial (no _DONE) later round is replaced, not trusted
+        part = os.path.join(ck, "iter_0005")
+        os.makedirs(part)
+        got5 = dict(pagerank_int(edges(), iterations=5, num_buckets=2,
+                                 checkpoint_dir=ck).to_pandas()
+                    .itertuples(index=False, name=None))
+        assert got5 == serial_pagerank_int(pairs, iterations=5)
+        assert os.path.exists(os.path.join(part, "_DONE"))
