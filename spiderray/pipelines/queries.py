@@ -3196,6 +3196,50 @@ ORDER BY event_id
 """
 
 
+def q_global_rank(sf_dir: str):
+    """GLOBAL rank of every order by (price, orderkey) — the one-logical-
+    partition ranking window_functions can't express — as a degenerate
+    global_scan: size ≡ 1 makes the exclusive prefix sum the 0-based rank.
+    The composite int key price_cents·2^24 + orderkey keeps the order
+    total (both factors bounded: cents < 2^39, keys < 2^24 at any tested
+    sf) and unique."""
+    from ..stages.windows import global_scan
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        if len(keys) and int(keys.max()) >= (1 << 24):
+            raise OverflowError(
+                "q_global_rank composite key: o_orderkey ≥ 2^24 would "
+                "collide across price groups — widen the key shift")
+        return pa.table({
+            "o_orderkey": pa.array(keys.astype(np.int64)),
+            "price_c": pa.array(cents),
+            "__ord": pa.array(cents * (1 << 24) + keys.astype(np.int64)),
+            "__one": pa.array(np.ones(len(keys), dtype=np.int64)),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_scan(ds, "__ord", "__one", out_col="price_rank",
+                      n_buckets=16)
+    return out.select_columns(["o_orderkey", "price_c", "price_rank"])
+
+
+SQL_GLOBAL_RANK = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT o_orderkey, price_c,
+       CAST(row_number() OVER (ORDER BY price_c, o_orderkey) - 1 AS BIGINT)
+         AS price_rank
+FROM t ORDER BY o_orderkey
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature (alpha=0.5) language rebalancing
     (stages/stats.temperature_resample): keep rate per lang is
@@ -3353,6 +3397,7 @@ QUERIES = {
     "q_domain_cap": q_domain_cap,
     "q_profile_columns": q_profile_columns,
     "q_event_outliers": q_event_outliers,
+    "q_global_rank": q_global_rank,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3410,6 +3455,7 @@ ORACLE_SQL = {
     "q_domain_cap": SQL_DOMAIN_CAP,
     "q_profile_columns": SQL_PROFILE_COLUMNS,
     "q_event_outliers": SQL_EVENT_OUTLIERS,
+    "q_global_rank": SQL_GLOBAL_RANK,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }
