@@ -41,17 +41,24 @@ from .stages.ann import kmeans_assign, kmeans_fit_distributed
 from .stages.joins import asof_join, bucketed_join, hash_join, range_join, salted_join
 from .stages.lm_train import train_char_lm, train_langid_profiles
 from .stages.stats import (
+    grouped_outliers,
     grouped_quantiles_approx,
     grouped_quantiles_exact,
+    heavy_hitters,
+    profile_columns,
     quantiles_approx,
     quantiles_exact,
     stratified_sample,
+    temperature_resample,
     top_k_per_group,
     train_test_split,
 )
+from .stages.graph import hits_int, pagerank_int
+from .stages.windows import global_scan, pack_chunks
 from .stages.textindex import bm25_topk, corpus_token_stats, term_doc_freqs
 from .stages.image import frame_sample_stage, image_features_stage
 from .stages.multimodal import (
+    audio_augment_stage,
     audio_features_stage,
     audio_gate_stage,
     audio_spectral_stage,
@@ -59,7 +66,9 @@ from .stages.multimodal import (
     speech_rate_stage,
     vad_segment_stage,
     vad_stats_stage,
+    window_chunk_stage,
 )
+from .stages.quality_stage import compression_stage
 from .stages.bpe_train import bpe_encode_stage, corpus_word_freqs, train_bpe
 from .stages.nbayes import NaiveBayesModel, nb_predict_stage, train_naive_bayes
 from .stages.dsir import (
@@ -70,6 +79,7 @@ from .stages.dsir import (
 )
 from .stages.audiodedup import audio_fingerprint_pairs
 from .stages.audioquality import (
+    audio_defect_stage,
     audio_loudness_stage,
     audio_mfcc_stage,
     audio_snr_stage,
@@ -102,11 +112,15 @@ __all__ = [
     "train_naive_bayes",
     "train_langid_profiles", "train_test_split", "tumbling",
     "window_functions", "write_arpa", "write_split_corpus",
+    "global_scan", "grouped_outliers", "heavy_hitters", "hits_int",
+    "pack_chunks", "pagerank_int", "profile_columns",
+    "temperature_resample",
     # multimodal stages
     "audio_features_stage", "audio_fingerprint_pairs", "audio_gate_stage",
     "audio_loudness_stage", "audio_mfcc_stage", "audio_snr_stage",
     "audio_spectral_stage",
     "audio_transform_stage", "frame_sample_stage", "image_features_stage",
     "mfcc_vector_batch", "speech_rate_stage", "vad_segment_stage",
-    "vad_stats_stage",
+    "vad_stats_stage", "audio_defect_stage", "audio_augment_stage",
+    "window_chunk_stage", "compression_stage",
 ]
