@@ -3240,6 +3240,65 @@ FROM t ORDER BY o_orderkey
 """
 
 
+def q_copartitioned_join(sf_dir: str):
+    """Co-partitioned bucketed-table join (stages/joins.write_bucketed +
+    bucketed_join_copartitioned): both tables are written ONCE bucketed by
+    hash(custkey) — the clustered-table layout — and the join then reads
+    bucket-pairwise with NO shuffle; the brief's "pick one partitioning
+    key and reuse it across stages" as a concrete operator.  Scratch
+    layout under /tmp is rebuilt per run."""
+    import os
+    import tempfile
+
+    from ..stages.joins import bucketed_join_copartitioned, write_bucketed
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spiderray_bucketed_{os.path.basename(sf_dir.rstrip('/'))}")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "price_c": pa.array(_cents(
+                batch.column("o_totalprice").to_numpy(zero_copy_only=False))),
+        })
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def prep_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+        })
+
+    write_bucketed(
+        orders.map_batches(prep_o, batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", os.path.join(base, "orders"), num_buckets=16,
+        overwrite=True)
+    write_bucketed(
+        cust.map_batches(prep_c, batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", os.path.join(base, "customer"), num_buckets=16,
+        overwrite=True)
+    out = bucketed_join_copartitioned(
+        os.path.join(base, "orders"), os.path.join(base, "customer"),
+        columns_left=["custkey", "o_orderkey", "price_c"],
+        columns_right=["custkey", "c_name"])
+    return out.select_columns(["o_orderkey", "custkey", "price_c", "c_name"])
+
+
+SQL_COPARTITIONED_JOIN = """
+SELECT o.o_orderkey, o.o_custkey AS custkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+       c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature (alpha=0.5) language rebalancing
     (stages/stats.temperature_resample): keep rate per lang is
@@ -3398,6 +3457,7 @@ QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_event_outliers": q_event_outliers,
     "q_global_rank": q_global_rank,
+    "q_copartitioned_join": q_copartitioned_join,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3456,6 +3516,7 @@ ORACLE_SQL = {
     "q_profile_columns": SQL_PROFILE_COLUMNS,
     "q_event_outliers": SQL_EVENT_OUTLIERS,
     "q_global_rank": SQL_GLOBAL_RANK,
+    "q_copartitioned_join": SQL_COPARTITIONED_JOIN,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

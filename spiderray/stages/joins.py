@@ -319,3 +319,119 @@ def salted_join(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed (co-partitioned) table layout
+# --------------------------------------------------------------------------
+
+def write_bucketed(ds, on: str, out_dir: str, num_buckets: int = 32,
+                   overwrite: bool = False) -> str:
+    """Write ``ds`` as a BUCKETED parquet table: rows partitioned into
+    ``out_dir/__bucket=K/`` by ``_stable_bucket(key)`` — the warehouse
+    "clustered table" layout.  Two tables bucketed on their join key with
+    the SAME num_buckets are co-partitioned: bucket K of one side can only
+    match bucket K of the other, so later joins read bucket-pairwise with
+    NO shuffle at all (``bucketed_join_copartitioned``).  Pick ONE
+    partitioning key for a pipeline and bucket every table on it once; the
+    bucket count is recorded in ``_BUCKETS`` for read-time validation."""
+    import os
+    import shutil
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is non-empty; write_parquet appends — pass "
+                "overwrite=True to replace the bucketed table")
+        shutil.rmtree(out_dir)
+    tagged = ds.map_batches(_tag_side(on, 0, num_buckets),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    tagged = tagged.map_batches(
+        lambda t: t.drop_columns(["__side"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    tagged.write_parquet(out_dir, partition_cols=["__bucket"])
+    with open(os.path.join(out_dir, "_BUCKETS"), "w") as f:
+        f.write(f"{on}\n{num_buckets}\n")
+    return out_dir
+
+
+def _bucketed_meta(path: str) -> tuple[str, int]:
+    import os
+
+    with open(os.path.join(path, "_BUCKETS")) as f:
+        key, n = f.read().split()
+    return key, int(n)
+
+
+def read_bucketed(path: str, columns: list[str] | None = None,
+                  buckets: list[int] | None = None):
+    """Read a bucketed table, optionally pruning to specific buckets —
+    a point-lookup by key reads exactly ONE bucket directory."""
+    import ray.data as rd
+
+    _, n = _bucketed_meta(path)
+    if buckets is None:
+        buckets = list(range(n))
+    paths = [f"{path}/__bucket={k}" for k in buckets]
+    cols = None if columns is None else list(columns)
+    return rd.read_parquet(paths, columns=cols)
+
+
+def bucketed_join_copartitioned(left_dir: str, right_dir: str,
+                                columns_left: list[str] | None = None,
+                                columns_right: list[str] | None = None):
+    """Inner join of two CO-PARTITIONED bucketed tables (same key column
+    name + bucket count, validated from their _BUCKETS metadata) with NO
+    shuffle: each task reads bucket K of both sides and merges locally —
+    the payoff of paying the partitioning cost once at write time.  At
+    cluster scale each bucket-pair task reads two co-located directories;
+    nothing ever re-keys."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    lkey, ln = _bucketed_meta(left_dir)
+    rkey, rn = _bucketed_meta(right_dir)
+    if ln != rn:
+        raise ValueError(
+            f"not co-partitioned: {left_dir} has {ln} buckets, "
+            f"{right_dir} has {rn} — rewrite one side")
+    if lkey != rkey:
+        raise ValueError(
+            f"bucketed on different keys ({lkey!r} vs {rkey!r}); a "
+            "co-partitioned join requires the same key")
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _empty_side(dir_, cols):
+        # a bucket directory only exists if rows hashed there; an absent
+        # bucket is an empty table WITH the side's schema (from any
+        # existing file), so every task's output schema is identical
+        f = sorted(glob.glob(os.path.join(dir_, "__bucket=*", "*.parquet")))
+        if not f:
+            raise FileNotFoundError(f"no parquet under {dir_}")
+        return pq.read_table(f[0], columns=cols).slice(0, 0)
+
+    def _read_side(dir_, k, cols):
+        p = os.path.join(dir_, f"__bucket={k}")
+        if not os.path.isdir(p):
+            return _empty_side(dir_, cols)
+        return pq.read_table(p, columns=cols)
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        out = []
+        for k in batch.column("bucket").to_pylist():
+            lt = _read_side(left_dir, k, columns_left)
+            rt = _read_side(right_dir, k, columns_right)
+            merged = lt.to_pandas().merge(rt.to_pandas(), on=lkey,
+                                          how="inner")
+            out.append(pa.Table.from_pandas(merged, preserve_index=False))
+        return pa.concat_tables(out, promote_options="default")
+
+    buckets = rd.from_items([{"bucket": k} for k in range(ln)])
+    return buckets.map_batches(join_bucket, batch_format="pyarrow",
+                               batch_size=1)

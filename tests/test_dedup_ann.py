@@ -1488,3 +1488,54 @@ class TestGroupedOutliersOverflowGuard:
         with pytest.raises(Exception, match="overflow|Overflow"):
             grouped_outliers(rd.from_pandas(df), "g", "value",
                              ["event_id"], scale=1000).to_pandas()
+
+
+class TestBucketedLayout:
+    def test_write_read_prune_and_join(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from spiderray.stages.joins import (_stable_bucket,
+                                            bucketed_join_copartitioned,
+                                            read_bucketed, write_bucketed)
+
+        left = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                             "v": np.arange(200, dtype=np.int64) * 3})
+        right = pd.DataFrame({"k": np.arange(0, 200, 2, dtype=np.int64),
+                              "w": [f"x{i}" for i in range(0, 200, 2)]})
+        ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+        write_bucketed(rd.from_pandas(left), "k", ld, num_buckets=8)
+        write_bucketed(rd.from_pandas(right), "k", rd_, num_buckets=8)
+        # bucket pruning: reading one bucket returns only its keys
+        got = read_bucketed(ld, buckets=[3]).to_pandas()
+        assert (got["k"].map(lambda v: _stable_bucket(int(v), 8)) == 3).all()
+        assert len(got) > 0
+        # co-partitioned join == pandas merge, no shuffle
+        out = bucketed_join_copartitioned(ld, rd_).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp) == 100
+        got_s = out.sort_values("k").reset_index(drop=True)
+        exp_s = exp.sort_values("k").reset_index(drop=True)
+        assert (got_s["v"].to_numpy() == exp_s["v"].to_numpy()).all()
+        assert list(got_s["w"]) == list(exp_s["w"])
+
+    def test_mismatched_layouts_refused(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.stages.joins import (bucketed_join_copartitioned,
+                                            write_bucketed)
+
+        df = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+        a, b, c = (str(tmp_path / x) for x in "abc")
+        write_bucketed(rd.from_pandas(df), "k", a, num_buckets=4)
+        write_bucketed(rd.from_pandas(df), "k", b, num_buckets=8)
+        with pytest.raises(ValueError, match="co-partitioned"):
+            bucketed_join_copartitioned(a, b).to_pandas()
+        df2 = pd.DataFrame({"j": np.arange(10, dtype=np.int64)})
+        write_bucketed(rd.from_pandas(df2), "j", c, num_buckets=4)
+        with pytest.raises(ValueError, match="key"):
+            bucketed_join_copartitioned(a, c).to_pandas()
+        # overwrite guard
+        with pytest.raises(FileExistsError):
+            write_bucketed(rd.from_pandas(df), "k", a)
