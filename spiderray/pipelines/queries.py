@@ -2378,6 +2378,49 @@ def _flacify_batch(batch: pa.Table) -> pa.Table:
     return batch.set_column(names.index("bytes"), "bytes", pa.array(out, pa.binary()))
 
 
+def _adpcmify_batch(batch: pa.Table) -> pa.Table:
+    """Re-encode every 3rd pcm clip's PCM as IMA ADPCM bytes (4:1, lossy
+    ~32 dB) with codec='adpcm_ima'; shared by q_adpcm_roundtrip and its
+    serial oracle."""
+    from ..functions.adpcm import encode_ima
+
+    ids = batch.column("clip_id").to_pylist()
+    codecs = batch.column("codec").to_pylist()
+    bufs = batch.column("bytes").to_pylist()
+    out_b, out_c = [], []
+    for cid, codec, buf in zip(ids, codecs, bufs):
+        num = int(cid.rsplit("_", 1)[-1]) if cid and cid[-1].isdigit() else 0
+        if codec == "pcm_s16le" and num % 3 == 0:
+            out_b.append(encode_ima(np.frombuffer(buf, dtype="<i2")))
+            out_c.append("adpcm_ima")
+        else:
+            out_b.append(buf)
+            out_c.append(codec)
+    names = batch.column_names
+    batch = batch.set_column(names.index("bytes"), "bytes",
+                             pa.array(out_b, pa.binary()))
+    return batch.set_column(names.index("codec"), "codec",
+                            pa.array(out_c, pa.string()))
+
+
+def q_adpcm_roundtrip(sf_dir: str):
+    """Real IMA-ADPCM decode through the audio feature stage: every 3rd
+    pcm clip transcodes to 4-bit ADPCM (functions/adpcm.py, from-scratch
+    IMA/DVI4 codec), the standard feature stage decodes it — decode_ok
+    True for every adpcm row, features reflect the ~32 dB lossy
+    reconstruction (fixture oracle — same bank serially)."""
+    _ensure_fixture("q_adpcm_roundtrip", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_features_stage
+
+    ds = clips_from_documents(sf_dir).map_batches(
+        _adpcmify_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
+
+
 def q_flac_roundtrip(sf_dir: str):
     """Real FLAC decode through the audio feature stage: clips whose codec
     stratum is 'flac' get their PCM re-encoded as actual FLAC bytes
@@ -3419,6 +3462,7 @@ QUERIES = {
     "q_hits": q_hits,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_flac_roundtrip": q_flac_roundtrip,
+    "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,
     "q_train_test_split": q_train_test_split,

@@ -478,6 +478,15 @@ def so_vad_segments(sf_dir: str) -> pa.Table:
     )
 
 
+def so_adpcm_roundtrip(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AudioFeatureActor
+    from .queries import _adpcmify_batch
+
+    out = AudioFeatureActor(PipelineConfig())(_adpcmify_batch(_clips(sf_dir)))
+    return out.select(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
+
+
 def so_flac_roundtrip(sf_dir: str) -> pa.Table:
     from ..config import PipelineConfig
     from ..stages.multimodal import AudioFeatureActor
@@ -1194,6 +1203,7 @@ SERIAL_ORACLES = {
     "q_vad_stats": so_vad_stats,
     "q_audio_transform": so_audio_transform,
     "q_flac_roundtrip": so_flac_roundtrip,
+    "q_adpcm_roundtrip": so_adpcm_roundtrip,
     "q_image_features": so_image_features,
     "q_video_frames": so_video_frames,
     "q_semantic_dedup": so_semantic_dedup,

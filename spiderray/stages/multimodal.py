@@ -157,6 +157,14 @@ def _decode_one(buf: bytes, codec: str) -> np.ndarray:
         return _mulaw_expand(np.frombuffer(buf, dtype=np.uint8))
     if codec in ("pcm_alaw", "alaw"):
         return _alaw_expand(np.frombuffer(buf, dtype=np.uint8))
+    if codec in ("adpcm", "adpcm_ima"):
+        # from-scratch IMA/DVI4 ADPCM (functions/adpcm.py); lossy ~32 dB
+        from ..functions.adpcm import AdpcmError, decode_ima
+
+        try:
+            return decode_ima(buf).astype(np.float32) / 32767.0
+        except AdpcmError as e:
+            raise DecodeUnsupported(f"adpcm: {e}") from e
     if codec == "wav":
         return _parse_wav(buf)
     if codec == "aiff":
