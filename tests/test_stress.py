@@ -335,3 +335,24 @@ class TestStressFourthContinuation:
                    .to_pandas().itertuples(index=False, name=None))
         expect = serial_pagerank_int(pairs, iterations=3)
         assert got == expect
+
+    def test_hits_100k_edges(self, ray_session):
+        """100k-edge multigraph (5k nodes): distributed HITS == serial twin
+        bit-for-bit, 2 iterations (the scalar-max renormalization must stay
+        exact through the Python-int multiply path)."""
+        import ray.data as rd
+
+        from spiderray.stages.graph import hits_int, serial_hits_int
+
+        rng = np.random.default_rng(37)
+        m = 100_000
+        src = rng.integers(0, 5_000, size=m)
+        dst = (src * 17 + rng.integers(0, 499, size=m)) % 5_000
+        pairs = [(f"n{a}", f"n{b}") for a, b in zip(src, dst)]
+        edges = rd.from_pandas(pd.DataFrame(
+            {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs]}
+        )).repartition(16)
+        df = hits_int(edges, iterations=2, num_buckets=16).to_pandas()
+        got = {r.node: (int(r.hub), int(r.auth))
+               for r in df.itertuples(index=False)}
+        assert got == serial_hits_int(pairs, iterations=2)
