@@ -121,3 +121,97 @@ def decode_ima(buf: bytes) -> np.ndarray:
             out[k] = pred
             k += 1
     return out
+
+
+def _decode_nibble(code: int, pred: int, index: int) -> tuple[int, int, int]:
+    step = STEP_TABLE[index]
+    delta = step >> 3
+    if code & 1:
+        delta += step >> 2
+    if code & 2:
+        delta += step >> 1
+    if code & 4:
+        delta += step
+    pred = pred - delta if code & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + INDEX_TABLE[code & 7]))
+    return pred, index, delta
+
+
+def _encode_sample(s: int, pred: int, index: int) -> tuple[int, int, int]:
+    step = STEP_TABLE[index]
+    diff = int(s) - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    pred, index, _ = _decode_nibble(code, pred, index)
+    return code, pred, index
+
+
+# --------------------------------------------------------------------------
+# WAV format 0x11 (IMA ADPCM inside a RIFF/WAVE data chunk) — the layout
+# real-world compressed WAVs use: per-block [int16 pred][uint8 index]
+# [uint8 rsvd] header, the header pred IS the block's first output sample,
+# then (block_align-4)*2 nibble samples.  Mono only (stereo interleaves
+# 4-byte words per channel — out of scope, refused loudly).
+# --------------------------------------------------------------------------
+
+def decode_wav_ima(data: bytes, block_align: int) -> np.ndarray:
+    if block_align < 5:
+        raise AdpcmError(f"block_align {block_align} too small")
+    out = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            break  # trailing runt: not even a header
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            raise AdpcmError(f"block index {index} out of range")
+        nib = block[4:]
+        samples = np.empty(1 + len(nib) * 2, dtype=np.int16)
+        samples[0] = pred
+        k = 1
+        for byte in nib:
+            for code in (byte & 0xF, byte >> 4):
+                pred, index, _ = _decode_nibble(code, pred, index)
+                samples[k] = pred
+                k += 1
+        out.append(samples)
+    if not out:
+        raise AdpcmError("no complete ADPCM block")
+    return np.concatenate(out)
+
+
+def encode_wav_ima(pcm16: np.ndarray, block_align: int = 256) -> bytes:
+    """Encode mono int16 samples as WAV-layout IMA blocks (index carried
+    across blocks, per the common encoder behavior)."""
+    x = np.asarray(pcm16, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for off in range(0, len(x), spb):
+        chunk = x[off : off + spb]
+        pred = int(chunk[0])
+        head = struct.pack("<hBB", pred, index, 0)
+        codes = []
+        for s in chunk[1:]:
+            code, pred, index = _encode_sample(int(s), pred, index)
+            codes.append(code)
+        while len(codes) < (block_align - 4) * 2:
+            codes.append(0)  # pad the final block with silence deltas
+        packed = bytes(
+            (codes[i] & 0xF) | ((codes[i + 1] & 0xF) << 4)
+            for i in range(0, len(codes), 2)
+        )
+        blocks.append(head + packed)
+    return b"".join(blocks)

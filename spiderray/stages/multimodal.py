@@ -56,13 +56,14 @@ def _alaw_expand(a: np.ndarray) -> np.ndarray:
 
 def _parse_wav(buf: bytes) -> np.ndarray:
     """RIFF/WAVE container parse honoring the fmt chunk: PCM 8-bit
-    unsigned / 16-bit (format 1), A-law (6), µ-law (7); multi-channel
-    downmixed to mono for the feature path.  A data chunk with no fmt
-    chunk decodes as mono PCM16 (the historical fallback)."""
+    unsigned / 16-bit (format 1), A-law (6), µ-law (7), IMA ADPCM (0x11,
+    mono — functions/adpcm.decode_wav_ima); multi-channel downmixed to
+    mono for the feature path.  A data chunk with no fmt chunk decodes as
+    mono PCM16 (the historical fallback)."""
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise DecodeUnsupported("wav")
     pos = 12
-    fmt_tag, n_ch, bits = 1, 1, 16
+    fmt_tag, n_ch, bits, block_align = 1, 1, 16, 0
     data = None
     while pos + 8 <= len(buf):
         chunk_id = buf[pos : pos + 4]
@@ -71,12 +72,22 @@ def _parse_wav(buf: bytes) -> np.ndarray:
         if chunk_id == b"fmt " and size >= 16:
             fmt_tag = int.from_bytes(body[0:2], "little")
             n_ch = max(int.from_bytes(body[2:4], "little"), 1)
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if data is None:
         raise DecodeUnsupported("wav")
+    if fmt_tag == 0x11:
+        from ..functions.adpcm import AdpcmError, decode_wav_ima
+
+        if n_ch != 1:
+            raise DecodeUnsupported("wav ima adpcm: mono only")
+        try:
+            return decode_wav_ima(data, block_align).astype(np.float32) / 32767.0
+        except AdpcmError as e:
+            raise DecodeUnsupported(f"wav ima adpcm: {e}") from e
     if fmt_tag == 1 and bits == 16:
         x = np.frombuffer(data[: len(data) - len(data) % 2],
                           dtype="<i2").astype(np.float32) / 32767.0

@@ -66,3 +66,52 @@ class TestAdpcm:
         assert bool(out.loc[0, "decode_ok"])
         assert int(out.loc[0, "n_samples"]) == len(pcm)
         assert not bool(out.loc[1, "decode_ok"])  # corrupt marks, not crashes
+
+
+def _wav_ima(pcm: np.ndarray, sr=16000, block_align=256, n_ch=1) -> bytes:
+    import struct
+
+    from spiderray.functions.adpcm import encode_wav_ima
+
+    data = encode_wav_ima(pcm, block_align)
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack("<HHIIHHHH", 0x11, n_ch, sr, sr * block_align // spb,
+                      block_align, 4, 2, spb)
+    out = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out) + 4) + out
+
+
+class TestWavIma:
+    def test_wav_0x11_decodes_through_wav_parser(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        pcm = _tone(secs=0.5)
+        x = _parse_wav(_wav_ima(pcm))
+        n = len(pcm)
+        err = x[:n] * 32767.0 - pcm.astype(np.float64)
+        snr = 10 * np.log10((pcm.astype(np.float64) ** 2).mean()
+                            / (err ** 2).mean())
+        assert snr >= 30.0, snr
+
+    def test_stereo_and_corrupt_refused(self):
+        from spiderray.stages.multimodal import DecodeUnsupported, _parse_wav
+
+        pcm = _tone(secs=0.05)
+        with pytest.raises(DecodeUnsupported, match="mono"):
+            _parse_wav(_wav_ima(pcm, n_ch=2))
+        # corrupt block index: byte 2 of the first block
+        buf = bytearray(_wav_ima(pcm))
+        data_at = buf.find(b"data") + 8
+        buf[data_at + 2] = 200
+        with pytest.raises(DecodeUnsupported, match="index"):
+            _parse_wav(bytes(buf))
+
+    def test_block_boundary_continuity(self):
+        from spiderray.functions.adpcm import decode_wav_ima, encode_wav_ima
+
+        # a ramp across several 16-byte blocks: per-block headers restart
+        # pred at the true sample, so block seams introduce no glitch
+        pcm = np.linspace(-20000, 20000, 200).astype(np.int16)
+        dec = decode_wav_ima(encode_wav_ima(pcm, 16), 16)[: len(pcm)]
+        assert np.abs(dec.astype(np.int64) - pcm.astype(np.int64)).max() < 2500
