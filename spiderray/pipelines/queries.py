@@ -3342,6 +3342,87 @@ ORDER BY o.o_orderkey
 """
 
 
+def q_corpus_report(sf_dir: str):
+    """The 'data card' pass a corpus publisher runs — one narrow
+    (metric, value) table of corpus-level facts, each computed by the
+    matching distributed operator: row/token totals (partial+final sums),
+    distinct langs/sources (profile shuffle), exact-dup volume (the
+    fingerprint groupby — only (fp) rows shuffle), exact n_chars
+    percentiles (integer-domain histogram shuffle).  Several bounded
+    passes over one column-pruned read; every value lands as one scalar."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.stats import profile_columns, quantiles_exact
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", columns=cols)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = int(sum(ws_token_count(t or "") for t in texts))
+        return pa.table({"n": pa.array([len(texts)], pa.int64()),
+                         "ws": pa.array([ws], pa.int64())})
+
+    tot = (
+        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n", alias_name="n"), Sum("ws", alias_name="ws"))
+    )
+    n_docs, total_ws = int(tot["n"]), int(tot["ws"])
+
+    prof = profile_columns(ds, ["lang", "source"]).to_pandas().set_index("column")
+    n_langs = int(prof.loc["lang", "n_distinct"])
+    n_sources = int(prof.loc["source", "n_distinct"])
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({"fp": pa.array(
+            [md5_fingerprint(t or "") for t in texts], pa.string())})
+
+    n_distinct_fp = int(
+        ds.map_batches(fp_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp").count().count()
+    )
+
+    q = dict(quantiles_exact(ds.select_columns(["n_chars"]), "n_chars",
+                             [0.5, 0.9]))
+    rows = [
+        ("dup_docs", n_docs - n_distinct_fp),
+        ("n_docs", n_docs),
+        ("n_langs", n_langs),
+        ("n_sources", n_sources),
+        ("p50_chars", int(q[0.5])),
+        ("p90_chars", int(q[0.9])),
+        ("total_ws_tokens", total_ws),
+    ]
+    return pd.DataFrame({"metric": [r[0] for r in rows],
+                         "value": pd.array([r[1] for r in rows],
+                                           dtype="int64")})
+
+
+SQL_CORPUS_REPORT = """
+WITH ordered AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT 'dup_docs' AS metric,
+       CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+         AS value FROM documents
+UNION ALL SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'p50_chars',
+  (SELECT n_chars FROM ordered
+   WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1))
+UNION ALL SELECT 'p90_chars',
+  (SELECT n_chars FROM ordered
+   WHERE rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1))
+UNION ALL SELECT 'total_ws_tokens', CAST(sum({WS}) AS BIGINT) FROM documents
+ORDER BY metric
+"""
+SQL_CORPUS_REPORT = SQL_CORPUS_REPORT.replace("{WS}", _sql_ws_tokens("text"))
+
+
 def q_temperature_resample(sf_dir: str):
     """Temperature (alpha=0.5) language rebalancing
     (stages/stats.temperature_resample): keep rate per lang is
@@ -3502,6 +3583,7 @@ QUERIES = {
     "q_event_outliers": q_event_outliers,
     "q_global_rank": q_global_rank,
     "q_copartitioned_join": q_copartitioned_join,
+    "q_corpus_report": q_corpus_report,
     "q_clips_flagship": q_clips_flagship,
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
@@ -3561,6 +3643,7 @@ ORACLE_SQL = {
     "q_event_outliers": SQL_EVENT_OUTLIERS,
     "q_global_rank": SQL_GLOBAL_RANK,
     "q_copartitioned_join": SQL_COPARTITIONED_JOIN,
+    "q_corpus_report": SQL_CORPUS_REPORT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }
