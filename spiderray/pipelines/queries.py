@@ -2750,6 +2750,115 @@ def q_semantic_dedup(sf_dir: str):
     })
 
 
+def q_audio_semantic_dedup(sf_dir: str):
+    """Audio SemDeDup — the axes synthesis: clips → mean-MFCC embedding
+    (stages/audioquality.mfcc_vector_batch, the clip→embedding adapter) →
+    bit-deterministic k-means partition (the text SemDeDup's Lloyd) →
+    within-cluster similarity decided by an INTEGER dot product of
+    2^10-quantized unit vectors (threshold ≈ cosine 0.99) → connected
+    components → min-id representative.  The integer rule is the contract:
+    at sf0.1 the melody corpus has thousands of near-threshold pairs and a
+    float cosine boundary flips between runs/backends — integers cannot.
+    Twin cosines ≥0.9976 vs random max 0.984, far outside the ~1e-3
+    quantization distortion.  Summary row pins surviving membership
+    (fixture oracle — same arithmetic serially)."""
+    _ensure_fixture("q_audio_semantic_dedup", sf_dir)
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.clips import note_clips_from_documents
+    from ..stages.ann import kmeans_assign, kmeans_fit_distributed
+    from ..stages.audioquality import mfcc_vector_batch
+
+    ds = note_clips_from_documents(sf_dir).map_batches(
+        mfcc_vector_batch, batch_format="pyarrow", zero_copy_batch=True)
+    aug = (
+        ds.select_columns(["clip_id", "embedding"])
+        .map_batches(_audio_sem_quantize, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .materialize()
+    )
+
+    # explicit init = the 8 globally-smallest ids' vectors, ascending —
+    # block order is not file order (see kmeans_fit_distributed caveat),
+    # so the serial twin could not reproduce the default limit(k) init
+    def head_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:8]
+        return batch.take(pa.array(take)).select(["clip_id", "embedding"])
+
+    heads = (
+        aug.map_batches(head_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .to_pandas()  # ≤ 8 × blocks rows
+        .sort_values("clip_id")
+        .head(8)
+    )
+    init = np.array(heads["embedding"].tolist(), dtype=np.float64)
+    C = kmeans_fit_distributed(aug, n_centroids=8, iters=4,
+                               vec_col="embedding", init=init)
+    assigned = kmeans_assign(aug, C, vec_col="embedding")
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        Q = np.array(g["qvec"].tolist(), dtype=np.int64)
+        ids = g["clip_id"].to_numpy().astype(np.int64)
+        S = Q @ Q.T  # exact integer dot of quantized unit vectors
+        ii, jj = np.nonzero(np.triu(S >= _AUDIO_SEM_THRESH_INT, 1))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    pairs = assigned.groupby("cluster").map_groups(
+        pairs_in_cluster, batch_format="pandas")
+    cc = dedup.dup_connected_components(pairs)
+    losers = cc.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["cluster_id"]))
+                   .select(["node"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    loser_ids = set(losers.to_pandas()["node"].astype(int))  # dup volume
+    ref = ray.put(loser_ids)
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ls = _ray.get(ref)
+        ids = t.column("clip_id").to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) not in ls for i in ids), dtype=bool,
+                           count=len(ids))
+        return t.filter(pa.array(mask))
+
+    kept = aug.map_batches(keep_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    summary = kept.aggregate(Count(alias_name="n_kept"),
+                             Sum("clip_id", alias_name="kept_id_sum"))
+    n_total = aug.count()
+    n_kept = int(summary["n_kept"])
+    return pd.DataFrame({
+        "n_total": pd.array([n_total], dtype="int64"),
+        "n_kept": pd.array([n_kept], dtype="int64"),
+        "n_dropped": pd.array([n_total - n_kept], dtype="int64"),
+        "kept_id_sum": pd.array([int(summary["kept_id_sum"])], dtype="int64"),
+    })
+
+
+_AUDIO_SEM_QBITS = 10
+_AUDIO_SEM_THRESH_INT = int(round(0.99 * (1 << (2 * _AUDIO_SEM_QBITS))))
+
+
+def _audio_sem_quantize(batch: pa.Table) -> pa.Table:
+    """Append qvec = round(unit_vector · 2^10) int64 — the exact-arithmetic
+    similarity domain shared by q_audio_semantic_dedup and its oracle."""
+    V = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    if V.ndim != 2:
+        V = V.reshape(len(batch), -1)
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Q = np.round((V / nrm) * (1 << _AUDIO_SEM_QBITS)).astype(np.int64)
+    return batch.append_column(
+        "qvec", pa.array([list(map(int, q)) for q in Q],
+                         pa.list_(pa.int64())))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/dedup.decontaminate — the GPT-3 /
     Pile training-corpus hygiene op): the eval set is the first 12 words of
@@ -3557,6 +3666,7 @@ QUERIES = {
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_window_analytics": q_window_analytics,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_audio_semantic_dedup": q_audio_semantic_dedup,
     "q_decontaminate": q_decontaminate,
     "q_gopher_quality": q_gopher_quality,
     "q_c4_filters": q_c4_filters,

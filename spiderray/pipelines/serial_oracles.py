@@ -606,12 +606,18 @@ def so_semantic_dedup(sf_dir: str) -> pa.Table:
     ids_a = np.concatenate([ids, cid])
     V_a = np.concatenate([V, W.astype(np.float64)])
 
-    nrm = np.linalg.norm(V_a, axis=1, keepdims=True)
-    nrm[nrm == 0] = 1.0
-    Vn = V_a / nrm
-    k, iters, scale_bits = 8, 4, 20
+    return _serial_semdedup_core(ids_a, V_a)
+
+
+def _serial_microunit_kmeans(Vn: np.ndarray, k: int = 8, iters: int = 4,
+                             init: np.ndarray | None = None):
+    """The distributed kmeans_fit_distributed's exact serial twin (init =
+    first k rows per the order contract, or an explicit init matrix;
+    micro-unit integer accumulation): returns the final assignment."""
+    scale_bits = 20
     scale = float(1 << scale_bits)
-    C = Vn[:k].copy()
+    C = (np.asarray(init, dtype=np.float64).copy() if init is not None
+         else Vn[:k].copy())
     for _ in range(iters):
         assign = np.argmax(Vn @ C.T, axis=1)
         q = np.round(Vn * scale).astype(np.int64)
@@ -622,7 +628,19 @@ def so_semantic_dedup(sf_dir: str) -> pa.Table:
                 nm = np.linalg.norm(m)
                 if nm > 0:
                     C[c] = m / nm
-    assign = np.argmax(Vn @ C.T, axis=1)
+    return np.argmax(Vn @ C.T, axis=1)
+
+
+def _serial_semdedup_core(ids_a, V_a, k: int = 8, iters: int = 4,
+                          threshold: float = 0.95) -> pa.Table:
+    """Shared serial SemDeDup twin: micro-unit Lloyd (init = first k rows,
+    matching the distributed order contract), within-cluster O(n²) cosine
+    pairs ≥ threshold, union-find, min-id representative kept.  Summary
+    table in the q_semantic_dedup shape."""
+    nrm = np.linalg.norm(V_a, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Vn = V_a / nrm
+    assign = _serial_microunit_kmeans(Vn, k, iters)
 
     parent = {int(i): int(i) for i in ids_a}
 
@@ -637,7 +655,7 @@ def so_semantic_dedup(sf_dir: str) -> pa.Table:
         if len(idx) < 2:
             continue
         S = Vn[idx] @ Vn[idx].T
-        ii, jj = np.nonzero(np.triu(S >= 0.95, 1))
+        ii, jj = np.nonzero(np.triu(S >= threshold, 1))
         for a, b in zip(idx[ii], idx[jj]):
             ra, rb = find(int(ids_a[a])), find(int(ids_a[b]))
             if ra != rb:
@@ -653,6 +671,64 @@ def so_semantic_dedup(sf_dir: str) -> pa.Table:
         "n_total": pa.array([len(ids_a)], pa.int64()),
         "n_kept": pa.array([len(kept)], pa.int64()),
         "n_dropped": pa.array([len(ids_a) - len(kept)], pa.int64()),
+        "kept_id_sum": pa.array([sum(kept)], pa.int64()),
+    })
+
+
+def so_audio_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin of q_audio_semantic_dedup: the SAME mfcc_vector_batch
+    bank over the serially-built note-clip table (planted acoustic twins),
+    the SAME micro-unit Lloyd assignment, and the SAME integer-dot
+    similarity rule (2^10-quantized unit vectors, threshold ≈ cos 0.99) —
+    exact by construction at any corpus density."""
+    from ..sources.clips import note_clips_table_from_documents
+    from ..stages.audioquality import mfcc_vector_batch
+    from .queries import _AUDIO_SEM_QBITS, _AUDIO_SEM_THRESH_INT
+
+    t = mfcc_vector_batch(note_clips_table_from_documents(sf_dir))
+    ids = np.asarray(t.column("clip_id").to_pylist(), dtype=np.int64)
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Vn = V / nrm
+    # explicit init = the 8 smallest ids' vectors ascending, matching the
+    # query (block order ≠ file order, so the default head init would not)
+    order = np.argsort(ids, kind="stable")[:8]
+    init = V[order]
+    ninit = np.linalg.norm(init, axis=1, keepdims=True)
+    ninit[ninit == 0] = 1.0
+    assign = _serial_microunit_kmeans(Vn, init=init / ninit)
+    Q = np.round(Vn * (1 << _AUDIO_SEM_QBITS)).astype(np.int64)
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in range(8):
+        idx = np.nonzero(assign == c)[0]
+        if len(idx) < 2:
+            continue
+        S = Q[idx] @ Q[idx].T
+        ii, jj = np.nonzero(np.triu(S >= _AUDIO_SEM_THRESH_INT, 1))
+        for a, b in zip(idx[ii], idx[jj]):
+            ra, rb = find(int(ids[a])), find(int(ids[b]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, list[int]] = {}
+    for i in parent:
+        comps.setdefault(find(i), []).append(i)
+    losers = {i for members in comps.values() if len(members) > 1
+              for i in members if i != min(members)}
+    kept = [int(i) for i in ids if int(i) not in losers]
+    return pa.table({
+        "n_total": pa.array([len(ids)], pa.int64()),
+        "n_kept": pa.array([len(kept)], pa.int64()),
+        "n_dropped": pa.array([len(ids) - len(kept)], pa.int64()),
         "kept_id_sum": pa.array([sum(kept)], pa.int64()),
     })
 
@@ -1207,6 +1283,7 @@ SERIAL_ORACLES = {
     "q_image_features": so_image_features,
     "q_video_frames": so_video_frames,
     "q_semantic_dedup": so_semantic_dedup,
+    "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,
     "q_gopher_quality": so_gopher_quality,
     "q_c4_filters": so_c4_filters,

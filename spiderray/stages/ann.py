@@ -140,7 +140,8 @@ def spherical_kmeans(V: np.ndarray, n_centroids: int, iters: int = 10) -> np.nda
 
 def kmeans_fit_distributed(ds, n_centroids: int = 16, iters: int = 5,
                            vec_col: str = "embedding",
-                           scale_bits: int = 20) -> np.ndarray:
+                           scale_bits: int = 20,
+                           init: "np.ndarray | None" = None) -> np.ndarray:
     """FULL-CORPUS spherical k-means: assignment and per-cluster partial
     sums run distributed (map_batches), only (k × d) counters return per
     block, the driver merges and re-normalizes — Lloyd over the whole
@@ -152,11 +153,22 @@ def kmeans_fit_distributed(ds, n_centroids: int = 16, iters: int = 5,
     (or a serial pass) produces identical centroids, which makes the
     distributed run oracle-checkable against a serial reference.  Init =
     the first ``n_centroids`` corpus rows (normalized), deterministic.
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    CAVEAT on the default init: ``limit(k)`` takes the first k rows in
+    BLOCK order, which Ray does not guarantee equals file/row order for a
+    multi-block read (observed: a sf0.1 parquet read yields block 0
+    starting at row 4376).  It is stable per corpus — fine standalone —
+    but an external serial twin cannot reproduce it; pass an explicit
+    ``init`` (k × d raw vectors, e.g. the k smallest ids' vectors) when
+    oracle-exact conformance is required."""
     import ray
 
-    head = ds.limit(n_centroids).to_pandas()
-    C = np.array(head[vec_col].to_list(), dtype=np.float64)
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+    else:
+        head = ds.limit(n_centroids).to_pandas()
+        C = np.array(head[vec_col].to_list(), dtype=np.float64)
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     C = C / norms

@@ -198,3 +198,20 @@ class TestClippingStats:
         # all-zero clip is silence, not a dropout; undecodable is neither
         assert list(out["dropout"]) == [False, False, True, False, False]
         assert list(out["decode_ok"]) == [True, True, True, True, False]
+
+
+class TestAudioSemanticDedup:
+    def test_planted_twins_drop_bitwise_vs_serial(self, ray_session):
+        from spiderray.pipelines.queries import q_audio_semantic_dedup
+        from spiderray.pipelines.serial_oracles import so_audio_semantic_dedup
+
+        sf = "/root/testdata/sf0.001"
+        got = q_audio_semantic_dedup(sf)
+        exp = so_audio_semantic_dedup(sf).to_pandas()
+        assert got[["n_total", "n_kept", "n_dropped", "kept_id_sum"]] \
+            .values.tolist() == \
+            exp[["n_total", "n_kept", "n_dropped", "kept_id_sum"]] \
+            .values.tolist()
+        # at least every planted twin pair collapsed (dropped ≥ #twins)
+        assert int(got["n_dropped"].iloc[0]) >= 13
+        assert int(got["n_kept"].iloc[0]) > 0
