@@ -2379,20 +2379,41 @@ def _flacify_batch(batch: pa.Table) -> pa.Table:
 
 
 def _adpcmify_batch(batch: pa.Table) -> pa.Table:
-    """Re-encode every 3rd pcm clip's PCM as IMA ADPCM bytes (4:1, lossy
-    ~32 dB) with codec='adpcm_ima'; shared by q_adpcm_roundtrip and its
-    serial oracle."""
-    from ..functions.adpcm import encode_ima
+    """Re-encode pcm clips through the three from-scratch ADPCM layouts
+    (functions/adpcm.py), keyed by clip number so the distributed run and
+    the serial oracle transform identically regardless of batching:
+    num%6==0 → raw IMA1 stream (codec 'adpcm_ima'); num%6==4 → WAV
+    format 0x02 (MS ADPCM) container; num%6==3 → WAV format 0x11 stereo
+    (duplicated channel, 4-byte word interleave).  The pcm stratum's clip
+    numbers are ≡ {0,3,4} (mod 6), so all three layouts get ~1/3 of the
+    stratum.  Shared by q_adpcm_roundtrip and its serial oracle."""
+    from ..functions.adpcm import (encode_ima, encode_wav_ima,
+                                   encode_wav_ms, wav_adpcm_container)
 
     ids = batch.column("clip_id").to_pylist()
     codecs = batch.column("codec").to_pylist()
     bufs = batch.column("bytes").to_pylist()
+    srs = batch.column("sr_hz").to_pylist() if "sr_hz" in batch.column_names \
+        else [16000] * len(ids)
     out_b, out_c = [], []
-    for cid, codec, buf in zip(ids, codecs, bufs):
+    for cid, codec, buf, sr in zip(ids, codecs, bufs, srs):
         num = int(cid.rsplit("_", 1)[-1]) if cid and cid[-1].isdigit() else 0
-        if codec == "pcm_s16le" and num % 3 == 0:
+        if codec == "pcm_s16le" and num % 6 == 0:
             out_b.append(encode_ima(np.frombuffer(buf, dtype="<i2")))
             out_c.append("adpcm_ima")
+        elif codec == "pcm_s16le" and num % 6 == 4:
+            pcm = np.frombuffer(buf, dtype="<i2")
+            data = encode_wav_ms(pcm, 256, 1)
+            out_b.append(wav_adpcm_container(
+                data, 0x02, 1, int(sr), 256, 2 + (256 - 7) * 2))
+            out_c.append("wav")
+        elif codec == "pcm_s16le" and num % 6 == 3:
+            pcm = np.frombuffer(buf, dtype="<i2")
+            stereo = np.repeat(pcm, 2)  # duplicate channel: downmix == mono
+            data = encode_wav_ima(stereo, 256, 2)
+            out_b.append(wav_adpcm_container(
+                data, 0x11, 2, int(sr), 256, 1 + ((256 - 8) // 8) * 8))
+            out_c.append("wav")
         else:
             out_b.append(buf)
             out_c.append(codec)

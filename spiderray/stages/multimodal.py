@@ -57,9 +57,10 @@ def _alaw_expand(a: np.ndarray) -> np.ndarray:
 def _parse_wav(buf: bytes) -> np.ndarray:
     """RIFF/WAVE container parse honoring the fmt chunk: PCM 8-bit
     unsigned / 16-bit (format 1), A-law (6), µ-law (7), IMA ADPCM (0x11,
-    mono — functions/adpcm.decode_wav_ima); multi-channel downmixed to
-    mono for the feature path.  A data chunk with no fmt chunk decodes as
-    mono PCM16 (the historical fallback)."""
+    mono + stereo word-interleave — functions/adpcm.decode_wav_ima), and
+    MS ADPCM (0x02 — functions/adpcm.decode_wav_ms); multi-channel
+    downmixed to mono for the feature path.  A data chunk with no fmt
+    chunk decodes as mono PCM16 (the historical fallback)."""
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise DecodeUnsupported("wav")
     pos = 12
@@ -82,12 +83,25 @@ def _parse_wav(buf: bytes) -> np.ndarray:
     if fmt_tag == 0x11:
         from ..functions.adpcm import AdpcmError, decode_wav_ima
 
-        if n_ch != 1:
-            raise DecodeUnsupported("wav ima adpcm: mono only")
         try:
-            return decode_wav_ima(data, block_align).astype(np.float32) / 32767.0
+            x = decode_wav_ima(data, block_align, n_ch).astype(
+                np.float32) / 32767.0
         except AdpcmError as e:
             raise DecodeUnsupported(f"wav ima adpcm: {e}") from e
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x
+    if fmt_tag == 0x02:
+        from ..functions.adpcm import AdpcmError, decode_wav_ms
+
+        try:
+            x = decode_wav_ms(data, block_align, n_ch).astype(
+                np.float32) / 32767.0
+        except AdpcmError as e:
+            raise DecodeUnsupported(f"wav ms adpcm: {e}") from e
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x
     if fmt_tag == 1 and bits == 16:
         x = np.frombuffer(data[: len(data) - len(data) % 2],
                           dtype="<i2").astype(np.float32) / 32767.0

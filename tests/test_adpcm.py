@@ -68,18 +68,34 @@ class TestAdpcm:
         assert not bool(out.loc[1, "decode_ok"])  # corrupt marks, not crashes
 
 
-def _wav_ima(pcm: np.ndarray, sr=16000, block_align=256, n_ch=1) -> bytes:
+def _wav_adpcm(pcm: np.ndarray, sr=16000, block_align=256, n_ch=1,
+               fmt_tag=0x11) -> bytes:
     import struct
 
-    from spiderray.functions.adpcm import encode_wav_ima
+    from spiderray.functions.adpcm import encode_wav_ima, encode_wav_ms
 
-    data = encode_wav_ima(pcm, block_align)
-    spb = (block_align - 4) * 2 + 1
-    fmt = struct.pack("<HHIIHHHH", 0x11, n_ch, sr, sr * block_align // spb,
-                      block_align, 4, 2, spb)
+    if fmt_tag == 0x11:
+        data = encode_wav_ima(pcm, block_align, n_ch)
+        spb = (block_align - 4) * 2 + 1
+    else:
+        data = encode_wav_ms(pcm, block_align, n_ch)
+        spb = 2 + (block_align - 7 * n_ch) * 2 // n_ch
+    fmt = struct.pack("<HHIIHHHH", fmt_tag, n_ch, sr,
+                      sr * block_align // spb, block_align, 4, 2, spb)
     out = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(out) + 4) + out
+
+
+def _wav_ima(pcm: np.ndarray, sr=16000, block_align=256, n_ch=1) -> bytes:
+    return _wav_adpcm(pcm, sr, block_align, n_ch, 0x11)
+
+
+def _snr(ref16: np.ndarray, dec_f32: np.ndarray) -> float:
+    n = min(len(ref16), len(dec_f32))
+    err = dec_f32[:n] * 32767.0 - ref16[:n].astype(np.float64)
+    return 10 * np.log10((ref16[:n].astype(np.float64) ** 2).mean()
+                         / (err ** 2).mean())
 
 
 class TestWavIma:
@@ -87,19 +103,33 @@ class TestWavIma:
         from spiderray.stages.multimodal import _parse_wav
 
         pcm = _tone(secs=0.5)
-        x = _parse_wav(_wav_ima(pcm))
-        n = len(pcm)
-        err = x[:n] * 32767.0 - pcm.astype(np.float64)
-        snr = 10 * np.log10((pcm.astype(np.float64) ** 2).mean()
-                            / (err ** 2).mean())
-        assert snr >= 30.0, snr
+        assert _snr(pcm, _parse_wav(_wav_ima(pcm))) >= 30.0
 
-    def test_stereo_and_corrupt_refused(self):
+    def test_stereo_word_interleave_decodes_to_downmix(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        l, r = _tone(secs=0.5), _tone(secs=0.5)
+        inter = np.empty(2 * len(l), dtype=np.int16)
+        inter[0::2], inter[1::2] = l, r
+        x = _parse_wav(_wav_ima(inter, n_ch=2))
+        # identical channels: downmix must reproduce either channel
+        assert _snr(l, x) >= 30.0
+
+    def test_stereo_channels_kept_separate(self):
+        from spiderray.functions.adpcm import decode_wav_ima, encode_wav_ima
+
+        l, r = _tone(), -_tone()  # anti-phase channels
+        inter = np.empty(2 * len(l), dtype=np.int16)
+        inter[0::2], inter[1::2] = l, r
+        dec = decode_wav_ima(encode_wav_ima(inter, 256, 2), 256, 2)
+        n = len(l)
+        assert _snr(l, dec[0::2][:n].astype(np.float64) / 32767.0) >= 30.0
+        assert _snr(r, dec[1::2][:n].astype(np.float64) / 32767.0) >= 30.0
+
+    def test_corrupt_refused(self):
         from spiderray.stages.multimodal import DecodeUnsupported, _parse_wav
 
         pcm = _tone(secs=0.05)
-        with pytest.raises(DecodeUnsupported, match="mono"):
-            _parse_wav(_wav_ima(pcm, n_ch=2))
         # corrupt block index: byte 2 of the first block
         buf = bytearray(_wav_ima(pcm))
         data_at = buf.find(b"data") + 8
@@ -115,3 +145,57 @@ class TestWavIma:
         pcm = np.linspace(-20000, 20000, 200).astype(np.int16)
         dec = decode_wav_ima(encode_wav_ima(pcm, 16), 16)[: len(pcm)]
         assert np.abs(dec.astype(np.int64) - pcm.astype(np.int64)).max() < 2500
+
+
+class TestWavMs:
+    """WAV format 0x02 (Microsoft ADPCM) — functions/adpcm.decode_wav_ms."""
+
+    def test_mono_roundtrip_snr(self):
+        from spiderray.functions.adpcm import decode_wav_ms, encode_wav_ms
+
+        pcm = _tone()
+        dec = decode_wav_ms(encode_wav_ms(pcm, 256, 1), 256, 1)
+        assert len(dec) >= len(pcm)
+        assert _snr(pcm, dec[: len(pcm)].astype(np.float64) / 32767.0) >= 30.0
+
+    def test_stereo_through_wav_parser(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        l = _tone(secs=0.5)
+        inter = np.empty(2 * len(l), dtype=np.int16)
+        inter[0::2], inter[1::2] = l, l
+        assert _snr(l, _parse_wav(_wav_adpcm(inter, n_ch=2,
+                                             fmt_tag=0x02))) >= 30.0
+
+    def test_hand_decoded_known_block(self):
+        # predictor 0 (c1=256,c2=0): pred = s1 + signed_code*delta
+        from spiderray.functions.adpcm import decode_wav_ms
+
+        import struct
+        head = bytes([0]) + struct.pack("<hhh", 16, 100, 50)
+        # codes: +1 then -2 (0xE = -2): s=100+16=116 then
+        # delta = max(16,(230*16)>>8)=16 → s=116-2*16=84
+        block = head + bytes([0x1E]) + b"\x00" * 8
+        out = decode_wav_ms(block, len(block), 1)
+        assert list(out[:4]) == [50, 100, 116, 84]
+
+    def test_corrupt_predictor_refused(self):
+        from spiderray.functions.adpcm import AdpcmError, decode_wav_ms
+
+        with pytest.raises(AdpcmError, match="predictor"):
+            decode_wav_ms(bytes([9]) + b"\x00" * 20, 21, 1)
+
+    def test_through_feature_stage_as_wav(self):
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import AudioFeatureActor
+
+        pcm = _tone(secs=0.25)
+        batch = pa.table({
+            "clip_id": ["a"],
+            "bytes": [_wav_adpcm(pcm, fmt_tag=0x02)],
+            "codec": ["wav"],
+            "sr_hz": [16000],
+        })
+        out = AudioFeatureActor(PipelineConfig())(batch).to_pandas()
+        assert bool(out.loc[0, "decode_ok"])
+        assert int(out.loc[0, "n_samples"]) >= len(pcm)
