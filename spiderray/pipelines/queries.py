@@ -3037,6 +3037,28 @@ def q_grouped_quantiles_approx(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_tdigest_quantiles(sf_dir: str):
+    """Mergeable t-digest quantile sketch (functions/tdigest.py,
+    stages/stats.tdigest_quantiles_keyed): single-pass, no value-domain
+    bound, no min/max pre-pass — the deterministic keyed variant (md5
+    partition routing + (mean, weight)-sorted centroid merge) so the
+    fixture oracle is bit-exact.  lineitem extendedprice at five
+    quantiles incl. both tails (where k1 accuracy concentrates)."""
+    _ensure_fixture("q_tdigest_quantiles", sf_dir)
+    import pandas as pd
+
+    from ..stages.stats import tdigest_quantiles_keyed
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    res = tdigest_quantiles_keyed(
+        ds, "l_orderkey", "l_extendedprice", [0.01, 0.25, 0.5, 0.9, 0.99])
+    return pd.DataFrame({
+        "q_bp": pd.Series([int(round(q * 10_000)) for q, _ in res],
+                          dtype="int64"),
+        "l_extendedprice": pd.Series([v for _, v in res], dtype="float64"),
+    })
+
+
 _BPE_TRAIN_KW = dict(num_merges=200, max_words=20_000)
 
 
@@ -3693,6 +3715,7 @@ QUERIES = {
     "q_c4_filters": q_c4_filters,
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
+    "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

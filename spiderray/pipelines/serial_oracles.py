@@ -1243,7 +1243,45 @@ def so_dsir_scores(sf_dir: str) -> pa.Table:
     )
 
 
+def so_tdigest_quantiles(sf_dir: str) -> pa.Table:
+    """Serial twin of q_tdigest_quantiles: identical md5 partition
+    routing, per-partition one-shot k1 digest build, and (mean, weight)
+    sorted centroid-soup merge — all via the shared functions/tdigest.py
+    bank — computed single-threaded over the raw parquet."""
+    from ..functions.tdigest import td_build, td_merge, td_quantile
+    from ..stages.stats import split_bucket
+
+    num_parts, delta = 64, 200
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice"])
+    ids = t.column("l_orderkey").to_pylist()
+    vals = t.column("l_extendedprice").to_numpy().astype(np.float64)
+    parts = np.fromiter((split_bucket(str(i), num_parts) for i in ids),
+                        dtype=np.int64, count=len(ids))
+    fin = np.isfinite(vals)
+    parts, vals = parts[fin], vals[fin]
+    soup_m, soup_w, los, his = [], [], [], []
+    for p in np.unique(parts):
+        v = vals[parts == p]
+        m, w = td_build(v, None, delta)
+        if len(m) == 0:
+            continue
+        soup_m.append(m)
+        soup_w.append(w)
+        los.append(float(v.min()))
+        his.append(float(v.max()))
+    m, w = td_merge(np.concatenate(soup_m), np.concatenate(soup_w), delta)
+    vmin, vmax = min(los), max(his)
+    return pa.table({
+        "q_bp": pa.array([int(round(q * 10_000)) for q in qs], pa.int64()),
+        "l_extendedprice": pa.array(
+            [td_quantile(m, w, q, vmin, vmax) for q in qs], pa.float64()),
+    })
+
+
 SERIAL_ORACLES = {
+    "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_bpe_vocab": so_bpe_vocab,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,

@@ -193,6 +193,111 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
     return out
 
 
+def tdigest_quantiles(ds, col: str, qs: list[float],
+                      delta: int = 200, recompress_batch: int = 32_768):
+    """Bounded-error quantiles via a MERGEABLE t-digest sketch
+    (functions/tdigest.py) — the third quantile path: unlike
+    quantiles_exact there is no integer-domain bound, and unlike
+    quantiles_approx there is NO min/max pre-pass (single streaming
+    pass).  Shape: per-batch vectorized digest build (≤~δ/2 centroid
+    rows per batch cross the stage boundary — never raw values), one
+    re-compress ``map_batches`` that folds every ``recompress_batch``
+    centroid rows back to ≤~δ/2 (a ~``recompress_batch``/δ fan-in), then
+    a driver-side final merge over the residue.  At 10^8 blocks the
+    driver sees ~blocks·δ/fan-in rows — add more re-compress rounds if
+    that ever grows past memory.
+
+    Accuracy follows the k1 scale function: rank error ~O(1/δ), best at
+    the tails.  The estimate depends (inside that bound) on block
+    boundaries; use ``tdigest_quantiles_keyed`` when a bit-deterministic
+    result is required (contract queries, regression pinning)."""
+    from ..functions.tdigest import td_build, td_merge, td_quantile
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[np.isfinite(vals)]
+        if len(vals) == 0:
+            return pa.table({"mean": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        m, w = td_build(vals, None, delta)
+        return pa.table({"mean": pa.array(m), "weight": pa.array(w),
+                         "lo": pa.array(np.full(len(m), vals.min())),
+                         "hi": pa.array(np.full(len(m), vals.max()))})
+
+    def recompress(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = batch.column("mean").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        lo = float(batch.column("lo").to_numpy(zero_copy_only=False).min())
+        hi = float(batch.column("hi").to_numpy(zero_copy_only=False).max())
+        mm, mw = td_merge(m, w, delta)
+        return pa.table({"mean": pa.array(mm), "weight": pa.array(mw),
+                         "lo": pa.array(np.full(len(mm), lo)),
+                         "hi": pa.array(np.full(len(mm), hi))})
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(recompress, batch_format="pyarrow",
+                     batch_size=recompress_batch)
+        .to_pandas()
+    )
+    if res.empty:
+        return [(q, None) for q in qs]
+    m, w = td_merge(res["mean"].to_numpy(), res["weight"].to_numpy(), delta)
+    vmin, vmax = float(res["lo"].min()), float(res["hi"].max())
+    return [(q, td_quantile(m, w, q, vmin, vmax)) for q in qs]
+
+
+def tdigest_quantiles_keyed(ds, id_col: str, col: str, qs: list[float],
+                            delta: int = 200, num_parts: int = 64,
+                            salt: str = ""):
+    """Bit-DETERMINISTIC t-digest quantiles: rows route to one of
+    ``num_parts`` partitions by md5 bucket of their id (independent of
+    Ray's block boundaries), each partition builds one digest over its
+    sorted values (groupby → map_groups), and the final merge sorts the
+    combined centroid soup by (mean, weight) — so the result is a pure
+    function of (table contents, delta, num_parts, salt).  One keyed
+    shuffle of (part, value) pairs; output is num_parts·O(δ) centroids.
+    The scale path with per-batch partials is ``tdigest_quantiles``."""
+    import pandas as pd
+
+    from ..functions.tdigest import td_build, td_merge, td_quantile
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        parts = np.fromiter(
+            (split_bucket(str(i), num_parts, salt) for i in ids),
+            dtype=np.int64, count=len(ids))
+        fin = np.isfinite(vals)
+        return pa.table({"part": pa.array(parts[fin]),
+                         "value": pa.array(vals[fin])})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        m, w = td_build(g["value"].to_numpy(), None, delta)
+        if len(m) == 0:
+            return pd.DataFrame({"mean": [], "weight": [], "lo": [], "hi": []})
+        v = g["value"].to_numpy()
+        return pd.DataFrame({"mean": m, "weight": w,
+                             "lo": float(v.min()), "hi": float(v.max())})
+
+    res = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty:
+        return [(q, None) for q in qs]
+    m, w = td_merge(res["mean"].to_numpy(), res["weight"].to_numpy(np.int64),
+                    delta)
+    vmin, vmax = float(res["lo"].min()), float(res["hi"].max())
+    return [(q, td_quantile(m, w, q, vmin, vmax)) for q in qs]
+
+
 def stratified_sample(
     ds,
     strata_col: str,
