@@ -1454,6 +1454,42 @@ def q_audio_mfcc(sf_dir: str):
     )
 
 
+def _speakerize_batch(batch: pa.Table) -> pa.Table:
+    """Synthetic speaker label from the clip number (num % 16) — the
+    deterministic stand-in for a real speaker id column; shared by
+    q_cmvn and its serial oracle."""
+    ids = batch.column("clip_id").to_pylist()
+    spk = [f"spk_{(int(c.rsplit('_', 1)[-1]) if c and c[-1].isdigit() else 0) % 16:02d}"
+           for c in ids]
+    return batch.append_column("speaker", pa.array(spk, pa.string()))
+
+
+def q_cmvn(sf_dir: str):
+    """Per-speaker CMVN over mean-MFCC features (stages/audioquality.
+    grouped_cmvn): decode → MFCC → integer-exact grouped mean/variance →
+    broadcast z-score apply.  The standard ASR front-end normalization;
+    z columns are milli-scaled int64 so the fixture oracle hash-matches
+    bit-for-bit."""
+    _ensure_fixture("q_cmvn", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import audio_mfcc_stage, grouped_cmvn
+
+    n_mfcc = 13
+    feat = [f"mfcc_{k}" for k in range(n_mfcc)]
+    ds = clips_from_documents(sf_dir).map_batches(
+        _speakerize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    feats = (
+        audio_mfcc_stage(ds, PipelineConfig(), concurrency=4)
+        .map_batches(lambda b: b.filter(b.column("decode_ok")),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["clip_id", "speaker"] + feat)
+        .materialize()  # tiny feature table: 14 scalars/clip — pass 2
+    )                   # must not re-run the decode chain
+    out = grouped_cmvn(feats, "speaker", feat)
+    return out.select_columns(["clip_id", "speaker"] + [f"z_{c}" for c in feat])
+
+
 def q_audio_snr(sf_dir: str):
     """Percentile-method SNR / noise-floor estimate + autocorrelation pitch
     (F0, voiced ratio) per clip with noisy/unvoiced gate flags — the two
@@ -3716,6 +3752,7 @@ QUERIES = {
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
+    "q_cmvn": q_cmvn,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

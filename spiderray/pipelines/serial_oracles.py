@@ -1243,6 +1243,43 @@ def so_dsir_scores(sf_dir: str) -> pa.Table:
     )
 
 
+def so_cmvn(sf_dir: str) -> pa.Table:
+    """Serial twin of q_cmvn: same MFCC actor bank, same speaker keying,
+    same milli-scaled integer statistics computed single-threaded with
+    Python-int (overflow-free) products."""
+    import math
+
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioMfccActor
+    from .queries import _speakerize_batch
+
+    n_mfcc, milli = 13, 1000
+    feat = [f"mfcc_{k}" for k in range(n_mfcc)]
+    out = AudioMfccActor(PipelineConfig())(_speakerize_batch(_clips(sf_dir)))
+    out = out.filter(out.column("decode_ok"))
+    spk = np.asarray(out.column("speaker").to_pylist())
+    xm = np.stack([
+        np.rint(out.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.float64) * milli).astype(np.int64)
+        for c in feat
+    ], axis=1)
+    zs = np.empty_like(xm)
+    for g in np.unique(spk):
+        sel = spk == g
+        n = int(sel.sum())
+        for k in range(n_mfcc):
+            s = int(xm[sel, k].sum())
+            ss = int((xm[sel, k].astype(object) ** 2).sum())
+            mean = s // n
+            std = max(math.isqrt(max((ss * n - s * s) // (n * n), 0)), 1)
+            zs[sel, k] = ((xm[sel, k] - mean) * milli) // std
+    cols = {"clip_id": out.column("clip_id"),
+            "speaker": pa.array(spk, pa.string())}
+    for k, c in enumerate(feat):
+        cols[f"z_{c}"] = pa.array(zs[:, k], pa.int64())
+    return pa.table(cols)
+
+
 def so_tdigest_quantiles(sf_dir: str) -> pa.Table:
     """Serial twin of q_tdigest_quantiles: identical md5 partition
     routing, per-partition one-shot k1 digest build, and (mean, weight)
@@ -1282,6 +1319,7 @@ def so_tdigest_quantiles(sf_dir: str) -> pa.Table:
 
 SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
+    "q_cmvn": so_cmvn,
     "q_bpe_vocab": so_bpe_vocab,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,

@@ -323,3 +323,101 @@ def audio_defect_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# CMVN — cepstral mean/variance normalization, the standard ASR front-end
+# step after MFCC extraction (Kaldi's apply-cmvn over per-speaker stats):
+# each feature dimension is standardized against ITS GROUP's (speaker /
+# language / corpus-shard) mean and variance so channel and loudness biases
+# cancel before training.
+# ---------------------------------------------------------------------------
+
+def grouped_cmvn(ds, group_col: str, feat_cols: list[str],
+                 milli: int = 1000):
+    """Two-pass grouped CMVN with INTEGER-EXACT statistics.
+
+    Pass 1: per-batch partial sums of milli-scaled features — each batch
+    contributes one (group, n, sum_k, sumsq_k) row per group, so only
+    O(groups × batches) rows cross the one keyed shuffle; integer sums
+    make the aggregation order-independent (bit-deterministic, unlike
+    float accumulation).  The per-group stats land on the driver (K
+    groups — driver-representable by the same contract every grouped
+    stat here carries), where exact arbitrary-precision arithmetic
+    computes mean = sum//n and std = isqrt((ss·n − s²)//n²) without the
+    int64 overflow a distributed product would risk.  Pass 2: a pure
+    broadcast map (``ray.put`` once, read per actor) appends
+    ``z_<col>`` = ((x_milli − mean)·1000) // std — int64 z-scores in
+    milli units, deterministic for hash-checked oracles.
+
+    NOTE: pass 2 re-executes ``ds``'s lineage (same contract as
+    grouped_quantiles_approx); feed it a cheap-to-recompute or persisted
+    feature table, not a raw decode chain, when the upstream is expensive.
+    """
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutil import pa_from_pandas
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {group_col: pa.array([], batch.schema.field(group_col).type),
+                    "n": pa.array([], pa.int64())}
+            for c in feat_cols:
+                cols[f"s_{c}"] = pa.array([], pa.int64())
+                cols[f"ss_{c}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pylist()})
+        for c in feat_cols:
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            xm = np.rint(x * milli).astype(np.int64)
+            df[f"s_{c}"] = xm
+            df[f"ss_{c}"] = xm * xm
+        df["n"] = 1
+        g = df.groupby(group_col, as_index=False).sum()
+        return pa_from_pandas(g)
+
+    aggs = [Sum("n", alias_name="n")]
+    for c in feat_cols:
+        aggs.append(Sum(f"s_{c}", alias_name=f"s_{c}"))
+        aggs.append(Sum(f"ss_{c}", alias_name=f"ss_{c}"))
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    table: dict = {}
+    for _, row in stats.iterrows():
+        n = int(row["n"])
+        means = np.empty(len(feat_cols), dtype=np.int64)
+        stds = np.empty(len(feat_cols), dtype=np.int64)
+        for k, c in enumerate(feat_cols):
+            s, ss = int(row[f"s_{c}"]), int(row[f"ss_{c}"])  # Python ints:
+            means[k] = s // n                  # products below can't overflow
+            var = (ss * n - s * s) // (n * n)
+            stds[k] = max(math.isqrt(max(var, 0)), 1)
+        table[row[group_col]] = (means, stds)
+    table_ref = ray.put(table)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        t = ray.get(table_ref)
+        groups = batch.column(group_col).to_pylist()
+        default = (np.zeros(len(feat_cols), np.int64),
+                   np.ones(len(feat_cols), np.int64))
+        means = np.stack([t.get(g, default)[0] for g in groups]) \
+            if groups else np.zeros((0, len(feat_cols)), np.int64)
+        stds = np.stack([t.get(g, default)[1] for g in groups]) \
+            if groups else np.ones((0, len(feat_cols)), np.int64)
+        for k, c in enumerate(feat_cols):
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            xm = np.rint(x * milli).astype(np.int64)
+            z = ((xm - means[:, k]) * milli) // stds[:, k] if len(xm) \
+                else np.empty(0, np.int64)
+            batch = batch.append_column(f"z_{c}", pa.array(z, pa.int64()))
+        return batch
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
