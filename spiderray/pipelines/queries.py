@@ -1587,6 +1587,24 @@ def q_audio_augment(sf_dir: str):
     )
 
 
+def q_speed_perturb(sf_dir: str):
+    """Sox-style speed perturbation (stages/multimodal.SpeedPerturbActor,
+    Ko et al. 2015): md5-keyed factor in {0.9, 1.0, 1.1} per clip,
+    Kaiser windowed-sinc resample relabels duration by 1/f and pitch by
+    f — the standard ASR augmentation, deterministic per (clip_id,
+    salt).  Audit columns; fixture oracle runs the same actor serially."""
+    _ensure_fixture("q_speed_perturb", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import speed_perturb_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = speed_perturb_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "speed_bp", "out_n_samples", "out_rms"]
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -3753,6 +3771,7 @@ QUERIES = {
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
+    "q_speed_perturb": q_speed_perturb,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

@@ -961,6 +961,16 @@ def so_audio_augment(sf_dir: str) -> pa.Table:
     )
 
 
+def so_speed_perturb(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import SpeedPerturbActor
+
+    out = SpeedPerturbActor(PipelineConfig(), salt="e1")(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "aug_ok", "speed_bp", "out_n_samples", "out_rms"]
+    )
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1320,6 +1330,7 @@ def so_tdigest_quantiles(sf_dir: str) -> pa.Table:
 SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
+    "q_speed_perturb": so_speed_perturb,
     "q_bpe_vocab": so_bpe_vocab,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,

@@ -1021,3 +1021,91 @@ def audio_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class SpeedPerturbActor:
+    """Sox-style speed perturbation — the standard ASR augmentation
+    (Ko et al., "Audio augmentation for speech recognition",
+    INTERSPEECH 2015): relabel the waveform's rate to sr·f and resample
+    back to sr with the Kaiser windowed-sinc kernel
+    (functions/resample.py), so duration scales by 1/f and pitch by f.
+    The factor is md5-keyed on (clip_id, salt) over ``factors`` — pure
+    per-row, deterministic, no shuffle; one augmentation epoch per salt.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 factors: tuple[float, ...] = (0.9, 1.0, 1.1)):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.factors = tuple(factors)
+
+    def _factor(self, cid: str) -> float:
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:speed:{self.salt}".encode()).digest()
+        return self.factors[d[0] % len(self.factors)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.resample import resample_sinc
+
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec, ok = [], [], []
+        speed_bp, out_n, out_rms = [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                speed_bp.append(0)
+                out_n.append(0)
+                out_rms.append(0.0)
+                continue
+            f = self._factor(str(cid))
+            sr_virtual = int(round(sr * f))
+            y = resample_sinc(pcm, sr_virtual, sr) if sr_virtual != sr \
+                else np.asarray(pcm, dtype=np.float32)
+            y = np.clip(y, -1.0, 1.0)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            speed_bp.append(int(round(f * 10_000)))
+            out_n.append(len(y))
+            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                           if len(y) else 0.0)
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("speed_bp", pa.array(speed_bp, pa.int32()))
+        batch = batch.append_column("out_n_samples", pa.array(out_n, pa.int32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def speed_perturb_stage(ds, cfg: PipelineConfig, salt: str = "",
+                        factors: tuple[float, ...] = (0.9, 1.0, 1.1),
+                        concurrency: int | tuple[int, int] = 4):
+    """Deterministic sox-style speed perturbation over the clip table;
+    actor pool (windowed-sinc kernel state amortized per actor)."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        SpeedPerturbActor,
+        fn_constructor_args=(cfg, salt, factors),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -1,0 +1,69 @@
+"""Speed perturbation (stages/multimodal.SpeedPerturbActor)."""
+
+import numpy as np
+import pyarrow as pa
+
+from spiderray.config import PipelineConfig
+from spiderray.stages.multimodal import SpeedPerturbActor, _decode_one
+
+
+def _clip(secs=0.5, sr=16000, f=440):
+    t = np.arange(int(sr * secs)) / sr
+    x = 0.5 * np.sin(2 * np.pi * f * t)
+    return (x * 32767).astype("<i2").tobytes()
+
+
+def _batch(ids, secs=0.5):
+    return pa.table({
+        "clip_id": ids,
+        "bytes": [_clip(secs) for _ in ids],
+        "codec": ["pcm_s16le"] * len(ids),
+        "sr_hz": [16000] * len(ids),
+    })
+
+
+class TestSpeedPerturb:
+    def test_duration_scales_inverse_of_factor(self):
+        actor = SpeedPerturbActor(PipelineConfig(), salt="s")
+        ids = [f"c{i}" for i in range(30)]
+        out = actor(_batch(ids)).to_pandas()
+        assert out["aug_ok"].all()
+        n_in = 8000
+        for _, r in out.iterrows():
+            f = r["speed_bp"] / 10_000.0
+            assert abs(r["out_n_samples"] - n_in / f) <= 2, (f, r["out_n_samples"])
+        # all three factors appear across 30 clips
+        assert set(out["speed_bp"]) == {9000, 10000, 11000}
+
+    def test_pitch_shifts_by_factor(self):
+        # a 440 Hz tone sped up by f plays back at 440·f Hz
+        actor = SpeedPerturbActor(PipelineConfig(), salt="s2")
+        ids = [f"p{i}" for i in range(12)]
+        out_t = actor(_batch(ids, secs=1.0))
+        df = out_t.to_pandas()
+        for row, buf in zip(df.itertuples(), out_t.column("bytes").to_pylist()):
+            f = row.speed_bp / 10_000.0
+            y = _decode_one(buf, "pcm_s16le").astype(np.float64)
+            spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+            peak_hz = np.argmax(spec) * 16000 / len(y)
+            assert abs(peak_hz - 440.0 * f) < 5.0, (f, peak_hz)
+
+    def test_deterministic_and_salt_varies(self):
+        a1 = SpeedPerturbActor(PipelineConfig(), salt="e1")
+        a2 = SpeedPerturbActor(PipelineConfig(), salt="e2")
+        ids = [f"d{i}" for i in range(40)]
+        r1 = a1(_batch(ids)).to_pandas()["speed_bp"].tolist()
+        r1b = a1(_batch(ids)).to_pandas()["speed_bp"].tolist()
+        r2 = a2(_batch(ids)).to_pandas()["speed_bp"].tolist()
+        assert r1 == r1b
+        assert r1 != r2  # different epoch → different assignment
+
+    def test_undecodable_marked_not_crashed(self):
+        actor = SpeedPerturbActor(PipelineConfig())
+        batch = pa.table({
+            "clip_id": ["bad"], "bytes": [b"junk"],
+            "codec": ["opus"], "sr_hz": [16000],
+        })
+        out = actor(batch).to_pandas()
+        assert not out.loc[0, "aug_ok"]
+        assert out.loc[0, "speed_bp"] == 0
