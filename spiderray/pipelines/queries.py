@@ -3150,6 +3150,45 @@ def q_bpe_tokens(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+_UNIGRAM_KW = dict(vocab_size=1500, max_words=20_000, seed_size=3000,
+                   n_iters=3)
+
+
+def q_unigram_vocab(sf_dir: str):
+    """Distributed unigram-LM tokenizer training (stages/unigram_train,
+    Kudo 2018 hard-EM variant): the same distributed word-frequency pass
+    as BPE feeds a driver-side Viterbi-EM loop with integer usage counts
+    (bit-deterministic).  Oracle: plain-Python word counts over the raw
+    parquet feeding the shared trainer — what the hash checks is the
+    distributed word-count pass producing identical frequencies."""
+    _ensure_fixture("q_unigram_vocab", sf_dir)
+    from ..stages.unigram_train import train_unigram_corpus
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    vocab = train_unigram_corpus(ds, **_UNIGRAM_KW)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(len(vocab)), dtype="int64"),
+            "piece": [p for p, _ in vocab],
+            "n_used": pd.array([c for _, c in vocab], dtype="int64"),
+        }
+    )
+
+
+def q_unigram_tokens(sf_dir: str):
+    """Corpus-trained unigram encode (stages/unigram_train.
+    unigram_encode_stage): the learned piece table ships once per actor,
+    word→Viterbi segmentation memoized per actor."""
+    _ensure_fixture("q_unigram_tokens", sf_dir)
+    from ..stages.unigram_train import train_unigram_corpus, unigram_encode_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = train_unigram_corpus(ds, **_UNIGRAM_KW)
+    out = unigram_encode_stage(ds, vocab).select_columns(
+        ["doc_id", "n_unigram_tokens"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_arpa_ppl(sf_dir: str):
     """Model-FILE perplexity round-trip: distributed n-gram training →
     standard ARPA serialization (functions/arpa.py) → an actor pool whose
@@ -3772,6 +3811,8 @@ QUERIES = {
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
     "q_speed_perturb": q_speed_perturb,
+    "q_unigram_vocab": q_unigram_vocab,
+    "q_unigram_tokens": q_unigram_tokens,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,

@@ -1210,6 +1210,52 @@ def so_nb_langid(sf_dir: str) -> pa.Table:
 # DSIR importance resampling (q_dsir_scores)
 # ---------------------------------------------------------------------------
 
+def _serial_unigram_vocab(sf_dir: str):
+    """Serial unigram training: INDEPENDENT plain-Python word counts over
+    the raw parquet (the distributed word-frequency pass is what the hash
+    verifies), feeding the shared hard-EM trainer (driver-side code on
+    both sides by design — same function-bank rule as the keep/drop
+    oracle)."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+    from ..stages.unigram_train import train_unigram
+    from .queries import _UNIGRAM_KW
+
+    wc = defaultdict(int)
+    for text in _docs(sf_dir).column("text").to_pylist():
+        for tok in RE_BPE_TOKEN.findall(text or ""):
+            wc[tok.lower()] += 1
+    rows = sorted(wc.items(), key=lambda t: (-t[1], t[0]))
+    rows = rows[: _UNIGRAM_KW["max_words"]]
+    kw = {k: v for k, v in _UNIGRAM_KW.items() if k != "max_words"}
+    return train_unigram(rows, **kw)
+
+
+def so_unigram_vocab(sf_dir: str) -> pa.Table:
+    vocab = _serial_unigram_vocab(sf_dir)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(vocab)), pa.int64()),
+            "piece": pa.array([p for p, _ in vocab], pa.string()),
+            "n_used": pa.array([c for _, c in vocab], pa.int64()),
+        }
+    )
+
+
+def so_unigram_tokens(sf_dir: str) -> pa.Table:
+    """Serial encode over the raw parquet with the serially-trained piece
+    table; per-word segmentation shares the Viterbi kernel (function-bank
+    rule) — batch boundaries, actor caching and schema flow are what the
+    distributed side adds."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+    from ..stages.unigram_train import UnigramEncoder
+
+    vocab = _serial_unigram_vocab(sf_dir)
+    enc = UnigramEncoder(vocab)
+    t = _docs(sf_dir)
+    out = enc(t.select(["doc_id", "text"]))
+    return out.select(["doc_id", "n_unigram_tokens"]).sort_by("doc_id")
+
+
 def so_dsir_scores(sf_dir: str) -> pa.Table:
     """Serial DSIR: one numpy bincount per corpus (vs the engine's
     per-batch partials + bounded groupby-Sum), same per-row feature bank
@@ -1331,6 +1377,8 @@ SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
     "q_speed_perturb": so_speed_perturb,
+    "q_unigram_vocab": so_unigram_vocab,
+    "q_unigram_tokens": so_unigram_tokens,
     "q_bpe_vocab": so_bpe_vocab,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,
