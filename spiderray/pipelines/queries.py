@@ -1682,6 +1682,60 @@ FROM b GROUP BY split ORDER BY split
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    corpus-trained CharLM scores every document (integer milli
+    perplexity), per-LANGUAGE terciles cut head/middle/tail
+    (stages/stats.grouped_quantile_buckets over grouped_quantiles_exact)
+    — one language's ppl scale never gates another's.  Inf-perplexity
+    docs (empty text) label 'na'.  Fixture oracle: serial CharLM + the
+    same rank arithmetic."""
+    _ensure_fixture("q_ccnet_buckets", sf_dir)
+    import math
+
+    import ray
+
+    from ..stages.lm_train import train_char_lm
+    from ..stages.stats import grouped_quantile_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    lm_ref = ray.put(train_char_lm(ds, text_col="text"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = ray.get(lm_ref)
+        milli = []
+        for t in batch.column("text").to_pylist():
+            p = model.perplexity(t or "")
+            milli.append(int(p * 1000) if math.isfinite(p) else -1)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "ppl_milli": pa.array(milli, pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_quantile_buckets(scored, "lang", "ppl_milli", sentinel=-1)
+    return out.select_columns(["doc_id", "lang", "ppl_milli", "bucket"])
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Exact-size uniform sample via the bottom-k / KMV sketch
+    (stages/stats.bottomk_sample): rank by md5(id), keep the 100
+    smallest — deterministic, merge-friendly (per-batch partial heads,
+    only k rows leave each batch), output size exactly k.  Plain-SQL
+    oracle (DuckDB md5 + ORDER BY + LIMIT replicates the rank)."""
+    from ..stages.stats import bottomk_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return bottomk_sample(ds, 100, id_col="doc_id")
+
+
+SQL_BOTTOMK_SAMPLE = """
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_hex
+FROM documents
+ORDER BY rank_hex
+LIMIT 100
+"""
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact distributed quantiles of the events value column (in cents):
     value-histogram shuffle + driver cumsum, rank = ceil(q*n) 1-based."""
@@ -3813,6 +3867,8 @@ QUERIES = {
     "q_speed_perturb": q_speed_perturb,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
+    "q_bottomk_sample": q_bottomk_sample,
+    "q_ccnet_buckets": q_ccnet_buckets,
     "q_salted_skew_join": q_salted_skew_join,
     "q_bm25_topk": q_bm25_topk,
     "q_asof_join": q_asof_join,
@@ -3873,6 +3929,7 @@ ORACLE_SQL = {
     "q_news_from_html": SQL_NEWS_FROM_HTML,
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "q_bottomk_sample": SQL_BOTTOMK_SAMPLE,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

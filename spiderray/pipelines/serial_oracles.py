@@ -405,6 +405,42 @@ def so_corpus_ppl(sf_dir: str) -> pa.Table:
     )
 
 
+def so_ccnet_buckets(sf_dir: str) -> pa.Table:
+    """Serial twin of q_ccnet_buckets: the so_corpus_ppl CharLM path for
+    milli perplexities, then per-language tercile cuts with the SAME rank
+    definition as grouped_quantiles_exact (value at 1-based rank
+    ceil(q·n) of the sorted non-sentinel column), label by x <= cut."""
+    ppl_t = so_corpus_ppl(sf_dir)
+    ids = ppl_t.column("doc_id").to_numpy()
+    milli = ppl_t.column("ppl_milli").to_numpy()
+    lang_t = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    lang_map = dict(zip(lang_t.column("doc_id").to_pylist(),
+                        lang_t.column("lang").to_pylist()))
+    langs = np.asarray([lang_map[int(i)] for i in ids])
+    qs, labels = [1.0 / 3.0, 2.0 / 3.0], ["head", "middle", "tail"]
+    cuts: dict = {}
+    for g in np.unique(langs):
+        v = np.sort(milli[(langs == g) & (milli != -1)])
+        if len(v) == 0:
+            continue
+        cuts[g] = [int(v[max(int(np.ceil(q * len(v))), 1) - 1]) for q in qs]
+    buckets = []
+    for g, x in zip(langs, milli):
+        edges = cuts.get(g)
+        if edges is None or x == -1:
+            buckets.append("na")
+            continue
+        buckets.append(labels[int(np.searchsorted(np.asarray(edges), x,
+                                                  side="left"))])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "ppl_milli": pa.array(milli, pa.int64()),
+        "bucket": pa.array(buckets, pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # audio / image / video oracles — serial input synthesis + the SAME batch
 # callables the stages run, applied once to the whole table
@@ -1379,6 +1415,7 @@ SERIAL_ORACLES = {
     "q_speed_perturb": so_speed_perturb,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
+    "q_ccnet_buckets": so_ccnet_buckets,
     "q_bpe_vocab": so_bpe_vocab,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,

@@ -193,6 +193,87 @@ def quantiles_approx(ds, col: str, qs: list[float], n_bins: int = 8192):
     return out
 
 
+def grouped_quantile_buckets(ds, group_col: str, col: str,
+                             qs: list[float] | None = None,
+                             labels: list[str] | None = None,
+                             sentinel: int | None = None,
+                             sentinel_label: str = "na"):
+    """Label every row by which per-GROUP quantile band its integer value
+    falls in — the CCNet shape (Wenzek et al. 2020, arXiv:1911.00359):
+    bucket documents into head/middle/tail by per-language perplexity
+    terciles so one language's ppl scale never gates another's.
+
+    Shape: one grouped_quantiles_exact pass (integer histogram — O(distinct
+    values) shuffle) computes the cut values, broadcast once via ray.put;
+    the labeling is then a pure map.  ``sentinel`` rows (e.g. the -1
+    inf-perplexity marker) are EXCLUDED from the cuts and labeled
+    ``sentinel_label``; rows whose group has no cuts (all-sentinel group)
+    get ``sentinel_label`` too."""
+    import ray
+
+    qs = qs or [1.0 / 3.0, 2.0 / 3.0]
+    labels = labels or ["head", "middle", "tail"]
+    if len(labels) != len(qs) + 1:
+        raise ValueError(f"need {len(qs) + 1} labels for {len(qs)} cuts")
+
+    base = ds
+    if sentinel is not None:
+        def drop_sentinel(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(vals != sentinel))
+        base = ds.map_batches(drop_sentinel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cuts_df = grouped_quantiles_exact(base, group_col, col, qs).to_pandas()
+    cuts: dict = {}
+    for _, row in cuts_df.iterrows():
+        cuts.setdefault(row[group_col], []).append(
+            (int(row["q_pct"]), int(row[col])))
+    cut_vals = {g: [v for _, v in sorted(pairs)] for g, pairs in cuts.items()}
+    cuts_ref = ray.put(cut_vals)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        groups = batch.column(group_col).to_pylist()
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        out = []
+        for g, x in zip(groups, vals):
+            edges = c.get(g)
+            if edges is None or (sentinel is not None and x == sentinel):
+                out.append(sentinel_label)
+                continue
+            k = int(np.searchsorted(np.asarray(edges), x, side="left"))
+            out.append(labels[k])
+        return batch.append_column("bucket", pa.array(out, pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bottomk_sample(ds, k: int, id_col: str = "doc_id", salt: str = ""):
+    """EXACT-size uniform sample of k rows via the bottom-k (KMV) sketch:
+    rank every row by md5(salt + id) and keep the k smallest.  Unlike a
+    rate-based sample the output size is exactly k (for n ≥ k), unlike
+    reservoir sampling it is deterministic and merge-friendly: per-batch
+    partial bottom-k heads (only k rows leave each batch) then one
+    driver-sized k-row head — the same partial+final shape as
+    top_k_per_group.  The md5 rank is reproducible in SQL
+    (md5(CAST(id AS VARCHAR))), so the oracle is plain ANSI SQL.
+    Returns a Dataset of the sampled rows plus their ``rank_hex``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column(id_col).to_pylist()
+        ranks = [hashlib.md5(f"{salt}{i}".encode()).hexdigest() for i in ids]
+        batch = batch.append_column("rank_hex", pa.array(ranks, pa.string()))
+        order = np.argsort(np.asarray(ranks, dtype=object), kind="stable")[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # final head: candidates are ≤ k per input batch — sort the bounded
+    # residue and cut at k (global sort of ≤ k·batches rows)
+    return out.sort("rank_hex").limit(k)
+
+
 def tdigest_quantiles(ds, col: str, qs: list[float],
                       delta: int = 200, recompress_batch: int = 32_768):
     """Bounded-error quantiles via a MERGEABLE t-digest sketch
