@@ -2731,8 +2731,10 @@ ORDER BY o.event_type, q.q_pct
 def _synth_image_rows(batch: pa.Table) -> pa.Table:
     """Deterministic small images derived from doc_id: real PPM gradients,
     real baseline JPEGs (functions/jpegdec.py — every 3rd truncated
-    mid-stream to exercise mark-don't-crash), and real lossless WebPs
-    (functions/webpdec.py, VP8L with subtract-green + LZ77)."""
+    mid-stream to exercise mark-don't-crash), real lossless WebPs
+    (functions/webpdec.py, VP8L with subtract-green + LZ77), and real
+    GIFs (functions/gifdec.py, LZW — palette-limited stratum)."""
+    from ..functions.gifdec import encode_gif
     from ..functions.jpegdec import encode_jpeg
     from ..functions.webpdec import encode_webp_lossless
     from ..stages.image import encode_ppm
@@ -2757,6 +2759,13 @@ def _synth_image_rows(batch: pa.Table) -> pa.Table:
         elif i % 3 == 1 and (i // 3) % 2 == 1:
             bufs.append(encode_webp_lossless(img, subtract_green=True))
             fmts.append("webp")
+        elif i % 3 == 0 and (i // 3) % 2 == 1:
+            # GIF stratum: palette-limited variant (≤256 unique colors —
+            # channels quantized to 3 bits), interlaced every other one
+            gimg = (img & 0xE0).astype(np.uint8)
+            bufs.append(encode_gif([gimg],
+                                   interlace_first=bool((i // 6) % 2)))
+            fmts.append("gif")
         else:
             bufs.append(encode_ppm(img))
             fmts.append("ppm")
@@ -2787,9 +2796,12 @@ def q_image_features(sf_dir: str):
 def _synth_video_rows(batch: pa.Table) -> pa.Table:
     """Every 10th doc → a 9-frame video (shared by q_video_frames and its
     serial oracle).  Containers alternate deterministically: real YUV4MPEG2
-    streams (C420jpeg / C444 / mono — full header + FRAME parse + YUV→RGB)
-    and the toy RAWV container; every 7th video (of either container) is
-    truncated mid-stream to exercise the decode_ok=False marker path."""
+    streams (C420jpeg / C444 / mono — full header + FRAME parse + YUV→RGB),
+    real animated GIF (functions/gifdec.py — LZW frames composed on the
+    logical screen) and the toy RAWV container; every 7th video (of any
+    container) is truncated mid-stream to exercise the decode_ok=False
+    marker path."""
+    from ..functions.gifdec import encode_gif
     from ..stages.image import encode_rawv, encode_y4m
 
     t = _mod_filter(batch, "doc_id", 10)
@@ -2801,9 +2813,11 @@ def _synth_video_rows(batch: pa.Table) -> pa.Table:
             img = np.full((8, 8, 3), (i + f) % 256, dtype=np.uint8)
             frames.append(img)
         ids.append(f"vid_{i:08d}")
-        k = (i // 10) % 4
+        k = (i // 10) % 5
         if k == 0:
             buf = encode_rawv(frames)
+        elif k == 4:
+            buf = encode_gif(frames)  # ≤9 colors: palette-exact
         else:
             buf = encode_y4m(frames,
                              colorspace=("420jpeg", "444", "mono")[k - 1])

@@ -127,6 +127,16 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         except (WebpError, WebpUnsupported, IndexError, ValueError):
             raise ImageDecodeUnsupported("webp") from None
         return rgba[..., :3].copy()
+    if fmt == "gif":
+        # from-scratch GIF87a/89a (functions/gifdec.py: variable-width
+        # LZW, interlace, disposal/transparency composition); still
+        # images take frame 0.
+        from ..functions.gifdec import GifError, decode_gif
+
+        try:
+            return decode_gif(buf, max_frames=1)[0]
+        except (GifError, IndexError, ValueError):
+            raise ImageDecodeUnsupported("gif") from None
     raise ImageDecodeUnsupported(fmt)
 
 
@@ -314,6 +324,17 @@ def _iter_video_frames(buf: bytes):
     decoded YUV→RGB) and the RAWV test container alike."""
     if buf.startswith(_Y4M_MAGIC):
         for rgb in _iter_y4m_frames(buf):
+            yield encode_ppm(rgb)
+        return
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF is a real multi-frame container: composed canvases
+        from ..functions.gifdec import GifError, decode_gif
+
+        try:
+            frames = decode_gif(buf)
+        except (GifError, IndexError, ValueError):
+            raise ImageDecodeUnsupported("gif video") from None
+        for rgb in frames:
             yield encode_ppm(rgb)
         return
     if buf[:4] != b"RAWV":
