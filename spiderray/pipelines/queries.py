@@ -1605,6 +1605,25 @@ def q_speed_perturb(sf_dir: str):
     )
 
 
+def q_acoustic_augment(sf_dir: str):
+    """Acoustic-environment augmentation (stages/multimodal.
+    AcousticAugmentActor): md5-keyed synthetic-room reverb (exponential
+    -decay RIR, FFT convolution) + additive noise at a target SNR drawn
+    from {5, 10, 20} dB — the other half of the standard ASR
+    augmentation recipe next to q_speed_perturb.  Audit columns; fixture
+    oracle runs the same actor serially."""
+    _ensure_fixture("q_acoustic_augment", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import acoustic_augment_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = acoustic_augment_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "rt60_ms", "snr_target_db", "reverb", "out_rms"]
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -3879,6 +3898,7 @@ QUERIES = {
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
     "q_speed_perturb": q_speed_perturb,
+    "q_acoustic_augment": q_acoustic_augment,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

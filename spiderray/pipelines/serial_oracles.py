@@ -1007,6 +1007,16 @@ def so_speed_perturb(sf_dir: str) -> pa.Table:
     )
 
 
+def so_acoustic_augment(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import AcousticAugmentActor
+
+    out = AcousticAugmentActor(PipelineConfig(), salt="e1")(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "aug_ok", "rt60_ms", "snr_target_db", "reverb", "out_rms"]
+    )
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1413,6 +1423,7 @@ SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
     "q_speed_perturb": so_speed_perturb,
+    "q_acoustic_augment": so_acoustic_augment,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -1109,3 +1109,131 @@ def speed_perturb_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class AcousticAugmentActor:
+    """Acoustic-environment augmentation — the other half of the standard
+    ASR augmentation recipe next to speed perturbation: synthetic-room
+    REVERB (convolution with an exponentially-decaying noise RIR) and
+    ADDITIVE NOISE mixed at a target SNR.  Every random choice derives
+    from an md5 chain on (clip_id, salt) — order/partition-independent,
+    reproducible on resume, one augmentation epoch per salt:
+
+    * RIR: length rt60_ms drawn from ``rt60_range``, shape
+      n(t)·exp(−6.9·t/rt60) with n from a per-clip md5-seeded generator,
+      peak-normalized; applied by FFT convolution (vectorized).
+    * noise: md5-seeded white noise scaled so 10·log10(Ps/Pn) hits the
+      target drawn from ``snr_choices_db``.
+
+    Emits audit columns (rt60_ms, snr_target_db, wet gain) plus the
+    re-encoded pcm16; undecodable rows mark aug_ok=False and pass
+    through untouched.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 rt60_range: tuple[int, int] = (80, 320),
+                 snr_choices_db: tuple[int, ...] = (5, 10, 20),
+                 reverb_prob_pct: int = 50):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.rt60_range = rt60_range
+        self.snr_choices = tuple(snr_choices_db)
+        self.reverb_prob_pct = reverb_prob_pct
+
+    def _params(self, cid: str):
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:acoustic:{self.salt}".encode()).digest()
+        lo, hi = self.rt60_range
+        rt60 = lo + int.from_bytes(d[0:2], "big") % max(hi - lo, 1)
+        snr = self.snr_choices[d[2] % len(self.snr_choices)]
+        do_reverb = (d[3] % 100) < self.reverb_prob_pct
+        seed = int.from_bytes(d[4:12], "big")
+        return rt60, snr, do_reverb, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec = [], []
+        ok, rt60s, snrs, reverbs, out_rms = [], [], [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "").astype(np.float64)
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                rt60s.append(0)
+                snrs.append(0)
+                reverbs.append(False)
+                out_rms.append(0.0)
+                continue
+            rt60, snr_db, do_reverb, seed = self._params(str(cid))
+            rng = np.random.Generator(np.random.Philox(seed))
+            x = pcm
+            if do_reverb:
+                n_rir = max(int(sr * rt60 / 1000), 8)
+                t = np.arange(n_rir) / sr
+                rir = rng.standard_normal(n_rir) * np.exp(
+                    -6.9 * t / (rt60 / 1000.0))
+                rir[0] = 1.0  # direct path
+                rir /= np.abs(rir).max()
+                n_fft = 1 << int(np.ceil(np.log2(len(x) + n_rir - 1)))
+                wet = np.fft.irfft(np.fft.rfft(x, n_fft)
+                                   * np.fft.rfft(rir, n_fft), n_fft)[: len(x)]
+                peak = np.abs(wet).max()
+                if peak > 1e-9:
+                    wet *= min(1.0, np.abs(x).max() / peak)  # match dry peak
+                x = wet
+            p_sig = float((x ** 2).mean())
+            if p_sig > 0:
+                noise = rng.standard_normal(len(x))
+                p_noise_target = p_sig / (10.0 ** (snr_db / 10.0))
+                noise *= np.sqrt(p_noise_target / float((noise ** 2).mean()))
+                x = x + noise
+            x = np.clip(x, -1.0, 1.0).astype(np.float32)
+            out_bytes.append(_encode_pcm16(x))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            rt60s.append(rt60 if do_reverb else 0)
+            snrs.append(snr_db)
+            reverbs.append(bool(do_reverb))
+            out_rms.append(float(np.sqrt((x.astype(np.float64) ** 2).mean())))
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("rt60_ms", pa.array(rt60s, pa.int32()))
+        batch = batch.append_column("snr_target_db", pa.array(snrs, pa.int32()))
+        batch = batch.append_column("reverb", pa.array(reverbs, pa.bool_()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def acoustic_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
+                           rt60_range: tuple[int, int] = (80, 320),
+                           snr_choices_db: tuple[int, ...] = (5, 10, 20),
+                           reverb_prob_pct: int = 50,
+                           concurrency: int | tuple[int, int] = 4):
+    """Deterministic reverb + noise-mixing augmentation over the clip
+    table (actor pool; FFT convolution vectorized per clip)."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AcousticAugmentActor,
+        fn_constructor_args=(cfg, salt, rt60_range, snr_choices_db,
+                             reverb_prob_pct),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
