@@ -93,6 +93,13 @@ def run_queries() -> dict[str, float]:
         ("q_heavy_hitters", q.q_heavy_hitters),
         ("q_pack_chunks", q.q_pack_chunks),
         ("q_event_outliers", q.q_event_outliers),
+        ("q_tdigest_quantiles", q.q_tdigest_quantiles),
+        ("q_cmvn", q.q_cmvn),
+        ("q_unigram_tokens", q.q_unigram_tokens),
+        ("q_bottomk_sample", q.q_bottomk_sample),
+        ("q_ccnet_buckets", q.q_ccnet_buckets),
+        ("q_speed_perturb", q.q_speed_perturb),
+        ("q_acoustic_augment", q.q_acoustic_augment),
     ]
     import ray.data
 
