@@ -3137,6 +3137,48 @@ def _c4_docs(sf_dir: str):
     return ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _leespan_corpus(ids, texts) -> tuple[list, list]:
+    """Planted duplicate substrings for q_substring_dedup (shared with its
+    serial oracle): every 9th doc spawns a twin (id + 50M) that copies the
+    doc's first 20 tokens — an exact 20-token duplicate window — then
+    diverges into a distinct tail."""
+    out_ids, out_texts = [], []
+    for i, txt in zip(ids, texts):
+        i = int(i)
+        out_ids.append(i)
+        out_texts.append(txt or "")
+        if i % 9 == 0:
+            words = (txt or "").split()
+            head = " ".join(words[:20])
+            tail = " ".join(f"tail{i}w{k}" for k in range(8))
+            out_ids.append(i + 50_000_000)
+            out_texts.append(f"{head} {tail}")
+    return out_ids, out_texts
+
+
+def q_substring_dedup(sf_dir: str):
+    """ExactSubstr duplicate-substring removal (Lee et al. 2021,
+    stages/substring_dedup): every 20-token window occurring more than
+    once in the corpus keeps only its global-min (id, start) occurrence;
+    planted twins lose their copied 20-token head to the original.
+    Two 20-byte-row exchanges, text crosses once; fixture oracle = serial
+    occurrence map over the same planted corpus."""
+    _ensure_fixture("q_substring_dedup", sf_dir)
+    from ..stages.substring_dedup import substring_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids, texts = _leespan_corpus(batch.column("doc_id").to_numpy(),
+                                     batch.column("text").to_pylist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    out = substring_dedup(aug, window=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_c4_filters(sf_dir: str):
     """C4 line + page filter (stages/c4.c4_filter_stage; published Raffel
     et al. §2.2 rules) over the sentence-ified corpus: keep/drop + first
@@ -3894,6 +3936,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_c4_filters": q_c4_filters,
     "q_c4_span_dedup": q_c4_span_dedup,
+    "q_substring_dedup": q_substring_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,

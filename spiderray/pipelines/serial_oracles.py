@@ -885,6 +885,37 @@ def so_c4_span_dedup(sf_dir: str) -> pa.Table:
     })
 
 
+def so_substring_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin of q_substring_dedup: global window occurrence map,
+    winner = min (id, start) per hash, losers\' token spans removed."""
+    from ..functions.leespan import doc_window_hashes, remove_token_spans
+    from .queries import _leespan_corpus
+
+    w = 20
+    t = _docs(sf_dir)
+    ids, texts = _leespan_corpus(t.column("doc_id").to_numpy().astype(np.int64),
+                                 t.column("text").to_pylist())
+    occ: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for i, txt in zip(ids, texts):
+        hs, ss = doc_window_hashes(txt, w)
+        for h, st in zip(hs.tolist(), ss.tolist()):
+            occ[h].append((int(i), st))
+    loser_starts: dict[int, list[int]] = defaultdict(list)
+    for h, lst in occ.items():
+        if len(lst) > 1:
+            lst.sort()
+            for i, st in lst[1:]:
+                loser_starts[i].append(st)
+    rows = sorted(
+        (int(i), remove_token_spans(txt, loser_starts[int(i)], w)
+         if int(i) in loser_starts else txt)
+        for i, txt in zip(ids, texts))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
 def so_grouped_quantiles_approx(sf_dir: str) -> pa.Table:
     """Serial twin of q_grouped_quantiles_approx: identical float64
     binning arithmetic (lo/width, clip, rank=ceil(q·n), upper bin edge)
@@ -1471,6 +1502,7 @@ SERIAL_ORACLES = {
     "q_gopher_quality": so_gopher_quality,
     "q_c4_filters": so_c4_filters,
     "q_c4_span_dedup": so_c4_span_dedup,
+    "q_substring_dedup": so_substring_dedup,
     "q_grouped_quantiles_approx": so_grouped_quantiles_approx,
 }
 
