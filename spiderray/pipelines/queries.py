@@ -1624,6 +1624,30 @@ def q_acoustic_augment(sf_dir: str):
     )
 
 
+def q_wds_shards(sf_dir: str):
+    """WebDataset tar-shard sink (sources/wds.py): clips route to shards
+    by md5(key), one writer per shard, normalized tar metadata + sorted
+    keys make shard BYTES reproducible — the manifest (shard, n_samples,
+    tar_md5) is the contract.  Fixture oracle packs the same samples
+    serially with the shared tar builder and must reproduce every shard
+    checksum."""
+    _ensure_fixture("q_wds_shards", sf_dir)
+    import hashlib as _h
+    import os
+
+    from ..sources.clips import clips_from_documents
+    from ..sources.wds import write_tar_shards
+
+    out_dir = os.path.join(
+        "/tmp", "spiderray_wds", _h.md5(sf_dir.encode()).hexdigest()[:12])
+    ds = clips_from_documents(sf_dir)
+    man = write_tar_shards(ds, out_dir, key_col="clip_id", bytes_col="bytes",
+                           meta_cols=["codec", "sr_hz"], n_shards=16,
+                           resume=False)
+    return man.select_columns(["shard", "n_samples", "tar_md5"]).to_pandas() \
+        .sort_values("shard").reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -3942,6 +3966,7 @@ QUERIES = {
     "q_cmvn": q_cmvn,
     "q_speed_perturb": q_speed_perturb,
     "q_acoustic_augment": q_acoustic_augment,
+    "q_wds_shards": q_wds_shards,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

@@ -1048,6 +1048,40 @@ def so_acoustic_augment(sf_dir: str) -> pa.Table:
     )
 
 
+def so_wds_shards(sf_dir: str) -> pa.Table:
+    """Serial twin of q_wds_shards: identical md5 shard routing and the
+    shared deterministic tar builder, packed single-threaded — every
+    shard checksum must match the distributed writers\' output."""
+    import hashlib as _h
+    import json as _json
+
+    from ..sources.wds import _pack_shard, shard_of
+
+    t = _clips(sf_dir)
+    keys = [str(k) for k in t.column("clip_id").to_pylist()]
+    payloads = t.column("bytes").to_pylist()
+    codecs = t.column("codec").to_pylist()
+    srs = t.column("sr_hz").to_pylist()
+    n_shards = 16
+    by_shard: dict[int, list[int]] = defaultdict(list)
+    for j, k in enumerate(keys):
+        by_shard[shard_of(k, n_shards)].append(j)
+    rows = []
+    for shard in sorted(by_shard):
+        idx = by_shard[shard]
+        metas = [_json.loads(_json.dumps(
+            {"codec": codecs[j], "sr_hz": srs[j]}, sort_keys=True,
+            ensure_ascii=False, default=str)) for j in idx]
+        blob = _pack_shard([keys[j] for j in idx],
+                           [payloads[j] or b"" for j in idx], metas)
+        rows.append((shard, len(idx), _h.md5(blob).hexdigest()))
+    return pa.table({
+        "shard": pa.array([r[0] for r in rows], pa.int64()),
+        "n_samples": pa.array([r[1] for r in rows], pa.int64()),
+        "tar_md5": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1455,6 +1489,7 @@ SERIAL_ORACLES = {
     "q_cmvn": so_cmvn,
     "q_speed_perturb": so_speed_perturb,
     "q_acoustic_augment": so_acoustic_augment,
+    "q_wds_shards": so_wds_shards,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,
