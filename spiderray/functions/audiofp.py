@@ -267,6 +267,27 @@ def mfcc_mean(
     return (mel @ dct.T).mean(axis=0)
 
 
+def log_mel_spectrogram(
+    pcm: np.ndarray,
+    sr: int,
+    frame: int = 512,
+    hop: int = 256,
+    n_mels: int = 24,
+    max_frames: int = 512,
+) -> np.ndarray:
+    """(n_frames, n_mels) float64 log-mel spectrogram — the frame-level
+    front-end mfcc_mean averages over; empty (0, n_mels) for clips too
+    short for one frame."""
+    if sr <= 0 or len(pcm) < frame:
+        return np.zeros((0, n_mels), dtype=np.float64)
+    x = pcm[: frame + hop * max_frames].astype(np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * _hann(frame), axis=1)) ** 2
+    fb, _ = _mel_dct(sr, frame, n_mels, 1)
+    return np.log(spec @ fb.T + 1e-10)
+
+
 # ---------------------------------------------------------------------------
 # SNR / noise-floor estimation and pitch (F0) tracking
 # ---------------------------------------------------------------------------

@@ -1648,6 +1648,25 @@ def q_wds_shards(sf_dir: str):
         .sort_values("shard").reset_index(drop=True)
 
 
+def q_specaugment(sf_dir: str):
+    """SpecAugment (Park et al. 2019; stages/audioquality.
+    SpecAugmentActor): md5-keyed frequency + time masks blanked to the
+    log-mel mean — the canonical feature-space ASR augmentation next to
+    the waveform-space q_speed_perturb / q_acoustic_augment.  The masked
+    spectrogram's md5 is the contract column; fixture oracle runs the
+    same actor serially."""
+    _ensure_fixture("q_specaugment", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import specaugment_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = specaugment_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "n_frames", "masked_cells", "spec_md5"]
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -3967,6 +3986,7 @@ QUERIES = {
     "q_speed_perturb": q_speed_perturb,
     "q_acoustic_augment": q_acoustic_augment,
     "q_wds_shards": q_wds_shards,
+    "q_specaugment": q_specaugment,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

@@ -1082,6 +1082,16 @@ def so_wds_shards(sf_dir: str) -> pa.Table:
     })
 
 
+def so_specaugment(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import SpecAugmentActor
+
+    out = SpecAugmentActor(PipelineConfig(), salt="e1")(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "aug_ok", "n_frames", "masked_cells", "spec_md5"]
+    )
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1490,6 +1500,7 @@ SERIAL_ORACLES = {
     "q_speed_perturb": so_speed_perturb,
     "q_acoustic_augment": so_acoustic_augment,
     "q_wds_shards": so_wds_shards,
+    "q_specaugment": so_specaugment,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

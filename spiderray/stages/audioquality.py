@@ -421,3 +421,107 @@ def grouped_cmvn(ds, group_col: str, feat_cols: list[str],
         return batch
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class SpecAugmentActor:
+    """SpecAugment (Park et al. 2019, arXiv:1904.08779) — the canonical
+    feature-space ASR augmentation: frequency masks (F contiguous mel
+    bins) and time masks (T contiguous frames) blanked to the
+    spectrogram's mean on the log-mel front end.  Mask positions/widths
+    derive from an md5 chain on (clip_id, salt) — deterministic,
+    partition-independent, one epoch per salt.  Emits the masked
+    spectrogram as float32 bytes plus audit columns incl. its md5 (the
+    contract check) and masked-cell counts."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 n_freq_masks: int = 2, max_f: int = 6,
+                 n_time_masks: int = 2, max_t: int = 40,
+                 n_mels: int = 24):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.n_freq_masks = n_freq_masks
+        self.max_f = max_f
+        self.n_time_masks = n_time_masks
+        self.max_t = max_t
+        self.n_mels = n_mels
+
+    def _masks(self, cid: str, n_frames: int):
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:specaug:{self.salt}".encode()).digest()
+        fmasks, tmasks = [], []
+        for k in range(self.n_freq_masks):
+            dk = hashlib.md5(d + b"f" + bytes([k])).digest()
+            w = dk[0] % (self.max_f + 1)
+            f0 = int.from_bytes(dk[1:3], "big") % max(self.n_mels - w, 1)
+            fmasks.append((f0, f0 + w))
+        for k in range(self.n_time_masks):
+            dk = hashlib.md5(d + b"t" + bytes([k])).digest()
+            w = dk[0] % (self.max_t + 1)
+            t0 = int.from_bytes(dk[1:3], "big") % max(n_frames - w, 1)
+            tmasks.append((t0, t0 + w))
+        return fmasks, tmasks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions.audiofp import log_mel_spectrogram
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        ok, n_frames_c, masked_c, spec_md5, spec_bytes = [], [], [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                mel = log_mel_spectrogram(pcm, int(sr or 0),
+                                          n_mels=self.n_mels)
+                if mel.shape[0] == 0:
+                    raise DecodeUnsupported("too short")
+            except DecodeUnsupported:
+                ok.append(False)
+                n_frames_c.append(0)
+                masked_c.append(0)
+                spec_md5.append("")
+                spec_bytes.append(b"")
+                continue
+            n_frames = mel.shape[0]
+            fmasks, tmasks = self._masks(str(cid), n_frames)
+            fill = float(mel.mean())
+            covered = np.zeros(mel.shape, dtype=bool)
+            for f0, f1 in fmasks:
+                mel[:, f0:f1] = fill
+                covered[:, f0:f1] = True
+            for t0, t1 in tmasks:
+                mel[t0:t1, :] = fill
+                covered[t0:t1, :] = True
+            blob = mel.astype(np.float32).tobytes()
+            ok.append(True)
+            n_frames_c.append(n_frames)
+            masked_c.append(int(covered.sum()))
+            spec_md5.append(hashlib.md5(blob).hexdigest())
+            spec_bytes.append(blob)
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("n_frames", pa.array(n_frames_c, pa.int32()))
+        batch = batch.append_column("masked_cells", pa.array(masked_c, pa.int32()))
+        batch = batch.append_column("spec_md5", pa.array(spec_md5, pa.string()))
+        return batch.append_column("spec", pa.array(spec_bytes, pa.binary()))
+
+
+def specaugment_stage(ds, cfg: PipelineConfig, salt: str = "",
+                      concurrency: int | tuple[int, int] = 4, **kw):
+    """Deterministic SpecAugment over the clip table (actor pool)."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        SpecAugmentActor,
+        fn_constructor_args=(cfg, salt),
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
