@@ -78,3 +78,39 @@ def count_distinct_approx(ds, col: str) -> float:
         for row in parts.take_all()
     ]
     return hll_estimate(hll_merge(sketches))
+
+
+def grouped_count_distinct_approx(ds, group_col: str, col: str):
+    """Per-GROUP approximate distinct count: one (group, 4 KB sketch) row
+    per batch-group crosses the keyed shuffle — bounded by groups × blocks
+    regardless of value cardinality — then registers max-merge per group
+    (order-independent ⇒ bit-deterministic) and estimate.  Returns a
+    Dataset of (group, est_distinct int64)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_pylist(),
+            col: batch.column(col).to_pylist(),
+        })
+        groups, sketches = [], []
+        for g, sub in df.groupby(group_col, sort=True):
+            groups.append(g)
+            sketches.append(hll_from_values(sub[col].tolist()).tobytes())
+        return pa.table({group_col: pa.array(groups),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(s, dtype=np.uint8)
+                          for s in g["sketch"]])
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "est_distinct": [int(round(hll_estimate(regs)))],
+        })
+
+    return (
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -1137,6 +1137,21 @@ SELECT count(DISTINCT user_id) AS n_users FROM events
 """
 
 
+def q_grouped_hll(sf_dir: str):
+    """Per-group HLL distinct-user estimate (functions/sketch.
+    grouped_count_distinct_approx): one 4 KB register sketch per
+    (batch, group) crosses the keyed shuffle; register max-merge is
+    order-independent, so the estimate is bit-deterministic and the
+    serial twin reproduces it exactly.  Accuracy vs exact distinct is
+    asserted (±2%) in tests."""
+    _ensure_fixture("q_grouped_hll", sf_dir)
+    from ..functions.sketch import grouped_count_distinct_approx
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_count_distinct_approx(ds, "event_type", "user_id")
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -3987,6 +4002,7 @@ QUERIES = {
     "q_acoustic_augment": q_acoustic_augment,
     "q_wds_shards": q_wds_shards,
     "q_specaugment": q_specaugment,
+    "q_grouped_hll": q_grouped_hll,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

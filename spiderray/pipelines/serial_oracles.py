@@ -1092,6 +1092,26 @@ def so_specaugment(sf_dir: str) -> pa.Table:
     )
 
 
+def so_grouped_hll(sf_dir: str) -> pa.Table:
+    """Serial twin of q_grouped_hll: one sketch per group over the raw
+    parquet — register max-merge makes the distributed partials collapse
+    to exactly this."""
+    from ..functions.sketch import hll_estimate, hll_from_values
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    types = np.asarray(t.column("event_type").to_pylist())
+    users = t.column("user_id").to_numpy()
+    rows = []
+    for g in sorted(set(types.tolist())):
+        est = hll_estimate(hll_from_values(users[types == g].tolist()))
+        rows.append((g, int(round(est))))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "est_distinct": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1501,6 +1521,7 @@ SERIAL_ORACLES = {
     "q_acoustic_augment": so_acoustic_augment,
     "q_wds_shards": so_wds_shards,
     "q_specaugment": so_specaugment,
+    "q_grouped_hll": so_grouped_hll,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

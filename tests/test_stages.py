@@ -392,3 +392,42 @@ class TestCorpusLangidTraining:
             pd.DataFrame({"text": pd.array([], dtype="string"),
                           "lang": pd.array([], dtype="string")})))
         assert p == {}
+
+
+class TestGroupedHll:
+    def test_estimate_within_4pct_of_exact(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.functions.sketch import grouped_count_distinct_approx
+
+        rng = np.random.default_rng(6)
+        n = 30_000
+        groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+        # distinct cardinalities differ per group
+        users = np.where(groups == "a", rng.integers(0, 5000, n),
+                         np.where(groups == "b", rng.integers(0, 500, n),
+                                  rng.integers(0, 50, n)))
+        t = pa.table({"g": groups, "u": users})
+        out = (grouped_count_distinct_approx(rd.from_arrow(t).repartition(6),
+                                             "g", "u")
+               .to_pandas().set_index("g")["est_distinct"])
+        import pandas as pd
+        exact = pd.DataFrame({"g": groups, "u": users}).groupby("g")["u"].nunique()
+        for g in ("a", "b", "c"):
+            assert abs(out[g] - exact[g]) / exact[g] < 0.04, (g, out[g], exact[g])
+
+    def test_partitioning_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.functions.sketch import grouped_count_distinct_approx
+
+        rng = np.random.default_rng(7)
+        t = pa.table({"g": ["x"] * 5000,
+                      "u": rng.integers(0, 900, 5000)})
+        r1 = (grouped_count_distinct_approx(rd.from_arrow(t).repartition(2),
+                                            "g", "u").to_pandas())
+        r2 = (grouped_count_distinct_approx(rd.from_arrow(t).repartition(11),
+                                            "g", "u").to_pandas())
+        assert r1["est_distinct"].tolist() == r2["est_distinct"].tolist()
