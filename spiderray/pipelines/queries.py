@@ -1682,6 +1682,38 @@ def q_specaugment(sf_dir: str):
     )
 
 
+def q_loudness_normalize(sf_dir: str):
+    """Loudness normalization to -16 LUFS (stages/audioquality.
+    LoudnessNormalizeActor, EBU R128 convention): one BS.1770 gain per
+    clip, capped ±30 dB; emits applied gain + achieved loudness.
+    Fixture oracle runs the same actor serially."""
+    _ensure_fixture("q_loudness_normalize", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import loudness_normalize_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = loudness_normalize_stage(ds, PipelineConfig())
+    return out.select_columns(
+        ["clip_id", "norm_ok", "gain_db_milli", "lufs_out"])
+
+
+def q_silence_trim(sf_dir: str):
+    """Leading/trailing silence trim (stages/audioquality.
+    SilenceTrimActor): frame-RMS VAD edges + 40 ms context pad — the
+    standard TTS/ASR corpus cut.  Fixture oracle runs the same actor
+    serially."""
+    _ensure_fixture("q_silence_trim", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.audioquality import silence_trim_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = silence_trim_stage(ds, PipelineConfig())
+    return out.select_columns(
+        ["clip_id", "trim_ok", "trimmed_ms", "out_n_samples"])
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -4003,6 +4035,8 @@ QUERIES = {
     "q_wds_shards": q_wds_shards,
     "q_specaugment": q_specaugment,
     "q_grouped_hll": q_grouped_hll,
+    "q_loudness_normalize": q_loudness_normalize,
+    "q_silence_trim": q_silence_trim,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

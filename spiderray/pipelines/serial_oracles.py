@@ -1112,6 +1112,22 @@ def so_grouped_hll(sf_dir: str) -> pa.Table:
     })
 
 
+def so_loudness_normalize(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import LoudnessNormalizeActor
+
+    out = LoudnessNormalizeActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(["clip_id", "norm_ok", "gain_db_milli", "lufs_out"])
+
+
+def so_silence_trim(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.audioquality import SilenceTrimActor
+
+    out = SilenceTrimActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(["clip_id", "trim_ok", "trimmed_ms", "out_n_samples"])
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1522,6 +1538,8 @@ SERIAL_ORACLES = {
     "q_wds_shards": so_wds_shards,
     "q_specaugment": so_specaugment,
     "q_grouped_hll": so_grouped_hll,
+    "q_loudness_normalize": so_loudness_normalize,
+    "q_silence_trim": so_silence_trim,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -525,3 +525,166 @@ def specaugment_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class LoudnessNormalizeActor:
+    """Loudness normalization to a target integrated LUFS (the EBU R128 /
+    podcast-pipeline -16..-23 LUFS convention): measure the clip's
+    BS.1770-style integrated loudness (functions/audiofp.loudness_stats),
+    apply the single gain that moves it to ``target_lufs``, and hard-cap
+    the gain so silence never amplifies into noise.  Pure per-row,
+    deterministic; emits gain_db_milli (int) and the achieved loudness."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 target_lufs: float = -16.0, max_gain_db: float = 30.0):
+        self.cfg = cfg or PipelineConfig()
+        self.target_lufs = target_lufs
+        self.max_gain_db = max_gain_db
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .multimodal import _encode_pcm16
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec = [], []
+        ok, gains, achieved = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+                stats = loudness_stats(pcm, sr)
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                gains.append(0)
+                achieved.append(0.0)
+                continue
+            gain_db = self.target_lufs - stats["lufs_integrated"]
+            gain_db = max(-self.max_gain_db, min(self.max_gain_db, gain_db))
+            y = np.clip(pcm.astype(np.float64) * (10.0 ** (gain_db / 20.0)),
+                        -1.0, 1.0).astype(np.float32)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            gains.append(int(round(gain_db * 1000)))
+            achieved.append(float(loudness_stats(y, sr)["lufs_integrated"]))
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("norm_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("gain_db_milli", pa.array(gains, pa.int32()))
+        return batch.append_column("lufs_out", pa.array(achieved, pa.float32()))
+
+
+def loudness_normalize_stage(ds, cfg: PipelineConfig,
+                             target_lufs: float = -16.0,
+                             max_gain_db: float = 30.0,
+                             concurrency: int | tuple[int, int] = 4):
+    """Normalize every clip to a target integrated loudness (actor pool)."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        LoudnessNormalizeActor,
+        fn_constructor_args=(cfg, target_lufs, max_gain_db),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+class SilenceTrimActor:
+    """Leading/trailing silence trim — the standard TTS/ASR corpus
+    preprocessing cut: frame-RMS VAD mask (same kernel family as the
+    segmentation stage), keep [first_active, last_active] plus
+    ``pad_ms`` context each side.  All-silent clips mark trim_ok=False
+    and pass through unchanged (dropping them is the gate's business)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, frame_ms: int = 20,
+                 threshold: float = 1e-3, pad_ms: int = 40):
+        self.cfg = cfg or PipelineConfig()
+        self.frame_ms = frame_ms
+        self.threshold = threshold
+        self.pad_ms = pad_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .multimodal import _encode_pcm16
+
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec = [], []
+        ok, trimmed_ms_c, out_n = [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                trimmed_ms_c.append(0)
+                out_n.append(0)
+                continue
+            flen = max(int(sr * self.frame_ms / 1000), 1)
+            n_frames = len(pcm) // flen
+            fr = pcm[: n_frames * flen].reshape(max(n_frames, 0), flen) \
+                if n_frames else pcm[:0].reshape(0, flen)
+            frame_rms = np.sqrt((fr.astype(np.float64) ** 2).mean(axis=1)) \
+                if n_frames else np.empty(0)
+            active = np.nonzero(frame_rms >= self.threshold)[0]
+            if len(active) == 0:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                trimmed_ms_c.append(0)
+                out_n.append(len(pcm))
+                continue
+            pad = int(sr * self.pad_ms / 1000)
+            start = max(int(active[0]) * flen - pad, 0)
+            end = min((int(active[-1]) + 1) * flen + pad, len(pcm))
+            y = pcm[start:end]
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            trimmed_ms_c.append(int((len(pcm) - len(y)) * 1000 / sr))
+            out_n.append(len(y))
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("trim_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("trimmed_ms", pa.array(trimmed_ms_c, pa.int32()))
+        return batch.append_column("out_n_samples", pa.array(out_n, pa.int32()))
+
+
+def silence_trim_stage(ds, cfg: PipelineConfig, frame_ms: int = 20,
+                       threshold: float = 1e-3, pad_ms: int = 40,
+                       concurrency: int | tuple[int, int] = 4):
+    """Trim leading/trailing silence from every clip (actor pool)."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        SilenceTrimActor,
+        fn_constructor_args=(cfg, frame_ms, threshold, pad_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
