@@ -67,6 +67,31 @@ def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int,
     n_out = max(int(round(n_in * sr_out / sr_in)), 1)
 
     offsets = np.arange(-taps_side + 1, taps_side + 1, dtype=np.float64)
+    g = math.gcd(int(sr_in), int(sr_out))
+    p, q = int(sr_in) // g, int(sr_out) // g
+    if q <= 1024:
+        # POLYPHASE fast path: for a rational rate pair the fractional
+        # offset cycles through exactly q values (frac(j) = (j·p mod q)/q),
+        # so the sinc·kaiser weight table is (q, taps) computed ONCE —
+        # the per-block window evaluation (the dominant cost: the Bessel
+        # series per element) disappears.  Exact integer time arithmetic
+        # (base = j·p // q) also removes the float-drift of j·ratio.
+        u_all = offsets[None, :] - (np.arange(q, dtype=np.float64) / q)[:, None]
+        w_all = np.sinc(u_all / stretch) * _kaiser(u_all, half * stretch, beta)
+        out = np.empty(n_out, dtype=np.float64)
+        off_i = offsets.astype(np.int64)
+        for start in range(0, n_out, _BLOCK):
+            j = np.arange(start, min(start + _BLOCK, n_out), dtype=np.int64)
+            t_num = j * p
+            base = t_num // q
+            phase = (t_num % q).astype(np.int64)
+            idx = base[:, None] + off_i[None, :]
+            valid = (idx >= 0) & (idx < n_in)
+            vals = np.where(valid, x[np.clip(idx, 0, n_in - 1)], 0.0)
+            out[start : start + len(j)] = (
+                (vals * w_all[phase]).sum(axis=1) / stretch)
+        return out.astype(np.float32)
+
     out = np.empty(n_out, dtype=np.float64)
     for start in range(0, n_out, _BLOCK):
         j = np.arange(start, min(start + _BLOCK, n_out), dtype=np.float64)
