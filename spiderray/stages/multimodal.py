@@ -75,6 +75,11 @@ def _parse_wav(buf: bytes) -> np.ndarray:
             n_ch = max(int.from_bytes(body[2:4], "little"), 1)
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag == 0xFFFE and size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID (after cbSize=22,
+                # wValidBitsPerSample, dwChannelMask)
+                fmt_tag = int.from_bytes(body[24:26], "little")
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -108,6 +113,16 @@ def _parse_wav(buf: bytes) -> np.ndarray:
     elif fmt_tag == 1 and bits == 8:  # 8-bit WAV is unsigned
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
              - 128.0) / 127.0
+    elif fmt_tag == 3 and bits == 32:  # IEEE float WAV
+        x = np.frombuffer(data[: len(data) - len(data) % 4],
+                          dtype="<f4").copy()
+        x[~np.isfinite(x)] = 0.0  # corrupt floats mark as silence, not NaN
+        x = np.clip(x, -1.0, 1.0)
+    elif fmt_tag == 3 and bits == 64:
+        x = np.frombuffer(data[: len(data) - len(data) % 8],
+                          dtype="<f8").astype(np.float32)
+        x[~np.isfinite(x)] = 0.0
+        x = np.clip(x, -1.0, 1.0)
     elif fmt_tag == 6:
         x = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     elif fmt_tag == 7:

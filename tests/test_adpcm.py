@@ -199,3 +199,55 @@ class TestWavMs:
         out = AudioFeatureActor(PipelineConfig())(batch).to_pandas()
         assert bool(out.loc[0, "decode_ok"])
         assert int(out.loc[0, "n_samples"]) >= len(pcm)
+
+
+def _wav_raw(data: bytes, fmt_tag: int, n_ch: int, bits: int, sr=16000,
+             extensible=False) -> bytes:
+    import struct
+
+    if extensible:
+        sub = struct.pack("<H", fmt_tag) + b"\x00\x00" + b"\x10" * 12
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, n_ch, sr,
+                          sr * n_ch * bits // 8, n_ch * bits // 8, bits,
+                          22, bits, 0x3) + sub
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, sr,
+                          sr * n_ch * bits // 8, n_ch * bits // 8, bits)
+    out = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out) + 4) + out
+
+
+class TestWavFloatExtensible:
+    def test_float32_wav(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        x = (_tone(secs=0.2).astype(np.float32) / 32767.0)
+        out = _parse_wav(_wav_raw(x.astype("<f4").tobytes(), 3, 1, 32))
+        assert np.allclose(out, x, atol=1e-6)
+
+    def test_float64_wav_and_nan_scrub(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        x = np.array([0.5, np.nan, -0.25, np.inf], dtype="<f8")
+        out = _parse_wav(_wav_raw(x.tobytes(), 3, 1, 64))
+        assert list(out) == [np.float32(0.5), 0.0, np.float32(-0.25), 0.0]
+
+    def test_extensible_wraps_pcm16(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        pcm = _tone(secs=0.2)
+        out = _parse_wav(_wav_raw(pcm.astype("<i2").tobytes(), 1, 1, 16,
+                                  extensible=True))
+        assert _snr(pcm, out) > 60
+
+    def test_extensible_wraps_float32_stereo(self):
+        from spiderray.stages.multimodal import _parse_wav
+
+        l = (_tone(secs=0.2).astype(np.float32) / 32767.0)
+        inter = np.empty(2 * len(l), dtype="<f4")
+        inter[0::2] = l
+        inter[1::2] = l
+        out = _parse_wav(_wav_raw(inter.tobytes(), 3, 2, 32,
+                                  extensible=True))
+        assert np.allclose(out, l, atol=1e-6)  # identical channels downmix
