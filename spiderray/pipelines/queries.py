@@ -1152,6 +1152,19 @@ def q_grouped_hll(sf_dir: str):
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def q_sliding_chunks(sf_dir: str):
+    """RAG-style overlapping token chunking (stages/textindex.
+    sliding_chunks): 64-token windows every 48 tokens, adjacent chunks
+    sharing 16 tokens of context — pure flat-map, no shuffle.  Fixture
+    oracle: the same window rule applied serially."""
+    _ensure_fixture("q_sliding_chunks", sf_dir)
+    from ..stages.textindex import sliding_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = sliding_chunks(ds, size=64, stride=48).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4037,6 +4050,7 @@ QUERIES = {
     "q_grouped_hll": q_grouped_hll,
     "q_loudness_normalize": q_loudness_normalize,
     "q_silence_trim": q_silence_trim,
+    "q_sliding_chunks": q_sliding_chunks,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

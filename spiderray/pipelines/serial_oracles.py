@@ -1128,6 +1128,39 @@ def so_silence_trim(sf_dir: str) -> pa.Table:
     return out.select(["clip_id", "trim_ok", "trimmed_ms", "out_n_samples"])
 
 
+def so_sliding_chunks(sf_dir: str) -> pa.Table:
+    """Serial twin of q_sliding_chunks: an INDEPENDENT loop stating the
+    window rule (starts every stride, keep tails adding new tokens)."""
+    size, stride = 64, 48
+    t = _docs(sf_dir)
+    ids_out, idxs, starts, lens, texts = [], [], [], [], []
+    for i, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        tokens = (txt or "").split()
+        n = len(tokens)
+        start = 0
+        while start < max(n, 1):
+            window = tokens[start : start + size]
+            new_tokens = (start + len(window)) - ((start - stride) + size) \
+                if start > 0 else len(window)
+            if len(window) >= 1 and new_tokens > 0:
+                ids_out.append(int(i))
+                idxs.append(start // stride)
+                starts.append(start)
+                lens.append(len(window))
+                texts.append(" ".join(window))
+            if start + size >= n:
+                break
+            start += stride
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "chunk_idx": pa.array(idxs, pa.int32()),
+        "chunk_start": pa.array(starts, pa.int32()),
+        "n_tokens": pa.array(lens, pa.int32()),
+        "chunk_text": pa.array(texts, pa.string()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1540,6 +1573,7 @@ SERIAL_ORACLES = {
     "q_grouped_hll": so_grouped_hll,
     "q_loudness_normalize": so_loudness_normalize,
     "q_silence_trim": so_silence_trim,
+    "q_sliding_chunks": so_sliding_chunks,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -125,3 +125,53 @@ def bm25_topk(ds, query_terms: list[str], k: int = 10,
     out = local.to_pandas()  # ≤ k rows per block
     out = out.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
     return out.head(k).reset_index(drop=True)
+
+
+def sliding_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
+                   size: int = 64, stride: int = 48,
+                   min_tokens: int = 1):
+    """RAG-style overlapping token chunking: each document explodes into
+    windows of ``size`` whitespace tokens every ``stride`` tokens (the
+    retrieval-index convention — adjacent chunks share ``size − stride``
+    tokens of context so no boundary sentence is ever retrievable from
+    neither side).  Pure flat-map: no shuffle, no state, deterministic;
+    chunk_idx = start // stride.  Tail windows shorter than
+    ``min_tokens`` are dropped (a tail fully contained in the previous
+    window carries no new tokens).
+
+    Output: (id, chunk_idx, chunk_start, n_tokens, chunk_text)."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got {stride}/{size}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, idxs, starts, lens, texts = [], [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            tokens = (t or "").split()
+            n = len(tokens)
+            for start in range(0, max(n, 1), stride):
+                window = tokens[start : start + size]
+                if len(window) < min_tokens:
+                    continue
+                if start > 0 and start + len(window) <= start:  # unreachable
+                    continue
+                # a tail strictly inside the previous window adds nothing
+                if start > 0 and start + len(window) <= (start - stride) + size:
+                    continue
+                ids_out.append(i)
+                idxs.append(start // stride)
+                starts.append(start)
+                lens.append(len(window))
+                texts.append(" ".join(window))
+                if start + size >= n:
+                    break
+        id_type = batch.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array(ids_out, id_type),
+            "chunk_idx": pa.array(idxs, pa.int32()),
+            "chunk_start": pa.array(starts, pa.int32()),
+            "n_tokens": pa.array(lens, pa.int32()),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -431,3 +431,45 @@ class TestGroupedHll:
         r2 = (grouped_count_distinct_approx(rd.from_arrow(t).repartition(11),
                                             "g", "u").to_pandas())
         assert r1["est_distinct"].tolist() == r2["est_distinct"].tolist()
+
+
+class TestSlidingChunks:
+    def test_window_rule(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import sliding_chunks
+
+        text = " ".join(f"t{k}" for k in range(10))
+        t = pa.table({"doc_id": np.array([1], np.int64), "text": [text]})
+        out = (sliding_chunks(rd.from_arrow(t), size=4, stride=3)
+               .to_pandas().sort_values("chunk_idx"))
+        # starts 0,3,6,9 → windows [0:4],[3:7],[6:10]; start 9 adds no new token
+        assert out["chunk_start"].tolist() == [0, 3, 6]
+        assert out["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+        assert out["chunk_text"].iloc[2] == "t6 t7 t8 t9"
+        # adjacent chunks overlap by size-stride tokens
+        assert out["chunk_text"].iloc[0].split()[-1] == "t3"
+        assert out["chunk_text"].iloc[1].split()[0] == "t3"
+
+    def test_short_and_empty_docs(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import sliding_chunks
+
+        t = pa.table({"doc_id": np.array([1, 2], np.int64),
+                      "text": ["just two", ""]})
+        out = sliding_chunks(rd.from_arrow(t), size=64, stride=48).to_pandas()
+        assert len(out) == 1  # short doc = one chunk; empty doc = none
+        assert out["chunk_text"].iloc[0] == "just two"
+
+    def test_invalid_params_refused(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import sliding_chunks
+
+        t = pa.table({"doc_id": np.array([1], np.int64), "text": ["x"]})
+        with pytest.raises(ValueError):
+            sliding_chunks(rd.from_arrow(t), size=4, stride=5)
