@@ -1165,6 +1165,53 @@ def q_sliding_chunks(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def _poison_tokenize_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic poison UDF (shared with the q_quarantine oracle):
+    token-counts every doc but raises on doc_id % 97 == 13 — the
+    simulated parser-killing row."""
+    ids = batch.column("doc_id").to_numpy()
+    if len(ids) and bool(((ids % 97) == 13).any()):
+        bad = int(ids[(ids % 97) == 13][0])
+        raise ValueError(f"simulated parser crash on doc {bad}")
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array([len((t or "").split()) for t in texts],
+                             pa.int64()),
+    })
+
+
+def q_quarantine(sf_dir: str):
+    """Poison-row quarantine (stages/quarantine.quarantine_map_batches):
+    a UDF that crashes on doc_id % 97 == 13 runs over the corpus; the
+    bisection wrapper isolates exactly those rows into the quarantine
+    parquet while every good row flows through — the job never dies.
+    Output: good rows with status='ok' ∪ quarantined ids with
+    status='quarantined' (set deterministic regardless of batching)."""
+    _ensure_fixture("q_quarantine", sf_dir)
+    import hashlib as _h
+    import os
+    import shutil
+
+    from ..stages.quarantine import quarantine_map_batches, read_quarantine
+
+    qdir = os.path.join("/tmp", "spiderray_quarantine",
+                        _h.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(qdir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    good = quarantine_map_batches(
+        ds, _poison_tokenize_batch, qdir).to_pandas()
+    good["status"] = "ok"
+    bad = read_quarantine(qdir).to_pandas()
+    if len(bad):
+        bad = bad[["doc_id"]].copy()
+        bad["n_tokens"] = np.int64(-1)
+        bad["status"] = "quarantined"
+        good = pd.concat([good, bad], ignore_index=True)
+    good["n_tokens"] = good["n_tokens"].astype("int64")
+    return good.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4051,6 +4098,7 @@ QUERIES = {
     "q_loudness_normalize": q_loudness_normalize,
     "q_silence_trim": q_silence_trim,
     "q_sliding_chunks": q_sliding_chunks,
+    "q_quarantine": q_quarantine,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

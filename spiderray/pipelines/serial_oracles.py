@@ -1161,6 +1161,29 @@ def so_sliding_chunks(sf_dir: str) -> pa.Table:
     })
 
 
+def so_quarantine(sf_dir: str) -> pa.Table:
+    """Serial twin of q_quarantine: the poison rule decides directly —
+    doc_id % 97 == 13 rows are quarantined (n_tokens −1), everything
+    else token-counts."""
+    t = _docs(sf_dir)
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    texts = t.column("text").to_pylist()
+    n_tok, status = [], []
+    for i, txt in zip(ids, texts):
+        if int(i) % 97 == 13:
+            n_tok.append(-1)
+            status.append("quarantined")
+        else:
+            n_tok.append(len((txt or "").split()))
+            status.append("ok")
+    order = np.argsort(ids, kind="stable")
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "n_tokens": pa.array(np.asarray(n_tok, np.int64)[order], pa.int64()),
+        "status": pa.array(np.asarray(status, object)[order], pa.string()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1574,6 +1597,7 @@ SERIAL_ORACLES = {
     "q_loudness_normalize": so_loudness_normalize,
     "q_silence_trim": so_silence_trim,
     "q_sliding_chunks": so_sliding_chunks,
+    "q_quarantine": so_quarantine,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -1,0 +1,63 @@
+"""Poison-row quarantine (stages/quarantine.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _fn_crash_on(bad_ids):
+    bad = set(bad_ids)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        if any(i in bad for i in ids):
+            raise RuntimeError(f"poison in {sorted(set(ids) & bad)}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "double": pa.array([i * 2 for i in ids], pa.int64())})
+    return fn
+
+
+class TestQuarantine:
+    def test_isolates_exact_poison_rows(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.stages.quarantine import (quarantine_map_batches,
+                                                 read_quarantine)
+
+        t = pa.table({"doc_id": np.arange(100, dtype=np.int64)})
+        out = quarantine_map_batches(
+            rd.from_arrow(t).repartition(4), _fn_crash_on({7, 42, 43, 99}),
+            str(tmp_path / "q"), batch_size=16).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(set(range(100)) - {7, 42, 43, 99})
+        assert (out["double"] == out["doc_id"] * 2).all()
+        bad = read_quarantine(str(tmp_path / "q")).to_pandas()
+        assert sorted(bad["doc_id"]) == [7, 42, 43, 99]
+        assert bad["error"].str.contains("poison").all()
+
+    def test_no_poison_no_quarantine_dir(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.stages.quarantine import (quarantine_map_batches,
+                                                 read_quarantine)
+
+        t = pa.table({"doc_id": np.arange(20, dtype=np.int64)})
+        out = quarantine_map_batches(
+            rd.from_arrow(t), _fn_crash_on(set()),
+            str(tmp_path / "q2")).to_pandas()
+        assert len(out) == 20
+        assert len(read_quarantine(str(tmp_path / "q2"))) == 0
+
+    def test_entire_batch_poison_yields_empty_typed_block(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from spiderray.stages.quarantine import (quarantine_map_batches,
+                                                 read_quarantine)
+
+        t = pa.table({"doc_id": np.arange(8, dtype=np.int64)})
+        out = quarantine_map_batches(
+            rd.from_arrow(t), _fn_crash_on(set(range(8))),
+            str(tmp_path / "q3")).to_pandas()
+        assert len(out) == 0
+        assert sorted(read_quarantine(
+            str(tmp_path / "q3")).to_pandas()["doc_id"]) == list(range(8))
