@@ -88,6 +88,30 @@ from .stages.audioquality import (
 from .stages.c4 import c4_filter_stage, c4_span_dedup
 from .stages.quality_stage import gopher_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
+from .functions.sketch import grouped_count_distinct_approx
+from .functions.tdigest import td_build, td_merge, td_quantile
+from .sources.wds import read_tar_shards, write_tar_shards
+from .stages.audioquality import (
+    grouped_cmvn,
+    loudness_normalize_stage,
+    silence_trim_stage,
+    specaugment_stage,
+)
+from .stages.multimodal import acoustic_augment_stage, speed_perturb_stage
+from .stages.quarantine import quarantine_map_batches, read_quarantine
+from .stages.stats import (
+    bottomk_sample,
+    grouped_quantile_buckets,
+    tdigest_quantiles,
+    tdigest_quantiles_keyed,
+)
+from .stages.substring_dedup import substring_dedup
+from .stages.textindex import sliding_chunks
+from .stages.unigram_train import (
+    train_unigram,
+    train_unigram_corpus,
+    unigram_encode_stage,
+)
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
@@ -123,4 +147,13 @@ __all__ = [
     "mfcc_vector_batch", "speech_rate_stage", "vad_segment_stage",
     "vad_stats_stage", "audio_defect_stage", "audio_augment_stage",
     "window_chunk_stage", "compression_stage",
+    # fifth continuation
+    "acoustic_augment_stage", "bottomk_sample", "grouped_cmvn",
+    "grouped_count_distinct_approx", "grouped_quantile_buckets",
+    "loudness_normalize_stage", "quarantine_map_batches", "read_quarantine",
+    "read_tar_shards", "silence_trim_stage", "sliding_chunks",
+    "specaugment_stage", "speed_perturb_stage", "substring_dedup",
+    "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
+    "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
+    "unigram_encode_stage", "write_tar_shards",
 ]
