@@ -1212,6 +1212,45 @@ def q_quarantine(sf_dir: str):
     return good.sort_values("doc_id").reset_index(drop=True)
 
 
+_INDEX_TERMS = ["join", "hash", "customer", "filter", "nosuchterm"]
+
+
+def q_inverted_index(sf_dir: str):
+    """Persisted inverted index (stages/textindex.build_inverted_index):
+    (term, doc_id, tf) postings bucketed by crc32(term) so a lookup
+    reads only its buckets; query = postings for 5 fixed terms (one
+    absent).  Plain-SQL oracle restates tf per (term, doc)."""
+    import hashlib as _h
+    import os
+    import shutil
+
+    from ..stages.textindex import build_inverted_index, lookup_postings
+
+    idx_dir = os.path.join("/tmp", "spiderray_invidx",
+                           _h.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    build_inverted_index(ds, idx_dir, n_buckets=64).materialize()
+    out = lookup_postings(idx_dir, _INDEX_TERMS).to_pandas()
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text, {WS_CHARS}),
+                                           {WS_CLASS})) AS term
+  FROM documents WHERE trim(text, {WS_CHARS}) <> ''
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks
+WHERE term IN ('join', 'hash', 'customer', 'filter', 'nosuchterm')
+GROUP BY term, doc_id
+"""
+SQL_INVERTED_INDEX = (SQL_INVERTED_INDEX
+                      .replace("{WS_CHARS}", _WS_CHARS)
+                      .replace("{WS_CLASS}", _WS_CLASS))
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4099,6 +4138,7 @@ QUERIES = {
     "q_silence_trim": q_silence_trim,
     "q_sliding_chunks": q_sliding_chunks,
     "q_quarantine": q_quarantine,
+    "q_inverted_index": q_inverted_index,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4164,6 +4204,7 @@ ORACLE_SQL = {
     "q_speech_rate": SQL_SPEECH_RATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_bottomk_sample": SQL_BOTTOMK_SAMPLE,
+    "q_inverted_index": SQL_INVERTED_INDEX,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

@@ -175,3 +175,85 @@ def sliding_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_inverted_index(ds, out_dir: str, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 64):
+    """Persist an inverted index (term → postings) as BUCKETED parquet:
+    per-batch (term, doc_id, tf) partials pre-aggregate inside the batch,
+    shuffle once by crc32(term) % n_buckets, and each bucket writes one
+    postings file — so a query-term lookup reads ONLY its buckets (the
+    same pruning contract as joins.read_bucketed).  Returns a manifest
+    Dataset of (bucket, n_terms, n_postings)."""
+    import os
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, ids_out, tfs = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            counts: dict[str, int] = {}
+            for term in (t or "").split():
+                counts[term] = counts.get(term, 0) + 1
+            terms.extend(counts.keys())
+            ids_out.extend([i] * len(counts))
+            tfs.extend(counts.values())
+        buckets = [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms]
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int32()),
+            "term": pa.array(terms, pa.string()),
+            id_col: pa.array(ids_out),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        g = g.sort_values(["term", id_col]).reset_index(drop=True)
+        path = os.path.join(out_dir, f"bucket-{bucket:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq_.write_table(
+            pa.Table.from_pandas(g[["term", id_col, "tf"]],
+                                 preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame([{"bucket": bucket,
+                              "n_terms": g["term"].nunique(),
+                              "n_postings": len(g)}])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+    )
+
+
+def lookup_postings(index_dir: str, terms: list[str],
+                    n_buckets: int = 64) -> "pa.Table":
+    """Read postings for ``terms`` touching only their buckets (bucket
+    pruning: len(set(crc32(term)%B)) files of B)."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq_
+
+    want = sorted(set(terms))
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets
+                      for t in want})
+    parts = []
+    for b in buckets:
+        path = os.path.join(index_dir, f"bucket-{b:05d}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq_.read_table(path)
+        import pyarrow.compute as pc_
+
+        t = t.filter(pc_.is_in(t.column("term"),
+                               value_set=pa.array(want, pa.string())))
+        parts.append(t)
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string())})
+    return pa.concat_tables(parts)

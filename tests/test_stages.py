@@ -473,3 +473,45 @@ class TestSlidingChunks:
         t = pa.table({"doc_id": np.array([1], np.int64), "text": ["x"]})
         with pytest.raises(ValueError):
             sliding_chunks(rd.from_arrow(t), size=4, stride=5)
+
+
+class TestInvertedIndex:
+    def test_build_lookup_and_pruning(self, ray_session, tmp_path):
+        import os
+        import zlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import (build_inverted_index,
+                                                lookup_postings)
+
+        t = pa.table({
+            "doc_id": np.array([1, 2, 3], np.int64),
+            "text": ["cat dog cat", "dog fish", "bird bird bird cat"],
+        })
+        man = build_inverted_index(rd.from_arrow(t).repartition(2),
+                                   str(tmp_path), n_buckets=8).to_pandas()
+        assert man["n_postings"].sum() == 7  # distinct (term, doc) pairs
+        post = lookup_postings(str(tmp_path), ["cat", "bird"],
+                               n_buckets=8).to_pandas()
+        got = {(r["term"], r["doc_id"]): r["tf"] for _, r in post.iterrows()}
+        assert got == {("cat", 1): 2, ("cat", 3): 1, ("bird", 3): 3}
+        # pruning: lookup touches only the terms' buckets
+        want_buckets = {zlib.crc32(w.encode()) % 8 for w in ("cat", "bird")}
+        all_files = {int(f.split("-")[1].split(".")[0])
+                     for f in os.listdir(tmp_path) if f.endswith(".parquet")}
+        assert want_buckets <= all_files
+
+    def test_absent_term_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import (build_inverted_index,
+                                                lookup_postings)
+
+        t = pa.table({"doc_id": np.array([1], np.int64), "text": ["a b"]})
+        build_inverted_index(rd.from_arrow(t), str(tmp_path),
+                             n_buckets=4).materialize()
+        out = lookup_postings(str(tmp_path), ["zzz"], n_buckets=4)
+        assert out.num_rows == 0
