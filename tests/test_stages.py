@@ -492,7 +492,7 @@ class TestInvertedIndex:
         })
         man = build_inverted_index(rd.from_arrow(t).repartition(2),
                                    str(tmp_path), n_buckets=8).to_pandas()
-        assert man["n_postings"].sum() == 7  # distinct (term, doc) pairs
+        assert man["n_postings"].sum() == 6  # distinct (term, doc) pairs
         post = lookup_postings(str(tmp_path), ["cat", "bird"],
                                n_buckets=8).to_pandas()
         got = {(r["term"], r["doc_id"]): r["tf"] for _, r in post.iterrows()}
