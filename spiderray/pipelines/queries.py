@@ -1813,6 +1813,33 @@ def q_silence_trim(sf_dir: str):
         ["clip_id", "trim_ok", "trimmed_ms", "out_n_samples"])
 
 
+def q_prepare_audio(sf_dir: str):
+    """The composed AUDIO corpus-prep pipeline (pipelines/prepare_audio.
+    prepare_audio_corpus): flagship quality filter → silence trim →
+    loudness normalize (−16 LUFS) → acoustic-fingerprint dedup → one
+    augmentation epoch → WebDataset shards.  Contract = the shard
+    manifest (shard, n_samples, tar_md5): every byte of every sample in
+    every shard must match the serial chain, end to end."""
+    _ensure_fixture("q_prepare_audio", sf_dir)
+    import hashlib as _h
+    import os
+    import shutil
+
+    from ..config import PipelineConfig
+    from ..pipelines.prepare_audio import prepare_audio_corpus
+    from ..sources.clips import clips_from_documents
+
+    shards = os.path.join("/tmp", "spiderray_pa",
+                          _h.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(shards, ignore_errors=True)
+    ds = clips_from_documents(sf_dir)
+    _, man = prepare_audio_corpus(
+        ds, PipelineConfig(), trim=True, normalize_lufs=-16.0,
+        fp_dedup=True, augment_salts=("e1",), shards_dir=shards, n_shards=8)
+    return (man.select_columns(["shard", "n_samples", "tar_md5"]).to_pandas()
+            .sort_values("shard").reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -4139,6 +4166,7 @@ QUERIES = {
     "q_sliding_chunks": q_sliding_chunks,
     "q_quarantine": q_quarantine,
     "q_inverted_index": q_inverted_index,
+    "q_prepare_audio": q_prepare_audio,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

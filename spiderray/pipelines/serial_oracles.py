@@ -1184,6 +1184,55 @@ def so_quarantine(sf_dir: str) -> pa.Table:
     })
 
 
+def so_prepare_audio(sf_dir: str) -> pa.Table:
+    """Serial twin of q_prepare_audio: the INDEPENDENT row oracle decides
+    keep/drop, then the shared stage actors (trim → normalize → fp-dedup
+    loser drop → augment@e1 with id suffix) run single-threaded and the
+    shared deterministic tar packer reproduces every shard checksum."""
+    import hashlib as _h
+    import json as _json
+
+    from ..config import DEFAULT_CONFIG
+    from ..sources.wds import _pack_shard, shard_of
+    from ..stages.audiodedup import serial_audio_fingerprint_pairs
+    from ..stages.audioquality import (LoudnessNormalizeActor,
+                                       SilenceTrimActor)
+    from ..stages.multimodal import AudioAugmentActor
+
+    t = _clips(sf_dir)
+    keep = np.asarray([bool(r["keep"]) for r in _oracle_decisions(sf_dir)])
+    kept = t.filter(pa.array(keep))
+    kept = SilenceTrimActor(DEFAULT_CONFIG)(kept)
+    kept = LoudnessNormalizeActor(DEFAULT_CONFIG)(kept)
+    pairs = serial_audio_fingerprint_pairs(kept)
+    losers = set(pairs.column("id_b").to_pylist())
+    ids = kept.column("clip_id").to_pylist()
+    kept = kept.filter(pa.array([i not in losers for i in ids]))
+    aug = AudioAugmentActor(DEFAULT_CONFIG, salt="e1")(kept)
+    keys = [f"{i}@e1" for i in aug.column("clip_id").to_pylist()]
+    payloads = aug.column("bytes").to_pylist()
+    codecs = aug.column("codec").to_pylist()
+    srs = aug.column("sr_hz").to_pylist()
+    n_shards = 8
+    by_shard: dict[int, list[int]] = defaultdict(list)
+    for j, k in enumerate(keys):
+        by_shard[shard_of(k, n_shards)].append(j)
+    rows = []
+    for shard in sorted(by_shard):
+        idx = by_shard[shard]
+        metas = [_json.loads(_json.dumps(
+            {"codec": codecs[j], "sr_hz": srs[j]}, sort_keys=True,
+            ensure_ascii=False, default=str)) for j in idx]
+        blob = _pack_shard([keys[j] for j in idx],
+                           [payloads[j] or b"" for j in idx], metas)
+        rows.append((shard, len(idx), _h.md5(blob).hexdigest()))
+    return pa.table({
+        "shard": pa.array([r[0] for r in rows], pa.int64()),
+        "n_samples": pa.array([r[1] for r in rows], pa.int64()),
+        "tar_md5": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1598,6 +1647,7 @@ SERIAL_ORACLES = {
     "q_silence_trim": so_silence_trim,
     "q_sliding_chunks": so_sliding_chunks,
     "q_quarantine": so_quarantine,
+    "q_prepare_audio": so_prepare_audio,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -426,9 +426,13 @@ class TestAlawAiff:
         mu = np.arange(0, 250, 13, dtype=np.uint8)
         np.testing.assert_allclose(
             _decode_one(wav(7, 1, 8, mu.tobytes()), "wav"), _mulaw_expand(mu))
+        # IEEE float WAV (fmt 3) now decodes — fifth continuation
+        f32 = np.array([0.5, -0.25], dtype="<f4")
+        np.testing.assert_allclose(
+            _decode_one(wav(3, 1, 32, f32.tobytes()), "wav"), f32)
         # unknown format tag marks, never guesses
         with pytest.raises(DecodeUnsupported):
-            _decode_one(wav(3, 1, 32, b"\x00" * 8), "wav")
+            _decode_one(wav(0x55, 1, 16, b"\x00" * 8), "wav")
 
     def test_aiff_nonfinite_rate_marks(self):
         # review regression: inf/huge COMM rate exponents must raise
