@@ -1251,6 +1251,64 @@ SQL_INVERTED_INDEX = (SQL_INVERTED_INDEX
                       .replace("{WS_CLASS}", _WS_CLASS))
 
 
+def q_validate_corpus(sf_dir: str):
+    """Data-quality expectations (stages/expectations.
+    validate_expectations): declarative not-null/range/regex/unique
+    assertions over the documents table in ONE distributed pass of
+    integer partial counters — the ingest contract check.  Plain-SQL
+    oracle restates every rule."""
+    from ..stages.expectations import validate_expectations
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars", "text"])
+    rules = [
+        {"column": "doc_id", "kind": "not_null"},
+        {"column": "doc_id", "kind": "unique"},
+        {"column": "lang", "kind": "in_set",
+         "values": ["en", "de", "fr", "es", "zh", "ja", "ru", "pt"]},
+        {"column": "n_chars", "kind": "between", "lo": 0, "hi": 100_000},
+        {"column": "source", "kind": "matches", "pattern": "[a-z0-9.]+"},
+        {"column": "text", "kind": "min_length", "n": 1},
+    ]
+    out = validate_expectations(ds, rules).to_pandas()
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
+SQL_VALIDATE_CORPUS = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS rule_id, 'doc_id' AS "column",
+         'not_null' AS kind, n.total AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id IS NULL) AS n_violations FROM n
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'doc_id', 'unique', n.total,
+         n.total - (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                    FROM documents) FROM n
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'lang', 'in_set', n.total,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE lang IS NULL OR lang NOT IN
+            ('en','de','fr','es','zh','ja','ru','pt')) FROM n
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'n_chars', 'between', n.total,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE n_chars IS NULL OR n_chars < 0 OR n_chars > 100000) FROM n
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'source', 'matches', n.total,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE source IS NULL
+             OR NOT regexp_full_match(source, '[a-z0-9.]+')) FROM n
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), 'text', 'min_length', n.total,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE text IS NULL OR len(text) < 1) FROM n
+)
+SELECT rule_id, "column", kind, n_rows, n_violations,
+       n_violations = 0 AS passed FROM r ORDER BY rule_id
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4167,6 +4225,7 @@ QUERIES = {
     "q_quarantine": q_quarantine,
     "q_inverted_index": q_inverted_index,
     "q_prepare_audio": q_prepare_audio,
+    "q_validate_corpus": q_validate_corpus,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4233,6 +4292,7 @@ ORACLE_SQL = {
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_bottomk_sample": SQL_BOTTOMK_SAMPLE,
     "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_validate_corpus": SQL_VALIDATE_CORPUS,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

@@ -1,0 +1,106 @@
+"""Data-quality expectations — declarative corpus assertions evaluated
+distributedly (the Great-Expectations-style contract check that guards a
+10^12-row ingest before the expensive stages run).
+
+An expectation is a (column, kind, params) rule; the validator makes ONE
+pass with per-batch integer partial counters (rows checked / rows
+violating per rule) merged through a tiny groupby — nothing row-sized
+leaves the stage, results are bit-deterministic (integer sums), and the
+report is SQL-restatable rule by rule.
+
+Supported kinds:
+  not_null                    — value is non-null
+  unique                      — column has no duplicate values (exact,
+                                via one distinct-count aggregate)
+  between {lo, hi}            — lo ≤ value ≤ hi (nulls violate)
+  in_set {values}             — value ∈ set (nulls violate)
+  matches {pattern}           — full-match regex on strings (nulls violate)
+  min_length / max_length {n} — string length bounds (nulls violate)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+
+def _violations(batch: pa.Table, col: str, kind: str, params: dict) -> int:
+    vals = batch.column(col)
+    n = len(vals)
+    null_mask = np.asarray(vals.is_null())
+    if kind == "not_null":
+        return int(null_mask.sum())
+    pyvals = vals.to_pylist()
+    if kind == "between":
+        lo, hi = params["lo"], params["hi"]
+        return sum(1 for v in pyvals if v is None or not (lo <= v <= hi))
+    if kind == "in_set":
+        allowed = set(params["values"])
+        return sum(1 for v in pyvals if v not in allowed)
+    if kind == "matches":
+        rx = re.compile(params["pattern"])
+        return sum(1 for v in pyvals
+                   if v is None or rx.fullmatch(v) is None)
+    if kind == "min_length":
+        m = params["n"]
+        return sum(1 for v in pyvals if v is None or len(v) < m)
+    if kind == "max_length":
+        m = params["n"]
+        return sum(1 for v in pyvals if v is None or len(v) > m)
+    raise ValueError(f"unknown expectation kind {kind!r}")
+
+
+def validate_expectations(ds, rules: list[dict]):
+    """Evaluate ``rules`` (dicts with column/kind and rule params) in one
+    distributed pass; ``unique`` rules add one distinct-count aggregate
+    each.  Returns a Dataset of (rule_id, column, kind, n_rows,
+    n_violations, passed)."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    scan_rules = [(i, r) for i, r in enumerate(rules)
+                  if r["kind"] != "unique"]
+    uniq_rules = [(i, r) for i, r in enumerate(rules)
+                  if r["kind"] == "unique"]
+
+    rows = []
+    if scan_rules:
+        def partial(batch: pa.Table) -> pa.Table:
+            ids, checked, bad = [], [], []
+            for i, r in scan_rules:
+                ids.append(i)
+                checked.append(batch.num_rows)
+                bad.append(_violations(batch, r["column"], r["kind"], r))
+            return pa.table({
+                "rule_id": pa.array(ids, pa.int64()),
+                "n_rows": pa.array(checked, pa.int64()),
+                "n_violations": pa.array(bad, pa.int64()),
+            })
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("rule_id")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_violations", alias_name="n_violations"))
+            .to_pandas()
+        )
+        for _, row in agg.iterrows():
+            i = int(row["rule_id"])
+            rows.append((i, rules[i]["column"], rules[i]["kind"],
+                         int(row["n_rows"]), int(row["n_violations"])))
+    for i, r in uniq_rules:
+        col = r["column"]
+        total = ds.count()
+        distinct = len(ds.unique(col))
+        rows.append((i, col, "unique", total, total - distinct))
+    rows.sort()
+    df = pd.DataFrame(rows, columns=["rule_id", "column", "kind",
+                                     "n_rows", "n_violations"])
+    df["passed"] = df["n_violations"] == 0
+    import ray.data as rd
+
+    return rd.from_pandas(df)

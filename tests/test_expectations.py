@@ -1,0 +1,66 @@
+"""Data-quality expectations (stages/expectations.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _table():
+    return pa.table({
+        "id": pa.array([1, 2, 2, None], pa.int64()),
+        "lang": ["en", "xx", "de", "en"],
+        "score": pa.array([5, -1, 50, 200], pa.int64()),
+        "name": ["alpha", "Beta!", None, "ok"],
+    })
+
+
+class TestExpectations:
+    def test_all_kinds_count_violations(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import validate_expectations
+
+        rules = [
+            {"column": "id", "kind": "not_null"},
+            {"column": "id", "kind": "unique"},
+            {"column": "lang", "kind": "in_set", "values": ["en", "de"]},
+            {"column": "score", "kind": "between", "lo": 0, "hi": 100},
+            {"column": "name", "kind": "matches", "pattern": "[a-z]+"},
+            {"column": "name", "kind": "min_length", "n": 3},
+            {"column": "name", "kind": "max_length", "n": 4},
+        ]
+        out = (validate_expectations(rd.from_arrow(_table()).repartition(2),
+                                     rules)
+               .to_pandas().set_index("rule_id"))
+        assert out.loc[0, "n_violations"] == 1       # one null id
+        assert out.loc[1, "n_violations"] == 1       # 4 rows, 3 distinct
+        assert out.loc[2, "n_violations"] == 1       # 'xx'
+        assert out.loc[3, "n_violations"] == 2       # -1 and 200
+        assert out.loc[4, "n_violations"] == 2       # 'Beta!' and None
+        assert out.loc[5, "n_violations"] == 2       # 'ok' and None
+        assert out.loc[6, "n_violations"] == 3       # 'alpha', 'Beta!', None
+        assert not out["passed"].any()
+        assert (out["n_rows"] == 4).all()
+
+    def test_clean_table_passes(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import validate_expectations
+
+        t = pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+        out = validate_expectations(
+            rd.from_arrow(t),
+            [{"column": "id", "kind": "not_null"},
+             {"column": "id", "kind": "unique"}]).to_pandas()
+        assert out["passed"].all()
+
+    def test_unknown_kind_refused(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import validate_expectations
+
+        t = pa.table({"id": pa.array([1], pa.int64())})
+        with pytest.raises(Exception):
+            validate_expectations(
+                rd.from_arrow(t),
+                [{"column": "id", "kind": "bogus"}]).to_pandas()
