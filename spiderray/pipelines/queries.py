@@ -1309,6 +1309,30 @@ SELECT rule_id, "column", kind, n_rows, n_violations,
 """
 
 
+def q_lang_drift(sf_dir: str):
+    """PSI drift monitor (stages/expectations.categorical_drift): the
+    lang histogram of the corpus vs a deterministically-perturbed
+    snapshot (zh docs thinned to the md5-even half — a planted
+    distribution shift).  One histogram aggregate per snapshot; PSI
+    contributions per category in micro units.  Fixture oracle: serial
+    twin sharing the PSI arithmetic over plain-Python histograms."""
+    _ensure_fixture("q_lang_drift", sf_dir)
+    from ..stages.expectations import categorical_drift
+    from ..stages.stats import split_bucket
+
+    a = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def thin_zh(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [lg != "zh" or split_bucket(str(i), 2) == 0
+                for i, lg in zip(ids, langs)]
+        return batch.filter(pa.array(keep))
+
+    b = a.map_batches(thin_zh, batch_format="pyarrow", zero_copy_batch=True)
+    return categorical_drift(a, b, "lang")
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4226,6 +4250,7 @@ QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_prepare_audio": q_prepare_audio,
     "q_validate_corpus": q_validate_corpus,
+    "q_lang_drift": q_lang_drift,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

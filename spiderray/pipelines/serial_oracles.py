@@ -1233,6 +1233,38 @@ def so_prepare_audio(sf_dir: str) -> pa.Table:
     })
 
 
+def so_lang_drift(sf_dir: str) -> pa.Table:
+    """Serial twin of q_lang_drift: plain-Python histograms + the same
+    PSI micro arithmetic."""
+    from collections import Counter
+
+    from ..stages.stats import split_bucket
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    ha = Counter(langs)
+    hb = Counter(lg for i, lg in zip(ids, langs)
+                 if lg != "zh" or split_bucket(str(i), 2) == 0)
+    cats = sorted(set(ha) | set(hb))
+    ta, tb = sum(ha.values()) or 1, sum(hb.values()) or 1
+    eps = 1e-6
+    rows = []
+    for c in cats:
+        pa_ = max(ha.get(c, 0) / ta, eps)
+        pb_ = max(hb.get(c, 0) / tb, eps)
+        contrib = (pa_ - pb_) * float(np.log(pa_ / pb_))
+        rows.append((c, ha.get(c, 0), hb.get(c, 0),
+                     int(np.floor(contrib * 1e6 + 0.5))))
+    return pa.table({
+        "category": pa.array([r[0] for r in rows], pa.string()),
+        "n_a": pa.array([r[1] for r in rows], pa.int64()),
+        "n_b": pa.array([r[2] for r in rows], pa.int64()),
+        "psi_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def so_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank_edge_pairs, serial_pagerank_int
 
@@ -1648,6 +1680,7 @@ SERIAL_ORACLES = {
     "q_sliding_chunks": so_sliding_chunks,
     "q_quarantine": so_quarantine,
     "q_prepare_audio": so_prepare_audio,
+    "q_lang_drift": so_lang_drift,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -104,3 +104,37 @@ def validate_expectations(ds, rules: list[dict]):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+def categorical_drift(ds_a, ds_b, col: str, eps: float = 1e-6):
+    """Population-Stability-Index drift between two corpus snapshots on a
+    categorical column — the standard ingest-monitoring check (PSI > 0.2
+    = significant shift).  One #categories-sized histogram aggregate per
+    snapshot (integer counts → deterministic), PSI contributions computed
+    per category from the merged table:
+
+        contrib = (p_a − p_b) · ln(p_a / p_b),  p smoothed by ``eps``
+
+    Returns a pandas DataFrame (category, n_a, n_b, psi_micro int64)
+    sorted by category, plus the total via df.psi_micro.sum()."""
+    import pandas as pd
+
+    def hist(ds):
+        from ray.data.aggregate import Count
+
+        df = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+        return dict(zip(df[col], df["n"].astype(int)))
+
+    ha, hb = hist(ds_a), hist(ds_b)
+    cats = sorted(set(ha) | set(hb))
+    ta = sum(ha.values()) or 1
+    tb = sum(hb.values()) or 1
+    rows = []
+    for c in cats:
+        pa_ = max(ha.get(c, 0) / ta, eps)
+        pb_ = max(hb.get(c, 0) / tb, eps)
+        contrib = (pa_ - pb_) * float(np.log(pa_ / pb_))
+        rows.append((c, ha.get(c, 0), hb.get(c, 0),
+                     int(np.floor(contrib * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["category", "n_a", "n_b",
+                                       "psi_micro"])

@@ -64,3 +64,44 @@ class TestExpectations:
             validate_expectations(
                 rd.from_arrow(t),
                 [{"column": "id", "kind": "bogus"}]).to_pandas()
+
+
+class TestCategoricalDrift:
+    def test_planted_shift_detected(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import categorical_drift
+
+        rng = np.random.default_rng(2)
+        a = pa.table({"g": np.array(["x", "y", "z"])[
+            rng.integers(0, 3, 9000)]})
+        # b: z thinned by 80% → strong PSI on z
+        gb = np.array(["x", "y", "z"])[rng.integers(0, 3, 9000)]
+        keep = (gb != "z") | (np.arange(9000) % 5 == 0)
+        b = pa.table({"g": gb[keep]})
+        out = categorical_drift(rd.from_arrow(a), rd.from_arrow(b), "g")
+        total = out["psi_micro"].sum() / 1e6
+        assert total > 0.2  # the standard 'significant shift' bar
+        assert out.set_index("category").loc["z", "psi_micro"] == \
+            out["psi_micro"].max()
+
+    def test_identical_snapshots_zero(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import categorical_drift
+
+        t = pa.table({"g": ["a"] * 50 + ["b"] * 50})
+        out = categorical_drift(rd.from_arrow(t), rd.from_arrow(t), "g")
+        assert (out["psi_micro"] == 0).all()
+
+    def test_category_absent_from_one_side(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.expectations import categorical_drift
+
+        a = pa.table({"g": ["a"] * 10})
+        b = pa.table({"g": ["a"] * 5 + ["new"] * 5})
+        out = categorical_drift(rd.from_arrow(a), rd.from_arrow(b), "g")
+        assert set(out["category"]) == {"a", "new"}
+        assert out.set_index("category").loc["new", "n_a"] == 0
+        assert out.set_index("category").loc["new", "psi_micro"] > 0
