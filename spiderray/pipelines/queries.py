@@ -1333,6 +1333,21 @@ def q_lang_drift(sf_dir: str):
     return categorical_drift(a, b, "lang")
 
 
+def q_windowed_drift(sf_dir: str):
+    """Per-window PSI drift (stages/expectations.windowed_drift): each
+    6-hour tumbling window's event_type distribution vs the whole
+    corpus's — the streaming-shaped ingest monitor.  One
+    (window, category) count shuffle; fixture oracle: serial histogram
+    twin sharing the PSI arithmetic."""
+    _ensure_fixture("q_windowed_drift", sf_dir)
+    from ..stages.expectations import windowed_drift
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    out = windowed_drift(ds, "ts", "event_type", width_minutes=360)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4251,6 +4266,7 @@ QUERIES = {
     "q_prepare_audio": q_prepare_audio,
     "q_validate_corpus": q_validate_corpus,
     "q_lang_drift": q_lang_drift,
+    "q_windowed_drift": q_windowed_drift,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

@@ -1233,6 +1233,38 @@ def so_prepare_audio(sf_dir: str) -> pa.Table:
     })
 
 
+def so_windowed_drift(sf_dir: str) -> pa.Table:
+    """Serial twin of q_windowed_drift: pandas floor + Counter
+    histograms + the shared PSI micro arithmetic."""
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    df = t.to_pandas()
+    df["w"] = df["ts"].dt.floor("360min")
+    ref = Counter(df["event_type"])
+    ref_total = sum(ref.values())
+    cats = sorted(ref)
+    eps = 1e-6
+    rows = []
+    for w in sorted(df["w"].unique()):
+        h = Counter(df.loc[df["w"] == w, "event_type"])
+        total = sum(h.values()) or 1
+        psi = 0
+        for c in cats:
+            pw = max(h.get(c, 0) / total, eps)
+            pr = max(ref.get(c, 0) / ref_total, eps)
+            contrib = (pw - pr) * float(np.log(pw / pr))
+            psi += int(np.floor(contrib * 1e6 + 0.5))
+        rows.append((w, total, psi))
+    return pa.table({
+        "window_start": pa.array([r[0] for r in rows],
+                                 pa.timestamp("us")),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "psi_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def so_lang_drift(sf_dir: str) -> pa.Table:
     """Serial twin of q_lang_drift: plain-Python histograms + the same
     PSI micro arithmetic."""
@@ -1681,6 +1713,7 @@ SERIAL_ORACLES = {
     "q_quarantine": so_quarantine,
     "q_prepare_audio": so_prepare_audio,
     "q_lang_drift": so_lang_drift,
+    "q_windowed_drift": so_windowed_drift,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

@@ -138,3 +138,52 @@ def categorical_drift(ds_a, ds_b, col: str, eps: float = 1e-6):
                      int(np.floor(contrib * 1e6 + 0.5))))
     return pd.DataFrame(rows, columns=["category", "n_a", "n_b",
                                        "psi_micro"])
+
+
+def windowed_drift(ds, ts_col: str, col: str, width_minutes: int = 60,
+                   eps: float = 1e-6):
+    """Streaming-shaped drift monitor: PSI of each tumbling event-time
+    window's categorical distribution against the WHOLE corpus's — the
+    per-window version of categorical_drift that flags when an ingest
+    hour suddenly skews.  One (window, category) count shuffle (bounded
+    by windows × categories) + one global histogram; PSI per window in
+    micro units.  Returns a pandas DataFrame (window_start, n_events,
+    psi_micro) sorted by window."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df[ts_col].dt.floor(f"{width_minutes}min")
+        g = df.groupby(["window_start", col], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        from ..functions.arrowutil import pa_from_pandas
+
+        return pa_from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if counts.empty:
+        return pd.DataFrame(columns=["window_start", "n_events", "psi_micro"])
+    ref = counts.groupby(col)["n"].sum()
+    ref_total = int(ref.sum())
+    cats = sorted(ref.index)
+    rows = []
+    for w, sub in counts.groupby("window_start"):
+        h = dict(zip(sub[col], sub["n"].astype(int)))
+        total = sum(h.values()) or 1
+        psi = 0
+        for c in cats:
+            pw = max(h.get(c, 0) / total, eps)
+            pr = max(int(ref.get(c, 0)) / ref_total, eps)
+            contrib = (pw - pr) * float(np.log(pw / pr))
+            psi += int(np.floor(contrib * 1e6 + 0.5))
+        rows.append((w, total, psi))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame(rows, columns=["window_start", "n_events",
+                                       "psi_micro"])

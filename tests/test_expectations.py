@@ -105,3 +105,43 @@ class TestCategoricalDrift:
         assert set(out["category"]) == {"a", "new"}
         assert out.set_index("category").loc["new", "n_a"] == 0
         assert out.set_index("category").loc["new", "psi_micro"] > 0
+
+
+class TestWindowedDrift:
+    def test_skewed_window_flagged(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.expectations import windowed_drift
+
+        rng = np.random.default_rng(3)
+        n = 6000
+        ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 3600, n), unit="s")
+        types = np.array(["a", "b"])[rng.integers(0, 2, n)]
+        # hour 2 becomes all-'a' (planted skew)
+        hour2 = (ts.hour == 2)
+        types[hour2.to_numpy()] = "a"
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                      "event_type": types})
+        out = windowed_drift(rd.from_arrow(t), "ts", "event_type",
+                             width_minutes=60)
+        assert len(out) == 3
+        psi = out.set_index("window_start")["psi_micro"]
+        skewed = psi.iloc[2]
+        assert skewed > 5 * max(psi.iloc[0], psi.iloc[1], 1)
+
+    def test_uniform_windows_near_zero(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.expectations import windowed_drift
+
+        ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            np.arange(4000) % 7200, unit="s")
+        types = np.array(["a", "b"])[np.arange(4000) % 2]
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                      "event_type": types})
+        out = windowed_drift(rd.from_arrow(t), "ts", "event_type",
+                             width_minutes=60)
+        assert (out["psi_micro"].abs() < 1000).all()  # PSI < 0.001
