@@ -120,8 +120,8 @@ class TestWindowedDrift:
             rng.integers(0, 3 * 3600, n), unit="s")
         types = np.array(["a", "b"])[rng.integers(0, 2, n)]
         # hour 2 becomes all-'a' (planted skew)
-        hour2 = (ts.hour == 2)
-        types[hour2.to_numpy()] = "a"
+        hour2 = np.asarray(ts.hour == 2)
+        types[hour2] = "a"
         t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
                       "event_type": types})
         out = windowed_drift(rd.from_arrow(t), "ts", "event_type",
