@@ -1937,6 +1937,82 @@ def q_prepare_audio(sf_dir: str):
             .sort_values("shard").reset_index(drop=True))
 
 
+def _synth_mp3_rows(batch: pa.Table) -> pa.Table:
+    """Every 5th doc → an mp3 clip (shared by q_mp3_gate and its serial
+    oracle): structurally-valid Layer-III frame streams with strata —
+    good (matching dur_ms), metadata-contradicting (dur_ms 3x), and
+    corrupt (truncated mid-frame / broken sync)."""
+    from ..functions.mp3parse import encode_mp3_frames, make_id3v2
+
+    t = _mod_filter(batch, "doc_id", 5)
+    ids, bufs, durs = [], [], []
+    for i in t.column("doc_id").to_numpy():
+        i = int(i)
+        dur = 800 + (i % 7) * 250
+        sr = (16000, 22050, 44100)[(i // 5) % 3]
+        buf = encode_mp3_frames(dur, sr_hz=sr, bitrate_kbps=64,
+                                id3v2=make_id3v2(64) if i % 10 == 0 else b"",
+                                id3v1=bool(i % 15 == 0))
+        k = (i // 5) % 4
+        if k == 1:
+            durs.append(dur * 3)  # metadata contradicts the frame walk
+        else:
+            durs.append(dur)
+        if k == 2:
+            buf = buf[: len(buf) - 9]  # truncated mid-frame
+        elif k == 3:
+            b = bytearray(buf)
+            b[0] = 0  # broken first sync
+            buf = bytes(b)
+        ids.append(f"mp3_{i:08d}")
+        bufs.append(buf)
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(["mp3"] * len(ids), pa.string()),
+        "sr_hz": pa.array([16000] * len(ids), pa.int32()),
+        "dur_ms": pa.array(durs, pa.int32()),
+        "transcript": pa.array(["hello there my good friend"] * len(ids),
+                               pa.string()),
+    })
+
+
+def q_mp3_gate(sf_dir: str):
+    """MP3 container-integrity gating (functions/mp3parse.py — the MPEG
+    sibling of the Ogg/Opus gate): frame-header walk yields duration
+    and structural judgment without PCM decode; strata plant good /
+    duration-mismatch / truncated / desynced streams.  Fixture oracle
+    runs the shared gate function serially."""
+    _ensure_fixture("q_mp3_gate", sf_dir)
+    from ..stages.multimodal import audio_gate_decision
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    clips = ds.map_batches(_synth_mp3_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        oks, reasons = [], []
+        for buf, codec, sr, dur, text in zip(
+            batch.column("bytes").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("sr_hz").to_pylist(),
+            batch.column("dur_ms").to_pylist(),
+            batch.column("transcript").to_pylist(),
+        ):
+            ok, reason = audio_gate_decision(buf, codec, int(sr), int(dur),
+                                             text)
+            oks.append(ok)
+            reasons.append(reason)
+        return pa.table({
+            "clip_id": batch.column("clip_id"),
+            "gate_ok": pa.array(oks, pa.bool_()),
+            "drop_reason": pa.array(reasons, pa.string()),
+        })
+
+    return clips.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -4267,6 +4343,7 @@ QUERIES = {
     "q_validate_corpus": q_validate_corpus,
     "q_lang_drift": q_lang_drift,
     "q_windowed_drift": q_windowed_drift,
+    "q_mp3_gate": q_mp3_gate,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

@@ -1265,6 +1265,29 @@ def so_windowed_drift(sf_dir: str) -> pa.Table:
     })
 
 
+def so_mp3_gate(sf_dir: str) -> pa.Table:
+    from ..stages.multimodal import audio_gate_decision
+    from .queries import _synth_mp3_rows
+
+    clips = _synth_mp3_rows(_docs(sf_dir, ("doc_id",)))
+    oks, reasons = [], []
+    for buf, codec, sr, dur, text in zip(
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+        clips.column("dur_ms").to_pylist(),
+        clips.column("transcript").to_pylist(),
+    ):
+        ok, reason = audio_gate_decision(buf, codec, int(sr), int(dur), text)
+        oks.append(ok)
+        reasons.append(reason)
+    return pa.table({
+        "clip_id": clips.column("clip_id"),
+        "gate_ok": pa.array(oks, pa.bool_()),
+        "drop_reason": pa.array(reasons, pa.string()),
+    })
+
+
 def so_lang_drift(sf_dir: str) -> pa.Table:
     """Serial twin of q_lang_drift: plain-Python histograms + the same
     PSI micro arithmetic."""
@@ -1714,6 +1737,7 @@ SERIAL_ORACLES = {
     "q_prepare_audio": so_prepare_audio,
     "q_lang_drift": so_lang_drift,
     "q_windowed_drift": so_windowed_drift,
+    "q_mp3_gate": so_mp3_gate,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

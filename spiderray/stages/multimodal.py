@@ -511,6 +511,18 @@ def audio_gate_decision(
         if dur_ms and abs(info["duration_ms"] - dur_ms) > 80:
             return False, "duration_mismatch"
         return True, ""
+    if (codec or "") == "mp3":
+        # same structural-judgment semantics as opus: the frame-header
+        # walk (functions/mp3parse.py) is real, PCM decode stays stubbed
+        from ..functions.mp3parse import Mp3Error, parse_mp3
+
+        try:
+            info = parse_mp3(buf or b"")
+        except Mp3Error:
+            return False, "bad_container"
+        if dur_ms and abs(info["duration_ms"] - dur_ms) > 80:
+            return False, "duration_mismatch"
+        return True, ""
     try:
         pcm = _decode_one(buf or b"", codec or "")
     except DecodeUnsupported:
