@@ -1348,6 +1348,51 @@ def q_windowed_drift(sf_dir: str):
     return out
 
 
+SQL_DURATION_BATCHES = """
+WITH c AS (
+  SELECT printf('clip_%012d', doc_id) AS clip_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+         doc_id % 5 AS m
+  FROM documents
+), d AS (
+  SELECT clip_id,
+         CAST((1000 * (sr // 4 + ((m * sr) // 100))) // sr AS BIGINT)
+           AS dur_ms
+  FROM c
+), b AS (
+  SELECT clip_id, dur_ms,
+         CAST(CASE WHEN dur_ms <= 1500 THEN 0
+              WHEN dur_ms <= 2500 THEN 1 ELSE 2 END AS BIGINT)
+           AS dur_bucket
+  FROM d
+)
+SELECT clip_id, dur_ms, dur_bucket,
+       CAST((sum(dur_ms) OVER (PARTITION BY dur_bucket ORDER BY clip_id
+                               ROWS UNBOUNDED PRECEDING) - dur_ms)
+            // 30000 AS BIGINT) AS batch_idx
+FROM b
+"""
+
+
+def q_duration_batches(sf_dir: str):
+    """Length-bucketed batch packing (stages/windows.
+    duration_bucket_batches): clips bucket by duration range, batches
+    cut at 30 s of total audio per bucket via one window cumsum — the
+    standard ASR dataloader layout.  Plain window-SQL oracle."""
+    from ..sources.clips import clips_from_documents
+    from ..stages.windows import duration_bucket_batches
+
+    ds = clips_from_documents(sf_dir).select_columns(["clip_id", "dur_ms"])
+    out = duration_bucket_batches(
+        ds, "dur_ms", "clip_id", bucket_edges_ms=[1500, 2500],
+        max_batch_ms=30_000)
+    df = out.to_pandas().sort_values("clip_id").reset_index(drop=True)
+    df["dur_ms"] = df["dur_ms"].astype("int64")
+    return df[["clip_id", "dur_ms", "dur_bucket", "batch_idx"]]
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4344,6 +4389,7 @@ QUERIES = {
     "q_lang_drift": q_lang_drift,
     "q_windowed_drift": q_windowed_drift,
     "q_mp3_gate": q_mp3_gate,
+    "q_duration_batches": q_duration_batches,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4411,6 +4457,7 @@ ORACLE_SQL = {
     "q_bottomk_sample": SQL_BOTTOMK_SAMPLE,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_validate_corpus": SQL_VALIDATE_CORPUS,
+    "q_duration_batches": SQL_DURATION_BATCHES,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

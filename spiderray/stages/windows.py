@@ -316,3 +316,43 @@ def pack_chunks(ds, order_col: str, size_col: str, chunk_size: int,
 
     return scanned.map_batches(add_chunk, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def duration_bucket_batches(ds, dur_col: str, id_col: str,
+                            bucket_edges_ms: list[int],
+                            max_batch_ms: int = 30_000):
+    """Length-bucketed batch packing — the standard ASR/TTS dataloader
+    layout (sortagrad/espnet-style): clips bucket by duration range so a
+    batch never pads a 1 s clip against a 30 s one, and within each
+    bucket greedy cumulative packing cuts batches at ``max_batch_ms``
+    total audio.  Deterministic: within-bucket order is the id, batch
+    boundaries fall out of a cumulative sum — one window_functions
+    shuffle (partition = bucket, order = id), then
+    batch_idx = (cumsum(dur) − dur) // max_batch_ms — restatable as SQL
+    window arithmetic.
+
+    Returns the rows + (dur_bucket, batch_idx) columns."""
+    edges = np.asarray(sorted(bucket_edges_ms), dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        durs = batch.column(dur_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = np.searchsorted(edges, durs, side="left").astype(np.int64)
+        return batch.append_column("dur_bucket", pa.array(bucket))
+
+    with_bucket = ds.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = window_functions(
+        with_bucket, ["dur_bucket"], [id_col],
+        [{"fn": "cumsum", "col": dur_col, "out": "__cum"}])
+
+    def cut(batch: pa.Table) -> pa.Table:
+        cum = batch.column("__cum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        durs = batch.column(dur_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = (cum - durs) // max_batch_ms
+        batch = batch.drop_columns(["__cum"])
+        return batch.append_column("batch_idx", pa.array(idx, pa.int64()))
+
+    return out.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

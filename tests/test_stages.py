@@ -515,3 +515,33 @@ class TestInvertedIndex:
                              n_buckets=4).materialize()
         out = lookup_postings(str(tmp_path), ["zzz"], n_buckets=4)
         assert out.num_rows == 0
+
+
+class TestDurationBatches:
+    def test_buckets_and_packing(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.windows import duration_bucket_batches
+
+        t = pa.table({
+            "clip_id": [f"c{i:03d}" for i in range(9)],
+            "dur_ms": pa.array([100, 900, 2000, 2400, 5000, 800, 950,
+                                2100, 9000], pa.int32()),
+        })
+        out = (duration_bucket_batches(rd.from_arrow(t), "dur_ms",
+                                       "clip_id", [1000, 3000],
+                                       max_batch_ms=2000)
+               .to_pandas().set_index("clip_id"))
+        # buckets: <=1000 → 0, <=3000 → 1, else 2
+        assert out.loc["c000", "dur_bucket"] == 0
+        assert out.loc["c002", "dur_bucket"] == 1
+        assert out.loc["c008", "dur_bucket"] == 2
+        # bucket 0 in id order: 100, 900, 800, 950 → cums 100/1000/1800/2750
+        assert out.loc["c000", "batch_idx"] == 0
+        assert out.loc["c001", "batch_idx"] == 0
+        assert out.loc["c005", "batch_idx"] == 0
+        assert out.loc["c006", "batch_idx"] == 0  # (2750-950)//2000 = 0
+        # bucket 1: 2000, 2400, 2100 → batch cut after each ~2000ms
+        b1 = out[out["dur_bucket"] == 1].sort_index()["batch_idx"].tolist()
+        assert b1 == [0, 1, 2]
