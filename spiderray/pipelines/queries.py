@@ -1393,6 +1393,42 @@ def q_duration_batches(sf_dir: str):
     return df[["clip_id", "dur_ms", "dur_bucket", "batch_idx"]]
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Parquet compaction (sources/compact.compact_parquet): the
+    documents table splinters into 40 small files, compaction rewrites
+    them into right-sized ones behind a _DONE promotion, and the
+    compacted table must read back content-identical — the oracle is
+    simply SELECT over the original table."""
+    import hashlib as _h
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.compact import compact_parquet
+
+    base = os.path.join("/tmp", "spiderray_compact",
+                        _h.md5(sf_dir.encode()).hexdigest()[:12])
+    small, out = os.path.join(base, "small"), os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(small, exist_ok=True)
+    # splinter: 40 small files (the incremental-append pathology)
+    rd.read_parquet(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "n_chars"]) \
+        .repartition(40).write_parquet(small)
+    stats = compact_parquet(small, out, rows_per_file=100_000)
+    assert not stats["skipped"]
+    stats2 = compact_parquet(small, out, rows_per_file=100_000)
+    assert stats2["skipped"] and stats2["n_rows"] == stats["n_rows"]
+    df = rd.read_parquet(out).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_COMPACT_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4390,6 +4426,7 @@ QUERIES = {
     "q_windowed_drift": q_windowed_drift,
     "q_mp3_gate": q_mp3_gate,
     "q_duration_batches": q_duration_batches,
+    "q_compact_roundtrip": q_compact_roundtrip,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4458,6 +4495,7 @@ ORACLE_SQL = {
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_validate_corpus": SQL_VALIDATE_CORPUS,
     "q_duration_batches": SQL_DURATION_BATCHES,
+    "q_compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

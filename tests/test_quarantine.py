@@ -61,3 +61,31 @@ class TestQuarantine:
         assert len(out) == 0
         assert sorted(read_quarantine(
             str(tmp_path / "q3")).to_pandas()["doc_id"]) == list(range(8))
+
+
+class TestCompaction:
+    def test_compacts_and_promotes(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.sources.compact import compact_parquet
+
+        src = tmp_path / "small"
+        os.makedirs(src)
+        rd.from_arrow(pa.table({"x": np.arange(1000, dtype=np.int64)})) \
+            .repartition(25).write_parquet(str(src))
+        assert len(list(src.glob("*.parquet"))) >= 20
+        out = tmp_path / "out"
+        stats = compact_parquet(str(src), str(out), rows_per_file=600)
+        assert stats == {"n_rows": 1000, "n_files": 2, "skipped": False}
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 2
+        back = rd.read_parquet(str(out)).to_pandas()
+        assert sorted(back["x"]) == list(range(1000))
+        # second run promotes from the marker without rewriting
+        mtimes = {f: os.path.getmtime(out / f) for f in files}
+        stats2 = compact_parquet(str(src), str(out), rows_per_file=600)
+        assert stats2["skipped"]
+        assert {f: os.path.getmtime(out / f) for f in files} == mtimes
