@@ -619,18 +619,22 @@ def _encode_pcm16(pcm: np.ndarray) -> bytes:
 
 
 class AudioTransformActor:
-    """Actor-pool stage: decode → (resample to target_sr_hz) → (loudness
-    normalize) → re-encode pcm_s16le.  Emits NEW bytes/sr_hz/codec columns;
-    undecodable codecs pass through untouched with transform_ok=False.
-    The canonical 'make the corpus uniform for the ASR trainer' stage."""
+    """Actor-pool stage: decode → (resample to target_sr_hz) →
+    (zero-phase FFT highpass at highpass_hz — kills DC/rumble below the
+    speech band before the trainer) → (loudness normalize) → re-encode
+    pcm_s16le.  Emits NEW bytes/sr_hz/codec columns; undecodable codecs
+    pass through untouched with transform_ok=False.  The canonical
+    'make the corpus uniform for the ASR trainer' stage."""
 
     def __init__(self, cfg: PipelineConfig | None = None,
                  target_sr_hz: int | None = 16000,
                  target_rms: float | None = 0.1,
-                 resample_method: str = "sinc"):
+                 resample_method: str = "sinc",
+                 highpass_hz: float | None = None):
         self.cfg = cfg or PipelineConfig()
         self.target_sr = target_sr_hz
         self.target_rms = target_rms
+        self.highpass_hz = highpass_hz
         if resample_method == "sinc":
             # Kaiser windowed-sinc (functions/resample.py): real anti-alias
             # cutoff at the output Nyquist — the production default
@@ -659,6 +663,16 @@ class AudioTransformActor:
             sr_out = sr
             if self.target_sr and sr and sr != self.target_sr:
                 pcm = self._resample(pcm, int(sr), self.target_sr)
+                sr_for_hp = self.target_sr
+            else:
+                sr_for_hp = int(sr or 0)
+            if self.highpass_hz and sr_for_hp > 0 and len(pcm):
+                # zero-phase brickwall: rfft → zero bins below the cutoff
+                # → irfft; deterministic, vectorized, no IIR state
+                spec = np.fft.rfft(pcm.astype(np.float64))
+                cut = int(np.ceil(self.highpass_hz * len(pcm) / sr_for_hp))
+                spec[:cut] = 0.0
+                pcm = np.fft.irfft(spec, len(pcm)).astype(np.float32)
                 sr_out = self.target_sr
             if self.target_rms is not None:
                 pcm = normalize_loudness(pcm, self.target_rms)

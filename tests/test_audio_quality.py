@@ -215,3 +215,29 @@ class TestAudioSemanticDedup:
         # at least every planted twin pair collapsed (dropped ≥ #twins)
         assert int(got["n_dropped"].iloc[0]) >= 13
         assert int(got["n_kept"].iloc[0]) > 0
+
+
+class TestHighpass:
+    def test_rumble_removed_speech_band_kept(self):
+        import pyarrow as pa
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import (AudioTransformActor,
+                                                 _decode_one)
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.4 * np.sin(2 * np.pi * 40 * t)
+             + 0.3 * np.sin(2 * np.pi * 1000 * t))
+        buf = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        actor = AudioTransformActor(PipelineConfig(), target_sr_hz=None,
+                                    target_rms=None, highpass_hz=80.0)
+        out = actor(pa.table({
+            "clip_id": ["a"], "bytes": [buf],
+            "codec": ["pcm_s16le"], "sr_hz": [sr],
+        }))
+        y = _decode_one(out.column("bytes").to_pylist()[0],
+                        "pcm_s16le").astype(np.float64)
+        spec = np.abs(np.fft.rfft(y))
+        assert spec[40] < 0.01 * spec[1000]   # 40 Hz gone
+        assert spec[1000] > 0.25 * len(y) * 0.3 / 2  # 1 kHz intact
