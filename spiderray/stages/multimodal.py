@@ -663,17 +663,14 @@ class AudioTransformActor:
             sr_out = sr
             if self.target_sr and sr and sr != self.target_sr:
                 pcm = self._resample(pcm, int(sr), self.target_sr)
-                sr_for_hp = self.target_sr
-            else:
-                sr_for_hp = int(sr or 0)
-            if self.highpass_hz and sr_for_hp > 0 and len(pcm):
+                sr_out = self.target_sr
+            if self.highpass_hz and sr_out and len(pcm):
                 # zero-phase brickwall: rfft → zero bins below the cutoff
                 # → irfft; deterministic, vectorized, no IIR state
                 spec = np.fft.rfft(pcm.astype(np.float64))
-                cut = int(np.ceil(self.highpass_hz * len(pcm) / sr_for_hp))
+                cut = int(np.ceil(self.highpass_hz * len(pcm) / int(sr_out)))
                 spec[:cut] = 0.0
                 pcm = np.fft.irfft(spec, len(pcm)).astype(np.float32)
-                sr_out = self.target_sr
             if self.target_rms is not None:
                 pcm = normalize_loudness(pcm, self.target_rms)
             out_bytes.append(_encode_pcm16(pcm))
