@@ -1429,6 +1429,38 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_grouped_split(sf_dir: str):
+    """Leakage-safe grouped split (stages/stats.grouped_split): split
+    assigned by hash of the SOURCE domain, so no source straddles
+    train/test — the speaker-disjoint pattern.  SQL oracle restates the
+    md5 bucket rule and verifies one split per source by construction."""
+    from ..stages.stats import grouped_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = grouped_split(ds, "source",
+                        ratios={"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupby(["source", "split"]).count().to_pandas()
+            .rename(columns={"count()": "n_docs"})
+            .sort_values(["source", "split"]).reset_index(drop=True))
+
+
+SQL_GROUPED_SPLIT = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) % 10000
+           AS bucket,
+         count(*) AS n
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(n AS BIGINT) AS n_docs
+FROM b
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4427,6 +4459,7 @@ QUERIES = {
     "q_mp3_gate": q_mp3_gate,
     "q_duration_batches": q_duration_batches,
     "q_compact_roundtrip": q_compact_roundtrip,
+    "q_grouped_split": q_grouped_split,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4496,6 +4529,7 @@ ORACLE_SQL = {
     "q_validate_corpus": SQL_VALIDATE_CORPUS,
     "q_duration_batches": SQL_DURATION_BATCHES,
     "q_compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
+    "q_grouped_split": SQL_GROUPED_SPLIT,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

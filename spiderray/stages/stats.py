@@ -274,6 +274,17 @@ def bottomk_sample(ds, k: int, id_col: str = "doc_id", salt: str = ""):
     return out.sort("rank_hex").limit(k)
 
 
+def grouped_split(ds, group_col: str, ratios: dict[str, float] | None = None,
+                  salt: str = "", n_buckets: int = 10_000):
+    """LEAKAGE-SAFE split: the hash bucket comes from the GROUP key
+    (speaker, source domain, session), so every row of a group lands in
+    the same split — the speaker-disjoint train/test assignment ASR
+    corpora require (splitting by clip id leaks a speaker's voice into
+    both sides).  Same pure-map scale shape as train_test_split."""
+    return train_test_split(ds, id_col=group_col, ratios=ratios, salt=salt,
+                            n_buckets=n_buckets)
+
+
 def tdigest_quantiles(ds, col: str, qs: list[float],
                       delta: int = 200, recompress_batch: int = 32_768):
     """Bounded-error quantiles via a MERGEABLE t-digest sketch
