@@ -2126,6 +2126,48 @@ def q_mp3_gate(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def _audio_eval_set(sf_dir: str) -> pa.Table:
+    """The synthetic 'benchmark' clips for q_audio_decontaminate (shared
+    with its serial oracle): every 40th melody clip's audio, re-encoded
+    through a gain change (×0.7) so a byte compare would MISS the leak —
+    the constellation landmarks must catch it."""
+    from ..sources.clips import note_clips_table_from_documents
+    from ..stages.multimodal import _decode_one, _encode_pcm16
+
+    t = note_clips_table_from_documents(sf_dir, twin_mod=1 << 62)
+    rows = []
+    for cid, buf, sr in zip(t.column("clip_id").to_pylist(),
+                            t.column("bytes").to_pylist(),
+                            t.column("sr_hz").to_pylist()):
+        if int(cid) % 40 != 0:
+            continue
+        pcm = _decode_one(buf or b"", "pcm_s16le")
+        rows.append((int(cid), _encode_pcm16(np.clip(pcm * 0.7, -1, 1)),
+                     "pcm_s16le", int(sr)))
+    return pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.int64()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "codec": pa.array([r[2] for r in rows], pa.string()),
+        "sr_hz": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def q_audio_decontaminate(sf_dir: str):
+    """Audio eval-set decontamination (stages/audiodedup.
+    audio_decontaminate): benchmark melody clips' constellation
+    landmarks (gain-changed re-encodes — byte compares would miss them)
+    broadcast once; the corpus streams through one pure flag map; the
+    every-40th sources and acoustically-similar melodies flag.  Fixture
+    oracle: serial landmark sets + the same overlap rule."""
+    _ensure_fixture("q_audio_decontaminate", sf_dir)
+    from ..sources.clips import note_clips_from_documents
+    from ..stages.audiodedup import audio_decontaminate
+
+    ds = note_clips_from_documents(sf_dir, twin_mod=1 << 62)
+    out = audio_decontaminate(ds, _audio_eval_set(sf_dir))
+    return out.select_columns(["clip_id", "eval_contaminated", "eval_shared"])
+
+
 def q_pagerank(sf_dir: str):
     """Distributed integer PageRank over the deterministic synthetic link
     graph (stages/graph.pagerank_int): 5 iterations of edges⋈ranks
@@ -4460,6 +4502,7 @@ QUERIES = {
     "q_duration_batches": q_duration_batches,
     "q_compact_roundtrip": q_compact_roundtrip,
     "q_grouped_split": q_grouped_split,
+    "q_audio_decontaminate": q_audio_decontaminate,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,

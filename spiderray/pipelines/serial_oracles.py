@@ -1265,6 +1265,39 @@ def so_windowed_drift(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_decontaminate(sf_dir: str) -> pa.Table:
+    """Serial twin of q_audio_decontaminate: one-pass landmark union over
+    the shared eval set, then the same overlap rule per melody clip."""
+    from ..functions.audiofp import spectral_landmarks
+    from ..sources.clips import note_clips_table_from_documents
+    from ..stages.multimodal import _decode_one
+    from .queries import _audio_eval_set
+
+    ev = _audio_eval_set(sf_dir)
+    eval_hashes: set[int] = set()
+    for buf, sr in zip(ev.column("bytes").to_pylist(),
+                       ev.column("sr_hz").to_pylist()):
+        pcm = _decode_one(buf or b"", "pcm_s16le")
+        eval_hashes.update(int(h) for h in spectral_landmarks(pcm, int(sr)))
+    t = note_clips_table_from_documents(sf_dir, twin_mod=1 << 62)
+    ids, flags, shared_c = [], [], []
+    for cid, buf, sr in zip(t.column("clip_id").to_pylist(),
+                            t.column("bytes").to_pylist(),
+                            t.column("sr_hz").to_pylist()):
+        ids.append(int(cid))
+        pcm = _decode_one(buf or b"", "pcm_s16le")
+        hashes = [int(h) for h in spectral_landmarks(pcm, int(sr))]
+        shared = sum(1 for h in hashes if h in eval_hashes)
+        frac = shared / max(len(hashes), 1)
+        flags.append(shared >= 2 and frac >= 0.5)
+        shared_c.append(shared)
+    return pa.table({
+        "clip_id": pa.array(ids, pa.int64()),
+        "eval_contaminated": pa.array(flags, pa.bool_()),
+        "eval_shared": pa.array(shared_c, pa.int32()),
+    })
+
+
 def so_mp3_gate(sf_dir: str) -> pa.Table:
     from ..stages.multimodal import audio_gate_decision
     from .queries import _synth_mp3_rows
@@ -1738,6 +1771,7 @@ SERIAL_ORACLES = {
     "q_lang_drift": so_lang_drift,
     "q_windowed_drift": so_windowed_drift,
     "q_mp3_gate": so_mp3_gate,
+    "q_audio_decontaminate": so_audio_decontaminate,
     "q_unigram_vocab": so_unigram_vocab,
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,

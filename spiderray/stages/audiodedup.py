@@ -201,3 +201,62 @@ def serial_audio_fingerprint_pairs(
         "n_matches": pa.array([r[2] for r in rows], pa.int64()),
         "match_fraction": pa.array([r[3] for r in rows], pa.float64()),
     })
+
+
+def audio_decontaminate(ds, eval_clips: pa.Table,
+                        id_col: str = "clip_id", bytes_col: str = "bytes",
+                        codec_col: str = "codec", sr_col: str = "sr_hz",
+                        min_shared: int = 2, min_fraction: float = 0.5,
+                        **landmark_kwargs):
+    """Eval-set decontamination for AUDIO — the acoustic analog of
+    stages/dedup.decontaminate: training clips whose constellation
+    landmarks overlap an EVAL clip's are flagged before training, so
+    benchmark audio (or its re-encodes: the landmarks survive gain and
+    codec changes) never leaks into the corpus.
+
+    Shape: the eval set is bounded by definition, so its landmark union
+    builds driver-side (one pass over the eval table) and broadcasts
+    once via ray.put; the corpus then streams through one pure map —
+    no shuffle, nothing corpus-sized anywhere.  Appends
+    ``eval_contaminated`` + ``eval_shared`` columns."""
+    import ray
+
+    from .multimodal import DecodeUnsupported, _decode_one
+
+    eval_hashes: set[int] = set()
+    for buf, codec, sr in zip(eval_clips.column(bytes_col).to_pylist(),
+                              eval_clips.column(codec_col).to_pylist(),
+                              eval_clips.column(sr_col).to_pylist()):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            continue
+        eval_hashes.update(
+            int(h) for h in spectral_landmarks(pcm, int(sr or 0),
+                                               **landmark_kwargs))
+    eval_ref = ray.put(eval_hashes)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        flags, shared_counts = [], []
+        for buf, codec, sr in zip(batch.column(bytes_col).to_pylist(),
+                                  batch.column(codec_col).to_pylist(),
+                                  batch.column(sr_col).to_pylist()):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                hashes = [int(h) for h in spectral_landmarks(
+                    pcm, int(sr or 0), **landmark_kwargs)]
+            except DecodeUnsupported:
+                flags.append(False)
+                shared_counts.append(0)
+                continue
+            shared = sum(1 for h in hashes if h in ev)
+            frac = shared / max(len(hashes), 1)
+            flags.append(shared >= min_shared and frac >= min_fraction)
+            shared_counts.append(shared)
+        batch = batch.append_column("eval_contaminated",
+                                    pa.array(flags, pa.bool_()))
+        return batch.append_column("eval_shared",
+                                   pa.array(shared_counts, pa.int32()))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
