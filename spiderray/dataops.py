@@ -112,6 +112,19 @@ from .stages.unigram_train import (
     train_unigram_corpus,
     unigram_encode_stage,
 )
+from .functions.mp3parse import parse_mp3
+from .pipelines.prepare_audio import prepare_audio_corpus
+from .sources.compact import compact_parquet
+from .stages.audiodedup import audio_decontaminate
+from .stages.expectations import (
+    categorical_drift,
+    validate_expectations,
+    windowed_drift,
+)
+from .stages.stats import grouped_split
+from .stages.substring_dedup import substring_dedup  # noqa: F811 (re-export)
+from .stages.textindex import build_inverted_index, lookup_postings
+from .stages.windows import duration_bucket_batches
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
@@ -156,4 +169,8 @@ __all__ = [
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",
+    "audio_decontaminate", "build_inverted_index", "categorical_drift",
+    "compact_parquet", "duration_bucket_batches", "grouped_split",
+    "lookup_postings", "parse_mp3", "prepare_audio_corpus",
+    "validate_expectations", "windowed_drift",
 ]
