@@ -1461,6 +1461,41 @@ FROM b
 """
 
 
+def q_mixture_plan(sf_dir: str):
+    """Data-mixing planner (stages/stats.mixture_plan): per-source token
+    histogram → exact integer-micro sampling rates hitting a 100k-token
+    budget at a fixed source mixture (sources beyond the named three get
+    weight 0).  Plain-SQL oracle restates the rate arithmetic."""
+    from ..stages.stats import mixture_plan
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return mixture_plan(ds, "source", "n_chars",
+                        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                        token_budget=100_000)
+
+
+SQL_MIXTURE_PLAN = """
+WITH h AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 ELSE 0.0 END AS wt
+  FROM h
+)
+SELECT source, tokens,
+       CAST(round(wt * 1000000) AS BIGINT) AS weight_micro,
+       CAST(CAST(100000 * wt AS BIGINT) AS BIGINT) AS target_tokens,
+       CAST(least(1000000,
+                  CAST(100000 * wt AS BIGINT) * 1000000 // tokens)
+            AS BIGINT) AS rate_micro,
+       (least(1000000, CAST(100000 * wt AS BIGINT) * 1000000 // tokens)
+          = 1000000 AND CAST(100000 * wt AS BIGINT) > tokens) AS short
+FROM w
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4503,6 +4538,7 @@ QUERIES = {
     "q_compact_roundtrip": q_compact_roundtrip,
     "q_grouped_split": q_grouped_split,
     "q_audio_decontaminate": q_audio_decontaminate,
+    "q_mixture_plan": q_mixture_plan,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4573,6 +4609,7 @@ ORACLE_SQL = {
     "q_duration_batches": SQL_DURATION_BATCHES,
     "q_compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
     "q_grouped_split": SQL_GROUPED_SPLIT,
+    "q_mixture_plan": SQL_MIXTURE_PLAN,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

@@ -274,6 +274,52 @@ def bottomk_sample(ds, k: int, id_col: str = "doc_id", salt: str = ""):
     return out.sort("rank_hex").limit(k)
 
 
+def mixture_plan(ds, source_col: str, token_col: str,
+                 weights: dict[str, float], token_budget: int):
+    """Data-mixing planner: given target mixture ``weights`` (summing to
+    1) and a total ``token_budget``, compute each source's sampling rate
+    so the sampled corpus hits the budget at the target mixture — the
+    arithmetic behind every "X% web, Y% code, Z% books" training recipe.
+
+    One #sources histogram shuffle (integer token sums); rates are exact
+    integer micro units: rate_micro = min(10^6, target_tokens·10^6 //
+    tokens_s) — a source too small to fill its slice caps at 1.0
+    (epochs > 1 are the trainer's business, flagged by ``short``).
+    Apply with stratified_sample(rate={src: rate_micro/1e6})."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            source_col: batch.column(source_col).to_pylist(),
+            "t": batch.column(token_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+        })
+        g = df.groupby(source_col, as_index=False)["t"].sum()
+        return pa_from_pandas(g.rename(columns={"t": "tokens"}))
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(source_col)
+        .aggregate(Sum("tokens", alias_name="tokens"))
+        .to_pandas()
+    )
+    rows = []
+    for _, r in hist.iterrows():
+        src = r[source_col]
+        tokens = int(r["tokens"])
+        w = float(weights.get(src, 0.0))
+        target = int(token_budget * w)
+        rate_micro = min(1_000_000, target * 1_000_000 // tokens)             if tokens > 0 else 0
+        rows.append((src, tokens, int(round(w * 1_000_000)), target,
+                     rate_micro, rate_micro == 1_000_000 and target > tokens))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[source_col, "tokens", "weight_micro",
+                                       "target_tokens", "rate_micro",
+                                       "short"])
+
+
 def grouped_split(ds, group_col: str, ratios: dict[str, float] | None = None,
                   salt: str = "", n_buckets: int = 10_000):
     """LEAKAGE-SAFE split: the hash bucket comes from the GROUP key
