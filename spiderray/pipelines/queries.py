@@ -1496,6 +1496,28 @@ FROM w
 """
 
 
+def q_epoch_order(sf_dir: str):
+    """Reproducible epoch shuffle (stages/windows.epoch_order): global
+    rank by md5(salt + id) via the one-partition scan primitive — the
+    deterministic training order any resumed run reproduces.  SQL
+    oracle: row_number over the same md5 key."""
+    from ..stages.windows import epoch_order
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = epoch_order(ds, "doc_id", salt="e1")
+    return (out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "epoch_rank"]])
+
+
+SQL_EPOCH_ORDER = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR))) - 1
+            AS BIGINT) AS epoch_rank
+FROM documents
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4539,6 +4561,7 @@ QUERIES = {
     "q_grouped_split": q_grouped_split,
     "q_audio_decontaminate": q_audio_decontaminate,
     "q_mixture_plan": q_mixture_plan,
+    "q_epoch_order": q_epoch_order,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4610,6 +4633,7 @@ ORACLE_SQL = {
     "q_compact_roundtrip": SQL_COMPACT_ROUNDTRIP,
     "q_grouped_split": SQL_GROUPED_SPLIT,
     "q_mixture_plan": SQL_MIXTURE_PLAN,
+    "q_epoch_order": SQL_EPOCH_ORDER,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

@@ -55,7 +55,9 @@ def c4_span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     Documents that lose a span are rebuilt from their surviving sentences
     (single-space joined, the convention of the line-cleaned C4 text);
     untouched documents pass through byte-identical."""
-    id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
+    from .substring_dedup import _id_field_type
+
+    id_type = _id_field_type(ds, id_col)
 
     def spans(batch: pa.Table) -> pa.Table:
         ids_out, hashes, starts = [], [], []

@@ -26,6 +26,21 @@ from ..functions import leespan
 N_PARTS = 64
 
 
+def _id_field_type(ds, id_col: str):
+    """Arrow type of ``id_col`` for Arrow AND pandas-block datasets (the
+    from_pandas schema has no .field — same dual handling as
+    stats._require_integer_domain)."""
+    schema = ds.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", schema)
+    if hasattr(base, "field"):
+        return base.field(id_col).type
+    np_t = dict(zip(base.names, base.types)).get(id_col)
+    try:
+        return pa.from_numpy_dtype(np_t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     window: int = 25, n_parts: int = N_PARTS):
     """Remove all but one occurrence of every ``window``-token substring
@@ -33,7 +48,7 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     the global minimum (id, start).  Returns (id, text) with losing token
     spans removed (single-space joined); untouched documents keep their
     token stream intact."""
-    id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
+    id_type = _id_field_type(ds, id_col)
 
     def windows(batch: pa.Table) -> pa.Table:
         ids_out, hash_parts, start_parts = [], [], []

@@ -318,6 +318,30 @@ def pack_chunks(ds, order_col: str, size_col: str, chunk_size: int,
                                zero_copy_batch=True)
 
 
+def epoch_order(ds, id_col: str, salt: str = "e0"):
+    """Reproducible per-epoch training order: rank every row by
+    md5(salt + id) — a deterministic global shuffle that any worker (or
+    a resumed run) reproduces exactly, one salt per epoch.  Built on the
+    global_scan primitive with unit sizes (rank = count of rows hashing
+    strictly before); md5 collisions are vanishing at corpus sizes and
+    would only swap two adjacent ranks.  Appends ``epoch_rank`` int64."""
+    import hashlib
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ranks = [hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+                 for i in ids]
+        batch = batch.append_column("__order", pa.array(ranks, pa.string()))
+        return batch.append_column(
+            "__one", pa.array(np.ones(len(ids), np.int64)))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_scan(keyed, "__order", "__one", out_col="epoch_rank")
+    return out.map_batches(
+        lambda t: t.drop_columns(["__order", "__one"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def duration_bucket_batches(ds, dur_col: str, id_col: str,
                             bucket_edges_ms: list[int],
                             max_batch_ms: int = 30_000):

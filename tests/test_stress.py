@@ -356,3 +356,99 @@ class TestStressFourthContinuation:
         got = {r.node: (int(r.hub), int(r.auth))
                for r in df.itertuples(index=False)}
         assert got == serial_hits_int(pairs, iterations=2)
+
+
+class TestStressFifthContinuation:
+    def test_substring_dedup_100k_docs(self, ray_session):
+        """ExactSubstr at 100k docs with 1k planted 15-token twins: every
+        planted head must be cut, untouched docs byte-identical."""
+        import ray.data as rd
+
+        from spiderray.stages.substring_dedup import substring_dedup
+
+        rng = np.random.default_rng(23)
+        vocab = [f"v{i}" for i in range(20_000)]
+        n = 100_000
+        texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(n)]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        for j in range(1000):  # twin copies doc 100j's first 15 tokens
+            head = " ".join(texts[j * 100].split()[:15])
+            rows.append({"doc_id": n + j, "text": f"{head} zz{j} yy xx"})
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = substring_dedup(ds, window=15).to_pandas().set_index("doc_id")
+        cut = sum(1 for j in range(1000)
+                  if out.loc[n + j, "text"] == f"zz{j} yy xx")
+        assert cut == 1000, f"only {cut}/1000 planted heads removed"
+        # spot-check untouched docs (no natural 15-gram dups at this vocab)
+        same = sum(1 for i in range(0, n, 9973)
+                   if out.loc[i, "text"] == texts[i])
+        assert same >= (n // 9973) - 1
+
+    def test_tdigest_5m_values(self, ray_session):
+        """t-digest over 5M heavy-tail values: rank error < 0.5% at both
+        tails, centroid count bounded."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import tdigest_quantiles
+
+        rng = np.random.default_rng(29)
+        x = rng.lognormal(2, 2, 5_000_000)
+        ds = rd.from_arrow(pa.table({"v": x})).repartition(64)
+        res = tdigest_quantiles(ds, "v", [0.001, 0.5, 0.999])
+        for q, est in res:
+            rank = float((x <= est).mean())
+            assert abs(rank - q) < 0.005, (q, est, rank)
+
+    def test_wds_shards_50k_samples(self, ray_session, tmp_path):
+        """WebDataset sink at 50k samples / 64 shards: exact-count
+        roundtrip and reproducible checksums across partitionings."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.sources.wds import read_tar_shards, write_tar_shards
+
+        n = 50_000
+        t = pa.table({
+            "clip_id": [f"c{i:08d}" for i in range(n)],
+            "bytes": [bytes([i % 251]) * 200 for i in range(n)],
+            "codec": ["pcm_s16le"] * n,
+            "sr_hz": [16000] * n,
+        })
+        m1 = write_tar_shards(rd.from_arrow(t).repartition(16),
+                              str(tmp_path / "a"), "clip_id", "bytes",
+                              ["codec"], n_shards=64).to_pandas()
+        assert m1["n_samples"].sum() == n
+        m2 = write_tar_shards(rd.from_arrow(t).repartition(5),
+                              str(tmp_path / "b"), "clip_id", "bytes",
+                              ["codec"], n_shards=64).to_pandas()
+        a = m1.sort_values("shard")["tar_md5"].tolist()
+        b = m2.sort_values("shard")["tar_md5"].tolist()
+        assert a == b
+        back = read_tar_shards(str(tmp_path / "a"))
+        assert back.count() == n
+
+    def test_quarantine_sparse_poison_1m_rows(self, ray_session, tmp_path):
+        """Quarantine at 1M rows with 100 scattered poison rows: exact
+        isolation, everything else processed."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.quarantine import (quarantine_map_batches,
+                                                 read_quarantine)
+
+        n = 1_000_000
+        bad = set(range(9999, n, 10007))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(ids) and bool(np.isin(ids, list(bad)).any()):
+                raise RuntimeError("poison")
+            return pa.table({"doc_id": batch.column("doc_id")})
+
+        t = pa.table({"doc_id": np.arange(n, dtype=np.int64)})
+        out = quarantine_map_batches(rd.from_arrow(t).repartition(32), fn,
+                                     str(tmp_path / "q"), batch_size=4096)
+        assert out.count() == n - len(bad)
+        q = read_quarantine(str(tmp_path / "q")).to_pandas()
+        assert sorted(q["doc_id"]) == sorted(bad)
