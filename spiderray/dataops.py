@@ -121,10 +121,10 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.stats import grouped_split
+from .stages.stats import grouped_split, mixture_plan
 from .stages.substring_dedup import substring_dedup  # noqa: F811 (re-export)
 from .stages.textindex import build_inverted_index, lookup_postings
-from .stages.windows import duration_bucket_batches
+from .stages.windows import duration_bucket_batches, epoch_order
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
@@ -172,5 +172,6 @@ __all__ = [
     "audio_decontaminate", "build_inverted_index", "categorical_drift",
     "compact_parquet", "duration_bucket_batches", "grouped_split",
     "lookup_postings", "parse_mp3", "prepare_audio_corpus",
-    "validate_expectations", "windowed_drift",
+    "validate_expectations", "windowed_drift", "epoch_order",
+    "mixture_plan",
 ]

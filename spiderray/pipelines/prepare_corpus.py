@@ -400,7 +400,13 @@ def prepare_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
     by ``temperature_key`` after every other step
     (drop_reason='resampled').  Order: decide → gopher → compression →
     decontam → dedup → domain_cap → temperature → split, so each later
-    step sees only what survived the earlier ones."""
+    step sees only what survived the earlier ones.
+
+    TEXT-REWRITING dedup (ExactSubstr — stages/substring_dedup) composes
+    UPSTREAM, not as a flag: it returns the same (id, text) schema, so
+    ``prepare_corpus(substring_dedup(ds), ...)`` runs the span cuts
+    before the decide pass ever reads the text (verified in
+    tests/test_substring_dedup.py::test_composes_with_prepare_corpus)."""
     # materialized: the decided rows feed BOTH the loser pass and the final
     # mark/split pass — without this the langid+metrics map (the dominant
     # CPU cost) executes twice end-to-end

@@ -68,3 +68,18 @@ class TestSubstringDedup:
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert r1.equals(r2)
         assert r1.loc[10, "text"] == "zz yy xx"  # planted head removed
+
+
+def test_composes_with_prepare_corpus(ray_session):
+    """ExactSubstr rewrites text upstream of prepare_corpus: the composed
+    run must flow end-to-end with the cut text feeding the decide pass."""
+    import ray.data as rd
+
+    from spiderray.pipelines.prepare_corpus import prepare_corpus
+    from spiderray.stages.substring_dedup import substring_dedup
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = prepare_corpus(substring_dedup(ds, window=20)).to_pandas()
+    assert len(out) == ds.count()
+    assert {"keep", "split", "doc_id"} <= set(out.columns)
