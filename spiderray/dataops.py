@@ -122,7 +122,6 @@ from .stages.expectations import (
     windowed_drift,
 )
 from .stages.stats import grouped_split, mixture_plan
-from .stages.substring_dedup import substring_dedup  # noqa: F811 (re-export)
 from .stages.textindex import build_inverted_index, lookup_postings
 from .stages.windows import duration_bucket_batches, epoch_order
 

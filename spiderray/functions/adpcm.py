@@ -348,6 +348,7 @@ def decode_wav_ms(data: bytes, block_align: int, n_ch: int = 1) -> np.ndarray:
                 "little", signed=True))
         nib = block[head:]
         n_codes = len(nib) * 2
+        n_codes -= n_codes % n_ch  # only complete cross-channel groups
         frames = 2 + n_codes // n_ch
         chans = np.empty((n_ch, frames), dtype=np.int16)
         for ch in range(n_ch):
@@ -357,6 +358,8 @@ def decode_wav_ms(data: bytes, block_align: int, n_ch: int = 1) -> np.ndarray:
         k = 0  # global code counter; channel = k % n_ch (high nibble first)
         for byte in nib:
             for code in (byte >> 4, byte & 0xF):
+                if k >= n_codes:
+                    break
                 ch = k % n_ch
                 c1, c2 = MS_COEF1[pred_idx[ch]], MS_COEF2[pred_idx[ch]]
                 new, s1, delta = _ms_decode_nibble(

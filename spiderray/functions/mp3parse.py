@@ -39,7 +39,8 @@ def _skip_id3v2(buf: bytes) -> int:
         if any(b & 0x80 for b in buf[6:10]):
             raise Mp3Error("bad ID3v2 syncsafe size")
         size = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
-        return 10 + size
+        footer = 10 if buf[5] & 0x10 else 0  # v2.4 footer flag: 10 more
+        return 10 + size + footer
     return 0
 
 

@@ -66,6 +66,12 @@ def prepare_audio_corpus(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *,
     if augment_salts:
         from ..stages.multimodal import audio_augment_stage
 
+        if len(augment_salts) > 1 and not fp_dedup:
+            # each epoch branch consumes `out` independently — without a
+            # materialize the decode/filter chain re-executes per salt
+            # (fp_dedup already materialized above)
+            out = out.materialize()
+
         def _suffix_ids(salt: str):
             def fn(batch: pa.Table) -> pa.Table:
                 ids = [f"{i}@{salt}"

@@ -1283,8 +1283,9 @@ r AS (
           WHERE doc_id IS NULL) AS n_violations FROM n
   UNION ALL
   SELECT CAST(1 AS BIGINT), 'doc_id', 'unique', n.total,
-         n.total - (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
-                    FROM documents) FROM n
+         (SELECT CAST(count(doc_id) AS BIGINT) FROM documents)
+           - (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+              FROM documents) FROM n
   UNION ALL
   SELECT CAST(2 AS BIGINT), 'lang', 'in_set', n.total,
          (SELECT CAST(count(*) AS BIGINT) FROM documents
@@ -1486,12 +1487,14 @@ WITH h AS (
 )
 SELECT source, tokens,
        CAST(round(wt * 1000000) AS BIGINT) AS weight_micro,
-       CAST(CAST(100000 * wt AS BIGINT) AS BIGINT) AS target_tokens,
+       CAST(floor(100000 * wt) AS BIGINT) AS target_tokens,
        CAST(least(1000000,
-                  CAST(100000 * wt AS BIGINT) * 1000000 // tokens)
+                  CAST(floor(100000 * wt) AS BIGINT) * 1000000 // tokens)
             AS BIGINT) AS rate_micro,
-       (least(1000000, CAST(100000 * wt AS BIGINT) * 1000000 // tokens)
-          = 1000000 AND CAST(100000 * wt AS BIGINT) > tokens) AS short
+       (least(1000000,
+              CAST(floor(100000 * wt) AS BIGINT) * 1000000 // tokens)
+          = 1000000
+        AND CAST(floor(100000 * wt) AS BIGINT) > tokens) AS short
 FROM w
 """
 

@@ -53,10 +53,14 @@ def _violations(batch: pa.Table, col: str, kind: str, params: dict) -> int:
 
 
 def validate_expectations(ds, rules: list[dict]):
-    """Evaluate ``rules`` (dicts with column/kind and rule params) in one
-    distributed pass; ``unique`` rules add one distinct-count aggregate
-    each.  Returns a Dataset of (rule_id, column, kind, n_rows,
-    n_violations, passed)."""
+    """Evaluate ``rules`` (dicts with column/kind and rule params).  All
+    scan rules AND the per-rule row/null counters ride ONE distributed
+    pass of integer partials; each ``unique`` rule additionally costs one
+    exact distinct-count aggregate (the price of exactness — its
+    violation count is n_nonnull − n_distinct_nonnull, matching SQL's
+    count(col) − count(DISTINCT col); NULLs are not_null's business).
+    Returns a Dataset of (rule_id, column, kind, n_rows, n_violations,
+    passed)."""
     from ray.data.aggregate import Sum
 
     import pandas as pd
@@ -66,37 +70,45 @@ def validate_expectations(ds, rules: list[dict]):
     uniq_rules = [(i, r) for i, r in enumerate(rules)
                   if r["kind"] == "unique"]
 
-    rows = []
-    if scan_rules:
-        def partial(batch: pa.Table) -> pa.Table:
-            ids, checked, bad = [], [], []
-            for i, r in scan_rules:
-                ids.append(i)
-                checked.append(batch.num_rows)
-                bad.append(_violations(batch, r["column"], r["kind"], r))
-            return pa.table({
-                "rule_id": pa.array(ids, pa.int64()),
-                "n_rows": pa.array(checked, pa.int64()),
-                "n_violations": pa.array(bad, pa.int64()),
-            })
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, checked, bad = [], [], []
+        for i, r in scan_rules:
+            ids.append(i)
+            checked.append(batch.num_rows)
+            bad.append(_violations(batch, r["column"], r["kind"], r))
+        for i, r in uniq_rules:
+            # the distinct count comes from the unique aggregate below;
+            # this pass carries the row/null counters so no separate
+            # ds.count() execution is ever needed
+            ids.append(i)
+            checked.append(batch.num_rows)
+            bad.append(int(np.asarray(
+                batch.column(r["column"]).is_null()).sum()))
+        return pa.table({
+            "rule_id": pa.array(ids, pa.int64()),
+            "n_rows": pa.array(checked, pa.int64()),
+            "n_violations": pa.array(bad, pa.int64()),
+        })
 
-        agg = (
-            ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("rule_id")
-            .aggregate(Sum("n_rows", alias_name="n_rows"),
-                       Sum("n_violations", alias_name="n_violations"))
-            .to_pandas()
-        )
-        for _, row in agg.iterrows():
-            i = int(row["rule_id"])
-            rows.append((i, rules[i]["column"], rules[i]["kind"],
-                         int(row["n_rows"]), int(row["n_violations"])))
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("rule_id")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_violations", alias_name="n_violations"))
+        .to_pandas()
+    )
+    by_rule = {int(r["rule_id"]): (int(r["n_rows"]), int(r["n_violations"]))
+               for _, r in agg.iterrows()}
+    rows = []
+    for i, r in scan_rules:
+        n, v = by_rule.get(i, (0, 0))
+        rows.append((i, r["column"], r["kind"], n, v))
     for i, r in uniq_rules:
         col = r["column"]
-        total = ds.count()
-        distinct = len(ds.unique(col))
-        rows.append((i, col, "unique", total, total - distinct))
+        n, nulls = by_rule.get(i, (0, 0))
+        distinct_nonnull = len([v for v in ds.unique(col) if v is not None])
+        rows.append((i, col, "unique", n, (n - nulls) - distinct_nonnull))
     rows.sort()
     df = pd.DataFrame(rows, columns=["rule_id", "column", "kind",
                                      "n_rows", "n_violations"])

@@ -25,6 +25,9 @@ import traceback
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# per-worker: UDF id → last successful output schema (empty-batch fallback)
+_SCHEMA_CACHE: dict = {}
+
 
 def _write_quarantine(out_dir: str, ids: list, errors: list[str],
                       id_col: str) -> None:
@@ -73,23 +76,38 @@ def quarantine_map_batches(ds, fn, quarantine_dir: str,
         if bad_ids:
             _write_quarantine(quarantine_dir, bad_ids, bad_errors, id_col)
         if goods:
+            _SCHEMA_CACHE[id(fn)] = goods[0].schema
             return pa.concat_tables(goods, promote_options="default")
         # whole batch was poison: derive the output schema from the UDF
-        # on the empty slice (stateless batch UDFs handle 0 rows)
-        return fn(batch.slice(0, 0))
+        # on the empty slice; a UDF that also raises on 0 rows falls back
+        # to the schema cached from this worker's last success
+        try:
+            return fn(batch.slice(0, 0))
+        except Exception:
+            cached = _SCHEMA_CACHE.get(id(fn))
+            if cached is not None:
+                return cached.empty_table()
+            raise RuntimeError(
+                "quarantine_map_batches: every row of a batch was poison "
+                "AND the UDF raises on 0-row input with no prior success "
+                "on this worker — give the UDF a 0-row fast path")
 
     return ds.map_batches(guarded, batch_format="pyarrow",
                           zero_copy_batch=True, **map_kwargs)
 
 
-def read_quarantine(quarantine_dir: str) -> pa.Table:
-    """All quarantined (id, error) rows; empty table when nothing ever
-    failed (or the directory was never created)."""
+def read_quarantine(quarantine_dir: str,
+                    id_col: str = "doc_id") -> pa.Table:
+    """All quarantined (id, error) rows; an EMPTY (id_col, error) table —
+    same schema as the non-empty case — when nothing ever failed (or the
+    directory was never created)."""
+    empty = pa.table({id_col: pa.array([], pa.string()),
+                      "error": pa.array([], pa.string())})
     if not os.path.isdir(quarantine_dir):
-        return pa.table({"error": pa.array([], pa.string())})
+        return empty
     parts = [pq.read_table(os.path.join(quarantine_dir, f))
              for f in sorted(os.listdir(quarantine_dir))
              if f.endswith(".parquet")]
     if not parts:
-        return pa.table({"error": pa.array([], pa.string())})
+        return empty
     return pa.concat_tables(parts)

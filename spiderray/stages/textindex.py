@@ -153,8 +153,6 @@ def sliding_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
                 window = tokens[start : start + size]
                 if len(window) < min_tokens:
                     continue
-                if start > 0 and start + len(window) <= start:  # unreachable
-                    continue
                 # a tail strictly inside the previous window adds nothing
                 if start > 0 and start + len(window) <= (start - stride) + size:
                     continue

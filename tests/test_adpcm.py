@@ -251,3 +251,20 @@ class TestWavFloatExtensible:
         out = _parse_wav(_wav_raw(inter.tobytes(), 3, 2, 32,
                                   extensible=True))
         assert np.allclose(out, l, atol=1e-6)  # identical channels downmix
+
+
+class TestWavMsMultichannel:
+    def test_three_channel_codes_not_divisible_marks_not_crashes(self):
+        # 3 channels, block with 22 codes (not divisible by 3): decoder
+        # must floor to complete cross-channel groups, never IndexError
+        from spiderray.functions.adpcm import decode_wav_ms
+
+        import struct
+        head = bytes([0, 0, 0])
+        head += struct.pack("<hhh", 16, 16, 16)      # ideltas
+        head += struct.pack("<hhh", 100, 200, 300)   # sample1 per ch
+        head += struct.pack("<hhh", 10, 20, 30)      # sample2 per ch
+        block = head + b"\x11" * 11                  # 22 codes
+        out = decode_wav_ms(block, len(block), 3)
+        assert len(out) % 3 == 0
+        assert list(out[:3]) == [10, 20, 30]  # sample2 first, per channel

@@ -44,3 +44,14 @@ class TestMp3Parse:
         assert not ok and reason == "duration_mismatch"
         ok, reason = audio_gate_decision(b"junk", "mp3", 16000, 1500, "x")
         assert not ok and reason == "bad_container"
+
+
+class TestId3Footer:
+    def test_id3v24_footer_flag_skipped(self):
+        # header with footer flag set: total tag = 10 + size + 10
+        size = 32
+        sync = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
+        tag = b"ID3\x04\x00\x10" + sync + b"\x00" * size + b"3DI\x04\x00\x10" + sync
+        buf = encode_mp3_frames(600, sr_hz=16000, id3v2=tag)
+        info = parse_mp3(buf)
+        assert abs(info["duration_ms"] - 600) <= 40

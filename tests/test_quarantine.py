@@ -89,3 +89,38 @@ class TestCompaction:
         stats2 = compact_parquet(str(src), str(out), rows_per_file=600)
         assert stats2["skipped"]
         assert {f: os.path.getmtime(out / f) for f in files} == mtimes
+
+
+class TestQuarantineEdgeCases:
+    def test_all_poison_with_zero_row_raising_udf(self, ray_session, tmp_path):
+        """A UDF that ALSO raises on 0-row input: after one success on the
+        worker the cached schema covers the all-poison batch."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.quarantine import (quarantine_map_batches,
+                                                 read_quarantine)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            if not ids:
+                raise RuntimeError("cannot handle empty")
+            if any(i >= 100 for i in ids):
+                raise RuntimeError("poison")
+            return pa.table({"doc_id": batch.column("doc_id")})
+
+        # single block: good rows first, poison rows after → the same
+        # worker sees a success before the all-poison bisection leaves
+        t = pa.table({"doc_id": np.concatenate([
+            np.arange(50, dtype=np.int64),
+            np.arange(100, 150, dtype=np.int64)])})
+        out = quarantine_map_batches(rd.from_arrow(t), fn,
+                                     str(tmp_path / "q")).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(50))
+        assert len(read_quarantine(str(tmp_path / "q"))) == 50
+
+    def test_read_quarantine_empty_schema_has_id_col(self, tmp_path):
+        from spiderray.stages.quarantine import read_quarantine
+
+        t = read_quarantine(str(tmp_path / "nonexistent"))
+        assert t.column_names == ["doc_id", "error"]
