@@ -316,6 +316,11 @@ def clips_from_documents(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # strip the pandas schema-metadata dict before the fused chain: Ray's
+    # schema-dedup cache can't hash it (the known 2.49 warning) and every
+    # block unify pays the miss (same fix as pipelines/queries._read)
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                        batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(docs_to_clips_batch, batch_format="pyarrow", batch_size=4096)
 
 
