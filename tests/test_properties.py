@@ -186,3 +186,97 @@ class TestJoinProperties:
         got_pairs = sorted(zip(got.pid.astype(int), got.iid.astype(int))) if len(got) else []
         exp_pairs = sorted(zip(exp.pid.astype(int), exp.iid.astype(int)))
         assert got_pairs == exp_pairs, seed
+
+
+class TestTdigestProperties:
+    @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False), min_size=1, max_size=500),
+           st.integers(min_value=20, max_value=400))
+    @settings(max_examples=60, deadline=None)
+    def test_weight_conservation_and_mean(self, xs, delta):
+        import numpy as np
+
+        from spiderray.functions.tdigest import td_build
+
+        x = np.asarray(xs, dtype=np.float64)
+        m, w = td_build(x, None, delta)
+        assert int(w.sum()) == len(x)
+        # centroid-weighted mean equals the data mean (exact linearity
+        # up to float association)
+        assert abs(float((m * w).sum()) - float(x.sum())) <= \
+            1e-6 * max(abs(x).sum(), 1.0)
+        # centroids sorted, all inside [min, max]
+        assert (np.diff(m) >= 0).all()
+        assert m.min() >= x.min() - 1e-9 and m.max() <= x.max() + 1e-9
+
+    @given(st.lists(st.floats(min_value=0, max_value=1e3,
+                              allow_nan=False), min_size=2, max_size=300),
+           st.integers(min_value=2, max_value=7))
+    @settings(max_examples=40, deadline=None)
+    def test_merge_conserves_weight(self, xs, k):
+        import numpy as np
+
+        from spiderray.functions.tdigest import td_build, td_merge
+
+        x = np.asarray(xs, dtype=np.float64)
+        parts = np.array_split(x, k)
+        ms, ws = [], []
+        for p in parts:
+            if len(p) == 0:
+                continue
+            a, b = td_build(p)
+            ms.append(a)
+            ws.append(b)
+        m, w = td_merge(np.concatenate(ms), np.concatenate(ws))
+        assert int(w.sum()) == len(x)
+
+    @given(st.lists(st.floats(min_value=-100, max_value=100,
+                              allow_nan=False), min_size=1, max_size=200),
+           st.floats(min_value=0, max_value=1))
+    @settings(max_examples=60, deadline=None)
+    def test_quantile_within_data_range(self, xs, q):
+        import numpy as np
+
+        from spiderray.functions.tdigest import td_build, td_quantile
+
+        x = np.asarray(xs, dtype=np.float64)
+        m, w = td_build(x)
+        est = td_quantile(m, w, q, float(x.min()), float(x.max()))
+        assert x.min() - 1e-9 <= est <= x.max() + 1e-9
+
+
+class TestLeespanProperties:
+    @given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                    min_size=0, max_size=60),
+           st.integers(min_value=2, max_value=6))
+    @settings(max_examples=60, deadline=None)
+    def test_window_count_and_self_consistency(self, tokens, w):
+        from spiderray.functions.leespan import doc_window_hashes
+
+        text = " ".join(tokens)
+        h, s = doc_window_hashes(text, w)
+        expect = max(len(tokens) - w + 1, 0)
+        assert len(h) == expect and len(s) == expect
+        # identical windows at different positions hash identically
+        windows = {}
+        for hh, ss in zip(h.tolist(), s.tolist()):
+            key = tuple(tokens[ss : ss + w])
+            if key in windows:
+                assert windows[key] == hh
+            windows[key] = hh
+
+    @given(st.lists(st.sampled_from(["x", "y", "z"]), min_size=0,
+                    max_size=40),
+           st.lists(st.integers(min_value=0, max_value=39), max_size=5),
+           st.integers(min_value=1, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_remove_spans_monotone(self, tokens, starts, w):
+        from spiderray.functions.leespan import remove_token_spans
+
+        text = " ".join(tokens)
+        out = remove_token_spans(text, starts, w)
+        # output tokens are a subsequence of the input
+        it = iter(tokens)
+        assert all(any(t == u for u in it) for t in out.split())
+        if not starts:
+            assert out == text
