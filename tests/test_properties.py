@@ -280,3 +280,63 @@ class TestLeespanProperties:
         assert all(any(t == u for u in it) for t in out.split())
         if not starts:
             assert out == text
+
+
+class TestCodecFuzz:
+    """Random/mutated bytes into the new parsers: typed errors only —
+    a crash class other than the codec's own error type would kill a
+    Ray task instead of marking the row."""
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=150, deadline=None)
+    def test_mp3_parse_never_crashes_untyped(self, buf):
+        from spiderray.functions.mp3parse import Mp3Error, parse_mp3
+
+        try:
+            info = parse_mp3(buf)
+            assert info["n_frames"] >= 1
+        except Mp3Error:
+            pass
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=150, deadline=None)
+    def test_gif_decode_never_crashes_untyped(self, buf):
+        from spiderray.functions.gifdec import GifError, decode_gif
+
+        try:
+            frames = decode_gif(b"GIF89a" + buf)
+            assert len(frames) >= 1
+        except GifError:
+            pass
+
+    @given(st.binary(max_size=300), st.integers(min_value=1, max_value=4))
+    @settings(max_examples=150, deadline=None)
+    def test_ms_adpcm_decode_never_crashes_untyped(self, buf, n_ch):
+        from spiderray.functions.adpcm import AdpcmError, decode_wav_ms
+
+        try:
+            out = decode_wav_ms(buf, max(7 * n_ch + 4, 16), n_ch)
+            assert len(out) >= 0
+        except AdpcmError:
+            pass
+
+    @given(st.binary(max_size=300), st.integers(min_value=1, max_value=3))
+    @settings(max_examples=150, deadline=None)
+    def test_ima_wav_decode_never_crashes_untyped(self, buf, n_ch):
+        from spiderray.functions.adpcm import AdpcmError, decode_wav_ima
+
+        try:
+            decode_wav_ima(buf, max(4 * n_ch + 4 * n_ch, 16), n_ch)
+        except AdpcmError:
+            pass
+
+    @given(st.binary(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_wav_parse_never_crashes_untyped(self, body):
+        from spiderray.stages.multimodal import DecodeUnsupported, _parse_wav
+
+        buf = b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"WAVE" + body
+        try:
+            _parse_wav(buf)
+        except DecodeUnsupported:
+            pass
