@@ -1521,6 +1521,48 @@ FROM documents
 """
 
 
+def q_evolved_read(sf_dir: str):
+    """Schema-evolution-tolerant read (sources/compact.
+    read_parquet_evolved): a directory whose early files lack the
+    n_chars column (the appended-later reality) reads back under one
+    unified schema with nulls filled — plain-SQL UNION oracle."""
+    import hashlib as _h
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.compact import read_parquet_evolved
+
+    base = os.path.join("/tmp", "spiderray_evolved",
+                        _h.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    # "old" files: doc_id+lang only (even ids); "new" files add n_chars
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    old = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+                   .drop_columns(["n_chars"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    old.repartition(2).write_parquet(os.path.join(base))
+    new.repartition(2).write_parquet(os.path.join(base))
+    out = read_parquet_evolved(base).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("float64")  # nullable int →
+    return out.sort_values("doc_id").reset_index(drop=True)  # match DuckDB
+
+
+SQL_EVOLVED_READ = """
+SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4565,6 +4607,7 @@ QUERIES = {
     "q_audio_decontaminate": q_audio_decontaminate,
     "q_mixture_plan": q_mixture_plan,
     "q_epoch_order": q_epoch_order,
+    "q_evolved_read": q_evolved_read,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4637,6 +4680,7 @@ ORACLE_SQL = {
     "q_grouped_split": SQL_GROUPED_SPLIT,
     "q_mixture_plan": SQL_MIXTURE_PLAN,
     "q_epoch_order": SQL_EPOCH_ORDER,
+    "q_evolved_read": SQL_EVOLVED_READ,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

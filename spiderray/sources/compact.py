@@ -55,3 +55,45 @@ def compact_parquet(in_path: str, out_dir: str,
     with open(marker, "w") as f:
         json.dump(stats, f)
     return {**stats, "skipped": False}
+
+
+def read_parquet_evolved(in_dir: str, columns: list[str] | None = None):
+    """Read a parquet directory whose files have HETEROGENEOUS schemas —
+    the long-lived-ingest reality where later appends added columns.
+    The unified schema comes from the file FOOTERS (no data read:
+    pa.unify_schemas over the metadata), then one map task per file
+    aligns its table — missing columns null-filled, order normalized —
+    so downstream stages see one stable schema.  Plain read_parquet
+    fails or silently drops columns on such directories."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    paths = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no parquet under {in_dir}")
+    import pyarrow as pa
+
+    unified = pa.unify_schemas(
+        [pq_.read_schema(p).remove_metadata() for p in paths])
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+    src = rd.from_items([{"path": p} for p in paths])
+
+    def load(batch: pa.Table) -> pa.Table:
+        parts = []
+        for path in batch.column("path").to_pylist():
+            t = pq_.read_table(
+                path, columns=[c for c in unified.names
+                               if c in pq_.read_schema(path).names])
+            arrays = []
+            for field in unified:
+                if field.name in t.column_names:
+                    arrays.append(t.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, field.type))
+            parts.append(pa.Table.from_arrays(arrays, schema=unified))
+        return pa.concat_tables(parts)
+
+    return src.map_batches(load, batch_format="pyarrow", batch_size=1)

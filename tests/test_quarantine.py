@@ -124,3 +124,34 @@ class TestQuarantineEdgeCases:
 
         t = read_quarantine(str(tmp_path / "nonexistent"))
         assert t.column_names == ["doc_id", "error"]
+
+
+class TestEvolvedRead:
+    def test_mixed_schemas_unify_with_nulls(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import numpy as np
+
+        from spiderray.sources.compact import read_parquet_evolved
+
+        pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}),
+                       str(tmp_path / "old.parquet"))
+        pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                                 "extra": ["x"]}),
+                       str(tmp_path / "new.parquet"))
+        out = (read_parquet_evolved(str(tmp_path)).to_pandas()
+               .sort_values("id").reset_index(drop=True))
+        assert list(out.columns) == ["id", "extra"]
+        assert out["extra"].tolist()[:2] == [None, None]
+        assert out["extra"].tolist()[2] == "x"
+
+    def test_column_projection(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from spiderray.sources.compact import read_parquet_evolved
+
+        pq.write_table(pa.table({"a": [1], "b": [2]}),
+                       str(tmp_path / "f.parquet"))
+        out = read_parquet_evolved(str(tmp_path), columns=["b"]).to_pandas()
+        assert list(out.columns) == ["b"]
