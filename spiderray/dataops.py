@@ -114,7 +114,7 @@ from .stages.unigram_train import (
 )
 from .functions.mp3parse import parse_mp3
 from .pipelines.prepare_audio import prepare_audio_corpus
-from .sources.compact import compact_parquet
+from .sources.compact import compact_parquet, read_parquet_evolved
 from .stages.audiodedup import audio_decontaminate
 from .stages.expectations import (
     categorical_drift,
@@ -172,5 +172,5 @@ __all__ = [
     "compact_parquet", "duration_bucket_batches", "grouped_split",
     "lookup_postings", "parse_mp3", "prepare_audio_corpus",
     "validate_expectations", "windowed_drift", "epoch_order",
-    "mixture_plan",
+    "mixture_plan", "read_parquet_evolved",
 ]
