@@ -24,6 +24,7 @@ from .functions.bloom import BloomFilter
 from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_split_corpus
 from .stages.ann import brute_force_topk, ivf_assign, ivf_topk, ivf_train, lsh_topk
 from .stages.dedup import (
+    apply_deletions,
     chunk_dedup_stats,
     decontaminate,
     dup_connected_components,
@@ -172,5 +173,5 @@ __all__ = [
     "compact_parquet", "duration_bucket_batches", "grouped_split",
     "lookup_postings", "parse_mp3", "prepare_audio_corpus",
     "validate_expectations", "windowed_drift", "epoch_order",
-    "mixture_plan", "read_parquet_evolved",
+    "mixture_plan", "read_parquet_evolved", "apply_deletions",
 ]

@@ -1563,6 +1563,31 @@ FROM documents WHERE doc_id % 2 = 1
 """
 
 
+def q_apply_deletions(sf_dir: str):
+    """Right-to-be-forgotten delete pass (stages/dedup.apply_deletions):
+    a deletion list (every 17th doc) removes its rows via the broadcast
+    path; the anti-join path must produce the identical survivor set
+    (checked in tests).  Plain-SQL anti-join oracle."""
+    import ray.data as rd
+
+    from ..stages.dedup import apply_deletions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    def every_17th(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    dead = ds.map_batches(every_17th, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(["doc_id"])
+    out = apply_deletions(ds, dead, method="broadcast")
+    return (out.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_APPLY_DELETIONS = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 17 <> 0
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-3 terms per source by (count DESC, term ASC).  Fully distributed:
     vectorized Arrow explode (utf8_split_whitespace + list_flatten, no
@@ -4608,6 +4633,7 @@ QUERIES = {
     "q_mixture_plan": q_mixture_plan,
     "q_epoch_order": q_epoch_order,
     "q_evolved_read": q_evolved_read,
+    "q_apply_deletions": q_apply_deletions,
     "q_unigram_vocab": q_unigram_vocab,
     "q_unigram_tokens": q_unigram_tokens,
     "q_bottomk_sample": q_bottomk_sample,
@@ -4681,6 +4707,7 @@ ORACLE_SQL = {
     "q_mixture_plan": SQL_MIXTURE_PLAN,
     "q_epoch_order": SQL_EPOCH_ORDER,
     "q_evolved_read": SQL_EVOLVED_READ,
+    "q_apply_deletions": SQL_APPLY_DELETIONS,
     "q_value_quantiles": SQL_VALUE_QUANTILES,
     "q_grouped_quantiles": SQL_GROUPED_QUANTILES,
     "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,

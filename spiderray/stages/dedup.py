@@ -1372,3 +1372,109 @@ def decontaminate(
         return batch
 
     return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def apply_deletions(ds, deleted_ids_ds, id_col: str = "doc_id",
+                    method: str = "auto", broadcast_max: int = 1_000_000,
+                    mode: str = "filter"):
+    """Right-to-be-forgotten delete pass: remove (or mark) every corpus
+    row whose id appears in a deletion list — the GDPR/takedown
+    maintenance op every long-lived corpus needs.  Same scale machinery
+    as incremental_exact_dedup: ``broadcast`` ships the id set once via
+    ray.put (≤ ``broadcast_max`` ids), ``anti`` runs the bucketed
+    anti-join so nothing list-sized touches the driver; ``auto`` picks
+    by a cheap count.  ``mode="mark"`` appends a ``deleted`` bool
+    instead of filtering (audit trails want the tombstone visible)."""
+    import ray
+
+    if mode not in ("filter", "mark"):
+        raise ValueError(f"mode must be 'filter' or 'mark', got {mode!r}")
+    n_del = deleted_ids_ds.count()
+    use_broadcast = (method == "broadcast"
+                     or (method == "auto" and n_del <= broadcast_max))
+    if method not in ("auto", "broadcast", "anti"):
+        raise ValueError(f"unknown method {method!r}")
+    if use_broadcast:
+        ids = set()
+        for b in deleted_ids_ds.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column(id_col).to_pylist())
+        ref = ray.put(ids)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            dead = ray.get(ref)
+            flags = [i in dead for i in batch.column(id_col).to_pylist()]
+            if mode == "mark":
+                return batch.append_column("deleted",
+                                           pa.array(flags, pa.bool_()))
+            return batch.filter(pa.array([not f for f in flags]))
+
+        return ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # anti-join path: tag sides, bucket by id hash, keep left-only
+    import zlib
+
+    n_parts = 64
+
+    def _part(ids_arr) -> pa.Array:
+        if pa.types.is_integer(ids_arr.type):
+            part = (ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                    % n_parts).astype(np.int32)
+        else:
+            part = np.fromiter(
+                (zlib.crc32(str(k).encode()) % n_parts
+                 for k in ids_arr.to_pylist()),
+                dtype=np.int32, count=len(ids_arr))
+        return pa.array(part)
+
+    def tag_del(batch: pa.Table) -> pa.Table:
+        ids_arr = batch.column(id_col)
+        return pa.table({id_col: ids_arr, "__part": _part(ids_arr)})
+
+    dead_parts = deleted_ids_ds.map_batches(
+        tag_del, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__part", _part(batch.column(id_col)))
+
+    rows = ds.map_batches(tag_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    import pandas as pd
+
+    # the union below pads the deletion side's missing columns with nulls,
+    # which promotes integer dtypes to float in the pandas bucket frame —
+    # record the corpus dtypes so the merge casts them back
+    schema = ds.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", schema)
+    if hasattr(base, "names") and hasattr(base, "types")             and not hasattr(base, "field"):
+        orig_dtypes = {n: t for n, t in zip(base.names, base.types)}
+    else:
+        orig_dtypes = {f.name: f.type.to_pandas_dtype() for f in base}
+
+    # mark per bucket: rows join the bucket's deletion ids
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dead = set(g.loc[g["__side"] == 1, id_col])
+        out = g[g["__side"] == 0].drop(columns=["__side", "__part"])
+        out = out.copy()
+        for c, t in orig_dtypes.items():
+            if c in out.columns and str(out[c].dtype) != str(t):
+                try:
+                    out[c] = out[c].astype(t)
+                except (TypeError, ValueError):
+                    pass  # genuinely nullable column: keep the promotion
+        out["deleted"] = out[id_col].isin(dead)
+        if mode == "filter":
+            out = out[~out["deleted"]].drop(columns=["deleted"])
+        return out
+
+    def side(ds_, s):
+        return ds_.map_batches(
+            lambda t, s=s: t.append_column(
+                "__side", pa.array(np.full(len(t), s, np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    # union pads missing columns with nulls; dedup-side rows only carry
+    # (id, part, side) and are dropped inside mark_bucket
+    both = side(rows, 0).union(side(dead_parts, 1))
+    return both.groupby("__part").map_groups(mark_bucket,
+                                             batch_format="pandas")

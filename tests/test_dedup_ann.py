@@ -1539,3 +1539,38 @@ class TestBucketedLayout:
         # overwrite guard
         with pytest.raises(FileExistsError):
             write_bucketed(rd.from_pandas(df), "k", a)
+
+
+class TestApplyDeletions:
+    def test_broadcast_and_anti_paths_agree(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import apply_deletions
+
+        t = pa.table({"doc_id": np.arange(2000, dtype=np.int64),
+                      "v": np.arange(2000, dtype=np.int64) * 3})
+        dead = pa.table({"doc_id": np.arange(0, 2000, 13, dtype=np.int64)})
+        a = (apply_deletions(rd.from_arrow(t).repartition(4),
+                             rd.from_arrow(dead), method="broadcast")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (apply_deletions(rd.from_arrow(t).repartition(7),
+                             rd.from_arrow(dead), method="anti")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        expect = sorted(set(range(2000)) - set(range(0, 2000, 13)))
+        assert a["doc_id"].tolist() == expect
+        assert a[["doc_id", "v"]].equals(b[["doc_id", "v"]])
+
+    def test_mark_mode_tombstones(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import apply_deletions
+
+        t = pa.table({"doc_id": np.arange(50, dtype=np.int64)})
+        dead = pa.table({"doc_id": np.array([3, 7], np.int64)})
+        out = (apply_deletions(rd.from_arrow(t), rd.from_arrow(dead),
+                               mode="mark")
+               .to_pandas().set_index("doc_id")["deleted"])
+        assert out[3] and out[7] and not out[0]
+        assert len(out) == 50  # nothing filtered in mark mode
