@@ -317,8 +317,15 @@ def _ms_decode_nibble(code: int, s1: int, s2: int, delta: int,
     return pred, pred, delta  # (new sample, new s1, new delta); s2 := old s1
 
 
-def decode_wav_ms(data: bytes, block_align: int, n_ch: int = 1) -> np.ndarray:
-    """Decode WAV format-0x02 (MS ADPCM) blocks → frame-interleaved int16."""
+def decode_wav_ms(data: bytes, block_align: int, n_ch: int = 1,
+                  samples_per_block: int | None = None) -> np.ndarray:
+    """Decode WAV format-0x02 (MS ADPCM) blocks → frame-interleaved int16.
+
+    ``samples_per_block`` (wSamplesPerBlock from the fmt extension, when the
+    container carries one) caps each block's output frames: real-world MS
+    ADPCM files pad the final block's nibble payload with zero codes, and
+    without the cap those decode into spurious trailing samples (duration /
+    feature skew — round-3 ADVICE finding)."""
     if n_ch < 1:
         raise AdpcmError(f"n_ch {n_ch} invalid")
     head = 7 * n_ch
@@ -349,6 +356,8 @@ def decode_wav_ms(data: bytes, block_align: int, n_ch: int = 1) -> np.ndarray:
         nib = block[head:]
         n_codes = len(nib) * 2
         n_codes -= n_codes % n_ch  # only complete cross-channel groups
+        if samples_per_block is not None and samples_per_block >= 2:
+            n_codes = min(n_codes, (samples_per_block - 2) * n_ch)
         frames = 2 + n_codes // n_ch
         chans = np.empty((n_ch, frames), dtype=np.int16)
         for ch in range(n_ch):

@@ -100,6 +100,52 @@ def minhash_signature(text: str, k: int = 5, num_perm: int = NUM_PERM) -> np.nda
     return (prod >> np.uint64(32)).min(axis=1).astype(np.uint32)
 
 
+def minhash_signature_batch(
+    texts: list[str],
+    k: int = 5,
+    num_perm: int = NUM_PERM,
+    chunk_rows: int = 512,
+    perm_chunk: int = 32,
+) -> np.ndarray:
+    """Batch MinHash: (n, num_perm) uint32, bit-identical per row to
+    ``minhash_signature`` (property-tested).
+
+    The per-row path recomputes the universal-hash broadcast for every
+    shingle of every row; real corpora share most shingles across the rows
+    of a batch, so this kernel hashes each UNIQUE shingle of a row-chunk
+    ONCE — ``H[u, p] = (A_p * u + B_p) >> 32`` over ``np.unique`` of the
+    chunk's concatenated shingles — then takes each row's signature as a
+    gather + ``np.minimum.reduceat`` over its segment.  Work drops from
+    O(sum_rows |shingles_row| x perm) multiplies to O(|unique| x perm).
+
+    ``chunk_rows`` x ``perm_chunk`` bound the transient matrices (~tens of
+    MB at defaults) so a fat Arrow block cannot blow a worker heap."""
+    n = len(texts)
+    out = np.zeros((n, num_perm), dtype=np.uint32)
+    if n == 0:
+        return out
+    for s in range(0, n, chunk_rows):
+        seg = [char_shingles(t or "", k) for t in texts[s : s + chunk_rows]]
+        lens = np.fromiter((len(x) for x in seg), dtype=np.int64, count=len(seg))
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz) == 0:
+            continue
+        cat = np.concatenate([seg[i] for i in nz])
+        uniq, inv = np.unique(cat, return_inverse=True)
+        bounds = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=bounds[1:])
+        for p0 in range(0, num_perm, perm_chunk):
+            a = _PERM_A[p0 : p0 + perm_chunk]
+            b = _PERM_B[p0 : p0 + perm_chunk]
+            # uint64 wraparound arithmetic — identical to the per-row path
+            h = ((uniq[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)).astype(
+                np.uint32
+            )
+            mins = np.minimum.reduceat(h[inv], bounds, axis=0)
+            out[nz + s, p0 : p0 + perm_chunk] = mins
+    return out
+
+
 def minhash_bands(sig: np.ndarray, bands: int = 32) -> list[int]:
     """Split a signature into ``bands`` bands of r rows; hash each band →
     LSH bucket keys (ints).  Jaccard ~ (1/bands)^(1/r) collision threshold

@@ -241,7 +241,14 @@ def decode_gif(buf: bytes, max_frames: int = 256) -> list[np.ndarray]:
             break
         # disposal AFTER the frame is shown
         if disposal == 2:
-            bg = lct[bg_idx] if bg_idx < len(lct) else 0
+            # the background color index references the GLOBAL color table
+            # (GIF89a spec §18; local tables apply only to their own image
+            # data) — round-3 ADVICE finding: using lct here composed wrong
+            # canvases for foreign GIFs carrying local tables
+            if gct is not None and bg_idx < len(gct):
+                bg = gct[bg_idx]
+            else:
+                bg = 0
             canvas[top : top + fh, left : left + fw] = bg
         elif disposal == 3 and prev_canvas is not None:
             canvas = prev_canvas

@@ -130,19 +130,16 @@ def minhash_lsh_pairs(
     join path is the one that must hold at 10^12 docs; auto only spares
     small corpora two shuffle fleets."""
 
-    sig_ds = ds.map_batches(
-        lambda b: pa.table(
+    def _sigs(b: pa.Table) -> pa.Table:
+        S = fp.minhash_signature_batch(b.column(text_col).to_pylist())
+        return pa.table(
             {
                 id_col: b.column(id_col),
-                "sig": pa.array(
-                    [fp.minhash_signature(t or "").tobytes() for t in b.column(text_col).to_pylist()],
-                    pa.binary(),
-                ),
+                "sig": pa.array([S[i].tobytes() for i in range(len(S))], pa.binary()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
+
+    sig_ds = ds.map_batches(_sigs, batch_format="pyarrow", zero_copy_batch=True)
     if sig_store_dir:
         import ray.data as rd
 

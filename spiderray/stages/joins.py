@@ -42,21 +42,47 @@ def hash_join(left, right, on: str, right_on: str | None = None, num_partitions:
     )
 
 
+def _bucket_array(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> "np.ndarray":
+    """Vectorized ``_stable_bucket`` over a whole column — identical
+    assignment to the scalar function (property-tested).  Int keys go
+    through one numpy remainder (numpy ``%`` keeps the divisor's sign, same
+    as Python); string keys crc32 the raw utf-8 slices of the Arrow data
+    buffer (no per-row str/encode allocation); anything else falls back to
+    the scalar path."""
+    import numpy as np
+
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return vals % num_buckets
+    if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count == 0:
+            n = len(arr)
+            bufs = arr.buffers()
+            width = 8 if pa.types.is_large_string(arr.type) else 4
+            offs = np.frombuffer(
+                bufs[1], dtype=np.int64 if width == 8 else np.int32,
+                count=n + 1, offset=arr.offset * width,
+            )
+            data = memoryview(bufs[2])
+            crc = zlib.crc32
+            return np.fromiter(
+                (crc(data[offs[i] : offs[i + 1]]) % num_buckets for i in range(n)),
+                dtype=np.int64, count=n,
+            )
+    return np.fromiter(
+        (_stable_bucket(v, num_buckets) for v in col.to_pylist()),
+        dtype=np.int64, count=len(col),
+    )
+
+
 def _tag_side(key: str, side: int, num_buckets: int):
     """Shared bucketing map for the explicit join family: append
     ``__bucket = stable_hash(key) % num_buckets`` and ``__side``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         batch = batch.append_column(
-            "__bucket",
-            pa.array(
-                np.array(
-                    [_stable_bucket(v, num_buckets) for v in batch.column(key).to_pylist()],
-                    dtype=np.int64,
-                )
-            ),
+            "__bucket", pa.array(_bucket_array(batch.column(key), num_buckets))
         )
         return batch.append_column("__side", pa.array([side] * len(batch), pa.int8()))
 

@@ -65,6 +65,8 @@ def _parse_wav(buf: bytes) -> np.ndarray:
         raise DecodeUnsupported("wav")
     pos = 12
     fmt_tag, n_ch, bits, block_align = 1, 1, 16, 0
+    samples_per_block = None
+    fact_frames = None
     data = None
     while pos + 8 <= len(buf):
         chunk_id = buf[pos : pos + 4]
@@ -75,11 +77,20 @@ def _parse_wav(buf: bytes) -> np.ndarray:
             n_ch = max(int.from_bytes(body[2:4], "little"), 1)
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag == 0x02 and size >= 20:
+                # ADPCM fmt extension: cbSize, then wSamplesPerBlock —
+                # needed to drop the final block's zero-pad codes
+                samples_per_block = int.from_bytes(body[18:20], "little")
             if fmt_tag == 0xFFFE and size >= 40:
                 # WAVE_FORMAT_EXTENSIBLE: the real format is the first
                 # two bytes of the SubFormat GUID (after cbSize=22,
                 # wValidBitsPerSample, dwChannelMask)
                 fmt_tag = int.from_bytes(body[24:26], "little")
+        elif chunk_id == b"fact" and size >= 4:
+            # dwSampleLength: exact per-channel frame count — the authority
+            # on total length for compressed formats (truncates the final
+            # block's zero-pad codes)
+            fact_frames = int.from_bytes(body[0:4], "little")
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -93,6 +104,8 @@ def _parse_wav(buf: bytes) -> np.ndarray:
                 np.float32) / 32767.0
         except AdpcmError as e:
             raise DecodeUnsupported(f"wav ima adpcm: {e}") from e
+        if fact_frames is not None:
+            x = x[: fact_frames * n_ch]
         if n_ch > 1:
             x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
         return x
@@ -100,10 +113,13 @@ def _parse_wav(buf: bytes) -> np.ndarray:
         from ..functions.adpcm import AdpcmError, decode_wav_ms
 
         try:
-            x = decode_wav_ms(data, block_align, n_ch).astype(
-                np.float32) / 32767.0
+            x = decode_wav_ms(
+                data, block_align, n_ch, samples_per_block=samples_per_block
+            ).astype(np.float32) / 32767.0
         except AdpcmError as e:
             raise DecodeUnsupported(f"wav ms adpcm: {e}") from e
+        if fact_frames is not None:
+            x = x[: fact_frames * n_ch]
         if n_ch > 1:
             x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
         return x

@@ -25,8 +25,6 @@ import traceback
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# per-worker: UDF id → last successful output schema (empty-batch fallback)
-_SCHEMA_CACHE: dict = {}
 
 
 def _write_quarantine(out_dir: str, ids: list, errors: list[str],
@@ -49,6 +47,12 @@ def quarantine_map_batches(ds, fn, quarantine_dir: str,
     batch still raises are written to ``quarantine_dir`` (id + error)
     and omitted from the output.  Extra ``map_kwargs`` pass through to
     map_batches (batch_size, concurrency, ...)."""
+
+    # last successful output schema, held IN the serialized closure (one
+    # copy per worker after deserialization).  A module-global dict keyed
+    # by id(fn) is unsafe: CPython reuses ids after GC, so two wrapped UDFs
+    # on one worker could cross-pollinate schemas (round-3 ADVICE finding).
+    schema_cell: list = [None]
 
     def guarded(batch: pa.Table) -> pa.Table:
         goods: list[pa.Table] = []
@@ -76,7 +80,7 @@ def quarantine_map_batches(ds, fn, quarantine_dir: str,
         if bad_ids:
             _write_quarantine(quarantine_dir, bad_ids, bad_errors, id_col)
         if goods:
-            _SCHEMA_CACHE[id(fn)] = goods[0].schema
+            schema_cell[0] = goods[0].schema
             return pa.concat_tables(goods, promote_options="default")
         # whole batch was poison: derive the output schema from the UDF
         # on the empty slice; a UDF that also raises on 0 rows falls back
@@ -84,7 +88,7 @@ def quarantine_map_batches(ds, fn, quarantine_dir: str,
         try:
             return fn(batch.slice(0, 0))
         except Exception:
-            cached = _SCHEMA_CACHE.get(id(fn))
+            cached = schema_cell[0]
             if cached is not None:
                 return cached.empty_table()
             raise RuntimeError(

@@ -255,15 +255,19 @@ def bottomk_sample(ds, k: int, id_col: str = "doc_id", salt: str = ""):
     reservoir sampling it is deterministic and merge-friendly: per-batch
     partial bottom-k heads (only k rows leave each batch) then one
     driver-sized k-row head — the same partial+final shape as
-    top_k_per_group.  The md5 rank is reproducible in SQL
-    (md5(CAST(id AS VARCHAR))), so the oracle is plain ANSI SQL.
+    top_k_per_group.  The md5 rank is reproducible in SQL — unsalted:
+    md5(CAST(id AS VARCHAR)); salted: md5(CONCAT('<salt>', ':', CAST(id AS
+    VARCHAR))) — so the oracle is plain ANSI SQL.  The delimited
+    '<salt>:<id>' key matches epoch_order's and is unambiguous across
+    (salt, id) splits (round-3 ADVICE finding).
     Returns a Dataset of the sampled rows plus their ``rank_hex``."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import hashlib
 
         ids = batch.column(id_col).to_pylist()
-        ranks = [hashlib.md5(f"{salt}{i}".encode()).hexdigest() for i in ids]
+        pre = f"{salt}:" if salt else ""
+        ranks = [hashlib.md5(f"{pre}{i}".encode()).hexdigest() for i in ids]
         batch = batch.append_column("rank_hex", pa.array(ranks, pa.string()))
         order = np.argsort(np.asarray(ranks, dtype=object), kind="stable")[:k]
         return batch.take(pa.array(np.sort(order)))

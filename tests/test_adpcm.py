@@ -268,3 +268,38 @@ class TestWavMsMultichannel:
         out = decode_wav_ms(block, len(block), 3)
         assert len(out) % 3 == 0
         assert list(out[:3]) == [10, 20, 30]  # sample2 first, per channel
+
+
+class TestMsSamplesPerBlock:
+    """Round-3 ADVICE: a partially-filled final MS-ADPCM block must not
+    decode its zero-pad codes into spurious trailing samples."""
+
+    def test_cap_truncates_block_output(self):
+        import struct
+
+        from spiderray.functions.adpcm import decode_wav_ms, encode_wav_ms
+
+        pcm = _tone()[:300]  # one 256-byte block holds 500 frames -> padded
+        data = encode_wav_ms(pcm, block_align=256)
+        full = decode_wav_ms(data, 256)
+        capped = decode_wav_ms(data, 256, samples_per_block=300)
+        assert len(full) == 500  # pad codes decode without the cap
+        assert len(capped) == 300
+        np.testing.assert_array_equal(capped, full[:300])
+
+    def test_fact_chunk_truncates_container_decode(self):
+        import struct
+
+        from spiderray.functions.adpcm import encode_wav_ms, wav_adpcm_container
+        from spiderray.stages.multimodal import _parse_wav
+
+        pcm = _tone()[:300]
+        data = encode_wav_ms(pcm, block_align=256)
+        cont = wav_adpcm_container(data, 2, 1, 16000, 256, 500)
+        # splice in a fact chunk declaring the true 300-frame length
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 300)
+        idx = cont.find(b"data")
+        patched = cont[:idx] + fact + cont[idx:]
+        patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        assert len(_parse_wav(cont)) == 500
+        assert len(_parse_wav(patched)) == 300

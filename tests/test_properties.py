@@ -110,6 +110,57 @@ class TestSimhashBatchParity:
         assert [int(b) for b in batch] == [simhash64(t) for t in texts]
 
 
+class TestMinhashBatchParity:
+    @given(st.lists(_text, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_batch_equals_row_kernel(self, texts):
+        import numpy as np
+
+        from spiderray.functions.fingerprint import (
+            minhash_signature,
+            minhash_signature_batch,
+        )
+
+        batch = minhash_signature_batch(texts, chunk_rows=3, perm_chunk=24)
+        assert batch.shape == (len(texts), 128)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], minhash_signature(t))
+
+
+class TestBucketArrayParity:
+    @given(st.lists(st.integers(-2**62, 2**62), max_size=50),
+           st.integers(1, 64))
+    @settings(max_examples=30, deadline=None)
+    def test_int_keys(self, vals, nb):
+        import pyarrow as pa
+
+        from spiderray.stages.joins import _bucket_array, _stable_bucket
+
+        got = _bucket_array(pa.chunked_array([pa.array(vals, pa.int64())]), nb)
+        assert list(got) == [_stable_bucket(v, nb) for v in vals]
+
+    @given(st.lists(st.text(max_size=30), max_size=50), st.integers(1, 64))
+    @settings(max_examples=30, deadline=None)
+    def test_string_keys(self, vals, nb):
+        import pyarrow as pa
+
+        from spiderray.stages.joins import _bucket_array, _stable_bucket
+
+        for typ in (pa.string(), pa.large_string()):
+            got = _bucket_array(pa.chunked_array([pa.array(vals, typ)]), nb)
+            assert list(got) == [_stable_bucket(v, nb) for v in vals]
+
+    def test_sliced_offset_chunk(self):
+        import pyarrow as pa
+
+        from spiderray.stages.joins import _bucket_array, _stable_bucket
+
+        vals = [f"key-{i}" for i in range(100)]
+        arr = pa.array(vals).slice(13, 40)
+        got = _bucket_array(pa.chunked_array([arr]), 16)
+        assert list(got) == [_stable_bucket(v, 16) for v in vals[13:53]]
+
+
 class TestJoinProperties:
     """Randomized engine-vs-DuckDB equivalence for the round-3 join
     operators (the property-suite pattern: same inputs, independent

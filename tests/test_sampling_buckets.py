@@ -25,6 +25,22 @@ class TestBottomkSample:
             str(i).encode()).hexdigest())[:50]
         assert sorted(out1["doc_id"]) == sorted(expect)
 
+    def test_salted_rank_is_delimited(self, ray_session):
+        """Round-3 ADVICE: the salted key is '<salt>:<id>' (matching
+        epoch_order), unambiguous across (salt, id) splits and restatable
+        as SQL md5(CONCAT(salt, ':', CAST(id AS VARCHAR)))."""
+        import ray.data as rd
+
+        from spiderray.stages.stats import bottomk_sample
+
+        ids = np.arange(500)
+        t = pa.table({"doc_id": ids})
+        out = bottomk_sample(rd.from_arrow(t), 20, id_col="doc_id",
+                             salt="s1").to_pandas()
+        expect = sorted(ids, key=lambda i: hashlib.md5(
+            f"s1:{i}".encode()).hexdigest())[:20]
+        assert sorted(out["doc_id"]) == sorted(expect)
+
     def test_n_smaller_than_k(self, ray_session):
         import ray.data as rd
 
