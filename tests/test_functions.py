@@ -364,6 +364,48 @@ class TestDomains:
     def test_widened_psl(self, host, top):
         assert domains.domain_top(host) == top
 
+    # round-4 full-list embed: suffixes the curated snapshot lacked — rare
+    # ccTLD second/third levels, US locality four-label rules, jp geo rules
+    # (aichi.jp exact, *.kawasaki.jp wildcard with !city.kawasaki.jp), the
+    # PSL private section (icann=False), and a unicode (punycode) rule
+    @pytest.mark.parametrize(
+        "host,top,icann",
+        [
+            ("www.canberra.act.edu.au", "canberra.act.edu.au", True),
+            ("x.dhaka.gov.bd", "dhaka.gov.bd", True),      # *.bd wildcard
+            ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us", True),
+            ("news.daily.co.zm", "daily.co.zm", True),
+            ("www.uni.edu.mv", "uni.edu.mv", True),
+            ("portal.health.org.mw", "health.org.mw", True),
+            ("www.minsal.gob.cl", "minsal.gob.cl", True),
+            ("x.president.gov.mn", "president.gov.mn", True),
+            ("fon.ac.rs", "fon.ac.rs", True),
+            ("kaznu.edu.kz", "kaznu.edu.kz", True),
+            ("www.times.com.fj", "times.com.fj", True),
+            ("maps.web.tr", "maps.web.tr", True),
+            ("jornal.co.ao", "jornal.co.ao", True),
+            ("ecole.ed.ci", "ecole.ed.ci", True),
+            ("shop.com.gu", "shop.com.gu", True),
+            ("min.gov.kg", "min.gov.kg", True),
+            ("bank.com.mt", "bank.com.mt", True),
+            ("lib.org.tj", "lib.org.tj", True),
+            ("a.b.pref.aichi.jp", "pref.aichi.jp", True),  # aichi.jp exact
+            ("w.x.kawasaki.jp", "w.x.kawasaki.jp", True),  # *.kawasaki.jp
+            ("www.city.kawasaki.jp", "city.kawasaki.jp", True),  # !city.
+            ("myblog.blogspot.com", "myblog.blogspot.com", False),  # private
+            ("proj.github.io", "proj.github.io", False),            # private
+        ],
+    )
+    def test_full_psl_embed(self, host, top, icann):
+        d = domains.domain_parse(host)
+        assert d is not None and d.top() == top
+        assert d.icann is icann
+
+    def test_full_psl_unicode_and_punycode_forms(self):
+        # a unicode PSL rule must match in both forms ("中国" TLD)
+        assert domains.public_suffix("example.中国")[0] == "中国"
+        assert domains.public_suffix("example.xn--fiqs8s")[0] == "xn--fiqs8s"
+
     def test_wildcard_exception_www_ck(self):
         # !www.ck: www.ck is registrable (suffix is plain "ck"), while any
         # other x.ck is itself a public suffix
