@@ -90,3 +90,44 @@ def test_perplexity_actor_arpa_hook(tmp_path, ray_session):
     cfg_star = PipelineConfig(extra={"arpa_model_paths": {"*": path}})
     actor2 = PerplexityActor(cfg_star)
     assert actor2.fallback.perplexity("hello") == quantize_lm(lm).perplexity("hello")
+
+
+def test_versioned_arpa_fixture_through_actor_pool(ray_session):
+    """Round-4: a real model FILE committed to the repo
+    (fixtures/models/char_lm_sf01.arpa, distributed-trained at sf0.1)
+    loads through the actor ``__init__`` path and scores a distributed
+    dataset — opt-out, so every suite run exercises the models-from-
+    shared-storage contract with a versioned artifact, not a temp file."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spiderray.config import PipelineConfig
+    from spiderray.stages.perplexity_stage import PerplexityActor, perplexity_stage
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "fixtures", "models", "char_lm_sf01.arpa")
+    assert os.path.isfile(path), "versioned ARPA fixture missing"
+    cfg = PipelineConfig(extra={"arpa_model_paths": {"*": path}},
+                         perplexity_actor_pool=True,
+                         perplexity_concurrency=2)
+    t = pa.table({
+        "clip_id": list(range(8)),
+        "transcript": ["the quick brown fox jumps over the lazy dog"] * 4
+                      + ["zzzzqqqqxxxx jjjj wwww"] * 4,
+        "lang": [""] * 8,  # route every row through the '*' fallback model
+    })
+    out = perplexity_stage(rd.from_arrow(t), cfg).to_pandas()
+    assert len(out) == 8 and "ppl" in out.columns
+    # file-loaded model must equal a driver-side load of the same file
+    expect = PerplexityActor(cfg).fallback.perplexity(
+        "the quick brown fox jumps over the lazy dog")
+    got = float(out.sort_values("clip_id")["ppl"].iloc[0])
+    # the ppl column is float32; equality at float32 precision
+    import numpy as np
+
+    assert got == float(np.float32(expect))
+    # natural text scores lower than letter noise (the model is real)
+    noise = float(out.sort_values("clip_id")["ppl"].iloc[7])
+    assert got < noise
