@@ -107,14 +107,38 @@ def _stratum_transcript(i: int) -> tuple[str, str]:
 _NOISE = np.random.default_rng(42).standard_normal(1 << 17)
 
 
+# (freq, sr_hz, n_samples) take ≤ 48 x |_SR_CHOICES| x 5 distinct values, so
+# the sine term is memoized per combo (float64, computed with the exact
+# original op order → byte-identical output); per-row work drops to one
+# add + clip + cast.  The sin() evals were ~60% of the whole flagship
+# bench's per-row cost (round-4 profile: gen 213 us/row vs 148 us/row for
+# every engine stage combined).
+_SINE_CACHE: dict[tuple[float, int, int], np.ndarray] = {}
+
+
+def _sine_term(freq: float, sr_hz: int, n_samples: int) -> np.ndarray:
+    key = (freq, sr_hz, n_samples)
+    w = _SINE_CACHE.get(key)
+    if w is None:
+        t = np.arange(n_samples, dtype=np.float64) / sr_hz
+        w = 0.6 * np.sin(2 * np.pi * freq * t)
+        if len(_SINE_CACHE) >= 2048:  # ~240 combos in practice; hard bound
+            _SINE_CACHE.clear()       # for foreign (sr, n) callers
+        _SINE_CACHE[key] = w
+    return w
+
+
 def synth_audio(i: int, sr_hz: int, n_samples: int) -> bytes:
-    """Deterministic PCM16 sine+noise, derived purely from ``i``."""
-    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    """Deterministic PCM16 sine+noise, derived purely from ``i``.  In-place
+    float64 ops in the exact original arithmetic (IEEE add is commutative
+    bitwise), so output bytes are identical to the naive expression."""
     freq = 180.0 + (i % 48) * 17.0
     off = (i * 2654435761) % (len(_NOISE) - n_samples)
-    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * _NOISE[off : off + n_samples]
-    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
-    return pcm.tobytes()
+    wave = _NOISE[off : off + n_samples] * 0.05
+    wave += _sine_term(freq, sr_hz, n_samples)
+    wave *= 32767.0
+    np.clip(wave, -32768, 32767, out=wave)
+    return wave.astype("<i2").tobytes()
 
 
 def _clip_bytes(i: int, sr_hz: int, n_samples: int) -> bytes:
