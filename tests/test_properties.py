@@ -161,6 +161,57 @@ class TestBucketArrayParity:
         assert list(got) == [_stable_bucket(v, 16) for v in vals[13:53]]
 
 
+class TestPslDifferential:
+    """The fast public_suffix matcher vs a NAIVE independent evaluator of
+    the published PSL algorithm over the same rule tables: enumerate every
+    matching rule (exact / '*.parent' wildcard / '!' exception), exception
+    wins outright, else most labels."""
+
+    @staticmethod
+    def _naive(host):
+        from spiderray.functions.domains import _PSL_EXACT, _PSL_EXC, _PSL_WILD
+
+        labels = host.lower().split(".")
+        n = len(labels)
+        matches = []  # (rule_labels, icann, is_exception)
+        for i in range(n):
+            cand = ".".join(labels[i:])
+            if cand in _PSL_EXC:
+                matches.append((n - i, _PSL_EXC[cand], True))
+            if cand in _PSL_EXACT:
+                matches.append((n - i, _PSL_EXACT[cand], False))
+            if i + 1 < n and ".".join(labels[i + 1 :]) in _PSL_WILD:
+                matches.append((n - i, _PSL_WILD[".".join(labels[i + 1 :])], False))
+        excs = [m for m in matches if m[2]]
+        if excs:
+            ln, icann, _ = max(excs)
+            return ".".join(labels[n - ln + 1 :]), icann
+        if not matches:
+            return labels[-1], False
+        ln, icann, _ = max(matches, key=lambda m: m[0])
+        return ".".join(labels[n - ln :]), icann
+
+    @given(st.lists(st.sampled_from(
+        ["www", "a", "b2", "co", "com", "gov", "uk", "jp", "ck", "np",
+         "kawasaki", "city", "aichi", "pref", "github", "io", "blogspot",
+         "amazonaws", "s3", "example", "x", "kh", "er", "bd", "mm"]),
+        min_size=1, max_size=6))
+    @settings(max_examples=300, deadline=None)
+    def test_matches_naive_evaluator(self, labels):
+        from spiderray.functions.domains import public_suffix
+
+        host = ".".join(labels)
+        assert public_suffix(host) == self._naive(host), host
+
+    def test_suffix_is_suffix_and_shorter_than_host(self):
+        from spiderray.functions.domains import public_suffix
+
+        for host in ("a.b.c.com", "x.co.uk", "a.www.ck", "q.z.np"):
+            suf, _ = public_suffix(host)
+            assert host.endswith(suf)
+            assert len(suf.split(".")) <= len(host.split("."))
+
+
 class TestJoinProperties:
     """Randomized engine-vs-DuckDB equivalence for the round-3 join
     operators (the property-suite pattern: same inputs, independent
