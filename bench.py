@@ -198,6 +198,10 @@ def bench_once() -> dict:
         # BEFORE this process started its own work vs at the end
         "loadavg_1m_start": round(load_start[0], 2),
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        # protocol marker: rounds 1-3 recorded single-shot times; round 4+
+        # records headline best-of-2 and per-query one-sided retry (see
+        # run_queries) — compare across rounds with that in mind
+        "timing_protocol": "best-of-2 headline; retry-at-3x-calm queries",
     }
     ray.shutdown()
     return result

@@ -51,9 +51,14 @@ def _bucket_array(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> "np.ndar
     the scalar path."""
     import numpy as np
 
-    if pa.types.is_integer(col.type):
-        vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        return vals % num_buckets
+    # null-free only: a null forces to_numpy() through float64, which
+    # rounds keys >= 2^53 to the wrong bucket (review finding); nulls take
+    # the scalar fallback below.  Modulo runs in the column's NATIVE dtype
+    # (uint64 keys >= 2^63 would wrap under an int64 cast); numpy % keeps
+    # the divisor's sign, matching Python's.
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        vals = col.to_numpy(zero_copy_only=False)
+        return (vals % num_buckets).astype(np.int64)
     if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if arr.null_count == 0:

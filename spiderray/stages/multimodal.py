@@ -77,20 +77,24 @@ def _parse_wav(buf: bytes) -> np.ndarray:
             n_ch = max(int.from_bytes(body[2:4], "little"), 1)
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag == 0x02 and size >= 20:
-                # ADPCM fmt extension: cbSize, then wSamplesPerBlock —
-                # needed to drop the final block's zero-pad codes
-                samples_per_block = int.from_bytes(body[18:20], "little")
             if fmt_tag == 0xFFFE and size >= 40:
                 # WAVE_FORMAT_EXTENSIBLE: the real format is the first
                 # two bytes of the SubFormat GUID (after cbSize=22,
-                # wValidBitsPerSample, dwChannelMask)
+                # Samples union, dwChannelMask)
                 fmt_tag = int.from_bytes(body[24:26], "little")
+            if fmt_tag == 0x02 and size >= 20:
+                # ADPCM fmt extension: wSamplesPerBlock sits at body[18:20]
+                # for BOTH the direct 0x02 layout (after cbSize) and the
+                # EXTENSIBLE layout (the Samples union) — read it AFTER the
+                # 0xFFFE remap so extensible-wrapped MS-ADPCM gets the
+                # zero-pad cap too (round-4 review finding)
+                samples_per_block = int.from_bytes(body[18:20], "little") or None
         elif chunk_id == b"fact" and size >= 4:
             # dwSampleLength: exact per-channel frame count — the authority
             # on total length for compressed formats (truncates the final
-            # block's zero-pad codes)
-            fact_frames = int.from_bytes(body[0:4], "little")
+            # block's zero-pad codes).  0 means "unknown" in some streaming
+            # encoders: treat as absent, never truncate to empty.
+            fact_frames = int.from_bytes(body[0:4], "little") or None
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)

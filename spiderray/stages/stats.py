@@ -250,7 +250,8 @@ def grouped_quantile_buckets(ds, group_col: str, col: str,
 
 def bottomk_sample(ds, k: int, id_col: str = "doc_id", salt: str = ""):
     """EXACT-size uniform sample of k rows via the bottom-k (KMV) sketch:
-    rank every row by md5(salt + id) and keep the k smallest.  Unlike a
+    rank every row by md5(id) — md5('<salt>:<id>') when salted — and keep
+    the k smallest.  Unlike a
     rate-based sample the output size is exactly k (for n ≥ k), unlike
     reservoir sampling it is deterministic and merge-friendly: per-batch
     partial bottom-k heads (only k rows leave each batch) then one

@@ -303,3 +303,40 @@ class TestMsSamplesPerBlock:
         patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
         assert len(_parse_wav(cont)) == 500
         assert len(_parse_wav(patched)) == 300
+
+    def test_extensible_ms_adpcm_gets_samples_per_block_cap(self):
+        """Round-4 review finding: EXTENSIBLE-wrapped (0xFFFE/SubFormat
+        0x02) MS-ADPCM must honor the Samples union's wSamplesPerBlock."""
+        import struct
+
+        from spiderray.functions.adpcm import encode_wav_ms
+        from spiderray.stages.multimodal import _parse_wav
+
+        pcm = _tone()[:300]
+        data = encode_wav_ms(pcm, block_align=256)
+        # fmt: 16 base bytes + cbSize=22 + Samples(wSamplesPerBlock=300)
+        # + dwChannelMask + 16-byte SubFormat GUID starting 0x0002
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000, 256, 4)
+        fmt += struct.pack("<HHI", 22, 300, 0)
+        fmt += struct.pack("<H", 0x0002) + b"\x00\x00" + b"\x00" * 12
+        cont = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        cont = b"RIFF" + struct.pack("<I", len(cont) + 4) + cont
+        assert len(_parse_wav(cont)) == 300
+
+    def test_fact_zero_means_unknown_not_empty(self):
+        """dwSampleLength == 0 is 'unknown' (some streaming encoders):
+        must not truncate the decode to an empty array."""
+        import struct
+
+        from spiderray.functions.adpcm import encode_wav_ms, wav_adpcm_container
+        from spiderray.stages.multimodal import _parse_wav
+
+        pcm = _tone()[:300]
+        data = encode_wav_ms(pcm, block_align=256)
+        cont = wav_adpcm_container(data, 2, 1, 16000, 256, 500)
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 0)
+        idx = cont.find(b"data")
+        patched = cont[:idx] + fact + cont[idx:]
+        patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+        assert len(_parse_wav(patched)) == 500

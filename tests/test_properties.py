@@ -150,6 +150,22 @@ class TestBucketArrayParity:
             got = _bucket_array(pa.chunked_array([pa.array(vals, typ)]), nb)
             assert list(got) == [_stable_bucket(v, nb) for v in vals]
 
+    def test_nullable_and_uint64_keys_match_scalar(self):
+        # round-4 review finding: a null used to force the int fast path
+        # through float64 (keys >= 2^53 mis-bucketed); uint64 >= 2^63 would
+        # wrap under an int64 cast.  Both now match the scalar function.
+        import pyarrow as pa
+
+        from spiderray.stages.joins import _bucket_array, _stable_bucket
+
+        vals = [2**53 + 1, None, 5, 2**62 + 7]
+        got = _bucket_array(pa.chunked_array([pa.array(vals, pa.int64())]), 97)
+        assert list(got) == [_stable_bucket(v, 97) for v in vals]
+
+        uvals = [2**63 + 10, 3, 2**64 - 1]
+        got = _bucket_array(pa.chunked_array([pa.array(uvals, pa.uint64())]), 97)
+        assert list(got) == [_stable_bucket(v, 97) for v in uvals]
+
     def test_sliced_offset_chunk(self):
         import pyarrow as pa
 
