@@ -210,8 +210,40 @@ def charset_guess(body: bytes) -> str:
     return best_name if best_name else "ISO-8859-1"
 
 
-def detect_charset(body: bytes, content_type: str | None = None) -> tuple[str, str]:
-    """Full cascade (/root/reference/charset.go:38-64)."""
+# charset_normalizer (the maintained chardet successor, present in this
+# container) → this module's charset vocabulary.  The real-library analog of
+# the reference's chardet dependency (charset.go:183-193), selectable per
+# pipeline via PipelineConfig.extra["charset_guesser"] = "normalizer".
+_NORMALIZER_NAME = {
+    "utf_8": "UTF-8", "gb18030": "GBK", "gbk": "GBK", "big5": "Big5",
+    "shift_jis": "SHIFT_JIS", "cp932": "SHIFT_JIS", "euc_jp": "EUC-JP",
+    "euc_kr": "EUC-KR", "cp949": "EUC-KR", "cp1251": "WINDOWS-1251",
+    "cp1252": "WINDOWS-1252", "latin_1": "ISO-8859-1", "koi8_r": "KOI8-R",
+    "utf_16": "UTF-16",
+}
+
+
+def charset_guess_normalizer(body: bytes) -> str:
+    """REAL statistical detector path: charset_normalizer's coherence +
+    chaos model instead of the embedded frequency guesser.  Returns '' when
+    the library is undecided (caller falls through to the embedded guess).
+    Hard import — a configured real-detector path must never silently fall
+    back (same contract as the fastText/KenLM hooks)."""
+    from charset_normalizer import from_bytes
+
+    best = from_bytes(bytes(body)).best()
+    if best is None:
+        return ""
+    enc = (best.encoding or "").lower()
+    return _NORMALIZER_NAME.get(enc, enc.upper().replace("_", "-"))
+
+
+def detect_charset(
+    body: bytes, content_type: str | None = None, guesser: str = "",
+) -> tuple[str, str]:
+    """Full cascade (/root/reference/charset.go:38-64).  ``guesser``:
+    '' → the embedded deterministic statistical guess; 'normalizer' →
+    charset_normalizer first, embedded guess as the undecided fallback."""
     try:
         body.decode("utf-8")
         return "UTF-8", CHARSET_POS_VALID
@@ -219,7 +251,9 @@ def detect_charset(body: bytes, content_type: str | None = None) -> tuple[str, s
         pass
     charset, pos = charset_from_header_html(body, content_type)
     if not charset:
-        guess = charset_guess(body)
+        guess = charset_guess_normalizer(body) if guesser == "normalizer" else ""
+        if not guess:
+            guess = charset_guess(body)
         if guess:
             return guess, CHARSET_POS_GUESS
     return charset, pos

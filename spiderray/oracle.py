@@ -42,7 +42,10 @@ def oracle_row(
 
     raw = row.get(cfg.raw_text_col) if cfg.raw_text_col else None
     if raw is not None:
-        cs, cs_pos = charsetf.detect_charset(raw, row.get("content_type"))
+        cs, cs_pos = charsetf.detect_charset(
+            raw, row.get("content_type"),
+            guesser=(cfg.extra or {}).get("charset_guesser", ""),
+        )
         decoded = charsetf.to_utf8(raw, cs)
         charset_ok = decoded is not None
         transcript = decoded if decoded is not None else ""

@@ -17,6 +17,7 @@ from ..functions import charset as charsetf
 
 
 def _decode_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    guesser = (cfg.extra or {}).get("charset_guesser", "")
     raws = batch.column(cfg.raw_text_col).to_pylist()
     ctypes = (
         batch.column("content_type").to_pylist()
@@ -31,7 +32,7 @@ def _decode_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             texts.append("")
             oks.append(False)
             continue
-        cs, pos = charsetf.detect_charset(raw, ctype)
+        cs, pos = charsetf.detect_charset(raw, ctype, guesser=guesser)
         decoded = charsetf.to_utf8(raw, cs)
         charsets.append(cs)
         poss.append(pos)

@@ -137,3 +137,38 @@ class TestCharsetGuessRoundtrip:
 
         body = ("今天的新闻发布会上政府宣布了一系列措施。" * 5).encode("gb18030")
         assert charset_guess(body) == "GBK"
+
+
+class TestRealDetectorPath:
+    """Round-4: the charset_normalizer swap-in — the REAL statistical
+    detector analog of the reference's chardet dependency
+    (charset.go:183-193) — exercised end-to-end, opt-out (the library is
+    present in this container)."""
+
+    def test_normalizer_guesses_real_codecs(self):
+        from spiderray.functions.charset import charset_guess_normalizer
+
+        assert charset_guess_normalizer(ZH.encode("gbk")) == "GBK"
+        assert charset_guess_normalizer(KO.encode("euc_kr")) == "EUC-KR"
+        assert charset_guess_normalizer(JA.encode("shift_jis")) == "SHIFT_JIS"
+
+    def test_full_pipeline_with_normalizer_guesser(self, ray_session):
+        import ray.data as rd
+
+        cfg = PipelineConfig(raw_text_col="transcript_raw",
+                             extra={"charset_guesser": "normalizer"})
+        df = (quality_filter(rd.from_items(_rows()), cfg)
+              .to_pandas().sort_values("clip_id").reset_index(drop=True))
+        by_id = df.set_index("clip_id")
+        # the guess rows now come from the real detector; header/meta/valid
+        # rows are untouched by the guesser choice
+        assert by_id.loc["c1", "charset"] == "Big5"
+        assert by_id.loc["c1", "charset_pos"] == "guess"
+        assert by_id.loc["c0", "charset_pos"] == "header"
+        assert by_id.loc["c4", "charset_pos"] == "valid"
+        # engine ≡ oracle under the same guesser config
+        expected = oracle_rows(_rows(), cfg)
+        expected.sort(key=lambda r: r["clip_id"])
+        for i, exp in enumerate(expected):
+            for field in ("charset", "charset_pos", "lang", "keep"):
+                assert df[field].iloc[i] == exp[field], (exp["clip_id"], field)
