@@ -177,6 +177,21 @@ class TestBucketArrayParity:
         assert list(got) == [_stable_bucket(v, 16) for v in vals[13:53]]
 
 
+class TestPerplexityBatchParity:
+    @given(st.lists(_text, max_size=16))
+    @settings(max_examples=40, deadline=None)
+    def test_batch_equals_scalar_bitwise(self, texts):
+        import numpy as np
+
+        from spiderray.stages.perplexity_stage import CharLM
+
+        lm = CharLM("the quick brown fox 你好世界 jumps over the lazy dog")
+        batch = lm.perplexity_batch(texts)
+        for t, b in zip(texts, batch):
+            s = lm.perplexity(t)
+            assert (s == b) or (np.isinf(s) and np.isinf(b)), (t, s, b)
+
+
 class TestPslDifferential:
     """The fast public_suffix matcher vs a NAIVE independent evaluator of
     the published PSL algorithm over the same rule tables: enumerate every
