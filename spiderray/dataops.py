@@ -108,6 +108,7 @@ from .stages.stats import (
 )
 from .stages.substring_dedup import substring_dedup
 from .stages.textindex import sliding_chunks
+from .stages.textnorm_stage import unicode_normalize_stage
 from .stages.unigram_train import (
     train_unigram,
     train_unigram_corpus,
@@ -174,4 +175,6 @@ __all__ = [
     "lookup_postings", "parse_mp3", "prepare_audio_corpus",
     "validate_expectations", "windowed_drift", "epoch_order",
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
+    # round 4
+    "unicode_normalize_stage",
 ]

@@ -4534,6 +4534,49 @@ SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY source, doc_id
 """
 
 
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization (stages/textnorm_stage.py): every third
+    document gets a deterministically injected DECOMPOSED prefix
+    ('Cafe' + U+0301 + ' ') — the mixed-form reality of a web corpus —
+    then the corpus is normalized to NFC with Arrow's vectorized kernel.
+    Oracle: DuckDB nfc_normalize over the identical injection."""
+    from ..stages.textnorm_stage import unicode_normalize_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [
+            ("Cafe\u0301 " + t) if int(i) % 3 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.column_names.index("text"), "text", pa.array(out, pa.string())
+        )
+
+    out = unicode_normalize_stage(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        text_col="text",
+    )
+    return out.select_columns(["doc_id", "text", "was_denormalized"])
+
+
+SQL_NFC_NORMALIZE = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Cafe' || chr(769) || ' ' || text
+              ELSE text END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS text,
+       nfc_normalize(raw) <> raw AS was_denormalized
+FROM injected ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4664,6 +4707,7 @@ QUERIES = {
     "q_clips_keep_stats": q_clips_keep_stats,
     "q_keepdrop_f1": q_keepdrop_f1,
     "q_keepdrop_f1_audio": q_keepdrop_f1_audio,
+    "q_nfc_normalize": q_nfc_normalize,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so
@@ -4778,6 +4822,7 @@ ORACLE_SQL = {
     "q_global_rank": SQL_GLOBAL_RANK,
     "q_copartitioned_join": SQL_COPARTITIONED_JOIN,
     "q_corpus_report": SQL_CORPUS_REPORT,
+    "q_nfc_normalize": SQL_NFC_NORMALIZE,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

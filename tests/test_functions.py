@@ -737,3 +737,32 @@ class TestCompressionSignals:
                 assert r["too_random"] and not r["too_repetitive"], n
             else:
                 assert not r["too_repetitive"] and not r["too_random"], n
+
+
+class TestUnicodeNormalizeStage:
+    def test_forms_and_flag(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textnorm_stage import unicode_normalize_stage
+
+        rows = pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["Café", "plain ascii", "ﬁne ｗｉｄｅ", "Caf\xe9"],
+        })
+        nfc = unicode_normalize_stage(rd.from_arrow(rows), "text", "NFC") \
+            .to_pandas().sort_values("doc_id")
+        assert list(nfc["text"]) == ["Caf\xe9", "plain ascii", "ﬁne ｗｉｄｅ", "Caf\xe9"]
+        assert list(nfc["was_denormalized"]) == [True, False, False, False]
+        nfkc = unicode_normalize_stage(rd.from_arrow(rows), "text", "NFKC") \
+            .to_pandas().sort_values("doc_id")
+        assert list(nfkc["text"]) == ["Caf\xe9", "plain ascii", "fine wide", "Caf\xe9"]
+
+    def test_bad_form_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from spiderray.stages.textnorm_stage import unicode_normalize_batch
+
+        with pytest.raises(ValueError):
+            unicode_normalize_batch(pa.table({"text": ["x"]}), "text", "NFX")
