@@ -108,6 +108,7 @@ from .stages.stats import (
 )
 from .stages.substring_dedup import substring_dedup
 from .stages.textindex import sliding_chunks
+from .stages.multimodal import audio_corpus_report
 from .stages.textnorm_stage import unicode_normalize_stage
 from .stages.unigram_train import (
     train_unigram,
@@ -176,5 +177,5 @@ __all__ = [
     "validate_expectations", "windowed_drift", "epoch_order",
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
-    "unicode_normalize_stage",
+    "unicode_normalize_stage", "audio_corpus_report",
 ]

@@ -4577,6 +4577,52 @@ FROM injected ORDER BY doc_id
 """
 
 
+def q_audio_report(sf_dir: str):
+    """Audio 'data card' (stages/multimodal.audio_corpus_report): clip
+    count, duration totals/min/max/floor-mean, per-codec + per-sr
+    histograms, allowlisted count over the documents-derived clips corpus.
+    The only shuffle is the (codec, sr)-pair partial aggregate.  Oracle:
+    the synthetic clip metadata is pure doc_id arithmetic, restated in SQL."""
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import audio_corpus_report
+
+    ds = clips_from_documents(sf_dir).select_columns(["codec", "sr_hz", "dur_ms"])
+    return audio_corpus_report(ds)
+
+
+SQL_AUDIO_REPORT = """
+WITH c AS (
+  SELECT CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'pcm_s16le' WHEN 1 THEN 'flac' WHEN 2 THEN 'opus'
+           WHEN 3 THEN 'pcm_s16le' WHEN 4 THEN 'pcm_s16le'
+           ELSE 'banned_codec' END AS codec,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+         doc_id % 5 AS k
+  FROM documents
+), d AS (
+  SELECT codec, sr,
+         1000 * (sr // 4 + (k * sr) // 100) // sr AS dur_ms
+  FROM c
+), m AS (
+  SELECT 'n_clips' AS metric, CAST(count(*) AS BIGINT) AS value FROM d
+  UNION ALL SELECT 'dur_total_ms', CAST(sum(dur_ms) AS BIGINT) FROM d
+  UNION ALL SELECT 'dur_mean_ms',
+    CAST(sum(dur_ms) // greatest(count(*), 1) AS BIGINT) FROM d
+  UNION ALL SELECT 'dur_min_ms', CAST(min(dur_ms) AS BIGINT) FROM d
+  UNION ALL SELECT 'dur_max_ms', CAST(max(dur_ms) AS BIGINT) FROM d
+  UNION ALL SELECT 'n_allowlisted', CAST(count(*) AS BIGINT) FROM d
+    WHERE codec IN ('pcm_s16le','flac','opus','mp3','aac','vorbis')
+  UNION ALL SELECT 'codec:' || codec, CAST(count(*) AS BIGINT)
+    FROM d GROUP BY codec
+  UNION ALL SELECT 'sr:' || CAST(sr AS VARCHAR), CAST(count(*) AS BIGINT)
+    FROM d GROUP BY sr
+)
+SELECT metric, value FROM m ORDER BY metric
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4708,6 +4754,7 @@ QUERIES = {
     "q_keepdrop_f1": q_keepdrop_f1,
     "q_keepdrop_f1_audio": q_keepdrop_f1_audio,
     "q_nfc_normalize": q_nfc_normalize,
+    "q_audio_report": q_audio_report,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so
@@ -4823,6 +4870,7 @@ ORACLE_SQL = {
     "q_copartitioned_join": SQL_COPARTITIONED_JOIN,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
+    "q_audio_report": SQL_AUDIO_REPORT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -1295,3 +1295,62 @@ def acoustic_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio corpus report (the audio 'data card' companion of q_corpus_report)
+# ---------------------------------------------------------------------------
+
+
+def audio_corpus_report(ds, codec_col: str = "codec", sr_col: str = "sr_hz",
+                        dur_col: str = "dur_ms",
+                        allowlist: tuple[str, ...] | None = None):
+    """One narrow (metric, value) table of corpus-level audio facts —
+    clip count, duration totals/min/max/floor-mean, per-codec and
+    per-sample-rate histograms, allowlisted count.  Per-batch partials
+    group to (codec, sr) pairs, so the only shuffle is bounded by
+    |codecs| x |sample rates| regardless of corpus size; every value is
+    integer-exact (floor mean), hence reproducible in plain SQL.
+    Returns a pandas DataFrame sorted by metric."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.maps import CODEC_ALLOWLIST
+
+    if allowlist is None:
+        allowlist = CODEC_ALLOWLIST
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pdf = batch.select([codec_col, sr_col, dur_col]).to_pandas()
+        g = pdf.groupby([codec_col, sr_col], as_index=False).agg(
+            n=(dur_col, "size"), dur=(dur_col, "sum"),
+            dmin=(dur_col, "min"), dmax=(dur_col, "max"))
+        for c in ("n", "dur", "dmin", "dmax"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([codec_col, sr_col])
+        .aggregate(Sum("n", alias_name="n"), Sum("dur", alias_name="dur"),
+                   Min("dmin", alias_name="dmin"), Max("dmax", alias_name="dmax"))
+        .to_pandas()  # bounded: one row per (codec, sr) pair
+    )
+    n_clips = int(agg["n"].sum())
+    dur_total = int(agg["dur"].sum())
+    rows = [
+        ("n_clips", n_clips),
+        ("dur_total_ms", dur_total),
+        ("dur_mean_ms", dur_total // max(n_clips, 1)),
+        ("dur_min_ms", int(agg["dmin"].min()) if len(agg) else 0),
+        ("dur_max_ms", int(agg["dmax"].max()) if len(agg) else 0),
+        ("n_allowlisted",
+         int(agg.loc[agg[codec_col].isin(list(allowlist)), "n"].sum())),
+    ]
+    for codec, n in agg.groupby(codec_col)["n"].sum().items():
+        rows.append((f"codec:{codec}", int(n)))
+    for sr, n in agg.groupby(sr_col)["n"].sum().items():
+        rows.append((f"sr:{int(sr)}", int(n)))
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    return out.sort_values("metric").reset_index(drop=True)

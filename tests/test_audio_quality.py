@@ -241,3 +241,26 @@ class TestHighpass:
         spec = np.abs(np.fft.rfft(y))
         assert spec[40] < 0.01 * spec[1000]   # 40 Hz gone
         assert spec[1000] > 0.25 * len(y) * 0.3 / 2  # 1 kHz intact
+
+
+class TestAudioCorpusReport:
+    def test_metadata_report(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.multimodal import audio_corpus_report
+
+        t = pa.table({
+            "codec": ["flac", "opus", "banned_codec", "flac"],
+            "sr_hz": [16000, 8000, 16000, 44100],
+            "dur_ms": [250, 300, 100, 400],
+        })
+        df = audio_corpus_report(rd.from_arrow(t).repartition(3)) \
+            .set_index("metric")["value"]
+        assert df["n_clips"] == 4
+        assert df["dur_total_ms"] == 1050
+        assert df["dur_mean_ms"] == 262  # floor
+        assert df["dur_min_ms"] == 100 and df["dur_max_ms"] == 400
+        assert df["n_allowlisted"] == 3
+        assert df["codec:flac"] == 2 and df["codec:banned_codec"] == 1
+        assert df["sr:16000"] == 2 and df["sr:44100"] == 1
