@@ -34,6 +34,7 @@ from .stages.dedup import (
     incremental_exact_dedup,
     minhash_lsh_pairs,
     near_dedup,
+    near_dedup_best,
     ngram_jaccard_pairs,
     semantic_dedup,
     simhash_pairs,
@@ -141,7 +142,7 @@ __all__ = [
     "grouped_quantiles_approx", "grouped_quantiles_exact",
     "hash_join", "incremental_exact_dedup", "ivf_assign", "ivf_topk",
     "ivf_train", "kmeans_assign", "kmeans_fit_distributed", "lsh_topk",
-    "minhash_lsh_pairs", "NaiveBayesModel", "nb_predict_stage", "near_dedup",
+    "minhash_lsh_pairs", "NaiveBayesModel", "nb_predict_stage", "near_dedup", "near_dedup_best",
     "ngram_jaccard_pairs",
     "prepare_corpus",
     "quantiles_approx", "quantiles_exact", "quantize_lm", "range_join",

@@ -627,6 +627,35 @@ def q_near_dedup(sf_dir: str):
     ).to_pandas()
 
 
+def q_near_dedup_best(sf_dir: str):
+    """Quality-aware near-dedup (stages/dedup.near_dedup_best): each
+    cluster keeps its LONGEST member (ties → min id) instead of the min-id
+    member — on the augmented corpus every twin is its original + a
+    trailing token, so best-keep selects the twin where min-id selects the
+    original, pinning that the policy really differs."""
+    from ray.data.aggregate import Count, Sum
+
+    _ensure_fixture("q_near_dedup_best", sf_dir)
+    aug = _minhash_augmented(sf_dir).map_batches(
+        lambda b: b.append_column("score", pc.utf8_length(b.column("text"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_total = aug.count()
+    pairs = dedup.minhash_lsh_pairs(aug, threshold=0.7)
+    kept = dedup.near_dedup_best(aug, pairs, id_col="doc_id", score_col="score")
+    agg = kept.aggregate(
+        Count(alias_name="n_kept"), Sum("doc_id", alias_name="kept_id_sum")
+    )
+    return pa.table(
+        {
+            "n_total": pa.array([n_total], pa.int64()),
+            "n_kept": pa.array([int(agg["n_kept"])], pa.int64()),
+            "n_dropped": pa.array([n_total - int(agg["n_kept"])], pa.int64()),
+            "kept_id_sum": pa.array([int(agg["kept_id_sum"])], pa.int64()),
+        }
+    ).to_pandas()
+
+
 def q_simhash_pairs(sf_dir: str):
     _ensure_fixture("q_simhash_pairs", sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4755,6 +4784,7 @@ QUERIES = {
     "q_keepdrop_f1_audio": q_keepdrop_f1_audio,
     "q_nfc_normalize": q_nfc_normalize,
     "q_audio_report": q_audio_report,
+    "q_near_dedup_best": q_near_dedup_best,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so

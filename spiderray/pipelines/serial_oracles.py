@@ -224,6 +224,29 @@ def so_near_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def so_near_dedup_best(sf_dir: str) -> pa.Table:
+    """Serial twin of near_dedup_best: union-find labels, then per cluster
+    keep the (longest text, min id) member."""
+    ids, texts = _augmented_docs(sf_dir, 10, 2_000_000, " extra trailing token")
+    labels = _minhash_pair_labels(sf_dir)
+    lengths = {int(i): len(t or "") for i, t in zip(ids, texts)}
+    best: dict[int, tuple[int, int]] = {}
+    for n, c in labels.items():
+        cand = (-lengths.get(n, 0), n)
+        if c not in best or cand < best[c]:
+            best[c] = cand
+    losers = {n for n, c in labels.items() if n != best[c][1]}
+    kept = [int(i) for i in ids if int(i) not in losers]
+    return pa.table(
+        {
+            "n_total": pa.array([len(ids)], pa.int64()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "n_dropped": pa.array([len(ids) - len(kept)], pa.int64()),
+            "kept_id_sum": pa.array([sum(kept)], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunk dedup
 # ---------------------------------------------------------------------------
@@ -1794,6 +1817,7 @@ SERIAL_ORACLES = {
     "q_minhash_pairs": so_minhash_pairs,
     "q_dup_clusters": so_dup_clusters,
     "q_near_dedup": so_near_dedup,
+    "q_near_dedup_best": so_near_dedup_best,
     "q_simhash_pairs": so_simhash_pairs,
     "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
     "q_chunk_dedup": so_chunk_dedup,

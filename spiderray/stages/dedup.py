@@ -1221,6 +1221,17 @@ def near_dedup(
     losers = cc.map_batches(
         losers_only, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    return _drop_losers(ds, losers, id_col, broadcast_max_losers)
+
+
+def _drop_losers(ds, losers, id_col: str, broadcast_max_losers: int):
+    """Drop ``losers`` (a materialized single-column id Dataset) from
+    ``ds``: broadcast-filter below the cap, bucketed anti-join above —
+    shared by near_dedup and near_dedup_best."""
+    import ray
+
+    import pyarrow.compute as pc
+
     n_losers = losers.count()
     if n_losers == 0:
         return ds
@@ -1244,6 +1255,112 @@ def near_dedup(
         )
 
     return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dedup_best(
+    ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    broadcast_max_losers: int = 1_000_000,
+):
+    """Near-duplicate removal keeping the BEST-scoring member of each
+    cluster (ties → min id) instead of the min-id member — the curation
+    policy a corpus publisher actually wants ("keep the longest / cleanest
+    copy"; the reference's longest-title dedup, link.go D1, is the same
+    rule at title scale).
+
+    Scale shape: connected components are pair-sized; member scores are
+    acquired by a broadcast id-set filter over the corpus below the cap
+    (only (id, score) columns ever leave the scan) or a bucketed semi-join
+    above it; the per-cluster argmax is a bounded keyed groupby over
+    member rows.  The final drop reuses the shared loser plumbing —
+    nothing corpus-sized reaches the driver."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    cc = dup_connected_components(pairs_ds).materialize()
+    n_members = cc.count()
+    if n_members == 0:
+        return ds
+
+    proj = ds.map_batches(
+        lambda b: b.select([id_col, score_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if n_members <= broadcast_max_losers:
+        id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
+        member_arr = pa.concat_arrays([
+            b.column("node").cast(id_type).combine_chunks()
+            for b in cc.iter_batches(batch_format="pyarrow")
+        ])
+        mref = ray.put(member_arr)
+
+        def member_scores(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            return batch.filter(
+                pc.is_in(batch.column(id_col), value_set=_ray.get(mref))
+            )
+
+        scored = proj.map_batches(
+            member_scores, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from .joins import bucketed_join
+
+        scored = bucketed_join(
+            proj,
+            cc.map_batches(lambda b: pa.table({id_col: b.column("node")}),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            on=id_col,
+        ).map_batches(lambda b: b.select([id_col, score_col]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+
+    from .joins import bucketed_join as _bj
+
+    members = _bj(
+        scored,
+        cc.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "cluster_id": b.column("cluster_id")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        on=id_col, right_on="node",
+    )
+
+    from .stats import top_k_per_group
+
+    winners = top_k_per_group(
+        members.select_columns(["cluster_id", id_col, score_col]),
+        ["cluster_id"], score_col, k=1, descending=True, tie_col=id_col,
+    )
+
+    w = winners.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # losers = members minus winners, via a broadcast winner-id filter —
+    # winners are one per cluster, always far smaller than the member set
+    # (the documented partitioning assumption: #clusters fits one object)
+    winner_arr = pa.concat_arrays([
+        b.column(id_col).combine_chunks()
+        for b in w.iter_batches(batch_format="pyarrow")
+    ])
+    wref = ray.put(winner_arr)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keep = pc.invert(
+            pc.is_in(batch.column("node").cast(winner_arr.type),
+                     value_set=_ray.get(wref))
+        )
+        return pa.table({id_col: batch.filter(keep).column("node")})
+
+    loser_ds = cc.map_batches(
+        losers_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return _drop_losers(ds, loser_ds, id_col, broadcast_max_losers)
 
 
 def semantic_dedup(

@@ -1574,3 +1574,58 @@ class TestApplyDeletions:
                .to_pandas().set_index("doc_id")["deleted"])
         assert out[3] and out[7] and not out[0]
         assert len(out) == 50  # nothing filtered in mark mode
+
+
+class TestNearDedupBest:
+    """Quality-aware representative selection: each near-dup cluster keeps
+    its best-scoring member (ties -> min id), not the min id."""
+
+    def _pairs(self, ray_session, pairs):
+        import ray.data as rd
+
+        return rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+
+    def test_best_member_survives(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import near_dedup_best
+
+        # cluster {1,2,3}: 2 has the top score; cluster {10,11}: tie -> 10;
+        # 20 untouched by any pair survives with any score
+        t = pa.table({
+            "doc_id": [1, 2, 3, 10, 11, 20],
+            "n_chars": [5, 9, 7, 4, 4, 1],
+        })
+        out = near_dedup_best(
+            rd.from_arrow(t).repartition(3),
+            self._pairs(ray_session, [(1, 2), (2, 3), (10, 11)]),
+            id_col="doc_id", score_col="n_chars",
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [2, 10, 20]
+
+    def test_join_path_matches_broadcast(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import near_dedup_best
+
+        rng = np.random.default_rng(5)
+        n = 400
+        scores = rng.integers(1, 1000, n)
+        t = pa.table({"doc_id": np.arange(n), "n_chars": scores})
+        pairs = [(i, i + 1) for i in range(0, n, 4)]  # clusters of 2
+        a = near_dedup_best(rd.from_arrow(t), self._pairs(ray_session, pairs),
+                            "doc_id", "n_chars").to_pandas()
+        b = near_dedup_best(rd.from_arrow(t), self._pairs(ray_session, pairs),
+                            "doc_id", "n_chars",
+                            broadcast_max_losers=0 + 1).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        # winners hold the higher score of each pair (tie -> lower id)
+        by = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+        for i in range(0, n, 4):
+            keep = set(a["doc_id"])
+            s_i, s_j = by[i], by[i + 1]
+            want = i if (s_i > s_j or (s_i == s_j)) else i + 1
+            assert (want in keep) and ((i + 1 if want == i else i) not in keep)
