@@ -125,7 +125,7 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.stats import grouped_split, mixture_plan
+from .stages.stats import corpus_diff, grouped_split, mixture_plan
 from .stages.textindex import build_inverted_index, lookup_postings
 from .stages.windows import duration_bucket_batches, epoch_order
 
@@ -178,5 +178,5 @@ __all__ = [
     "validate_expectations", "windowed_drift", "epoch_order",
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
-    "unicode_normalize_stage", "audio_corpus_report",
+    "unicode_normalize_stage", "audio_corpus_report", "corpus_diff",
 ]

@@ -4652,6 +4652,69 @@ SELECT metric, value FROM m ORDER BY metric
 """
 
 
+def q_corpus_diff(sf_dir: str):
+    """Release-to-release corpus diff (stages/stats.corpus_diff): v2 is a
+    deterministic edit of the documents table (every 13th doc removed,
+    every 7th survivor revised, a new doc added per 11th) and the diff
+    pass reports added/removed/changed/unchanged counts — each side ships
+    only (id, fp) rows.  Oracle: SQL FULL OUTER JOIN over the identical
+    derivation with the same md5(lower(trim(text))) fingerprint."""
+    from ..stages.stats import corpus_diff
+
+    v1 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_v2(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 13 == 0:
+                continue  # removed in v2
+            out_ids.append(i)
+            out_texts.append(f"rev2 {t}" if i % 7 == 0 else t)
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 11 == 0:
+                out_ids.append(i + 5_000_000)
+                out_texts.append(f"new {t}")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.string())})
+
+    v2 = v1.map_batches(derive_v2, batch_format="pyarrow", zero_copy_batch=True)
+    return corpus_diff(v1, v2)
+
+
+SQL_CORPUS_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+), v2 AS (
+  SELECT doc_id,
+         md5(lower(trim(CASE WHEN doc_id % 7 = 0
+                             THEN 'rev2 ' || text ELSE text END))) AS fp
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, md5(lower(trim('new ' || text)))
+  FROM documents WHERE doc_id % 11 = 0
+), j AS (
+  SELECT v1.fp AS fp_a, v2.fp AS fp_b
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT metric, value FROM (
+  SELECT 'n_added' AS metric,
+         CAST(count(*) FILTER (fp_a IS NULL) AS BIGINT) AS value FROM j
+  UNION ALL SELECT 'n_removed',
+         CAST(count(*) FILTER (fp_b IS NULL) AS BIGINT) FROM j
+  UNION ALL SELECT 'n_changed',
+         CAST(count(*) FILTER (fp_a IS NOT NULL AND fp_b IS NOT NULL
+                               AND fp_a <> fp_b) AS BIGINT) FROM j
+  UNION ALL SELECT 'n_unchanged',
+         CAST(count(*) FILTER (fp_a IS NOT NULL AND fp_b IS NOT NULL
+                               AND fp_a = fp_b) AS BIGINT) FROM j
+) ORDER BY metric
+"""
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4785,6 +4848,7 @@ QUERIES = {
     "q_nfc_normalize": q_nfc_normalize,
     "q_audio_report": q_audio_report,
     "q_near_dedup_best": q_near_dedup_best,
+    "q_corpus_diff": q_corpus_diff,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so
@@ -4901,6 +4965,7 @@ ORACLE_SQL = {
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_audio_report": SQL_AUDIO_REPORT,
+    "q_corpus_diff": SQL_CORPUS_DIFF,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -94,17 +94,51 @@ def _tag_side(key: str, side: int, num_buckets: int):
     return fn
 
 
-def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 32):
-    """Explicit partitioned hash join (inner).  Column sets of the two sides
-    must be disjoint apart from the key."""
+def bucketed_join(left, right, on: str, right_on: str | None = None,
+                  num_buckets: int = 32, how: str = "inner"):
+    """Explicit partitioned hash join.  Column sets of the two sides must
+    be disjoint apart from the key.  ``how``: 'inner' (default), 'left', or
+    'outer' — non-inner modes emit unmatched rows with nulls on the absent
+    side (a same-key bucketing means an unmatched row's entire key group
+    lives in one bucket, so per-bucket pandas merge semantics are exact)."""
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be inner/left/outer, got {how!r}")
     right_on = right_on or on
 
     # column provenance resolved ONCE from the schemas: merge_bucket slices
     # each side by its own column list, so a legitimately all-null data
     # column within a bucket survives (the old dropna(axis=1, how='all')
     # union-unpadding silently dropped it — round-2 verdict minor #6)
-    left_cols = list(left.schema(fetch_if_missing=True).names)
-    right_cols = list(right.schema(fetch_if_missing=True).names)
+    lsch = left.schema(fetch_if_missing=True)
+    rsch = right.schema(fetch_if_missing=True)
+    left_cols = list(lsch.names)
+    right_cols = list(rsch.names)
+
+    # non-inner modes: a bucket whose unmatched rows null-pad one side must
+    # emit the SAME dtypes as a fully-matched bucket, or the block union
+    # fails (ints decay to float64 under NaN).  Cast each column to its
+    # pandas NULLABLE equivalent, derived once from the Arrow schemas.
+    cast_map: dict = {}
+    if how != "inner":
+        import pyarrow.types as pt
+
+        def _nullable(t):
+            if pt.is_integer(t):
+                return f"{'UInt' if pt.is_unsigned_integer(t) else 'Int'}{t.bit_width}"
+            if pt.is_floating(t):
+                return "Float64" if t.bit_width == 64 else "Float32"
+            if pt.is_boolean(t):
+                return "boolean"
+            if pt.is_string(t) or pt.is_large_string(t):
+                return "string"
+            return None  # binary/temporal/nested: leave as-is
+
+        for name, typ in list(zip(lsch.names, lsch.types)) + list(
+            zip(rsch.names, rsch.types)
+        ):
+            d = _nullable(typ)
+            if d is not None:
+                cast_map[name] = d
 
     tagged = left.map_batches(
         _tag_side(on, 0, num_buckets), batch_format="pyarrow", zero_copy_batch=True
@@ -117,11 +151,15 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__side"] == 0]
         rhs = g[g["__side"] == 1]
-        if lhs.empty or rhs.empty:
+        if (lhs.empty and how != "outer") or (rhs.empty and how == "inner"):
             return pd.DataFrame()
         lhs = lhs[[c for c in left_cols if c in g.columns]]
         rhs = rhs[[c for c in right_cols if c in g.columns]]
-        return lhs.merge(rhs, left_on=on, right_on=right_on)
+        out = lhs.merge(rhs, left_on=on, right_on=right_on, how=how)
+        if cast_map:
+            out = out.astype({c: d for c, d in cast_map.items()
+                              if c in out.columns})
+        return out
 
     return tagged.groupby("__bucket", num_partitions=min(num_buckets, 16)).map_groups(
         merge_bucket, batch_format="pandas"

@@ -972,3 +972,66 @@ def grouped_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
             pa.array(np.floor(z[keep] * 1e6 + 0.5).astype(np.int64)))
 
     return quanted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_diff(ds_a, ds_b, id_col: str = "doc_id", text_col: str = "text",
+                num_buckets: int = 32):
+    """Release-to-release corpus diff — the data-card maintenance pass a
+    corpus publisher runs between versions: one (metric, value) table of
+    n_added / n_removed / n_changed / n_unchanged, by id membership and
+    content fingerprint (md5 of lower(trim(text)) — the exact-dedup key,
+    so the SQL restatement md5(lower(trim(text))) matches byte-for-byte).
+
+    Scale shape: each side ships ONLY (id, fp, side) rows (never text);
+    same-key bucketing co-locates both versions of an id, the per-bucket
+    classifier is one pandas merge + vectorized comparisons emitting a
+    ≤4-row count partial, and one bounded Sum finishes.  Returns pandas
+    (metric, value) sorted by metric."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.fingerprint import md5_fingerprint
+    from .joins import _bucket_array
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            fps = [md5_fingerprint(t or "")
+                   for t in batch.column(text_col).to_pylist()]
+            return pa.table({
+                id_col: ids,
+                "fp": pa.array(fps, pa.string()),
+                "__bucket": pa.array(_bucket_array(ids, num_buckets)),
+                "__side": pa.array([side] * len(batch), pa.int8()),
+            })
+        return fn
+
+    tagged = ds_a.map_batches(prep(0), batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        ds_b.map_batches(prep(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["__side"] == 0][[id_col, "fp"]]
+        b = g[g["__side"] == 1][[id_col, "fp"]]
+        m = a.merge(b, on=id_col, how="outer", suffixes=("_a", "_b"))
+        in_a = m["fp_a"].notna()
+        in_b = m["fp_b"].notna()
+        rows = {
+            "n_added": int((~in_a & in_b).sum()),
+            "n_removed": int((in_a & ~in_b).sum()),
+            "n_changed": int((in_a & in_b & (m["fp_a"] != m["fp_b"])).sum()),
+            "n_unchanged": int((in_a & in_b & (m["fp_a"] == m["fp_b"])).sum()),
+        }
+        return pd.DataFrame({"metric": list(rows), "n": list(rows.values())})
+
+    out = (
+        tagged.groupby("__bucket", num_partitions=min(num_buckets, 16))
+        .map_groups(classify, batch_format="pandas")
+        .groupby("metric")
+        .aggregate(Sum("n", alias_name="value"))
+        .to_pandas()
+    )
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values("metric").reset_index(drop=True)

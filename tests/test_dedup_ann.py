@@ -1629,3 +1629,48 @@ class TestNearDedupBest:
             s_i, s_j = by[i], by[i + 1]
             want = i if (s_i > s_j or (s_i == s_j)) else i + 1
             assert (want in keep) and ((i + 1 if want == i else i) not in keep)
+
+
+class TestCorpusDiffAndJoinModes:
+    def test_corpus_diff_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import corpus_diff
+
+        a = pa.table({"doc_id": [1, 2, 3, 4],
+                      "text": ["aa", "bb", "cc", "dd"]})
+        b = pa.table({"doc_id": [2, 3, 5],
+                      "text": ["bb", "CC changed", "ee"]})
+        out = corpus_diff(rd.from_arrow(a).repartition(2),
+                          rd.from_arrow(b)).set_index("metric")["value"]
+        assert out["n_added"] == 1       # 5
+        assert out["n_removed"] == 2     # 1, 4
+        assert out["n_changed"] == 1     # 3
+        assert out["n_unchanged"] == 1   # 2
+
+    def test_bucketed_join_left_outer_modes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.joins import bucketed_join
+
+        l = pa.table({"k": [1, 2, 3, 4, 100], "lv": [10, 20, 30, 40, 1000]})
+        r = pa.table({"k2": [2, 4, 5, 200], "rv": ["b", "d", "e", "z"]})
+        left = bucketed_join(rd.from_arrow(l), rd.from_arrow(r),
+                             on="k", right_on="k2", how="left").to_pandas()
+        assert len(left) == 5 and left["rv"].notna().sum() == 2
+        outer = bucketed_join(rd.from_arrow(l), rd.from_arrow(r),
+                              on="k", right_on="k2", how="outer").to_pandas()
+        assert len(outer) == 7
+        assert outer["k"].notna().sum() == 5 and outer["k2"].notna().sum() == 4
+        # int columns stay integral (nullable), never decayed to float64
+        assert str(left["lv"].dtype) == "Int64"
+
+    def test_bucketed_join_bad_how_raises(self, ray_session):
+        import pytest
+
+        from spiderray.stages.joins import bucketed_join
+
+        with pytest.raises(ValueError):
+            bucketed_join(None, None, on="k", how="right")
