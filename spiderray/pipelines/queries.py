@@ -4611,11 +4611,16 @@ def q_audio_report(sf_dir: str):
     count, duration totals/min/max/floor-mean, per-codec + per-sr
     histograms, allowlisted count over the documents-derived clips corpus.
     The only shuffle is the (codec, sr)-pair partial aggregate.  Oracle:
-    the synthetic clip metadata is pure doc_id arithmetic, restated in SQL."""
-    from ..sources.clips import clips_from_documents
+    the synthetic clip metadata is pure doc_id arithmetic, restated in SQL.
+    Metadata derives via clips_metadata_batch — no audio synthesis for a
+    report that never reads the bytes (round-4 review finding)."""
+    from ..sources.clips import clips_metadata_batch
     from ..stages.multimodal import audio_corpus_report
 
-    ds = clips_from_documents(sf_dir).select_columns(["codec", "sr_hz", "dur_ms"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda b: clips_metadata_batch(b.column("doc_id").to_numpy()),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     return audio_corpus_report(ds)
 
 
@@ -4687,14 +4692,14 @@ def q_corpus_diff(sf_dir: str):
 
 SQL_CORPUS_DIFF = """
 WITH v1 AS (
-  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+  SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS fp FROM documents
 ), v2 AS (
   SELECT doc_id,
-         md5(lower(trim(CASE WHEN doc_id % 7 = 0
-                             THEN 'rev2 ' || text ELSE text END))) AS fp
+         md5(lower(trim(coalesce(CASE WHEN doc_id % 7 = 0
+                             THEN 'rev2 ' || text ELSE text END, '')))) AS fp
   FROM documents WHERE doc_id % 13 <> 0
   UNION ALL
-  SELECT doc_id + 5000000, md5(lower(trim('new ' || text)))
+  SELECT doc_id + 5000000, md5(lower(trim(coalesce('new ' || text, ''))))
   FROM documents WHERE doc_id % 11 = 0
 ), j AS (
   SELECT v1.fp AS fp_a, v2.fp AS fp_b

@@ -179,6 +179,22 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_noise)
 
 
+def clips_metadata_batch(indices: np.ndarray) -> pa.Table:
+    """Metadata-only clip rows (codec, sr_hz, dur_ms) — the same per-index
+    arithmetic as synth_clips_batch with no audio/transcript synthesis,
+    for metadata-level passes (e.g. the audio corpus report) that would
+    otherwise generate and immediately discard ~64 KB of audio per row."""
+    idx = np.asarray(indices, dtype=np.int64)
+    srs = np.array(_SR_CHOICES, dtype=np.int64)[idx % len(_SR_CHOICES)]
+    n_samples = srs // 4 + (idx % 5) * srs // 100
+    return pa.table({
+        "codec": pa.array([_CODECS[int(i) % len(_CODECS)] for i in idx],
+                          pa.string()),
+        "sr_hz": pa.array(srs.astype(np.int32)),
+        "dur_ms": pa.array((1000 * n_samples // srs).astype(np.int32)),
+    })
+
+
 def synth_clips_batch(indices: np.ndarray, with_audio: bool = True) -> pa.Table:
     """Generate clip rows for the given clip indices (shard generator; used
     both driver-side and inside map_batches).

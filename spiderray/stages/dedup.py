@@ -1289,8 +1289,10 @@ def near_dedup_best(
         lambda b: b.select([id_col, score_col]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    from .joins import bucketed_join
+
+    id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
     if n_members <= broadcast_max_losers:
-        id_type = ds.schema(fetch_if_missing=True).base_schema.field(id_col).type
         member_arr = pa.concat_arrays([
             b.column("node").cast(id_type).combine_chunks()
             for b in cc.iter_batches(batch_format="pyarrow")
@@ -1308,8 +1310,6 @@ def near_dedup_best(
             member_scores, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
-        from .joins import bucketed_join
-
         scored = bucketed_join(
             proj,
             cc.map_batches(lambda b: pa.table({id_col: b.column("node")}),
@@ -1318,9 +1318,7 @@ def near_dedup_best(
         ).map_batches(lambda b: b.select([id_col, score_col]),
                       batch_format="pyarrow", zero_copy_batch=True)
 
-    from .joins import bucketed_join as _bj
-
-    members = _bj(
+    members = bucketed_join(
         scored,
         cc.map_batches(
             lambda b: pa.table({"node": b.column("node"),
@@ -1341,18 +1339,27 @@ def near_dedup_best(
     )
     # losers = members minus winners, via a broadcast winner-id filter —
     # winners are one per cluster, always far smaller than the member set
-    # (the documented partitioning assumption: #clusters fits one object)
-    winner_arr = pa.concat_arrays([
-        b.column(id_col).combine_chunks()
+    # (the documented partitioning assumption: #clusters fits one object).
+    # Empty winners (pair ids disjoint from ds — e.g. a re-run over an
+    # already-filtered corpus) must not crash concat_arrays (review
+    # finding): every member then counts as a loser, and dropping ids
+    # absent from ds is a no-op.
+    w_chunks = [
+        b.column(id_col).cast(id_type).combine_chunks()
         for b in w.iter_batches(batch_format="pyarrow")
-    ])
+    ]
+    winner_arr = (pa.concat_arrays(w_chunks) if w_chunks
+                  else pa.array([], id_type))
+    wtype = winner_arr.type  # plain type in the closure, NOT the array —
+    # capturing winner_arr would pickle the whole id set into the UDF and
+    # defeat the ray.put broadcast (review finding)
     wref = ray.put(winner_arr)
 
     def losers_only(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         keep = pc.invert(
-            pc.is_in(batch.column("node").cast(winner_arr.type),
+            pc.is_in(batch.column("node").cast(wtype),
                      value_set=_ray.get(wref))
         )
         return pa.table({id_col: batch.filter(keep).column("node")})

@@ -979,8 +979,10 @@ def corpus_diff(ds_a, ds_b, id_col: str = "doc_id", text_col: str = "text",
     """Release-to-release corpus diff — the data-card maintenance pass a
     corpus publisher runs between versions: one (metric, value) table of
     n_added / n_removed / n_changed / n_unchanged, by id membership and
-    content fingerprint (md5 of lower(trim(text)) — the exact-dedup key,
-    so the SQL restatement md5(lower(trim(text))) matches byte-for-byte).
+    content fingerprint (md5 of lower(trim(text)), null text as '' — the
+    exact-dedup key; the byte-for-byte SQL restatement is
+    md5(lower(trim(coalesce(text, '')))), the coalesce matching the
+    engine's null handling — round-4 review finding).
 
     Scale shape: each side ships ONLY (id, fp, side) rows (never text);
     same-key bucketing co-locates both versions of an id, the per-bucket

@@ -37,6 +37,14 @@ def unicode_normalize_batch(batch: pa.Table, text_col: str, form: str = "NFC",
     ascii_only = pc.fill_null(pc.string_is_ascii(col), False).to_numpy(
         zero_copy_only=False
     )
+    if ascii_only.all() and col.null_count == 0:
+        # whole-batch fast path: pure-ASCII text is a fixed point of every
+        # normalization form — no per-row materialization at all
+        if flag_col:
+            batch = batch.append_column(
+                flag_col, pa.array([False] * len(batch), pa.bool_())
+            )
+        return batch
     texts = col.to_pylist()
     norm_fn = unicodedata.normalize
     out = [

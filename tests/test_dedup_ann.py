@@ -1604,6 +1604,24 @@ class TestNearDedupBest:
         ).to_pandas()
         assert sorted(out["doc_id"]) == [2, 10, 20]
 
+
+    def test_pairs_disjoint_from_corpus_is_noop(self, ray_session):
+        """Round-4 review finding: pair ids absent from ds (a re-run over
+        an already-filtered corpus) must be a no-op, not an ArrowInvalid
+        crash in the empty-winners concat."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.dedup import near_dedup_best
+
+        t = pa.table({"doc_id": [1, 2, 3], "n_chars": [1, 2, 3]})
+        out = near_dedup_best(
+            rd.from_arrow(t),
+            self._pairs(ray_session, [(100, 101)]),
+            id_col="doc_id", score_col="n_chars",
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
+
     def test_join_path_matches_broadcast(self, ray_session):
         import numpy as np
         import pyarrow as pa
