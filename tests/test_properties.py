@@ -192,6 +192,86 @@ class TestPerplexityBatchParity:
             assert (s == b) or (np.isinf(s) and np.isinf(b)), (t, s, b)
 
 
+class TestJoinModesVsDuckdb:
+    """Randomized bucketed_join left/outer vs DuckDB on the same inputs —
+    the independent-implementation differential the join family's inner
+    mode already has via q_copartitioned_join."""
+
+    @given(st.integers(0, 2**31 - 1), st.sampled_from(["left", "outer"]))
+    @settings(max_examples=6, deadline=None)
+    def test_matches_duckdb(self, seed, how):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.joins import bucketed_join
+
+        rng = np.random.default_rng(seed)
+        lk = rng.integers(0, 40, 60)
+        rk = rng.integers(20, 60, 50)  # partial overlap + unmatched both sides
+        l = pa.table({"k": lk, "lv": rng.integers(0, 1000, 60)})
+        r = pa.table({"k2": rk, "rv": rng.integers(0, 1000, 50)})
+        got = bucketed_join(rd.from_arrow(l), rd.from_arrow(r),
+                            on="k", right_on="k2", how=how).to_pandas()
+        con = duckdb.connect()
+        con.register("l", l.to_pandas())
+        con.register("r", r.to_pandas())
+        sql_how = "LEFT" if how == "left" else "FULL OUTER"
+        want = con.execute(
+            f"SELECT * FROM l {sql_how} JOIN r ON l.k = r.k2").fetchdf()
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                df[c] = df[c].astype("float64")  # null-safe comparison
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+class TestCorpusDiffVsDuckdb:
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=5, deadline=None)
+    def test_matches_duckdb(self, seed):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import corpus_diff
+
+        rng = np.random.default_rng(seed)
+        ids_a = rng.choice(200, 80, replace=False)
+        ids_b = rng.choice(200, 80, replace=False)
+        texts = [f"text {i % 37}" for i in range(200)]
+        a = pa.table({"doc_id": ids_a,
+                      "text": [texts[i] for i in ids_a]})
+        # ~25% of shared ids get changed text in b
+        b = pa.table({"doc_id": ids_b,
+                      "text": [texts[i] + (" v2" if i % 4 == 0 else "")
+                               for i in ids_b]})
+        got = corpus_diff(rd.from_arrow(a), rd.from_arrow(b)) \
+            .set_index("metric")["value"].to_dict()
+        con = duckdb.connect()
+        con.register("a", a.to_pandas())
+        con.register("b", b.to_pandas())
+        want = con.execute("""
+            WITH v1 AS (SELECT doc_id, md5(lower(trim(coalesce(text,'')))) fp FROM a),
+                 v2 AS (SELECT doc_id, md5(lower(trim(coalesce(text,'')))) fp FROM b),
+                 j AS (SELECT v1.fp fa, v2.fp fb
+                       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT
+              count(*) FILTER (fa IS NULL) AS n_added,
+              count(*) FILTER (fb IS NULL) AS n_removed,
+              count(*) FILTER (fa IS NOT NULL AND fb IS NOT NULL AND fa <> fb) AS n_changed,
+              count(*) FILTER (fa IS NOT NULL AND fb IS NOT NULL AND fa = fb) AS n_unchanged
+            FROM j""").fetchdf().iloc[0].to_dict()
+        assert {k: int(v) for k, v in got.items()} == \
+            {k: int(v) for k, v in want.items()}
+
+
 class TestPslDifferential:
     """The fast public_suffix matcher vs a NAIVE independent evaluator of
     the published PSL algorithm over the same rule tables: enumerate every
