@@ -4720,6 +4720,40 @@ SELECT metric, value FROM (
 """
 
 
+def q_langid_agreement(sf_dir: str):
+    """Language-ID QA diagnostic: the heuristic cascade vs the n-gram
+    model actor, as a (lang, lang_pos, lang_model, n) agreement matrix —
+    the report a corpus owner reads before trusting lang-keyed sampling
+    (disagreement rows are the re-annotation queue).  The model pool scores
+    only rows the heuristic left empty or routed through the lingua
+    branch, exactly as the flagship composes them; the matrix is one
+    bounded keyed count."""
+    from ray.data.aggregate import Count
+
+    from ..config import PipelineConfig
+    from ..stages.langid_stage import batch_detect_lang, langid_model_stage
+
+    _ensure_fixture("q_langid_agreement", sf_dir)
+    cfg = PipelineConfig(text_col="text", langid_concurrency=2)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def heur(batch: pa.Table) -> pa.Table:
+        langs, poss = batch_detect_lang(batch.column("text").to_pylist())
+        batch = batch.append_column("lang", pa.array(list(langs), pa.string()))
+        return batch.append_column("lang_pos", pa.array(list(poss), pa.string()))
+
+    out = langid_model_stage(
+        ds.map_batches(heur, batch_format="pyarrow", zero_copy_batch=True), cfg
+    )
+    agg = (
+        out.groupby(["lang", "lang_pos", "lang_model"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["lang", "lang_pos", "lang_model"]).reset_index(drop=True)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4854,6 +4888,7 @@ QUERIES = {
     "q_audio_report": q_audio_report,
     "q_near_dedup_best": q_near_dedup_best,
     "q_corpus_diff": q_corpus_diff,
+    "q_langid_agreement": q_langid_agreement,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so

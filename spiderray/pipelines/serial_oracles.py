@@ -1778,6 +1778,36 @@ def so_tdigest_quantiles(sf_dir: str) -> pa.Table:
     })
 
 
+
+
+def so_langid_agreement(sf_dir: str) -> pa.Table:
+    """Serial twin of q_langid_agreement: heuristic cascade + one actor
+    instance over the whole table, pandas groupby counts."""
+    from collections import Counter as _Counter
+
+    from ..config import PipelineConfig
+    from ..stages.langid_stage import LangIdModelActor, batch_detect_lang
+
+    t = _docs(sf_dir)
+    texts = t.column("text").to_pylist()
+    langs, poss = batch_detect_lang(texts)
+    actor = LangIdModelActor(PipelineConfig(text_col="text"))
+    counts: _Counter = _Counter()
+    for text, lang, pos in zip(texts, langs, poss):
+        if pos in ("", "lingua"):
+            model, _ = actor._score(text or "")
+        else:
+            model = ""
+        counts[(lang, pos, model)] += 1
+    keys = sorted(counts)
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "lang_pos": pa.array([k[1] for k in keys], pa.string()),
+        "lang_model": pa.array([k[2] for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
@@ -1818,6 +1848,7 @@ SERIAL_ORACLES = {
     "q_dup_clusters": so_dup_clusters,
     "q_near_dedup": so_near_dedup,
     "q_near_dedup_best": so_near_dedup_best,
+    "q_langid_agreement": so_langid_agreement,
     "q_simhash_pairs": so_simhash_pairs,
     "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
     "q_chunk_dedup": so_chunk_dedup,
