@@ -125,7 +125,7 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.stats import corpus_diff, grouped_split, mixture_plan
+from .stages.stats import corpus_diff, grouped_split, mixture_plan, weighted_sample
 from .stages.textindex import build_inverted_index, lookup_postings
 from .stages.windows import duration_bucket_batches, epoch_order
 
@@ -179,4 +179,5 @@ __all__ = [
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
     "unicode_normalize_stage", "audio_corpus_report", "corpus_diff",
+    "weighted_sample",
 ]

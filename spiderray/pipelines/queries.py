@@ -4754,6 +4754,22 @@ def q_langid_agreement(sf_dir: str):
     return agg.sort_values(["lang", "lang_pos", "lang_model"]).reset_index(drop=True)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (stages/stats.weighted_sample,
+    Efraimidis-Spirakis A-ES): 100 documents drawn with probability
+    proportional to n_chars, membership deterministic from (salt, id,
+    weight) alone.  Output is the sampled id set (floats stay internal so
+    the hash compares exact integers)."""
+    from ..stages.stats import weighted_sample
+
+    _ensure_fixture("q_weighted_sample", sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, 100, weight_col="n_chars", id_col="doc_id")
+    df = out.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -4889,6 +4905,7 @@ QUERIES = {
     "q_near_dedup_best": q_near_dedup_best,
     "q_corpus_diff": q_corpus_diff,
     "q_langid_agreement": q_langid_agreement,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 # The grading driver hash-checks only the FIRST 50 entries of QUERIES, so

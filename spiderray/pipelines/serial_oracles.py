@@ -1808,6 +1808,30 @@ def so_langid_agreement(sf_dir: str) -> pa.Table:
     })
 
 
+
+
+def so_weighted_sample(sf_dir: str) -> pa.Table:
+    """Serial twin of q_weighted_sample: identical A-ES arithmetic row by
+    row, top-100 by key."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    rows = []
+    for i, w in zip(full.column("doc_id").to_pylist(),
+                    full.column("n_chars").to_pylist()):
+        if w is None or w <= 0:
+            continue
+        u = (int(hashlib.md5(f"{i}".encode()).hexdigest()[:13], 16) + 1.0) \
+            / float(16 ** 13)
+        rows.append((np.log(u) / float(w), int(i)))
+    rows.sort(reverse=True)
+    kept = sorted(i for _, i in rows[:100])
+    return pa.table({"doc_id": pa.array(kept, pa.int64())})
+
+
 SERIAL_ORACLES = {
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
@@ -1849,6 +1873,7 @@ SERIAL_ORACLES = {
     "q_near_dedup": so_near_dedup,
     "q_near_dedup_best": so_near_dedup_best,
     "q_langid_agreement": so_langid_agreement,
+    "q_weighted_sample": so_weighted_sample,
     "q_simhash_pairs": so_simhash_pairs,
     "q_ngram_jaccard_pairs": so_ngram_jaccard_pairs,
     "q_chunk_dedup": so_chunk_dedup,

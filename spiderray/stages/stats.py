@@ -1037,3 +1037,40 @@ def corpus_diff(ds_a, ds_b, id_col: str = "doc_id", text_col: str = "text",
     )
     out["value"] = out["value"].astype("int64")
     return out.sort_values("metric").reset_index(drop=True)
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    salt: str = ""):
+    """EXACT-size weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, Inf. Process. Lett. 2006): each row draws u ~ U(0,1] from
+    md5('<salt>:<id>') and ranks by key = ln(u)/w — the top-k keys are a
+    weighted sample without replacement (u^(1/w) order, log-domain for
+    stability).  Deterministic and merge-friendly like bottomk_sample:
+    per-batch partial top-k heads (≤ k rows leave each batch), one bounded
+    final sort — membership depends only on (salt, id, weight), never on
+    partitioning.  Rows with weight <= 0 are excluded.  Returns the
+    sampled rows plus their ``es_key``."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pre = f"{salt}:" if salt else ""
+        # 13 hex chars = 52 bits — exactly representable in float64
+        u = np.fromiter(
+            (int(hashlib.md5(f"{pre}{i}".encode()).hexdigest()[:13], 16)
+             for i in ids),
+            dtype=np.float64, count=len(ids),
+        )
+        u = (u + 1.0) / float(16 ** 13)  # U(0, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        ok = w > 0
+        batch = batch.append_column("es_key", pa.array(key, pa.float64()))
+        batch = batch.filter(pa.array(ok))
+        order = np.argsort(
+            batch.column("es_key").to_numpy(zero_copy_only=False))[::-1][:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("es_key", descending=True).limit(k)

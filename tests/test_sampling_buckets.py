@@ -84,3 +84,33 @@ class TestGroupedQuantileBuckets:
         # cuts from 1..9 only: 3 → head, 6 → middle, 9 → tail
         got = out[out.x > 0].set_index("x")["bucket"]
         assert got[3] == "head" and got[6] == "middle" and got[9] == "tail"
+
+
+class TestWeightedSample:
+    def test_exact_k_deterministic_and_weight_biased(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import weighted_sample
+
+        n = 2000
+        # two strata: heavy rows (w=50) vs light rows (w=1)
+        w = np.where(np.arange(n) % 2 == 0, 50, 1)
+        t = pa.table({"doc_id": np.arange(n), "w": w})
+        a = weighted_sample(rd.from_arrow(t).repartition(7), 100, "w").to_pandas()
+        b = weighted_sample(rd.from_arrow(t).repartition(3), 100, "w").to_pandas()
+        assert len(a) == 100
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-invariant
+        heavy = (a["doc_id"] % 2 == 0).sum()
+        assert heavy > 80  # 50x weight dominates the sample
+
+    def test_nonpositive_weights_excluded(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import weighted_sample
+
+        t = pa.table({"doc_id": [1, 2, 3, 4], "w": [0, -1, 5, 2]})
+        out = weighted_sample(rd.from_arrow(t), 10, "w").to_pandas()
+        assert sorted(out["doc_id"]) == [3, 4]
