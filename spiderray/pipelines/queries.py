@@ -3560,6 +3560,74 @@ def q_video_frames(sf_dir: str):
     return out.select_columns(["clip_id", "frame_index", "decode_ok"])
 
 
+def _synth_neardup_image_rows(batch: pa.Table) -> pa.Table:
+    """Deterministic image corpus with planted near-duplicates (shared with
+    the q_image_near_dup serial oracle).  Per doc:
+
+    - base image img_id=10*doc_id: 24x32 RGB from a seeded PCG64 stream
+      (hash-diverse — random pixels make perceptual hashes uniform, so
+      non-planted pairs sit ~32 bits apart), encoded PPM;
+    - every 7th doc (doc_id % 7 == 3) also emits img_id=10*doc_id+1: the
+      SAME pixels re-encoded as PNG with four green values nudged +1 —
+      a format-conversion + tiny-retouch near-dup (luma shifts < 1 LSB,
+      so dhash stays within the hamming<=3 pigeonhole window);
+    - every 11th doc (doc_id % 11 == 5) emits img_id=10*doc_id+2: a
+      mid-stream-truncated PNG — the decode_ok=False mark-don't-crash
+      stratum, filtered out before pair collection."""
+    from ..stages.image import encode_png, encode_ppm
+
+    ids = batch.column("doc_id").to_numpy()
+    out_ids, bufs, fmts = [], [], []
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.int64).astype(np.uint8)
+        out_ids.append(10 * i)
+        bufs.append(encode_ppm(img))
+        fmts.append("ppm")
+        if i % 7 == 3:
+            dup = img.copy()
+            for r, c in ((3, 5), (10, 20), (17, 9), (22, 30)):
+                dup[r, c, 1] = min(int(dup[r, c, 1]) + 1, 255)
+            out_ids.append(10 * i + 1)
+            bufs.append(encode_png(dup))
+            fmts.append("png")
+        if i % 11 == 5:
+            broken = encode_png(img)
+            out_ids.append(10 * i + 2)
+            bufs.append(broken[: len(broken) // 2])
+            fmts.append("png")
+    return pa.table(
+        {
+            "img_id": pa.array(out_ids, pa.int64()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "format": pa.array(fmts, pa.string()),
+        }
+    )
+
+
+def q_image_near_dup(sf_dir: str):
+    """Perceptual-hash image near-dup (stages/image.image_near_dup_pairs):
+    actor-pool decode → integer-exact dHash64 (functions/imagehash.py) →
+    the shared 4-chunk pigeonhole hamming LSH (stages/dedup.hamming64_pairs,
+    exact for distance <= 3).  Corpus: hash-diverse random images with a
+    planted PNG-re-encoded +1-green near-dup every 7th doc and a truncated
+    decode-failure stratum every 11th.  Oracle: serial decode + same dHash
+    bank, INDEPENDENT bucket/verify orchestration (so_image_near_dup)."""
+    _ensure_fixture("q_image_near_dup", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.image import image_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    imgs = ds.map_batches(_synth_neardup_image_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cfg = PipelineConfig(id_col="img_id")
+    pairs = image_near_dup_pairs(imgs, cfg, hash_kind="dhash", max_hamming=3,
+                                 concurrency=4)
+    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
     """Planted near-duplicates for q_semantic_dedup (shared with its serial
     oracle): every 25th vector gets a copy at id + 1_000_000, perturbed by
@@ -4827,6 +4895,7 @@ QUERIES = {
     "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,
+    "q_image_near_dup": q_image_near_dup,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,

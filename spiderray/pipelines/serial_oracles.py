@@ -567,6 +567,42 @@ def so_image_features(sf_dir: str) -> pa.Table:
     )
 
 
+def so_image_near_dup(sf_dir: str) -> pa.Table:
+    """Serial twin for q_image_near_dup: same decode + dHash bank
+    (established shared-bank pattern), INDEPENDENT pair orchestration —
+    dict-bucketed 16-bit pigeonhole chunks via ``_bucket_pairs`` (with the
+    engine's MAX_BUCKET cap) + per-pair popcount verification, no Ray, no
+    pandas self-merge."""
+    from ..functions.imagehash import dhash64, hamming64_u64
+    from ..stages.image import ImageDecodeUnsupported, decode_image
+    from .queries import _synth_neardup_image_rows
+
+    imgs = _synth_neardup_image_rows(_docs(sf_dir, ("doc_id",)))
+    ids_raw = imgs.column("img_id").to_numpy()
+    bufs = imgs.column("bytes").to_pylist()
+    fmts = imgs.column("format").to_pylist()
+    kept_ids, hashes = [], []
+    for i, buf, fmt in zip(ids_raw, bufs, fmts):
+        try:
+            img = decode_image(buf or b"", fmt or "")
+        except (ImageDecodeUnsupported, ValueError, IndexError, MemoryError):
+            continue  # the truncated stratum: engine filters decode_ok=False
+        kept_ids.append(int(i))
+        hashes.append(dhash64(img))
+    ids = np.asarray(kept_ids, dtype=np.int64)
+    cand = _bucket_pairs(
+        ids,
+        lambda r: ((ci, (hashes[r] >> (16 * ci)) & 0xFFFF) for ci in range(4)),
+    )
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    ok = {
+        (a, b)
+        for a, b in cand
+        if hamming64_u64(hashes[id_to_row[a]], hashes[id_to_row[b]]) <= 3
+    }
+    return _pairs_table(ok)
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -1893,6 +1929,7 @@ SERIAL_ORACLES = {
     "q_adpcm_roundtrip": so_adpcm_roundtrip,
     "q_image_features": so_image_features,
     "q_video_frames": so_video_frames,
+    "q_image_near_dup": so_image_near_dup,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

@@ -322,25 +322,35 @@ def _verify_candidate_pairs(
     return j.map_batches(verify_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_pairs(
-    ds,
-    text_col: str = "text",
+def hamming64_pairs(
+    hash_ds,
     id_col: str = "doc_id",
+    hash_col: str = "sim",
     max_hamming: int = 3,
 ):
-    """SimHash near-dup pairs within hamming distance <= max_hamming via the
-    4-chunk pigeonhole LSH (any pair within distance 3 shares a 16-bit
-    chunk)."""
+    """Pairs within hamming distance <= max_hamming over a 64-bit hash
+    column via the 4-chunk pigeonhole LSH: split each hash into four 16-bit
+    chunks — any pair with <= 3 differing bits must agree on at least one
+    chunk, so the collection is EXACT for max_hamming <= 3 (modulo the
+    MAX_BUCKET degenerate-bucket cap, which the serial twins mirror).
+
+    Shared kernel for every 64-bit fingerprint family: text SimHash
+    (``simhash_pairs``) and perceptual image hashes
+    (stages/image.image_near_dup_pairs).  Only (bucket, id, hash) rows
+    shuffle — 64-bit hashes, never payloads."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"4-chunk pigeonhole guarantees completeness only for "
+            f"max_hamming <= 3 (got {max_hamming})")
 
     def add_chunks(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column(text_col).to_pylist()]
-        n = len(texts)
-        sims = fp.simhash64_batch(texts)  # vectorized batch kernel
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
         # explode the 4 pigeonhole chunks per row vectorized
         chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
         shifts = (np.uint64(16) * chunk_ids.astype(np.uint64))
-        sims_rep = np.repeat(sims, 4)
-        chunks = ((sims_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        h_rep = np.repeat(h, 4)
+        chunks = ((h_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         parts = ((chunks * 4 + chunk_ids) % N_PARTS).astype(np.int32)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
@@ -349,7 +359,7 @@ def simhash_pairs(
                 "chunk_id": pa.array(chunk_ids),
                 "chunk": pa.array(chunks),
                 id_col: pa.array(np.repeat(ids, 4)),
-                "sim": pa.array(sims_rep, pa.uint64()),
+                "sim": pa.array(h_rep, pa.uint64()),
             }
         )
 
@@ -366,7 +376,7 @@ def simhash_pairs(
         return np.where(d <= max_hamming, d.astype(np.float64), np.nan)
 
     pairs = (
-        ds.map_batches(add_chunks, batch_format="pyarrow", zero_copy_batch=True)
+        hash_ds.map_batches(add_chunks, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(
             lambda g: _merge_pairs_in_part(g, ["chunk_id", "chunk"], id_col, "sim", verify_vec),
@@ -374,6 +384,33 @@ def simhash_pairs(
         )
     )
     return _dedup_pairs(pairs)
+
+
+def simhash_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """SimHash near-dup pairs within hamming distance <= max_hamming via the
+    4-chunk pigeonhole LSH (any pair within distance 3 shares a 16-bit
+    chunk).  Hash computation here, pair collection in the shared
+    ``hamming64_pairs`` kernel (bit-identical to the pre-refactor fused
+    form: same chunk/part arithmetic, same verification)."""
+
+    def add_sim(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        sims = fp.simhash64_batch(texts)  # vectorized batch kernel
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "sim": pa.array(sims, pa.uint64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_sim, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming64_pairs(hashed, id_col=id_col, hash_col="sim",
+                           max_hamming=max_hamming)
 
 
 def ngram_jaccard_pairs(

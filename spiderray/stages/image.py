@@ -631,3 +631,93 @@ def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+class ImageHashActor:
+    """Actor-pool stage: decode + 64-bit perceptual hash per image.
+
+    Columns in: (id, bytes, format); out: (id, hash64:uint64,
+    decode_ok:bool).  ``hash_kind`` picks ``dhash`` (integer-exact
+    difference hash, the conformance default) or ``phash`` (DCT hash,
+    robust to mild tonal edits).  Corrupt input marks the row
+    (decode_ok=False, hash64=0), never kills the task — the near-dup
+    caller filters the marks out before pair collection."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 hash_kind: str = "dhash"):
+        from ..functions import imagehash as ih
+
+        self.cfg = cfg or PipelineConfig()
+        if hash_kind not in ("dhash", "phash"):
+            raise ValueError(f"unknown hash_kind {hash_kind!r}")
+        self._hash = ih.dhash64 if hash_kind == "dhash" else ih.phash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        fmts = batch.column("format").to_pylist()
+        ids = batch.column(self.cfg.id_col)
+        ok, hashes = [], []
+        for buf, fmt in zip(bufs, fmts):
+            try:
+                img = decode_image(buf or b"", fmt or "")
+            except (ImageDecodeUnsupported, ValueError, IndexError,
+                    MemoryError):
+                ok.append(False)
+                hashes.append(0)
+                continue
+            ok.append(True)
+            hashes.append(self._hash(img))
+        return pa.table({
+            self.cfg.id_col: ids,
+            "hash64": pa.array(np.asarray(hashes, dtype=np.uint64),
+                               pa.uint64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+def image_hash_stage(ds, cfg: PipelineConfig, hash_kind: str = "dhash",
+                     concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        ImageHashActor,
+        fn_constructor_args=(cfg, hash_kind),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 128, 128),  # image rows are wide
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
+
+
+def image_near_dup_pairs(ds, cfg: PipelineConfig | None = None,
+                         hash_kind: str = "dhash", max_hamming: int = 3,
+                         concurrency: int | tuple[int, int] = 4):
+    """Near-duplicate IMAGE pairs: perceptual 64-bit hash per image
+    (actor-pool decode, functions/imagehash.py) -> the shared 4-chunk
+    pigeonhole hamming LSH (stages/dedup.hamming64_pairs, exact for
+    max_hamming <= 3).  The image near-dup analog of the text SimHash
+    family and the acoustic-fingerprint audio family — re-encodes,
+    tiny retouches and format conversions of the same picture collapse
+    to pairs while payload bytes never shuffle (only (bucket, id,
+    hash64) rows move).
+
+    Returns (id_a, id_b, score=hamming distance) — feed into
+    ``dup_connected_components`` / ``near_dedup`` exactly like the text
+    pair families."""
+    from .dedup import hamming64_pairs
+
+    cfg = cfg or PipelineConfig()
+    hashed = image_hash_stage(ds, cfg, hash_kind=hash_kind,
+                              concurrency=concurrency)
+    decoded = hashed.map_batches(
+        lambda b: b.filter(b.column("decode_ok")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).select_columns([cfg.id_col, "hash64"])
+    return hamming64_pairs(decoded, id_col=cfg.id_col, hash_col="hash64",
+                           max_hamming=max_hamming)
