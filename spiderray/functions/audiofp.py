@@ -416,3 +416,45 @@ def clipping_stats(pcm: np.ndarray, sr: int, clip_thresh: float = 0.999) -> dict
     out["max_clip_run_ms"] = _max_run(clipped) * 1000.0 / sr
     out["max_zero_run_ms"] = _max_run(a == 0.0) * 1000.0 / sr
     return out
+
+
+# --------------------------------------------------------------------------
+# Effective-bandwidth estimate: fake-sample-rate / upsample detection
+# --------------------------------------------------------------------------
+#
+# Speech corpora routinely contain clips whose container sample rate lies:
+# 8 kHz telephony or low-bitrate-codec output resampled to 16/44.1 kHz has
+# (near-)zero energy above the ORIGINAL Nyquist.  The spectral-rolloff
+# estimate below recovers the effective bandwidth — the frequency below
+# which ``energy_q`` of the spectral energy sits — so a quality gate can
+# flag "upsampled" clips whose bandwidth is a small fraction of the
+# container Nyquist.  Standard practice in TTS/ASR data pipelines (e.g.
+# bandwidth filtering in large-scale speech corpus papers); kernel is one
+# rFFT + cumsum per clip.
+
+BANDWIDTH_ENERGY_Q = 0.99    # rolloff quantile
+BANDWIDTH_MAX_SAMPLES = 1 << 17   # analysis cap: ~8 s at 16 kHz, one rFFT
+MIN_BW_RATIO = 0.55          # bw/nyquist below this → flagged upsampled
+
+
+def bandwidth_stats(pcm: np.ndarray, sr: int,
+                    energy_q: float = BANDWIDTH_ENERGY_Q) -> dict:
+    """Effective bandwidth of a PCM clip via spectral energy rolloff.
+
+    Returns ``bw_hz`` (smallest frequency containing ``energy_q`` of the
+    power-spectrum energy over the first BANDWIDTH_MAX_SAMPLES samples)
+    and ``bw_ratio`` (bw_hz / (sr/2)).  Zeros for empty/silent input."""
+    out = {"bw_hz": 0.0, "bw_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    spec = np.abs(np.fft.rfft(x))
+    spec *= spec
+    total = spec.sum()
+    if total <= 0.0:
+        return out
+    k = int(np.searchsorted(np.cumsum(spec), energy_q * total))
+    bw = k * sr / len(x)          # rFFT bin width = sr / n_samples
+    out["bw_hz"] = float(bw)
+    out["bw_ratio"] = float(bw / (sr / 2.0))
+    return out

@@ -3628,6 +3628,68 @@ def q_image_near_dup(sf_dir: str):
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _bandlimited_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the effective-bandwidth gate (shared
+    with the q_audio_bandwidth serial oracle).  Per doc_id i at sr=16 kHz /
+    0.5 s: low sines (400–1800 Hz) always; every 3rd clip STOPS there —
+    band-limited content behind a 16 kHz container, i.e. a fake sample
+    rate — while the rest add near-Nyquist sines (5.2 / 7.3 kHz) plus
+    broadband noise (genuine wideband).  Every 17th row ships as an
+    undecodable 'opus' stratum (decode_ok=False path)."""
+    from ..sources.clips import _NOISE, _sine_term
+
+    sr, n = 16000, 8000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"bw_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        wave = _sine_term(400.0 + (i % 9) * 150.0, sr, n).copy()
+        wave += 0.5 * _sine_term(1800.0 - (i % 7) * 50.0, sr, n)
+        if i % 3 != 0:
+            wave += 0.4 * _sine_term(5200.0, sr, n)
+            wave += 0.3 * _sine_term(7300.0, sr, n)
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave += _NOISE[off:off + n] * 0.05
+        wave = wave * (0.45 * 32767.0)
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_bandwidth(sf_dir: str):
+    """Effective-bandwidth / fake-sample-rate gate (stages/audioquality.
+    audio_bandwidth_stage): actor-pool decode → spectral 99%-energy rolloff
+    (functions/audiofp.bandwidth_stats) → ``upsampled`` flag when the
+    rolloff sits below 0.55× the container Nyquist.  Corpus plants a
+    band-limited stratum (content ≤1.8 kHz in a 16 kHz container) among
+    genuine wideband clips and an undecodable stratum.  Oracle: serial
+    decode + same rolloff kernel per row (so_audio_bandwidth)."""
+    _ensure_fixture("q_audio_bandwidth", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_bandwidth_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    clips = ds.map_batches(_bandlimited_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_bandwidth_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "bw_hz", "bw_ratio", "upsampled"])
+
+
 def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
     """Planted near-duplicates for q_semantic_dedup (shared with its serial
     oracle): every 25th vector gets a copy at id + 1_000_000, perturbed by
@@ -4896,6 +4958,7 @@ QUERIES = {
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,
     "q_image_near_dup": q_image_near_dup,
+    "q_audio_bandwidth": q_audio_bandwidth,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,

@@ -603,6 +603,42 @@ def so_image_near_dup(sf_dir: str) -> pa.Table:
     return _pairs_table(ok)
 
 
+def so_audio_bandwidth(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_bandwidth: same corpus generator + decode +
+    rolloff kernel per row, plain loop, no Ray."""
+    from ..functions.audiofp import MIN_BW_RATIO, bandwidth_stats
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _bandlimited_clips_batch
+
+    clips = _bandlimited_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "decode_ok": [], "bw_hz": [], "bw_ratio": [],
+           "upsampled": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            stats = bandwidth_stats(_decode_one(buf or b"", codec or ""),
+                                    int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            stats = {"bw_hz": 0.0, "bw_ratio": 0.0}
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["bw_hz"].append(stats["bw_hz"])
+        out["bw_ratio"].append(stats["bw_ratio"])
+        out["upsampled"].append(ok and stats["bw_ratio"] > 0.0
+                                and stats["bw_ratio"] < MIN_BW_RATIO)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "bw_hz": pa.array(out["bw_hz"], pa.float32()),
+        "bw_ratio": pa.array(out["bw_ratio"], pa.float32()),
+        "upsampled": pa.array(out["upsampled"], pa.bool_()),
+    })
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -1930,6 +1966,7 @@ SERIAL_ORACLES = {
     "q_image_features": so_image_features,
     "q_video_frames": so_video_frames,
     "q_image_near_dup": so_image_near_dup,
+    "q_audio_bandwidth": so_audio_bandwidth,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

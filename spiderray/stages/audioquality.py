@@ -688,3 +688,71 @@ def silence_trim_stage(ds, cfg: PipelineConfig, frame_ms: int = 20,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# Effective-bandwidth gate: flag upsampled / fake-sample-rate clips
+# --------------------------------------------------------------------------
+
+_BW_COLS = ("bw_hz", "bw_ratio")
+
+
+class AudioBandwidthActor:
+    """Decode + effective-bandwidth columns and the ``upsampled`` gate flag
+    (kernel: functions/audiofp.bandwidth_stats — spectral energy rolloff).
+
+    A clip whose 99%-energy rolloff sits far below the container Nyquist
+    carries band-limited content behind a lying sample rate (8 kHz
+    telephony resampled to 16/44.1 kHz, low-bitrate codec round-trips) —
+    a standard drop/downweight signal in speech-corpus preparation.
+    Undecodable clips mark ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_bw_ratio: float | None = None):
+        from ..functions.audiofp import MIN_BW_RATIO
+
+        self.cfg = cfg or PipelineConfig()
+        self.min_bw_ratio = (MIN_BW_RATIO if min_bw_ratio is None
+                             else min_bw_ratio)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import bandwidth_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _BW_COLS}
+        ok, upsampled = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = bandwidth_stats(pcm, int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _BW_COLS}
+                ok.append(False)
+            for k in _BW_COLS:
+                cols[k].append(stats[k])
+            upsampled.append(ok[-1] and stats["bw_ratio"] > 0.0
+                             and stats["bw_ratio"] < self.min_bw_ratio)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _BW_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        return batch.append_column("upsampled", pa.array(upsampled, pa.bool_()))
+
+
+def audio_bandwidth_stage(ds, cfg: PipelineConfig,
+                          concurrency: int | tuple[int, int] = 4,
+                          min_bw_ratio: float | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioBandwidthActor,
+        fn_constructor_args=(cfg, min_bw_ratio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

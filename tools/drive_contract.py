@@ -54,8 +54,12 @@ def vhash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
-names = [n for n in list(queries)[:first_n] if n in oracle]
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    # explicit query names: drive just these (targeted per-commit verify)
+    names = [n for n in sys.argv[1].split(",") if n in oracle]
+else:
+    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+    names = [n for n in list(queries)[:first_n] if n in oracle]
 fail = 0
 for name in names:
     try:
