@@ -4033,6 +4033,56 @@ def q_c4_span_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Dolma-style GLOBAL paragraph dedup (stages/c4.paragraph_dedup):
+    every doc gets a 17-way-shared boilerplate header and a 23-way-shared
+    footer injected as paragraphs; corpus-wide, each duplicated paragraph
+    survives only at its global-minimum (doc_id, index) occurrence and
+    documents are rebuilt newline-joined.  Oracle: literal SQL — unnest
+    paragraphs with ordinality, row_number window picks the winner,
+    string_agg rebuilds."""
+    from ..stages.c4 import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [f"boiler {int(i) % 17}\n{t or ''}\nfooter {int(i) % 23}"
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    out = paragraph_dedup(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH injected AS (
+  SELECT doc_id,
+         'boiler ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || text ||
+         chr(10) || 'footer ' || CAST(doc_id % 23 AS VARCHAR) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+  FROM injected
+), ranked AS (
+  SELECT doc_id, para, idx,
+         CASE WHEN length(para) = 0 THEN 1
+              ELSE row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+         END AS rn
+  FROM paras
+)
+SELECT i.doc_id,
+       coalesce(string_agg(r.para, chr(10) ORDER BY r.idx), '') AS text
+FROM injected i LEFT JOIN ranked r ON r.doc_id = i.doc_id AND r.rn = 1
+GROUP BY i.doc_id ORDER BY i.doc_id
+"""
+
+
 def q_grouped_quantiles_approx(sf_dir: str):
     """Bounded-error per-group quantiles over a CONTINUOUS column
     (stages/stats.grouped_quantiles_approx — the grouped companion of
@@ -4975,6 +5025,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_c4_filters": q_c4_filters,
     "q_c4_span_dedup": q_c4_span_dedup,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_substring_dedup": q_substring_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
@@ -5153,6 +5204,7 @@ ORACLE_SQL = {
     "q_copartitioned_join": SQL_COPARTITIONED_JOIN,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
+    "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite

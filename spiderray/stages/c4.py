@@ -86,7 +86,19 @@ def c4_span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(losers_in_part, batch_format="pandas")
     )
 
-    # bucket docs and loser rows identically on hash(id); text crosses once
+    return _rebuild_minus_losers(
+        ds, losers, id_col, text_col, n_parts,
+        lambda t, starts: c4.remove_spans(t, starts))
+
+
+def _rebuild_minus_losers(ds, losers, id_col: str, text_col: str,
+                          n_parts: int, rebuild_doc):
+    """Second exchange shared by the global-unit dedup family (C4 spans,
+    Dolma paragraphs): bucket doc payloads and (id, start) loser rows
+    identically on hash(id), then rebuild each touched document with
+    ``rebuild_doc(text, starts: list[int]) -> str``; untouched documents
+    pass through byte-identical.  Text crosses the wire exactly once."""
+
     def _id_part(ids: pa.ChunkedArray) -> pa.Array:
         # same integer-or-crc32 bucketing as windows._add_part so string
         # ids (urls, uuids) work; both sides of the second exchange share it
@@ -133,8 +145,71 @@ def c4_span_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         for i, t in zip(docs[id_col], docs[text_col]):
             starts = starts_by_id.get(i)
             out_texts.append(
-                c4.remove_spans(t or "", starts) if starts else (t or ""))
+                rebuild_doc(t or "", starts) if starts else (t or ""))
         return pd.DataFrame({id_col: docs[id_col].to_numpy(),
                              text_col: out_texts})
 
     return tagged.groupby("__part").map_groups(rebuild, batch_format="pandas")
+
+
+def paragraph_hash(para: str) -> int:
+    """uint64 blake2b of the EXACT paragraph bytes — Dolma deduplicates
+    verbatim paragraphs, unlike C4's normalized sentence spans."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(para.encode(), digest_size=8).digest(), "big")
+
+
+def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    n_parts: int = N_PARTS):
+    """Dolma-style GLOBAL paragraph deduplication (Soldaini et al. 2024
+    §2.3: duplicate paragraphs removed corpus-wide): every
+    newline-delimited paragraph occurring more than once keeps only its
+    global-minimum (id, index) occurrence; empty paragraphs are never
+    candidates (they are structure, not content).  Documents are rebuilt
+    from surviving paragraphs newline-joined in original order; untouched
+    documents pass through byte-identical.
+
+    Same two-exchange scale shape as ``c4_span_dedup``: 20-byte
+    (hash, id, idx) rows shuffle by hash(paragraph) to resolve losers,
+    loser (id, idx) rows shuffle by hash(id) into the documents' buckets,
+    text crosses once.  Dolma implements this with a Bloom filter (false
+    positives drop extra paragraphs); the exchange here is exact."""
+
+    def paras(batch: pa.Table) -> pa.Table:
+        ids_out, hashes, idxs = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for j, p in enumerate((t or "").split("\n")):
+                if p:
+                    ids_out.append(i)
+                    hashes.append(paragraph_hash(p))
+                    idxs.append(j)
+        h = np.asarray(hashes, dtype=np.uint64)
+        id_type = batch.column(id_col).type
+        return pa.table({
+            id_col: pa.array(ids_out, id_type),
+            "start": pa.array(idxs, pa.int32()),
+            "__part": pa.array((h % n_parts).astype(np.int32)),
+            "h": pa.array(h, pa.uint64()),
+        })
+
+    def losers_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col, "start"], kind="mergesort")
+        dup = g.duplicated("h", keep="first")  # first (min id, idx) wins
+        return g.loc[dup, [id_col, "start"]]
+
+    losers = (
+        ds.map_batches(paras, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(losers_in_part, batch_format="pandas")
+    )
+
+    def rebuild_doc(t: str, starts: list[int]) -> str:
+        drop = set(starts)
+        return "\n".join(p for j, p in enumerate(t.split("\n"))
+                         if j not in drop)
+
+    return _rebuild_minus_losers(ds, losers, id_col, text_col, n_parts,
+                                 rebuild_doc)

@@ -661,6 +661,41 @@ class TestC4:
         out = c4_span_dedup(rd.from_items([doc])).to_pandas()
         assert out.iloc[0]["text"] == span + " Middle unique."
 
+    def test_paragraph_dedup_stage(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup
+
+        docs = [
+            {"doc_id": 1, "text": "shared header\nunique one\nshared footer"},
+            {"doc_id": 2, "text": "shared header\nunique two\nshared footer"},
+            {"doc_id": 3, "text": "all mine\n\nstill mine"},
+        ]
+        out = paragraph_dedup(rd.from_items(docs)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "text"] == docs[0]["text"]  # min-id winner untouched
+        assert out.loc[2, "text"] == "unique two"
+        assert out.loc[3, "text"] == docs[2]["text"]  # empty para preserved
+
+    def test_paragraph_dedup_intra_doc_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup
+
+        doc = {"doc_id": 9, "text": "dup\n\ndup\nkeep\ndup"}
+        out = paragraph_dedup(rd.from_items([doc])).to_pandas()
+        # first occurrence wins; empty line is structure, never a candidate
+        assert out.iloc[0]["text"] == "dup\n\nkeep"
+
+    def test_paragraph_dedup_string_ids(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup
+
+        docs = [{"doc_id": "b", "text": "x\ny"}, {"doc_id": "a", "text": "x\nz"}]
+        out = paragraph_dedup(rd.from_items(docs)).to_pandas().set_index("doc_id")
+        assert out.loc["a", "text"] == "x\nz"  # 'a' < 'b' wins the dup
+        assert out.loc["b", "text"] == "y"
+
     def test_filter_stage_modes(self, ray_session):
         import pytest
         import ray.data as rd
