@@ -3628,6 +3628,66 @@ def q_image_near_dup(sf_dir: str):
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_threshold_sweep(sf_dir: str):
+    """Quality-classifier calibration sweep (stages/stats.threshold_sweep):
+    per candidate keep-threshold, confusion counts + precision/recall/F1
+    of ``score >= t`` — the table that picks a quality filter's operating
+    point.  Scores are a deterministic doc_id LCG uniform shifted +0.4 for
+    positives (labels = doc_id % 3 == 0) so the sweep has a real knee.
+    Oracle: literal SQL — grid CROSS JOIN + FILTER counts, identical
+    float64 expression order for the ratios."""
+    from ..stages.stats import threshold_sweep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def scored(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        label = i % 3 == 0
+        score = (0.6 * (((i * 1103515245 + 12345) % 1000).astype(np.float64)
+                        / 1000.0)
+                 + np.where(label, 0.4, 0.0))
+        return pa.table({"score": pa.array(score, pa.float64()),
+                         "label": pa.array(label, pa.bool_())})
+
+    return threshold_sweep(
+        ds.map_batches(scored, batch_format="pyarrow", zero_copy_batch=True),
+        "score", "label",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH scored AS (
+  SELECT (doc_id % 3 = 0) AS label,
+         0.6 * (CAST((doc_id * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0)
+         + CASE WHEN doc_id % 3 = 0 THEN 0.4 ELSE 0.0 END AS score
+  FROM documents
+), grid AS (
+  SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr
+), agg AS (
+  SELECT g.thr,
+         CAST(count(*) FILTER (s.label AND s.score >= g.thr) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (NOT s.label AND s.score >= g.thr) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (s.label AND s.score < g.thr) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (NOT s.label AND s.score < g.thr) AS BIGINT) AS tn
+  FROM grid g CROSS JOIN scored s GROUP BY g.thr
+), ratios AS (
+  SELECT thr, tp, fp, fn, tn,
+         CASE WHEN tp + fp > 0
+              THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+              ELSE 0.0 END AS "precision",
+         CASE WHEN tp + fn > 0
+              THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+              ELSE 0.0 END AS recall
+  FROM agg
+)
+SELECT thr, tp, fp, fn, tn, "precision", recall,
+       CASE WHEN "precision" + recall > 0.0
+            THEN 2.0 * "precision" * recall / ("precision" + recall)
+            ELSE 0.0 END AS f1
+FROM ratios ORDER BY thr
+"""
+
+
 def _bandlimited_clips_batch(batch: pa.Table) -> pa.Table:
     """Deterministic clip corpus for the effective-bandwidth gate (shared
     with the q_audio_bandwidth serial oracle).  Per doc_id i at sr=16 kHz /
@@ -5009,6 +5069,7 @@ QUERIES = {
     "q_video_frames": q_video_frames,
     "q_image_near_dup": q_image_near_dup,
     "q_audio_bandwidth": q_audio_bandwidth,
+    "q_threshold_sweep": q_threshold_sweep,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,
@@ -5205,6 +5266,7 @@ ORACLE_SQL = {
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite

@@ -1074,3 +1074,67 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
 
     out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return out.sort("es_key", descending=True).limit(k)
+
+
+def threshold_sweep(ds, score_col: str, label_col: str,
+                    thresholds: list[float]):
+    """Quality-classifier calibration: for each candidate keep-threshold t,
+    the confusion counts and precision/recall/F1 of predicting positive
+    when ``score >= t`` — the table a pipeline owner reads to pick the
+    flagship keep/drop operating point.
+
+    Scale shape: each batch digitizes scores into the sorted threshold
+    grid (one searchsorted) and bincounts by label, so the shuffle is
+    (len(thresholds)+1) x 2 counters per block — independent of corpus
+    size; the suffix sums and ratio math run on the driver over the tiny
+    grid.  Ratios are float64 int-division in a fixed expression order
+    (tp/(tp+fp), 2*p*r/(p+r)), so a SQL twin computing the same
+    expressions matches bit-exactly; empty denominators yield 0.0."""
+    from ray.data.aggregate import Sum
+
+    thr = np.asarray(sorted(thresholds), dtype=np.float64)
+    n_thr = len(thr)
+    if n_thr == 0:
+        raise ValueError("thresholds must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(bool)
+        b = np.searchsorted(thr, s, side="right")  # = #{t_j <= s}
+        pos = np.bincount(b[y], minlength=n_thr + 1)
+        neg = np.bincount(b[~y], minlength=n_thr + 1)
+        return pa.table({
+            "bin": pa.array(np.arange(n_thr + 1, dtype=np.int32)),
+            "n_pos": pa.array(pos.astype(np.int64)),
+            "n_neg": pa.array(neg.astype(np.int64)),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("n_neg", alias_name="n_neg"))
+        .to_pandas()  # <= n_thr+1 rows: bounded by the grid, not the corpus
+    )
+    pos = np.zeros(n_thr + 1, dtype=np.int64)
+    neg = np.zeros(n_thr + 1, dtype=np.int64)
+    pos[agg["bin"].to_numpy()] = agg["n_pos"].to_numpy()
+    neg[agg["bin"].to_numpy()] = agg["n_neg"].to_numpy()
+    total_pos, total_neg = int(pos.sum()), int(neg.sum())
+    cp, cn = np.cumsum(pos), np.cumsum(neg)
+    tp = total_pos - cp[:n_thr]       # rows with label & score >= t_j
+    fp = total_neg - cn[:n_thr]
+    fn = total_pos - tp
+    tn = total_neg - fp
+    tp_f, fp_f, fn_f = (tp.astype(np.float64), fp.astype(np.float64),
+                        fn.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(tp + fp > 0, tp_f / (tp_f + fp_f), 0.0)
+        rec = np.where(tp + fn > 0, tp_f / (tp_f + fn_f), 0.0)
+        f1 = np.where(prec + rec > 0.0, 2.0 * prec * rec / (prec + rec), 0.0)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "thr": thr, "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": prec, "recall": rec, "f1": f1,
+    })
