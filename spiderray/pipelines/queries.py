@@ -3628,6 +3628,43 @@ def q_image_near_dup(sf_dir: str):
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _unimax_langs_batch(batch: pa.Table) -> pa.Table:
+    """Skewed per-doc language tags for the UniMax queries (shared with the
+    serial oracle): doc_id % 100 → en 55% / zh 20% / fr 10% / de 7% /
+    sw 5% / yo 3% — the long-tail shape the budget waterfall exists for."""
+    i = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = i % 100
+    lang = np.full(len(i), "yo", dtype=object)
+    lang[k < 97] = "sw"
+    lang[k < 92] = "de"
+    lang[k < 85] = "fr"
+    lang[k < 75] = "zh"
+    lang[k < 55] = "en"
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "lang": pa.array(lang, pa.string())})
+
+
+def q_unimax_resample(sf_dir: str):
+    """UniMax budget resampling (stages/stats.unimax_resample — Chung et
+    al. 2023): smallest languages first take min(n·max_epochs, equal share
+    of the remaining budget); oversized languages keep a deterministic
+    md5-bucket fraction of their rows.  Budget = 40% of the corpus,
+    max_epochs = 3 (the low-resource languages hit their epoch cap and the
+    freed budget flows to the big ones).  Oracle: serial twin — same lang
+    derivation, waterfall and bucket membership, plain pandas."""
+    _ensure_fixture("q_unimax_resample", sf_dir)
+    from ..stages.stats import unimax_resample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    tagged = ds.map_batches(_unimax_langs_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    budget = 0.4 * ds.count()
+    out = unimax_resample(tagged, "lang", "doc_id", budget_rows=budget,
+                          max_epochs=3.0)
+    return (out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "lang"]])
+
+
 def q_threshold_sweep(sf_dir: str):
     """Quality-classifier calibration sweep (stages/stats.threshold_sweep):
     per candidate keep-threshold, confusion counts + precision/recall/F1
@@ -5070,6 +5107,7 @@ QUERIES = {
     "q_image_near_dup": q_image_near_dup,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_threshold_sweep": q_threshold_sweep,
+    "q_unimax_resample": q_unimax_resample,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,

@@ -639,6 +639,34 @@ def so_audio_bandwidth(sf_dir: str) -> pa.Table:
     })
 
 
+def so_unimax_resample(sf_dir: str) -> pa.Table:
+    """Serial twin for q_unimax_resample: same lang derivation, waterfall
+    and md5-bucket membership (shared bank), plain-pandas orchestration."""
+    import math
+
+    from ..stages.stats import _unimax_waterfall, split_bucket
+    from .queries import _unimax_langs_batch
+
+    t = _unimax_langs_batch(_docs(sf_dir, ("doc_id",)))
+    ids = t.column("doc_id").to_numpy()
+    langs = t.column("lang").to_pylist()
+    cmap: dict = {}
+    for k in langs:
+        cmap[k] = cmap.get(k, 0) + 1
+    quotas = _unimax_waterfall(cmap, 0.4 * len(ids), 3.0)
+    thresholds = {
+        k: int(math.floor(min(1.0, quotas[k] / n) * 10_000 + 0.5))
+        for k, n in cmap.items()
+    }
+    keep_ids, keep_langs = [], []
+    for i, k in zip(ids, langs):
+        if split_bucket(str(i), 10_000, "") < thresholds[k]:
+            keep_ids.append(int(i))
+            keep_langs.append(k)
+    return pa.table({"doc_id": pa.array(keep_ids, pa.int64()),
+                     "lang": pa.array(keep_langs, pa.string())})
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -1967,6 +1995,7 @@ SERIAL_ORACLES = {
     "q_video_frames": so_video_frames,
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
+    "q_unimax_resample": so_unimax_resample,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

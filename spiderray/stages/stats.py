@@ -1138,3 +1138,89 @@ def threshold_sweep(ds, score_col: str, label_col: str,
         "thr": thr, "tp": tp, "fp": fp, "fn": fn, "tn": tn,
         "precision": prec, "recall": rec, "f1": f1,
     })
+
+
+def _unimax_waterfall(counts: dict, budget_rows: float,
+                      max_epochs: float) -> dict:
+    """UniMax budget allocation (Chung et al. 2023, alg. 1): visit
+    languages smallest-first; each gets min(n_l * max_epochs, an equal
+    share of the remaining budget).  Small languages take their epoch cap,
+    freeing budget that flows to the large ones — fairer than temperature
+    sampling at the same budget.  Returns {key: quota_rows(float)}.
+    Deterministic: ties in n broken by key."""
+    items = sorted(counts.items(), key=lambda kv: (kv[1], str(kv[0])))
+    quotas = {}
+    remaining = float(budget_rows)
+    for idx, (k, n) in enumerate(items):
+        share = remaining / (len(items) - idx)
+        q = min(float(n) * max_epochs, share)
+        quotas[k] = q
+        remaining -= q
+    return quotas
+
+
+def unimax_plan(ds, key_col: str, budget_rows: float,
+                max_epochs: float = 1.0):
+    """The UniMax sampling plan as a small table: per key (language), its
+    corpus count, allocated quota, keep rate min(1, quota/n) and epoch
+    count quota/n.  One small groupby(key).count() — rows = #keys —
+    feeds the driver-side waterfall; nothing corpus-sized moves."""
+    import pandas as pd
+
+    counts = ds.groupby(key_col).count().to_pandas()
+    n_col = [c for c in counts.columns if c != key_col][0]
+    cmap = {k: int(n) for k, n in zip(counts[key_col], counts[n_col])}
+    quotas = _unimax_waterfall(cmap, budget_rows, max_epochs)
+    keys = sorted(cmap)
+    n = np.asarray([cmap[k] for k in keys], dtype=np.int64)
+    q = np.asarray([quotas[k] for k in keys], dtype=np.float64)
+    return pd.DataFrame({
+        key_col: keys,
+        "n_rows": n,
+        "quota": q,
+        "keep_rate": np.minimum(1.0, q / n),
+        "epochs": q / n,
+    })
+
+
+def unimax_resample(ds, key_col: str, id_col: str, budget_rows: float,
+                    max_epochs: float = 1.0, n_buckets: int = 10_000,
+                    salt: str = ""):
+    """Downsample a skewed-key corpus to the UniMax allocation: keys whose
+    quota covers the whole corpus pass through; oversized keys keep a
+    deterministic md5-bucket fraction quota/n of their rows
+    (``split_bucket`` membership — stable across runs, processes and
+    resumed partitions, like ``temperature_resample``).  Keys whose quota
+    exceeds one epoch (quota > n) still pass through once — replication
+    into multiple epochs composes downstream via ``epoch_order``.
+
+    Scale shape: one small groupby(key).count(), thresholds broadcast,
+    then a pure filter map — no data shuffle."""
+    import math
+
+    import ray
+
+    counts = ds.groupby(key_col).count().to_pandas()
+    n_col = [c for c in counts.columns if c != key_col][0]
+    cmap = {k: int(n) for k, n in zip(counts[key_col], counts[n_col])}
+    quotas = _unimax_waterfall(cmap, budget_rows, max_epochs)
+    thresholds = {
+        k: int(math.floor(min(1.0, quotas[k] / n) * n_buckets + 0.5))
+        for k, n in cmap.items()
+    }
+    thr_ref = ray.put(thresholds)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        thr = _ray.get(thr_ref)
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        keep = np.fromiter(
+            (split_bucket(str(i), n_buckets, salt) < thr.get(k, n_buckets)
+             for i, k in zip(ids, keys)),
+            dtype=bool, count=len(ids),
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
