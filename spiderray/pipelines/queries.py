@@ -2128,6 +2128,32 @@ def q_wds_shards(sf_dir: str):
         .sort_values("shard").reset_index(drop=True)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL shard sink/source roundtrip (sources/jsonl.py — the format
+    public text corpora ship in): documents route to md5-keyed shards
+    (deterministic bytes, .done resume markers), then stream back through
+    the native ray.data.read_json.  Oracle: the original table — a lossy
+    writer or parser shows up as a hash mismatch."""
+    import hashlib as _h
+    import os
+
+    from ..sources.jsonl import read_jsonl_shards, write_jsonl_shards
+
+    out_dir = os.path.join(
+        "/tmp", "spiderray_jsonl", _h.md5(sf_dir.encode()).hexdigest()[:12])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    write_jsonl_shards(ds, out_dir, key_col="doc_id", n_shards=8,
+                       resume=False).materialize()  # barrier: shards on disk
+    back = read_jsonl_shards(out_dir)
+    return (back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "text"]])
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text FROM documents ORDER BY doc_id
+"""
+
+
 def q_specaugment(sf_dir: str):
     """SpecAugment (Park et al. 2019; stages/audioquality.
     SpecAugmentActor): md5-keyed frequency + time masks blanked to the
@@ -5108,6 +5134,7 @@ QUERIES = {
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_threshold_sweep": q_threshold_sweep,
     "q_unimax_resample": q_unimax_resample,
+    "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_train_test_split": q_train_test_split,
     "q_value_quantiles": q_value_quantiles,
     "q_grouped_quantiles": q_grouped_quantiles,
@@ -5305,6 +5332,7 @@ ORACLE_SQL = {
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
