@@ -125,7 +125,20 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.stats import corpus_diff, grouped_split, mixture_plan, weighted_sample
+from .stages.c4 import paragraph_dedup
+from .stages.dedup import hamming64_pairs
+from .stages.image import image_hash_stage, image_near_dup_pairs
+from .stages.audioquality import audio_bandwidth_stage
+from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
+from .stages.stats import (
+    corpus_diff,
+    grouped_split,
+    mixture_plan,
+    threshold_sweep,
+    unimax_plan,
+    unimax_resample,
+    weighted_sample,
+)
 from .stages.textindex import build_inverted_index, lookup_postings
 from .stages.windows import duration_bucket_batches, epoch_order
 
@@ -180,4 +193,8 @@ __all__ = [
     # round 4
     "unicode_normalize_stage", "audio_corpus_report", "corpus_diff",
     "weighted_sample",
+    "paragraph_dedup", "hamming64_pairs", "image_hash_stage",
+    "image_near_dup_pairs", "audio_bandwidth_stage", "threshold_sweep",
+    "unimax_plan", "unimax_resample", "write_jsonl_shards",
+    "read_jsonl_shards",
 ]

@@ -4184,7 +4184,8 @@ def q_paragraph_dedup(sf_dir: str):
 SQL_PARAGRAPH_DEDUP = """
 WITH injected AS (
   SELECT doc_id,
-         'boiler ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || text ||
+         'boiler ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) ||
+         coalesce(text, '') ||
          chr(10) || 'footer ' || CAST(doc_id % 23 AS VARCHAR) AS text
   FROM documents
 ), paras AS (

@@ -37,9 +37,24 @@ def write_jsonl_shards(ds, out_dir: str, key_col: str,
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        # a fresh (non-resumed) write owns the directory: stale shards from
+        # a prior run with different data or n_shards would otherwise be
+        # silently globbed back by read_jsonl_shards (shards that receive
+        # zero rows this run never overwrite their old file)
+        for f in os.listdir(out_dir):
+            if f.endswith(".jsonl") or f.endswith(".jsonl.done"):
+                os.remove(os.path.join(out_dir, f))
 
     def route(batch: pa.Table) -> pa.Table:
         cols = columns or batch.column_names
+        for c in cols:
+            t = batch.schema.field(c).type
+            if ((pa.types.is_binary(t) or pa.types.is_large_binary(t))
+                    and c not in b64_cols):
+                raise ValueError(
+                    f"column {c!r} is binary but not in b64_cols — JSON "
+                    f"would stringify it lossily; pass b64_cols=({c!r},)")
         keys = [str(k) for k in batch.column(key_col).to_pylist()]
         shards = np.fromiter((shard_of(k, n_shards) for k in keys),
                              dtype=np.int32, count=len(keys))
@@ -49,8 +64,8 @@ def write_jsonl_shards(ds, out_dir: str, key_col: str,
             row = {}
             for c in cols:
                 v = col_data[c][j]
-                if c in b64_cols:
-                    v = base64.b64encode(v or b"").decode("ascii")
+                if c in b64_cols and v is not None:  # null stays null
+                    v = base64.b64encode(v).decode("ascii")
                 row[c] = v
             lines.append(json.dumps(row, sort_keys=True, ensure_ascii=False,
                                     default=str))
@@ -70,7 +85,9 @@ def write_jsonl_shards(ds, out_dir: str, key_col: str,
             return pd.DataFrame([{"shard": shard, "path": path,
                                   "n_rows": int(done["n_rows"]),
                                   "jsonl_md5": done["jsonl_md5"]}])
-        g = g.sort_values("__key", kind="mergesort")
+        # sort by (key, line): duplicate keys would otherwise keep Ray's
+        # nondeterministic block-arrival order and break byte-stability
+        g = g.sort_values(["__key", "__line"], kind="mergesort")
         blob = ("\n".join(g["__line"]) + "\n").encode("utf-8")
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -107,7 +124,7 @@ def read_jsonl_shards(in_dir: str, b64_cols: tuple[str, ...] = ()):
     def decode(batch: pa.Table) -> pa.Table:
         for c in b64_cols:
             if c in batch.column_names:
-                vals = [base64.b64decode(v or "")
+                vals = [None if v is None else base64.b64decode(v)
                         for v in batch.column(c).to_pylist()]
                 batch = batch.set_column(
                     batch.column_names.index(c), c,

@@ -175,7 +175,11 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     (hash, id, idx) rows shuffle by hash(paragraph) to resolve losers,
     loser (id, idx) rows shuffle by hash(id) into the documents' buckets,
     text crosses once.  Dolma implements this with a Bloom filter (false
-    positives drop extra paragraphs); the exchange here is exact."""
+    positives drop extra paragraphs); the exchange here is exact UP TO
+    64-bit fingerprint collisions — expected collisions ≈ P²/2^65 for P
+    distinct paragraphs, i.e. material only beyond ~10^9 paragraphs
+    (same boundary as ``c4.span_hash``; widen the digest or add a
+    content-verify pass in the loser partition past that)."""
 
     def paras(batch: pa.Table) -> pa.Table:
         ids_out, hashes, idxs = [], [], []

@@ -75,3 +75,57 @@ class TestJsonlShards:
                            n_shards=2, resume=False).materialize()
         back = read_jsonl_shards(d).to_pandas()
         assert list(back.columns) == ["doc_id"]
+
+
+class TestReviewFixes:
+    def test_fresh_write_cleans_stale_shards(self, ray_session, tmp_path):
+        d = str(tmp_path / "stale")
+        write_jsonl_shards(_docs_ds(40), d, "doc_id", n_shards=16,
+                           resume=False).materialize()
+        n_before = len([f for f in os.listdir(d) if f.endswith(".jsonl")])
+        # rewrite with fewer shards: old shard files must not survive
+        write_jsonl_shards(_docs_ds(10), d, "doc_id", n_shards=2,
+                           resume=False).materialize()
+        back = read_jsonl_shards(d).to_pandas()
+        assert len(back) == 10 and n_before > 2
+
+    def test_null_binary_stays_null(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        d = str(tmp_path / "nullbin")
+        ds = rd.from_arrow(pa.table({
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([b"x", None], pa.binary()),
+        }))
+        write_jsonl_shards(ds, d, "clip_id", b64_cols=("bytes",),
+                           n_shards=1, resume=False).materialize()
+        back = read_jsonl_shards(d, b64_cols=("bytes",)).to_pandas()
+        got = dict(zip(back.clip_id, back.bytes))
+        assert got["a"] == b"x" and got["b"] is None
+
+    def test_binary_without_b64_raises(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "clip_id": pa.array(["a"], pa.string()),
+            "bytes": pa.array([b"x"], pa.binary()),
+        }))
+        man = write_jsonl_shards(ds, str(tmp_path / "no64"), "clip_id",
+                                 n_shards=1, resume=False)
+        with pytest.raises(Exception, match="b64_cols"):
+            man.materialize()
+
+    def test_duplicate_keys_byte_stable(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        def mk():
+            return rd.from_arrow(pa.table({
+                "k": pa.array(["dup"] * 20, pa.string()),
+                "v": pa.array(list(range(20)), pa.int64()),
+            })).random_shuffle(seed=None)
+
+        m1 = write_jsonl_shards(mk(), str(tmp_path / "d1"), "k", n_shards=1,
+                                resume=False).to_pandas()
+        m2 = write_jsonl_shards(mk(), str(tmp_path / "d2"), "k", n_shards=1,
+                                resume=False).to_pandas()
+        assert m1.jsonl_md5.tolist() == m2.jsonl_md5.tolist()

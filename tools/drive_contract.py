@@ -56,7 +56,13 @@ def vhash(df: pd.DataFrame) -> str:
 
 if len(sys.argv) > 1 and not sys.argv[1].isdigit():
     # explicit query names: drive just these (targeted per-commit verify)
-    names = [n for n in sys.argv[1].split(",") if n in oracle]
+    names = sys.argv[1].split(",")
+    unknown = [n for n in names if n not in oracle]
+    if unknown:
+        # a typo must not yield "0/0 green" exit 0 — fail loudly
+        print(f"ERROR: not in oracle_sql(): {unknown}")
+        ray.shutdown()
+        sys.exit(2)
 else:
     first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
     names = [n for n in list(queries)[:first_n] if n in oracle]
