@@ -3632,6 +3632,75 @@ def _synth_neardup_image_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def _prepimg_rows(batch: pa.Table) -> pa.Table:
+    """q_prepare_image corpus (shared with its serial oracle): the
+    near-dup image corpus plus two gate strata — a BLANK canvas every
+    13th doc (std_lum = 0, the no-signal gate) and a TINY 4x4 image every
+    19th (below the min-dims gate)."""
+    from ..stages.image import encode_ppm
+
+    base = _synth_neardup_image_rows(batch)
+    ids = batch.column("doc_id").to_numpy()
+    out_ids, bufs, fmts = [], [], []
+    for i in ids:
+        i = int(i)
+        if i % 13 == 7:
+            blank = np.full((24, 32, 3), i % 256, dtype=np.uint8)
+            out_ids.append(10 * i + 3)
+            bufs.append(encode_ppm(blank))
+            fmts.append("ppm")
+        if i % 19 == 11:
+            rng = np.random.default_rng(i + 7)
+            tiny = rng.integers(0, 256, (4, 4, 3), dtype=np.int64).astype(np.uint8)
+            out_ids.append(10 * i + 4)
+            bufs.append(encode_ppm(tiny))
+            fmts.append("ppm")
+    extra = pa.table({
+        "img_id": pa.array(out_ids, pa.int64()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "format": pa.array(fmts, pa.string()),
+    })
+    return pa.concat_tables([base, extra])
+
+
+def q_prepare_image(sf_dir: str):
+    """Image corpus-prep composite (pipelines/prepare_image.
+    prepare_image_corpus): decode gate (corrupt + tiny + blank strata
+    dropped) → perceptual-hash near-dedup (min-id representative) →
+    resize to 12x16.  Contract: per surviving image its resized stats +
+    bytes md5 — pinning exactly which rows survive AND their rebuilt
+    payload bytes.  Oracle: serial chain with independent pair/union-find
+    orchestration (so_prepare_image)."""
+    _ensure_fixture("q_prepare_image", sf_dir)
+    import hashlib as _h
+
+    from ..config import PipelineConfig
+    from ..pipelines.prepare_image import prepare_image_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    imgs = ds.map_batches(_prepimg_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cfg = PipelineConfig(id_col="img_id")
+    out = prepare_image_corpus(imgs, cfg, min_w=8, min_h=8, min_std_lum=1.0,
+                               near_dedup_images=True, max_hamming=3,
+                               resize_to=(12, 16))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5s = [_h.md5(b or b"").hexdigest()
+                for b in batch.column("bytes").to_pylist()]
+        return pa.table({
+            "img_id": batch.column("img_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "mean_lum": batch.column("mean_lum"),
+            "std_lum": batch.column("std_lum"),
+            "bytes_md5": pa.array(md5s, pa.string()),
+        })
+
+    res = out.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+    return res.to_pandas().sort_values("img_id").reset_index(drop=True)
+
+
 def q_image_near_dup(sf_dir: str):
     """Perceptual-hash image near-dup (stages/image.image_near_dup_pairs):
     actor-pool decode → integer-exact dHash64 (functions/imagehash.py) →
@@ -5132,6 +5201,7 @@ QUERIES = {
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,
     "q_image_near_dup": q_image_near_dup,
+    "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_threshold_sweep": q_threshold_sweep,
     "q_unimax_resample": q_unimax_resample,

@@ -667,6 +667,76 @@ def so_unimax_resample(sf_dir: str) -> pa.Table:
                      "lang": pa.array(keep_langs, pa.string())})
 
 
+def so_prepare_image(sf_dir: str) -> pa.Table:
+    """Serial twin for q_prepare_image: same decode/stats/hash/resize bank
+    (ImageFeatureActor applied serially, dHash), INDEPENDENT gate / pair /
+    union-find / winner orchestration."""
+    import hashlib as _h
+
+    from ..config import PipelineConfig
+    from ..functions.imagehash import dhash64, hamming64_u64
+    from ..stages.image import (ImageDecodeUnsupported, ImageFeatureActor,
+                                decode_image, image_stats)
+    from .queries import _prepimg_rows
+
+    imgs = _prepimg_rows(_docs(sf_dir, ("doc_id",)))
+    ids_raw = imgs.column("img_id").to_numpy()
+    bufs = imgs.column("bytes").to_pylist()
+    fmts = imgs.column("format").to_pylist()
+    kept_ids, kept_rows, hashes = [], {}, []
+    for i, buf, fmt in zip(ids_raw, bufs, fmts):
+        try:
+            img = decode_image(buf or b"", fmt or "")
+        except (ImageDecodeUnsupported, ValueError, IndexError, MemoryError):
+            continue
+        s = image_stats(img)
+        if s["width"] < 8 or s["height"] < 8 or np.float32(s["std_lum"]) < 1.0:
+            continue
+        kept_ids.append(int(i))
+        kept_rows[int(i)] = (buf, fmt)
+        hashes.append(dhash64(img))
+    ids = np.asarray(kept_ids, dtype=np.int64)
+    cand = _bucket_pairs(
+        ids,
+        lambda r: ((ci, (hashes[r] >> (16 * ci)) & 0xFFFF) for ci in range(4)),
+    )
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    pairs = {
+        (a, b)
+        for a, b in cand
+        if hamming64_u64(hashes[id_to_row[a]], hashes[id_to_row[b]]) <= 3
+    }
+    labels = _union_find(pairs)
+    losers = {n for n, c in labels.items() if n != c}
+    survivors = [i for i in kept_ids if i not in losers]
+
+    actor = ImageFeatureActor(PipelineConfig(id_col="img_id"), (12, 16))
+    rows = {"img_id": [], "width": [], "height": [], "mean_lum": [],
+            "std_lum": [], "bytes_md5": []}
+    for i in survivors:
+        buf, fmt = kept_rows[i]
+        t = actor(pa.table({
+            "img_id": pa.array([i], pa.int64()),
+            "bytes": pa.array([buf], pa.binary()),
+            "format": pa.array([fmt], pa.string()),
+        }))
+        rows["img_id"].append(i)
+        rows["width"].append(t.column("width")[0].as_py())
+        rows["height"].append(t.column("height")[0].as_py())
+        rows["mean_lum"].append(t.column("mean_lum")[0].as_py())
+        rows["std_lum"].append(t.column("std_lum")[0].as_py())
+        rows["bytes_md5"].append(
+            _h.md5(t.column("bytes")[0].as_py() or b"").hexdigest())
+    return pa.table({
+        "img_id": pa.array(rows["img_id"], pa.int64()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "mean_lum": pa.array(rows["mean_lum"], pa.float32()),
+        "std_lum": pa.array(rows["std_lum"], pa.float32()),
+        "bytes_md5": pa.array(rows["bytes_md5"], pa.string()),
+    })
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -1996,6 +2066,7 @@ SERIAL_ORACLES = {
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
     "q_unimax_resample": so_unimax_resample,
+    "q_prepare_image": so_prepare_image,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

@@ -167,3 +167,50 @@ class TestImageNearDupPairs:
                                      "sim": pa.array([0], pa.uint64())}))
         with pytest.raises(ValueError):
             hamming64_pairs(ds, max_hamming=4)
+
+
+class TestPrepareImageCorpus:
+    def _corpus(self):
+        import ray.data as rd
+
+        rows = []
+        for i in range(30):
+            img = _rand_img(i)
+            rows.append({"img_id": 2 * i, "bytes": encode_ppm(img),
+                         "format": "ppm"})
+            if i % 5 == 1:  # planted near-dup: higher id loses
+                rows.append({"img_id": 2 * i + 1,
+                             "bytes": encode_png(_perturb(img)),
+                             "format": "png"})
+        rows.append({"img_id": 900, "bytes": b"corrupt", "format": "png"})
+        blank = np.full((16, 16, 3), 7, dtype=np.uint8)
+        rows.append({"img_id": 901, "bytes": encode_ppm(blank), "format": "ppm"})
+        tiny = _rand_img(99, h=4, w=4)
+        rows.append({"img_id": 902, "bytes": encode_ppm(tiny), "format": "ppm"})
+        return rd.from_items(rows)
+
+    def test_gates_and_dedup(self, ray_session):
+        from spiderray.pipelines.prepare_image import prepare_image_corpus
+
+        cfg = PipelineConfig(id_col="img_id")
+        out = prepare_image_corpus(self._corpus(), cfg, min_w=8, min_h=8,
+                                   min_std_lum=1.0).to_pandas()
+        ids = set(out.img_id)
+        assert {900, 901, 902}.isdisjoint(ids)       # corrupt/blank/tiny gone
+        for i in range(30):
+            if i % 5 == 1:
+                assert 2 * i in ids and 2 * i + 1 not in ids  # min-id wins
+            else:
+                assert 2 * i in ids
+
+    def test_resize_and_shards(self, ray_session, tmp_path):
+        from spiderray.pipelines.prepare_image import prepare_image_corpus
+
+        cfg = PipelineConfig(id_col="img_id")
+        kept, manifest = prepare_image_corpus(
+            self._corpus(), cfg, min_std_lum=1.0, resize_to=(10, 12),
+            shards_dir=str(tmp_path / "shards"), n_shards=4)
+        man = manifest.to_pandas()
+        df = kept.to_pandas()
+        assert (df.width == 12).all() and (df.height == 10).all()
+        assert man.n_samples.sum() == len(df)
