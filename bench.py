@@ -107,6 +107,14 @@ def run_queries() -> dict[str, float]:
         ("q_ccnet_buckets", q.q_ccnet_buckets),
         ("q_speed_perturb", q.q_speed_perturb),
         ("q_acoustic_augment", q.q_acoustic_augment),
+        # round-4 session additions
+        ("q_audio_bandwidth", q.q_audio_bandwidth),
+        ("q_image_near_dup", q.q_image_near_dup),
+        ("q_paragraph_dedup", q.q_paragraph_dedup),
+        ("q_threshold_sweep", q.q_threshold_sweep),
+        ("q_unimax_resample", q.q_unimax_resample),
+        ("q_jsonl_roundtrip", q.q_jsonl_roundtrip),
+        ("q_prepare_image", q.q_prepare_image),
     ]
     import ray.data
 
@@ -156,6 +164,10 @@ _CALM_SEC = {
     "q_tdigest_quantiles": 1.0, "q_cmvn": 4.5, "q_unigram_tokens": 1.2,
     "q_bottomk_sample": 0.8, "q_ccnet_buckets": 1.2, "q_speed_perturb": 6.5,
     "q_acoustic_augment": 5.0,
+    "q_audio_bandwidth": 4.5, "q_image_near_dup": 3.5,
+    "q_paragraph_dedup": 1.6, "q_threshold_sweep": 0.3,
+    "q_unimax_resample": 0.6, "q_jsonl_roundtrip": 1.6,
+    "q_prepare_image": 8.0,
 }
 
 

@@ -47,13 +47,20 @@ def _sql_ws_tokens(col: str) -> str:
 from ..functions.arrowutil import pa_from_pandas as _pa_from_pandas  # noqa: E402
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None):
     """Column-pruned parquet read with size-aware block sizing: Ray's
     default splits even a 600 KB file into num_cpus blocks, and the per-task
     fixed cost across a multi-stage chain then dominates (measured 5.0s →
     2.3s on q_exact_dedup at sf0.1 by capping).  Files ≥64 MB keep Ray's
     own sizing — at 100 TB inputs are many large files and the default
-    target block size is the right knob."""
+    target block size is the right knob.
+
+    ``min_blocks``: the cap assumes per-row work proportional to file size.
+    Chains that EXPAND each row into heavy work (image/audio synthesis +
+    decode) starve an actor pool at 2 blocks — pass the pool size so every
+    actor gets input.  (At sf0.1 the gain is offset by per-task fixed
+    costs — the composites stay barrier-bound — but at real per-row decode
+    cost a 2-block read serializes the whole pool.)"""
     import os
 
     import ray.data as rd
@@ -66,6 +73,8 @@ def _read(sf_dir: str, table: str, columns=None):
     if size is not None and size < (64 << 20):
         # ~1 block per 2 MB, between 2 and 16
         nb = max(2, min(16, size // (2 << 20) + 1))
+        if min_blocks is not None:
+            nb = max(nb, min_blocks)
         ds = rd.read_parquet(path, columns=columns, override_num_blocks=nb)
     else:
         ds = rd.read_parquet(path, columns=columns)
@@ -3677,7 +3686,7 @@ def q_prepare_image(sf_dir: str):
     from ..config import PipelineConfig
     from ..pipelines.prepare_image import prepare_image_corpus
 
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     imgs = ds.map_batches(_prepimg_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
     cfg = PipelineConfig(id_col="img_id")
@@ -3713,7 +3722,7 @@ def q_image_near_dup(sf_dir: str):
     from ..config import PipelineConfig
     from ..stages.image import image_near_dup_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     imgs = ds.map_batches(_synth_neardup_image_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
     cfg = PipelineConfig(id_col="img_id")
@@ -3874,7 +3883,7 @@ def q_audio_bandwidth(sf_dir: str):
     from ..config import PipelineConfig
     from ..stages.audioquality import audio_bandwidth_stage
 
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_bandlimited_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
     out = audio_bandwidth_stage(clips, PipelineConfig(), concurrency=4)
