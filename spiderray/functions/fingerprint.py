@@ -281,6 +281,25 @@ def ngram_set(text: str, n: int = 3) -> np.ndarray:
     return out
 
 
+def ngram_seq(text: str, n: int = 3) -> np.ndarray:
+    """POSITIONAL word n-gram hashes: entry i = hash of ``words[i:i+n]``
+    (same lowercasing + blake2b-8 as ``ngram_set``, WITHOUT dedup) — the
+    span-locating companion used by ``decontaminate_spans``.  A document
+    shorter than ``n`` words yields one whole-text gram at position 0."""
+    words = text.lower().split()
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big") for g in grams],
+        dtype=np.uint64,
+    )
+
+
 def cdc_chunks(
     text: str,
     window: int = 16,

@@ -4075,6 +4075,30 @@ def q_decontaminate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate_spans(sf_dir: str):
+    """Span-level decontamination (stages/dedup.decontaminate_spans): the
+    same eval set as q_decontaminate (first 12 words of every 17th doc),
+    but contaminated documents are SALVAGED — only the word windows
+    covered by a benchmark 8-gram are cut, the rest of the text survives
+    space-rejoined.  Oracle: serial twin — same hash bank, independent
+    coverage orchestration (so_decontaminate_spans)."""
+    _ensure_fixture("q_decontaminate_spans", sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 17)
+        texts = [" ".join((x or "").split()[:12])
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"text": pa.array(texts, pa.string())})
+
+    bench = ds.map_batches(bench_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = dedup.decontaminate_spans(ds, bench, n=8)
+    df = out.select_columns(
+        ["doc_id", "text", "n_cut_words", "decontaminated"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 _GOPHER_COLS = ["doc_id", "n_words", "mean_word_len", "dup_line_frac",
                 "top_2gram_char_frac", "top_3gram_char_frac",
                 "dup_5gram_char_frac", "dup_10gram_char_frac",
@@ -5232,6 +5256,7 @@ QUERIES = {
     "q_c4_filters": q_c4_filters,
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_decontaminate_spans": q_decontaminate_spans,
     "q_substring_dedup": q_substring_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,

@@ -737,6 +737,48 @@ def so_prepare_image(sf_dir: str) -> pa.Table:
     })
 
 
+def so_decontaminate_spans(sf_dir: str) -> pa.Table:
+    """Serial twin for q_decontaminate_spans: same gram hash bank
+    (ngram_set for the bench union, ngram_seq for positions), independent
+    per-row coverage loop."""
+    t_docs = _docs(sf_dir)
+    ids = t_docs.column("doc_id").to_numpy()
+    texts = t_docs.column("text").to_pylist()
+    bench_chunks = [
+        fp.ngram_set(" ".join((t or "").split()[:12]), 8)
+        for i, t in zip(ids, texts) if int(i) % 17 == 0
+    ]
+    bench_chunks = [a for a in bench_chunks if len(a)]
+    bg = (np.unique(np.concatenate(bench_chunks)) if bench_chunks
+          else np.zeros(0, dtype=np.uint64))
+    bench_set = set(int(g) for g in bg)
+    out = {"doc_id": [], "text": [], "n_cut_words": [],
+           "decontaminated": []}
+    for i, t in zip(ids, texts):
+        t = t or ""
+        words = t.split()
+        seq = fp.ngram_seq(t, 8)
+        covered = [False] * len(words)
+        for pos, g in enumerate(seq):
+            if int(g) in bench_set:
+                if len(words) < 8:
+                    covered = [True] * len(words)
+                else:
+                    for j in range(pos, min(pos + 8, len(words))):
+                        covered[j] = True
+        kept = [w for w, c in zip(words, covered) if not c]
+        out["doc_id"].append(int(i))
+        out["text"].append(" ".join(kept) if any(covered) else t)
+        out["n_cut_words"].append(sum(covered))
+        out["decontaminated"].append(any(covered))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+        "n_cut_words": pa.array(out["n_cut_words"], pa.int64()),
+        "decontaminated": pa.array(out["decontaminated"], pa.bool_()),
+    })
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -2067,6 +2109,7 @@ SERIAL_ORACLES = {
     "q_audio_bandwidth": so_audio_bandwidth,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
+    "q_decontaminate_spans": so_decontaminate_spans,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

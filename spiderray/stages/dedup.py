@@ -1636,3 +1636,85 @@ def apply_deletions(ds, deleted_ids_ds, id_col: str = "doc_id",
     both = side(rows, 0).union(side(dead_parts, 1))
     return both.groupby("__part").map_groups(mark_bucket,
                                              batch_format="pandas")
+
+
+def decontaminate_spans(ds, bench_ds, text_col: str = "text", n: int = 8,
+                        max_bench_grams: int = 50_000_000):
+    """Span-level decontamination: instead of dropping a contaminated
+    document wholesale (``decontaminate(mode="filter")``), cut ONLY the
+    words covered by a benchmark n-gram — the salvage variant of the
+    GPT-3 appendix-C methodology (and the span-surgery spirit of Lee et
+    al. 2022): a 10k-word document touching one eval question loses ~n
+    words, not its entire signal.
+
+    Same scale shape as ``decontaminate``: the eval side's distinct gram
+    hashes broadcast once (hard cap raises loudly), the corpus streams
+    through one vectorized membership map (positional
+    ``fp.ngram_seq`` hashes via searchsorted); covered word windows
+    [i, i+n) are removed and the text rebuilt space-joined (the C4
+    ``remove_spans`` whitespace convention).  Emits the rebuilt
+    ``text_col`` plus ``n_cut_words`` and ``decontaminated``."""
+    import ray
+
+    def partial_grams(batch: pa.Table) -> pa.Table:
+        arrs = [fp.ngram_set(t or "", n)
+                for t in batch.column(text_col).to_pylist()]
+        arrs = [a for a in arrs if len(a)]
+        grams = (np.unique(np.concatenate(arrs)) if arrs
+                 else np.zeros(0, dtype=np.uint64))
+        return pa.table({"gram": pa.array(grams, pa.uint64())})
+
+    chunks, total = [], 0
+    for b in bench_ds.map_batches(
+        partial_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        a = b.column("gram").to_numpy()
+        total += len(a)
+        if total > max_bench_grams:
+            raise ValueError(
+                f"benchmark exceeds {max_bench_grams} distinct {n}-grams; "
+                "that is a corpus, not an eval set")
+        chunks.append(a)
+    bench = (np.unique(np.concatenate(chunks)) if chunks
+             else np.zeros(0, dtype=np.uint64))
+    ref = ray.put(bench)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bg = _ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        out_texts, n_cut = [], []
+        for t in texts:
+            t = t or ""
+            words = t.split()
+            seq = fp.ngram_seq(t, n) if len(bg) else np.zeros(0, np.uint64)
+            if len(seq) == 0:
+                out_texts.append(t)
+                n_cut.append(0)
+                continue
+            idx = np.searchsorted(bg, seq)
+            idx[idx == len(bg)] = 0  # clamp cannot false-positive (sorted)
+            hits = bg[idx] == seq
+            if not hits.any():
+                out_texts.append(t)
+                n_cut.append(0)
+                continue
+            covered = np.zeros(len(words), dtype=bool)
+            if len(words) < n:
+                covered[:] = True  # the single whole-text gram hit
+            else:
+                for i in np.nonzero(hits)[0]:  # loops over HITS only
+                    covered[i: i + n] = True
+            out_texts.append(
+                " ".join(w for w, c in zip(words, covered) if not c))
+            n_cut.append(int(covered.sum()))
+        batch = batch.set_column(
+            batch.column_names.index(text_col), text_col,
+            pa.array(out_texts, pa.string()))
+        batch = batch.append_column(
+            "n_cut_words", pa.array(n_cut, pa.int64()))
+        return batch.append_column(
+            "decontaminated", pa.array([c > 0 for c in n_cut], pa.bool_()))
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

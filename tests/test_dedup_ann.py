@@ -1692,3 +1692,55 @@ class TestCorpusDiffAndJoinModes:
 
         with pytest.raises(ValueError):
             bucketed_join(None, None, on="k", how="right")
+
+
+class TestDecontaminateSpans:
+    def test_cuts_only_covered_windows(self, ray_session):
+        import ray.data as rd
+
+        body = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        docs = [
+            {"doc_id": 1, "text": f"intro words here {body} trailing tail"},
+            {"doc_id": 2, "text": "totally unrelated content nothing shared"},
+        ]
+        bench = rd.from_items([{"text": body}])
+        out = dedup.decontaminate_spans(
+            rd.from_items(docs), bench, n=8).to_pandas().set_index("doc_id")
+        assert out.loc[1, "text"] == "intro words here trailing tail"
+        assert out.loc[1, "n_cut_words"] == 8
+        assert bool(out.loc[1, "decontaminated"])
+        assert out.loc[2, "text"] == docs[1]["text"]
+        assert out.loc[2, "n_cut_words"] == 0
+
+    def test_short_doc_whole_text_gram(self, ray_session):
+        import ray.data as rd
+
+        docs = [{"doc_id": 1, "text": "tiny doc"}]
+        bench = rd.from_items([{"text": "tiny doc"}])
+        out = dedup.decontaminate_spans(
+            rd.from_items(docs), bench, n=8).to_pandas()
+        assert out.iloc[0]["text"] == ""
+        assert out.iloc[0]["n_cut_words"] == 2
+
+    def test_empty_bench_passthrough(self, ray_session):
+        import ray.data as rd
+
+        docs = [{"doc_id": 1, "text": "some words in here"}]
+        bench = rd.from_items([{"text": ""}])
+        out = dedup.decontaminate_spans(
+            rd.from_items(docs), bench, n=8).to_pandas()
+        assert out.iloc[0]["text"] == docs[0]["text"]
+        assert not bool(out.iloc[0]["decontaminated"])
+
+    def test_overlapping_hits_merge(self, ray_session):
+        import ray.data as rd
+
+        # two eval grams overlap in the doc: covered windows merge
+        w = "a1 a2 a3 a4 a5 a6 a7 a8 a9".split()
+        docs = [{"doc_id": 1, "text": " ".join(w)}]
+        bench = rd.from_items([{"text": " ".join(w[0:8])},
+                               {"text": " ".join(w[1:9])}])
+        out = dedup.decontaminate_spans(
+            rd.from_items(docs), bench, n=8).to_pandas()
+        assert out.iloc[0]["text"] == ""
+        assert out.iloc[0]["n_cut_words"] == 9
