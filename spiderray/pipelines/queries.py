@@ -5337,29 +5337,31 @@ _PRIORITY = [
     "q_corpus_report",
     # exact + near dedup
     "q_exact_dedup", "q_incremental_dedup", "q_apply_deletions",
-    "q_minhash_pairs", "q_simhash_pairs", "q_ngram_jaccard_pairs",
-    "q_embed_near_dup", "q_semantic_dedup", "q_dup_clusters",
+    "q_minhash_pairs", "q_simhash_pairs", "q_image_near_dup",
+    "q_embed_near_dup", "q_semantic_dedup",
     # global/structural dedup
-    "q_c4_span_dedup", "q_substring_dedup",
+    "q_c4_span_dedup", "q_substring_dedup", "q_paragraph_dedup",
     # decontamination
-    "q_decontaminate", "q_audio_decontaminate",
+    "q_decontaminate", "q_decontaminate_spans", "q_audio_decontaminate",
     # ANN / clustering
-    "q_ann_topk", "q_ivf_topk", "q_kmeans_clusters",
+    "q_ann_topk", "q_kmeans_clusters",
     # quality filters
     "q_doc_keepdrop", "q_gopher_quality", "q_c4_filters",
-    "q_ccnet_buckets", "q_dsir_scores",
+    "q_ccnet_buckets", "q_dsir_scores", "q_threshold_sweep",
     # tokenizers / packing
-    "q_bpe_tokens", "q_unigram_tokens", "q_pack_chunks",
+    "q_bpe_tokens", "q_pack_chunks",
     # sampling / mixing
-    "q_temperature_resample", "q_stratified_sample", "q_domain_cap",
+    "q_temperature_resample", "q_unimax_resample", "q_domain_cap",
     "q_grouped_split",
     # sketches / stats
-    "q_heavy_hitters", "q_tdigest_quantiles", "q_profile_columns",
+    "q_heavy_hitters", "q_profile_columns",
     # windows / sessions
     "q_window_analytics", "q_user_sessions",
     # audio stages
-    "q_audio_features", "q_cmvn", "q_speed_perturb", "q_vad_segments",
+    "q_audio_features", "q_cmvn", "q_speed_perturb", "q_audio_bandwidth",
     "q_audio_fp_pairs",
+    # image composite
+    "q_prepare_image",
     # graph
     "q_pagerank",
     # reference composite pipelines
