@@ -485,3 +485,86 @@ class TestStressRound4:
             assert i + 1 in kept and i not in kept and i + 2 not in kept
         # non-members all survive
         assert len(kept) == n - 2 * len(range(0, n - 2, 20))
+
+
+class TestStressRound4Wave:
+    def test_paragraph_dedup_100k(self, ray_session):
+        """Global paragraph dedup at 100k docs with a 1k-way shared
+        boilerplate paragraph pool: exactly one global winner per distinct
+        paragraph, untouched docs byte-identical."""
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup
+
+        n = 100_000
+        rows = [
+            {"doc_id": i,
+             "text": f"boiler {i % 1000}\nunique body {i}\nfooter {i % 777}"}
+            for i in range(n)
+        ]
+        out = paragraph_dedup(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+        assert len(out) == n
+        # every shared paragraph survives exactly once corpus-wide
+        paras = [p for t in out.text for p in t.split("\n")
+                 if p.startswith("boiler ")]
+        assert len(paras) == 1000 and len(set(paras)) == 1000
+        # winners are the global minimum (doc_id, idx) occurrences
+        m = out.set_index("doc_id")
+        for k in (0, 1, 999):
+            assert m.loc[k, "text"].startswith(f"boiler {k}\n")
+        # a late doc keeps only its unique body
+        assert m.loc[n - 1, "text"] == f"unique body {n - 1}"
+
+    def test_hamming_pairs_200k_hashes(self, ray_session):
+        """The shared pigeonhole kernel at 200k synthetic 64-bit hashes
+        with 2k planted near-pairs (1-2 bit flips): full recall, no
+        false accepts."""
+        import ray.data as rd
+
+        from spiderray.stages.dedup import hamming64_pairs
+
+        rng = np.random.default_rng(5)
+        n = 200_000
+        base = rng.integers(0, 2 ** 63, size=n, dtype=np.int64).astype(np.uint64)
+        ids = np.arange(n, dtype=np.int64)
+        flip = (np.uint64(1) << rng.integers(0, 64, size=2000).astype(np.uint64))
+        dup_h = base[:2000] ^ flip
+        h = np.concatenate([base, dup_h])
+        all_ids = np.concatenate([ids, ids[:2000] + 1_000_000])
+        ds = rd.from_arrow(__import__("pyarrow").table({
+            "doc_id": all_ids, "sim": h}))
+        pairs = hamming64_pairs(ds, hash_col="sim", max_hamming=3).to_pandas()
+        got = set(map(tuple,
+                      pairs[["id_a", "id_b"]].drop_duplicates().to_numpy()))
+        want = {(int(i), int(i) + 1_000_000) for i in ids[:2000]}
+        assert want <= got, f"missing {len(want - got)} planted pairs"
+        # verify no false accepts: every returned pair is within distance 3
+        hmap = dict(zip(all_ids.tolist(), h.tolist()))
+        for a, b in got:
+            assert bin(hmap[a] ^ hmap[b]).count("1") <= 3
+
+    def test_decontaminate_spans_200k(self, ray_session):
+        """Span salvage at 200k docs: contaminated docs lose exactly the
+        planted window, clean docs pass byte-identical."""
+        import ray.data as rd
+
+        from spiderray.stages.dedup import decontaminate_spans
+
+        n = 200_000
+        evil = "the forbidden eval answer span goes right here now"  # 9 words
+        rows = [
+            {"doc_id": i,
+             "text": (f"prefix {i} " + evil + f" suffix {i}"
+                      if i % 100 == 0 else f"clean document body {i}")}
+            for i in range(n)
+        ]
+        bench = rd.from_items([{"text": evil}])
+        out = decontaminate_spans(
+            rd.from_pandas(pd.DataFrame(rows)), bench, n=9).to_pandas()
+        hit = out[out.decontaminated]
+        assert len(hit) == n // 100
+        assert (hit.n_cut_words == 9).all()
+        sample = hit.sort_values("doc_id").iloc[0]
+        assert sample.text == "prefix 0 suffix 0"
+        clean = out[~out.decontaminated]
+        assert (clean.n_cut_words == 0).all()
