@@ -112,6 +112,7 @@ def run_queries() -> dict[str, float]:
         ("q_image_near_dup", q.q_image_near_dup),
         ("q_paragraph_dedup", q.q_paragraph_dedup),
         ("q_decontaminate_spans", q.q_decontaminate_spans),
+        ("q_paragraph_dedup_bloom", q.q_paragraph_dedup_bloom),
         ("q_threshold_sweep", q.q_threshold_sweep),
         ("q_unimax_resample", q.q_unimax_resample),
         ("q_jsonl_roundtrip", q.q_jsonl_roundtrip),
@@ -167,6 +168,7 @@ _CALM_SEC = {
     "q_acoustic_augment": 5.0,
     "q_audio_bandwidth": 4.5, "q_image_near_dup": 3.5,
     "q_paragraph_dedup": 1.6, "q_decontaminate_spans": 0.9,
+    "q_paragraph_dedup_bloom": 1.2,
     "q_threshold_sweep": 0.3,
     "q_unimax_resample": 0.6, "q_jsonl_roundtrip": 1.6,
     "q_prepare_image": 8.0,

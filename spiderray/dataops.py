@@ -125,7 +125,7 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.c4 import paragraph_dedup
+from .stages.c4 import paragraph_dedup, paragraph_dedup_bloom
 from .stages.dedup import decontaminate_spans
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
@@ -194,7 +194,7 @@ __all__ = [
     # round 4
     "unicode_normalize_stage", "audio_corpus_report", "corpus_diff",
     "weighted_sample",
-    "paragraph_dedup", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",
+    "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",
     "image_near_dup_pairs", "audio_bandwidth_stage", "threshold_sweep",
     "unimax_plan", "unimax_resample", "write_jsonl_shards",
     "read_jsonl_shards",

@@ -4075,6 +4075,36 @@ def q_decontaminate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_paragraph_dedup_bloom(sf_dir: str):
+    """Cross-release Bloom paragraph dedup (stages/c4.paragraph_dedup_bloom
+    — Dolma's actual mechanism): the prior release is every 4th injected
+    doc; the new corpus loses every paragraph (boilerplate AND body) that
+    already shipped.  Prior text never shuffles — per-block partial Bloom
+    filters OR-merge; membership is a pure map.  Oracle: serial twin with
+    an identically-parameterized filter (the build is bit-identical by
+    construction, so FP behavior matches exactly)."""
+    _ensure_fixture("q_paragraph_dedup_bloom", sf_dir)
+    from ..stages.c4 import paragraph_dedup_bloom
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [f"boiler {int(i) % 17}\n{t or ''}\nfooter {int(i) % 23}"
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    new = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    prior = new.map_batches(lambda b: _mod_filter(b, "doc_id", 4),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    out = paragraph_dedup_bloom(new, prior)
+    df = out.select_columns(
+        ["doc_id", "text", "n_cut_paras", "had_prior_para"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_decontaminate_spans(sf_dir: str):
     """Span-level decontamination (stages/dedup.decontaminate_spans): the
     same eval set as q_decontaminate (first 12 words of every 17th doc),
@@ -5257,6 +5287,7 @@ QUERIES = {
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_decontaminate_spans": q_decontaminate_spans,
+    "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,
     "q_substring_dedup": q_substring_dedup,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,

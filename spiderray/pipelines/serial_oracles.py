@@ -779,6 +779,42 @@ def so_decontaminate_spans(sf_dir: str) -> pa.Table:
     })
 
 
+def so_paragraph_dedup_bloom(sf_dir: str) -> pa.Table:
+    """Serial twin for q_paragraph_dedup_bloom: an identically-sized
+    BloomFilter built by one add_many over the prior paragraphs (the
+    distributed OR-merge is bit-identical by construction), then a plain
+    per-row cut loop."""
+    from ..functions.bloom import BloomFilter
+
+    t_docs = _docs(sf_dir)
+    ids = t_docs.column("doc_id").to_numpy()
+    texts = t_docs.column("text").to_pylist()
+    injected = {
+        int(i): f"boiler {int(i) % 17}\n{t or ''}\nfooter {int(i) % 23}"
+        for i, t in zip(ids, texts)
+    }
+    prior_paras = [p for i, t in injected.items() if i % 4 == 0
+                   for p in t.split("\n") if p]
+    bf = BloomFilter(max(len(prior_paras), 1), bits_per_key=12, n_hashes=7)
+    bf.add_many(prior_paras)
+    out = {"doc_id": [], "text": [], "n_cut_paras": [], "had_prior_para": []}
+    for i in sorted(injected):
+        parts = injected[i].split("\n")
+        nonempty = [p for p in parts if p]
+        hit = dict(zip(nonempty, bf.contains_many(nonempty))) if nonempty else {}
+        kept = [p for p in parts if not p or not hit[p]]
+        out["doc_id"].append(i)
+        out["text"].append("\n".join(kept))
+        out["n_cut_paras"].append(len(parts) - len(kept))
+        out["had_prior_para"].append(len(kept) < len(parts))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+        "n_cut_paras": pa.array(out["n_cut_paras"], pa.int64()),
+        "had_prior_para": pa.array(out["had_prior_para"], pa.bool_()),
+    })
+
+
 def so_video_frames(sf_dir: str) -> pa.Table:
     from ..stages.image import frame_sample_batch
     from .queries import _synth_video_rows
@@ -2110,6 +2146,7 @@ SERIAL_ORACLES = {
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,
+    "q_paragraph_dedup_bloom": so_paragraph_dedup_bloom,
     "q_semantic_dedup": so_semantic_dedup,
     "q_audio_semantic_dedup": so_audio_semantic_dedup,
     "q_decontaminate": so_decontaminate,

@@ -217,3 +217,69 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return _rebuild_minus_losers(ds, losers, id_col, text_col, n_parts,
                                  rebuild_doc)
+
+
+def paragraph_dedup_bloom(ds, prior_ds, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          bits_per_key: int = 12, n_hashes: int = 7):
+    """Cross-release paragraph dedup — Dolma's ACTUAL mechanism (Soldaini
+    et al. 2024 use a Bloom filter, accepting false-positive drops): cut
+    every paragraph of THIS corpus that already appears in a PRIOR
+    release.  ``paragraph_dedup`` handles within-corpus duplicates
+    exactly; this operator handles the incremental/cross-run direction
+    where the prior side is too large to exchange.
+
+    Scale shape: prior text NEVER shuffles — each prior block explodes its
+    paragraphs locally into a partial Bloom filter of shared geometry and
+    only fixed-size bit arrays reach the driver for the OR-merge
+    (functions/bloom.build_bloom_distributed); the new corpus then streams
+    through ONE pure map (membership + rebuild).  Results are
+    deterministic (the filter is a pure function of geometry + key set),
+    and the false-positive rate is the standard (1-e^(-kn/m))^k ≈ 0.03%
+    at the default 12 bits/key — each FP drops one extra paragraph, the
+    accepted Dolma trade.  Emits the rebuilt ``text_col`` plus
+    ``n_cut_paras`` and ``had_prior_para``."""
+    import ray
+
+    from ..functions.bloom import build_bloom_distributed
+
+    def explode(batch: pa.Table) -> pa.Table:
+        paras = [p for t in batch.column(text_col).to_pylist()
+                 for p in (t or "").split("\n") if p]
+        return pa.table({"para": pa.array(paras, pa.string())})
+
+    prior_paras = prior_ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two passes follow (count + build); prior-sized, spillable
+    n_prior = max(prior_paras.count(), 1)
+    bf = build_bloom_distributed(prior_paras, "para", n_prior,
+                                 bits_per_key=bits_per_key,
+                                 n_hashes=n_hashes)
+    ref = ray.put(bf)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        f = _ray.get(ref)
+        out_texts, n_cut = [], []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            parts = t.split("\n")
+            nonempty = [p for p in parts if p]
+            if not nonempty:
+                out_texts.append(t)
+                n_cut.append(0)
+                continue
+            hit = dict(zip(nonempty, f.contains_many(nonempty)))
+            kept = [p for p in parts if not p or not hit[p]]
+            out_texts.append("\n".join(kept))
+            n_cut.append(len(parts) - len(kept))
+        batch = batch.set_column(
+            batch.column_names.index(text_col), text_col,
+            pa.array(out_texts, pa.string()))
+        batch = batch.append_column(
+            "n_cut_paras", pa.array(n_cut, pa.int64()))
+        return batch.append_column(
+            "had_prior_para", pa.array([c > 0 for c in n_cut], pa.bool_()))
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

@@ -191,9 +191,11 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(buf: bytes) -> np.ndarray:
-    """Real PNG decode for the 8-bit non-interlaced subset: gray (0),
-    RGB (2), gray+alpha (4), RGBA (6).  Palette (3), 16-bit and Adam7
-    interlacing raise ImageDecodeUnsupported."""
+    """Real PNG decode for the non-interlaced subset: gray (0, depths
+    1/2/4/8/16), RGB (2, 8/16), palette (3, depths 1/2/4/8 via PLTE),
+    gray+alpha (4) and RGBA (6) at 8/16 bit.  16-bit samples downconvert
+    by high byte (the spec's 8-bit reduction).  Adam7 interlacing raises
+    ImageDecodeUnsupported."""
     import struct
     import zlib
 
@@ -203,6 +205,7 @@ def _decode_png(buf: bytes) -> np.ndarray:
     w = h = 0
     bit_depth = color_type = interlace = 0
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(buf):
         length = int.from_bytes(buf[pos : pos + 4], "big")
         ctype = buf[pos + 4 : pos + 8]
@@ -215,6 +218,10 @@ def _decode_png(buf: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ImageDecodeUnsupported("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -222,12 +229,22 @@ def _decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
     if w == 0 or h == 0:
         raise ImageDecodeUnsupported("png missing IHDR")
-    if bit_depth != 8 or interlace != 0:
-        raise ImageDecodeUnsupported(f"png depth={bit_depth} interlace={interlace}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if interlace != 0:
+        raise ImageDecodeUnsupported("png Adam7 interlace")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
-        raise ImageDecodeUnsupported(f"png color type {color_type} (palette)")
-    stride = w * channels
+        raise ImageDecodeUnsupported(f"png color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ImageDecodeUnsupported(f"png depth {bit_depth}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ImageDecodeUnsupported(
+            f"png depth {bit_depth} invalid for color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        raise ImageDecodeUnsupported("png 16-bit palette is not a PNG")
+    if color_type == 3 and plte is None:
+        raise ImageDecodeUnsupported("png palette image missing PLTE")
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, (channels * bit_depth) // 8)  # filter offset, per spec
     expected = h * (stride + 1)
     if expected > (1 << 31):
         raise ImageDecodeUnsupported("png dimensions exceed decode budget")
@@ -243,7 +260,24 @@ def _decode_png(buf: bytes) -> np.ndarray:
         raise ImageDecodeUnsupported(f"png inflate: {e}") from None
     if len(raw) < expected:
         raise ImageDecodeUnsupported("truncated png pixel data")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    rows = _png_unfilter(raw, h, stride, bpp).reshape(h, stride)
+    if bit_depth == 16:
+        px = rows.reshape(h, w * channels, 2)[..., 0].reshape(h, w, channels)
+    elif bit_depth == 8:
+        px = rows.reshape(h, w, channels)
+    else:
+        # 1/2/4-bit packed samples, MSB-first within each byte, rows padded
+        bits = np.unpackbits(rows, axis=1)[:, : w * bit_depth]
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        px = (bits.reshape(h, w, bit_depth) * weights).sum(
+            axis=2).astype(np.uint8).reshape(h, w, 1)
+        if color_type == 0:  # scale to full 8-bit range (255/85/17 exact)
+            px = px * np.uint8(255 // ((1 << bit_depth) - 1))
+    if color_type == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ImageDecodeUnsupported("png palette index out of range")
+        return np.ascontiguousarray(plte[idx])
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:

@@ -801,3 +801,58 @@ class TestUnicodeNormalizeStage:
 
         with pytest.raises(ValueError):
             unicode_normalize_batch(pa.table({"text": ["x"]}), "text", "NFX")
+
+
+class TestParagraphDedupBloom:
+    def test_cuts_prior_paragraphs(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup_bloom
+
+        prior = rd.from_items([
+            {"doc_id": 1, "text": "shipped para one\nshipped para two"}])
+        new = rd.from_items([
+            {"doc_id": 10, "text": "shipped para one\nfresh content here"},
+            {"doc_id": 11, "text": "all fresh\nnothing shipped"},
+        ])
+        out = paragraph_dedup_bloom(new, prior).to_pandas().set_index("doc_id")
+        assert out.loc[10, "text"] == "fresh content here"
+        assert out.loc[10, "n_cut_paras"] == 1
+        assert bool(out.loc[10, "had_prior_para"])
+        assert out.loc[11, "text"] == "all fresh\nnothing shipped"
+        assert out.loc[11, "n_cut_paras"] == 0
+
+    def test_empty_lines_survive(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup_bloom
+
+        prior = rd.from_items([{"doc_id": 1, "text": "dup"}])
+        new = rd.from_items([{"doc_id": 2, "text": "dup\n\nkeep"}])
+        out = paragraph_dedup_bloom(new, prior).to_pandas()
+        assert out.iloc[0]["text"] == "\nkeep"
+
+    def test_distributed_build_matches_serial(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.bloom import BloomFilter, build_bloom_distributed
+
+        paras = [f"para number {i}" for i in range(5000)]
+        ds = rd.from_items([{"para": p} for p in paras]).repartition(8)
+        dist = build_bloom_distributed(ds, "para", len(paras), bits_per_key=12)
+        ser = BloomFilter(len(paras), bits_per_key=12)
+        ser.add_many(paras)
+        assert (dist.bits == ser.bits).all()  # OR-merge is order-insensitive
+
+    def test_fp_rate_bounded(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.c4 import paragraph_dedup_bloom
+
+        prior = rd.from_items(
+            [{"doc_id": i, "text": f"prior {i}"} for i in range(2000)])
+        new = rd.from_items(
+            [{"doc_id": 10_000 + i, "text": f"novel {i}"} for i in range(2000)])
+        out = paragraph_dedup_bloom(new, prior).to_pandas()
+        # 12 bits/key, 7 hashes → FP ~3e-4; 2000 novel paras → expect ~0-3
+        assert out.had_prior_para.sum() <= 10

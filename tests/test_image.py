@@ -393,3 +393,99 @@ class TestY4M:
             assert (im.decode_image(f5, "ppm") == 50).all(), cid
         junk = out[out.clip_id == "junk"]
         assert len(junk) == 1 and not bool(junk.iloc[0]["decode_ok"])
+
+
+class TestPngExtendedSubset:
+    """Palette / sub-8-bit / 16-bit PNG decode, hermetically built chunks
+    (independent of encode_png — a differential against the spec layout)."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        import struct
+        import zlib
+
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    @classmethod
+    def _png(cls, w, h, depth, ct, raw_rows, plte=None):
+        import struct
+        import zlib
+
+        out = (b"\x89PNG\r\n\x1a\n"
+               + cls._chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)))
+        if plte is not None:
+            out += cls._chunk(b"PLTE", plte.tobytes())
+        return (out + cls._chunk(b"IDAT", zlib.compress(raw_rows))
+                + cls._chunk(b"IEND", b""))
+
+    def test_palette_8bit(self):
+        import numpy as np
+
+        from spiderray.stages.image import decode_image
+
+        rng = np.random.default_rng(0)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+        raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(5))
+        img = decode_image(self._png(7, 5, 8, 3, raw, pal), "png")
+        assert (img == pal[idx]).all()
+
+    def test_palette_4bit_packed(self):
+        import numpy as np
+
+        from spiderray.stages.image import decode_image
+
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.integers(0, 16, (3, 5)).astype(np.uint8)
+        rows = []
+        for r in range(3):
+            b_ = bytearray()
+            for i in range(0, 5, 2):
+                lo = idx[r, i + 1] if i + 1 < 5 else 0
+                b_.append((idx[r, i] << 4) | lo)
+            rows.append(b"\x00" + bytes(b_))
+        img = decode_image(self._png(5, 3, 4, 3, b"".join(rows), pal), "png")
+        assert (img == pal[idx]).all()
+
+    def test_gray_1bit_scales_to_255(self):
+        import numpy as np
+
+        from spiderray.stages.image import decode_image
+
+        g1 = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1], [0] * 9], dtype=np.uint8)
+        raw = b"".join(b"\x00" + np.packbits(g1[r]).tobytes() for r in range(2))
+        img = decode_image(self._png(9, 2, 1, 0, raw), "png")
+        assert (img[..., 0] == g1 * 255).all()
+
+    def test_16bit_high_byte(self):
+        from spiderray.stages.image import decode_image
+
+        img = decode_image(self._png(4, 1, 16, 0, b"\x00" + b"\xab\xcd" * 4),
+                           "png")
+        assert (img == 0xAB).all()
+        rgb = decode_image(
+            self._png(2, 1, 16, 2,
+                      b"\x00" + b"\x11\x00\x22\x00\x33\x00" * 2), "png")
+        assert (rgb[0, 0] == [0x11, 0x22, 0x33]).all()
+
+    def test_palette_index_out_of_range_raises(self):
+        import numpy as np
+        import pytest
+
+        from spiderray.stages.image import ImageDecodeUnsupported, decode_image
+
+        pal = np.zeros((4, 3), dtype=np.uint8)
+        with pytest.raises(ImageDecodeUnsupported):
+            decode_image(self._png(3, 1, 8, 3, b"\x00" + bytes([200] * 3),
+                                   pal), "png")
+
+    def test_missing_plte_raises(self):
+        import pytest
+
+        from spiderray.stages.image import ImageDecodeUnsupported, decode_image
+
+        with pytest.raises(ImageDecodeUnsupported):
+            decode_image(self._png(3, 1, 8, 3, b"\x00\x00\x01\x02"), "png")
