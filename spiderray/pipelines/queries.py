@@ -2543,6 +2543,25 @@ def q_ivf_topk(sf_dir: str):
 
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (stages/ann.pq_train / pq_topk —
+    Jégou et al. 2011): per-subspace L2 codebooks trained on a
+    deterministic md5-bucket corpus sample, 8-byte uint8 codes per vector,
+    asymmetric-distance scan off a broadcast LUT — the compressed-vector
+    path when the float corpus can't be rescanned per query.  Contract
+    column is the integer-micro ADC distance; fixture oracle repeats the
+    identical sample/Lloyd/LUT arithmetic serially (so_pq_topk)."""
+    _ensure_fixture("q_pq_topk", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cb = ann.pq_train(ds, m=8, n_codes=16, sample_size=2000)
+    df = ann.pq_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        _query_vec(sf_dir), cb, k=20,
+    )
+    df["adc_micro"] = (df["adc_dist"] * 1e6).round().astype("int64")
+    return df[["vec_id", "adc_micro"]]
+
+
 def q_corpus_ppl(sf_dir: str):
     """Corpus-trained perplexity: one distributed n-gram-count pass trains a
     CharLM from the documents themselves (stages/lm_train.py), then a second
@@ -5236,6 +5255,7 @@ QUERIES = {
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
+    "q_pq_topk": q_pq_topk,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,

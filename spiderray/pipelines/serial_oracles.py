@@ -603,6 +603,34 @@ def so_image_near_dup(sf_dir: str) -> pa.Table:
     return _pairs_table(ok)
 
 
+def so_pq_topk(sf_dir: str) -> pa.Table:
+    """Serial twin for q_pq_topk: same md5-bucket sample, per-subspace
+    Lloyd, encode and ADC-LUT kernels (shared bank), plain-numpy
+    orchestration over the raw parquet — bit-identical distances."""
+    from ..stages.ann import (_PQ_BUCKETS, _l2_kmeans, _pq_member_mask,
+                              _pq_split, _unit_rows, adc_distances, adc_lut,
+                              pq_encode_matrix)
+
+    ids, V = _embeddings(sf_dir)
+    q = V[int(np.nonzero(ids == 0)[0][0])]
+    frac = min(1.0, (4.0 * 2000) / max(len(ids), 1))
+    cut = min(_PQ_BUCKETS, int(np.ceil(_PQ_BUCKETS * frac)))
+    mask = _pq_member_mask(ids, cut)
+    s_ids, s_V = ids[mask], V[mask]
+    order = np.argsort(s_ids, kind="mergesort")
+    S = _unit_rows(s_V[order][:2000])
+    cb = np.stack([_l2_kmeans(S[:, a:b], 16)
+                   for a, b in _pq_split(S.shape[1], 8)])
+    codes = pq_encode_matrix(V, cb)
+    d = adc_distances(codes, adc_lut(q, cb))
+    top = np.lexsort((ids, d))[:20]
+    return pa.table({
+        "vec_id": pa.array(ids[top], pa.int64()),
+        "adc_micro": pa.array(np.round(d[top] * 1e6).astype(np.int64),
+                              pa.int64()),
+    })
+
+
 def so_audio_bandwidth(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_bandwidth: same corpus generator + decode +
     rolloff kernel per row, plain loop, no Ray."""
@@ -2143,6 +2171,7 @@ SERIAL_ORACLES = {
     "q_video_frames": so_video_frames,
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
+    "q_pq_topk": so_pq_topk,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

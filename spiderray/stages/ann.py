@@ -270,6 +270,192 @@ def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------------------
+# PQ: product quantization with asymmetric-distance (ADC) scan — the
+# compressed-vector scale path (Jégou, Douze, Schmid 2011).  At 10^12 rows
+# the float corpus cannot be rescanned per query; m uint8 codes per vector
+# (64 B float32 → 8 B at m=8) make the scan memory-bound-cheap, and the
+# codebooks (m × n_codes × d/m floats) broadcast once via ray.put.
+# ---------------------------------------------------------------------------
+
+_PQ_BUCKETS = 10_000
+
+
+def _pq_member_mask(ids: np.ndarray, cut_buckets: int, salt: str = "pq") -> np.ndarray:
+    """Deterministic, partition-invariant sample membership: md5 bucket of
+    'salt:id' below ``cut_buckets`` (same arithmetic as stats.split_bucket —
+    stable across processes, partitionings and the serial twin)."""
+    import hashlib
+
+    out = np.empty(len(ids), dtype=bool)
+    for i, v in enumerate(ids):
+        h = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
+        out[i] = int(h, 16) % _PQ_BUCKETS < cut_buckets
+    return out
+
+
+def _unit_rows(V: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return V / n
+
+
+def _l2_kmeans(V: np.ndarray, n_codes: int, iters: int = 10) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd (init = first ``n_codes`` rows, ties →
+    lowest code, empty clusters keep their centroid).  Pure-numpy kernel
+    shared by the distributed trainer and the serial oracle — same input
+    matrix → bit-identical codebook."""
+    k = min(n_codes, len(V))
+    C = V[:k].copy()
+    for _ in range(iters):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = V[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _pq_split(d: int, m: int) -> list[tuple[int, int]]:
+    """Subspace column ranges: d must divide evenly into m (the embeddings
+    here are 64-d; pad upstream if you bring an indivisible dim)."""
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into m={m} subspaces")
+    sub = d // m
+    return [(j * sub, (j + 1) * sub) for j in range(m)]
+
+
+def pq_train(ds, m: int = 8, n_codes: int = 16, sample_size: int = 2000,
+             iters: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", salt: str = "pq") -> np.ndarray:
+    """Train per-subspace L2 codebooks on a DETERMINISTIC bounded corpus
+    sample: membership = md5('salt:id') bucket below a cut sized from
+    ds.count() (partition-invariant, twin-reproducible — unlike limit(),
+    whose block order Ray does not pin; see kmeans_fit_distributed's
+    caveat); members collect to the driver (≈4× sample_size rows, bounded),
+    sort by id, truncate to ``sample_size``.  Vectors are unit-normalized
+    before training so PQ L2 rank ≈ cosine rank (matches brute_force_topk).
+    Returns codebooks (m × n_codes × d/m) for ray.put broadcast."""
+    n = ds.count()
+    frac = min(1.0, (4.0 * sample_size) / max(n, 1))
+    cut = min(_PQ_BUCKETS, int(np.ceil(_PQ_BUCKETS * frac)))
+
+    def members(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        mask = _pq_member_mask(ids, cut, salt)
+        return batch.filter(pa.array(mask))
+
+    df = ds.map_batches(members, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    df = df.sort_values(id_col, kind="mergesort").head(sample_size)
+    V = _unit_rows(np.array(df[vec_col].to_list(), dtype=np.float64))
+    ranges = _pq_split(V.shape[1], m)
+    return np.stack([_l2_kmeans(V[:, a:b], n_codes, iters)
+                     for a, b in ranges])
+
+
+def pq_encode_matrix(V: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode a raw vector matrix to (n × m) uint8 codes (unit-normalizes
+    first, same arithmetic as pq_train; ties → lowest code).  Shared
+    engine/oracle kernel."""
+    V = _unit_rows(np.asarray(V, dtype=np.float64))
+    m = codebooks.shape[0]
+    ranges = _pq_split(V.shape[1], m)
+    codes = np.empty((len(V), m), dtype=np.uint8)
+    for j, (a, b) in enumerate(ranges):
+        d2 = ((V[:, a:b, None] - codebooks[j].T[None, :, :]) ** 2).sum(axis=1)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              code_col: str = "pq_code"):
+    """Append the m-byte PQ code column (binary).  Codebooks broadcast once
+    via ray.put; the payload column can then be dropped — the scan works
+    off codes alone."""
+    cb_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(code_col, pa.array([], pa.binary()))
+        cb = ray.get(cb_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        codes = pq_encode_matrix(V, cb)
+        return batch.append_column(
+            code_col, pa.array([r.tobytes() for r in codes], pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def adc_lut(query_vec: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table: LUT[j, c] = ||q_j − C[j,c]||² for
+    the unit-normalized query.  (m × n_codes) float64; dist(row) =
+    Σ_j LUT[j, code_j] — one gather+sum per row, no float payload touched."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    m = codebooks.shape[0]
+    ranges = _pq_split(len(q), m)
+    return np.stack([((codebooks[j] - q[a:b][None, :]) ** 2).sum(axis=1)
+                     for j, (a, b) in enumerate(ranges)])
+
+
+def adc_distances(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(n × m) uint8 codes × (m × n_codes) LUT → n float64 ADC distances.
+    Fixed gather/sum order — bit-identical across partitionings."""
+    m = lut.shape[0]
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+def pq_topk(ds, query_vec: np.ndarray, codebooks: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            code_col: str | None = None, refine: int = 0) -> pd.DataFrame:
+    """PQ-ADC approximate top-k: each batch encodes (or reads ``code_col``
+    if pre-encoded), gathers ADC distances from the broadcast LUT and emits
+    only its local top rows — k (or ``refine``) rows per batch reach the
+    driver regardless of corpus size.  With ``refine`` > k, a second pruned
+    pass reranks the ADC candidates by exact cosine (the true vectors never
+    leave their blocks)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    lut_ref = ray.put(adc_lut(query_vec, cb))
+    cb_ref = ray.put(cb)
+    m = cb.shape[0]
+    take = max(k, refine)
+
+    def local(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "adc_dist": pa.array([], pa.float64())})
+        if code_col is not None:
+            codes = np.frombuffer(
+                b"".join(batch.column(code_col).to_pylist()), dtype=np.uint8
+            ).reshape(-1, m)
+        else:
+            V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            codes = pq_encode_matrix(V, ray.get(cb_ref))
+        dists = adc_distances(codes, lut)
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, dists))[:take]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "adc_dist": pa.array(dists[order], pa.float64())})
+
+    df = ds.map_batches(local, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()  # ≤take rows/block
+    df = df.sort_values(["adc_dist", id_col], ascending=[True, True],
+                        kind="mergesort").head(take).reset_index(drop=True)
+    if refine <= k:
+        return df.head(k)
+    import pyarrow.compute as pc
+
+    cand = pa.array(sorted(df[id_col].tolist()))
+    pruned = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=cand)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
 def ivf_topk(
     ds,
     query_vec: np.ndarray,

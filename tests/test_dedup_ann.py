@@ -139,6 +139,78 @@ class TestAnn:
         assert 17 in got["vec_id"].tolist()
 
 
+class TestPq:
+    @pytest.fixture(scope="class")
+    def emb_df(self):
+        rng = np.random.default_rng(23)
+        V = rng.standard_normal((400, 16))
+        V[17] = V[3] * 0.9 + 0.01  # near-dup of 3
+        return pd.DataFrame({"vec_id": range(400), "embedding": list(V)})
+
+    def test_encode_matches_train_partitioning(self, ray_session, emb_df):
+        """Codebooks are partition-invariant: 1-block vs 8-block training
+        yields bit-identical codebooks and codes."""
+        import ray.data as rd
+
+        a = ann.pq_train(rd.from_pandas(emb_df), m=4, n_codes=8,
+                         sample_size=200)
+        b = ann.pq_train(rd.from_pandas(emb_df).repartition(8), m=4,
+                         n_codes=8, sample_size=200)
+        assert np.array_equal(a, b)
+        V = np.array(emb_df.embedding.to_list(), dtype=np.float64)
+        codes = ann.pq_encode_matrix(V, a)
+        assert codes.shape == (400, 4) and codes.dtype == np.uint8
+        enc = ann.pq_encode(rd.from_pandas(emb_df), a).to_pandas()
+        enc = enc.sort_values("vec_id").reset_index(drop=True)
+        assert [c for c in enc["pq_code"]] == [r.tobytes() for r in codes]
+
+    def test_adc_topk_matches_serial(self, ray_session, emb_df):
+        """Distributed local-topk merge ≡ a serial full ADC scan."""
+        import ray.data as rd
+
+        q = np.array(emb_df.embedding[3], dtype=np.float64)
+        cb = ann.pq_train(rd.from_pandas(emb_df), m=4, n_codes=8,
+                          sample_size=200)
+        got = ann.pq_topk(rd.from_pandas(emb_df).repartition(6), q, cb, k=10)
+        V = np.array(emb_df.embedding.to_list(), dtype=np.float64)
+        d = ann.adc_distances(ann.pq_encode_matrix(V, cb), ann.adc_lut(q, cb))
+        exp = np.lexsort((np.arange(len(d)), d))[:10]
+        assert got["vec_id"].tolist() == exp.tolist()
+
+    def test_refine_recovers_exact_topk(self, ray_session, emb_df):
+        """ADC top-refine + exact cosine rerank: with refine = corpus size
+        the result IS the brute-force top-k; with a realistic refine the
+        planted near-dup must surface."""
+        import ray.data as rd
+
+        q = np.array(emb_df.embedding[3], dtype=np.float64)
+        ds = rd.from_pandas(emb_df)
+        cb = ann.pq_train(ds, m=4, n_codes=8, sample_size=200)
+        exact = ann.brute_force_topk(rd.from_pandas(emb_df), q, k=5)
+        refined = ann.pq_topk(rd.from_pandas(emb_df), q, cb, k=5, refine=400)
+        assert refined["vec_id"].tolist() == exact["vec_id"].tolist()
+        small = ann.pq_topk(rd.from_pandas(emb_df), q, cb, k=5, refine=50)
+        assert small["vec_id"].iloc[0] == 3
+        assert 17 in small["vec_id"].tolist()
+
+    def test_adc_recall_bound(self, ray_session, emb_df):
+        """ADC-only recall@10 vs brute force stays useful (≥0.5 on random
+        gaussian vectors with 4×8 codes — the hard case; planted structure
+        only helps)."""
+        import ray.data as rd
+
+        q = np.array(emb_df.embedding[7], dtype=np.float64)
+        cb = ann.pq_train(rd.from_pandas(emb_df), m=4, n_codes=8,
+                          sample_size=200)
+        adc = set(ann.pq_topk(rd.from_pandas(emb_df), q, cb, k=10)["vec_id"])
+        exact = set(ann.brute_force_topk(rd.from_pandas(emb_df), q, k=10)["vec_id"])
+        assert len(adc & exact) >= 5
+
+    def test_indivisible_dim_raises(self):
+        with pytest.raises(ValueError):
+            ann._pq_split(10, 4)
+
+
 class TestJoins:
     @pytest.fixture(scope="class")
     def sides(self, ray_session):
