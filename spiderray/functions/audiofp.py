@@ -458,3 +458,56 @@ def bandwidth_stats(pcm: np.ndarray, sr: int,
     out["bw_hz"] = float(bw)
     out["bw_ratio"] = float(bw / (sr / 2.0))
     return out
+
+
+# --------------------------------------------------------------------------
+# Mains-hum + DC-offset defect signals
+# --------------------------------------------------------------------------
+#
+# Two classic capture-chain defects in scraped speech audio: a DC bias from
+# a miscalibrated ADC (wastes headroom, breaks energy-based VAD and some
+# codecs) and 50/60 Hz mains hum plus harmonics from ground loops.  Both
+# are narrow deterministic signals: DC is the normalized mean, hum is the
+# fraction of (DC-removed, Hann-windowed) spectral energy inside ±2 Hz of
+# each mains frequency — a narrow band that broadband speech barely
+# touches but a ground-loop tone dominates.  One rFFT per clip, same
+# analysis cap as bandwidth_stats.
+
+HUM_FREQS = (50.0, 60.0, 100.0, 120.0, 150.0, 180.0)
+HUM_BAND_HZ = 2.0            # ± band around each mains frequency
+MAX_HUM_RATIO = 0.05         # band energy fraction above this → hum flag
+MAX_DC_RATIO = 0.05          # |mean| / rms above this → dc_offset flag
+
+
+def hum_stats(pcm: np.ndarray, sr: int) -> dict:
+    """DC-offset and mains-hum measurements for a PCM clip.
+
+    Returns ``dc_ratio`` (|mean| / rms over the first
+    BANDWIDTH_MAX_SAMPLES samples) and ``hum_ratio`` (max over HUM_FREQS
+    below Nyquist of the spectral-energy fraction within ±HUM_BAND_HZ,
+    DC removed, Hann window).  Zeros for empty/silent input."""
+    out = {"dc_ratio": 0.0, "hum_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if rms <= 0.0:
+        return out
+    out["dc_ratio"] = float(abs(x.mean()) / rms)
+    xc = x - x.mean()
+    spec = np.abs(np.fft.rfft(xc * np.hanning(len(xc))))
+    spec *= spec
+    total = spec.sum()
+    if total <= 0.0:
+        return out
+    bin_hz = sr / len(xc)
+    hum = 0.0
+    for f in HUM_FREQS:
+        if f >= sr / 2.0:
+            continue
+        lo = max(1, int(np.floor((f - HUM_BAND_HZ) / bin_hz)))
+        hi = min(len(spec) - 1, int(np.ceil((f + HUM_BAND_HZ) / bin_hz)))
+        if hi >= lo:
+            hum = max(hum, float(spec[lo:hi + 1].sum() / total))
+    out["hum_ratio"] = hum
+    return out

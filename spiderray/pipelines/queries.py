@@ -3921,6 +3921,67 @@ def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
     return ids[m] + 1_000_000, W
 
 
+def _humdc_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the hum/DC gate (shared with the
+    q_audio_humdc serial oracle).  Per doc_id i at 16 kHz / 0.5 s: clean
+    sines (400–1800 Hz, all even-Hz → integer cycles → zero natural DC);
+    i%4==1 adds a +8%-FS DC bias; i%5==2 adds a 50 Hz ground-loop tone,
+    i%7==3 a 60 Hz one (0.6 relative amplitude — dominant narrowband
+    energy); every 17th row ships undecodable (decode_ok=False path)."""
+    from ..sources.clips import _sine_term
+
+    sr, n = 16000, 8000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"hd_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        wave = _sine_term(400.0 + (i % 9) * 150.0, sr, n).copy()
+        wave += 0.5 * _sine_term(1800.0 - (i % 7) * 50.0, sr, n)
+        if i % 5 == 2:
+            wave += 0.6 * _sine_term(50.0, sr, n)
+        elif i % 7 == 3:
+            wave += 0.6 * _sine_term(60.0, sr, n)
+        wave = wave * (0.45 * 32767.0)
+        if i % 4 == 1:
+            wave += 0.08 * 32767.0
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_humdc(sf_dir: str):
+    """Mains-hum / DC-offset capture-defect gate (stages/audioquality.
+    audio_hum_stage): actor-pool decode → |mean|/rms + ±2 Hz mains-band
+    spectral energy fraction (functions/audiofp.hum_stats) → ``dc_offset``
+    / ``hum`` flags.  Corpus plants DC-biased and 50/60 Hz-contaminated
+    strata among clean clips and an undecodable stratum.  Oracle: serial
+    decode + same kernel per row (so_audio_humdc)."""
+    _ensure_fixture("q_audio_humdc", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_hum_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_humdc_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_hum_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "dc_ratio", "hum_ratio", "dc_offset", "hum"])
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/dedup.semantic_dedup):
     distributed k-means partitions the embedding space, within-cluster
@@ -5256,6 +5317,7 @@ QUERIES = {
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
+    "q_audio_humdc": q_audio_humdc,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,

@@ -667,6 +667,43 @@ def so_audio_bandwidth(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_humdc(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_humdc: same corpus generator + decode +
+    hum/DC kernel per row, plain loop, no Ray."""
+    from ..functions.audiofp import MAX_DC_RATIO, MAX_HUM_RATIO, hum_stats
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _humdc_clips_batch
+
+    clips = _humdc_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "decode_ok": [], "dc_ratio": [], "hum_ratio": [],
+           "dc_offset": [], "hum": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            stats = hum_stats(_decode_one(buf or b"", codec or ""),
+                              int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            stats = {"dc_ratio": 0.0, "hum_ratio": 0.0}
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["dc_ratio"].append(stats["dc_ratio"])
+        out["hum_ratio"].append(stats["hum_ratio"])
+        out["dc_offset"].append(ok and stats["dc_ratio"] > MAX_DC_RATIO)
+        out["hum"].append(ok and stats["hum_ratio"] > MAX_HUM_RATIO)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "dc_ratio": pa.array(out["dc_ratio"], pa.float32()),
+        "hum_ratio": pa.array(out["hum_ratio"], pa.float32()),
+        "dc_offset": pa.array(out["dc_offset"], pa.bool_()),
+        "hum": pa.array(out["hum"], pa.bool_()),
+    })
+
+
 def so_unimax_resample(sf_dir: str) -> pa.Table:
     """Serial twin for q_unimax_resample: same lang derivation, waterfall
     and md5-bucket membership (shared bank), plain-pandas orchestration."""
@@ -2172,6 +2209,7 @@ SERIAL_ORACLES = {
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
     "q_pq_topk": so_pq_topk,
+    "q_audio_humdc": so_audio_humdc,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

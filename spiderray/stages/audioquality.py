@@ -756,3 +756,76 @@ def audio_bandwidth_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# Mains-hum / DC-offset gate: flag capture-chain defects
+# --------------------------------------------------------------------------
+
+_HUM_COLS = ("dc_ratio", "hum_ratio")
+
+
+class AudioHumActor:
+    """Decode + DC-offset / mains-hum columns and their gate flags
+    (kernel: functions/audiofp.hum_stats — one rFFT per clip).
+
+    A DC-biased clip wastes headroom and skews energy-based VAD; a
+    ground-loop 50/60 Hz tone (and harmonics) survives loudness
+    normalization and poisons acoustic features — both standard drop /
+    re-capture signals in speech-corpus preparation.  Undecodable clips
+    mark ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 max_dc_ratio: float | None = None,
+                 max_hum_ratio: float | None = None):
+        from ..functions.audiofp import MAX_DC_RATIO, MAX_HUM_RATIO
+
+        self.cfg = cfg or PipelineConfig()
+        self.max_dc_ratio = (MAX_DC_RATIO if max_dc_ratio is None
+                             else max_dc_ratio)
+        self.max_hum_ratio = (MAX_HUM_RATIO if max_hum_ratio is None
+                              else max_hum_ratio)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import hum_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _HUM_COLS}
+        ok, dc_flag, hum_flag = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                stats = hum_stats(_decode_one(buf or b"", codec or ""),
+                                  int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _HUM_COLS}
+                ok.append(False)
+            for k in _HUM_COLS:
+                cols[k].append(stats[k])
+            dc_flag.append(ok[-1] and stats["dc_ratio"] > self.max_dc_ratio)
+            hum_flag.append(ok[-1] and stats["hum_ratio"] > self.max_hum_ratio)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _HUM_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        batch = batch.append_column("dc_offset", pa.array(dc_flag, pa.bool_()))
+        return batch.append_column("hum", pa.array(hum_flag, pa.bool_()))
+
+
+def audio_hum_stage(ds, cfg: PipelineConfig,
+                    concurrency: int | tuple[int, int] = 4,
+                    max_dc_ratio: float | None = None,
+                    max_hum_ratio: float | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioHumActor,
+        fn_constructor_args=(cfg, max_dc_ratio, max_hum_ratio),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
