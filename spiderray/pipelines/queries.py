@@ -5286,6 +5286,50 @@ def q_weighted_sample(sf_dir: str):
     return df
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage / OOV-rate data card (stages/textindex.
+    vocab_coverage): the corpus's own top-300 terms become the vocabulary
+    (distributed explode → partial counts → keyed Sum → per-block local
+    top-k), then one broadcast + one stateless vectorized membership pass
+    emits per-document (n_tokens, n_oov).  The OOV rate against a
+    tokenizer vocabulary is the standard proxy for how badly a new corpus
+    slice fragments into bytes/unknowns.  Oracle: literal SQL — same
+    RE2 whitespace class, GROUP BY term top-16, LEFT JOIN membership.
+    16 (< the corpus's 31 distinct terms) keeps both columns non-trivial."""
+    from ..stages.textindex import vocab_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = vocab_coverage(ds, vocab_size=16, id_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(coalesce(text, ''), {WS})) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM t
+    GROUP BY term ORDER BY n DESC, term ASC LIMIT 16)
+), cov AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""".replace("{WS}", _WS_CLASS)
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5371,6 +5415,7 @@ QUERIES = {
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,
     "q_substring_dedup": q_substring_dedup,
+    "q_vocab_coverage": q_vocab_coverage,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
@@ -5552,6 +5597,7 @@ ORACLE_SQL = {
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

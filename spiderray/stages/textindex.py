@@ -255,3 +255,102 @@ def lookup_postings(index_dir: str, terms: list[str],
     if not parts:
         return pa.table({"term": pa.array([], pa.string())})
     return pa.concat_tables(parts)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: per-document OOV rate against the corpus's own
+# top-N vocabulary — the tokenizer-fit / domain-shift data card
+# --------------------------------------------------------------------------
+
+
+# Both Arrow and DuckDB split with RE2, so using the SAME class on both
+# sides makes the SQL restatement exact for every input, not just ASCII
+# corpora (utf8_split_whitespace would additionally split on \v\f and
+# Unicode spaces, which DuckDB's \s-free class does not).
+_WS_PATTERN = "[ \t\n\r]+"
+
+
+def _ws_tokens(col: pa.ChunkedArray | pa.Array):
+    """Vectorized whitespace tokenization (list<string>), RE2-exact to the
+    DuckDB fragment ``string_split_regex(text, '[ \\t\\n\\r]+')``.  Edge
+    tokens may be '' (leading/trailing whitespace) — callers filter."""
+    import pyarrow.compute as pc
+
+    return pc.split_pattern_regex(col, pattern=_WS_PATTERN)
+
+
+def build_vocab(ds, vocab_size: int = 500, text_col: str = "text") -> list[str]:
+    """Global top-``vocab_size`` terms by (count DESC, term ASC).
+
+    Fully distributed: vectorized Arrow explode → per-batch partial counts
+    → keyed groupby-Sum (term cardinality grows with the corpus, so the
+    merge shuffles), then per-block LOCAL top-``vocab_size`` so only
+    vocab_size·n_blocks rows reach the driver's final cut."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat = pc.list_flatten(_ws_tokens(batch.column(text_col)))
+        df = pd.DataFrame({"term": flat.to_pandas().to_numpy()})
+        df = df[df["term"] != ""]
+        g = df.groupby("term", as_index=False).size().rename(columns={"size": "n"})
+        return pa.table({"term": pa.array(g["term"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("term").aggregate(Sum("n", alias_name="n")))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(vocab_size),
+                                    preserve_index=False)
+
+    merged = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["n", "term"], ascending=[False, True],
+                                kind="mergesort").head(vocab_size)
+    return merged["term"].tolist()
+
+
+def vocab_coverage(ds, vocab: list[str] | None = None, vocab_size: int = 500,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document token / OOV counts against ``vocab`` (or the corpus's
+    own top-``vocab_size`` terms when omitted) → (id, n_tokens, n_oov).
+
+    The vocabulary broadcasts once via ray.put; the coverage pass is one
+    stateless vectorized map (Arrow whitespace split, is_in membership,
+    bincount segment sums — no per-token Python).  An OOV rate against a
+    tokenizer's vocab is the standard proxy for how badly a new corpus
+    slice will fragment into bytes/unknowns."""
+    import ray
+    import pyarrow.compute as pc
+
+    if vocab is None:
+        vocab = build_vocab(ds, vocab_size, text_col)
+    vocab_ref = ray.put(pa.array(sorted(set(vocab)), pa.string()))
+
+    def cover(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: batch.column(id_col) if id_col in batch.column_names else pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64())})
+        vset = ray.get(vocab_ref)
+        toks = _ws_tokens(batch.column(text_col))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        known = pc.is_in(flat, value_set=vset).to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(rows[nonempty], minlength=n)
+        n_oov = np.bincount(rows[nonempty & ~known], minlength=n)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(n_tokens, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64())})
+
+    return ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)

@@ -517,6 +517,52 @@ class TestInvertedIndex:
         assert out.num_rows == 0
 
 
+class TestVocabCoverage:
+    def _corpus(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": np.array([1, 2, 3, 4, 5], np.int64),
+            "text": ["cat dog cat", "dog\tfish\ncat", None, "",
+                     "  bird bird zebra  "],
+        })
+
+    def test_build_vocab_order_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import build_vocab
+
+        # counts: cat 3, dog 2, bird 2, fish 1, zebra 1 — ties break
+        # by term ASC (bird < dog, fish < zebra)
+        v = build_vocab(rd.from_arrow(self._corpus()), vocab_size=3)
+        assert v == ["cat", "bird", "dog"]
+        assert build_vocab(rd.from_arrow(self._corpus()), vocab_size=99) == \
+            ["cat", "bird", "dog", "fish", "zebra"]
+
+    def test_coverage_counts_and_edges(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import vocab_coverage
+
+        out = (vocab_coverage(rd.from_arrow(self._corpus()).repartition(3),
+                              vocab=["cat", "dog"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # null/empty text → 0 tokens; whitespace runs and edge whitespace
+        # never produce tokens
+        assert out["n_tokens"].tolist() == [3, 3, 0, 0, 3]
+        assert out["n_oov"].tolist() == [0, 1, 0, 0, 3]
+
+    def test_self_vocab_covers_everything(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import vocab_coverage
+
+        out = (vocab_coverage(rd.from_arrow(self._corpus()), vocab_size=5)
+               .to_pandas())
+        assert out["n_oov"].sum() == 0
+        assert out["n_tokens"].sum() == 9
+
+
 class TestDurationBatches:
     def test_buckets_and_packing(self, ray_session):
         import pyarrow as pa
