@@ -5330,6 +5330,89 @@ ORDER BY d.doc_id
 """.replace("{WS}", _WS_CLASS)
 
 
+def q_transcript_fit(sf_dir: str):
+    """Per-language transcript↔duration mislabel detector (stages/stats.
+    grouped_linfit_outliers): each language's clips get a least-squares
+    tokens→duration line from exact integer sufficient statistics (one
+    #langs-sized shuffle), and clips sitting >2σ off their own language's
+    line are flagged — the corpus-level agreement check a per-row rate
+    window (q_speech_rate) cannot make.  Durations synthesize from
+    (doc_id, token count) with per-language speaking rates; every 41st
+    doc gets a 400 ms duration regardless of transcript (the planted
+    swapped-transcript defect).  Oracle: literal SQL — the same HUGEINT
+    sums and double op order reproduce every residual bit-for-bit."""
+    from ..stages.stats import grouped_linfit_outliers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_clips(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        ntok = np.array([len((t or "").split()) for t in texts], np.int64)
+        dur = ntok * (280 + (ids % 7) * 15) + (ids % 97) * 10
+        dur = np.where(ids % 41 == 0, 400, dur).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_tok": pa.array(ntok, pa.int64()),
+                         "dur_ms": pa.array(dur, pa.int64())})
+
+    clips = ds.map_batches(to_clips, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_linfit_outliers(clips, "lang", "n_tok", "dur_ms",
+                                  k_sigma=2.0)
+    return (out.select_columns(
+        ["doc_id", "lang", "dur_ms", "resid_milli", "flagged"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_TRANSCRIPT_FIT = """
+WITH clips AS (
+  SELECT doc_id, lang,
+         CAST({WS} AS BIGINT) AS n_tok,
+         CAST(CASE WHEN doc_id % 41 = 0 THEN 400
+              ELSE CAST({WS} AS BIGINT) * (280 + (doc_id % 7) * 15)
+                   + (doc_id % 97) * 10
+         END AS BIGINT) AS dur_ms
+  FROM documents
+), s AS (
+  SELECT lang, count(*) AS n,
+         sum(n_tok) AS sx, sum(dur_ms) AS sy,
+         sum(n_tok * n_tok) AS sxx, sum(n_tok * dur_ms) AS sxy,
+         sum(dur_ms * dur_ms) AS syy
+  FROM clips GROUP BY lang
+), coef AS (
+  SELECT lang, n, sx, sy, sxy, syy,
+         CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+         END AS slope
+  FROM s
+), coef2 AS (
+  SELECT lang, n, sy, sxy, syy, slope,
+         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+  FROM coef
+), coef3 AS (
+  SELECT lang, slope, intercept,
+         sqrt(greatest(CAST(syy AS DOUBLE)
+                       - (intercept * CAST(sy AS DOUBLE)
+                          + slope * CAST(sxy AS DOUBLE)), 0.0)
+              / CAST(n AS DOUBLE)) AS sigma
+  FROM coef2
+), resid AS (
+  SELECT c.doc_id, c.lang, c.dur_ms,
+         CAST(c.dur_ms AS DOUBLE)
+           - (k.intercept + k.slope * CAST(c.n_tok AS DOUBLE)) AS r,
+         k.sigma
+  FROM clips c JOIN coef3 k ON c.lang = k.lang
+)
+SELECT doc_id, lang, dur_ms,
+       CAST(floor(r * 1000.0 + 0.5) AS BIGINT) AS resid_milli,
+       abs(r) > 2.0 * sigma AS flagged
+FROM resid ORDER BY doc_id
+""".replace("{WS}", _sql_ws_tokens("text"))
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
@@ -5416,6 +5499,7 @@ QUERIES = {
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,
     "q_substring_dedup": q_substring_dedup,
     "q_vocab_coverage": q_vocab_coverage,
+    "q_transcript_fit": q_transcript_fit,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
@@ -5598,6 +5682,7 @@ ORACLE_SQL = {
     "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
+    "q_transcript_fit": SQL_TRANSCRIPT_FIT,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

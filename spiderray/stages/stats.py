@@ -974,6 +974,106 @@ def grouped_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
     return quanted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_linfit_outliers(ds, group_col: str, x_col: str, y_col: str,
+                            k_sigma: float = 3.0):
+    """Per-group least-squares fit ``y ~ a + b·x`` with BIT-DETERMINISTIC
+    statistics, flagging rows whose residual exceeds ``k_sigma``·σ — the
+    corpus-level mislabel detector (e.g. per-language transcript-token
+    count vs audio duration: a clip far off its language's own
+    tokens-per-millisecond line has a swapped / truncated transcript,
+    which a per-row rate window like speech_rate_stage cannot see).
+
+    Scale shape: per-batch partial integer sums (n, Σx, Σy, Σx², Σxy,
+    Σy²) merge exactly through ONE #groups-sized shuffle; the driver
+    computes (slope, intercept, σ) per group from exact Python ints in a
+    fixed IEEE double op order; one ray.put broadcast + a stateless
+    vectorized map appends (resid_milli, flagged) to every row.  An
+    independent SQL restatement of the same sums and op sequence
+    reproduces every residual bit-for-bit.
+
+    Both columns must be integral; Σx²/Σxy/Σy² must fit int64 within any
+    one batch (|v| is guarded at 3.037e9 — the int64-sqrt bound shared
+    with grouped_outliers; at larger group sizes the exactness bound is
+    n·max(v²) ≤ 9.2e18 per PARTIAL, which holds for ms-duration /
+    token-count magnitudes at any realistic batch size).
+
+    Groups with n < 2 or zero x-variance fall back to slope=0,
+    intercept=mean(y).  Flag rule: |resid| > k_sigma·σ (strict, so a
+    σ=0 group flags any nonzero deviation)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    _GUARD = 3_037_000_499  # floor(sqrt(int64 max))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        for name, v in ((x_col, x), (y_col, y)):
+            if len(v) and int(np.abs(v).max()) > _GUARD:
+                raise OverflowError(
+                    f"grouped_linfit_outliers: |{name}| exceeds {_GUARD} — "
+                    "squared sums would overflow int64 silently.  Rescale "
+                    "the column first.")
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(zero_copy_only=False),
+            "x": x, "y": y,
+        })
+        df["xx"] = df["x"] * df["x"]
+        df["xy"] = df["x"] * df["y"]
+        df["yy"] = df["y"] * df["y"]
+        g = df.groupby(group_col, as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+        return pa_from_pandas(g)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"), Sum("syy", alias_name="syy"))
+        .to_pandas()  # #groups rows
+    )
+    params = {}
+    for _, r in stats.iterrows():
+        # exact Python-int arithmetic, then ONE rounding per float op —
+        # the SQL twin states the identical sequence over HUGEINT sums
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy, syy = int(r["sxx"]), int(r["sxy"]), int(r["syy"])
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            slope = 0.0
+            intercept = float(sy) / float(n)
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+        sse = float(syy) - (intercept * float(sy) + slope * float(sxy))
+        sigma = float(np.sqrt(max(sse, 0.0) / float(n)))
+        params[r[group_col]] = (intercept, slope, sigma)
+    p_ref = ray.put(params)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = _ray.get(p_ref)
+        keys = batch.column(group_col).to_pylist()
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.array([p[k][0] for k in keys], np.float64)
+        b = np.array([p[k][1] for k in keys], np.float64)
+        s = np.array([p[k][2] for k in keys], np.float64)
+        r = y - (a + b * x)
+        flagged = np.abs(r) > k_sigma * s
+        batch = batch.append_column(
+            "resid_milli",
+            pa.array(np.floor(r * 1000.0 + 0.5).astype(np.int64), pa.int64()))
+        return batch.append_column("flagged", pa.array(flagged, pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def corpus_diff(ds_a, ds_b, id_col: str = "doc_id", text_col: str = "text",
                 num_buckets: int = 32):
     """Release-to-release corpus diff — the data-card maintenance pass a

@@ -1562,6 +1562,80 @@ class TestGroupedOutliersOverflowGuard:
                              ["event_id"], scale=1000).to_pandas()
 
 
+class TestGroupedLinfit:
+    def test_flags_off_line_rows_partition_invariantly(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_linfit_outliers
+
+        rng = np.random.default_rng(23)
+        n = 2000
+        x = rng.integers(10, 200, size=n).astype(np.int64)
+        g = np.array(["a", "b"] * (n // 2), dtype=object)
+        slope = np.where(g == "a", 30, 50)
+        y = (slope * x + 1000 + rng.integers(-40, 41, size=n)).astype(np.int64)
+        y[[7, 444, 1999]] = 25  # way off both lines
+        df = pd.DataFrame({"doc_id": np.arange(n), "g": g, "x": x, "y": y})
+        out = (grouped_linfit_outliers(rd.from_pandas(df).repartition(6),
+                                       "g", "x", "y", k_sigma=4.0)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(out) == n  # all rows pass through, annotated
+        flagged = set(out[out["flagged"]]["doc_id"])
+        assert {7, 444, 1999} <= flagged
+        assert len(flagged) < 20  # the noise band stays unflagged
+        # bit-identical residuals on another partitioning
+        out2 = (grouped_linfit_outliers(rd.from_pandas(df).repartition(13),
+                                        "g", "x", "y", k_sigma=4.0)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["resid_milli"].tolist() == out2["resid_milli"].tolist()
+        assert out["flagged"].tolist() == out2["flagged"].tolist()
+
+    def test_exact_fit_zero_residuals(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_linfit_outliers
+
+        x = np.arange(1, 101, dtype=np.int64)
+        df = pd.DataFrame({"doc_id": np.arange(100), "g": ["a"] * 100,
+                           "x": x, "y": 3 * x + 7})
+        out = grouped_linfit_outliers(rd.from_pandas(df), "g", "x",
+                                      "y").to_pandas()
+        assert out["resid_milli"].abs().max() == 0
+        assert not out["flagged"].any()  # strict >: σ=0 flags nothing here
+
+    def test_degenerate_groups_fall_back_to_mean(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_linfit_outliers
+
+        # constant x (den=0) and a single-row group (n<2)
+        df = pd.DataFrame({
+            "doc_id": np.arange(5),
+            "g": ["c", "c", "c", "c", "solo"],
+            "x": np.array([4, 4, 4, 4, 9], np.int64),
+            "y": np.array([10, 10, 10, 50, 77], np.int64),
+        })
+        out = (grouped_linfit_outliers(rd.from_pandas(df), "g", "x", "y",
+                                       k_sigma=1.0)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # group c: mean 20, resid (-10,-10,-10,30), σ>0 → row 3 flags
+        assert out["resid_milli"].tolist() == [-10000, -10000, -10000,
+                                               30000, 0]
+        assert out["flagged"].tolist() == [False, False, False, True, False]
+
+    def test_overflow_guard(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_linfit_outliers
+
+        df = pd.DataFrame({"doc_id": [1, 2], "g": ["a", "a"],
+                           "x": np.array([4_000_000_000, 1], np.int64),
+                           "y": np.array([1, 2], np.int64)})
+        with pytest.raises(Exception, match="overflow|Overflow"):
+            grouped_linfit_outliers(rd.from_pandas(df), "g", "x",
+                                    "y").to_pandas()
+
+
 class TestBucketedLayout:
     def test_write_read_prune_and_join(self, ray_session, tmp_path):
         import os
