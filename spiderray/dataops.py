@@ -22,7 +22,8 @@ trainers) and is individually documented at its definition site.
 from .functions.arpa import quantize_lm, read_arpa, write_arpa
 from .functions.bloom import BloomFilter
 from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_split_corpus
-from .stages.ann import brute_force_topk, ivf_assign, ivf_topk, ivf_train, lsh_topk
+from .stages.ann import (brute_force_topk, ivf_assign, ivf_topk,
+                         ivf_train, lsh_topk, pq_topk, pq_train)
 from .stages.dedup import (
     apply_deletions,
     chunk_dedup_stats,
@@ -129,10 +130,12 @@ from .stages.c4 import paragraph_dedup, paragraph_dedup_bloom
 from .stages.dedup import decontaminate_spans
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
-from .stages.audioquality import audio_bandwidth_stage
+from .stages.audioquality import (audio_bandwidth_stage,
+                                  audio_hum_stage, audio_reverb_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     corpus_diff,
+    grouped_linfit_outliers,
     grouped_split,
     mixture_plan,
     threshold_sweep,
@@ -140,7 +143,8 @@ from .stages.stats import (
     unimax_resample,
     weighted_sample,
 )
-from .stages.textindex import build_inverted_index, lookup_postings
+from .stages.textindex import (build_inverted_index, build_vocab,
+                               lookup_postings, vocab_coverage)
 from .stages.windows import duration_bucket_batches, epoch_order
 
 __all__ = [
@@ -198,4 +202,7 @@ __all__ = [
     "image_near_dup_pairs", "audio_bandwidth_stage", "threshold_sweep",
     "unimax_plan", "unimax_resample", "write_jsonl_shards",
     "read_jsonl_shards",
+    # round 4, fourth wave
+    "audio_hum_stage", "audio_reverb_stage", "pq_train", "pq_topk",
+    "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
 ]

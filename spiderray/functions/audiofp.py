@@ -511,3 +511,61 @@ def hum_stats(pcm: np.ndarray, sr: int) -> dict:
             hum = max(hum, float(spec[lo:hi + 1].sum() / total))
     out["hum_ratio"] = hum
     return out
+
+
+REVERB_FRAME_MS = 20.0       # energy-envelope frame (no overlap)
+REVERB_OFFSET_DB = 6.0       # "end of last burst" window below peak
+REVERB_FLOOR_DB = 35.0       # decay tail measured down to peak − this
+MAX_RT60_MS = 60_000.0       # sentinel when no decay is measurable
+MAX_REVERB_RT60_MS = 700.0   # rt60 above this → reverberant flag
+
+
+def reverb_stats(pcm: np.ndarray, sr: int,
+                 frame_ms: float = REVERB_FRAME_MS) -> dict:
+    """Blind reverberation proxy for a PCM clip: Schroeder-style decay
+    slope after the LAST energy burst.
+
+    Frame RMS energies (``frame_ms`` non-overlapping frames, first
+    BANDWIDTH_MAX_SAMPLES samples) form a dB envelope; the decay tail
+    runs from the last frame within REVERB_OFFSET_DB of the peak until
+    the envelope first falls REVERB_FLOOR_DB below it (pure trailing
+    silence therefore never flattens the fit).  An OLS line over the
+    tail gives ``decay_db_s``; ``rt60_ms = −60/slope`` (capped at
+    MAX_RT60_MS when the tail does not decay).  Tails shorter than 3
+    frames — a dry clip's instant cliff, or a burst running to the clip
+    edge — return 0 (no measurable reverberation): the gate stays
+    conservative when the offset is unobservable.
+
+    A long RT60 means the capture room smears phones together — a
+    standard re-record / drop signal in ASR corpus preparation that
+    loudness- and bandwidth-gates cannot see."""
+    out = {"rt60_ms": 0.0, "decay_db_s": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    w = max(1, int(round(sr * frame_ms / 1000.0)))
+    nf = len(x) // w
+    if nf < 3:
+        return out
+    E = np.mean(x[:nf * w].reshape(nf, w) ** 2, axis=1)
+    if float(E.max()) <= 0.0:
+        return out
+    env = 10.0 * np.log10(np.maximum(E, 1e-20))
+    peak = float(env.max())
+    last_burst = int(np.max(np.nonzero(env >= peak - REVERB_OFFSET_DB)[0]))
+    below = np.nonzero(env[last_burst + 1:] <= peak - REVERB_FLOOR_DB)[0]
+    end = last_burst + 1 + (int(below[0]) if len(below)
+                            else len(env) - last_burst - 2)
+    y = env[last_burst:end + 1]
+    if len(y) < 3:
+        return out
+    t = np.arange(len(y), dtype=np.float64) * (w / sr)
+    tm, ym = t.mean(), y.mean()
+    vart = float(np.sum((t - tm) ** 2))
+    slope = float(np.sum((t - tm) * (y - ym)) / vart) if vart > 0 else 0.0
+    out["decay_db_s"] = slope
+    if slope >= -1e-9:
+        out["rt60_ms"] = MAX_RT60_MS
+    else:
+        out["rt60_ms"] = float(min(MAX_RT60_MS, -60.0 / slope * 1000.0))
+    return out

@@ -3963,6 +3963,70 @@ def _humdc_clips_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _reverb_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the reverberation gate (shared with
+    the q_audio_reverb serial oracle).  Per doc_id i at 16 kHz / 1.0 s: a
+    0.2 s tone burst (500–1410 Hz) followed by (priority order) an
+    exponential tail with RT60 1.0–1.6 s when i%4==1 (reverberant), a
+    0.25 s tail when i%6==2 (live-but-acceptable room), else digital
+    silence (dry);  every 17th row ships undecodable."""
+    from ..sources.clips import _sine_term
+
+    sr, n = 16000, 16000
+    t = np.arange(n, dtype=np.float64) / sr
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"rv_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        wave = _sine_term(500.0 + (i % 8) * 130.0, sr, n).copy()
+        if i % 4 == 1:
+            rt = 1.0 + (i % 5) * 0.15
+        elif i % 6 == 2:
+            rt = 0.25
+        else:
+            rt = None
+        env = np.where(t < 0.2, 1.0,
+                       0.0 if rt is None else 10.0 ** (-3.0 * (t - 0.2) / rt))
+        wave = wave * env * (0.45 * 32767.0)
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_reverb(sf_dir: str):
+    """Blind-reverberation capture gate (stages/audioquality.
+    audio_reverb_stage): actor-pool decode → frame-energy envelope + OLS
+    decay slope after the last burst (functions/audiofp.reverb_stats) →
+    rt60_ms estimate and the ``reverberant`` flag.  Corpus plants
+    RT60≈1.0–1.6 s tails among dry bursts, acceptable 0.25 s rooms, and
+    an undecodable stratum.  Oracle: serial decode + same kernel per row
+    (so_audio_reverb)."""
+    _ensure_fixture("q_audio_reverb", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_reverb_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_reverb_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_reverb_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "rt60_ms", "decay_db_s", "reverberant"])
+
+
 def q_audio_humdc(sf_dir: str):
     """Mains-hum / DC-offset capture-defect gate (stages/audioquality.
     audio_hum_stage): actor-pool decode → |mean|/rms + ±2 Hz mains-band
@@ -5445,6 +5509,7 @@ QUERIES = {
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
     "q_audio_humdc": q_audio_humdc,
+    "q_audio_reverb": q_audio_reverb,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,

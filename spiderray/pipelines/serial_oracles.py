@@ -704,6 +704,41 @@ def so_audio_humdc(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_reverb(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_reverb: same corpus generator + decode +
+    reverb kernel per row, plain loop, no Ray."""
+    from ..functions.audiofp import MAX_REVERB_RT60_MS, reverb_stats
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _reverb_clips_batch
+
+    clips = _reverb_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "decode_ok": [], "rt60_ms": [], "decay_db_s": [],
+           "reverberant": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            stats = reverb_stats(_decode_one(buf or b"", codec or ""),
+                                 int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            stats = {"rt60_ms": 0.0, "decay_db_s": 0.0}
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["rt60_ms"].append(stats["rt60_ms"])
+        out["decay_db_s"].append(stats["decay_db_s"])
+        out["reverberant"].append(ok and stats["rt60_ms"] > MAX_REVERB_RT60_MS)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "rt60_ms": pa.array(out["rt60_ms"], pa.float32()),
+        "decay_db_s": pa.array(out["decay_db_s"], pa.float32()),
+        "reverberant": pa.array(out["reverberant"], pa.bool_()),
+    })
+
+
 def so_unimax_resample(sf_dir: str) -> pa.Table:
     """Serial twin for q_unimax_resample: same lang derivation, waterfall
     and md5-bucket membership (shared bank), plain-pandas orchestration."""
@@ -2210,6 +2245,7 @@ SERIAL_ORACLES = {
     "q_audio_bandwidth": so_audio_bandwidth,
     "q_pq_topk": so_pq_topk,
     "q_audio_humdc": so_audio_humdc,
+    "q_audio_reverb": so_audio_reverb,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

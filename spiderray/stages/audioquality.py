@@ -829,3 +829,65 @@ def audio_hum_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+_REVERB_COLS = ("rt60_ms", "decay_db_s")
+
+
+class AudioReverbActor:
+    """Decode + blind-reverberation columns and the ``reverberant`` gate
+    flag (kernel: functions/audiofp.reverb_stats — frame-energy envelope
+    + OLS decay slope after the last burst, no FFT).
+
+    A long RT60 smears phones across frames: ASR corpora drop or
+    re-record such clips because no loudness/bandwidth gate can repair
+    them.  Undecodable clips mark ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 max_rt60_ms: float | None = None):
+        from ..functions.audiofp import MAX_REVERB_RT60_MS
+
+        self.cfg = cfg or PipelineConfig()
+        self.max_rt60_ms = (MAX_REVERB_RT60_MS if max_rt60_ms is None
+                            else max_rt60_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import reverb_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _REVERB_COLS}
+        ok, flag = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                stats = reverb_stats(_decode_one(buf or b"", codec or ""),
+                                     int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _REVERB_COLS}
+                ok.append(False)
+            for k in _REVERB_COLS:
+                cols[k].append(stats[k])
+            flag.append(ok[-1] and stats["rt60_ms"] > self.max_rt60_ms)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _REVERB_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        return batch.append_column("reverberant", pa.array(flag, pa.bool_()))
+
+
+def audio_reverb_stage(ds, cfg: PipelineConfig,
+                       concurrency: int | tuple[int, int] = 4,
+                       max_rt60_ms: float | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioReverbActor,
+        fn_constructor_args=(cfg, max_rt60_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
