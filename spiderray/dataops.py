@@ -143,6 +143,8 @@ from .stages.stats import (
     unimax_resample,
     weighted_sample,
 )
+from .stages.wordpiece_train import (train_wordpiece, wordpiece_encode_stage,
+                                     wordpiece_vocab)
 from .stages.textindex import (build_inverted_index, build_vocab,
                                lookup_postings, vocab_coverage)
 from .stages.windows import duration_bucket_batches, epoch_order
@@ -205,4 +207,5 @@ __all__ = [
     # round 4, fourth wave
     "audio_hum_stage", "audio_reverb_stage", "pq_train", "pq_topk",
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
+    "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
 ]

@@ -4525,6 +4525,52 @@ def q_tdigest_quantiles(sf_dir: str):
 _BPE_TRAIN_KW = dict(num_merges=200, max_words=20_000)
 
 
+_WP_TRAIN_KW = dict(num_merges=200, max_words=20_000)
+
+
+def q_wordpiece_vocab(sf_dir: str):
+    """Distributed WordPiece tokenizer training (stages/wordpiece_train):
+    the same vocabulary-bounded word-frequency shuffle as BPE feeds a
+    driver merge loop that maximizes count(pair)/(count(left)·
+    count(right)) via exact integer cross-multiplication.  Oracle: an
+    independent NAIVE trainer (full pair+unit recount per merge) over the
+    same parquet — merge-table equality is the strongest check the
+    algorithm admits."""
+    _ensure_fixture("q_wordpiece_vocab", sf_dir)
+    from ..stages.wordpiece_train import train_wordpiece
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = train_wordpiece(ds, **_WP_TRAIN_KW)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(len(merges)), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "token": [m[2] for m in merges],
+        }
+    )
+
+
+def q_wordpiece_tokens(sf_dir: str):
+    """Corpus-trained WordPiece encode (stages/wordpiece_train.
+    wordpiece_encode_stage): greedy longest-match-first against the
+    learned vocab (shipped once per task, word→counts memoized per
+    worker), whole-word [UNK] on any dead end.  Oracle: the naive-trained
+    vocab + an independently-written greedy encoder."""
+    _ensure_fixture("q_wordpiece_tokens", sf_dir)
+    from ..stages.bpe_train import corpus_word_freqs
+    from ..stages.wordpiece_train import (wordpiece_encode_stage,
+                                          wordpiece_vocab)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = wordpiece_vocab(
+        corpus_word_freqs(ds, "text", _WP_TRAIN_KW["max_words"]),
+        _WP_TRAIN_KW["num_merges"])
+    out = wordpiece_encode_stage(ds, vocab).select_columns(
+        ["doc_id", "n_wp_tokens", "n_unk"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bpe_vocab(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe_train): one
     map_batches word-count pass + vocabulary-bounded groupby-Sum feed the
@@ -5604,6 +5650,8 @@ QUERIES = {
     "q_supplier_balance": q_supplier_balance,
     "q_bpe_vocab": q_bpe_vocab,
     "q_bpe_tokens": q_bpe_tokens,
+    "q_wordpiece_vocab": q_wordpiece_vocab,
+    "q_wordpiece_tokens": q_wordpiece_tokens,
     "q_dsir_scores": q_dsir_scores,
     "q_arpa_ppl": q_arpa_ppl,
     "q_nb_langid": q_nb_langid,

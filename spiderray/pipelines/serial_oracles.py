@@ -1812,6 +1812,131 @@ def _serial_bpe_train(sf_dir: str):
     return merges
 
 
+_WP_MERGES = 200
+_WP_MAX_WORDS = 20_000
+
+
+def _serial_wordpiece_train(sf_dir: str):
+    """Independent serial WordPiece trainer: plain-Python word counts
+    over the raw parquet, then the NAIVE algorithm — full pair AND unit
+    recount every merge, no incremental maintenance — with the same
+    integer-cross-multiplication score comparison spec.  Shares only the
+    pre-tokenizer regex with the engine."""
+    from collections import Counter
+
+    from ..functions.tokenize import RE_BPE_TOKEN
+
+    wc = defaultdict(int)
+    for text in _docs(sf_dir).column("text").to_pylist():
+        for tok in RE_BPE_TOKEN.findall(text or ""):
+            wc[tok.lower()] += 1
+    rows = sorted(wc.items(), key=lambda t: (-t[1], t[0]))[:_WP_MAX_WORDS]
+
+    def symbols(word):
+        return tuple([word[0]] + ["##" + c for c in word[1:]])
+
+    words = {symbols(w): n for w, n in rows if w}
+    merges = []
+    for _ in range(_WP_MERGES):
+        pc, uc = Counter(), Counter()
+        for syms, n in words.items():
+            for s in syms:
+                uc[s] += n
+            for p in zip(syms, syms[1:]):
+                pc[p] += n
+        best = None
+        bc = bl = br = 0
+        for p, c in sorted(pc.items()):
+            if c <= 0:
+                continue
+            l_cnt, r_cnt = uc[p[0]], uc[p[1]]
+            if best is None or c * bl * br > bc * l_cnt * r_cnt:
+                best, bc, bl, br = p, c, l_cnt, r_cnt
+        if best is None:
+            break
+        joined = best[0] + (best[1][2:] if best[1].startswith("##")
+                            else best[1])
+        merges.append((best[0], best[1], joined))
+        nw = defaultdict(int)
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nw[tuple(out)] += n
+        words = nw
+    alphabet = sorted({s for w, _ in rows if w for s in symbols(w)})
+    return merges, alphabet + [m[2] for m in merges]
+
+
+def so_wordpiece_vocab(sf_dir: str) -> pa.Table:
+    merges, _ = _serial_wordpiece_train(sf_dir)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "token": pa.array([m[2] for m in merges], pa.string()),
+        }
+    )
+
+
+def so_wordpiece_tokens(sf_dir: str) -> pa.Table:
+    """Serial encode with an independently-written greedy
+    longest-match-first loop (scans candidate lengths ASCENDING and keeps
+    the longest hit, vs the engine's descending-break scan)."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+
+    _, vocab = _serial_wordpiece_train(sf_dir)
+    vset = set(vocab)
+
+    def encode(word):
+        if not word:
+            return []
+        if len(word) > 100:
+            return ["[UNK]"]
+        pieces, start = [], 0
+        while start < len(word):
+            hit = None
+            for end in range(start + 1, len(word) + 1):
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vset:
+                    hit = (sub, end)
+            if hit is None:
+                return ["[UNK]"]
+            pieces.append(hit[0])
+            start = hit[1]
+        return pieces
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ids, n_tok, n_unk = [], [], []
+    cache = {}
+    for did, text in zip(docs.column("doc_id").to_pylist(),
+                         docs.column("text").to_pylist()):
+        t = u = 0
+        for w in RE_BPE_TOKEN.findall(text or ""):
+            w = w.lower()
+            if w not in cache:
+                p = encode(w)
+                cache[w] = (len(p), p.count("[UNK]"))
+            t += cache[w][0]
+            u += cache[w][1]
+        ids.append(did)
+        n_tok.append(t)
+        n_unk.append(u)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_wp_tokens": pa.array(n_tok, pa.int64()),
+        "n_unk": pa.array(n_unk, pa.int64()),
+    })
+
+
 def so_bpe_vocab(sf_dir: str) -> pa.Table:
     merges = _serial_bpe_train(sf_dir)
     return pa.table(
@@ -2201,6 +2326,8 @@ SERIAL_ORACLES = {
     "q_unigram_tokens": so_unigram_tokens,
     "q_ccnet_buckets": so_ccnet_buckets,
     "q_bpe_vocab": so_bpe_vocab,
+    "q_wordpiece_vocab": so_wordpiece_vocab,
+    "q_wordpiece_tokens": so_wordpiece_tokens,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,
     "q_arpa_ppl": so_arpa_ppl,
