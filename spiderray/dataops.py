@@ -136,6 +136,7 @@ from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     corpus_diff,
     grouped_linfit_outliers,
+    term_drift,
     grouped_split,
     mixture_plan,
     threshold_sweep,
@@ -208,4 +209,5 @@ __all__ = [
     "audio_hum_stage", "audio_reverb_stage", "pq_train", "pq_topk",
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
+    "term_drift",
 ]

@@ -5346,6 +5346,94 @@ SELECT metric, value FROM (
 """
 
 
+def q_term_drift(sf_dir: str):
+    """Release-to-release term-distribution drift (stages/stats.
+    term_drift): v2 is the SAME deterministic edit of documents that
+    q_corpus_diff uses, and the report is the integer-exact ppm
+    total-variation table over the union top-40 vocabulary + __other__ +
+    __total__ rows — the content-mix shift detector that id/fingerprint
+    diffing cannot see.  Oracle: literal SQL — FULL OUTER JOIN of the two
+    term-count CTEs, the same round-half-up ``//`` ppm quantization."""
+    from ..stages.stats import term_drift
+
+    v1 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_v2(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 13 == 0:
+                continue
+            out.append(None if t is None
+                       else (f"rev2 {t}" if i % 7 == 0 else t))
+        for i, t in zip(ids, texts):
+            if int(i) % 11 == 0:
+                out.append(None if t is None else f"new {t}")
+        return pa.table({"text": pa.array(out, pa.string())})
+
+    v2 = v1.map_batches(derive_v2, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return term_drift(v1, v2, top_n=40)
+
+
+SQL_TERM_DRIFT = """
+WITH v2src AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'new ' || text FROM documents WHERE doc_id % 11 = 0
+), ta AS (
+  SELECT unnest(string_split_regex(coalesce(text, ''), {WS})) AS term
+  FROM documents
+), tb AS (
+  SELECT unnest(string_split_regex(coalesce(text, ''), {WS})) AS term
+  FROM v2src
+), ca AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_a FROM ta
+  WHERE term <> '' GROUP BY term
+), cb AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_b FROM tb
+  WHERE term <> '' GROUP BY term
+), m AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+), tot AS (
+  SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) AS ta,
+         CAST(coalesce(sum(n_b), 0) AS BIGINT) AS tb FROM m
+), top AS (
+  SELECT term, n_a, n_b FROM m
+  ORDER BY n_a + n_b DESC, term ASC LIMIT 40
+), aug AS (
+  SELECT term, n_a, n_b FROM top
+  UNION ALL
+  SELECT '__other__',
+         t.ta - (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) FROM top),
+         t.tb - (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) FROM top)
+  FROM tot t
+), q AS (
+  SELECT a.term, a.n_a, a.n_b,
+         (a.n_a * 2000000 + greatest(t.ta, 1)) // (2 * greatest(t.ta, 1))
+           AS ppm_a,
+         (a.n_b * 2000000 + greatest(t.tb, 1)) // (2 * greatest(t.tb, 1))
+           AS ppm_b
+  FROM aug a, tot t
+)
+SELECT term, n_a, n_b,
+       CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+       CAST(abs(ppm_a - ppm_b) AS BIGINT) AS ppm_absdiff
+FROM q
+UNION ALL
+SELECT '__total__', t.ta, t.tb, CAST(1000000 AS BIGINT),
+       CAST(1000000 AS BIGINT),
+       (SELECT CAST(sum(abs(ppm_a - ppm_b)) AS BIGINT) FROM q)
+FROM tot t
+ORDER BY term
+""".replace("{WS}", _WS_CLASS)
+
+
 def q_langid_agreement(sf_dir: str):
     """Language-ID QA diagnostic: the heuristic cascade vs the n-gram
     model actor, as a (lang, lang_pos, lang_model, n) agreement matrix —
@@ -5673,6 +5761,7 @@ QUERIES = {
     "q_audio_report": q_audio_report,
     "q_near_dedup_best": q_near_dedup_best,
     "q_corpus_diff": q_corpus_diff,
+    "q_term_drift": q_term_drift,
     "q_langid_agreement": q_langid_agreement,
     "q_weighted_sample": q_weighted_sample,
 }
@@ -5799,6 +5888,7 @@ ORACLE_SQL = {
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
+    "q_term_drift": SQL_TERM_DRIFT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

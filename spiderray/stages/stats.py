@@ -1074,6 +1074,94 @@ def grouped_linfit_outliers(ds, group_col: str, x_col: str, y_col: str,
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def term_drift(ds_a, ds_b, text_col: str = "text", top_n: int = 200):
+    """Release-to-release term-distribution drift: integer-exact
+    total-variation report over the union top-``top_n`` vocabulary — the
+    companion to corpus_diff (which diffs *membership* by id+fingerprint;
+    this diffs *content mix*, catching a language/domain shift even when
+    every doc_id matches).
+
+    Scale shape: per-batch vectorized term counts per side → ONE keyed
+    groupby-Sum over (term, n_a, n_b) rows (bounded by vocabulary, never
+    rows), per-block LOCAL top-``top_n`` so only top_n·n_blocks rows
+    reach the driver cut; totals are two scalar Sums.
+
+    All arithmetic is exact integers: probabilities quantize to ppm via
+    round-half-up integer division ``(n·2e6 + tot) // (2·tot)`` so an
+    independent SQL restatement using ``//`` reproduces every row
+    bit-for-bit (no float division anywhere).  Output rows (sorted by
+    term): top terms, ``__other__`` (remaining mass), ``__total__``
+    (token totals; ppm_absdiff = Σ|ppm_a−ppm_b| = 2·TVD in ppm)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .textindex import _ws_tokens
+
+    def make_counts(side: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "n_a": pa.array([], pa.int64()),
+                                 "n_b": pa.array([], pa.int64())})
+            flat = pc.list_flatten(_ws_tokens(batch.column(text_col)))
+            df = pd.DataFrame({"term": flat.to_pandas().to_numpy()})
+            df = df[df["term"] != ""]
+            g = df.groupby("term", as_index=False).size()
+            n = g["size"].to_numpy().astype(np.int64)
+            zero = np.zeros(len(g), np.int64)
+            return pa.table({
+                "term": pa.array(g["term"], pa.string()),
+                "n_a": pa.array(n if side == "a" else zero, pa.int64()),
+                "n_b": pa.array(n if side == "b" else zero, pa.int64()),
+            })
+        return partial
+
+    counts_a = ds_a.map_batches(make_counts("a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts_b = ds_b.map_batches(make_counts("b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = (counts_a.union(counts_b).groupby("term")
+              .aggregate(Sum("n_a", alias_name="n_a"),
+                         Sum("n_b", alias_name="n_b"))
+              .materialize())  # vocabulary-sized; three consumers below
+    tot_a = int(merged.sum("n_a") or 0)
+    tot_b = int(merged.sum("n_b") or 0)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_k"] = df["n_a"] + df["n_b"]
+        df = df.sort_values(["_k", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+        return pa_from_pandas(df.drop(columns="_k"))
+
+    top = (merged.map_batches(local_top, batch_format="pyarrow")
+           .to_pandas())
+    top["_k"] = top["n_a"] + top["n_b"]
+    top = (top.sort_values(["_k", "term"], ascending=[False, True],
+                           kind="mergesort").head(top_n)
+           .drop(columns="_k"))
+
+    rows = [(str(t), int(na), int(nb))
+            for t, na, nb in zip(top["term"], top["n_a"], top["n_b"])]
+    rows.append(("__other__", tot_a - int(top["n_a"].sum()),
+                 tot_b - int(top["n_b"].sum())))
+
+    def ppm(n: int, tot: int) -> int:
+        d = max(tot, 1)
+        return (n * 2_000_000 + d) // (2 * d)
+
+    out = [(t, na, nb, ppm(na, tot_a), ppm(nb, tot_b),
+            abs(ppm(na, tot_a) - ppm(nb, tot_b))) for t, na, nb in rows]
+    out.append(("__total__", tot_a, tot_b, 1_000_000, 1_000_000,
+                sum(r[5] for r in out)))
+    df = pd.DataFrame(out, columns=["term", "n_a", "n_b", "ppm_a", "ppm_b",
+                                    "ppm_absdiff"])
+    for c in df.columns[1:]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("term").reset_index(drop=True)
+
+
 def corpus_diff(ds_a, ds_b, id_col: str = "doc_id", text_col: str = "text",
                 num_buckets: int = 32):
     """Release-to-release corpus diff — the data-card maintenance pass a

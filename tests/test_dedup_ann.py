@@ -1562,6 +1562,57 @@ class TestGroupedOutliersOverflowGuard:
                              ["event_id"], scale=1000).to_pandas()
 
 
+class TestTermDrift:
+    def test_planted_shift_and_exact_ppm(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import term_drift
+
+        # release A: 8 tokens (aa×4 bb×4); release B: 8 tokens (aa×2 bb×2
+        # cc×4) — TVD = |0.5−0.25|·2 + 0.5 = 1.0 → ppm_absdiff total 1e6
+        a = pd.DataFrame({"text": ["aa bb"] * 4})
+        b = pd.DataFrame({"text": ["aa bb", "aa bb", "cc cc cc cc"]})
+        out = term_drift(rd.from_pandas(a), rd.from_pandas(b), top_n=10)
+        r = out.set_index("term")
+        assert r.loc["aa", ["n_a", "n_b"]].tolist() == [4, 2]
+        assert r.loc["aa", "ppm_a"] == 500_000
+        assert r.loc["aa", "ppm_b"] == 250_000
+        assert r.loc["cc", ["ppm_a", "ppm_b"]].tolist() == [0, 500_000]
+        assert r.loc["__other__", ["n_a", "n_b"]].tolist() == [0, 0]
+        assert r.loc["__total__", "ppm_absdiff"] == 1_000_000
+
+    def test_top_n_cut_and_other_mass(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import term_drift
+
+        a = pd.DataFrame({"text": ["big big big small tiny"] * 10})
+        out = term_drift(rd.from_pandas(a).repartition(3),
+                         rd.from_pandas(a).repartition(2), top_n=1)
+        r = out.set_index("term")
+        assert set(r.index) == {"big", "__other__", "__total__"}
+        assert r.loc["big", ["n_a", "n_b"]].tolist() == [30, 30]
+        assert r.loc["__other__", ["n_a", "n_b"]].tolist() == [20, 20]
+        assert r.loc["__total__", "ppm_absdiff"] == 0
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import term_drift
+
+        rng = np.random.default_rng(11)
+        words = ["w%d" % i for i in range(60)]
+        mk = lambda seed: pd.DataFrame({  # noqa: E731
+            "text": [" ".join(np.random.default_rng(seed + i)
+                              .choice(words, size=9)) for i in range(150)]})
+        a, b = mk(0), mk(1000)
+        o1 = term_drift(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b).repartition(3), top_n=25)
+        o2 = term_drift(rd.from_pandas(a).repartition(7),
+                        rd.from_pandas(b).repartition(5), top_n=25)
+        assert o1.values.tolist() == o2.values.tolist()
+
+
 class TestGroupedLinfit:
     def test_flags_off_line_rows_partition_invariantly(self, ray_session):
         import ray.data as rd
