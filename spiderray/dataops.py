@@ -131,7 +131,8 @@ from .stages.dedup import decontaminate_spans
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
 from .stages.audioquality import (audio_bandwidth_stage,
-                                  audio_hum_stage, audio_reverb_stage)
+                                  audio_channel_stage, audio_hum_stage,
+                                  audio_reverb_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     corpus_diff,
@@ -209,5 +210,5 @@ __all__ = [
     "audio_hum_stage", "audio_reverb_stage", "pq_train", "pq_topk",
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
-    "term_drift",
+    "term_drift", "audio_channel_stage",
 ]

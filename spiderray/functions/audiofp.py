@@ -569,3 +569,42 @@ def reverb_stats(pcm: np.ndarray, sr: int,
     else:
         out["rt60_ms"] = float(min(MAX_RT60_MS, -60.0 / slope * 1000.0))
     return out
+
+
+CHAN_DEAD_RATIO = 0.01     # min-rms/max-rms below this → dead channel
+CHAN_FAKE_CORR = 0.995     # corr above this (balanced) → fake stereo
+CHAN_BALANCE_DB = 1.0      # rms ratio within this → "balanced"
+CHAN_INVERT_CORR = -0.95   # corr below this → phase inversion
+
+
+def channel_stats(x: np.ndarray) -> dict:
+    """Channel-layout defect measurements for a channel-preserving
+    (n, ch) PCM array (first BANDWIDTH_MAX_SAMPLES frames).
+
+    Returns ``n_channels``, ``lr_corr`` (zero-mean Pearson correlation of
+    the first two channels; 0.0 when either is flat) and ``rms_ratio``
+    (min/max channel RMS; 1.0 when all channels are silent or mono).
+    The three broadcast-QC defects derive from these: a dead channel
+    (one side of a stereo capture unplugged), fake stereo (a mono
+    master duplicated into L=R — wastes half the storage and breaks
+    mid/side processing), and phase inversion (L≈−R — the clip cancels
+    to silence on any mono downmix, which is exactly what the mono
+    feature path of this engine would see)."""
+    out = {"n_channels": 1, "lr_corr": 0.0, "rms_ratio": 1.0}
+    if x is None or x.size == 0:
+        return out
+    if x.ndim == 1:
+        x = x.reshape(-1, 1)
+    x = np.asarray(x[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    out["n_channels"] = int(x.shape[1])
+    if x.shape[1] < 2 or x.shape[0] == 0:
+        return out
+    rms = np.sqrt(np.mean(x * x, axis=0))
+    mx = float(rms.max())
+    out["rms_ratio"] = float(rms.min() / mx) if mx > 0.0 else 1.0
+    l_ch = x[:, 0] - x[:, 0].mean()
+    r_ch = x[:, 1] - x[:, 1].mean()
+    denom = float(np.sqrt(np.sum(l_ch * l_ch) * np.sum(r_ch * r_ch)))
+    if denom > 0.0:
+        out["lr_corr"] = float(np.sum(l_ch * r_ch) / denom)
+    return out

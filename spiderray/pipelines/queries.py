@@ -4007,6 +4007,84 @@ def _reverb_clips_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _pcm16_wav(frames: np.ndarray, sr: int) -> bytes:
+    """Minimal RIFF/WAVE wrap of float (n, ch) frames as 16-bit PCM."""
+    import struct
+
+    n_ch = frames.shape[1]
+    pcm = np.clip(frames * 32767.0, -32768, 32767).astype("<i2")
+    data = pcm.reshape(-1).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sr, sr * n_ch * 2, n_ch * 2, 16)
+    out = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(out) + 4) + out
+
+
+def _channel_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the channel-defect gate (shared with
+    the q_audio_channels serial oracle).  Per doc_id i at 16 kHz / 0.5 s
+    stereo WAV: true stereo (decorrelated L/R tones) by default; R=L when
+    i%4==1 (fake stereo); R silent when i%6==2 (dead channel); R=−L when
+    i%9==4 (phase inversion); mono WAV when i%5==3; every 17th row ships
+    undecodable."""
+    from ..sources.clips import _sine_term
+
+    sr, n = 16000, 8000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"ch_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("wav")
+        left = 0.5 * _sine_term(440.0 + (i % 9) * 120.0, sr, n)
+        if i % 5 == 3:
+            bufs.append(_pcm16_wav(left.reshape(-1, 1), sr))
+            continue
+        if i % 4 == 1:
+            right = left
+        elif i % 6 == 2:
+            right = np.zeros(n)
+        elif i % 9 == 4:
+            right = -left
+        else:
+            right = 0.5 * _sine_term(900.0 + (i % 7) * 110.0, sr, n)
+        bufs.append(_pcm16_wav(np.stack([left, right], axis=1), sr))
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_channels(sf_dir: str):
+    """Stereo channel-defect gate (stages/audioquality.
+    audio_channel_stage): channel-preserving actor-pool decode →
+    zero-mean L/R correlation + min/max channel RMS (functions/audiofp.
+    channel_stats) → dead_channel / fake_stereo / phase_inverted flags.
+    Phase inversion matters most here: L≈−R cancels to silence on the
+    mono downmix every other feature stage consumes.  Oracle: serial
+    decode + same kernel per row (so_audio_channels)."""
+    _ensure_fixture("q_audio_channels", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_channel_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_channel_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_channel_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "n_channels", "lr_corr", "rms_ratio",
+         "dead_channel", "fake_stereo", "phase_inverted"])
+
+
 def q_audio_reverb(sf_dir: str):
     """Blind-reverberation capture gate (stages/audioquality.
     audio_reverb_stage): actor-pool decode → frame-energy envelope + OLS
@@ -5644,6 +5722,7 @@ QUERIES = {
     "q_pq_topk": q_pq_topk,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
+    "q_audio_channels": q_audio_channels,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,

@@ -739,6 +739,55 @@ def so_audio_reverb(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_channels(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_channels: same corpus generator +
+    channel-preserving decode + kernel + flag rules per row, no Ray."""
+    from ..functions.audiofp import (CHAN_BALANCE_DB, CHAN_DEAD_RATIO,
+                                     CHAN_FAKE_CORR, CHAN_INVERT_CORR,
+                                     channel_stats)
+    from ..stages.multimodal import DecodeUnsupported, _decode_one_multi
+    from .queries import _channel_clips_batch
+
+    clips = _channel_clips_batch(_docs(sf_dir, ("doc_id",)))
+    balance = 10.0 ** (-CHAN_BALANCE_DB / 20.0)
+    out = {k: [] for k in ("clip_id", "decode_ok", "n_channels", "lr_corr",
+                           "rms_ratio", "dead_channel", "fake_stereo",
+                           "phase_inverted")}
+    for cid, buf, codec in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+    ):
+        try:
+            stats = channel_stats(_decode_one_multi(buf or b"", codec or ""))
+            ok = True
+        except DecodeUnsupported:
+            stats = {"n_channels": 0, "lr_corr": 0.0, "rms_ratio": 1.0}
+            ok = False
+        stereo = ok and stats["n_channels"] >= 2
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["n_channels"].append(stats["n_channels"])
+        out["lr_corr"].append(stats["lr_corr"])
+        out["rms_ratio"].append(stats["rms_ratio"])
+        out["dead_channel"].append(
+            stereo and stats["rms_ratio"] < CHAN_DEAD_RATIO)
+        out["fake_stereo"].append(
+            stereo and stats["lr_corr"] > CHAN_FAKE_CORR
+            and stats["rms_ratio"] > balance)
+        out["phase_inverted"].append(
+            stereo and stats["lr_corr"] < CHAN_INVERT_CORR)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "n_channels": pa.array(out["n_channels"], pa.int32()),
+        "lr_corr": pa.array(out["lr_corr"], pa.float32()),
+        "rms_ratio": pa.array(out["rms_ratio"], pa.float32()),
+        "dead_channel": pa.array(out["dead_channel"], pa.bool_()),
+        "fake_stereo": pa.array(out["fake_stereo"], pa.bool_()),
+        "phase_inverted": pa.array(out["phase_inverted"], pa.bool_()),
+    })
+
+
 def so_unimax_resample(sf_dir: str) -> pa.Table:
     """Serial twin for q_unimax_resample: same lang derivation, waterfall
     and md5-bucket membership (shared bank), plain-pandas orchestration."""
@@ -2373,6 +2422,7 @@ SERIAL_ORACLES = {
     "q_pq_topk": so_pq_topk,
     "q_audio_humdc": so_audio_humdc,
     "q_audio_reverb": so_audio_reverb,
+    "q_audio_channels": so_audio_channels,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

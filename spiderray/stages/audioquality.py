@@ -891,3 +891,81 @@ def audio_reverb_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+_CHAN_COLS = ("lr_corr", "rms_ratio")
+
+
+class AudioChannelActor:
+    """Decode (channel-preserving) + stereo-layout defect flags
+    (kernel: functions/audiofp.channel_stats).
+
+    ``dead_channel``: one side of the capture chain was unplugged;
+    ``fake_stereo``: a mono master duplicated into L=R (re-encode as
+    mono — half the bytes for the same signal); ``phase_inverted``:
+    L≈−R, which cancels to silence on the mono downmix every feature
+    stage in this engine consumes — the most dangerous of the three
+    because downstream gates then see a silent clip.  Mono clips carry
+    n_channels=1 and never flag; undecodable clips mark
+    ``decode_ok=False``."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 dead_ratio: float | None = None,
+                 fake_corr: float | None = None,
+                 invert_corr: float | None = None):
+        from ..functions.audiofp import (CHAN_BALANCE_DB, CHAN_DEAD_RATIO,
+                                         CHAN_FAKE_CORR, CHAN_INVERT_CORR)
+
+        self.cfg = cfg or PipelineConfig()
+        self.dead_ratio = CHAN_DEAD_RATIO if dead_ratio is None else dead_ratio
+        self.fake_corr = CHAN_FAKE_CORR if fake_corr is None else fake_corr
+        self.invert_corr = (CHAN_INVERT_CORR if invert_corr is None
+                            else invert_corr)
+        self.balance = 10.0 ** (-CHAN_BALANCE_DB / 20.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import channel_stats
+        from .multimodal import DecodeUnsupported, _decode_one_multi
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        cols: dict[str, list] = {k: [] for k in _CHAN_COLS}
+        ok, n_ch, dead, fake, inv = [], [], [], [], []
+        for buf, codec in zip(bufs, codecs):
+            try:
+                stats = channel_stats(_decode_one_multi(buf or b"",
+                                                        codec or ""))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {"n_channels": 0, "lr_corr": 0.0, "rms_ratio": 1.0}
+                ok.append(False)
+            n_ch.append(stats["n_channels"])
+            for k in _CHAN_COLS:
+                cols[k].append(stats[k])
+            stereo = ok[-1] and stats["n_channels"] >= 2
+            dead.append(stereo and stats["rms_ratio"] < self.dead_ratio)
+            fake.append(stereo and stats["lr_corr"] > self.fake_corr
+                        and stats["rms_ratio"] > self.balance)
+            inv.append(stereo and stats["lr_corr"] < self.invert_corr)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("n_channels", pa.array(n_ch, pa.int32()))
+        for k in _CHAN_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.float32()))
+        batch = batch.append_column("dead_channel", pa.array(dead, pa.bool_()))
+        batch = batch.append_column("fake_stereo", pa.array(fake, pa.bool_()))
+        return batch.append_column("phase_inverted", pa.array(inv, pa.bool_()))
+
+
+def audio_channel_stage(ds, cfg: PipelineConfig,
+                        concurrency: int | tuple[int, int] = 4, **thresholds):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioChannelActor,
+        fn_constructor_kwargs={"cfg": cfg, **thresholds},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -54,13 +54,23 @@ def _alaw_expand(a: np.ndarray) -> np.ndarray:
     return linear / 32256.0
 
 
-def _parse_wav(buf: bytes) -> np.ndarray:
+def _layout(x: np.ndarray, n_ch: int, channels: bool) -> np.ndarray:
+    """Interleaved 1-D samples → mono downmix (default) or a channel-
+    preserving (n_frames, n_ch) array when ``channels`` is set."""
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+        return x if channels else x.mean(axis=1)
+    return x.reshape(-1, 1) if channels else x
+
+
+def _parse_wav(buf: bytes, channels: bool = False) -> np.ndarray:
     """RIFF/WAVE container parse honoring the fmt chunk: PCM 8-bit
     unsigned / 16-bit (format 1), A-law (6), µ-law (7), IMA ADPCM (0x11,
     mono + stereo word-interleave — functions/adpcm.decode_wav_ima), and
     MS ADPCM (0x02 — functions/adpcm.decode_wav_ms); multi-channel
-    downmixed to mono for the feature path.  A data chunk with no fmt
-    chunk decodes as mono PCM16 (the historical fallback)."""
+    downmixed to mono for the feature path (``channels=True`` preserves
+    the layout as (n, ch) for the channel-defect gate).  A data chunk
+    with no fmt chunk decodes as mono PCM16 (the historical fallback)."""
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise DecodeUnsupported("wav")
     pos = 12
@@ -110,9 +120,7 @@ def _parse_wav(buf: bytes) -> np.ndarray:
             raise DecodeUnsupported(f"wav ima adpcm: {e}") from e
         if fact_frames is not None:
             x = x[: fact_frames * n_ch]
-        if n_ch > 1:
-            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
-        return x
+        return _layout(x, n_ch, channels)
     if fmt_tag == 0x02:
         from ..functions.adpcm import AdpcmError, decode_wav_ms
 
@@ -124,9 +132,7 @@ def _parse_wav(buf: bytes) -> np.ndarray:
             raise DecodeUnsupported(f"wav ms adpcm: {e}") from e
         if fact_frames is not None:
             x = x[: fact_frames * n_ch]
-        if n_ch > 1:
-            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
-        return x
+        return _layout(x, n_ch, channels)
     if fmt_tag == 1 and bits == 16:
         x = np.frombuffer(data[: len(data) - len(data) % 2],
                           dtype="<i2").astype(np.float32) / 32767.0
@@ -149,9 +155,7 @@ def _parse_wav(buf: bytes) -> np.ndarray:
         x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:
         raise DecodeUnsupported(f"wav fmt {fmt_tag}/{bits}")
-    if n_ch > 1:
-        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
-    return x
+    return _layout(x, n_ch, channels)
 
 
 def _float80_be(b: bytes) -> float:
@@ -230,22 +234,41 @@ def _decode_one(buf: bytes, codec: str) -> np.ndarray:
     if codec == "aiff":
         return _parse_aiff(buf)
     if codec == "flac":
-        # from-scratch FLAC subset (functions/flacdec.py): mono/stereo
-        # ≤24-bit, CONSTANT/VERBATIM/FIXED/LPC subframes, all four stereo
-        # layouts; >2ch / >24-bit → unsupported
-        from ..functions.flacdec import FlacError, FlacUnsupported, decode_flac_info
-
-        try:
-            samples, _sr, bps = decode_flac_info(buf)
-        except (FlacUnsupported, FlacError, IndexError):
-            raise DecodeUnsupported("flac") from None
-        x = samples.astype(np.float32)
-        if x.ndim == 2:
-            x = x.mean(axis=1)  # downmix stereo for the mono feature path
-        scale = float((1 << (bps - 1)) - 1) or 1.0
-        return x / scale
+        return _parse_flac(buf)
     # opus/... need libopus — not in this container
     raise DecodeUnsupported(codec)
+
+
+def _parse_flac(buf: bytes, channels: bool = False) -> np.ndarray:
+    """From-scratch FLAC subset (functions/flacdec.py): mono/stereo
+    ≤24-bit, CONSTANT/VERBATIM/FIXED/LPC subframes, all four stereo
+    layouts; >2ch / >24-bit → unsupported.  Downmixes to mono unless
+    ``channels`` preserves the (n, ch) layout."""
+    from ..functions.flacdec import FlacError, FlacUnsupported, decode_flac_info
+
+    try:
+        samples, _sr, bps = decode_flac_info(buf)
+    except (FlacUnsupported, FlacError, IndexError):
+        raise DecodeUnsupported("flac") from None
+    x = samples.astype(np.float32)
+    if x.ndim == 2:
+        if not channels:
+            x = x.mean(axis=1)  # downmix stereo for the mono feature path
+    elif channels:
+        x = x.reshape(-1, 1)
+    scale = float((1 << (bps - 1)) - 1) or 1.0
+    return x / scale
+
+
+def _decode_one_multi(buf: bytes, codec: str) -> np.ndarray:
+    """Channel-preserving decode → float32 (n_frames, n_ch).  WAV and
+    FLAC keep the container's channel layout; every other codec in the
+    bank is mono by construction and returns (n, 1)."""
+    if codec == "wav":
+        return _parse_wav(buf, channels=True)
+    if codec == "flac":
+        return _parse_flac(buf, channels=True)
+    return _decode_one(buf, codec).reshape(-1, 1)
 
 
 class AudioFeatureActor:

@@ -1,0 +1,105 @@
+"""Stereo channel-defect gate: dead channel, fake stereo, phase inversion."""
+
+import numpy as np
+import pyarrow as pa
+
+from spiderray.config import PipelineConfig
+from spiderray.functions.audiofp import channel_stats
+from spiderray.stages.audioquality import (AudioChannelActor,
+                                           audio_channel_stage)
+from spiderray.stages.multimodal import _decode_one_multi
+from spiderray.pipelines.queries import _pcm16_wav
+
+
+def _tone(freq: float, n: int = 8000, sr: int = 16000) -> np.ndarray:
+    return 0.5 * np.sin(2 * np.pi * freq * np.arange(n) / sr)
+
+
+class TestChannelKernel:
+    def test_true_stereo_low_corr(self):
+        s = channel_stats(np.stack([_tone(440), _tone(910)], axis=1))
+        assert s["n_channels"] == 2
+        assert abs(s["lr_corr"]) < 0.5
+        assert s["rms_ratio"] > 0.9
+
+    def test_fake_stereo_corr_one(self):
+        left = _tone(440)
+        s = channel_stats(np.stack([left, left], axis=1))
+        assert s["lr_corr"] > 0.999
+        assert s["rms_ratio"] > 0.999
+
+    def test_phase_inversion_corr_minus_one(self):
+        left = _tone(440)
+        s = channel_stats(np.stack([left, -left], axis=1))
+        assert s["lr_corr"] < -0.999
+
+    def test_dead_channel_ratio(self):
+        s = channel_stats(np.stack([_tone(440), np.zeros(8000)], axis=1))
+        assert s["rms_ratio"] == 0.0
+        assert s["lr_corr"] == 0.0  # flat side → correlation undefined → 0
+
+    def test_mono_and_degenerate(self):
+        assert channel_stats(_tone(440)) == {
+            "n_channels": 1, "lr_corr": 0.0, "rms_ratio": 1.0}
+        assert channel_stats(np.zeros((0, 2)))["n_channels"] == 1
+        silent = channel_stats(np.zeros((100, 2)))
+        assert silent["rms_ratio"] == 1.0 and silent["lr_corr"] == 0.0
+
+
+class TestChannelDecode:
+    def test_wav_stereo_preserved_and_downmix_unchanged(self):
+        from spiderray.stages.multimodal import _decode_one
+
+        left, right = _tone(440), _tone(910)
+        buf = _pcm16_wav(np.stack([left, right], axis=1), 16000)
+        multi = _decode_one_multi(buf, "wav")
+        assert multi.shape == (8000, 2)
+        assert np.allclose(multi[:, 0], left, atol=1e-3)
+        assert np.allclose(multi[:, 1], right, atol=1e-3)
+        mono = _decode_one(buf, "wav")
+        assert mono.ndim == 1
+        assert np.allclose(mono, multi.mean(axis=1), atol=1e-6)
+
+    def test_mono_codecs_become_column(self):
+        pcm = (np.clip(_tone(500), -1, 1) * 32767).astype("<i2").tobytes()
+        x = _decode_one_multi(pcm, "pcm_s16le")
+        assert x.shape == (8000, 1)
+
+
+class TestChannelActor:
+    def _batch(self):
+        left = _tone(440)
+        mk = lambda r: _pcm16_wav(np.stack([left, r], axis=1), 16000)  # noqa: E731
+        return pa.table({
+            "clip_id": pa.array(["true", "fake", "dead", "inv", "mono",
+                                 "bad"], pa.string()),
+            "bytes": pa.array([mk(_tone(910)), mk(left), mk(np.zeros(8000)),
+                               mk(-left),
+                               _pcm16_wav(left.reshape(-1, 1), 16000), b"xx"],
+                              pa.binary()),
+            "codec": pa.array(["wav"] * 5 + ["opus"], pa.string()),
+            "sr_hz": pa.array([16000] * 6, pa.int32()),
+        })
+
+    def test_flags(self):
+        out = AudioChannelActor(PipelineConfig())(self._batch())
+        rows = {c: out.column(c).to_pylist() for c in out.column_names}
+        assert rows["decode_ok"] == [True] * 5 + [False]
+        assert rows["dead_channel"] == [False, False, True, False, False,
+                                        False]
+        assert rows["fake_stereo"] == [False, True, False, False, False,
+                                       False]
+        assert rows["phase_inverted"] == [False, False, False, True, False,
+                                          False]
+        assert rows["n_channels"] == [2, 2, 2, 2, 1, 0]
+
+    def test_stage_runs_distributed(self, ray_session):
+        import ray.data as rd
+
+        out = audio_channel_stage(rd.from_arrow(self._batch()),
+                                  PipelineConfig(), concurrency=2).to_pandas()
+        r = out.set_index("clip_id")
+        assert r.loc["fake", "fake_stereo"]
+        assert r.loc["inv", "phase_inverted"]
+        assert not r.loc["true", ["dead_channel", "fake_stereo",
+                                  "phase_inverted"]].any()
