@@ -135,6 +135,8 @@ from .stages.audioquality import (audio_bandwidth_stage,
                                   audio_reverb_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
+    calibration_bins,
+    classifier_auc,
     corpus_diff,
     grouped_linfit_outliers,
     term_drift,
@@ -210,5 +212,6 @@ __all__ = [
     "audio_hum_stage", "audio_reverb_stage", "pq_train", "pq_topk",
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
-    "term_drift", "audio_channel_stage",
+    "term_drift", "audio_channel_stage", "classifier_auc",
+    "calibration_bins",
 ]

@@ -3798,6 +3798,15 @@ def q_threshold_sweep(sf_dir: str):
     float64 expression order for the ratios."""
     from ..stages.stats import threshold_sweep
 
+    return threshold_sweep(
+        _scored_clips(sf_dir), "score", "label",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+
+
+def _scored_clips(sf_dir: str):
+    """Shared deterministic (score, label) derivation for the classifier
+    QA family (threshold sweep / AUC / calibration): doc_id LCG uniform
+    shifted +0.4 for positives — stated verbatim in each SQL oracle."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def scored(batch: pa.Table) -> pa.Table:
@@ -3809,10 +3818,81 @@ def q_threshold_sweep(sf_dir: str):
         return pa.table({"score": pa.array(score, pa.float64()),
                          "label": pa.array(label, pa.bool_())})
 
-    return threshold_sweep(
-        ds.map_batches(scored, batch_format="pyarrow", zero_copy_batch=True),
-        "score", "label",
-        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    return ds.map_batches(scored, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_SCORED = """
+  SELECT (doc_id % 3 = 0) AS label,
+         0.6 * (CAST((doc_id * 1103515245 + 12345) % 1000 AS DOUBLE) / 1000.0)
+         + CASE WHEN doc_id % 3 = 0 THEN 0.4 ELSE 0.0 END AS score
+  FROM documents
+"""
+
+
+def q_classifier_auc(sf_dir: str):
+    """EXACT distributed ROC-AUC (stages/stats.classifier_auc): the
+    tie-corrected Mann-Whitney U over micro-quantized scores — per-score
+    (pos, neg) counts, windows.global_scan for the ordered negative
+    prefix, U2 = Σ np·(2·nn_below + nn), AUC as round-half-up ppm — all
+    exact integers end to end.  Same synthetic scores as
+    q_threshold_sweep, so the two reports describe one classifier.
+    Oracle: literal SQL — grouped counts + window prefix sum + the same
+    `//` rounding."""
+    from ..stages.stats import classifier_auc
+
+    return classifier_auc(_scored_clips(sf_dir), "score", "label")
+
+
+SQL_CLASSIFIER_AUC = """
+WITH scored AS ({SCORED}
+), q AS (
+  SELECT CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sq, label
+  FROM scored
+), g AS (
+  SELECT sq, CAST(count(*) FILTER (label) AS BIGINT) AS np_,
+         CAST(count(*) FILTER (NOT label) AS BIGINT) AS nn
+  FROM q GROUP BY sq
+), o AS (
+  SELECT sq, np_, nn,
+         CAST(coalesce(sum(nn) OVER (ORDER BY sq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS nn_below
+  FROM g
+), t AS (
+  SELECT CAST(coalesce(sum(np_), 0) AS BIGINT) AS p,
+         CAST(coalesce(sum(nn), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(np_ * (2 * nn_below + nn)), 0) AS BIGINT) AS u2
+  FROM o
+)
+SELECT p AS n_pos, n AS n_neg, u2,
+       CASE WHEN p * n = 0 THEN CAST(0 AS BIGINT)
+            ELSE (u2 * 1000000 + p * n) // (2 * p * n) END AS auc_ppm
+FROM t
+""".replace("{SCORED}", _SQL_SCORED)
+
+
+def q_calibration_bins(sf_dir: str):
+    """Reliability-diagram bins (stages/stats.calibration_bins): per
+    decile of the classifier score, row count, positive count and the
+    exact micro-quantized score sum — one n_bins-bounded integer shuffle,
+    no float summation.  Oracle: literal SQL with the same clip/floor
+    binning and quantization."""
+    from ..stages.stats import calibration_bins
+
+    return calibration_bins(_scored_clips(sf_dir), "score", "label",
+                            n_bins=10)
+
+
+SQL_CALIBRATION_BINS = """
+WITH scored AS ({SCORED}
+)
+SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (label) AS BIGINT) AS n_pos,
+       CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS score_sum
+FROM scored GROUP BY 1 ORDER BY 1
+""".replace("{SCORED}", _SQL_SCORED)
 
 
 SQL_THRESHOLD_SWEEP = """
@@ -5754,6 +5834,8 @@ QUERIES = {
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_threshold_sweep": q_threshold_sweep,
+    "q_classifier_auc": q_classifier_auc,
+    "q_calibration_bins": q_calibration_bins,
     "q_unimax_resample": q_unimax_resample,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_train_test_split": q_train_test_split,
@@ -5860,8 +5942,8 @@ _PRIORITY = [
     "q_corpus_report",
     # exact + near dedup
     "q_exact_dedup", "q_incremental_dedup", "q_apply_deletions",
-    "q_minhash_pairs", "q_simhash_pairs", "q_image_near_dup",
-    "q_embed_near_dup", "q_semantic_dedup",
+    "q_minhash_pairs", "q_transcript_fit", "q_image_near_dup",
+    "q_audio_channels", "q_semantic_dedup",
     # global/structural dedup
     "q_c4_span_dedup", "q_substring_dedup", "q_paragraph_dedup",
     # decontamination
@@ -5962,6 +6044,8 @@ ORACLE_SQL = {
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "q_threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "q_classifier_auc": SQL_CLASSIFIER_AUC,
+    "q_calibration_bins": SQL_CALIBRATION_BINS,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_transcript_fit": SQL_TRANSCRIPT_FIT,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,

@@ -974,6 +974,106 @@ def grouped_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
     return quanted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def classifier_auc(ds, score_col: str, label_col: str, scale: int = 1_000_000):
+    """EXACT distributed ROC-AUC (Mann-Whitney U with tie correction) —
+    the threshold-free companion to threshold_sweep: one number for "does
+    this quality classifier rank keeps above drops at all operating
+    points".
+
+    Scores quantize to ``scale`` units (int64, the quantization IS the
+    tie structure the statistic is computed on), so every count is an
+    exact integer and an independent SQL restatement (window prefix sum
+    over the grouped score table, the same ``//`` rounding) reproduces
+    the result bit-for-bit — no float rank arithmetic, no sampling.
+
+    Scale shape: groupby(score_q) → per-score (n_pos, n_neg) counts
+    (bounded by DISTINCT scores); the ordered prefix Σ n_neg(s'<s) runs
+    through windows.global_scan (sampled range partition + bucket bases —
+    nothing row-sized on the driver); U2 = Σ_s np·(2·nn_below + nn) and
+    AUC = U2 / (2·P·N) reported as round-half-up ppm.  U2 must fit
+    int64: P·N ≤ 4.6e18 (≈2e9 rows per class) — raise ``scale``
+    awareness accordingly."""
+    from ray.data.aggregate import Sum
+
+    from .windows import global_scan
+
+    def quant(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(bool)
+        sq = np.floor(s * scale + 0.5).astype(np.int64)
+        return pa.table({"sq": pa.array(sq, pa.int64()),
+                         "np_": pa.array(y.astype(np.int64), pa.int64()),
+                         "nn": pa.array((~y).astype(np.int64), pa.int64())})
+
+    groups = (ds.map_batches(quant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("sq")
+              .aggregate(Sum("np_", alias_name="np_"),
+                         Sum("nn", alias_name="nn")))
+    scanned = global_scan(groups, "sq", "nn", out_col="nn_below")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        np_c = batch.column("np_").to_numpy(zero_copy_only=False)
+        nn = batch.column("nn").to_numpy(zero_copy_only=False)
+        below = batch.column("nn_below").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u2": pa.array([int((np_c * (2 * below + nn)).sum())], pa.int64()),
+            "p": pa.array([int(np_c.sum())], pa.int64()),
+            "n": pa.array([int(nn.sum())], pa.int64()),
+        })
+
+    import pandas as pd
+
+    tot = (scanned.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas().sum())
+    u2, p, n = int(tot["u2"]), int(tot["p"]), int(tot["n"])
+    pn = p * n
+    auc_ppm = (u2 * 1_000_000 + pn) // (2 * pn) if pn > 0 else 0
+    return pd.DataFrame({"n_pos": pd.Series([p], dtype="int64"),
+                         "n_neg": pd.Series([n], dtype="int64"),
+                         "u2": pd.Series([u2], dtype="int64"),
+                         "auc_ppm": pd.Series([auc_ppm], dtype="int64")})
+
+
+def calibration_bins(ds, score_col: str, label_col: str, n_bins: int = 10,
+                     scale: int = 1_000_000):
+    """Reliability-diagram bins for a [0, 1] classifier score: per bin
+    (floor(score·n_bins), clipped into [0, n_bins−1]) the row count,
+    positive count and the exact integer sum of ``scale``-quantized
+    scores — everything a calibration plot (observed rate vs mean
+    predicted) needs, with no float summation anywhere.  One
+    n_bins-bounded shuffle of per-batch integer partials."""
+    from ray.data.aggregate import Sum
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(bool)
+        b = np.clip(np.floor(s * n_bins).astype(np.int64), 0, n_bins - 1)
+        sq = np.floor(s * scale + 0.5).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "n": 1,
+                           "n_pos": y.astype(np.int64), "score_sum": sq})
+        g = df.groupby("bin", as_index=False).sum()
+        return pa_from_pandas(g)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_pos", alias_name="n_pos"),
+                      Sum("score_sum", alias_name="score_sum"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def grouped_linfit_outliers(ds, group_col: str, x_col: str, y_col: str,
                             k_sigma: float = 3.0):
     """Per-group least-squares fit ``y ~ a + b·x`` with BIT-DETERMINISTIC

@@ -1562,6 +1562,81 @@ class TestGroupedOutliersOverflowGuard:
                              ["event_id"], scale=1000).to_pandas()
 
 
+class TestClassifierAuc:
+    @staticmethod
+    def _brute_auc_ppm(scores, labels):
+        import numpy as np
+
+        sq = np.floor(np.asarray(scores) * 1_000_000 + 0.5).astype(np.int64)
+        pos, neg = sq[np.asarray(labels)], sq[~np.asarray(labels)]
+        u2 = sum(int(2 * (p > nv) + (p == nv)) for p in pos for nv in neg)
+        pn = len(pos) * len(neg)
+        return (u2 * 1_000_000 + pn) // (2 * pn) if pn else 0
+
+    def test_matches_brute_force_with_ties(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import classifier_auc
+
+        rng = np.random.default_rng(5)
+        # quantized to 1 decimal → heavy ties exercise the correction
+        scores = np.round(rng.random(300), 1)
+        labels = rng.random(300) < np.clip(scores, 0.1, 0.9)
+        df = pd.DataFrame({"score": scores, "label": labels})
+        out = classifier_auc(rd.from_pandas(df).repartition(5),
+                             "score", "label")
+        assert out["auc_ppm"][0] == self._brute_auc_ppm(scores, labels)
+        out2 = classifier_auc(rd.from_pandas(df).repartition(11),
+                              "score", "label")
+        assert out.values.tolist() == out2.values.tolist()
+
+    def test_perfect_and_inverted_and_degenerate(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import classifier_auc
+
+        hi = pd.DataFrame({"score": [0.9] * 5 + [0.1] * 5,
+                           "label": [True] * 5 + [False] * 5})
+        assert classifier_auc(rd.from_pandas(hi), "score",
+                              "label")["auc_ppm"][0] == 1_000_000
+        lo = hi.assign(label=~hi["label"])
+        assert classifier_auc(rd.from_pandas(lo), "score",
+                              "label")["auc_ppm"][0] == 0
+        one_class = pd.DataFrame({"score": [0.5, 0.7], "label": [True, True]})
+        assert classifier_auc(rd.from_pandas(one_class), "score",
+                              "label")["auc_ppm"][0] == 0
+
+    def test_all_tied_is_half(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import classifier_auc
+
+        df = pd.DataFrame({"score": [0.5] * 8,
+                           "label": [True, False] * 4})
+        assert classifier_auc(rd.from_pandas(df), "score",
+                              "label")["auc_ppm"][0] == 500_000
+
+
+class TestCalibrationBins:
+    def test_bins_and_quantized_sums(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import calibration_bins
+
+        df = pd.DataFrame({
+            "score": [0.05, 0.09, 0.15, 0.95, 1.0, 0.0],
+            "label": [False, True, True, True, True, False]})
+        out = calibration_bins(rd.from_pandas(df).repartition(3),
+                               "score", "label", n_bins=10)
+        r = out.set_index("bin")
+        assert r.loc[0, ["n", "n_pos"]].tolist() == [3, 1]
+        assert r.loc[0, "score_sum"] == 50_000 + 90_000 + 0
+        assert r.loc[1, ["n", "n_pos"]].tolist() == [1, 1]
+        # score 1.0 clips into the top bin
+        assert r.loc[9, ["n", "n_pos"]].tolist() == [2, 2]
+        assert r.loc[9, "score_sum"] == 950_000 + 1_000_000
+
+
 class TestTermDrift:
     def test_planted_shift_and_exact_ppm(self, ray_session):
         import ray.data as rd
