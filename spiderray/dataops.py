@@ -151,7 +151,7 @@ from .stages.wordpiece_train import (train_wordpiece, wordpiece_encode_stage,
                                      wordpiece_vocab)
 from .stages.textindex import (build_inverted_index, build_vocab,
                                lookup_postings, vocab_coverage)
-from .stages.windows import duration_bucket_batches, epoch_order
+from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
@@ -213,5 +213,5 @@ __all__ = [
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
     "term_drift", "audio_channel_stage", "classifier_auc",
-    "calibration_bins",
+    "calibration_bins", "pack_bins",
 ]

@@ -4729,6 +4729,34 @@ def q_wordpiece_tokens(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pack_bins(sf_dir: str):
+    """Sample packing (stages/windows.pack_bins): first-fit-decreasing
+    bin packing of whitespace token counts into 512-token bins within
+    md5(doc_id) buckets — the padding-minimizing trainer batch layout
+    (pack_chunks is the concat-and-split sibling; documents stay intact
+    here).  Oracle: serial twin — same bucketing + FFD, plain pandas."""
+    _ensure_fixture("q_pack_bins", sf_dir)
+    from ..stages.windows import pack_bins
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sized(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.array([len((t or "").split()) for t in texts], np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tok": pa.array(n, pa.int64())})
+
+    out = pack_bins(
+        ds.map_batches(sized, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", "n_tok", capacity=512, n_buckets=8)
+    df = (out.select_columns(["doc_id", "n_tok", "bucket", "bin",
+                              "bin_fill", "oversize"]).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_tok", "bucket", "bin", "bin_fill"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def q_bpe_vocab(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe_train): one
     map_batches word-count pass + vocabulary-bounded groupby-Sum feed the
@@ -5907,6 +5935,7 @@ QUERIES = {
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,
+    "q_pack_bins": q_pack_bins,
     "q_temperature_resample": q_temperature_resample,
     "q_domain_cap": q_domain_cap,
     "q_profile_columns": q_profile_columns,

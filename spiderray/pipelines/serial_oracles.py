@@ -788,6 +788,59 @@ def so_audio_channels(sf_dir: str) -> pa.Table:
     })
 
 
+def so_pack_bins(sf_dir: str) -> pa.Table:
+    """Serial twin for q_pack_bins: same md5 bucketing and FFD, one
+    plain-pandas loop per bucket, no Ray."""
+    import pandas as pd
+
+    from ..stages.stats import split_bucket
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ids = docs.column("doc_id").to_pylist()
+    n_tok = [len((t or "").split()) for t in docs.column("text").to_pylist()]
+    df = pd.DataFrame({"doc_id": ids, "n_tok": n_tok})
+    df["bucket"] = [split_bucket(str(i), 8) for i in df["doc_id"]]
+    capacity = 512
+    parts = []
+    for b, g in df.groupby("bucket"):
+        g = g.copy()
+        g["_id_s"] = g["doc_id"].astype(str)
+        g = g.sort_values(["n_tok", "_id_s"], ascending=[False, True],
+                          kind="mergesort")
+        bins, assign, oversize = [], [], []
+        for s in g["n_tok"]:
+            s = int(s)
+            if s > capacity:
+                assign.append(len(bins))
+                bins.append(0)
+                oversize.append(True)
+                continue
+            for j, rem in enumerate(bins):
+                if rem >= s:
+                    assign.append(j)
+                    bins[j] = rem - s
+                    break
+            else:
+                assign.append(len(bins))
+                bins.append(capacity - s)
+                oversize.append(False)
+            if len(oversize) < len(assign):
+                oversize.append(False)
+        g["bin"] = assign
+        g["oversize"] = [bool(x) for x in oversize]
+        g["bin_fill"] = g.groupby("bin")["n_tok"].transform("sum")
+        parts.append(g.drop(columns="_id_s"))
+    out = pd.concat(parts).sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64")),
+        "n_tok": pa.array(out["n_tok"].astype("int64")),
+        "bucket": pa.array(out["bucket"].astype("int64")),
+        "bin": pa.array(out["bin"].astype("int64")),
+        "bin_fill": pa.array(out["bin_fill"].astype("int64")),
+        "oversize": pa.array(out["oversize"], pa.bool_()),
+    })
+
+
 def so_unimax_resample(sf_dir: str) -> pa.Table:
     """Serial twin for q_unimax_resample: same lang derivation, waterfall
     and md5-bucket membership (shared bank), plain-pandas orchestration."""
@@ -2423,6 +2476,7 @@ SERIAL_ORACLES = {
     "q_audio_humdc": so_audio_humdc,
     "q_audio_reverb": so_audio_reverb,
     "q_audio_channels": so_audio_channels,
+    "q_pack_bins": so_pack_bins,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

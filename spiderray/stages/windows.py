@@ -380,3 +380,76 @@ def duration_bucket_batches(ds, dur_col: str, id_col: str,
         return batch.append_column("batch_idx", pa.array(idx, pa.int64()))
 
     return out.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_bins(ds, id_col: str, size_col: str, capacity: int,
+              n_buckets: int = 64, salt: str = ""):
+    """Sample packing: first-fit-decreasing bin packing of variable-length
+    sequences into fixed ``capacity`` bins — the padding-minimizing
+    batch layout modern trainers use where pack_chunks is the
+    concat-and-split layout (documents stay intact here; there they are
+    cut at chunk boundaries).
+
+    Exact global FFD is inherently sequential, so the distributed form
+    packs WITHIN md5 buckets: ``bucket = md5(salt:id) % n_buckets`` (a
+    pure function of the id — partition-layout-invariant and stable
+    across runs), one groupby(bucket).map_groups FFD per bucket, bins
+    identified as (bucket, bin).  Bins never span buckets, so every bin
+    is globally valid; the price vs global FFD is a bounded tail of
+    under-filled last bins (≤ one per bucket) — at 10^12 rows pick
+    n_buckets so a bucket's rows fit one worker (the same knob as
+    global_scan).
+
+    Items larger than ``capacity`` get a bin of their own, flagged
+    ``oversize`` (the caller decides: truncate or drop).  Returns the
+    input rows + (bucket, bin, bin_fill, oversize); ``bin_fill`` repeats
+    the bin's total size on each member so fill-ratio stats need no
+    second join."""
+    import pandas as pd
+
+    from .stats import split_bucket
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        b = pa.array([split_bucket(str(i), n_buckets, salt) for i in ids],
+                     pa.int64())
+        return batch.append_column("bucket", b)
+
+    def ffd(group: pd.DataFrame) -> pd.DataFrame:
+        # deterministic order: size DESC, id ASC (stringified for mixed
+        # dtypes); classic FFD with a linear scan over open bins — bucket
+        # sizes are bounded, so the quadratic worst case is bounded too
+        g = group.copy()
+        g["_id_s"] = g[id_col].astype(str)
+        g = g.sort_values([size_col, "_id_s"], ascending=[False, True],
+                          kind="mergesort")
+        sizes = g[size_col].to_numpy()
+        bins: list[int] = []      # remaining capacity per open bin
+        assign = np.empty(len(g), np.int64)
+        oversize = np.zeros(len(g), bool)
+        for i, s in enumerate(sizes):
+            s = int(s)
+            if s > capacity:
+                assign[i] = len(bins)
+                bins.append(0)
+                oversize[i] = True
+                continue
+            for j, rem in enumerate(bins):
+                if rem >= s:
+                    assign[i] = j
+                    bins[j] = rem - s
+                    break
+            else:
+                assign[i] = len(bins)
+                bins.append(capacity - s)
+        g["bin"] = assign
+        fill = g.groupby("bin")[size_col].transform("sum")
+        g["bin_fill"] = fill.astype("int64")
+        g["oversize"] = oversize
+        return g.drop(columns="_id_s")
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket").map_groups(ffd, batch_format="pandas"))

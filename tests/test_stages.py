@@ -563,6 +563,54 @@ class TestVocabCoverage:
         assert out["n_tokens"].sum() == 9
 
 
+class TestPackBins:
+    def _pack(self, sizes, capacity=100, reps=1, parts=2):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.windows import pack_bins
+
+        df = pd.DataFrame({"doc_id": np.arange(len(sizes), dtype=np.int64),
+                           "n": np.array(sizes, np.int64)})
+        return (pack_bins(rd.from_pandas(df).repartition(parts), "doc_id",
+                          "n", capacity=capacity, n_buckets=reps)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def test_capacity_respected_and_fill_accounting(self, ray_session):
+        out = self._pack([60, 50, 40, 30, 20, 10], capacity=100, reps=1)
+        fills = out.groupby(["bucket", "bin"])["n"].sum()
+        assert (fills <= 100).all()
+        assert not out["oversize"].any()
+        # bin_fill repeats the bin total on every member
+        for _, row in out.iterrows():
+            assert row["bin_fill"] == fills[(row["bucket"], row["bin"])]
+        # FFD with these sizes packs into ceil(210/100)=3 bins exactly:
+        # [60+40], [50+30+20], [10] → wait, FFD: 60,50,40,30,20,10 →
+        # b0=60+40, b1=50+30+20, b2=10 — 3 bins, 2 full
+        assert fills.sort_values(ascending=False).tolist() == [100, 100, 10]
+
+    def test_oversize_gets_own_flagged_bin(self, ray_session):
+        out = self._pack([150, 10], capacity=100, reps=1)
+        big = out[out["n"] == 150].iloc[0]
+        assert big["oversize"] and big["bin_fill"] == 150
+        small = out[out["n"] == 10].iloc[0]
+        assert not small["oversize"] and small["bin"] != big["bin"]
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.default_rng(9)
+        sizes = rng.integers(1, 120, size=400).tolist()
+        a = self._pack(sizes, capacity=256, reps=8, parts=3)
+        b = self._pack(sizes, capacity=256, reps=8, parts=11)
+        cols = ["doc_id", "bucket", "bin", "bin_fill", "oversize"]
+        assert a[cols].values.tolist() == b[cols].values.tolist()
+
+    def test_bad_capacity_refused(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._pack([1], capacity=0)
+
+
 class TestDurationBatches:
     def test_buckets_and_packing(self, ray_session):
         import pyarrow as pa
