@@ -528,13 +528,18 @@ def reverb_stats(pcm: np.ndarray, sr: int,
     Frame RMS energies (``frame_ms`` non-overlapping frames, first
     BANDWIDTH_MAX_SAMPLES samples) form a dB envelope; the decay tail
     runs from the last frame within REVERB_OFFSET_DB of the peak until
-    the envelope first falls REVERB_FLOOR_DB below it (pure trailing
-    silence therefore never flattens the fit).  An OLS line over the
-    tail gives ``decay_db_s``; ``rt60_ms = −60/slope`` (capped at
-    MAX_RT60_MS when the tail does not decay).  Tails shorter than 3
-    frames — a dry clip's instant cliff, or a burst running to the clip
-    edge — return 0 (no measurable reverberation): the gate stays
-    conservative when the offset is unobservable.
+    the envelope first reaches EITHER REVERB_FLOOR_DB below the peak OR
+    3 dB above the clip's own noise floor (the post-burst envelope
+    minimum) — so neither trailing silence NOR a steady background-noise
+    floor can flatten the fit: once the envelope is at the floor it
+    carries no decay information (a dry clip with a −20 dB noise bed
+    measures only the instant cliff, not a fake slow slope).  An OLS
+    line over the tail gives ``decay_db_s``; ``rt60_ms = −60/slope``
+    (capped at MAX_RT60_MS when the measured window does not decay).
+    Tails shorter than 3 frames — a dry clip's instant cliff, a burst
+    running to the clip edge, or a tail indistinguishable from the
+    clip's own floor — return 0 (no measurable reverberation): the gate
+    stays conservative when the offset is unobservable.
 
     A long RT60 means the capture room smears phones together — a
     standard re-record / drop signal in ASR corpus preparation that
@@ -553,7 +558,10 @@ def reverb_stats(pcm: np.ndarray, sr: int,
     env = 10.0 * np.log10(np.maximum(E, 1e-20))
     peak = float(env.max())
     last_burst = int(np.max(np.nonzero(env >= peak - REVERB_OFFSET_DB)[0]))
-    below = np.nonzero(env[last_burst + 1:] <= peak - REVERB_FLOOR_DB)[0]
+    tail_env = env[last_burst + 1:]
+    floor = float(tail_env.min()) if len(tail_env) else peak
+    cut_db = max(peak - REVERB_FLOOR_DB, floor + 3.0)
+    below = np.nonzero(tail_env <= cut_db)[0]
     end = last_burst + 1 + (int(below[0]) if len(below)
                             else len(env) - last_burst - 2)
     y = env[last_burst:end + 1]

@@ -815,6 +815,7 @@ def so_pack_bins(sf_dir: str) -> pa.Table:
                 bins.append(0)
                 oversize.append(True)
                 continue
+            oversize.append(False)
             for j, rem in enumerate(bins):
                 if rem >= s:
                     assign.append(j)
@@ -823,11 +824,8 @@ def so_pack_bins(sf_dir: str) -> pa.Table:
             else:
                 assign.append(len(bins))
                 bins.append(capacity - s)
-                oversize.append(False)
-            if len(oversize) < len(assign):
-                oversize.append(False)
         g["bin"] = assign
-        g["oversize"] = [bool(x) for x in oversize]
+        g["oversize"] = oversize
         g["bin_fill"] = g.groupby("bin")["n_tok"].transform("sum")
         parts.append(g.drop(columns="_id_s"))
     out = pd.concat(parts).sort_values("doc_id").reset_index(drop=True)

@@ -1161,11 +1161,17 @@ def grouped_linfit_outliers(ds, group_col: str, x_col: str, y_col: str,
         keys = batch.column(group_col).to_pylist()
         x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        a = np.array([p[k][0] for k in keys], np.float64)
-        b = np.array([p[k][1] for k in keys], np.float64)
-        s = np.array([p[k][2] for k in keys], np.float64)
-        r = y - (a + b * x)
-        flagged = np.abs(r) > k_sigma * s
+        # null group keys are dropped by the fit's groupby (pandas
+        # semantics); such rows cannot be scored — resid 0, never flagged
+        known = np.array([k in p for k in keys], bool)
+        a = np.array([p[k][0] if ok else 0.0 for k, ok in zip(keys, known)],
+                     np.float64)
+        b = np.array([p[k][1] if ok else 0.0 for k, ok in zip(keys, known)],
+                     np.float64)
+        s = np.array([p[k][2] if ok else 0.0 for k, ok in zip(keys, known)],
+                     np.float64)
+        r = np.where(known, y - (a + b * x), 0.0)
+        flagged = known & (np.abs(r) > k_sigma * s)
         batch = batch.append_column(
             "resid_milli",
             pa.array(np.floor(r * 1000.0 + 0.5).astype(np.int64), pa.int64()))
@@ -1193,10 +1199,9 @@ def term_drift(ds_a, ds_b, text_col: str = "text", top_n: int = 200):
     term): top terms, ``__other__`` (remaining mass), ``__total__``
     (token totals; ppm_absdiff = Σ|ppm_a−ppm_b| = 2·TVD in ppm)."""
     import pandas as pd
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from .textindex import _ws_tokens
+    from .textindex import term_value_counts
 
     def make_counts(side: str):
         def partial(batch: pa.Table) -> pa.Table:
@@ -1204,14 +1209,10 @@ def term_drift(ds_a, ds_b, text_col: str = "text", top_n: int = 200):
                 return pa.table({"term": pa.array([], pa.string()),
                                  "n_a": pa.array([], pa.int64()),
                                  "n_b": pa.array([], pa.int64())})
-            flat = pc.list_flatten(_ws_tokens(batch.column(text_col)))
-            df = pd.DataFrame({"term": flat.to_pandas().to_numpy()})
-            df = df[df["term"] != ""]
-            g = df.groupby("term", as_index=False).size()
-            n = g["size"].to_numpy().astype(np.int64)
-            zero = np.zeros(len(g), np.int64)
+            terms, n = term_value_counts(batch.column(text_col))
+            zero = np.zeros(len(n), np.int64)
             return pa.table({
-                "term": pa.array(g["term"], pa.string()),
+                "term": terms,
                 "n_a": pa.array(n if side == "a" else zero, pa.int64()),
                 "n_b": pa.array(n if side == "b" else zero, pa.int64()),
             })

@@ -279,6 +279,20 @@ def _ws_tokens(col: pa.ChunkedArray | pa.Array):
     return pc.split_pattern_regex(col, pattern=_WS_PATTERN)
 
 
+def term_value_counts(col) -> tuple[pa.Array, np.ndarray]:
+    """Non-empty term value counts for a text column in one pass of Arrow
+    kernels (RE2 split → flatten → ``pc.value_counts``) — no pandas
+    detour on the per-batch hot path (review finding).  Returns
+    (terms, int64 counts)."""
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(pc.list_flatten(_ws_tokens(col)))
+    terms = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+    return terms.filter(pa.array(keep)), counts[keep]
+
+
 def build_vocab(ds, vocab_size: int = 500, text_col: str = "text") -> list[str]:
     """Global top-``vocab_size`` terms by (count DESC, term ASC).
 
@@ -286,19 +300,14 @@ def build_vocab(ds, vocab_size: int = 500, text_col: str = "text") -> list[str]:
     → keyed groupby-Sum (term cardinality grows with the corpus, so the
     merge shuffles), then per-block LOCAL top-``vocab_size`` so only
     vocab_size·n_blocks rows reach the driver's final cut."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"term": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        flat = pc.list_flatten(_ws_tokens(batch.column(text_col)))
-        df = pd.DataFrame({"term": flat.to_pandas().to_numpy()})
-        df = df[df["term"] != ""]
-        g = df.groupby("term", as_index=False).size().rename(columns={"size": "n"})
-        return pa.table({"term": pa.array(g["term"], pa.string()),
-                         "n": pa.array(g["n"], pa.int64())})
+        terms, counts = term_value_counts(batch.column(text_col))
+        return pa.table({"term": terms, "n": pa.array(counts, pa.int64())})
 
     counts = (ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)

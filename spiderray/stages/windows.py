@@ -413,6 +413,12 @@ def pack_bins(ds, id_col: str, size_col: str, capacity: int,
         raise ValueError("capacity must be >= 1")
 
     def tag(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field(size_col).type):
+            # float sizes would silently truncate in the FFD scan and
+            # overfill bins past capacity (review finding) — refuse
+            raise TypeError(
+                f"pack_bins: {size_col!r} must be an integer column, got "
+                f"{batch.schema.field(size_col).type} — quantize first.")
         ids = batch.column(id_col).to_pylist()
         b = pa.array([split_bucket(str(i), n_buckets, salt) for i in ids],
                      pa.int64())

@@ -181,6 +181,7 @@ def wordpiece_encode_stage(ds, vocab, text_col: str = "text"):
     ``n_wp_tokens`` and ``n_unk`` (whole-word UNK count) per row."""
     vset = frozenset(vocab)
     cache: dict[str, tuple[int, int]] = {}
+    cache_cap = 1_000_000  # bound worker memory on high-cardinality corpora
 
     def fn(batch: pa.Table) -> pa.Table:
         n_tok, n_unk = [], []
@@ -192,7 +193,8 @@ def wordpiece_encode_stage(ds, vocab, text_col: str = "text"):
                 if hit is None:
                     pieces = wordpiece_encode_word(w, vset)
                     hit = (len(pieces), pieces.count(UNK))
-                    cache[w] = hit
+                    if len(cache) < cache_cap:
+                        cache[w] = hit
                 t += hit[0]
                 u += hit[1]
             n_tok.append(t)

@@ -30,19 +30,28 @@ class TestReverbKernel:
         sustained = 0.4 * np.sin(2 * np.pi * 800.0 * np.arange(16000) / 16000)
         assert reverb_stats(sustained, 16000)["rt60_ms"] == 0.0
 
-    def test_nondecaying_tail_flags_and_sentinel_caps(self):
-        # burst then a sustained -10 dB tail: the shallow OLS slope maps
-        # to a far-above-gate rt60, capped at MAX_RT60_MS
+    def test_flat_tail_is_floor_not_reverb(self):
+        # burst then a sustained -10 dB tail: indistinguishable from the
+        # clip's own noise floor → no measurable decay → 0, never flagged
+        # (pre-fix this measured a fake near-zero slope → rt60 ≈ 34 s)
         t = np.arange(16000) / 16000.0
         x = 0.4 * np.sin(2 * np.pi * 800.0 * t)
         x[t >= 0.2] *= 10.0 ** (-10.0 / 20.0)
-        s = reverb_stats(x, 16000)
+        assert reverb_stats(x, 16000)["rt60_ms"] == 0.0
+
+    def test_noise_floor_does_not_fake_reverb(self):
+        # review finding: a DRY clip over a steady -20 dB noise bed must
+        # not flag — the tail measurement stops at the floor
+        rng = np.random.default_rng(1)
+        t = np.arange(16000) / 16000.0
+        burst = 0.4 * np.sin(2 * np.pi * 800.0 * t) * (t < 0.2)
+        bed = 0.04 * rng.normal(0, 1, 16000)
+        assert reverb_stats(burst + bed, 16000)["rt60_ms"] == 0.0
+        # ...while genuine reverb OVER a -28 dB bed is still detected
+        amp = np.where(t < 0.2, 1.0, 10.0 ** (-3.0 * (t - 0.2) / 1.2))
+        wet = 0.4 * np.sin(2 * np.pi * 800.0 * t) * amp
+        s = reverb_stats(wet + 0.016 * rng.normal(0, 1, 16000), 16000)
         assert MAX_REVERB_RT60_MS < s["rt60_ms"] <= MAX_RT60_MS
-        # a tail that RISES back toward the burst level has slope ≥ 0
-        # over the window → the sentinel itself
-        y = 0.4 * np.sin(2 * np.pi * 800.0 * t)
-        y[t >= 0.2] *= 10.0 ** (-30.0 / 20.0) + (t[t >= 0.2] - 0.2) * 0.3
-        assert reverb_stats(y, 16000)["rt60_ms"] == MAX_RT60_MS
 
     def test_trailing_silence_does_not_flatten_fit(self):
         # 0.3 s RT60 tail followed by hard silence: the tail measurement
