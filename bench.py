@@ -117,6 +117,15 @@ def run_queries() -> dict[str, float]:
         ("q_unimax_resample", q.q_unimax_resample),
         ("q_jsonl_roundtrip", q.q_jsonl_roundtrip),
         ("q_prepare_image", q.q_prepare_image),
+        # round-4 fourth-wave additions
+        ("q_audio_reverb", q.q_audio_reverb),
+        ("q_audio_channels", q.q_audio_channels),
+        ("q_transcript_fit", q.q_transcript_fit),
+        ("q_term_drift", q.q_term_drift),
+        ("q_vocab_coverage", q.q_vocab_coverage),
+        ("q_wordpiece_tokens", q.q_wordpiece_tokens),
+        ("q_classifier_auc", q.q_classifier_auc),
+        ("q_pack_bins", q.q_pack_bins),
     ]
     import ray.data
 
@@ -172,6 +181,9 @@ _CALM_SEC = {
     "q_threshold_sweep": 0.3,
     "q_unimax_resample": 0.6, "q_jsonl_roundtrip": 1.6,
     "q_prepare_image": 8.0,
+    "q_audio_reverb": 2.5, "q_audio_channels": 2.5, "q_transcript_fit": 0.8,
+    "q_term_drift": 1.0, "q_vocab_coverage": 0.8, "q_wordpiece_tokens": 3.0,
+    "q_classifier_auc": 1.0, "q_pack_bins": 1.0,
 }
 
 
