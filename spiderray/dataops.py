@@ -132,7 +132,7 @@ from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
 from .stages.audioquality import (audio_bandwidth_stage,
                                   audio_channel_stage, audio_hum_stage,
-                                  audio_reverb_stage)
+                                  audio_reverb_stage, codec_sniff_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     calibration_bins,
@@ -213,5 +213,5 @@ __all__ = [
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
     "term_drift", "audio_channel_stage", "classifier_auc",
-    "calibration_bins", "pack_bins",
+    "calibration_bins", "pack_bins", "codec_sniff_stage",
 ]

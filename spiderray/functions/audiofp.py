@@ -616,3 +616,58 @@ def channel_stats(x: np.ndarray) -> dict:
     if denom > 0.0:
         out["lr_corr"] = float(np.sum(l_ch * r_ch) / denom)
     return out
+
+
+# Declared codec → container families whose magic bytes it may legally
+# carry.  Raw sample codecs have no container signature at all, so for
+# them ANY recognized container magic is a mislabel.
+CODEC_FAMILIES = {
+    "wav": {"riff"}, "pcm_s16le": set(), "pcm_mulaw": set(),
+    "mulaw": set(), "ulaw": set(), "pcm_alaw": set(), "alaw": set(),
+    "adpcm": set(), "adpcm_ima": set(),
+    "flac": {"flac"}, "aiff": {"form"},
+    "opus": {"ogg"}, "vorbis": {"ogg"}, "ogg": {"ogg"},
+    "mp3": {"mp3"}, "aac": {"adts"},
+}
+
+
+def sniff_container(buf: bytes) -> str | None:
+    """Magic-byte container identification for an audio payload: 'riff'
+    (RIFF/WAVE), 'flac', 'form' (IFF/AIFF), 'ogg', 'mp3' (ID3 tag or an
+    MPEG audio sync at offset 0), 'adts', or None for raw/unknown bytes.
+    Pure prefix checks — no decode."""
+    if not buf or len(buf) < 4:
+        return None
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "riff"
+    if buf[:4] == b"fLaC":
+        return "flac"
+    if buf[:4] == b"FORM" and buf[8:12] in (b"AIFF", b"AIFC"):
+        return "form"
+    if buf[:4] == b"OggS":
+        return "ogg"
+    if buf[:3] == b"ID3":
+        return "mp3"
+    if len(buf) >= 2 and buf[0] == 0xFF:
+        b1 = buf[1]
+        if (b1 & 0xF6) == 0xF0:          # ADTS: sync 0xFFF + MPEG-4/2, layer 0
+            return "adts"
+        if (b1 & 0xE0) == 0xE0 and (b1 & 0x06) != 0:  # MPEG audio frame sync
+            return "mp3"
+    return None
+
+
+def codec_mismatch(buf: bytes, declared: str) -> tuple[str | None, bool]:
+    """(sniffed_container, mismatch) for a clip: mismatch when the bytes
+    carry a recognizable container signature the declared codec cannot
+    legally have — the 'FLAC bytes labeled wav' / 're-encoded upload kept
+    its old codec column' ingest defect.  Unknown declared codecs and
+    unrecognized bytes never flag (conservative: absence of a signature
+    is not evidence)."""
+    sniffed = sniff_container(buf or b"")
+    if sniffed is None:
+        return None, False
+    allowed = CODEC_FAMILIES.get((declared or "").lower())
+    if allowed is None:
+        return sniffed, False
+    return sniffed, sniffed not in allowed

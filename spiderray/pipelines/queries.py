@@ -4165,6 +4165,66 @@ def q_audio_channels(sf_dir: str):
          "dead_channel", "fake_stereo", "phase_inverted"])
 
 
+def _sniff_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the codec-sniff gate (shared with
+    the q_codec_sniff serial oracle).  Per doc_id i, the payload prefix
+    and declared codec cycle through honest pairs and planted mislabels:
+    wav bytes labeled pcm_s16le (i%6==1), fLaC labeled wav (i%6==3),
+    ID3/mp3 labeled flac (i%6==5); honest wav/flac/ogg/raw otherwise."""
+    import struct
+
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs = [], [], []
+    wav_prefix = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+                  + struct.pack("<I", 16)
+                  + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                  + b"data\x00\x00\x00\x00")
+    for i in ids:
+        i = int(i)
+        cids.append(f"sn_{i:08d}")
+        m = i % 6
+        if m == 0:
+            bufs.append(wav_prefix)
+            codecs.append("wav")
+        elif m == 1:
+            bufs.append(wav_prefix)          # wav bytes...
+            codecs.append("pcm_s16le")       # ...labeled raw → mismatch
+        elif m == 2:
+            bufs.append(b"OggS" + bytes(24))
+            codecs.append("opus")
+        elif m == 3:
+            bufs.append(b"fLaC" + bytes(8))  # flac bytes...
+            codecs.append("wav")             # ...labeled wav → mismatch
+        elif m == 4:
+            bufs.append(bytes([0x01, 0x02]) + bytes(64))  # raw, honest
+            codecs.append("pcm_s16le")
+        else:
+            bufs.append(b"ID3\x04\x00" + bytes(16))  # mp3 bytes...
+            codecs.append("flac")                    # ...labeled flac
+    return pa.table({
+        "clip_id": pa.array(cids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
+def q_codec_sniff(sf_dir: str):
+    """Container/codec mislabel gate (stages/audioquality.
+    codec_sniff_stage): magic-byte sniff vs the declared codec column —
+    the pre-decode ingest defect filter.  Oracle: serial same-kernel per
+    row (so_codec_sniff)."""
+    _ensure_fixture("q_codec_sniff", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import codec_sniff_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_sniff_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = codec_sniff_stage(clips, PipelineConfig())
+    return out.select_columns(["clip_id", "codec", "sniffed",
+                               "codec_mismatch"])
+
+
 def q_audio_reverb(sf_dir: str):
     """Blind-reverberation capture gate (stages/audioquality.
     audio_reverb_stage): actor-pool decode → frame-energy envelope + OLS
@@ -5831,6 +5891,7 @@ QUERIES = {
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_channels": q_audio_channels,
+    "q_codec_sniff": q_codec_sniff,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
     "q_perplexity": q_perplexity,

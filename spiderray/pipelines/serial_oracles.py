@@ -788,6 +788,31 @@ def so_audio_channels(sf_dir: str) -> pa.Table:
     })
 
 
+def so_codec_sniff(sf_dir: str) -> pa.Table:
+    """Serial twin for q_codec_sniff: same corpus generator + sniff
+    kernel per row, no Ray."""
+    from ..functions.audiofp import codec_mismatch
+    from .queries import _sniff_clips_batch
+
+    clips = _sniff_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "codec": [], "sniffed": [], "codec_mismatch": []}
+    for cid, buf, codec in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+    ):
+        s, m = codec_mismatch(buf or b"", codec or "")
+        out["clip_id"].append(cid)
+        out["codec"].append(codec)
+        out["sniffed"].append(s or "")
+        out["codec_mismatch"].append(m)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "codec": pa.array(out["codec"], pa.string()),
+        "sniffed": pa.array(out["sniffed"], pa.string()),
+        "codec_mismatch": pa.array(out["codec_mismatch"], pa.bool_()),
+    })
+
+
 def so_pack_bins(sf_dir: str) -> pa.Table:
     """Serial twin for q_pack_bins: same md5 bucketing and FFD, one
     plain-pandas loop per bucket, no Ray."""
@@ -2475,6 +2500,7 @@ SERIAL_ORACLES = {
     "q_audio_reverb": so_audio_reverb,
     "q_audio_channels": so_audio_channels,
     "q_pack_bins": so_pack_bins,
+    "q_codec_sniff": so_codec_sniff,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

@@ -969,3 +969,26 @@ def audio_channel_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+def codec_sniff_stage(ds, cfg: PipelineConfig):
+    """Stateless map: container magic-byte sniff vs the declared codec
+    column (functions/audiofp.codec_mismatch) → ``sniffed`` (string or
+    '' when none) and ``codec_mismatch`` flag.  The 're-encoded upload
+    kept its old codec column' ingest defect — caught BEFORE the decode
+    pool wastes a worker slot failing on it.  Prefix checks only: no
+    decode, no actor state, runs fused with the read."""
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import codec_mismatch
+
+        bufs = batch.column(cfg.bytes_col).to_pylist()
+        codecs = batch.column(cfg.codec_col).to_pylist()
+        sniffed, flag = [], []
+        for buf, codec in zip(bufs, codecs):
+            s, m = codec_mismatch(buf or b"", codec or "")
+            sniffed.append(s or "")
+            flag.append(m)
+        batch = batch.append_column("sniffed", pa.array(sniffed, pa.string()))
+        return batch.append_column("codec_mismatch", pa.array(flag, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -103,3 +103,54 @@ class TestChannelActor:
         assert r.loc["inv", "phase_inverted"]
         assert not r.loc["true", ["dead_channel", "fake_stereo",
                                   "phase_inverted"]].any()
+
+
+class TestCodecSniff:
+    def test_sniff_signatures(self):
+        import struct
+
+        from spiderray.functions.audiofp import sniff_container
+
+        wav = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        assert sniff_container(wav) == "riff"
+        assert sniff_container(b"fLaC\x00\x00") == "flac"
+        assert sniff_container(b"FORM\x00\x00\x00\x00AIFF") == "form"
+        assert sniff_container(b"OggS" + bytes(8)) == "ogg"
+        assert sniff_container(b"ID3\x04") == "mp3"
+        assert sniff_container(b"\xff\xfb\x90\x00") == "mp3"   # MPEG sync
+        assert sniff_container(b"\xff\xf1\x00\x00") == "adts"  # AAC ADTS
+        assert sniff_container(b"\xff\xe0\x00\x00") is None    # layer bits 00
+        assert sniff_container(b"\x00\x01\x02\x03") is None
+        assert sniff_container(b"") is None
+
+    def test_mismatch_rules(self):
+        import struct
+
+        from spiderray.functions.audiofp import codec_mismatch
+
+        wav = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        assert codec_mismatch(wav, "wav") == ("riff", False)
+        assert codec_mismatch(wav, "pcm_s16le") == ("riff", True)
+        assert codec_mismatch(b"fLaC\x00\x00", "wav") == ("flac", True)
+        assert codec_mismatch(b"OggS" + bytes(8), "opus") == ("ogg", False)
+        # unknown declared codec or raw bytes: conservative, never flag
+        assert codec_mismatch(wav, "mystery")[1] is False
+        assert codec_mismatch(b"\x00\x01", "wav") == (None, False)
+
+    def test_stage_runs(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.audioquality import codec_sniff_stage
+
+        t = pa.table({
+            "clip_id": pa.array(["ok", "bad"], pa.string()),
+            "bytes": pa.array([b"fLaC\x00\x00", b"fLaC\x00\x00"], pa.binary()),
+            "codec": pa.array(["flac", "mp3"], pa.string()),
+        })
+        out = codec_sniff_stage(rd.from_arrow(t),
+                                PipelineConfig()).to_pandas()
+        r = out.set_index("clip_id")
+        assert not r.loc["ok", "codec_mismatch"]
+        assert r.loc["bad", "codec_mismatch"]
+        assert r.loc["bad", "sniffed"] == "flac"
