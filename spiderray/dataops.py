@@ -150,7 +150,8 @@ from .stages.stats import (
 from .stages.wordpiece_train import (train_wordpiece, wordpiece_encode_stage,
                                      wordpiece_vocab)
 from .stages.textindex import (build_inverted_index, build_vocab,
-                               lookup_postings, vocab_coverage)
+                               lookup_postings, ngram_novelty,
+                               vocab_coverage)
 from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 
 __all__ = [
@@ -213,5 +214,5 @@ __all__ = [
     "build_vocab", "vocab_coverage", "grouped_linfit_outliers",
     "train_wordpiece", "wordpiece_vocab", "wordpiece_encode_stage",
     "term_drift", "audio_channel_stage", "classifier_auc",
-    "calibration_bins", "pack_bins", "codec_sniff_stage",
+    "calibration_bins", "pack_bins", "codec_sniff_stage", "ngram_novelty",
 ]

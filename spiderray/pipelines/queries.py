@@ -5774,6 +5774,73 @@ ORDER BY d.doc_id
 """.replace("{WS}", _WS_CLASS)
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document trigram novelty (stages/textindex.ngram_novelty):
+    fraction of a doc's word trigrams occurring EXACTLY ONCE corpus-wide
+    — the uniqueness/boilerplate data card.  Two keyed groupbys, no
+    join: a corpus-unique gram has one contributing doc, so Min(doc_id)
+    on the gram table attributes it directly.  Every doc gets a
+    doc_id-salted signature sentence injected (unique trigrams) next to
+    its (often shared) body, so the scores spread.  Oracle: literal SQL
+    — unnest positions + list slice + the same `//` ppm."""
+    from ..stages.textindex import ngram_novelty
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [f"sig{int(i)} alpha{int(i) % 100} {t or ''}" for i, t in
+               zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    out = ngram_novelty(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        n=3)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+SQL_NGRAM_NOVELTY = """
+WITH injected AS (
+  SELECT doc_id,
+         'sig' || CAST(doc_id AS VARCHAR) || ' alpha' ||
+         CAST(doc_id % 100 AS VARCHAR) || ' ' || coalesce(text, '') AS text
+  FROM documents
+), words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, {WS}), w -> w <> '') AS ws
+  FROM injected
+), pos AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+  FROM words
+), grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM pos
+), g AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt, min(doc_id) AS d
+  FROM grams GROUP BY gram
+), nov AS (
+  SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM g WHERE cnt = 1 GROUP BY d
+), tot AS (
+  SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams
+  FROM words
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN t.n_grams > 0
+            THEN (coalesce(v.n_novel, 0) * 2000000 + t.n_grams)
+                 // (2 * t.n_grams)
+            ELSE 0 END AS BIGINT) AS novelty_ppm
+FROM tot t LEFT JOIN nov v ON t.doc_id = v.doc_id
+ORDER BY t.doc_id
+""".replace("{WS}", _WS_CLASS)
+
+
 def q_transcript_fit(sf_dir: str):
     """Per-language transcript↔duration mislabel detector (stages/stats.
     grouped_linfit_outliers): each language's clips get a least-squares
@@ -5949,6 +6016,7 @@ QUERIES = {
     "q_substring_dedup": q_substring_dedup,
     "q_vocab_coverage": q_vocab_coverage,
     "q_transcript_fit": q_transcript_fit,
+    "q_ngram_novelty": q_ngram_novelty,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
@@ -6138,6 +6206,7 @@ ORACLE_SQL = {
     "q_calibration_bins": SQL_CALIBRATION_BINS,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_transcript_fit": SQL_TRANSCRIPT_FIT,
+    "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

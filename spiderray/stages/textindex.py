@@ -363,3 +363,96 @@ def vocab_coverage(ds, vocab: list[str] | None = None, vocab_size: int = 500,
                          "n_oov": pa.array(n_oov, pa.int64())})
 
     return ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3):
+    """Per-document n-gram novelty: how much of each doc is word
+    ``n``-grams that occur EXACTLY ONCE in the whole corpus — the
+    uniqueness/boilerplate data card (template pages and licence
+    blurbs score near 0; original prose near 1e6 ppm).
+
+    Scale shape — two keyed groupbys, NO join: a corpus-unique gram has
+    exactly one contributing doc, so ``groupby(gram) → (Σcount,
+    Min(doc_id))`` attributes every novel gram directly to its one
+    document; novel counts and the per-row exact total gram counts then
+    merge through a single ``groupby(doc_id)`` over a union of
+    (doc, n_grams, 0) and (doc, 0, n_novel) partials.  Nothing
+    row-scale reaches the driver; the only big exchange is the gram
+    table itself (the same cardinality any dedup/DF pass moves).
+
+    novelty_ppm uses round-half-up INTEGER division, so the literal SQL
+    restatement is exact.  Tokenization is the shared RE2 class
+    (``_WS_PATTERN``); grams join with a single space."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def _row_tokens(batch: pa.Table):
+        toks = _ws_tokens(batch.column(text_col))
+        out = []
+        for lst in toks.to_pylist():
+            out.append([t for t in (lst or []) if t != ""])
+        return out
+
+    def totals(batch: pa.Table) -> pa.Table:
+        counts = [max(len(t) - n + 1, 0) for t in _row_tokens(batch)]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(counts, pa.int64()),
+            "n_novel": pa.array([0] * len(counts), pa.int64()),
+        })
+
+    def gram_pairs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column(id_col).to_pylist()
+        agg: Counter = Counter()
+        for did, toks in zip(ids, _row_tokens(batch)):
+            for i in range(len(toks) - n + 1):
+                agg[(" ".join(toks[i:i + n]), did)] += 1
+        grams = list(agg.keys())
+        return pa.table({
+            "gram": pa.array([g for g, _ in grams], pa.string()),
+            "d": pa.array([d for _, d in grams], pa.int64()),
+            "m": pa.array([agg[k] for k in grams], pa.int64()),
+        })
+
+    pairs = ds.map_batches(gram_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counted = (pairs.groupby("gram")
+               .aggregate(Sum("m", alias_name="cnt"),
+                          Min("d", alias_name="d")))
+
+    def novel_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pc.equal(batch.column("cnt"), 1).to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)[keep]
+        g = pd.DataFrame({id_col: d}).groupby(id_col, as_index=False).size()
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+            "n_grams": pa.array(np.zeros(len(g), np.int64)),
+            "n_novel": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    novel = counted.map_batches(novel_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = (ds.map_batches(totals, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .union(novel).groupby(id_col)
+              .aggregate(Sum("n_grams", alias_name="n_grams"),
+                         Sum("n_novel", alias_name="n_novel")))
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = batch.column("n_novel").to_numpy(zero_copy_only=False)
+        d = np.maximum(ng, 1)
+        p = (nv * 2_000_000 + d) // (2 * d)
+        p = np.where(ng > 0, p, 0).astype(np.int64)
+        return batch.append_column("novelty_ppm", pa.array(p, pa.int64()))
+
+    return merged.map_batches(ppm, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -563,6 +563,57 @@ class TestVocabCoverage:
         assert out["n_tokens"].sum() == 9
 
 
+class TestNgramNovelty:
+    def test_hand_computed_bigrams(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import ngram_novelty
+
+        t = pa.table({
+            "doc_id": np.array([1, 2, 3, 4], np.int64),
+            # bigrams: d1 {a b, b c}; d2 {a b, b d}; d3 {x y}; d4 none
+            "text": ["a b c", "a b d", "x y", "solo"],
+        })
+        out = (ngram_novelty(rd.from_arrow(t).repartition(3), n=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_grams"].tolist() == [2, 2, 1, 0]
+        # 'a b' occurs twice (not novel); 'b c','b d','x y' once each
+        assert out["n_novel"].tolist() == [1, 1, 1, 0]
+        assert out["novelty_ppm"].tolist() == [500_000, 500_000,
+                                               1_000_000, 0]
+
+    def test_intra_doc_repeat_not_novel(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import ngram_novelty
+
+        t = pa.table({"doc_id": np.array([1], np.int64),
+                      "text": ["a b a b"]})  # 'a b' twice IN ONE doc
+        out = ngram_novelty(rd.from_arrow(t), n=2).to_pandas()
+        assert out["n_grams"][0] == 3
+        assert out["n_novel"][0] == 1  # only 'b a'; 'a b' occurs twice
+
+    def test_partition_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.textindex import ngram_novelty
+
+        rng = np.random.default_rng(4)
+        words = ["w%d" % i for i in range(40)]
+        df = pd.DataFrame({
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, size=12))
+                     for _ in range(300)]})
+        a = (ngram_novelty(rd.from_pandas(df).repartition(2))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (ngram_novelty(rd.from_pandas(df).repartition(9))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
 class TestPackBins:
     def _pack(self, sizes, capacity=100, reps=1, parts=2):
         import pandas as pd
