@@ -107,3 +107,51 @@ def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int,
         vals = np.where(valid, x[np.clip(idx, 0, n_in - 1)], 0.0)
         out[int(j[0]) : int(j[-1]) + 1] = (vals * w).sum(axis=1) / stretch
     return out.astype(np.float32)
+
+
+def time_stretch(pcm: np.ndarray, rate: float, frame: int = 1024,
+                 hop_syn: int = 256) -> np.ndarray:
+    """Phase-vocoder time stretch (Flanagan & Golden 1966; the Dolson
+    1986 tutorial formulation): change tempo WITHOUT changing pitch —
+    the augmentation axis speed perturbation cannot give (there duration
+    and pitch move together).  ``rate`` > 1 plays faster (shorter
+    output); output length ≈ len/rate.
+
+    Analysis hop = round(hop_syn·rate); per-bin instantaneous frequency
+    from the princarg-wrapped phase increment; synthesis phases
+    accumulate at hop_syn; windowed overlap-add with win² normalization.
+    Pure numpy, deterministic; clips shorter than one frame (or
+    rate == 1) return unchanged."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    x = np.asarray(pcm, dtype=np.float64)
+    if rate == 1.0 or len(x) < frame + 1:
+        return np.asarray(pcm, dtype=np.float32).copy()
+    ha = max(1, int(round(hop_syn * rate)))
+    n_frames = 1 + (len(x) - frame) // ha
+    if n_frames < 2:
+        return np.asarray(pcm, dtype=np.float32).copy()
+    win = np.hanning(frame)
+    idx = np.arange(frame)[None, :] + ha * np.arange(n_frames)[:, None]
+    spec = np.fft.rfft(x[idx] * win, axis=1)
+    mag = np.abs(spec)
+    phase = np.angle(spec)
+    omega = 2.0 * np.pi * np.arange(spec.shape[1]) / frame  # rad/sample
+    dphi = phase[1:] - phase[:-1] - omega * ha
+    dphi = (dphi + np.pi) % (2.0 * np.pi) - np.pi          # princarg
+    inst_freq = omega + dphi / ha
+    out_phase = np.empty_like(phase)
+    out_phase[0] = phase[0]
+    out_phase[1:] = phase[0] + np.cumsum(inst_freq * hop_syn, axis=0)
+    frames_out = np.fft.irfft(mag * np.exp(1j * out_phase), frame,
+                              axis=1) * win
+    out_len = frame + hop_syn * (n_frames - 1)
+    y = np.zeros(out_len, dtype=np.float64)
+    wsum = np.zeros(out_len, dtype=np.float64)
+    w2 = win * win
+    for i in range(n_frames):
+        start = i * hop_syn
+        y[start:start + frame] += frames_out[i]
+        wsum[start:start + frame] += w2
+    y /= np.maximum(wsum, 1e-8)
+    return np.clip(y, -1.0, 1.0).astype(np.float32)

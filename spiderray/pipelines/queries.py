@@ -2094,6 +2094,24 @@ def q_speed_perturb(sf_dir: str):
     )
 
 
+def q_time_stretch(sf_dir: str):
+    """Phase-vocoder tempo augmentation (stages/multimodal.
+    TimeStretchActor): md5-keyed rate in {0.9, 1.0, 1.1} per clip,
+    duration moves by 1/rate with PITCH PRESERVED — the sox-tempo half
+    of the augmentation plane next to q_speed_perturb's sox-speed.
+    Audit columns; fixture oracle runs the same actor serially."""
+    _ensure_fixture("q_time_stretch", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import time_stretch_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = time_stretch_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "rate_bp", "out_n_samples", "out_rms"]
+    )
+
+
 def q_acoustic_augment(sf_dir: str):
     """Acoustic-environment augmentation (stages/multimodal.
     AcousticAugmentActor): md5-keyed synthetic-room reverb (exponential
@@ -6021,6 +6039,7 @@ QUERIES = {
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
     "q_speed_perturb": q_speed_perturb,
+    "q_time_stretch": q_time_stretch,
     "q_acoustic_augment": q_acoustic_augment,
     "q_wds_shards": q_wds_shards,
     "q_specaugment": q_specaugment,

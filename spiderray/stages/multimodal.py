@@ -1377,3 +1377,85 @@ def audio_corpus_report(ds, codec_col: str = "codec", sr_col: str = "sr_hz",
         rows.append((f"sr:{int(sr)}", int(n)))
     out = pd.DataFrame(rows, columns=["metric", "value"])
     return out.sort_values("metric").reset_index(drop=True)
+
+
+class TimeStretchActor:
+    """Phase-vocoder tempo augmentation (functions/resample.time_stretch)
+    — the pitch-PRESERVING half of the tempo/pitch augmentation plane:
+    SpeedPerturbActor moves duration and pitch together (sox speed);
+    this moves duration alone (sox tempo), the variant ASR recipes use
+    when speaker pitch must stay natural.  The rate is md5-keyed on
+    (clip_id, salt) over ``rates`` — pure per-row, deterministic, no
+    shuffle; one augmentation epoch per salt."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 rates: tuple[float, ...] = (0.9, 1.0, 1.1)):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.rates = tuple(rates)
+
+    def _rate(self, cid: str) -> float:
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:tempo:{self.salt}".encode()).digest()
+        return self.rates[d[0] % len(self.rates)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.resample import time_stretch
+
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        out_bytes, out_codec, ok = [], [], []
+        rate_bp, out_n, out_rms = [], [], []
+        for cid, buf, codec in zip(ids, bufs, codecs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                rate_bp.append(0)
+                out_n.append(0)
+                out_rms.append(0.0)
+                continue
+            r = self._rate(str(cid))
+            y = time_stretch(pcm, r)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            rate_bp.append(int(round(r * 10_000)))
+            out_n.append(len(y))
+            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                           if len(y) else 0.0)
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("rate_bp", pa.array(rate_bp, pa.int32()))
+        batch = batch.append_column("out_n_samples",
+                                    pa.array(out_n, pa.int32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def time_stretch_stage(ds, cfg: PipelineConfig, salt: str = "",
+                       rates: tuple[float, ...] = (0.9, 1.0, 1.1),
+                       concurrency: int | tuple[int, int] = 4):
+    """Deterministic phase-vocoder tempo augmentation; actor pool."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        TimeStretchActor,
+        fn_constructor_args=(cfg, salt, rates),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

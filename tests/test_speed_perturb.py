@@ -67,3 +67,62 @@ class TestSpeedPerturb:
         out = actor(batch).to_pandas()
         assert not out.loc[0, "aug_ok"]
         assert out.loc[0, "speed_bp"] == 0
+
+
+class TestTimeStretch:
+    def test_pitch_preserved_duration_scaled(self):
+        from spiderray.functions.resample import time_stretch
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        for r in (0.5, 0.9, 1.1, 2.0):
+            y = time_stretch(x, r)
+            assert abs(len(y) - sr / r) < 1600, r  # within 10% of target
+            spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+            peak_hz = spec.argmax() * sr / len(y)
+            assert abs(peak_hz - 440.0) < 5.0, r   # pitch unchanged
+            rms = float(np.sqrt((y.astype(np.float64) ** 2).mean()))
+            assert abs(rms - 0.3535) < 0.02, r     # energy preserved
+
+    def test_identity_and_short_input(self):
+        from spiderray.functions.resample import time_stretch
+
+        x = (0.1 * np.ones(500)).astype(np.float32)
+        assert np.array_equal(time_stretch(x, 1.0), x)
+        assert np.array_equal(time_stretch(x, 2.0), x)  # < one frame
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            time_stretch(x, 0.0)
+
+    def test_actor_determinism_and_rate_key(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import (TimeStretchActor,
+                                                 time_stretch_stage)
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        pcm = ((0.4 * np.sin(2 * np.pi * 600.0 * t)) * 32767).astype(
+            "<i2").tobytes()
+        tbl = pa.table({
+            "clip_id": pa.array([f"c{i}" for i in range(12)], pa.string()),
+            "bytes": pa.array([pcm] * 11 + [b"xx"], pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * 11 + ["opus"], pa.string()),
+            "sr_hz": pa.array([sr] * 12, pa.int32()),
+        })
+        serial = TimeStretchActor(PipelineConfig(), salt="s")(tbl)
+        dist = (time_stretch_stage(rd.from_arrow(tbl).repartition(3),
+                                   PipelineConfig(), salt="s")
+                .to_pandas().sort_values("clip_id").reset_index(drop=True))
+        ser = serial.to_pandas().sort_values("clip_id").reset_index(drop=True)
+        assert dist[["clip_id", "aug_ok", "rate_bp",
+                     "out_n_samples"]].values.tolist() == \
+            ser[["clip_id", "aug_ok", "rate_bp",
+                 "out_n_samples"]].values.tolist()
+        assert not dist[dist["clip_id"] == "c0"].empty
+        assert set(dist[dist["aug_ok"]]["rate_bp"]) <= {9000, 10000, 11000}
+        assert not dist[dist["clip_id"] == "c11"]["aug_ok"].iloc[0]
