@@ -101,7 +101,8 @@ from .stages.audioquality import (
     specaugment_stage,
 )
 from .stages.multimodal import (acoustic_augment_stage,
-                                speed_perturb_stage, time_stretch_stage)
+                                pitch_shift_stage, speed_perturb_stage,
+                                time_stretch_stage)
 from .stages.quarantine import quarantine_map_batches, read_quarantine
 from .stages.stats import (
     bottomk_sample,
@@ -195,7 +196,7 @@ __all__ = [
     "loudness_normalize_stage", "quarantine_map_batches", "read_quarantine",
     "read_tar_shards", "silence_trim_stage", "sliding_chunks",
     "specaugment_stage", "speed_perturb_stage", "substring_dedup",
-    "time_stretch_stage",
+    "time_stretch_stage", "pitch_shift_stage",
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",

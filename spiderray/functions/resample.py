@@ -155,3 +155,19 @@ def time_stretch(pcm: np.ndarray, rate: float, frame: int = 1024,
         wsum[start:start + frame] += w2
     y /= np.maximum(wsum, 1e-8)
     return np.clip(y, -1.0, 1.0).astype(np.float32)
+
+
+def pitch_shift(pcm: np.ndarray, sr: int, semitones: float) -> np.ndarray:
+    """Pitch shift WITHOUT tempo change: time-stretch by 1/f (duration
+    ×f, pitch unchanged) then windowed-sinc speed-resample by f
+    (duration ÷f, pitch ×f) — net duration ≈ unchanged, pitch scaled by
+    f = 2^(semitones/12).  The third corner of the tempo/pitch plane
+    next to speed perturbation (both move) and time stretch (tempo
+    only)."""
+    if semitones == 0.0:
+        return np.asarray(pcm, dtype=np.float32).copy()
+    f = 2.0 ** (semitones / 12.0)
+    y = time_stretch(pcm, 1.0 / f)
+    return np.clip(
+        resample_sinc(y, int(round(sr * f)), sr), -1.0, 1.0
+    ).astype(np.float32)

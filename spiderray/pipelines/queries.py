@@ -2112,6 +2112,24 @@ def q_time_stretch(sf_dir: str):
     )
 
 
+def q_pitch_shift(sf_dir: str):
+    """Pitch-shift augmentation (stages/multimodal.PitchShiftActor):
+    md5-keyed semitones in {-2, 0, +2} per clip, pitch moves by
+    2^(st/12) with tempo preserved (phase vocoder ∘ windowed-sinc) —
+    completing the tempo/pitch plane with q_speed_perturb and
+    q_time_stretch.  Fixture oracle runs the same actor serially."""
+    _ensure_fixture("q_pitch_shift", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import pitch_shift_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = pitch_shift_stage(ds, PipelineConfig(), salt="e1")
+    return out.select_columns(
+        ["clip_id", "aug_ok", "semi_cents", "out_n_samples", "out_rms"]
+    )
+
+
 def q_acoustic_augment(sf_dir: str):
     """Acoustic-environment augmentation (stages/multimodal.
     AcousticAugmentActor): md5-keyed synthetic-room reverb (exponential
@@ -6040,6 +6058,7 @@ QUERIES = {
     "q_cmvn": q_cmvn,
     "q_speed_perturb": q_speed_perturb,
     "q_time_stretch": q_time_stretch,
+    "q_pitch_shift": q_pitch_shift,
     "q_acoustic_augment": q_acoustic_augment,
     "q_wds_shards": q_wds_shards,
     "q_specaugment": q_specaugment,

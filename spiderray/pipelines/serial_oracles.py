@@ -1544,6 +1544,16 @@ def so_time_stretch(sf_dir: str) -> pa.Table:
     )
 
 
+def so_pitch_shift(sf_dir: str) -> pa.Table:
+    from ..config import PipelineConfig
+    from ..stages.multimodal import PitchShiftActor
+
+    out = PitchShiftActor(PipelineConfig(), salt="e1")(_clips(sf_dir))
+    return out.select(
+        ["clip_id", "aug_ok", "semi_cents", "out_n_samples", "out_rms"]
+    )
+
+
 def so_acoustic_augment(sf_dir: str) -> pa.Table:
     from ..config import PipelineConfig
     from ..stages.multimodal import AcousticAugmentActor
@@ -2512,6 +2522,7 @@ SERIAL_ORACLES = {
     "q_pack_bins": so_pack_bins,
     "q_codec_sniff": so_codec_sniff,
     "q_time_stretch": so_time_stretch,
+    "q_pitch_shift": so_pitch_shift,
     "q_unimax_resample": so_unimax_resample,
     "q_prepare_image": so_prepare_image,
     "q_decontaminate_spans": so_decontaminate_spans,

@@ -1459,3 +1459,86 @@ def time_stretch_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class PitchShiftActor:
+    """Pitch-shift augmentation (functions/resample.pitch_shift: phase
+    vocoder ∘ windowed-sinc) — pitch moves by 2^(semitones/12), tempo
+    stays; with SpeedPerturbActor (both move) and TimeStretchActor
+    (tempo only) this completes the tempo/pitch augmentation plane.
+    Semitone choice is md5-keyed on (clip_id, salt)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None, salt: str = "",
+                 semitones: tuple[float, ...] = (-2.0, 0.0, 2.0)):
+        self.cfg = cfg or PipelineConfig()
+        self.salt = salt
+        self.semitones = tuple(semitones)
+
+    def _semis(self, cid: str) -> float:
+        import hashlib
+
+        d = hashlib.md5(f"{cid}:pitch:{self.salt}".encode()).digest()
+        return self.semitones[d[0] % len(self.semitones)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.resample import pitch_shift
+
+        ids = batch.column(self.cfg.id_col).to_pylist()
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec, ok = [], [], []
+        semi_cents, out_n, out_rms = [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr or 0)
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if sr <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                semi_cents.append(0)
+                out_n.append(0)
+                out_rms.append(0.0)
+                continue
+            st = self._semis(str(cid))
+            y = pitch_shift(pcm, sr, st)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            semi_cents.append(int(round(st * 100)))
+            out_n.append(len(y))
+            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                           if len(y) else 0.0)
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("semi_cents",
+                                    pa.array(semi_cents, pa.int32()))
+        batch = batch.append_column("out_n_samples",
+                                    pa.array(out_n, pa.int32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def pitch_shift_stage(ds, cfg: PipelineConfig, salt: str = "",
+                      semitones: tuple[float, ...] = (-2.0, 0.0, 2.0),
+                      concurrency: int | tuple[int, int] = 4):
+    """Deterministic pitch-shift augmentation; actor pool."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        PitchShiftActor,
+        fn_constructor_args=(cfg, salt, semitones),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

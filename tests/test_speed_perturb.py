@@ -126,3 +126,46 @@ class TestTimeStretch:
         assert not dist[dist["clip_id"] == "c0"].empty
         assert set(dist[dist["aug_ok"]]["rate_bp"]) <= {9000, 10000, 11000}
         assert not dist[dist["clip_id"] == "c11"]["aug_ok"].iloc[0]
+
+
+class TestPitchShift:
+    def test_pitch_scaled_duration_held(self):
+        from spiderray.functions.resample import pitch_shift
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        for st in (-2.0, 2.0, 5.0):
+            y = pitch_shift(x, sr, st)
+            assert abs(len(y) - sr) < 800, st  # duration within 5%
+            spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+            peak_hz = spec.argmax() * sr / len(y)
+            assert abs(peak_hz - 440.0 * 2 ** (st / 12)) < 5.0, st
+        assert np.array_equal(pitch_shift(x, sr, 0.0), x)
+
+    def test_actor_matches_serial(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import (PitchShiftActor,
+                                                 pitch_shift_stage)
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        pcm = ((0.4 * np.sin(2 * np.pi * 500.0 * t)) * 32767).astype(
+            "<i2").tobytes()
+        tbl = pa.table({
+            "clip_id": pa.array([f"p{i}" for i in range(10)], pa.string()),
+            "bytes": pa.array([pcm] * 9 + [b"xx"], pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * 9 + ["opus"], pa.string()),
+            "sr_hz": pa.array([sr] * 10, pa.int32()),
+        })
+        ser = (PitchShiftActor(PipelineConfig(), salt="s")(tbl)
+               .to_pandas().sort_values("clip_id").reset_index(drop=True))
+        dist = (pitch_shift_stage(rd.from_arrow(tbl).repartition(2),
+                                  PipelineConfig(), salt="s")
+                .to_pandas().sort_values("clip_id").reset_index(drop=True))
+        cols = ["clip_id", "aug_ok", "semi_cents", "out_n_samples"]
+        assert dist[cols].values.tolist() == ser[cols].values.tolist()
+        assert set(dist[dist["aug_ok"]]["semi_cents"]) <= {-200, 0, 200}
