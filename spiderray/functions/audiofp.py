@@ -627,15 +627,22 @@ CODEC_FAMILIES = {
     "adpcm": set(), "adpcm_ima": set(),
     "flac": {"flac"}, "aiff": {"form"},
     "opus": {"ogg"}, "vorbis": {"ogg"}, "ogg": {"ogg"},
-    "mp3": {"mp3"}, "aac": {"adts"},
+    # an unsniffable ID3v2 tag is legal on both MPEG audio and ADTS
+    "mp3": {"mp3", "id3"}, "aac": {"adts", "id3"},
 }
 
 
 def sniff_container(buf: bytes) -> str | None:
     """Magic-byte container identification for an audio payload: 'riff'
-    (RIFF/WAVE), 'flac', 'form' (IFF/AIFF), 'ogg', 'mp3' (ID3 tag or an
-    MPEG audio sync at offset 0), 'adts', or None for raw/unknown bytes.
-    Pure prefix checks — no decode."""
+    (RIFF/WAVE), 'flac', 'form' (IFF/AIFF), 'ogg', 'mp3' (MPEG audio
+    frame sync with validated header fields), 'adts', 'id3' (an ID3v2
+    tag whose payload could not be sniffed — tag ≠ codec: both mp3 and
+    ADTS legally carry one, so the tag is skipped and the bytes after
+    it are sniffed), or None for raw/unknown bytes.  Pure prefix
+    checks — no decode.  The MPEG/ADTS syncs validate the version,
+    layer, bitrate-index and sample-rate-index fields so random raw-PCM
+    sample bytes (e.g. a clip starting at -1 = FF FF) almost never
+    false-positive (review finding)."""
     if not buf or len(buf) < 4:
         return None
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
@@ -646,13 +653,26 @@ def sniff_container(buf: bytes) -> str | None:
         return "form"
     if buf[:4] == b"OggS":
         return "ogg"
-    if buf[:3] == b"ID3":
-        return "mp3"
-    if len(buf) >= 2 and buf[0] == 0xFF:
-        b1 = buf[1]
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        # ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4) — skip the
+        # tag and sniff what it wraps; an unsniffable payload stays 'id3'
+        if all(b < 0x80 for b in buf[6:10]):
+            size = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+            inner = sniff_container(buf[10 + size:])
+            if inner is not None:
+                return inner
+        return "id3"
+    if len(buf) >= 3 and buf[0] == 0xFF:
+        b1, b2 = buf[1], buf[2]
         if (b1 & 0xF6) == 0xF0:          # ADTS: sync 0xFFF + MPEG-4/2, layer 0
-            return "adts"
-        if (b1 & 0xE0) == 0xE0 and (b1 & 0x06) != 0:  # MPEG audio frame sync
+            if ((b2 >> 2) & 0xF) != 0xF:  # valid sampling_frequency_index
+                return "adts"
+            return None
+        if ((b1 & 0xE0) == 0xE0
+                and ((b1 >> 3) & 0x3) != 0x1      # version not reserved
+                and ((b1 >> 1) & 0x3) != 0x0      # layer not reserved
+                and (b2 >> 4) != 0xF              # bitrate index valid
+                and ((b2 >> 2) & 0x3) != 0x3):    # sample-rate index valid
             return "mp3"
     return None
 

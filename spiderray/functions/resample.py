@@ -109,6 +109,19 @@ def resample_sinc(pcm: np.ndarray, sr_in: int, sr_out: int,
     return out.astype(np.float32)
 
 
+def stretch_applies(n: int, rate: float, frame: int = 1024,
+                    hop_syn: int = 256) -> bool:
+    """True when time_stretch will actually process an ``n``-sample clip
+    at ``rate`` (≥2 analysis frames); False for the identity-passthrough
+    cases (rate 1, or a clip shorter than the vocoder can frame).  The
+    augmentation actors use this to report an honest param of 1.0 / 0
+    instead of an augmentation that never happened (review finding)."""
+    if rate == 1.0 or n < frame + 1:
+        return False
+    ha = max(1, int(round(hop_syn * rate)))
+    return 1 + (n - frame) // ha >= 2
+
+
 def time_stretch(pcm: np.ndarray, rate: float, frame: int = 1024,
                  hop_syn: int = 256) -> np.ndarray:
     """Phase-vocoder time stretch (Flanagan & Golden 1966; the Dolson
@@ -125,12 +138,10 @@ def time_stretch(pcm: np.ndarray, rate: float, frame: int = 1024,
     if rate <= 0:
         raise ValueError("rate must be positive")
     x = np.asarray(pcm, dtype=np.float64)
-    if rate == 1.0 or len(x) < frame + 1:
+    if not stretch_applies(len(x), rate, frame, hop_syn):
         return np.asarray(pcm, dtype=np.float32).copy()
     ha = max(1, int(round(hop_syn * rate)))
     n_frames = 1 + (len(x) - frame) // ha
-    if n_frames < 2:
-        return np.asarray(pcm, dtype=np.float32).copy()
     win = np.hanning(frame)
     idx = np.arange(frame)[None, :] + ha * np.arange(n_frames)[:, None]
     spec = np.fft.rfft(x[idx] * win, axis=1)
@@ -163,11 +174,23 @@ def pitch_shift(pcm: np.ndarray, sr: int, semitones: float) -> np.ndarray:
     (duration ÷f, pitch ×f) — net duration ≈ unchanged, pitch scaled by
     f = 2^(semitones/12).  The third corner of the tempo/pitch plane
     next to speed perturbation (both move) and time stretch (tempo
-    only)."""
+    only).
+
+    Clips the vocoder cannot frame (see stretch_applies) pass through
+    UNCHANGED — resampling them anyway would silently degrade to speed
+    perturbation and break the duration contract (review finding).  The
+    resample ratio is the best ≤1/512 rational approximation of f
+    (sub-cent pitch error) so every shift stays on the polyphase
+    cached-weight path instead of the per-block Bessel branch."""
     if semitones == 0.0:
         return np.asarray(pcm, dtype=np.float32).copy()
     f = 2.0 ** (semitones / 12.0)
+    if not stretch_applies(len(pcm), 1.0 / f):
+        return np.asarray(pcm, dtype=np.float32).copy()
+    from fractions import Fraction
+
+    frac = Fraction(f).limit_denominator(512)
     y = time_stretch(pcm, 1.0 / f)
     return np.clip(
-        resample_sinc(y, int(round(sr * f)), sr), -1.0, 1.0
+        resample_sinc(y, frac.numerator, frac.denominator), -1.0, 1.0
     ).astype(np.float32)

@@ -1104,6 +1104,53 @@ def audio_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
     )
 
 
+def _apply_rowwise_augment(batch: pa.Table, cfg, row_fn, param_col: str,
+                           needs_sr: bool) -> pa.Table:
+    """Shared decode → kernel → re-encode loop for the per-row
+    tempo/pitch augmentation actors (speed / stretch / shift — review
+    finding: three near-verbatim copies collapsed here).
+    ``row_fn(cid, pcm, sr) -> (clipped_float_pcm, param_int)``;
+    undecodable rows (and sr ≤ 0 when ``needs_sr``) pass through
+    untouched with aug_ok=False and param 0."""
+    ids = batch.column(cfg.id_col).to_pylist()
+    bufs = batch.column(cfg.bytes_col).to_pylist()
+    codecs = batch.column(cfg.codec_col).to_pylist()
+    srs = batch.column("sr_hz").to_pylist()
+    out_bytes, out_codec, ok = [], [], []
+    param, out_n, out_rms = [], [], []
+    for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+        sr = int(sr or 0)
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            if len(pcm) == 0 or (needs_sr and sr <= 0):
+                raise DecodeUnsupported("empty")
+        except DecodeUnsupported:
+            out_bytes.append(buf)
+            out_codec.append(codec)
+            ok.append(False)
+            param.append(0)
+            out_n.append(0)
+            out_rms.append(0.0)
+            continue
+        y, p = row_fn(str(cid), pcm, sr)
+        out_bytes.append(_encode_pcm16(y))
+        out_codec.append("pcm_s16le")
+        ok.append(True)
+        param.append(p)
+        out_n.append(len(y))
+        out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                       if len(y) else 0.0)
+    names = batch.column_names
+    batch = batch.set_column(names.index(cfg.bytes_col), cfg.bytes_col,
+                             pa.array(out_bytes, pa.binary()))
+    batch = batch.set_column(names.index(cfg.codec_col), cfg.codec_col,
+                             pa.array(out_codec, pa.string()))
+    batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
+    batch = batch.append_column(param_col, pa.array(param, pa.int32()))
+    batch = batch.append_column("out_n_samples", pa.array(out_n, pa.int32()))
+    return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
 class SpeedPerturbActor:
     """Sox-style speed perturbation — the standard ASR augmentation
     (Ko et al., "Audio augmentation for speech recognition",
@@ -1129,49 +1176,15 @@ class SpeedPerturbActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.resample import resample_sinc
 
-        ids = batch.column(self.cfg.id_col).to_pylist()
-        bufs = batch.column(self.cfg.bytes_col).to_pylist()
-        codecs = batch.column(self.cfg.codec_col).to_pylist()
-        srs = batch.column("sr_hz").to_pylist()
-        out_bytes, out_codec, ok = [], [], []
-        speed_bp, out_n, out_rms = [], [], []
-        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
-            sr = int(sr or 0)
-            try:
-                pcm = _decode_one(buf or b"", codec or "")
-                if sr <= 0 or len(pcm) == 0:
-                    raise DecodeUnsupported("empty")
-            except DecodeUnsupported:
-                out_bytes.append(buf)
-                out_codec.append(codec)
-                ok.append(False)
-                speed_bp.append(0)
-                out_n.append(0)
-                out_rms.append(0.0)
-                continue
-            f = self._factor(str(cid))
+        def row(cid: str, pcm: np.ndarray, sr: int):
+            f = self._factor(cid)
             sr_virtual = int(round(sr * f))
             y = resample_sinc(pcm, sr_virtual, sr) if sr_virtual != sr \
                 else np.asarray(pcm, dtype=np.float32)
-            y = np.clip(y, -1.0, 1.0)
-            out_bytes.append(_encode_pcm16(y))
-            out_codec.append("pcm_s16le")
-            ok.append(True)
-            speed_bp.append(int(round(f * 10_000)))
-            out_n.append(len(y))
-            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
-                           if len(y) else 0.0)
-        names = batch.column_names
-        batch = batch.set_column(names.index(self.cfg.bytes_col),
-                                 self.cfg.bytes_col,
-                                 pa.array(out_bytes, pa.binary()))
-        batch = batch.set_column(names.index(self.cfg.codec_col),
-                                 self.cfg.codec_col,
-                                 pa.array(out_codec, pa.string()))
-        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
-        batch = batch.append_column("speed_bp", pa.array(speed_bp, pa.int32()))
-        batch = batch.append_column("out_n_samples", pa.array(out_n, pa.int32()))
-        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+            return np.clip(y, -1.0, 1.0), int(round(f * 10_000))
+
+        return _apply_rowwise_augment(batch, self.cfg, row, "speed_bp",
+                                      needs_sr=True)
 
 
 def speed_perturb_stage(ds, cfg: PipelineConfig, salt: str = "",
@@ -1401,47 +1414,18 @@ class TimeStretchActor:
         return self.rates[d[0] % len(self.rates)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.resample import time_stretch
+        from ..functions.resample import stretch_applies, time_stretch
 
-        ids = batch.column(self.cfg.id_col).to_pylist()
-        bufs = batch.column(self.cfg.bytes_col).to_pylist()
-        codecs = batch.column(self.cfg.codec_col).to_pylist()
-        out_bytes, out_codec, ok = [], [], []
-        rate_bp, out_n, out_rms = [], [], []
-        for cid, buf, codec in zip(ids, bufs, codecs):
-            try:
-                pcm = _decode_one(buf or b"", codec or "")
-                if len(pcm) == 0:
-                    raise DecodeUnsupported("empty")
-            except DecodeUnsupported:
-                out_bytes.append(buf)
-                out_codec.append(codec)
-                ok.append(False)
-                rate_bp.append(0)
-                out_n.append(0)
-                out_rms.append(0.0)
-                continue
-            r = self._rate(str(cid))
-            y = time_stretch(pcm, r)
-            out_bytes.append(_encode_pcm16(y))
-            out_codec.append("pcm_s16le")
-            ok.append(True)
-            rate_bp.append(int(round(r * 10_000)))
-            out_n.append(len(y))
-            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
-                           if len(y) else 0.0)
-        names = batch.column_names
-        batch = batch.set_column(names.index(self.cfg.bytes_col),
-                                 self.cfg.bytes_col,
-                                 pa.array(out_bytes, pa.binary()))
-        batch = batch.set_column(names.index(self.cfg.codec_col),
-                                 self.cfg.codec_col,
-                                 pa.array(out_codec, pa.string()))
-        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
-        batch = batch.append_column("rate_bp", pa.array(rate_bp, pa.int32()))
-        batch = batch.append_column("out_n_samples",
-                                    pa.array(out_n, pa.int32()))
-        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+        def row(cid: str, pcm: np.ndarray, sr: int):
+            r = self._rate(cid)
+            if not stretch_applies(len(pcm), r):
+                # honest audit: a clip the vocoder cannot frame is NOT
+                # stretched — report rate 1.0, not a phantom augmentation
+                return np.asarray(pcm, dtype=np.float32).copy(), 10_000
+            return time_stretch(pcm, r), int(round(r * 10_000))
+
+        return _apply_rowwise_augment(batch, self.cfg, row, "rate_bp",
+                                      needs_sr=False)
 
 
 def time_stretch_stage(ds, cfg: PipelineConfig, salt: str = "",
@@ -1481,50 +1465,18 @@ class PitchShiftActor:
         return self.semitones[d[0] % len(self.semitones)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.resample import pitch_shift
+        from ..functions.resample import pitch_shift, stretch_applies
 
-        ids = batch.column(self.cfg.id_col).to_pylist()
-        bufs = batch.column(self.cfg.bytes_col).to_pylist()
-        codecs = batch.column(self.cfg.codec_col).to_pylist()
-        srs = batch.column("sr_hz").to_pylist()
-        out_bytes, out_codec, ok = [], [], []
-        semi_cents, out_n, out_rms = [], [], []
-        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
-            sr = int(sr or 0)
-            try:
-                pcm = _decode_one(buf or b"", codec or "")
-                if sr <= 0 or len(pcm) == 0:
-                    raise DecodeUnsupported("empty")
-            except DecodeUnsupported:
-                out_bytes.append(buf)
-                out_codec.append(codec)
-                ok.append(False)
-                semi_cents.append(0)
-                out_n.append(0)
-                out_rms.append(0.0)
-                continue
-            st = self._semis(str(cid))
-            y = pitch_shift(pcm, sr, st)
-            out_bytes.append(_encode_pcm16(y))
-            out_codec.append("pcm_s16le")
-            ok.append(True)
-            semi_cents.append(int(round(st * 100)))
-            out_n.append(len(y))
-            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
-                           if len(y) else 0.0)
-        names = batch.column_names
-        batch = batch.set_column(names.index(self.cfg.bytes_col),
-                                 self.cfg.bytes_col,
-                                 pa.array(out_bytes, pa.binary()))
-        batch = batch.set_column(names.index(self.cfg.codec_col),
-                                 self.cfg.codec_col,
-                                 pa.array(out_codec, pa.string()))
-        batch = batch.append_column("aug_ok", pa.array(ok, pa.bool_()))
-        batch = batch.append_column("semi_cents",
-                                    pa.array(semi_cents, pa.int32()))
-        batch = batch.append_column("out_n_samples",
-                                    pa.array(out_n, pa.int32()))
-        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+        def row(cid: str, pcm: np.ndarray, sr: int):
+            st = self._semis(cid)
+            f = 2.0 ** (st / 12.0)
+            if st == 0.0 or not stretch_applies(len(pcm), 1.0 / f):
+                # honest audit: pitch_shift passes such clips through
+                return np.asarray(pcm, dtype=np.float32).copy(), 0
+            return pitch_shift(pcm, sr, st), int(round(st * 100))
+
+        return _apply_rowwise_augment(batch, self.cfg, row, "semi_cents",
+                                      needs_sr=True)
 
 
 def pitch_shift_stage(ds, cfg: PipelineConfig, salt: str = "",

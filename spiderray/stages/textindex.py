@@ -408,6 +408,7 @@ def ngram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
     def gram_pairs(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
+        id_type = batch.schema.field(id_col).type
         ids = batch.column(id_col).to_pylist()
         agg: Counter = Counter()
         for did, toks in zip(ids, _row_tokens(batch)):
@@ -416,7 +417,7 @@ def ngram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
         grams = list(agg.keys())
         return pa.table({
             "gram": pa.array([g for g, _ in grams], pa.string()),
-            "d": pa.array([d for _, d in grams], pa.int64()),
+            "d": pa.array([d for _, d in grams], id_type),
             "m": pa.array([agg[k] for k in grams], pa.int64()),
         })
 
@@ -427,15 +428,17 @@ def ngram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
                           Min("d", alias_name="d")))
 
     def novel_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        keep = pc.equal(batch.column("cnt"), 1).to_numpy(zero_copy_only=False)
-        d = batch.column("d").to_numpy(zero_copy_only=False)[keep]
-        g = pd.DataFrame({id_col: d}).groupby(id_col, as_index=False).size()
+        # this runs once per block of the gram table (the job's largest):
+        # one arrow filter + np.unique, no pandas detour
+        d_col = batch.column("d")
+        keep = pc.equal(batch.column("cnt"), 1)
+        d = d_col.filter(keep).to_numpy(zero_copy_only=False)
+        vals, counts = (np.unique(d, return_counts=True) if len(d)
+                        else (d, np.zeros(0, np.int64)))
         return pa.table({
-            id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
-            "n_grams": pa.array(np.zeros(len(g), np.int64)),
-            "n_novel": pa.array(g["size"].to_numpy().astype(np.int64)),
+            id_col: pa.array(vals.tolist(), d_col.type),
+            "n_grams": pa.array(np.zeros(len(vals), np.int64)),
+            "n_novel": pa.array(counts.astype(np.int64)),
         })
 
     novel = counted.map_batches(novel_partial, batch_format="pyarrow",

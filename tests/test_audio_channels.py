@@ -116,10 +116,21 @@ class TestCodecSniff:
         assert sniff_container(b"fLaC\x00\x00") == "flac"
         assert sniff_container(b"FORM\x00\x00\x00\x00AIFF") == "form"
         assert sniff_container(b"OggS" + bytes(8)) == "ogg"
-        assert sniff_container(b"ID3\x04") == "mp3"
+        # bare / unsniffable ID3v2 tag → 'id3' (tag is not a codec);
+        # a tag WRAPPING a recognizable payload sniffs the payload
+        assert sniff_container(b"ID3\x04\x00\x00\x00\x00\x00\x00"
+                               + bytes(4)) == "id3"
+        wrapped = (b"ID3\x04\x00\x00\x00\x00\x00\x02" + bytes(2)
+                   + b"\xff\xfb\x90\x00")
+        assert sniff_container(wrapped) == "mp3"
         assert sniff_container(b"\xff\xfb\x90\x00") == "mp3"   # MPEG sync
         assert sniff_container(b"\xff\xf1\x00\x00") == "adts"  # AAC ADTS
         assert sniff_container(b"\xff\xe0\x00\x00") is None    # layer bits 00
+        # review finding: raw-PCM-looking byte pairs must NOT sync —
+        # bad bitrate index (0xF_), reserved version, reserved samplerate
+        assert sniff_container(b"\xff\xff\xff\xff") is None
+        assert sniff_container(b"\xff\xea\x90\x00") is None    # version 01
+        assert sniff_container(b"\xff\xfb\x9c\x00") is None    # sr idx 3
         assert sniff_container(b"\x00\x01\x02\x03") is None
         assert sniff_container(b"") is None
 
@@ -136,6 +147,11 @@ class TestCodecSniff:
         # unknown declared codec or raw bytes: conservative, never flag
         assert codec_mismatch(wav, "mystery")[1] is False
         assert codec_mismatch(b"\x00\x01", "wav") == (None, False)
+        # an ID3v2 tag is legal on both mp3 and aac — never a mismatch
+        tag = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(4)
+        assert codec_mismatch(tag, "mp3") == ("id3", False)
+        assert codec_mismatch(tag, "aac") == ("id3", False)
+        assert codec_mismatch(tag, "flac") == ("id3", True)
 
     def test_stage_runs(self, ray_session):
         import ray.data as rd

@@ -169,3 +169,38 @@ class TestPitchShift:
         cols = ["clip_id", "aug_ok", "semi_cents", "out_n_samples"]
         assert dist[cols].values.tolist() == ser[cols].values.tolist()
         assert set(dist[dist["aug_ok"]]["semi_cents"]) <= {-200, 0, 200}
+
+
+class TestAugmentNoopHonesty:
+    def test_short_clip_passes_through_with_honest_params(self, ray_session):
+        import pyarrow as pa
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.multimodal import (PitchShiftActor,
+                                                 TimeStretchActor)
+
+        # 800 samples < one vocoder frame: neither stretch nor shift can
+        # apply — output must be the input and the audit param identity
+        pcm = ((0.3 * np.sin(2 * np.pi * 500.0 * np.arange(800) / 16000))
+               * 32767).astype("<i2")
+        tbl = pa.table({
+            "clip_id": pa.array(["s0"], pa.string()),
+            "bytes": pa.array([pcm.tobytes()], pa.binary()),
+            "codec": pa.array(["pcm_s16le"], pa.string()),
+            "sr_hz": pa.array([16000], pa.int32()),
+        })
+        ts = TimeStretchActor(PipelineConfig(), salt="s")(tbl)
+        assert ts.column("rate_bp").to_pylist() == [10_000]
+        assert ts.column("out_n_samples").to_pylist() == [800]
+        ps = PitchShiftActor(PipelineConfig(), salt="zz")(tbl)
+        assert ps.column("semi_cents").to_pylist() == [0]
+        assert ps.column("out_n_samples").to_pylist() == [800]
+
+    def test_pitch_shift_short_clip_duration_held(self):
+        from spiderray.functions.resample import pitch_shift
+
+        x = (0.3 * np.sin(2 * np.pi * 500.0 * np.arange(800) / 16000)
+             ).astype(np.float32)
+        y = pitch_shift(x, 16000, 2.0)
+        assert len(y) == 800  # review finding: must NOT shrink to 713
+        assert np.array_equal(y, x)

@@ -595,6 +595,19 @@ class TestNgramNovelty:
         assert out["n_grams"][0] == 3
         assert out["n_novel"][0] == 1  # only 'b a'; 'a b' occurs twice
 
+    def test_string_ids_supported(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.textindex import ngram_novelty
+
+        t = pa.table({"clip_id": pa.array(["a", "b"], pa.string()),
+                      "text": ["x y z", "x y w"]})
+        out = (ngram_novelty(rd.from_arrow(t), id_col="clip_id", n=2)
+               .to_pandas().sort_values("clip_id").reset_index(drop=True))
+        assert out["clip_id"].tolist() == ["a", "b"]
+        assert out["n_novel"].tolist() == [1, 1]  # 'y z' / 'y w'
+
     def test_partition_invariant(self, ray_session):
         import pandas as pd
         import ray.data as rd
