@@ -129,7 +129,7 @@ from .stages.expectations import (
     windowed_drift,
 )
 from .stages.c4 import paragraph_dedup, paragraph_dedup_bloom
-from .stages.dedup import decontaminate_spans
+from .stages.dedup import decontaminate_spans, embedding_decontaminate
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
 from .stages.audioquality import (audio_bandwidth_stage,
@@ -196,7 +196,7 @@ __all__ = [
     "loudness_normalize_stage", "quarantine_map_batches", "read_quarantine",
     "read_tar_shards", "silence_trim_stage", "sliding_chunks",
     "specaugment_stage", "speed_perturb_stage", "substring_dedup",
-    "time_stretch_stage", "pitch_shift_stage",
+    "time_stretch_stage", "pitch_shift_stage", "embedding_decontaminate",
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",

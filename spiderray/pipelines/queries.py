@@ -4300,6 +4300,77 @@ def q_audio_humdc(sf_dir: str):
         ["clip_id", "decode_ok", "dc_ratio", "hum_ratio", "dc_offset", "hum"])
 
 
+def q_embedding_decontaminate(sf_dir: str):
+    """Semantic decontamination (stages/dedup.embedding_decontaminate):
+    benchmark vectors = embeddings with vec_id%17==0 (broadcast once);
+    train = the rest PLUS a leaked exact copy of every benchmark vector
+    at vec_id+1,000,000 (the planted contamination — a reworded eval
+    item shares no 8-gram with the train doc but sits at cosine 1, which
+    the n-gram q_decontaminate cannot see).  Embeddings quantize to
+    milli-units so every dot/norm is an exact integer-valued double —
+    the SQL oracle's list_dot_product reproduces max_sim_milli and the
+    flag bit-for-bit."""
+    from ..stages.dedup import embedding_decontaminate
+
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # benchmark side is small by definition — a driver-side read feeding
+    # the ray.put broadcast is the intended pattern (same as decontaminate)
+    evt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = evt.column("vec_id").to_numpy() % 17 == 0
+    eval_vecs = evt.filter(pa.array(mask)).column("embedding").to_pylist()
+
+    def derive_train(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids % 17 != 0
+        base = batch.filter(pa.array(keep))
+        leak = batch.filter(pa.array(~keep))
+        leak = leak.set_column(
+            leak.column_names.index("vec_id"), "vec_id",
+            pa.array(leak.column("vec_id").to_numpy(zero_copy_only=False)
+                     + 1_000_000, pa.int64()))
+        return pa.concat_tables([base, leak])
+
+    train = ds.map_batches(derive_train, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = embedding_decontaminate(train, eval_vecs)
+    df = (out.select_columns(["vec_id", "max_sim_milli", "contaminated"])
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
+SQL_EMBEDDING_DECONTAMINATE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) AS e
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, e, greatest(list_dot_product(e, e), 1) AS nn
+  FROM q WHERE vec_id % 17 = 0
+), tr AS (
+  SELECT vec_id, e FROM q WHERE vec_id % 17 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000, e FROM ev
+), trn AS (
+  SELECT vec_id, e, greatest(list_dot_product(e, e), 1) AS nn FROM tr
+), pairs AS (
+  SELECT t.vec_id,
+         list_dot_product(t.e, v.e) / sqrt(t.nn * v.nn) AS sim
+  FROM trn t CROSS JOIN ev v
+), m AS (
+  SELECT vec_id, max(sim) AS s FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(s * 1000.0 + 0.5) AS BIGINT) AS max_sim_milli,
+       s >= 0.95 AS contaminated
+FROM m ORDER BY vec_id
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/dedup.semantic_dedup):
     distributed k-means partitions the embedding space, within-cluster
@@ -6041,6 +6112,7 @@ QUERIES = {
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_window_analytics": q_window_analytics,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_embedding_decontaminate": q_embedding_decontaminate,
     "q_audio_semantic_dedup": q_audio_semantic_dedup,
     "q_decontaminate": q_decontaminate,
     "q_gopher_quality": q_gopher_quality,
@@ -6248,6 +6320,7 @@ ORACLE_SQL = {
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
+    "q_embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
     "q_term_drift": SQL_TERM_DRIFT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only

@@ -1718,3 +1718,69 @@ def decontaminate_spans(ds, bench_ds, text_col: str = "text", n: int = 8,
             "decontaminated", pa.array([c > 0 for c in n_cut], pa.bool_()))
 
     return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_decontaminate(ds, eval_vectors, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            tau_milli: int = 950, scale: int = 1000,
+                            max_eval: int = 2_000_000):
+    """Semantic (embedding-space) decontamination: flag training vectors
+    whose cosine similarity against ANY benchmark vector reaches
+    ``tau_milli``/1000 — the paraphrase-robust companion to the n-gram
+    ``decontaminate`` (a reworded eval question shares no 8-gram but
+    sits at cosine ≈ 1).
+
+    Exactness: embeddings quantize to ``scale`` units and every dot /
+    norm is a sum of integer-valued doubles far below 2⁵³, so the
+    cosine expression ``dot / sqrt(max(n_t,1)·max(n_e,1))`` evaluates
+    bit-identically in ANY summation order — an independent SQL
+    restatement (DuckDB list_dot_product over the same quantized lists)
+    reproduces max_sim_milli and the flag exactly.
+
+    Scale shape: the quantized eval matrix broadcasts ONCE via ray.put
+    (hard cap ``max_eval`` rows — loud raise beyond it, mirroring
+    decontaminate's n-gram cap); the pass is one stateless vectorized
+    map (int64 matmul per batch), no corpus shuffle, nothing corpus-
+    sized on the driver.  Output: input rows + (max_sim_milli int64,
+    contaminated bool)."""
+    import ray
+
+    if len(eval_vectors) > max_eval:
+        raise ValueError(
+            f"embedding_decontaminate: eval set has {len(eval_vectors)} "
+            f"rows > max_eval={max_eval} — the broadcast matrix would "
+            "not fit; shard the eval set or raise max_eval explicitly.")
+    ev = np.asarray(
+        [np.floor(np.asarray(v, np.float64) * scale + 0.5)
+         for v in eval_vectors], dtype=np.int64)
+    if ev.ndim != 2 or ev.shape[0] == 0:
+        raise ValueError("embedding_decontaminate: empty/ragged eval set")
+    ev_ref = ray.put(ev)
+    tau = tau_milli / 1000.0
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        e = _ray.get(ev_ref)
+        ne = np.maximum((e * e).sum(axis=1), 1).astype(np.float64)
+        rows = batch.column(emb_col).to_pylist()
+        if not rows:
+            return (batch.append_column("max_sim_milli",
+                                        pa.array([], pa.int64()))
+                    .append_column("contaminated", pa.array([], pa.bool_())))
+        q = np.floor(np.asarray(rows, np.float64) * scale + 0.5).astype(
+            np.int64)
+        nt = np.maximum((q * q).sum(axis=1), 1).astype(np.float64)
+        # float64 BLAS matmul is EXACT here: every partial sum is an
+        # integer below 2^53, so summation order cannot change the result
+        # — and it is ~10x the int64 non-BLAS path
+        dots = q.astype(np.float64) @ e.T.astype(np.float64)
+        sim = dots / np.sqrt(nt[:, None] * ne[None, :])
+        best = sim.max(axis=1)
+        batch = batch.append_column(
+            "max_sim_milli",
+            pa.array(np.floor(best * 1000.0 + 0.5).astype(np.int64)))
+        return batch.append_column("contaminated",
+                                   pa.array(best >= tau, pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

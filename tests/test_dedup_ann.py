@@ -1562,6 +1562,52 @@ class TestGroupedOutliersOverflowGuard:
                              ["event_id"], scale=1000).to_pandas()
 
 
+class TestEmbeddingDecontaminate:
+    def test_flags_planted_and_near_copies(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import embedding_decontaminate
+
+        rng = np.random.default_rng(2)
+        ev = rng.normal(0, 1, (5, 16))
+        train = rng.normal(0, 1, (40, 16))
+        train[3] = ev[0]                      # exact leak
+        train[7] = ev[1] * 2.0 + 0.001        # scaled near-copy: cosine ≈ 1
+        df = pd.DataFrame({"vec_id": np.arange(40),
+                           "embedding": [list(v) for v in train]})
+        out = (embedding_decontaminate(rd.from_pandas(df).repartition(4),
+                                       list(ev))
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        flagged = set(out[out["contaminated"]]["vec_id"])
+        assert {3, 7} <= flagged
+        assert len(flagged) <= 4  # random 16-dim vectors stay far apart
+        assert out.loc[3, "max_sim_milli"] == 1000
+        # partition invariance: identical doubles from exact-int sums
+        out2 = (embedding_decontaminate(rd.from_pandas(df).repartition(9),
+                                        list(ev))
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        cols = ["vec_id", "max_sim_milli", "contaminated"]
+        assert out[cols].values.tolist() == out2[cols].values.tolist()
+
+    def test_eval_cap_and_degenerate(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from spiderray.stages.dedup import embedding_decontaminate
+
+        df = pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+        with _pytest.raises(ValueError, match="max_eval"):
+            embedding_decontaminate(rd.from_pandas(df),
+                                    [[1.0, 0.0]] * 3, max_eval=2)
+        with _pytest.raises(ValueError, match="empty"):
+            embedding_decontaminate(rd.from_pandas(df), [])
+        # zero vector never divides by zero, never flags
+        z = pd.DataFrame({"vec_id": [1], "embedding": [[0.0, 0.0]]})
+        out = embedding_decontaminate(rd.from_pandas(z),
+                                      [[1.0, 0.0]]).to_pandas()
+        assert not out["contaminated"][0]
+
+
 class TestClassifierAuc:
     @staticmethod
     def _brute_auc_ppm(scores, labels):
