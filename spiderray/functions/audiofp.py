@@ -691,3 +691,48 @@ def codec_mismatch(buf: bytes, declared: str) -> tuple[str | None, bool]:
     if allowed is None:
         return sniffed, False
     return sniffed, sniffed not in allowed
+
+
+def denoise_spectral(pcm: np.ndarray, sr: int, frame: int = 512,
+                     hop: int = 256, noise_pct: float = 10.0,
+                     alpha: float = 2.0, beta: float = 0.01) -> tuple:
+    """Spectral-subtraction noise reduction (Boll 1979, public method):
+    the per-bin noise power spectrum is estimated as the mean over the
+    lowest-energy ``noise_pct``% of frames (speech pauses), then each
+    frame keeps ``max(|X|² − α·N, β·N)`` of its power (oversubtraction
+    factor α, spectral floor β against musical noise) with the ORIGINAL
+    phase, and overlap-adds back.  Deterministic, pure numpy.
+
+    Returns ``(denoised float32, noise_floor_db)`` where noise_floor_db
+    is the mean estimated noise power in dB (the audit column).  Clips
+    shorter than two frames pass through unchanged with floor −200."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if sr <= 0 or len(x) < frame + hop:
+        return np.asarray(pcm, dtype=np.float32).copy(), -200.0
+    n_frames = 1 + (len(x) - frame) // hop
+    win = np.hanning(frame)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.fft.rfft(x[idx] * win, axis=1)
+    power = spec.real ** 2 + spec.imag ** 2
+    frame_e = power.sum(axis=1)
+    k = max(1, int(round(n_frames * noise_pct / 100.0)))
+    quiet = np.argsort(frame_e, kind="stable")[:k]
+    noise = power[quiet].mean(axis=0)
+    floor_db = float(10.0 * np.log10(max(noise.mean(), 1e-20)))
+    cleaned = np.maximum(power - alpha * noise, beta * noise)
+    gain = np.sqrt(cleaned / np.maximum(power, 1e-30))
+    frames_out = np.fft.irfft(spec * gain, frame, axis=1) * win
+    out_len = frame + hop * (n_frames - 1)
+    y = np.zeros(out_len, dtype=np.float64)
+    wsum = np.zeros(out_len, dtype=np.float64)
+    w2 = win * win
+    for i in range(n_frames):
+        s = i * hop
+        y[s:s + frame] += frames_out[i]
+        wsum[s:s + frame] += w2
+    # clamp the OLA normalizer at 10% of its interior value: at the clip
+    # edges wsum -> 0 and, once the spectrum has been MODIFIED, dividing
+    # by it amplifies the residual enormously (measured: a 0.03-rms noise
+    # bed became 0.13 rms in the first frame) — tapered edges are correct
+    y /= np.maximum(wsum, 0.1 * float(wsum.max()))
+    return np.clip(y, -1.0, 1.0).astype(np.float32), floor_db

@@ -164,7 +164,9 @@ def time_stretch(pcm: np.ndarray, rate: float, frame: int = 1024,
         start = i * hop_syn
         y[start:start + frame] += frames_out[i]
         wsum[start:start + frame] += w2
-    y /= np.maximum(wsum, 1e-8)
+    # 10%-of-interior clamp: edge wsum -> 0 would amplify the modified-
+    # phase residual instead of tapering it (see denoise_spectral)
+    y /= np.maximum(wsum, 0.1 * float(wsum.max()))
     return np.clip(y, -1.0, 1.0).astype(np.float32)
 
 

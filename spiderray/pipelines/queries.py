@@ -4261,6 +4261,67 @@ def q_codec_sniff(sf_dir: str):
                                "codec_mismatch"])
 
 
+def _noisy_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the denoiser (shared with the
+    q_audio_denoise serial oracle): per doc_id i at 16 kHz / 1.0 s, tone
+    bursts at [0.2,0.45]s and [0.6,0.8]s over a white-noise bed whose
+    level cycles −20/−26/−32 dB by i%3 (deterministic LCG noise, no
+    numpy RNG state); every 17th row ships undecodable."""
+    sr, n = 16000, 16000
+    t = np.arange(n, dtype=np.float64) / sr
+    speech = (((t >= 0.2) & (t < 0.45)) | ((t >= 0.6) & (t < 0.8)))
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"dn_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        from ..sources.clips import _sine_term
+
+        tone = _sine_term(600.0 + (i % 8) * 90.0, sr, n) * speech * 0.4
+        # LCG uniform noise in [-1, 1): fully deterministic from (i, k)
+        state = np.arange(n, dtype=np.uint64) + np.uint64(i * 1_000_003 + 12345)
+        state = (state * np.uint64(6364136223846793005)
+                 + np.uint64(1442695040888963407))
+        u = (state >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        level = 10.0 ** (-(20.0 + 6.0 * (i % 3)) / 20.0)
+        wave = (tone + level * (2.0 * u - 1.0)) * 32767.0
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_denoise(sf_dir: str):
+    """Spectral-subtraction denoiser (stages/audioquality.
+    audio_denoise_stage, Boll 1979): noise spectrum from the quietest
+    frames, oversubtraction with a spectral floor, tapered OLA.  Corpus:
+    tone bursts over deterministic noise beds at three levels.  Audit
+    columns; oracle: serial decode + same kernel per row
+    (so_audio_denoise)."""
+    _ensure_fixture("q_audio_denoise", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_denoise_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_noisy_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_denoise_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "denoise_ok", "noise_floor_db", "out_rms"])
+
+
 def q_audio_reverb(sf_dir: str):
     """Blind-reverberation capture gate (stages/audioquality.
     audio_reverb_stage): actor-pool decode → frame-energy envelope + OLS
@@ -6064,6 +6125,7 @@ QUERIES = {
     "q_pq_topk": q_pq_topk,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
+    "q_audio_denoise": q_audio_denoise,
     "q_audio_channels": q_audio_channels,
     "q_codec_sniff": q_codec_sniff,
     "q_extract_dates": q_extract_dates,

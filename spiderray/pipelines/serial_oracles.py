@@ -739,6 +739,40 @@ def so_audio_reverb(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_denoise(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_denoise: same corpus generator + decode +
+    spectral-subtraction kernel per row, no Ray."""
+    from ..functions.audiofp import denoise_spectral
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _noisy_clips_batch
+
+    clips = _noisy_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "denoise_ok": [], "noise_floor_db": [],
+           "out_rms": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            if len(pcm) == 0:
+                raise DecodeUnsupported("empty")
+            y, fdb = denoise_spectral(pcm, int(sr or 0))
+            ok, rms = True, float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+        except DecodeUnsupported:
+            ok, fdb, rms = False, 0.0, 0.0
+        out["clip_id"].append(cid)
+        out["denoise_ok"].append(ok)
+        out["noise_floor_db"].append(fdb)
+        out["out_rms"].append(rms)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "denoise_ok": pa.array(out["denoise_ok"], pa.bool_()),
+        "noise_floor_db": pa.array(out["noise_floor_db"], pa.float32()),
+        "out_rms": pa.array(out["out_rms"], pa.float32()),
+    })
+
+
 def so_audio_channels(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_channels: same corpus generator +
     channel-preserving decode + kernel + flag rules per row, no Ray."""
@@ -2519,6 +2553,7 @@ SERIAL_ORACLES = {
     "q_audio_humdc": so_audio_humdc,
     "q_audio_reverb": so_audio_reverb,
     "q_audio_channels": so_audio_channels,
+    "q_audio_denoise": so_audio_denoise,
     "q_pack_bins": so_pack_bins,
     "q_codec_sniff": so_codec_sniff,
     "q_time_stretch": so_time_stretch,

@@ -992,3 +992,79 @@ def codec_sniff_stage(ds, cfg: PipelineConfig):
         return batch.append_column("codec_mismatch", pa.array(flag, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class AudioDenoiseActor:
+    """Spectral-subtraction noise reduction (kernel: functions/audiofp.
+    denoise_spectral — Boll 1979): noise spectrum estimated from the
+    quietest frames (speech pauses), oversubtracted with a spectral
+    floor, original phase, tapered OLA.  Emits NEW pcm_s16le bytes plus
+    the estimated ``noise_floor_db`` audit column; undecodable clips
+    pass through with denoise_ok=False.  The enhancement transform a
+    speech corpus runs between the defect gates and the trainer."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 noise_pct: float = 10.0, alpha: float = 2.0,
+                 beta: float = 0.01):
+        self.cfg = cfg or PipelineConfig()
+        self.noise_pct = noise_pct
+        self.alpha = alpha
+        self.beta = beta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import denoise_spectral
+        from .multimodal import DecodeUnsupported, _decode_one, _encode_pcm16
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec, ok, floor, out_rms = [], [], [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                floor.append(0.0)
+                out_rms.append(0.0)
+                continue
+            y, fdb = denoise_spectral(pcm, int(sr or 0),
+                                      noise_pct=self.noise_pct,
+                                      alpha=self.alpha, beta=self.beta)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            floor.append(fdb)
+            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                           if len(y) else 0.0)
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("denoise_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("noise_floor_db",
+                                    pa.array(floor, pa.float32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def audio_denoise_stage(ds, cfg: PipelineConfig,
+                        concurrency: int | tuple[int, int] = 4,
+                        noise_pct: float = 10.0, alpha: float = 2.0,
+                        beta: float = 0.01):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioDenoiseActor,
+        fn_constructor_args=(cfg, noise_pct, alpha, beta),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

