@@ -134,8 +134,8 @@ from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
 from .stages.audioquality import (audio_bandwidth_stage,
                                   audio_channel_stage, audio_denoise_stage,
-                                  audio_hum_stage, audio_reverb_stage,
-                                  codec_sniff_stage)
+                                  audio_hum_stage, audio_qc_stage,
+                                  audio_reverb_stage, codec_sniff_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     calibration_bins,
@@ -198,7 +198,7 @@ __all__ = [
     "read_tar_shards", "silence_trim_stage", "sliding_chunks",
     "specaugment_stage", "speed_perturb_stage", "substring_dedup",
     "time_stretch_stage", "pitch_shift_stage", "embedding_decontaminate",
-    "audio_denoise_stage",
+    "audio_denoise_stage", "audio_qc_stage",
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",

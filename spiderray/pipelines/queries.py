@@ -4303,6 +4303,123 @@ def _noisy_clips_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _qc_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus exercising EVERY defect family of the
+    fused QC battery (shared with the q_audio_qc serial oracle).  Base
+    signal: a 0.3 s three-tone burst (800/3000/6800 Hz → wideband) over
+    a −50 dB LCG dither bed (no exact-zero runs).  Strata by i%11:
+    0 clean · 1 DC bias · 2 50 Hz hum · 3 reverb tail · 4 clipped ·
+    5 narrowband (fake sample rate) · 6 spliced 80 ms dropout ·
+    7 fake stereo · 8 phase-inverted stereo · 9 flac-bytes-labeled-wav
+    mislabel · 10 true stereo (keeps); every 17th row undecodable."""
+    from ..sources.clips import _sine_term
+
+    sr, n = 16000, 16000
+    t = np.arange(n, dtype=np.float64) / sr
+    burst = (t < 0.3).astype(np.float64)
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+
+    def dither(i: int) -> np.ndarray:
+        state = np.arange(n, dtype=np.uint64) + np.uint64(i * 999_983 + 7)
+        state = (state * np.uint64(6364136223846793005)
+                 + np.uint64(1442695040888963407))
+        u = (state >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        return 10.0 ** (-50.0 / 20.0) * (2.0 * u - 1.0)
+
+    def base(i: int) -> np.ndarray:
+        w = (_sine_term(800.0, sr, n) + 0.7 * _sine_term(3000.0, sr, n)
+             + 0.5 * _sine_term(6800.0, sr, n))
+        return 0.25 * w * burst + dither(i)
+
+    def enc(w: np.ndarray) -> bytes:
+        w = w * 32767.0
+        np.clip(w, -32768, 32767, out=w)
+        return w.astype("<i2").tobytes()
+
+    for i in ids:
+        i = int(i)
+        cids.append(f"qc_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        m = i % 11
+        if m == 7:
+            left = base(i)
+            bufs.append(_pcm16_wav(np.stack([left, left], axis=1), sr))
+            codecs.append("wav")
+            continue
+        if m == 8:
+            left = base(i)
+            bufs.append(_pcm16_wav(np.stack([left, -left], axis=1), sr))
+            codecs.append("wav")
+            continue
+        if m == 9:
+            bufs.append(b"fLaC" + bytes(16))
+            codecs.append("wav")  # flac bytes labeled wav → mislabel
+            continue
+        if m == 10:
+            left = base(i)
+            right = (0.25 * (_sine_term(1100.0, sr, n)
+                             + 0.6 * _sine_term(4200.0, sr, n)) * burst
+                     + dither(i + 1))
+            bufs.append(_pcm16_wav(np.stack([left, right], axis=1), sr))
+            codecs.append("wav")
+            continue
+        codecs.append("pcm_s16le")
+        w = base(i)
+        if m == 1:
+            w = w + 0.08
+        elif m == 2:
+            w = w + 0.5 * _sine_term(50.0, sr, n)
+        elif m == 3:
+            tail = np.where(t < 0.3, 1.0, 10.0 ** (-3.0 * (t - 0.3) / 1.2))
+            tones = 0.25 * (_sine_term(800.0, sr, n)
+                            + 0.7 * _sine_term(3000.0, sr, n)
+                            + 0.5 * _sine_term(6800.0, sr, n))
+            w = tones * tail + dither(i)  # burst DECAYS instead of cutting
+        elif m == 4:
+            w = np.clip(w * 6.0, -0.9995, 0.9995)
+        elif m == 5:
+            w = 0.3 * _sine_term(500.0, sr, n) * burst + dither(i)
+        elif m == 6:
+            w = w.copy()
+            w[3200:3200 + 1280] = 0.0  # 80 ms of exact zeros in the burst
+        bufs.append(enc(w))
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_qc(sf_dir: str):
+    """Fused decode-once QC battery (stages/audioquality.AudioQcActor):
+    codec sniff + hum/DC + bandwidth + reverb + clipping/dropout +
+    channel layout in ONE decode per clip, each with the standalone
+    gate's exact flag rule — the per-clip defect summary a corpus owner
+    reads (and a ~6× decode saving over chaining the six standalone
+    gates).  Corpus plants every defect family (see _qc_clips_batch).
+    Oracle: serial same-kernels per row (so_audio_qc)."""
+    _ensure_fixture("q_audio_qc", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_qc_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_qc_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_qc_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "sniffed", "codec_mismatch", "dc_offset",
+         "hum", "upsampled", "reverberant", "clipped", "dropout",
+         "dead_channel", "fake_stereo", "phase_inverted", "keep"])
+
+
 def q_audio_denoise(sf_dir: str):
     """Spectral-subtraction denoiser (stages/audioquality.
     audio_denoise_stage, Boll 1979): noise spectrum from the quietest
@@ -6126,6 +6243,7 @@ QUERIES = {
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,
+    "q_audio_qc": q_audio_qc,
     "q_audio_channels": q_audio_channels,
     "q_codec_sniff": q_codec_sniff,
     "q_extract_dates": q_extract_dates,

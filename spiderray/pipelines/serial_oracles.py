@@ -739,6 +739,22 @@ def so_audio_reverb(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_qc(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_qc: same corpus generator + the SAME
+    fused actor run serially per batch (the actor is deterministic and
+    stateless; the twin checks the distributed plumbing)."""
+    from ..config import PipelineConfig
+    from ..stages.audioquality import AudioQcActor
+    from .queries import _qc_clips_batch
+
+    clips = _qc_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = AudioQcActor(PipelineConfig())(clips)
+    return out.select(
+        ["clip_id", "decode_ok", "sniffed", "codec_mismatch", "dc_offset",
+         "hum", "upsampled", "reverberant", "clipped", "dropout",
+         "dead_channel", "fake_stereo", "phase_inverted", "keep"])
+
+
 def so_audio_denoise(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_denoise: same corpus generator + decode +
     spectral-subtraction kernel per row, no Ray."""
@@ -2554,6 +2570,7 @@ SERIAL_ORACLES = {
     "q_audio_reverb": so_audio_reverb,
     "q_audio_channels": so_audio_channels,
     "q_audio_denoise": so_audio_denoise,
+    "q_audio_qc": so_audio_qc,
     "q_pack_bins": so_pack_bins,
     "q_codec_sniff": so_codec_sniff,
     "q_time_stretch": so_time_stretch,

@@ -170,3 +170,51 @@ class TestCodecSniff:
         assert not r.loc["ok", "codec_mismatch"]
         assert r.loc["bad", "codec_mismatch"]
         assert r.loc["bad", "sniffed"] == "flac"
+
+
+class TestAudioQc:
+    def test_strata_map_to_exact_flags(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _qc_clips_batch
+        from spiderray.stages.audioquality import audio_qc_stage
+
+        clips = _qc_clips_batch(
+            pa.table({"doc_id": pa.array(np.arange(66, dtype=np.int64))}))
+        out = (audio_qc_stage(rd.from_arrow(clips).repartition(3),
+                              PipelineConfig(), concurrency=2)
+               .to_pandas())
+        ids = out["clip_id"].str[3:].astype(int)
+        out["stratum"] = np.where(ids % 17 == 5, -1, ids % 11)
+        flag_cols = ["codec_mismatch", "dc_offset", "hum", "upsampled",
+                     "reverberant", "clipped", "dropout", "dead_channel",
+                     "fake_stereo", "phase_inverted"]
+        want = {0: [], 1: ["dc_offset"], 2: ["hum"], 3: ["reverberant"],
+                4: ["clipped"], 5: ["upsampled"], 6: ["dropout"],
+                7: ["fake_stereo"], 8: ["phase_inverted"],
+                9: ["codec_mismatch"], 10: []}
+        for st, g in out.groupby("stratum"):
+            if st == -1:
+                assert not g["decode_ok"].any() and not g["keep"].any()
+                continue
+            got = [c for c in flag_cols if g[c].all()]
+            assert got == want[st], (st, got)
+            assert g["keep"].all() == (want[st] == [])
+
+    def test_fused_equals_standalone_gates(self, ray_session):
+        """The battery must reproduce each standalone gate's flags —
+        decode-once fusion is an optimization, never a semantics change."""
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _qc_clips_batch
+        from spiderray.stages.audioquality import (AudioHumActor,
+                                                   AudioQcActor)
+
+        clips = _qc_clips_batch(
+            pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64))}))
+        fused = AudioQcActor(PipelineConfig())(clips).to_pandas()
+        hum = AudioHumActor(PipelineConfig())(clips).to_pandas()
+        assert fused["dc_offset"].tolist() == hum["dc_offset"].tolist()
+        assert fused["hum"].tolist() == hum["hum"].tolist()
