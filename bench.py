@@ -126,6 +126,13 @@ def run_queries() -> dict[str, float]:
         ("q_wordpiece_tokens", q.q_wordpiece_tokens),
         ("q_classifier_auc", q.q_classifier_auc),
         ("q_pack_bins", q.q_pack_bins),
+        ("q_ngram_novelty", q.q_ngram_novelty),
+        ("q_codec_sniff", q.q_codec_sniff),
+        ("q_time_stretch", q.q_time_stretch),
+        ("q_pitch_shift", q.q_pitch_shift),
+        ("q_embedding_decontaminate", q.q_embedding_decontaminate),
+        ("q_audio_denoise", q.q_audio_denoise),
+        ("q_audio_qc", q.q_audio_qc),
     ]
     import ray.data
 
@@ -184,6 +191,9 @@ _CALM_SEC = {
     "q_audio_reverb": 2.5, "q_audio_channels": 2.5, "q_transcript_fit": 0.8,
     "q_term_drift": 1.0, "q_vocab_coverage": 0.8, "q_wordpiece_tokens": 3.0,
     "q_classifier_auc": 1.0, "q_pack_bins": 1.0,
+    "q_ngram_novelty": 1.5, "q_codec_sniff": 0.8, "q_time_stretch": 4.0,
+    "q_pitch_shift": 6.0, "q_embedding_decontaminate": 0.8,
+    "q_audio_denoise": 3.0, "q_audio_qc": 4.0,
 }
 
 

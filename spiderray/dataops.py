@@ -121,6 +121,7 @@ from .stages.unigram_train import (
 )
 from .functions.mp3parse import parse_mp3
 from .pipelines.prepare_audio import prepare_audio_corpus
+from .pipelines.prepare_speech import prepare_speech
 from .sources.compact import compact_parquet, read_parquet_evolved
 from .stages.audiodedup import audio_decontaminate
 from .stages.expectations import (
@@ -198,7 +199,7 @@ __all__ = [
     "read_tar_shards", "silence_trim_stage", "sliding_chunks",
     "specaugment_stage", "speed_perturb_stage", "substring_dedup",
     "time_stretch_stage", "pitch_shift_stage", "embedding_decontaminate",
-    "audio_denoise_stage", "audio_qc_stage",
+    "audio_denoise_stage", "audio_qc_stage", "prepare_speech",
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",

@@ -4420,6 +4420,38 @@ def q_audio_qc(sf_dir: str):
          "dead_channel", "fake_stereo", "phase_inverted", "keep"])
 
 
+def q_prepare_speech(sf_dir: str):
+    """Speech-prep composite (pipelines/prepare_speech): fused QC gate →
+    spectral denoise → loudness normalize → VAD utterance explode, one
+    streaming payload chain with zero shuffles.  Runs over the 11-strata
+    defect corpus: only the clean strata survive the gate and each
+    surviving clip cuts into its burst utterance.  Output pins segment
+    geometry AND payload md5 per utterance.  Oracle: the same actor
+    chain run serially (so_prepare_speech)."""
+    _ensure_fixture("q_prepare_speech", sf_dir)
+    import hashlib
+
+    from ..config import PipelineConfig
+    from ..pipelines.prepare_speech import prepare_speech
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_qc_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    segs = prepare_speech(clips, PipelineConfig())
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(b or b"").hexdigest()
+                for b in batch.column("bytes").to_pylist()]
+        return batch.select(["clip_id", "seg_idx", "start_ms", "end_ms",
+                             "dur_ms"]).append_column(
+            "seg_md5", pa.array(md5s, pa.string()))
+
+    out = segs.map_batches(digest, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return (out.sort_values(["clip_id", "seg_idx"])
+            .reset_index(drop=True))
+
+
 def q_audio_denoise(sf_dir: str):
     """Spectral-subtraction denoiser (stages/audioquality.
     audio_denoise_stage, Boll 1979): noise spectrum from the quietest
@@ -6244,6 +6276,7 @@ QUERIES = {
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,
     "q_audio_qc": q_audio_qc,
+    "q_prepare_speech": q_prepare_speech,
     "q_audio_channels": q_audio_channels,
     "q_codec_sniff": q_codec_sniff,
     "q_extract_dates": q_extract_dates,

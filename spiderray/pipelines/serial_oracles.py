@@ -739,6 +739,37 @@ def so_audio_reverb(sf_dir: str) -> pa.Table:
     })
 
 
+def so_prepare_speech(sf_dir: str) -> pa.Table:
+    """Serial twin for q_prepare_speech: the same four actors chained on
+    one table, no Ray — checks the distributed plumbing end to end."""
+    import hashlib
+
+    from ..config import PipelineConfig
+    from ..stages.audioquality import (AudioDenoiseActor,
+                                       AudioQcActor, LoudnessNormalizeActor)
+    from ..stages.multimodal import VadSegmentActor
+    from .queries import _qc_clips_batch
+
+    cfg = PipelineConfig()
+    clips = _qc_clips_batch(_docs(sf_dir, ("doc_id",)))
+    qc = AudioQcActor(cfg)(clips)
+    kept = qc.filter(qc.column("keep")).select(
+        [cfg.id_col, cfg.bytes_col, cfg.codec_col, "sr_hz"])
+    den = AudioDenoiseActor(cfg)(kept)
+    norm = LoudnessNormalizeActor(cfg)(den)
+    segs = VadSegmentActor(cfg, threshold=0.01, min_seg_ms=100,
+                           emit_audio=True)(norm)
+    md5s = [hashlib.md5(b or b"").hexdigest()
+            for b in segs.column("bytes").to_pylist()]
+    tbl = segs.select(["clip_id", "seg_idx", "start_ms", "end_ms", "dur_ms"])
+    tbl = tbl.append_column("seg_md5", pa.array(md5s, pa.string()))
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(["clip_id", "seg_idx"]).reset_index(
+        drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def so_audio_qc(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_qc: same corpus generator + the SAME
     fused actor run serially per batch (the actor is deterministic and
@@ -2571,6 +2602,7 @@ SERIAL_ORACLES = {
     "q_audio_channels": so_audio_channels,
     "q_audio_denoise": so_audio_denoise,
     "q_audio_qc": so_audio_qc,
+    "q_prepare_speech": so_prepare_speech,
     "q_pack_bins": so_pack_bins,
     "q_codec_sniff": so_codec_sniff,
     "q_time_stretch": so_time_stretch,

@@ -218,3 +218,44 @@ class TestAudioQc:
         hum = AudioHumActor(PipelineConfig())(clips).to_pandas()
         assert fused["dc_offset"].tolist() == hum["dc_offset"].tolist()
         assert fused["hum"].tolist() == hum["hum"].tolist()
+
+
+class TestPrepareSpeech:
+    def test_composite_matches_serial_chain(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.prepare_speech import prepare_speech
+        from spiderray.pipelines.queries import _qc_clips_batch
+        from spiderray.stages.audioquality import (AudioDenoiseActor,
+                                                   AudioQcActor,
+                                                   LoudnessNormalizeActor)
+        from spiderray.stages.multimodal import VadSegmentActor
+
+        cfg = PipelineConfig()
+        clips = _qc_clips_batch(
+            pa.table({"doc_id": pa.array(np.arange(44, dtype=np.int64))}))
+        dist = (prepare_speech(rd.from_arrow(clips).repartition(3), cfg)
+                .to_pandas())
+        dist["md5"] = [hashlib.md5(b).hexdigest() for b in dist["bytes"]]
+        dist = (dist[["clip_id", "seg_idx", "start_ms", "end_ms", "md5"]]
+                .sort_values(["clip_id", "seg_idx"]).reset_index(drop=True))
+
+        qc = AudioQcActor(cfg)(clips)
+        kept = qc.filter(qc.column("keep")).select(
+            ["clip_id", "bytes", "codec", "sr_hz"])
+        segs = VadSegmentActor(cfg, threshold=0.01, min_seg_ms=100,
+                               emit_audio=True)(
+            LoudnessNormalizeActor(cfg)(AudioDenoiseActor(cfg)(kept)))
+        ser = segs.to_pandas()
+        ser["md5"] = [hashlib.md5(b).hexdigest() for b in ser["bytes"]]
+        ser = (ser[["clip_id", "seg_idx", "start_ms", "end_ms", "md5"]]
+               .sort_values(["clip_id", "seg_idx"]).reset_index(drop=True))
+        assert len(dist) > 0
+        assert dist.values.tolist() == ser.values.tolist()
+        # only the clean strata (0 and 10, minus the undecodable slot)
+        # survive the gate
+        ids = dist["clip_id"].str[3:].astype(int)
+        assert set(ids % 11) <= {0, 10}
