@@ -133,6 +133,7 @@ def run_queries() -> dict[str, float]:
         ("q_embedding_decontaminate", q.q_embedding_decontaminate),
         ("q_audio_denoise", q.q_audio_denoise),
         ("q_audio_qc", q.q_audio_qc),
+        ("q_prepare_speech", q.q_prepare_speech),
     ]
     import ray.data
 
@@ -193,7 +194,7 @@ _CALM_SEC = {
     "q_classifier_auc": 1.0, "q_pack_bins": 1.0,
     "q_ngram_novelty": 1.5, "q_codec_sniff": 0.8, "q_time_stretch": 4.0,
     "q_pitch_shift": 6.0, "q_embedding_decontaminate": 0.8,
-    "q_audio_denoise": 3.0, "q_audio_qc": 4.0,
+    "q_audio_denoise": 3.0, "q_audio_qc": 4.0, "q_prepare_speech": 6.0,
 }
 
 

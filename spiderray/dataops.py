@@ -89,7 +89,7 @@ from .stages.audioquality import (
     mfcc_vector_batch,
 )
 from .stages.c4 import c4_filter_stage, c4_span_dedup
-from .stages.quality_stage import gopher_stage
+from .stages.quality_stage import gopher_stage, readability_stage
 from .stages.windows import sessionize, sliding, tumbling, window_functions
 from .functions.sketch import grouped_count_distinct_approx
 from .functions.tdigest import td_build, td_merge, td_quantile
@@ -200,6 +200,7 @@ __all__ = [
     "specaugment_stage", "speed_perturb_stage", "substring_dedup",
     "time_stretch_stage", "pitch_shift_stage", "embedding_decontaminate",
     "audio_denoise_stage", "audio_qc_stage", "prepare_speech",
+    "readability_stage",
     "td_build", "td_merge", "td_quantile", "tdigest_quantiles",
     "tdigest_quantiles_keyed", "train_unigram", "train_unigram_corpus",
     "unigram_encode_stage", "write_tar_shards",

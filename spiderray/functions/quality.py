@@ -207,3 +207,32 @@ def compression_signals(text: str, level: int = 6) -> dict:
     ent = float(-(p * np.log2(p)).sum())
     return {"n_bytes": len(data), "comp_len": comp_len,
             "comp_ratio": comp_len / len(data), "char_entropy": ent}
+
+
+RE_SENT_BREAK = re.compile(r"[.!?]+")
+RE_VOWEL_RUN = re.compile(r"[aeiouy]+")
+
+
+def readability_stats(text: str) -> tuple[int, int, int, int]:
+    """Flesch–Kincaid grade-level inputs for one document (Kincaid et
+    al. 1975, public formula): whitespace words, sentence-break runs
+    ([.!?]+, min 1), and syllables approximated as lowercase vowel-group
+    runs per word (min 1 per word — the standard cheap heuristic).
+    Returns ``(n_words, n_sents, n_syll, fk_milli)`` with
+    fk = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    reported as round-half-up milli-units — every input is an exact
+    integer, so the fixed-order double expression (and therefore the
+    literal SQL restatement) is bit-exact.  Empty/wordless text → all
+    zeros."""
+    words = (text or "").split()
+    n_words = len(words)
+    if n_words == 0:
+        return 0, 0, 0, 0
+    n_sents = max(len(RE_SENT_BREAK.findall(text)), 1)
+    n_syll = 0
+    for w in words:
+        n_syll += max(len(RE_VOWEL_RUN.findall(w.lower())), 1)
+    fk = (0.39 * (n_words / n_sents) + 11.8 * (n_syll / n_words) - 15.59)
+    import math
+
+    return n_words, n_sents, n_syll, int(math.floor(fk * 1000.0 + 0.5))

@@ -6091,6 +6091,74 @@ ORDER BY d.doc_id
 """.replace("{WS}", _WS_CLASS)
 
 
+def q_readability(sf_dir: str):
+    """Flesch–Kincaid readability (stages/quality_stage.
+    readability_stage): words / sentence-break runs / vowel-group
+    syllables → grade level in milli-units, all from exact integer
+    counts in a fixed double op order.  Punctuation is injected per doc
+    (every 3rd whitespace gap becomes '. ') so sentence counts vary.
+    Oracle: literal SQL — the same RE2 counts and expression."""
+    from ..stages.quality_stage import readability_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def punct(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            step = 3 + int(i) % 3
+            parts = []
+            for j, w in enumerate(toks, 1):
+                parts.append(w + ("." if j % step == 0 else ""))
+            out.append(" ".join(parts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    out = readability_stage(
+        ds.map_batches(punct, batch_format="pyarrow", zero_copy_batch=True))
+    return (out.select_columns(["doc_id", "n_words", "n_sents", "n_syll",
+                                "fk_milli"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_READABILITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), {WS}),
+                     w -> w <> '') AS ws
+  FROM documents
+), punct AS (
+  SELECT t.doc_id,
+         list_transform(ws, (w, j) ->
+           w || CASE WHEN j % (3 + t.doc_id % 3) = 0 THEN '.' ELSE '' END)
+           AS ws
+  FROM toks t
+), syl AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, w -> greatest(
+           len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))), 0)
+           AS BIGINT) AS n_syll,
+         greatest(CAST(coalesce(list_sum(list_transform(ws, w ->
+           len(regexp_extract_all(w, '[.!?]+')))), 0) AS BIGINT), 1)
+           AS n_sents
+  FROM punct
+)
+SELECT doc_id, n_words,
+       CAST(CASE WHEN n_words = 0 THEN 0 ELSE n_sents END AS BIGINT)
+         AS n_sents,
+       CAST(CASE WHEN n_words = 0 THEN 0 ELSE n_syll END AS BIGINT)
+         AS n_syll,
+       CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+            floor((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                   + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - 15.59) * 1000.0 + 0.5) END AS BIGINT) AS fk_milli
+FROM syl ORDER BY doc_id
+""".replace("{WS}", _WS_CLASS)
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-document trigram novelty (stages/textindex.ngram_novelty):
     fraction of a doc's word trigrams occurring EXACTLY ONCE corpus-wide
@@ -6338,6 +6406,7 @@ QUERIES = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_transcript_fit": q_transcript_fit,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_readability": q_readability,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
     "q_tdigest_quantiles": q_tdigest_quantiles,
     "q_cmvn": q_cmvn,
@@ -6530,6 +6599,7 @@ ORACLE_SQL = {
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_transcript_fit": SQL_TRANSCRIPT_FIT,
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
+    "q_readability": SQL_READABILITY,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

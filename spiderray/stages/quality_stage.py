@@ -173,3 +173,28 @@ def compression_stage(ds, text_col: str = "text"):
         lambda t: compression_signals_batch(t, text_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def readability_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch–Kincaid grade-level scoring (functions/quality.
+    readability_stats): stateless fused map appending (n_words, n_sents,
+    n_syll, fk_milli) per row — the classic cheap fluency/complexity
+    signal quality filters bucket on (C4 kept 3 ≤ grade ≤ 16-ish bands
+    in several reproductions)."""
+    import pyarrow as pa
+
+    from ..functions.quality import readability_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = [readability_stats(t)
+                 for t in batch.column(text_col).to_pylist()]
+        batch = batch.append_column(
+            "n_words", pa.array([s[0] for s in stats], pa.int64()))
+        batch = batch.append_column(
+            "n_sents", pa.array([s[1] for s in stats], pa.int64()))
+        batch = batch.append_column(
+            "n_syll", pa.array([s[2] for s in stats], pa.int64()))
+        return batch.append_column(
+            "fk_milli", pa.array([s[3] for s in stats], pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -856,3 +856,32 @@ class TestParagraphDedupBloom:
         out = paragraph_dedup_bloom(new, prior).to_pandas()
         # 12 bits/key, 7 hashes → FP ~3e-4; 2000 novel paras → expect ~0-3
         assert out.had_prior_para.sum() <= 10
+
+
+class TestReadability:
+    def test_known_values(self):
+        from spiderray.functions.quality import readability_stats
+
+        # 6 words, 2 sentence runs, syllables: the(1) cat(1) sat(1)
+        # it(1) was(1) happy(2) = 7 → fk = .39*3 + 11.8*(7/6) − 15.59
+        n_w, n_s, n_y, fk = readability_stats("The cat sat. It was happy!")
+        assert (n_w, n_s, n_y) == (6, 2, 7)
+        import math
+        want = math.floor((0.39 * 3.0 + 11.8 * (7 / 6) - 15.59) * 1000 + 0.5)
+        assert fk == want
+
+    def test_vowelless_word_counts_one_syllable(self):
+        from spiderray.functions.quality import readability_stats
+
+        assert readability_stats("xyz qrs")[2] == 2
+
+    def test_no_sentence_breaks_floors_at_one(self):
+        from spiderray.functions.quality import readability_stats
+
+        assert readability_stats("plain words no punctuation")[1] == 1
+
+    def test_empty(self):
+        from spiderray.functions.quality import readability_stats
+
+        assert readability_stats("") == (0, 0, 0, 0)
+        assert readability_stats(None) == (0, 0, 0, 0)
