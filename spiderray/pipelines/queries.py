@@ -6513,7 +6513,7 @@ _PRIORITY = [
     # windows / sessions
     "q_window_analytics", "q_user_sessions",
     # audio stages
-    "q_audio_features", "q_cmvn", "q_speed_perturb", "q_audio_bandwidth",
+    "q_audio_features", "q_cmvn", "q_prepare_speech", "q_audio_qc",
     "q_audio_fp_pairs",
     # image composite
     "q_prepare_image",

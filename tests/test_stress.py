@@ -568,3 +568,60 @@ class TestStressRound4Wave:
         assert sample.text == "prefix 0 suffix 0"
         clean = out[~out.decontaminated]
         assert (clean.n_cut_words == 0).all()
+
+
+class TestStressAudioQc:
+    def test_qc_battery_20k_clips(self, ray_session):
+        """The fused QC battery at 20k clips (40x the driver scale):
+        every stratum must still map exactly to its flag — no drift, no
+        stragglers, nothing driver-sized."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _qc_clips_batch
+        from spiderray.stages.audioquality import audio_qc_stage
+
+        n = 20_000
+        ids = rd.range(n).map_batches(
+            lambda b: pa.table({"doc_id": pa.array(b["id"], pa.int64())}),
+            batch_format="pandas")
+        clips = ids.map_batches(_qc_clips_batch, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=512)
+        out = audio_qc_stage(clips, PipelineConfig(), concurrency=4)
+
+        def verdicts(batch: pa.Table) -> pa.Table:
+            import numpy as np_
+
+            cid = np_.array([int(c[3:]) for c in
+                             batch.column("clip_id").to_pylist()])
+            stratum = np_.where(cid % 17 == 5, -1, cid % 11)
+            keep = batch.column("keep").to_numpy(zero_copy_only=False)
+            want_keep = np_.isin(stratum, (0, 10))
+            return pa.table({
+                "ok": pa.array(keep == want_keep),
+            })
+
+        agree = out.map_batches(verdicts, batch_format="pyarrow")
+        assert agree.sum("ok") == n  # every clip's verdict is exact
+
+    def test_prepare_speech_streams_5k(self, ray_session):
+        """The composite at 5k clips: segment count equals the surviving
+        clean-strata clip count (one burst utterance each)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.prepare_speech import prepare_speech
+        from spiderray.pipelines.queries import _qc_clips_batch
+
+        n = 5_000
+        ids = rd.range(n).map_batches(
+            lambda b: pa.table({"doc_id": pa.array(b["id"], pa.int64())}),
+            batch_format="pandas")
+        clips = ids.map_batches(_qc_clips_batch, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=512)
+        segs = prepare_speech(clips, PipelineConfig())
+        want = sum(1 for i in range(n)
+                   if i % 17 != 5 and (i % 11) in (0, 10))
+        assert segs.count() == want
