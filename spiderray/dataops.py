@@ -23,7 +23,8 @@ from .functions.arpa import quantize_lm, read_arpa, write_arpa
 from .functions.bloom import BloomFilter
 from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_split_corpus
 from .stages.ann import (brute_force_topk, ivf_assign, ivf_topk,
-                         ivf_train, lsh_topk, pq_topk, pq_train)
+                         ivf_train, lsh_topk, mmr_topk, pq_topk,
+                         pq_train, smallest_id_vectors)
 from .stages.dedup import (
     apply_deletions,
     chunk_dedup_stats,
@@ -37,6 +38,7 @@ from .stages.dedup import (
     near_dedup,
     near_dedup_best,
     ngram_jaccard_pairs,
+    prototype_prune,
     semantic_dedup,
     simhash_pairs,
 )
@@ -176,6 +178,7 @@ __all__ = [
     "prepare_corpus",
     "quantiles_approx", "quantiles_exact", "quantize_lm", "range_join",
     "read_arpa", "salted_join",
+    "prototype_prune", "mmr_topk", "smallest_id_vectors",
     "semantic_dedup", "sessionize", "simhash_pairs", "sliding", "stratified_sample",
     "term_doc_freqs", "top_k_per_group", "train_bpe", "train_char_lm",
     "train_naive_bayes",

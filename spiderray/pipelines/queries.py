@@ -2598,6 +2598,38 @@ def q_pq_topk(sf_dir: str):
     return df[["vec_id", "adc_micro"]]
 
 
+def q_prototype_prune(sf_dir: str):
+    """D4/SSL-prototypes data pruning (stages/dedup.prototype_prune —
+    Sorscher et al. 2022, Tirumala et al. 2023): k-means the embedding
+    space (bit-deterministic micro-unit Lloyd, init = the 8 smallest
+    ids' vectors via ann.smallest_id_vectors so the oracle can reproduce
+    it), score every vector by milli-quantized cosine to its assigned
+    centroid, and flag the most prototypical 25% of each cluster via an
+    integer per-cluster histogram cutoff (ties at the cutoff kept).
+    Fixture oracle repeats the identical arithmetic serially."""
+    _ensure_fixture("q_prototype_prune", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    init = ann.smallest_id_vectors(ds, 8)
+    out = dedup.prototype_prune(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_clusters=8, iters=3, drop_frac=0.25, init=init)
+    df = (out.select_columns(["vec_id", "cluster", "proto_milli", "pruned"])
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return df
+
+
+def q_mmr_topk(sf_dir: str):
+    """Maximal-Marginal-Relevance diverse top-k (stages/ann.mmr_topk —
+    Carbonell & Goldstein 1998): λ=0.7 trade of query relevance against
+    redundancy with the already-selected set, over a 64-candidate pool
+    gathered as per-block exact top-C (integer-milli greedy, min-id
+    ties).  Fixture oracle = full-corpus serial same arithmetic."""
+    _ensure_fixture("q_mmr_topk", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.mmr_topk(ds, _query_vec(sf_dir), k=10, lamb_milli=700,
+                        n_candidates=64)
+
+
 def q_corpus_ppl(sf_dir: str):
     """Corpus-trained perplexity: one distributed n-gram-count pass trains a
     CharLM from the documents themselves (stages/lm_train.py), then a second
@@ -6340,6 +6372,8 @@ QUERIES = {
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
+    "q_prototype_prune": q_prototype_prune,
+    "q_mmr_topk": q_mmr_topk,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,

@@ -1223,10 +1223,12 @@ def so_semantic_dedup(sf_dir: str) -> pa.Table:
 
 
 def _serial_microunit_kmeans(Vn: np.ndarray, k: int = 8, iters: int = 4,
-                             init: np.ndarray | None = None):
+                             init: np.ndarray | None = None,
+                             return_centroids: bool = False):
     """The distributed kmeans_fit_distributed's exact serial twin (init =
     first k rows per the order contract, or an explicit init matrix;
-    micro-unit integer accumulation): returns the final assignment."""
+    micro-unit integer accumulation): returns the final assignment, or
+    (assignment, centroids) with ``return_centroids=True``."""
     scale_bits = 20
     scale = float(1 << scale_bits)
     C = (np.asarray(init, dtype=np.float64).copy() if init is not None
@@ -1241,7 +1243,8 @@ def _serial_microunit_kmeans(Vn: np.ndarray, k: int = 8, iters: int = 4,
                 nm = np.linalg.norm(m)
                 if nm > 0:
                     C[c] = m / nm
-    return np.argmax(Vn @ C.T, axis=1)
+    assign = np.argmax(Vn @ C.T, axis=1)
+    return (assign, C) if return_centroids else assign
 
 
 def _serial_semdedup_core(ids_a, V_a, k: int = 8, iters: int = 4,
@@ -2531,7 +2534,96 @@ def so_weighted_sample(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(kept, pa.int64())})
 
 
+def so_prototype_prune(sf_dir: str) -> pa.Table:
+    """Serial twin of q_prototype_prune: identical arithmetic end to end —
+    init = the 8 smallest ids' vectors (normalized as the distributed
+    fit normalizes its init), micro-unit Lloyd for 3 iters, per-row
+    cosine-to-assigned-centroid milli scores, per-cluster integer
+    histogram cutoff (ties at the cutoff bin kept), drop_frac=0.25."""
+    ids, V = _embeddings(sf_dir)
+    k, iters, drop_frac = 8, 3, 0.25
+    order = np.argsort(ids, kind="stable")[:k]
+    init = V[order]
+    ninit = np.linalg.norm(init, axis=1, keepdims=True)
+    ninit[ninit == 0] = 1.0
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Vn = V / nrm
+    _, C = _serial_microunit_kmeans(Vn, k, iters, init=init / ninit,
+                                    return_centroids=True)
+    sims = Vn @ C.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(V)), assign]
+    milli = np.floor(best * 1000.0 + 0.5).astype(np.int64)
+
+    cutoffs = np.full(k, 1002, dtype=np.int64)
+    for c in range(k):
+        vals = milli[assign == c]
+        if len(vals) == 0:
+            continue
+        drop_n = int(drop_frac * len(vals))
+        acc = 0
+        for v, n in sorted(zip(*np.unique(vals, return_counts=True)),
+                           reverse=True):
+            if acc + n <= drop_n:
+                acc += int(n)
+            else:
+                cutoffs[c] = v
+                break
+    pruned = milli > cutoffs[assign]
+
+    order = np.argsort(ids, kind="stable")
+    return pa.table({
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "cluster": pa.array(assign[order].astype(np.int32), pa.int32()),
+        "proto_milli": pa.array(milli[order], pa.int64()),
+        "pruned": pa.array(pruned[order], pa.bool_()),
+    })
+
+
+def so_mmr_topk(sf_dir: str) -> pa.Table:
+    """Serial twin of q_mmr_topk: full-corpus exact top-C candidates by
+    (cos desc, id asc), then the identical integer-milli greedy MMR
+    (λ=700, k=10, C=64)."""
+    ids, V = _embeddings(sf_dir)
+    k, lamb, Cn = 10, 700, 64
+    q = V[int(np.nonzero(ids == 0)[0][0])]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (V @ qn) / norms
+    order = np.lexsort((ids, -cos))[:Cn]
+    cids, cV, ccos = ids[order].astype(np.int64), V[order], cos[order]
+    n2 = np.linalg.norm(cV, axis=1, keepdims=True)
+    n2[n2 == 0] = 1.0
+    Vn = cV / n2
+    rel = np.floor(ccos * 1000.0 + 0.5).astype(np.int64)
+    P = np.floor(Vn @ Vn.T * 1000.0 + 0.5).astype(np.int64)
+
+    selected: list[int] = []
+    remaining = np.ones(len(cids), dtype=bool)
+    scores: list[int] = []
+    for _ in range(min(k, len(cids))):
+        red = (P[:, selected].max(axis=1) if selected
+               else np.zeros(len(cids), dtype=np.int64))
+        mmr = lamb * rel - (1000 - lamb) * red
+        masked = np.where(remaining, mmr, np.iinfo(np.int64).min)
+        tie = np.nonzero((masked == masked.max()) & remaining)[0]
+        pick = int(tie[np.argmin(cids[tie])])
+        selected.append(pick)
+        remaining[pick] = False
+        scores.append(int(mmr[pick]))
+    return pa.table({
+        "rank": pa.array(range(len(selected)), pa.int64()),
+        "vec_id": pa.array(cids[selected], pa.int64()),
+        "sim_milli": pa.array(rel[selected], pa.int64()),
+        "mmr_milli": pa.array(scores, pa.int64()),
+    })
+
+
 SERIAL_ORACLES = {
+    "q_prototype_prune": so_prototype_prune,
+    "q_mmr_topk": so_mmr_topk,
     "q_tdigest_quantiles": so_tdigest_quantiles,
     "q_cmvn": so_cmvn,
     "q_speed_perturb": so_speed_perturb,

@@ -482,3 +482,118 @@ def ivf_topk(
         zero_copy_batch=True,
     )
     return brute_force_topk(pruned, q, k, vec_col, id_col)
+
+
+def smallest_id_vectors(ds, k: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means init: the RAW vectors of the ``k`` smallest
+    ids, in id order.  Per-block local bottom-k then a driver merge of
+    ≤ k·n_blocks (id, vector) rows — partition-layout-invariant, unlike
+    ``limit(k)``'s block-order dependence (the caveat documented on
+    kmeans_fit_distributed), so an external serial oracle can reproduce
+    the init exactly."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col])
+        ids = t.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    df = ds.map_batches(local, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    df = df.sort_values(id_col, kind="mergesort").head(k)
+    return np.array(df[vec_col].to_list(), dtype=np.float64)
+
+
+def mmr_topk(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    lamb_milli: int = 700,
+    n_candidates: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    1998): rank by ``λ·rel(q,i) − (1−λ)·max_{s∈S} sim(i,s)`` so the
+    result set trades query relevance against redundancy with what is
+    already selected — the retrieval-side counterpart of near-dedup (a
+    plain top-k returns five near-copies of the best hit; MMR returns
+    one plus four distinct neighborhoods).
+
+    Scale shape: per-block exact top-``n_candidates`` by query cosine
+    (the brute_force_topk local stage, query broadcast once) → driver
+    merge of ≤ C·n_blocks rows → greedy selection over the C-candidate
+    set.  C bounds driver memory and the O(k·C²) selection regardless of
+    corpus size; documented approximation — an item outside the top-C
+    relevance pool can never be selected.
+
+    Determinism: query and pairwise cosines quantize to milli units
+    BEFORE scoring, so the greedy arithmetic is integer-exact
+    (``mmr_milli = lamb·rel − (1000−lamb)·red``) and ties break on min
+    id — the selection is a pure function of the candidate set, which is
+    itself partition-invariant (exact float sort, id tiebreak).  With
+    ``lamb_milli=1000`` MMR degenerates to plain top-k over milli sims.
+
+    Returns a DataFrame (rank, vec_id, sim_milli, mmr_milli) in
+    selection order."""
+    if not 0 <= lamb_milli <= 1000:
+        raise ValueError(f"lamb_milli must be in [0, 1000], got {lamb_milli}")
+    if k > n_candidates:
+        raise ValueError(f"k={k} exceeds n_candidates={n_candidates}")
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+    C = n_candidates
+
+    def local(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return batch.select([id_col, vec_col]).append_column(
+                "cos", pa.array([], pa.float64()))
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (V @ qv) / norms
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, -cos))[:C]
+        t = batch.select([id_col, vec_col]).take(pa.array(order, pa.int64()))
+        return t.append_column("cos", pa.array(cos[order], pa.float64()))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["cos", id_col], ascending=[False, True],
+                            kind="mergesort").head(C).reset_index(drop=True)
+    ids = cand[id_col].to_numpy().astype(np.int64)
+    V = np.array(cand[vec_col].to_list(), dtype=np.float64)
+    if len(V) == 0:
+        return pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                             id_col: pd.array([], dtype="int64"),
+                             "sim_milli": pd.array([], dtype="int64"),
+                             "mmr_milli": pd.array([], dtype="int64")})
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Vn = V / norms
+    rel = np.floor(cand["cos"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+    P = np.floor(Vn @ Vn.T * 1000.0 + 0.5).astype(np.int64)
+
+    selected: list[int] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    scores: list[int] = []
+    for _ in range(min(k, len(ids))):
+        red = (P[:, selected].max(axis=1) if selected
+               else np.zeros(len(ids), dtype=np.int64))
+        mmr = lamb_milli * rel - (1000 - lamb_milli) * red
+        mmr_masked = np.where(remaining, mmr, np.iinfo(np.int64).min)
+        # min id among the score-tied argmax candidates
+        tie_idx = np.nonzero((mmr_masked == mmr_masked.max()) & remaining)[0]
+        pick = int(tie_idx[np.argmin(ids[tie_idx])])
+        selected.append(pick)
+        remaining[pick] = False
+        scores.append(int(mmr[pick]))
+    return pd.DataFrame({
+        "rank": pd.array(range(len(selected)), dtype="int64"),
+        id_col: pd.array(ids[selected], dtype="int64"),
+        "sim_milli": pd.array(rel[selected], dtype="int64"),
+        "mmr_milli": pd.array(scores, dtype="int64"),
+    })

@@ -1784,3 +1784,113 @@ def embedding_decontaminate(ds, eval_vectors, id_col: str = "vec_id",
                                    pa.array(best >= tau, pa.bool_()))
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prototype_prune(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 4,
+    drop_frac: float = 0.25,
+    mode: str = "flag",
+    init: "np.ndarray | None" = None,
+):
+    """D4-style prototypicality pruning (Sorscher et al. 2022 "Beyond
+    neural scaling laws"; Tirumala et al. 2023 "D4"): cluster the
+    embedding space, score every example by its cosine to the assigned
+    centroid (its PROTOTYPICALITY — how redundant/easy it is), and drop
+    the most prototypical ``drop_frac`` of EVERY cluster.  The published
+    result: pruning easy/redundant examples beats random subsampling at
+    equal token budget — this is the data-SELECTION member of the family
+    next to semantic_dedup's pair-based removal.
+
+    Exactness: scoring is per-row float64 (identical serially and
+    distributed — no cross-row float reduction); the per-cluster
+    threshold comes from an INTEGER histogram of milli-quantized scores
+    (``proto_milli = floor(1000·cos + 0.5)``), so the cutoff is a pure
+    function of the (cluster, proto_milli) multiset — partition- and
+    order-invariant.  Ties AT the cutoff bin are all kept, so the
+    realized drop count is the largest achievable ≤
+    ``floor(drop_frac·n_c)`` per cluster (documented boundary).
+
+    Scale shape: k-means via the bit-deterministic integer-micro-unit
+    Lloyd (ann.kmeans_fit_distributed — k×d counters per block); the
+    histogram pass pre-aggregates per batch then runs ONE keyed Sum
+    groupby bounded by n_clusters×2001 rows; cutoffs (k ints) ship in
+    the closure; the apply pass is a stateless map.  The corpus is
+    scanned twice (histogram, then score+flag) and never materialized —
+    the two-pass corpus-statistics shape of the reference's link
+    classifier (link.go:276-364, G1-G3 relabel).  Pass an explicit
+    ``init`` (e.g. ann.smallest_id_vectors) when oracle-exact
+    conformance is required (see the kmeans init caveat).
+
+    Output: input rows + (cluster int32, proto_milli int64, pruned
+    bool); ``mode="filter"`` drops pruned rows instead."""
+    from ray.data.aggregate import Sum
+
+    from .ann import kmeans_fit_distributed
+
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+
+    C = kmeans_fit_distributed(ds, n_centroids=n_clusters, iters=iters,
+                               vec_col=vec_col, init=init)
+
+    def _score(batch: pa.Table):
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int64))
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (V / n) @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(V)), assign]
+        return (assign.astype(np.int32),
+                np.floor(best * 1000.0 + 0.5).astype(np.int64))
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        assign, milli = _score(batch)
+        # combined key: cluster · 4096 + (milli + 1000) — milli ∈ [-1000, 1000]
+        key, cnt = np.unique(assign.astype(np.int64) * 4096 + milli + 1000,
+                             return_counts=True)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    hist = (ds.map_batches(partial_hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("key").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas())  # ≤ n_clusters × 2001 rows
+
+    per_cluster: dict[int, list[tuple[int, int]]] = {}
+    for key, n in zip(hist["key"].to_numpy(), hist["n"].to_numpy()):
+        per_cluster.setdefault(int(key) // 4096, []).append(
+            (int(key) % 4096 - 1000, int(n)))
+    cutoffs = np.full(n_clusters, 1002, dtype=np.int64)  # default: drop none
+    for c, bins in per_cluster.items():
+        total = sum(n for _, n in bins)
+        drop_n = int(drop_frac * total)
+        acc = 0
+        for v, n in sorted(bins, reverse=True):
+            if acc + n <= drop_n:
+                acc += n
+            else:
+                cutoffs[c] = v  # rows strictly above v are dropped
+                break
+
+    def apply(batch: pa.Table) -> pa.Table:
+        assign, milli = _score(batch)
+        pruned = milli > cutoffs[assign] if len(milli) else \
+            np.zeros(0, dtype=bool)
+        batch = batch.append_column("cluster", pa.array(assign, pa.int32()))
+        batch = batch.append_column("proto_milli",
+                                    pa.array(milli, pa.int64()))
+        batch = batch.append_column("pruned", pa.array(pruned, pa.bool_()))
+        if mode == "filter":
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.invert(batch.column("pruned")))
+        return batch
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
