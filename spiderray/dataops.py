@@ -115,7 +115,8 @@ from .stages.stats import (
 from .stages.substring_dedup import substring_dedup
 from .stages.textindex import sliding_chunks
 from .stages.multimodal import audio_corpus_report
-from .stages.textnorm_stage import unicode_normalize_stage
+from .stages.textnorm_stage import (fix_mojibake_stage,
+                                    unicode_normalize_stage)
 from .stages.unigram_train import (
     train_unigram,
     train_unigram_corpus,
@@ -213,7 +214,8 @@ __all__ = [
     "validate_expectations", "windowed_drift", "epoch_order",
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
-    "unicode_normalize_stage", "audio_corpus_report", "corpus_diff",
+    "unicode_normalize_stage", "fix_mojibake_stage",
+    "audio_corpus_report", "corpus_diff",
     "weighted_sample",
     "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",
     "image_near_dup_pairs", "audio_bandwidth_stage", "threshold_sweep",

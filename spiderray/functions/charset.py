@@ -286,3 +286,62 @@ def to_utf8(body: bytes, charset: str) -> str | None:
         return body.decode(codec, errors="strict")
     except (UnicodeDecodeError, LookupError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (double-encoding) detection and repair — the ftfy problem
+# ---------------------------------------------------------------------------
+
+# UTF-8 lead bytes 0xC0-0xEF decoded as latin-1/cp1252 land on À..ï;
+# their trail bytes 0x80-0xBF land on the C1 block (which cp1252 maps to the
+# punctuation/letter set spelled out below) or on U+00A0..U+00BF.  A lead
+# character followed by a trail character is the signature bigram of
+# UTF-8-read-as-single-byte text ("Ã©" for é,
+# "â€™" for ’).
+_MOJI_TRAIL = ("-¿"
+               "€‚ƒ„…†‡ˆ‰"
+               "Š‹ŒŽ‘’“”•"
+               "–—˜™š›œžŸ")
+RE_MOJIBAKE = re.compile(f"[À-ï][{_MOJI_TRAIL}]")
+RE_C1 = re.compile("[-]")
+
+
+def mojibake_badness(s: str) -> int:
+    """Mojibake evidence count: C1 control characters (no real text
+    contains U+0080-U+009F) plus lead+trail bigrams of UTF-8 bytes
+    misdecoded as latin-1/cp1252.  0 for clean text of any language;
+    legitimate accented words ("Île", "à la") don't match —
+    their following character is not in the trail class."""
+    if not s:
+        return 0
+    return len(RE_C1.findall(s)) + len(RE_MOJIBAKE.findall(s))
+
+
+def fix_mojibake(s: str, max_passes: int = 3) -> tuple[str, int]:
+    """Repair UTF-8-decoded-as-latin-1/cp1252 text (the ftfy recipe,
+    public method: re-encode under the suspected intermediate codec and
+    re-decode as UTF-8, accepting a candidate only when it strictly
+    REDUCES the badness score — so clean text, including legitimately
+    accented text, is always returned untouched).  cp1252 is tried
+    before latin-1 (its 0x80-0x9F mappings are what real mojibake went
+    through); iterates up to ``max_passes`` to unwind double/triple
+    mojibake.  Returns ``(text, n_passes_applied)``."""
+    n = 0
+    for _ in range(max_passes):
+        b = mojibake_badness(s)
+        if b == 0:
+            break
+        best, best_b = s, b
+        for enc in ("cp1252", "latin-1"):
+            try:
+                cand = s.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            cb = mojibake_badness(cand)
+            if cb < best_b:
+                best, best_b = cand, cb
+        if best == s:
+            break
+        s = best
+        n += 1
+    return s, n

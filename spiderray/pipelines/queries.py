@@ -5827,6 +5827,46 @@ FROM injected ORDER BY doc_id
 """
 
 
+def _mojibake_inject(batch: pa.Table) -> pa.Table:
+    """Deterministic double-encoding damage (shared with the serial twin):
+    doc_id%5==0 rows get a non-ASCII prefix then one round of
+    UTF-8-read-as-latin-1; doc_id%10==3 rows get TWO rounds."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        i = int(i)
+        if i % 5 == 0:
+            out.append(("café — " + t).encode("utf-8").decode("latin-1"))
+        elif i % 10 == 3:
+            m = ("süß: " + t).encode("utf-8").decode("latin-1")
+            out.append(m.encode("utf-8").decode("latin-1"))
+        else:
+            out.append(t)
+    return batch.set_column(batch.column_names.index("text"), "text",
+                            pa.array(out, pa.string()))
+
+
+def q_fix_mojibake(sf_dir: str):
+    """Mojibake repair (stages/textnorm_stage.fix_mojibake_stage — the
+    ftfy problem): deterministically injected UTF-8-read-as-latin-1
+    damage (single and double rounds) is detected via the lead+trail
+    bigram badness score and unwound by re-encode/re-decode passes;
+    clean rows (including legitimately accented text) pass through
+    byte-identical with moji_passes=0.  Fixture oracle: the identical
+    injection + per-row kernel serially."""
+    from ..stages.textnorm_stage import fix_mojibake_stage
+
+    _ensure_fixture("q_fix_mojibake", sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fix_mojibake_stage(
+        ds.map_batches(_mojibake_inject, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        text_col="text")
+    return out.select_columns(["doc_id", "text", "moji_passes",
+                               "was_mojibake"])
+
+
 def q_audio_report(sf_dir: str):
     """Audio 'data card' (stages/multimodal.audio_corpus_report): clip
     count, duration totals/min/max/floor-mean, per-codec + per-sr
@@ -6374,6 +6414,7 @@ QUERIES = {
     "q_pq_topk": q_pq_topk,
     "q_prototype_prune": q_prototype_prune,
     "q_mmr_topk": q_mmr_topk,
+    "q_fix_mojibake": q_fix_mojibake,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,

@@ -2534,6 +2534,36 @@ def so_weighted_sample(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(kept, pa.int64())})
 
 
+def so_fix_mojibake(sf_dir: str) -> pa.Table:
+    """Serial twin of q_fix_mojibake: identical injection (shared helper —
+    the injection IS the test input, not the kernel under test) + the
+    per-row fix_mojibake kernel applied serially with the same ASCII
+    skip rule."""
+    from ..functions.charset import fix_mojibake
+    from .queries import _mojibake_inject
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    injected = _mojibake_inject(t)
+    ids = injected.column("doc_id").to_pylist()
+    texts = injected.column("text").to_pylist()
+    out, passes = [], []
+    for s in texts:
+        if s is None or s.isascii():
+            out.append(s)
+            passes.append(0)
+        else:
+            fixed, n = fix_mojibake(s)
+            out.append(fixed)
+            passes.append(n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(out, pa.string()),
+        "moji_passes": pa.array(passes, pa.int32()),
+        "was_mojibake": pa.array([p > 0 for p in passes], pa.bool_()),
+    })
+
+
 def so_prototype_prune(sf_dir: str) -> pa.Table:
     """Serial twin of q_prototype_prune: identical arithmetic end to end —
     init = the 8 smallest ids' vectors (normalized as the distributed
@@ -2622,6 +2652,7 @@ def so_mmr_topk(sf_dir: str) -> pa.Table:
 
 
 SERIAL_ORACLES = {
+    "q_fix_mojibake": so_fix_mojibake,
     "q_prototype_prune": so_prototype_prune,
     "q_mmr_topk": so_mmr_topk,
     "q_tdigest_quantiles": so_tdigest_quantiles,

@@ -68,3 +68,52 @@ def unicode_normalize_stage(ds, text_col: str = "text", form: str = "NFC",
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def fix_mojibake_batch(batch: pa.Table, text_col: str,
+                       max_passes: int = 3) -> pa.Table:
+    """One batch → same batch with UTF-8-misdecoded-as-latin-1/cp1252 text
+    repaired (functions/charset.fix_mojibake — the ftfy recipe) plus
+    ``moji_passes`` (int32 repair iterations, 0 = untouched) and
+    ``was_mojibake`` columns.  Mojibake is impossible in pure-ASCII text,
+    so the vectorized ASCII fast path skips the per-row kernel for the
+    vast majority of web rows."""
+    from ..functions.charset import fix_mojibake
+
+    col = batch.column(text_col)
+    ascii_only = pc.fill_null(pc.string_is_ascii(col), False).to_numpy(
+        zero_copy_only=False
+    )
+    if ascii_only.all() and col.null_count == 0:
+        zeros = pa.array([0] * len(batch), pa.int32())
+        batch = batch.append_column("moji_passes", zeros)
+        return batch.append_column(
+            "was_mojibake", pa.array([False] * len(batch), pa.bool_()))
+    texts = col.to_pylist()
+    out, passes = [], []
+    for t, a in zip(texts, ascii_only):
+        if a or t is None:
+            out.append(t)
+            passes.append(0)
+        else:
+            fixed, n = fix_mojibake(t, max_passes=max_passes)
+            out.append(fixed)
+            passes.append(n)
+    batch = batch.set_column(batch.column_names.index(text_col), text_col,
+                             pa.array(out, pa.string()))
+    batch = batch.append_column("moji_passes", pa.array(passes, pa.int32()))
+    return batch.append_column(
+        "was_mojibake", pa.array([p > 0 for p in passes], pa.bool_()))
+
+
+def fix_mojibake_stage(ds, text_col: str = "text", max_passes: int = 3):
+    """Stateless fused stage: detect and unwind double-encoding damage
+    ("Ã©", "â€™") before dedup/langid/tokenizers see the text — the
+    corpus-hygiene sibling of unicode_normalize_stage, and the engine's
+    corpus-scale extension of the reference's charset cascade
+    (/root/reference/charset.go:79-117)."""
+    return ds.map_batches(
+        lambda b: fix_mojibake_batch(b, text_col, max_passes),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

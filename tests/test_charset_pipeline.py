@@ -172,3 +172,57 @@ class TestRealDetectorPath:
         for i, exp in enumerate(expected):
             for field in ("charset", "charset_pos", "lang", "keep"):
                 assert df[field].iloc[i] == exp[field], (exp["clip_id"], field)
+
+
+class TestMojibake:
+    """fix_mojibake kernel + stage (the ftfy problem)."""
+
+    def test_single_and_double_roundtrip(self):
+        from spiderray.functions.charset import fix_mojibake
+
+        for t in ("Der Bär — süß! ’q’",
+                  "Привет мир",
+                  "中文测试文本",
+                  "café naïve œuvre"):
+            m1 = t.encode("utf-8").decode("latin-1")
+            m2 = m1.encode("utf-8").decode("latin-1")
+            assert fix_mojibake(m1) == (t, 1)
+            assert fix_mojibake(m2) == (t, 2)
+
+    def test_cp1252_path(self):
+        from spiderray.functions.charset import fix_mojibake
+
+        t = "quote ’ dash — end"
+        m = t.encode("utf-8").decode("cp1252")
+        assert fix_mojibake(m) == (t, 1)
+
+    def test_clean_text_untouched(self):
+        from spiderray.functions.charset import fix_mojibake
+
+        for t in ("plain ascii",
+                  "Île flottante à la crème",
+                  "", "日本語の文"):
+            assert fix_mojibake(t) == (t, 0)
+
+    def test_badness_scores(self):
+        from spiderray.functions.charset import mojibake_badness
+
+        assert mojibake_badness("café normal") == 0
+        assert mojibake_badness("cafÃ©") > 0   # A-tilde bigram
+        assert mojibake_badness("x\x80y") == 1           # raw C1
+
+    def test_stage_columns_and_ascii_fast_path(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.textnorm_stage import fix_mojibake_stage
+
+        t = "süß — end"
+        m = t.encode("utf-8").decode("latin-1")
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["pure ascii", m, None]})
+        out = (fix_mojibake_stage(rd.from_pandas(df))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["text"]) == ["pure ascii", t, None]
+        assert list(out["moji_passes"]) == [0, 1, 0]
+        assert list(out["was_mojibake"]) == [False, True, False]
