@@ -143,6 +143,7 @@ from .stages.audioquality import (audio_bandwidth_stage,
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     calibration_bins,
+    canary_scan,
     classifier_auc,
     corpus_diff,
     grouped_linfit_outliers,
@@ -214,7 +215,7 @@ __all__ = [
     "validate_expectations", "windowed_drift", "epoch_order",
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
-    "unicode_normalize_stage", "fix_mojibake_stage",
+    "unicode_normalize_stage", "fix_mojibake_stage", "canary_scan",
     "audio_corpus_report", "corpus_diff",
     "weighted_sample",
     "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",

@@ -5867,6 +5867,70 @@ def q_fix_mojibake(sf_dir: str):
                                "was_mojibake"])
 
 
+_CANARIES = ("CANARY-0000-GHOST", "CANARY-7f3a-ALPHA", "CANARY-9c1e-BRAVO")
+
+
+def q_canary_scan(sf_dir: str):
+    """Canary-string governance scan (stages/stats.canary_scan — the
+    public 'Secret Sharer' audit, Carlini et al. 2019): sentinel strings
+    deterministically planted into the corpus (once, twice, and a third
+    never planted at all) are counted per canary — docs containing and
+    total occurrences — with absent canaries reported as explicit zero
+    rows.  One vectorized count_substring pass, one |canaries|-bounded
+    groupby.  Oracle: literal DuckDB contains/replace arithmetic over
+    the identical injection."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            t = t or ""
+            if i % 97 == 5:
+                t += " CANARY-7f3a-ALPHA"
+            elif i % 97 == 12:
+                t += " CANARY-7f3a-ALPHA and CANARY-7f3a-ALPHA"
+            if i % 203 == 9:
+                t += " CANARY-9c1e-BRAVO"
+            out.append(t)
+        return batch.set_column(batch.column_names.index("text"), "text",
+                                pa.array(out, pa.string()))
+
+    from ..stages.stats import canary_scan
+
+    injected = ds.map_batches(inject, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    df = canary_scan(injected, list(_CANARIES))
+    return df.sort_values("canary").reset_index(drop=True)
+
+
+SQL_CANARY_SCAN = """
+WITH injected AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 97 = 5 THEN ' CANARY-7f3a-ALPHA'
+                 WHEN doc_id % 97 = 12
+                   THEN ' CANARY-7f3a-ALPHA and CANARY-7f3a-ALPHA'
+                 ELSE '' END
+         || CASE WHEN doc_id % 203 = 9 THEN ' CANARY-9c1e-BRAVO'
+                 ELSE '' END AS text
+  FROM documents
+), c(canary) AS (
+  VALUES ('CANARY-0000-GHOST'), ('CANARY-7f3a-ALPHA'), ('CANARY-9c1e-BRAVO')
+)
+SELECT c.canary,
+       CAST(SUM(CASE WHEN contains(i.text, c.canary) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs,
+       CAST(SUM((length(i.text) - length(replace(i.text, c.canary, '')))
+                // length(c.canary)) AS BIGINT) AS n_occurrences
+FROM c CROSS JOIN injected i
+GROUP BY c.canary
+ORDER BY c.canary
+"""
+
+
 def q_audio_report(sf_dir: str):
     """Audio 'data card' (stages/multimodal.audio_corpus_report): clip
     count, duration totals/min/max/floor-mean, per-codec + per-sr
@@ -6415,6 +6479,7 @@ QUERIES = {
     "q_prototype_prune": q_prototype_prune,
     "q_mmr_topk": q_mmr_topk,
     "q_fix_mojibake": q_fix_mojibake,
+    "q_canary_scan": q_canary_scan,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,
@@ -6675,6 +6740,7 @@ ORACLE_SQL = {
     "q_transcript_fit": SQL_TRANSCRIPT_FIT,
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_readability": SQL_READABILITY,
+    "q_canary_scan": SQL_CANARY_SCAN,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

@@ -1513,3 +1513,68 @@ def unimax_resample(ds, key_col: str, id_col: str, budget_rows: float,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canary_scan(ds, canaries: list[str], text_col: str = "text",
+                max_canaries: int = 100_000):
+    """Training-data governance scan for planted canary strings (the
+    public 'Secret Sharer' methodology, Carlini et al. 2019: unique
+    sentinel strings are planted in a corpus release so later corpora /
+    model outputs can be audited for leakage).  Reports, for EVERY
+    canary including absent ones, the number of documents containing it
+    and the total occurrence count.
+
+    Scale shape: the canary list is small by contract (a governance
+    registry, not a corpus) and ships once in the task closure under a
+    hard cap; each batch runs one vectorized ``pc.count_substring`` per
+    canary and emits a ≤ |canaries|-row partial; ONE keyed groupby-Sum
+    (bounded by |canaries|) finishes.  The corpus is never shuffled and
+    nothing corpus-sized reaches the driver.  Occurrence counts are
+    non-overlapping substring matches (the SQL replace()-arithmetic
+    definition)."""
+    from ray.data.aggregate import Sum
+
+    if not canaries:
+        raise ValueError("canary_scan: empty canary list")
+    if len(canaries) > max_canaries:
+        raise ValueError(
+            f"canary_scan: {len(canaries)} canaries > max_canaries="
+            f"{max_canaries} — at that size this is a corpus; use the "
+            "decontaminate n-gram path instead.")
+    if any(not c for c in canaries):
+        raise ValueError("canary_scan: empty canary string")
+    canon = list(dict.fromkeys(canaries))  # dedup, preserve order
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch.column(text_col), "")
+        idx, docs, occ = [], [], []
+        for i, c in enumerate(canon):
+            n = pc.count_substring(col, c)
+            occ_i = int(pc.sum(n).as_py() or 0)
+            docs_i = int(pc.sum(pc.greater(n, 0).cast(pa.int64())).as_py()
+                         or 0)
+            idx.append(i)
+            docs.append(docs_i)
+            occ.append(occ_i)
+        return pa.table({"canary_idx": pa.array(idx, pa.int64()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_occurrences": pa.array(occ, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("canary_idx")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_occurrences", alias_name="n_occurrences"))
+           .to_pandas())
+    counts = {int(r.canary_idx): (int(r.n_docs), int(r.n_occurrences))
+              for r in agg.itertuples()}
+    rows = [(c, *counts.get(i, (0, 0))) for i, c in enumerate(canon)]
+    import pandas as pd
+
+    return pd.DataFrame({
+        "canary": pd.array([r[0] for r in rows], dtype="object"),
+        "n_docs": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_occurrences": pd.array([r[2] for r in rows], dtype="int64"),
+    })
