@@ -156,7 +156,7 @@ from .stages.stats import (
     weighted_sample,
 )
 from .stages.wordpiece_train import (train_wordpiece, wordpiece_encode_stage,
-                                     wordpiece_vocab)
+                                     wordpiece_fertility, wordpiece_vocab)
 from .stages.textindex import (build_inverted_index, build_vocab,
                                lookup_postings, ngram_novelty,
                                vocab_coverage)
@@ -216,6 +216,7 @@ __all__ = [
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
     "unicode_normalize_stage", "fix_mojibake_stage", "canary_scan",
+    "wordpiece_fertility",
     "audio_corpus_report", "corpus_diff",
     "weighted_sample",
     "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",

@@ -5138,6 +5138,25 @@ def q_wordpiece_tokens(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-fit data card (stages/wordpiece_train.
+    wordpiece_fertility): per-language WordPiece fertility (tokens per
+    word, integer ppm) and whole-word-UNK rate under the corpus-trained
+    vocab — the published diagnostic for how a tokenizer serves each
+    language slice.  Oracle: naive-trained vocab + the independently-
+    written greedy encoder + serial aggregation."""
+    _ensure_fixture("q_tokenizer_fertility", sf_dir)
+    from ..stages.bpe_train import corpus_word_freqs
+    from ..stages.wordpiece_train import (wordpiece_fertility,
+                                          wordpiece_vocab)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    vocab = wordpiece_vocab(
+        corpus_word_freqs(ds, "text", _WP_TRAIN_KW["max_words"]),
+        _WP_TRAIN_KW["num_merges"])
+    return wordpiece_fertility(ds, vocab, text_col="text", key_col="lang")
+
+
 def q_pack_bins(sf_dir: str):
     """Sample packing (stages/windows.pack_bins): first-fit-decreasing
     bin packing of whitespace token counts into 512-token bins within
@@ -6480,6 +6499,7 @@ QUERIES = {
     "q_mmr_topk": q_mmr_topk,
     "q_fix_mojibake": q_fix_mojibake,
     "q_canary_scan": q_canary_scan,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,
@@ -6651,9 +6671,13 @@ _PRIORITY = [
     # sketches / stats
     "q_heavy_hitters", "q_profile_columns",
     # windows / sessions
-    "q_window_analytics", "q_user_sessions",
+    "q_window_analytics",
+    # charset hygiene (mojibake repair)
+    "q_fix_mojibake",
+    # data pruning / selection
+    "q_prototype_prune",
     # audio stages
-    "q_audio_features", "q_cmvn", "q_prepare_speech", "q_audio_qc",
+    "q_audio_features", "q_prepare_speech", "q_audio_qc",
     "q_audio_fp_pairs",
     # image composite
     "q_prepare_image",

@@ -2166,6 +2166,70 @@ def so_wordpiece_tokens(sf_dir: str) -> pa.Table:
     })
 
 
+def so_tokenizer_fertility(sf_dir: str) -> pa.Table:
+    """Serial twin of q_tokenizer_fertility: naive-trained vocab, the
+    independently-written ascending-scan greedy encoder (as
+    so_wordpiece_tokens), per-language dict aggregation, the same
+    integer-ppm arithmetic."""
+    from ..functions.tokenize import RE_BPE_TOKEN
+
+    _, vocab = _serial_wordpiece_train(sf_dir)
+    vset = set(vocab)
+
+    def encode(word):
+        if not word:
+            return []
+        if len(word) > 100:
+            return ["[UNK]"]
+        pieces, start = [], 0
+        while start < len(word):
+            hit = None
+            for end in range(start + 1, len(word) + 1):
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vset:
+                    hit = (sub, end)
+            if hit is None:
+                return ["[UNK]"]
+            pieces.append(hit[0])
+            start = hit[1]
+        return pieces
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    agg: dict[str, list[int]] = {}
+    cache: dict[str, tuple[int, int]] = {}
+    for lang, text in zip(docs.column("lang").to_pylist(),
+                          docs.column("text").to_pylist()):
+        row = agg.setdefault(lang or "", [0, 0, 0, 0])
+        row[0] += 1
+        for w in RE_BPE_TOKEN.findall(text or ""):
+            w = w.lower()
+            if w not in cache:
+                p = encode(w)
+                cache[w] = (len(p), p.count("[UNK]"))
+            row[1] += 1
+            row[2] += cache[w][0]
+            row[3] += cache[w][1]
+    ks = sorted(agg)
+    words = [agg[k][1] for k in ks]
+    toks = [agg[k][2] for k in ks]
+    unk = [agg[k][3] for k in ks]
+    return pa.table({
+        "lang": pa.array(ks, pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "n_words": pa.array(words, pa.int64()),
+        "n_wp_tokens": pa.array(toks, pa.int64()),
+        "n_unk": pa.array(unk, pa.int64()),
+        "fertility_ppm": pa.array(
+            [t * 1_000_000 // w if w else 0 for t, w in zip(toks, words)],
+            pa.int64()),
+        "unk_ppm": pa.array(
+            [u * 1_000_000 // t if t else 0 for u, t in zip(unk, toks)],
+            pa.int64()),
+    })
+
+
 def so_bpe_vocab(sf_dir: str) -> pa.Table:
     merges = _serial_bpe_train(sf_dir)
     return pa.table(
@@ -2677,6 +2741,7 @@ SERIAL_ORACLES = {
     "q_bpe_vocab": so_bpe_vocab,
     "q_wordpiece_vocab": so_wordpiece_vocab,
     "q_wordpiece_tokens": so_wordpiece_tokens,
+    "q_tokenizer_fertility": so_tokenizer_fertility,
     "q_bpe_tokens": so_bpe_tokens,
     "q_dsir_scores": so_dsir_scores,
     "q_arpa_ppl": so_arpa_ppl,

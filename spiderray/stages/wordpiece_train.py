@@ -204,3 +204,75 @@ def wordpiece_encode_stage(ds, vocab, text_col: str = "text"):
         return batch.append_column("n_unk", pa.array(n_unk, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def wordpiece_fertility(ds, vocab, text_col: str = "text",
+                        key_col: str = "lang"):
+    """Tokenizer-fit data card: per-``key_col`` fertility (WordPiece
+    tokens per word) and whole-word-UNK rate — the standard published
+    diagnostic for how well a tokenizer serves each language slice of a
+    multilingual corpus (high fertility = the slice pays more sequence
+    length per word; high UNK = vocabulary blindness).
+
+    Scale shape: the vocab ships once per task (closure frozenset),
+    per-word encodes are memoized per worker, each batch pre-aggregates
+    to per-key partials, and ONE keyed groupby-Sum (bounded by the
+    number of distinct keys) finishes; ratios are round-half-down
+    INTEGER ppm (``n·1e6 // d``) so the card is exact under any
+    partitioning.  Returns a DataFrame (key, n_docs, n_words,
+    n_wp_tokens, n_unk, fertility_ppm, unk_ppm) sorted by key."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    vset = frozenset(vocab)
+    cache: dict[str, tuple[int, int]] = {}
+    cache_cap = 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        keys = batch.column(key_col).to_pylist()
+        for key, text in zip(keys, batch.column(text_col).to_pylist()):
+            key = key or ""
+            row = agg.setdefault(key, [0, 0, 0, 0])
+            row[0] += 1
+            for w in RE_BPE_TOKEN.findall(text or ""):
+                w = w.lower()
+                hit = cache.get(w)
+                if hit is None:
+                    pieces = wordpiece_encode_word(w, vset)
+                    hit = (len(pieces), pieces.count(UNK))
+                    if len(cache) < cache_cap:
+                        cache[w] = hit
+                row[1] += 1
+                row[2] += hit[0]
+                row[3] += hit[1]
+        ks = sorted(agg)
+        return pa.table({
+            key_col: pa.array(ks, pa.string()),
+            "n_docs": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "n_words": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "n_wp_tokens": pa.array([agg[k][2] for k in ks], pa.int64()),
+            "n_unk": pa.array([agg[k][3] for k in ks], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(key_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_wp_tokens", alias_name="n_wp_tokens"),
+                      Sum("n_unk", alias_name="n_unk"))
+           .to_pandas())
+    agg = agg.sort_values(key_col).reset_index(drop=True)
+    words = agg["n_words"].to_numpy()
+    toks = agg["n_wp_tokens"].to_numpy()
+    unk = agg["n_unk"].to_numpy()
+    fert = [int(t * 1_000_000 // w) if w else 0
+            for t, w in zip(toks, words)]
+    unkp = [int(u * 1_000_000 // t) if t else 0 for u, t in zip(unk, toks)]
+    agg["fertility_ppm"] = pd.array(fert, dtype="int64")
+    agg["unk_ppm"] = pd.array(unkp, dtype="int64")
+    for c in ("n_docs", "n_words", "n_wp_tokens", "n_unk"):
+        agg[c] = agg[c].astype("int64")
+    return agg

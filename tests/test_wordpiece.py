@@ -133,3 +133,48 @@ class TestStage:
         m2 = train_wordpiece(rd.from_pandas(df).repartition(11), num_merges=30)
         # the 6-word inventory exhausts all pairs before 30 merges
         assert m1 == m2 and len(m1) == 24
+
+
+class TestFertility:
+    def test_per_lang_card(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.wordpiece_train import wordpiece_fertility
+
+        # vocab: 'ab' whole word, 'a' + '##b' pieces, nothing for 'zq'
+        vocab = ["[UNK]", "ab", "a", "b", "##b", "c", "##c"]
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "de"],
+            "text": ["ab ab", "ab zq", "cb"],
+        })
+        out = wordpiece_fertility(rd.from_pandas(df), vocab,
+                                  key_col="lang")
+        en = out[out["lang"] == "en"].iloc[0]
+        de = out[out["lang"] == "de"].iloc[0]
+        # en: words ab,ab,ab,zq -> tokens 1+1+1+1(UNK) = 4; unk 1
+        assert (en["n_docs"], en["n_words"], en["n_wp_tokens"],
+                en["n_unk"]) == (2, 4, 4, 1)
+        assert en["fertility_ppm"] == 1_000_000
+        assert en["unk_ppm"] == 250_000
+        # de: 'cb' -> c + ##b = 2 tokens, 1 word -> fertility 2.0
+        assert (de["n_words"], de["n_wp_tokens"], de["n_unk"]) == (1, 2, 0)
+        assert de["fertility_ppm"] == 2_000_000
+
+    def test_partition_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.stages.wordpiece_train import wordpiece_fertility
+
+        vocab = ["[UNK]", "a", "##a", "b", "##b"]
+        df = pd.DataFrame({
+            "doc_id": range(100),
+            "lang": ["en" if i % 2 else "fr" for i in range(100)],
+            "text": ["ab ba aab" if i % 3 else "zz ab" for i in range(100)],
+        })
+        a = wordpiece_fertility(rd.from_pandas(df), vocab, key_col="lang")
+        b = wordpiece_fertility(rd.from_pandas(df).repartition(7), vocab,
+                                key_col="lang")
+        pd.testing.assert_frame_equal(a, b)
