@@ -132,7 +132,8 @@ from .stages.expectations import (
     validate_expectations,
     windowed_drift,
 )
-from .stages.c4 import paragraph_dedup, paragraph_dedup_bloom
+from .stages.c4 import (line_dedup_within_doc, paragraph_dedup,
+                        paragraph_dedup_bloom)
 from .stages.dedup import decontaminate_spans, embedding_decontaminate
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
@@ -216,7 +217,7 @@ __all__ = [
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
     "unicode_normalize_stage", "fix_mojibake_stage", "canary_scan",
-    "wordpiece_fertility",
+    "wordpiece_fertility", "line_dedup_within_doc",
     "audio_corpus_report", "corpus_diff",
     "weighted_sample",
     "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",

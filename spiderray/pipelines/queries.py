@@ -5024,6 +5024,63 @@ def q_paragraph_dedup(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Intra-document repeated-line trim (stages/c4.line_dedup_within_doc
+    — the per-page boilerplate rule of the C4/Dolma pipelines, next to
+    paragraph_dedup's GLOBAL rule): each doc keeps the first occurrence
+    of every exact line, empty lines always kept; pure stateless map,
+    no shuffle.  doc_id%3==0 rows get a deterministic repeated-line
+    injection so repetition is guaranteed at any scale.  Oracle:
+    literal DuckDB zip-unnest + row_number + filtered string_agg."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [("nav menu\n" + (t or "") + "\nnav menu\nnav menu")
+               if int(i) % 3 == 0 else t
+               for i, t in zip(ids, texts)]
+        return batch.set_column(batch.column_names.index("text"), "text",
+                                pa.array(out, pa.string()))
+
+    from ..stages.c4 import line_dedup_within_doc
+
+    out = line_dedup_within_doc(
+        ds.map_batches(inject, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return out.select_columns(["doc_id", "text", "n_lines", "n_dropped"])
+
+
+SQL_LINE_DEDUP = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'nav menu' || chr(10) || coalesce(text, '') ||
+                   chr(10) || 'nav menu' || chr(10) || 'nav menu'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM injected
+), keep AS (
+  SELECT doc_id, line, pos,
+         CASE WHEN line = '' THEN TRUE
+              ELSE row_number()
+                   OVER (PARTITION BY doc_id, line ORDER BY pos) = 1
+         END AS k
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE k),
+                '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN k THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM keep GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_PARAGRAPH_DEDUP = """
 WITH injected AS (
   SELECT doc_id,
@@ -6500,6 +6557,7 @@ QUERIES = {
     "q_fix_mojibake": q_fix_mojibake,
     "q_canary_scan": q_canary_scan,
     "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_line_dedup": q_line_dedup,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,
@@ -6765,6 +6823,7 @@ ORACLE_SQL = {
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_readability": SQL_READABILITY,
     "q_canary_scan": SQL_CANARY_SCAN,
+    "q_line_dedup": SQL_LINE_DEDUP,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

@@ -283,3 +283,46 @@ def paragraph_dedup_bloom(ds, prior_ds, text_col: str = "text",
             "had_prior_para", pa.array([c > 0 for c in n_cut], pa.bool_()))
 
     return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def line_dedup_within_doc(ds, text_col: str = "text"):
+    """INTRA-document repeated-line removal — the boilerplate trim
+    (navigation menus, cookie banners, signature blocks repeated inside
+    one page) that the published C4/Dolma pipelines apply per document,
+    complementing paragraph_dedup's GLOBAL first-occurrence rule: each
+    document keeps only the first occurrence of every exact line; empty
+    lines are structure, never candidates, and are always kept.
+
+    Scale shape: a pure stateless map — no shuffle, no state, no
+    cross-row dependency; the cheapest possible operator shape at any
+    corpus size.  Appends ``n_lines`` (original) and ``n_dropped``
+    (repeats removed) audit columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out, n_lines, n_drop = [], [], []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                n_lines.append(0)
+                n_drop.append(0)
+                continue
+            lines = t.split("\n")
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln == "" or ln not in seen:
+                    kept.append(ln)
+                    if ln != "":
+                        seen.add(ln)
+            out.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_drop.append(len(lines) - len(kept))
+        names = batch.column_names
+        batch = batch.set_column(names.index(text_col), text_col,
+                                 pa.array(out, pa.string()))
+        batch = batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        return batch.append_column("n_dropped",
+                                   pa.array(n_drop, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
