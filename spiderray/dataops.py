@@ -138,7 +138,8 @@ from .stages.dedup import decontaminate_spans, embedding_decontaminate
 from .stages.dedup import hamming64_pairs
 from .stages.image import image_hash_stage, image_near_dup_pairs
 from .stages.audioquality import (audio_bandwidth_stage,
-                                  audio_channel_stage, audio_denoise_stage,
+                                  audio_channel_stage, audio_compress_stage,
+                                  audio_denoise_stage,
                                   audio_hum_stage, audio_qc_stage,
                                   audio_reverb_stage, codec_sniff_stage)
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
@@ -217,7 +218,7 @@ __all__ = [
     "mixture_plan", "read_parquet_evolved", "apply_deletions",
     # round 4
     "unicode_normalize_stage", "fix_mojibake_stage", "canary_scan",
-    "wordpiece_fertility", "line_dedup_within_doc",
+    "wordpiece_fertility", "line_dedup_within_doc", "audio_compress_stage",
     "audio_corpus_report", "corpus_diff",
     "weighted_sample",
     "paragraph_dedup", "paragraph_dedup_bloom", "decontaminate_spans", "hamming64_pairs", "image_hash_stage",

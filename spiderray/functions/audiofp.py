@@ -736,3 +736,45 @@ def denoise_spectral(pcm: np.ndarray, sr: int, frame: int = 512,
     # bed became 0.13 rms in the first frame) — tapered edges are correct
     y /= np.maximum(wsum, 0.1 * float(wsum.max()))
     return np.clip(y, -1.0, 1.0).astype(np.float32), floor_db
+
+
+def compress_dynamics(x: "np.ndarray", sr: int, threshold_db: float = -24.0,
+                      ratio: float = 4.0, attack_ms: float = 10.0,
+                      release_ms: float = 100.0, makeup_db: float = 0.0,
+                      frame_ms: float = 10.0):
+    """Feed-forward dynamic-range compressor (the public design of
+    Giannoulis, Massberg & Reiss 2012): frame-RMS level detection, a
+    static gain curve above ``threshold_db`` with slope ``1-1/ratio``,
+    one-pole attack/release smoothing of the gain-reduction envelope
+    (attack when reduction RISES, release when it falls), frame-held
+    gain application, optional makeup gain, hard clip at ±1 — the
+    loudness-consistency transform a speech corpus applies between
+    normalization and the trainer (a shouted clip stops dominating the
+    batch loss; whispers keep their shape).
+
+    Deterministic: float64 math in a fixed order, Python frame loop only
+    over ~100 frames/s (the per-sample work is vectorized numpy).
+    Returns ``(y float32, max_gain_reduction_db float)``."""
+    if ratio < 1.0:
+        raise ValueError(f"ratio must be >= 1, got {ratio}")
+    x64 = np.asarray(x, dtype=np.float64)
+    if len(x64) == 0 or sr <= 0:
+        return x64.astype(np.float32), 0.0
+    frame = max(int(sr * frame_ms / 1000.0), 1)
+    n_fr = (len(x64) + frame - 1) // frame
+    padded = np.zeros(n_fr * frame, dtype=np.float64)
+    padded[:len(x64)] = x64
+    rms = np.sqrt(np.mean(padded.reshape(n_fr, frame) ** 2, axis=1))
+    lvl = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    gr = np.maximum(lvl - threshold_db, 0.0) * (1.0 - 1.0 / ratio)
+    a_att = np.exp(-frame_ms / attack_ms) if attack_ms > 0 else 0.0
+    a_rel = np.exp(-frame_ms / release_ms) if release_ms > 0 else 0.0
+    sm = np.empty(n_fr, dtype=np.float64)
+    s = 0.0
+    for i in range(n_fr):
+        c = a_att if gr[i] > s else a_rel
+        s = c * s + (1.0 - c) * gr[i]
+        sm[i] = s
+    gain = 10.0 ** ((makeup_db - sm) / 20.0)
+    y = x64 * np.repeat(gain, frame)[:len(x64)]
+    return np.clip(y, -1.0, 1.0).astype(np.float32), float(sm.max())

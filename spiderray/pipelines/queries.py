@@ -4503,6 +4503,25 @@ def q_audio_denoise(sf_dir: str):
         ["clip_id", "denoise_ok", "noise_floor_db", "out_rms"])
 
 
+def q_audio_compress(sf_dir: str):
+    """Dynamic-range compression (stages/audioquality.
+    audio_compress_stage — Giannoulis et al. 2012 feed-forward design):
+    frame-RMS detection, static curve above threshold, attack/release
+    one-pole smoothing, frame-held gain.  Corpus: tone bursts over
+    noise beds (loud bursts compress, quiet beds pass).  Oracle: serial
+    decode + same kernel per row (so_audio_compress)."""
+    _ensure_fixture("q_audio_compress", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_compress_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_noisy_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_compress_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "compress_ok", "gain_reduction_db", "out_rms"])
+
+
 def q_audio_reverb(sf_dir: str):
     """Blind-reverberation capture gate (stages/audioquality.
     audio_reverb_stage): actor-pool decode → frame-energy envelope + OLS
@@ -6558,6 +6577,7 @@ QUERIES = {
     "q_canary_scan": q_canary_scan,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_line_dedup": q_line_dedup,
+    "q_audio_compress": q_audio_compress,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,

@@ -786,6 +786,41 @@ def so_audio_qc(sf_dir: str) -> pa.Table:
          "dead_channel", "fake_stereo", "phase_inverted", "keep"])
 
 
+def so_audio_compress(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_compress: same corpus generator + decode +
+    compressor kernel per row, no Ray."""
+    from ..functions.audiofp import compress_dynamics
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _noisy_clips_batch
+
+    clips = _noisy_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "compress_ok": [], "gain_reduction_db": [],
+           "out_rms": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            if len(pcm) == 0:
+                raise DecodeUnsupported("empty")
+            y, gr = compress_dynamics(pcm, int(sr or 0))
+            ok, rms = True, float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+        except DecodeUnsupported:
+            ok, gr, rms = False, 0.0, 0.0
+        out["clip_id"].append(cid)
+        out["compress_ok"].append(ok)
+        out["gain_reduction_db"].append(gr)
+        out["out_rms"].append(rms)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "compress_ok": pa.array(out["compress_ok"], pa.bool_()),
+        "gain_reduction_db": pa.array(out["gain_reduction_db"],
+                                      pa.float32()),
+        "out_rms": pa.array(out["out_rms"], pa.float32()),
+    })
+
+
 def so_audio_denoise(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_denoise: same corpus generator + decode +
     spectral-subtraction kernel per row, no Ray."""
@@ -2789,6 +2824,7 @@ SERIAL_ORACLES = {
     "q_audio_reverb": so_audio_reverb,
     "q_audio_channels": so_audio_channels,
     "q_audio_denoise": so_audio_denoise,
+    "q_audio_compress": so_audio_compress,
     "q_audio_qc": so_audio_qc,
     "q_prepare_speech": so_prepare_speech,
     "q_pack_bins": so_pack_bins,

@@ -1170,3 +1170,86 @@ def audio_qc_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class AudioCompressActor:
+    """Dynamic-range compression (kernel: functions/audiofp.
+    compress_dynamics — Giannoulis et al. 2012 feed-forward design):
+    decode once, compress, re-encode pcm_s16le; emits gain_reduction_db
+    (the max smoothed reduction applied) and out_rms audit columns;
+    undecodable clips pass through with compress_ok=False.  The
+    loudness-consistency transform between normalization and the
+    trainer."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 threshold_db: float = -24.0, ratio: float = 4.0,
+                 attack_ms: float = 10.0, release_ms: float = 100.0,
+                 makeup_db: float = 0.0):
+        self.cfg = cfg or PipelineConfig()
+        self.threshold_db = threshold_db
+        self.ratio = ratio
+        self.attack_ms = attack_ms
+        self.release_ms = release_ms
+        self.makeup_db = makeup_db
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import compress_dynamics
+        from .multimodal import DecodeUnsupported, _decode_one, _encode_pcm16
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec, ok, grdb, out_rms = [], [], [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                grdb.append(0.0)
+                out_rms.append(0.0)
+                continue
+            y, gr = compress_dynamics(
+                pcm, int(sr or 0), threshold_db=self.threshold_db,
+                ratio=self.ratio, attack_ms=self.attack_ms,
+                release_ms=self.release_ms, makeup_db=self.makeup_db)
+            out_bytes.append(_encode_pcm16(y))
+            out_codec.append("pcm_s16le")
+            ok.append(True)
+            grdb.append(gr)
+            out_rms.append(float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+                           if len(y) else 0.0)
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("compress_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("gain_reduction_db",
+                                    pa.array(grdb, pa.float32()))
+        return batch.append_column("out_rms", pa.array(out_rms, pa.float32()))
+
+
+def audio_compress_stage(ds, cfg: PipelineConfig,
+                         concurrency: int | tuple[int, int] = 4,
+                         threshold_db: float = -24.0, ratio: float = 4.0,
+                         attack_ms: float = 10.0, release_ms: float = 100.0,
+                         makeup_db: float = 0.0):
+    """Actor-pool dynamic-range compression over the clip table."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioCompressActor,
+        fn_constructor_args=(cfg, threshold_db, ratio, attack_ms,
+                             release_ms, makeup_db),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

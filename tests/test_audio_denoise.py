@@ -78,3 +78,99 @@ class TestDenoiseStage:
         assert d.loc["n", "denoise_ok"] and not d.loc["bad", "denoise_ok"]
         assert abs(d.loc["n", "noise_floor_db"] - rows["noise_floor_db"][0]) \
             < 1e-5
+
+
+class TestCompressDynamics:
+    """compress_dynamics kernel + actor (Giannoulis et al. 2012)."""
+
+    def _tone(self, amp, sec=1.0, sr=16000):
+        import numpy as np
+
+        t = np.arange(int(sr * sec)) / sr
+        return (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    def test_static_curve_on_loud_tone(self):
+        import numpy as np
+
+        from spiderray.functions.audiofp import compress_dynamics
+
+        x = self._tone(0.9)
+        y, gr = compress_dynamics(x, 16000, threshold_db=-24, ratio=4)
+        lvl_in = 20 * np.log10(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+        lvl_out = 20 * np.log10(
+            np.sqrt(np.mean(y[8000:].astype(np.float64) ** 2)))
+        expect = -24 + (lvl_in + 24) / 4
+        assert abs(lvl_out - expect) < 0.5
+        assert gr > 10
+
+    def test_quiet_signal_untouched(self):
+        import numpy as np
+
+        from spiderray.functions.audiofp import compress_dynamics
+
+        x = self._tone(0.01)
+        y, gr = compress_dynamics(x, 16000, threshold_db=-24, ratio=4)
+        assert gr < 0.01
+        assert np.allclose(y, np.clip(x.astype(np.float64), -1, 1),
+                           atol=1e-6)
+
+    def test_attack_faster_than_release(self):
+        import numpy as np
+
+        from spiderray.functions.audiofp import compress_dynamics
+
+        sr = 16000
+        x = np.concatenate([self._tone(0.01, 0.5), self._tone(0.9, 0.5),
+                            self._tone(0.01, 0.5)])
+        y, _ = compress_dynamics(x, sr, threshold_db=-24, ratio=4,
+                                 attack_ms=10, release_ms=200)
+        # 100ms into the burst the gain is mostly applied...
+        mid = 20 * np.log10(np.sqrt(np.mean(
+            y[int(sr * 0.6):int(sr * 0.7)].astype(np.float64) ** 2)))
+        assert mid < -15
+        # ...but 100ms after it ends, release is still recovering: the
+        # quiet tail is MORE attenuated than its steady-state
+        tail = np.sqrt(np.mean(
+            y[int(sr * 1.0):int(sr * 1.1)].astype(np.float64) ** 2))
+        steady = np.sqrt(np.mean(
+            y[int(sr * 1.4):].astype(np.float64) ** 2))
+        assert tail < steady
+
+    def test_degenerate_inputs(self):
+        import numpy as np
+
+        import pytest
+
+        from spiderray.functions.audiofp import compress_dynamics
+
+        y, gr = compress_dynamics(np.zeros(0, np.float32), 16000)
+        assert len(y) == 0 and gr == 0.0
+        with pytest.raises(ValueError):
+            compress_dynamics(self._tone(0.5), 16000, ratio=0.5)
+
+    def test_actor_roundtrip_and_corrupt(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.audioquality import audio_compress_stage
+        from spiderray.stages.multimodal import _decode_one, _encode_pcm16
+
+        x = self._tone(0.9)
+        df = pd.DataFrame({
+            "clip_id": ["a", "bad"],
+            "bytes": [_encode_pcm16(x), b"\x00\x01garbage"],
+            "codec": ["pcm_s16le", "flac"],
+            "sr_hz": [16000, 16000],
+            "dur_ms": [1000, 1000],
+            "transcript": ["", ""],
+        })
+        out = (audio_compress_stage(rd.from_pandas(df), PipelineConfig(),
+                                    concurrency=1)
+               .to_pandas().set_index("clip_id"))
+        assert bool(out.loc["a", "compress_ok"])
+        assert not bool(out.loc["bad", "compress_ok"])
+        y = _decode_one(out.loc["a", "bytes"], out.loc["a", "codec"])
+        assert len(y) == len(x)
+        assert float(out.loc["a", "gain_reduction_db"]) > 10
