@@ -4503,6 +4503,43 @@ def q_audio_denoise(sf_dir: str):
         ["clip_id", "denoise_ok", "noise_floor_db", "out_rms"])
 
 
+def q_utterance_pack(sf_dir: str):
+    """Utterance packing composite — the audio sibling of sample packing
+    (Whisper-style 30 s training windows): VAD utterance explode
+    (stages/multimodal.vad_segment_stage) → FFD bin packing of segment
+    durations into 30 000 ms bins within md5(seg_id) buckets
+    (stages/windows.pack_bins).  Streaming map chain + the
+    layout-invariant packing; oracle: serial VAD + the serial FFD twin."""
+    _ensure_fixture("q_utterance_pack", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import gapped_clips_batch, vad_segment_stage
+    from ..stages.windows import pack_bins
+
+    ds = clips_from_documents(sf_dir).map_batches(
+        gapped_clips_batch, batch_format="pyarrow", zero_copy_batch=True)
+    segs = vad_segment_stage(ds, PipelineConfig(), emit_audio=False)
+
+    def seg_ids(batch: pa.Table) -> pa.Table:
+        cid = batch.column("clip_id").to_pylist()
+        six = batch.column("seg_idx").to_pylist()
+        return pa.table({
+            "seg_id": pa.array([f"{c}:{i}" for c, i in zip(cid, six)],
+                               pa.string()),
+            "dur_ms": batch.column("dur_ms").cast(pa.int64()),
+        })
+
+    items = segs.map_batches(seg_ids, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    packed = pack_bins(items, id_col="seg_id", size_col="dur_ms",
+                       capacity=30_000, n_buckets=8)
+    df = packed.to_pandas().sort_values("seg_id").reset_index(drop=True)
+    for c in ("dur_ms", "bucket", "bin", "bin_fill"):
+        df[c] = df[c].astype("int64")
+    return df[["seg_id", "dur_ms", "bucket", "bin", "bin_fill",
+               "oversize"]]
+
+
 def q_audio_compress(sf_dir: str):
     """Dynamic-range compression (stages/audioquality.
     audio_compress_stage — Giannoulis et al. 2012 feed-forward design):
@@ -6578,6 +6615,7 @@ QUERIES = {
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_line_dedup": q_line_dedup,
     "q_audio_compress": q_audio_compress,
+    "q_utterance_pack": q_utterance_pack,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,

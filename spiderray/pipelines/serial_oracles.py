@@ -786,6 +786,61 @@ def so_audio_qc(sf_dir: str) -> pa.Table:
          "dead_channel", "fake_stereo", "phase_inverted", "keep"])
 
 
+def so_utterance_pack(sf_dir: str) -> pa.Table:
+    """Serial twin for q_utterance_pack: serial VAD explode (same actor)
+    then the serial FFD of so_pack_bins at capacity 30 000 / 8 buckets."""
+    import pandas as pd
+
+    from ..config import PipelineConfig
+    from ..stages.multimodal import VadSegmentActor, gapped_clips_batch
+    from ..stages.stats import split_bucket
+
+    gapped = gapped_clips_batch(_clips(sf_dir))
+    segs = VadSegmentActor(PipelineConfig(), emit_audio=False)(gapped)
+    df = segs.to_pandas()
+    df["seg_id"] = [f"{c}:{i}" for c, i in zip(df["clip_id"],
+                                               df["seg_idx"])]
+    df["dur_ms"] = df["dur_ms"].astype("int64")
+    df = df[["seg_id", "dur_ms"]]
+    df["bucket"] = [split_bucket(str(i), 8) for i in df["seg_id"]]
+    capacity = 30_000
+    parts = []
+    for b, g in df.groupby("bucket"):
+        g = g.copy()
+        g = g.sort_values(["dur_ms", "seg_id"], ascending=[False, True],
+                          kind="mergesort")
+        bins, assign, oversize = [], [], []
+        for s in g["dur_ms"]:
+            s = int(s)
+            if s > capacity:
+                assign.append(len(bins))
+                bins.append(0)
+                oversize.append(True)
+                continue
+            oversize.append(False)
+            for j, rem in enumerate(bins):
+                if rem >= s:
+                    assign.append(j)
+                    bins[j] = rem - s
+                    break
+            else:
+                assign.append(len(bins))
+                bins.append(capacity - s)
+        g["bin"] = assign
+        g["oversize"] = oversize
+        g["bin_fill"] = g.groupby("bin")["dur_ms"].transform("sum")
+        parts.append(g)
+    out = pd.concat(parts).sort_values("seg_id").reset_index(drop=True)
+    return pa.table({
+        "seg_id": pa.array(out["seg_id"], pa.string()),
+        "dur_ms": pa.array(out["dur_ms"].astype("int64")),
+        "bucket": pa.array(out["bucket"].astype("int64")),
+        "bin": pa.array(out["bin"].astype("int64")),
+        "bin_fill": pa.array(out["bin_fill"].astype("int64")),
+        "oversize": pa.array(out["oversize"].astype(bool)),
+    })
+
+
 def so_audio_compress(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_compress: same corpus generator + decode +
     compressor kernel per row, no Ray."""
@@ -2825,6 +2880,7 @@ SERIAL_ORACLES = {
     "q_audio_channels": so_audio_channels,
     "q_audio_denoise": so_audio_denoise,
     "q_audio_compress": so_audio_compress,
+    "q_utterance_pack": so_utterance_pack,
     "q_audio_qc": so_audio_qc,
     "q_prepare_speech": so_prepare_speech,
     "q_pack_bins": so_pack_bins,
