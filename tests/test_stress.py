@@ -625,3 +625,90 @@ class TestStressAudioQc:
         want = sum(1 for i in range(n)
                    if i % 17 != 5 and (i % 11) in (0, 10))
         assert segs.count() == want
+
+
+class TestStressFifthWave:
+    def test_prototype_prune_200k_vectors(self, ray_session):
+        """Prune at 200k 32-dim vectors / 16 clusters: per-cluster drop
+        counts respect the budget, pruned scores dominate kept scores,
+        and the histogram exchange stays k-bounded."""
+        import ray.data as rd
+
+        from spiderray.stages import ann, dedup
+
+        rng = np.random.default_rng(23)
+        n, d, k = 200_000, 32, 16
+        centers = rng.standard_normal((k, d)) * 4
+        V = centers[np.arange(n) % k] + rng.standard_normal((n, d)) * 0.5
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": [list(r) for r in V]})
+        ds = rd.from_pandas(df).repartition(32)
+        init = ann.smallest_id_vectors(ds, k)
+        out = dedup.prototype_prune(ds, n_clusters=k, iters=2,
+                                    drop_frac=0.25, init=init).to_pandas()
+        assert len(out) == n
+        assert out["pruned"].sum() > 0
+        for c, g in out.groupby("cluster"):
+            nd = int(g["pruned"].sum())
+            assert nd <= int(0.25 * len(g))
+            if nd:
+                assert (g[g["pruned"]]["proto_milli"].min()
+                        > g[~g["pruned"]]["proto_milli"].max())
+
+    def test_canary_scan_200k_docs(self, ray_session):
+        """Governance scan at 200k docs x 20 canaries: exact counts."""
+        import ray.data as rd
+
+        from spiderray.stages.stats import canary_scan
+
+        n = 200_000
+        canaries = [f"CANARY-{j:04d}" for j in range(20)]
+        # canary j planted in docs where i % (j+2) == 0, once
+        texts = []
+        for i in range(n):
+            t = f"doc {i} body"
+            for j in range(20):
+                if i % (j + 2) == 0:
+                    t += " " + canaries[j]
+            texts.append(t)
+        df = pd.DataFrame({"doc_id": range(n), "text": texts})
+        out = canary_scan(rd.from_pandas(df).repartition(32), canaries)
+        got = {r.canary: (r.n_docs, r.n_occurrences)
+               for r in out.itertuples()}
+        for j in range(20):
+            want = (n + (j + 1)) // (j + 2)
+            assert got[canaries[j]] == (want, want), (j, got[canaries[j]])
+
+    def test_mojibake_200k_rows(self, ray_session):
+        """Mojibake repair at 200k rows (10% single-mangled, 5% double):
+        every mangled row recovers byte-identically; ASCII fast path
+        leaves the rest untouched."""
+        import ray.data as rd
+
+        from spiderray.stages.textnorm_stage import fix_mojibake_stage
+
+        n = 200_000
+        base = "The Bär sägt — '’' hello row "
+        texts, expect_passes = [], []
+        for i in range(n):
+            t = base + str(i) if i % 10 == 0 or i % 20 == 1 else f"ascii row {i}"
+            if i % 10 == 0:
+                t1 = t.encode("utf-8").decode("latin-1")
+                texts.append(t1)
+                expect_passes.append(1)
+            elif i % 20 == 1:
+                t2 = (t.encode("utf-8").decode("latin-1")
+                      .encode("utf-8").decode("latin-1"))
+                texts.append(t2)
+                expect_passes.append(2)
+            else:
+                texts.append(t)
+                expect_passes.append(0)
+        df = pd.DataFrame({"doc_id": range(n), "text": texts})
+        out = (fix_mojibake_stage(rd.from_pandas(df).repartition(32))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["moji_passes"]) == expect_passes
+        fixed = out["text"].to_numpy()
+        for i in (0, 10, 21, 41, 2):
+            want = (base + str(i)) if expect_passes[i] else f"ascii row {i}"
+            assert fixed[i] == want, i
