@@ -134,6 +134,15 @@ def run_queries() -> dict[str, float]:
         ("q_audio_denoise", q.q_audio_denoise),
         ("q_audio_qc", q.q_audio_qc),
         ("q_prepare_speech", q.q_prepare_speech),
+        # round-4 fifth-wave additions
+        ("q_prototype_prune", q.q_prototype_prune),
+        ("q_mmr_topk", q.q_mmr_topk),
+        ("q_fix_mojibake", q.q_fix_mojibake),
+        ("q_canary_scan", q.q_canary_scan),
+        ("q_tokenizer_fertility", q.q_tokenizer_fertility),
+        ("q_line_dedup", q.q_line_dedup),
+        ("q_audio_compress", q.q_audio_compress),
+        ("q_utterance_pack", q.q_utterance_pack),
     ]
     import ray.data
 
@@ -192,9 +201,13 @@ _CALM_SEC = {
     "q_audio_reverb": 2.5, "q_audio_channels": 2.5, "q_transcript_fit": 0.8,
     "q_term_drift": 1.0, "q_vocab_coverage": 0.8, "q_wordpiece_tokens": 3.0,
     "q_classifier_auc": 1.0, "q_pack_bins": 1.0,
-    "q_ngram_novelty": 1.5, "q_codec_sniff": 0.8, "q_time_stretch": 4.0,
+    "q_ngram_novelty": 8.0,  # Ray all-to-all floor, see BASELINE adjudication
+     "q_codec_sniff": 0.8, "q_time_stretch": 4.0,
     "q_pitch_shift": 6.0, "q_embedding_decontaminate": 0.8,
     "q_audio_denoise": 3.0, "q_audio_qc": 4.0, "q_prepare_speech": 6.0,
+    "q_prototype_prune": 1.5, "q_mmr_topk": 0.8, "q_fix_mojibake": 1.0,
+    "q_canary_scan": 0.8, "q_tokenizer_fertility": 1.5, "q_line_dedup": 1.0,
+    "q_audio_compress": 3.0, "q_utterance_pack": 3.0,
 }
 
 

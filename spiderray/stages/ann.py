@@ -524,7 +524,8 @@ def mmr_topk(
     Scale shape: per-block exact top-``n_candidates`` by query cosine
     (the brute_force_topk local stage, query broadcast once) → driver
     merge of ≤ C·n_blocks rows → greedy selection over the C-candidate
-    set.  C bounds driver memory and the O(k·C²) selection regardless of
+    set.  C bounds driver memory and the O(C²) pairwise table + O(k·C)
+    greedy selection regardless of
     corpus size; documented approximation — an item outside the top-C
     relevance pool can never be selected.
 
