@@ -43,7 +43,8 @@ from .stages.dedup import (
     simhash_pairs,
 )
 from .stages.ann import kmeans_assign, kmeans_fit_distributed
-from .stages.joins import asof_join, bucketed_join, hash_join, range_join, salted_join
+from .stages.joins import (asof_join, broadcast_join, bucketed_join,
+                           hash_join, range_join, salted_join)
 from .stages.lm_train import train_char_lm, train_langid_profiles
 from .stages.stats import (
     grouped_outliers,
@@ -166,6 +167,7 @@ from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
+    "broadcast_join",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

@@ -1072,6 +1072,35 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_broadcast_join(sf_dir: str):
+    """Small-side broadcast join (stages/joins.broadcast_join — the
+    map-side fast path of the join family): the customer dimension ships
+    once via ray.put, orders never shuffle; same mktsegment totals as
+    the hash-join query so the two plans pin each other.  Oracle:
+    literal SQL join."""
+    from ..stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on="o_custkey",
+                            right_on="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = _cents(df["o_totalprice"])
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"), sum_price_c=("price_c", "sum")
+        )
+        return _pa_from_pandas(g)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    df = _final_merge(partials, ["c_mktsegment"],
+                      {"n_orders": "sum", "sum_price_c": "sum"})
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 SQL_JOIN_ORDERS_CUSTOMERS = """
 SELECT c.c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
@@ -6587,6 +6616,7 @@ QUERIES = {
     "q_anti_join_customers": q_anti_join_customers,
     "q_distinct_priorities": q_distinct_priorities,
     "q_join_orders_customers": q_join_orders_customers,
+    "q_broadcast_join": q_broadcast_join,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,
@@ -6817,6 +6847,7 @@ ORACLE_SQL = {
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,
     "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "q_broadcast_join": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_harvest_filter": SQL_HARVEST_FILTER,

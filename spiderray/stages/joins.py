@@ -504,3 +504,52 @@ def bucketed_join_copartitioned(left_dir: str, right_dir: str,
     buckets = rd.from_items([{"bucket": k} for k in range(ln)])
     return buckets.map_batches(join_bucket, batch_format="pyarrow",
                                batch_size=1)
+
+
+def broadcast_join(left, right, on: str, right_on: str | None = None,
+                   how: str = "inner", max_right_rows: int = 5_000_000):
+    """Small-side broadcast join — the MAP-SIDE join every shuffle-join
+    family needs as its fast path: the right side materializes ONCE to
+    the driver under a hard row cap, ships to the object store via one
+    ``ray.put``, and every left batch merges against it locally — the
+    left side never shuffles and nothing left-sized reaches the driver.
+    This is the shape the engine already uses internally (loser-set
+    drops, decontaminate gram sets, const maps J1/J3); exposing it as a
+    first-class operator makes the dimension-table join explicit
+    (reference analog: the broadcast host/lang maps of
+    /root/reference/domain.go joined against every page).
+
+    ``how``: 'inner' or 'left'.  Column sets must be disjoint apart from
+    the key; a right side over ``max_right_rows`` raises loudly — at
+    that size use bucketed_join/hash_join instead."""
+    import ray
+
+    import pandas as pd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    rkey = right_on or on
+    n_right = right.count()
+    if n_right > max_right_rows:
+        raise ValueError(
+            f"broadcast_join: right side has {n_right} rows > "
+            f"max_right_rows={max_right_rows} — broadcast would not fit; "
+            "use bucketed_join or hash_join.")
+    rdf = right.to_pandas()
+    if rkey != on:
+        rdf = rdf.rename(columns={rkey: on})
+    overlap = (set(left.schema(fetch_if_missing=True).names)
+               & set(rdf.columns)) - {on}
+    if overlap:
+        raise ValueError(f"broadcast_join: overlapping columns "
+                         f"{sorted(overlap)}")
+    # dtype-preserving empty-merge schema comes from the broadcast frame
+    r_ref = ray.put(rdf)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        r = _ray.get(r_ref)
+        return batch.merge(r, on=on, how=how)
+
+    return left.map_batches(merge, batch_format="pandas")

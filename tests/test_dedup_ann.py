@@ -2062,3 +2062,50 @@ class TestDecontaminateSpans:
             rd.from_items(docs), bench, n=8).to_pandas()
         assert out.iloc[0]["text"] == ""
         assert out.iloc[0]["n_cut_words"] == 9
+
+
+class TestBroadcastJoin:
+    @pytest.fixture(scope="class")
+    def sides(self, ray_session):
+        import ray.data as rd
+
+        left = rd.from_items([{"k": i % 7, "lval": i} for i in range(50)])
+        right = rd.from_items([{"kk": j, "rval": j * 100} for j in range(5)])
+        return left, right
+
+    def _expected(self):
+        return sorted((i % 7, i, (i % 7) * 100) for i in range(50)
+                      if i % 7 < 5)
+
+    def test_inner_matches_hash_join(self, sides):
+        from spiderray.stages.joins import broadcast_join
+
+        left, right = sides
+        out = broadcast_join(left, right, on="k",
+                             right_on="kk").to_pandas()
+        got = sorted(map(tuple, out[["k", "lval", "rval"]].to_numpy()))
+        assert got == self._expected()
+
+    def test_left_keeps_unmatched(self, sides):
+        from spiderray.stages.joins import broadcast_join
+
+        left, right = sides
+        out = broadcast_join(left, right, on="k", right_on="kk",
+                             how="left").to_pandas()
+        assert len(out) == 50
+        unmatched = out[out["k"] >= 5]
+        assert unmatched["rval"].isna().all()
+
+    def test_cap_and_overlap_raise(self, sides):
+        import pytest as _pytest
+
+        from spiderray.stages.joins import broadcast_join
+
+        left, right = sides
+        with _pytest.raises(ValueError):
+            broadcast_join(left, right, on="k", right_on="kk",
+                           max_right_rows=2)
+        with _pytest.raises(ValueError):
+            broadcast_join(left, left, on="k")   # lval overlaps
+        with _pytest.raises(ValueError):
+            broadcast_join(left, right, on="k", right_on="kk", how="outer")
