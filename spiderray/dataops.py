@@ -104,8 +104,8 @@ from .stages.audioquality import (
     specaugment_stage,
 )
 from .stages.multimodal import (acoustic_augment_stage,
-                                pitch_shift_stage, speed_perturb_stage,
-                                time_stretch_stage)
+                                flac_transcode_stage, pitch_shift_stage,
+                                speed_perturb_stage, time_stretch_stage)
 from .stages.quarantine import quarantine_map_batches, read_quarantine
 from .stages.stats import (
     bottomk_sample,
@@ -167,7 +167,7 @@ from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
-    "broadcast_join",
+    "broadcast_join", "flac_transcode_stage",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

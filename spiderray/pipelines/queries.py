@@ -4532,6 +4532,22 @@ def q_audio_denoise(sf_dir: str):
         ["clip_id", "denoise_ok", "noise_floor_db", "out_rms"])
 
 
+def q_flac_transcode(sf_dir: str):
+    """Lossless FLAC transcode (stages/multimodal.flac_transcode_stage):
+    decode → int16 quantize → from-scratch FLAC encode, with in-actor
+    re-decode verification (lossless flag) — the storage-side corpus
+    compression before sharding.  Oracle: serial same-kernel twin."""
+    _ensure_fixture("q_flac_transcode", sf_dir)
+    from ..config import PipelineConfig
+    from ..sources.clips import clips_from_documents
+    from ..stages.multimodal import flac_transcode_stage
+
+    ds = clips_from_documents(sf_dir)
+    out = flac_transcode_stage(ds, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "flac_ok", "lossless", "n_bytes_in", "n_bytes_flac"])
+
+
 def q_utterance_pack(sf_dir: str):
     """Utterance packing composite — the audio sibling of sample packing
     (Whisper-style 30 s training windows): VAD utterance explode
@@ -6646,6 +6662,7 @@ QUERIES = {
     "q_line_dedup": q_line_dedup,
     "q_audio_compress": q_audio_compress,
     "q_utterance_pack": q_utterance_pack,
+    "q_flac_transcode": q_flac_transcode,
     "q_audio_humdc": q_audio_humdc,
     "q_audio_reverb": q_audio_reverb,
     "q_audio_denoise": q_audio_denoise,

@@ -786,6 +786,17 @@ def so_audio_qc(sf_dir: str) -> pa.Table:
          "dead_channel", "fake_stereo", "phase_inverted", "keep"])
 
 
+def so_flac_transcode(sf_dir: str) -> pa.Table:
+    """Serial twin for q_flac_transcode: same actor applied to the serial
+    clip table."""
+    from ..config import PipelineConfig
+    from ..stages.multimodal import FlacTranscodeActor
+
+    out = FlacTranscodeActor(PipelineConfig())(_clips(sf_dir))
+    return out.select(["clip_id", "flac_ok", "lossless", "n_bytes_in",
+                       "n_bytes_flac"])
+
+
 def so_utterance_pack(sf_dir: str) -> pa.Table:
     """Serial twin for q_utterance_pack: serial VAD explode (same actor)
     then the serial FFD of so_pack_bins at capacity 30 000 / 8 buckets."""
@@ -2881,6 +2892,7 @@ SERIAL_ORACLES = {
     "q_audio_denoise": so_audio_denoise,
     "q_audio_compress": so_audio_compress,
     "q_utterance_pack": so_utterance_pack,
+    "q_flac_transcode": so_flac_transcode,
     "q_audio_qc": so_audio_qc,
     "q_prepare_speech": so_prepare_speech,
     "q_pack_bins": so_pack_bins,

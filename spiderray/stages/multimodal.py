@@ -1494,3 +1494,91 @@ def pitch_shift_stage(ds, cfg: PipelineConfig, salt: str = "",
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class FlacTranscodeActor:
+    """Lossless corpus compression: decode any supported codec, quantize
+    to int16 (round-half-away via np.round, the repo's 32767 scale), and
+    re-encode as FLAC (functions/flacdec.encode_flac — the from-scratch
+    spec encoder).  ``verify=True`` re-decodes the produced stream and
+    checks sample-exact equality against the quantized source — the
+    transcode refuses to silently corrupt (lossless=False marks, never
+    raises).  Undecodable inputs pass through with flac_ok=False.
+
+    The storage-side sibling of the WDS/JSONL sinks: a PCM-heavy speech
+    corpus typically shrinks 30-50% with zero information loss before
+    sharding."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 verify: bool = True, block_size: int = 4096):
+        self.cfg = cfg or PipelineConfig()
+        self.verify = verify
+        self.block_size = block_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.flacdec import decode_flac, encode_flac
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        out_bytes, out_codec, ok, lossless, nb_in, nb_out = \
+            [], [], [], [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            nb_in.append(len(buf or b""))
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+            except DecodeUnsupported:
+                out_bytes.append(buf)
+                out_codec.append(codec)
+                ok.append(False)
+                lossless.append(False)
+                nb_out.append(len(buf or b""))
+                continue
+            q = np.round(np.clip(pcm.astype(np.float64), -1.0, 1.0)
+                         * 32767.0).astype(np.int16)
+            flac = encode_flac(q.astype(np.int64), int(sr or 0),
+                               block_size=self.block_size)
+            good = True
+            if self.verify:
+                back, _ = decode_flac(flac)
+                good = (len(back) == len(q)
+                        and bool(np.array_equal(
+                            np.asarray(back, np.int64), q)))
+            out_bytes.append(flac)
+            out_codec.append("flac")
+            ok.append(True)
+            lossless.append(good)
+            nb_out.append(len(flac))
+        names = batch.column_names
+        batch = batch.set_column(names.index(self.cfg.bytes_col),
+                                 self.cfg.bytes_col,
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index(self.cfg.codec_col),
+                                 self.cfg.codec_col,
+                                 pa.array(out_codec, pa.string()))
+        batch = batch.append_column("flac_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("lossless",
+                                    pa.array(lossless, pa.bool_()))
+        batch = batch.append_column("n_bytes_in",
+                                    pa.array(nb_in, pa.int64()))
+        return batch.append_column("n_bytes_flac",
+                                   pa.array(nb_out, pa.int64()))
+
+
+def flac_transcode_stage(ds, cfg: PipelineConfig,
+                         concurrency: int | tuple[int, int] = 4,
+                         verify: bool = True, block_size: int = 4096):
+    """Actor-pool lossless FLAC transcode over the clip table."""
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        FlacTranscodeActor,
+        fn_constructor_args=(cfg, verify, block_size),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
