@@ -1072,6 +1072,41 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_grouped_rollup(sf_dir: str):
+    """Multi-level subtotal aggregate (stages/stats.grouped_rollup — SQL's
+    GROUP BY ROLLUP): order counts and exact cent totals by
+    (priority, status), by priority, and overall in one result; one
+    corpus pass, one finest-level shuffle, coarser levels derived from
+    the aggregate.  Oracle: literal DuckDB GROUP BY ROLLUP."""
+    from ..stages.stats import grouped_rollup
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = _cents(df["o_totalprice"])
+        return _pa_from_pandas(
+            df[["o_orderpriority", "o_orderstatus", "price_c"]])
+
+    with_cents = ds.map_batches(add_cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return grouped_rollup(with_cents,
+                          ["o_orderpriority", "o_orderstatus"], "price_c")
+
+
+SQL_GROUPED_ROLLUP = """
+SELECT COALESCE(o_orderpriority, '__ALL__') AS o_orderpriority,
+       COALESCE(o_orderstatus, '__ALL__') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY 1, 2
+"""
+
+
 def q_broadcast_join(sf_dir: str):
     """Small-side broadcast join (stages/joins.broadcast_join — the
     map-side fast path of the join family): the customer dimension ships
@@ -6633,6 +6668,7 @@ QUERIES = {
     "q_distinct_priorities": q_distinct_priorities,
     "q_join_orders_customers": q_join_orders_customers,
     "q_broadcast_join": q_broadcast_join,
+    "q_grouped_rollup": q_grouped_rollup,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,
@@ -6865,6 +6901,7 @@ ORACLE_SQL = {
     "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,
     "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_broadcast_join": SQL_JOIN_ORDERS_CUSTOMERS,
+    "q_grouped_rollup": SQL_GROUPED_ROLLUP,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_harvest_filter": SQL_HARVEST_FILTER,

@@ -1578,3 +1578,62 @@ def canary_scan(ds, canaries: list[str], text_col: str = "text",
         "n_docs": pd.array([r[1] for r in rows], dtype="int64"),
         "n_occurrences": pd.array([r[2] for r in rows], dtype="int64"),
     })
+
+
+def grouped_rollup(ds, keys: list, value_col: str, sentinel: str = "__ALL__"):
+    """Multi-level subtotal aggregate — SQL's GROUP BY ROLLUP for the
+    data-card use ("tokens by (source, lang), by source, and overall"
+    in ONE result): counts and integer sums at every rollup level of
+    ``keys``, rolled-up positions holding ``sentinel``.
+
+    Scale shape: per-batch partial aggregation to the FINEST level
+    (bounded by the key-combination count per batch), ONE keyed
+    groupby-Sum at that level, then the coarser levels derive from the
+    finest AGGREGATE (already tiny) with plain pandas — the corpus is
+    touched once and only key-cardinality-sized tables move after the
+    single shuffle.  ``value_col`` must be integer (quantize first) so
+    every sum is exact under any partitioning."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    if not keys:
+        raise ValueError("grouped_rollup: keys must be non-empty")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field(value_col).type):
+            raise TypeError(
+                f"grouped_rollup: {value_col!r} must be an integer column, "
+                f"got {batch.schema.field(value_col).type} — quantize "
+                "first.")
+        df = batch.select(keys + [value_col]).to_pandas()
+        for k in keys:
+            df[k] = df[k].astype(str)
+        g = df.groupby(keys, as_index=False).agg(
+            n=(value_col, "size"), total=(value_col, "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["total"] = g["total"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(keys)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("total", alias_name="total"))
+              .to_pandas())
+    levels = [finest]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        up = (cur.groupby(keys[:i], as_index=False)
+              .agg(n=("n", "sum"), total=("total", "sum"))
+              if i else pd.DataFrame({"n": [cur["n"].sum()],
+                                      "total": [cur["total"].sum()]}))
+        for k in keys[i:]:
+            up[k] = sentinel
+        levels.append(up[keys + ["n", "total"]])
+        cur = levels[-1] if i else cur
+    out = pd.concat(levels, ignore_index=True)
+    for c in ("n", "total"):
+        out[c] = out[c].astype("int64")
+    return (out[keys + ["n", "total"]]
+            .sort_values(keys, kind="mergesort").reset_index(drop=True))

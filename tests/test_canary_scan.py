@@ -51,3 +51,45 @@ class TestCanaryScan:
             canary_scan(ds, ["ok", ""])
         with pytest.raises(ValueError):
             canary_scan(ds, ["a", "b", "c"], max_canaries=2)
+
+
+class TestGroupedRollup:
+    def test_levels_and_totals(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_rollup
+
+        df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                           "v": [10, 20, 5]})
+        out = grouped_rollup(rd.from_pandas(df), ["a", "b"], "v")
+        rows = {(r.a, r.b): (r.n, r.total) for r in out.itertuples()}
+        assert rows[("x", "1")] == (1, 10)
+        assert rows[("x", "__ALL__")] == (2, 30)
+        assert rows[("y", "__ALL__")] == (1, 5)
+        assert rows[("__ALL__", "__ALL__")] == (3, 35)
+        assert len(rows) == 6
+
+    def test_single_key_and_guards(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_rollup
+
+        df = pd.DataFrame({"a": ["x", "y", "y"], "v": [1, 2, 3]})
+        out = grouped_rollup(rd.from_pandas(df), ["a"], "v")
+        rows = {r.a: (r.n, r.total) for r in out.itertuples()}
+        assert rows == {"x": (1, 1), "y": (2, 5), "__ALL__": (3, 6)}
+        with pytest.raises(ValueError):
+            grouped_rollup(rd.from_pandas(df), [], "v")
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_rollup
+
+        df = pd.DataFrame({"a": [str(i % 5) for i in range(300)],
+                           "b": [str(i % 3) for i in range(300)],
+                           "v": list(range(300))})
+        x = grouped_rollup(rd.from_pandas(df), ["a", "b"], "v")
+        y = grouped_rollup(rd.from_pandas(df).repartition(11), ["a", "b"],
+                           "v")
+        pd.testing.assert_frame_equal(x, y)
