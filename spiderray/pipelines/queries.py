@@ -1072,6 +1072,38 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+_ZH_BLOCK = "这是一个中文段落，用来测试语言一致性检测器的窗口投票机制。" * 10
+
+
+def q_lang_consistency(sf_dir: str):
+    """Mixed-language / code-switch detector (stages/quality_stage.
+    lang_consistency_stats — CLD-style chunk voting with the reference's
+    own langid cascade per 256-char window): doc_id%6==0 rows get a
+    deterministic Chinese block appended so genuinely mixed documents
+    exist at any scale; windows disagreeing with the majority vote flag
+    the row.  Oracle: serial same-bank twin over the identical
+    injection."""
+    _ensure_fixture("q_lang_consistency", sf_dir)
+    from ..stages.quality_stage import lang_consistency_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [(t or "") + _ZH_BLOCK if int(i) % 6 == 0 else t
+               for i, t in zip(ids, texts)]
+        return batch.set_column(batch.column_names.index("text"), "text",
+                                pa.array(out, pa.string()))
+
+    out = lang_consistency_stats(
+        ds.map_batches(inject, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return out.select_columns(
+        ["doc_id", "doc_lang", "n_windows", "n_classified", "n_disagree",
+         "switch_ppm", "code_switched"])
+
+
 def q_grouped_rollup(sf_dir: str):
     """Multi-level subtotal aggregate (stages/stats.grouped_rollup — SQL's
     GROUP BY ROLLUP): order counts and exact cent totals by
@@ -6669,6 +6701,7 @@ QUERIES = {
     "q_join_orders_customers": q_join_orders_customers,
     "q_broadcast_join": q_broadcast_join,
     "q_grouped_rollup": q_grouped_rollup,
+    "q_lang_consistency": q_lang_consistency,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,

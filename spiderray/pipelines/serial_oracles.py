@@ -786,6 +786,52 @@ def so_audio_qc(sf_dir: str) -> pa.Table:
          "dead_channel", "fake_stereo", "phase_inverted", "keep"])
 
 
+def so_lang_consistency(sf_dir: str) -> pa.Table:
+    """Serial twin for q_lang_consistency: identical injection + the same
+    window/majority arithmetic applied serially (shared langid bank —
+    the injection and orchestration are independent)."""
+    from collections import Counter
+
+    from ..functions.langid import lang_from_text
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    zh = "这是一个中文段落，用来测试语言一致性检测器的窗口投票机制。" * 10
+    W = 256
+    out = {k: [] for k in ("doc_id", "doc_lang", "n_windows",
+                           "n_classified", "n_disagree", "switch_ppm",
+                           "code_switched")}
+    for did, t in zip(docs.column("doc_id").to_pylist(),
+                      docs.column("text").to_pylist()):
+        t = ((t or "") + zh) if int(did) % 6 == 0 else (t or "")
+        dl = lang_from_text(t)[0]
+        wins = [t[i:i + W] for i in range(0, len(t), W)]
+        cls = [x for x in (lang_from_text(w)[0] for w in wins) if x]
+        if cls:
+            counts = Counter(cls)
+            best = max(counts.values())
+            anchor = min(k for k, v in counts.items() if v == best)
+            dis = [x for x in cls if x != anchor]
+        else:
+            dis = []
+        p = (len(dis) * 1_000_000 // len(cls)) if cls else 0
+        out["doc_id"].append(did)
+        out["doc_lang"].append(dl)
+        out["n_windows"].append(len(wins))
+        out["n_classified"].append(len(cls))
+        out["n_disagree"].append(len(dis))
+        out["switch_ppm"].append(p)
+        out["code_switched"].append(p > 200_000 and len(cls) >= 2)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "doc_lang": pa.array(out["doc_lang"], pa.string()),
+        "n_windows": pa.array(out["n_windows"], pa.int64()),
+        "n_classified": pa.array(out["n_classified"], pa.int64()),
+        "n_disagree": pa.array(out["n_disagree"], pa.int64()),
+        "switch_ppm": pa.array(out["switch_ppm"], pa.int64()),
+        "code_switched": pa.array(out["code_switched"], pa.bool_()),
+    })
+
+
 def so_flac_transcode(sf_dir: str) -> pa.Table:
     """Serial twin for q_flac_transcode: same actor applied to the serial
     clip table."""
@@ -2893,6 +2939,7 @@ SERIAL_ORACLES = {
     "q_audio_compress": so_audio_compress,
     "q_utterance_pack": so_utterance_pack,
     "q_flac_transcode": so_flac_transcode,
+    "q_lang_consistency": so_lang_consistency,
     "q_audio_qc": so_audio_qc,
     "q_prepare_speech": so_prepare_speech,
     "q_pack_bins": so_pack_bins,

@@ -198,3 +198,73 @@ def readability_stage(ds, text_col: str = "text", id_col: str = "doc_id"):
             "fk_milli", pa.array([s[3] for s in stats], pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_consistency_stats(ds, text_col: str = "text",
+                           window_chars: int = 256,
+                           switch_ppm_threshold: int = 200_000):
+    """Mixed-language / code-switching detector (the CLD-style chunk-vote
+    recipe): classify the document AND each fixed ``window_chars`` slice
+    with the SAME heuristic cascade the keep/drop path uses
+    (functions/langid.lang_from_text — reference semantics,
+    lang.go:274-358), then report how many windows disagree with the
+    MAJORITY window vote (ties break to the lexicographically smallest
+    lang).  The doc-level cascade call is emitted as ``doc_lang`` for
+    reference, but a genuinely mixed document confuses its ratios into
+    '' (measured) — anchoring on it would hide exactly the rows this
+    detector exists to find.  A template page with an English boilerplate
+    frame around Chinese content, or a scraped forum mixing languages
+    mid-thread, scores high; clean monolingual prose scores 0.  Windows
+    shorter than the reference's 64-char floor return '' and are counted
+    as undetermined, not disagreement.
+
+    Pure stateless map, no shuffle.  Appends doc_lang, n_windows,
+    n_classified, n_disagree, switch_ppm (round-half-down integer ppm of
+    CLASSIFIED windows) and the ``code_switched`` flag (ppm over
+    threshold with ≥2 classified windows)."""
+    from ..functions.langid import lang_from_text
+
+    if window_chars < 64:
+        raise ValueError("window_chars must be >= 64 (the reference's "
+                         "BODY_MIN_SIZE floor)")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(text_col).to_pylist()
+        doc_lang, n_win, n_cls, n_dis, ppm, flag = [], [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            dl = lang_from_text(t)[0]
+            wins = [t[i:i + window_chars]
+                    for i in range(0, len(t), window_chars)]
+            langs = [lang_from_text(w)[0] for w in wins]
+            cls = [x for x in langs if x]
+            if cls:
+                counts = Counter(cls)
+                best = max(counts.values())
+                anchor = min(k for k, v in counts.items() if v == best)
+                dis = [x for x in cls if x != anchor]
+            else:
+                dis = []
+            p = (len(dis) * 1_000_000 // len(cls)) if cls else 0
+            doc_lang.append(dl)
+            n_win.append(len(wins))
+            n_cls.append(len(cls))
+            n_dis.append(len(dis))
+            ppm.append(p)
+            flag.append(p > switch_ppm_threshold and len(cls) >= 2)
+        batch = batch.append_column("doc_lang",
+                                    pa.array(doc_lang, pa.string()))
+        batch = batch.append_column("n_windows",
+                                    pa.array(n_win, pa.int64()))
+        batch = batch.append_column("n_classified",
+                                    pa.array(n_cls, pa.int64()))
+        batch = batch.append_column("n_disagree",
+                                    pa.array(n_dis, pa.int64()))
+        batch = batch.append_column("switch_ppm",
+                                    pa.array(ppm, pa.int64()))
+        return batch.append_column("code_switched",
+                                   pa.array(flag, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
