@@ -149,6 +149,7 @@ from .stages.stats import (
     calibration_bins,
     canary_scan,
     grouped_rollup,
+    rank_blend,
     classifier_auc,
     corpus_diff,
     grouped_linfit_outliers,
@@ -170,7 +171,7 @@ from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
     "broadcast_join", "flac_transcode_stage", "grouped_rollup",
-    "lang_consistency_stats",
+    "lang_consistency_stats", "rank_blend",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

@@ -1072,6 +1072,67 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_rank_blend(sf_dir: str):
+    """Multi-signal quality ensemble (stages/stats.rank_blend — the
+    FineWeb-style blend): three heterogeneous signals (codepoint length,
+    space count, n_chars) become corpus-wide ranks (ties share
+    count-below, SQL rank()-1) and average into one integer-ppm score.
+    Oracle: literal DuckDB window rank() with the identical `//`
+    arithmetic."""
+    from ..stages.stats import rank_blend
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "s_len": pa.array([len(t or "") for t in texts], pa.int64()),
+            "s_sp": pa.array([(t or "").count(" ") for t in texts],
+                             pa.int64()),
+            "s_nc": batch.column("n_chars").cast(pa.int64()),
+        })
+
+    sig = ds.map_batches(signals, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = rank_blend(sig, ["s_len", "s_sp", "s_nc"])
+    return out.select_columns(
+        ["doc_id", "rank_s_len_ppm", "rank_s_sp_ppm", "rank_s_nc_ppm",
+         "blend_ppm"])
+
+
+SQL_RANK_BLEND = """
+WITH sig AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS s_len,
+         CAST(length(coalesce(text, '')) -
+              length(replace(coalesce(text, ''), ' ', '')) AS BIGINT)
+           AS s_sp,
+         CAST(n_chars AS BIGINT) AS s_nc
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         rank() OVER (ORDER BY s_len) - 1 AS b1,
+         rank() OVER (ORDER BY s_sp) - 1 AS b2,
+         rank() OVER (ORDER BY s_nc) - 1 AS b3,
+         count(*) OVER () AS n
+  FROM sig
+)
+SELECT doc_id,
+       CAST((b1 * 1000000) // GREATEST(n - 1, 1) AS BIGINT)
+         AS rank_s_len_ppm,
+       CAST((b2 * 1000000) // GREATEST(n - 1, 1) AS BIGINT)
+         AS rank_s_sp_ppm,
+       CAST((b3 * 1000000) // GREATEST(n - 1, 1) AS BIGINT)
+         AS rank_s_nc_ppm,
+       CAST(((b1 * 1000000) // GREATEST(n - 1, 1)
+           + (b2 * 1000000) // GREATEST(n - 1, 1)
+           + (b3 * 1000000) // GREATEST(n - 1, 1)) // 3 AS BIGINT)
+         AS blend_ppm
+FROM r ORDER BY doc_id
+"""
+
+
 _ZH_BLOCK = "这是一个中文段落，用来测试语言一致性检测器的窗口投票机制。" * 10
 
 
@@ -6702,6 +6763,7 @@ QUERIES = {
     "q_broadcast_join": q_broadcast_join,
     "q_grouped_rollup": q_grouped_rollup,
     "q_lang_consistency": q_lang_consistency,
+    "q_rank_blend": q_rank_blend,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,
@@ -6935,6 +6997,7 @@ ORACLE_SQL = {
     "q_join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_broadcast_join": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_grouped_rollup": SQL_GROUPED_ROLLUP,
+    "q_rank_blend": SQL_RANK_BLEND,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_harvest_filter": SQL_HARVEST_FILTER,

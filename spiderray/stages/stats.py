@@ -1637,3 +1637,91 @@ def grouped_rollup(ds, keys: list, value_col: str, sentinel: str = "__ALL__"):
         out[c] = out[c].astype("int64")
     return (out[keys + ["n", "total"]]
             .sort_values(keys, kind="mergesort").reset_index(drop=True))
+
+
+def rank_blend(ds, score_cols: list, id_col: str = "doc_id",
+               weights: "list | None" = None,
+               max_distinct: int = 2_000_000):
+    """Multi-signal quality ensemble by rank normalization (the
+    published FineWeb/quality-blend recipe: heterogeneous signals —
+    lengths, ratios, classifier scores — become comparable as
+    corpus-wide RANKS, then average into one score).  Per row, each
+    signal maps to ``rank_ppm = count_below·1e6 // max(n-1, 1)`` (ties
+    share the count-below rank, SQL's ``rank()-1``) and the blend is
+    the weight-averaged integer ppm.
+
+    Scale shape: each signal's exchange is a VALUE HISTOGRAM — per-batch
+    (value, count) partials, one keyed groupby-Sum bounded by the
+    signal's distinct-value count (quantize continuous signals first;
+    a signal over ``max_distinct`` distinct values raises loudly); the
+    sorted value → count-below lookup broadcasts once via ray.put and
+    the final pass is a stateless searchsorted map.  All arithmetic is
+    integer-exact, so a literal SQL restatement (window rank()) matches
+    bit for bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not score_cols:
+        raise ValueError("rank_blend: score_cols must be non-empty")
+    w = [1] * len(score_cols) if weights is None else list(weights)
+    if len(w) != len(score_cols) or any(
+            not isinstance(x, int) or x <= 0 for x in w):
+        raise ValueError("rank_blend: weights must be positive ints, one "
+                         "per score column")
+    wsum = sum(w)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sidx, vals, cnts = [], [], []
+        for i, c in enumerate(score_cols):
+            col = batch.column(c)
+            if not pa.types.is_integer(col.type):
+                raise TypeError(
+                    f"rank_blend: {c!r} must be an integer column, got "
+                    f"{col.type} — quantize first.")
+            v, n = np.unique(col.to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            sidx.extend([i] * len(v))
+            vals.extend(v.tolist())
+            cnts.extend(n.tolist())
+        return pa.table({"sig": pa.array(sidx, pa.int32()),
+                         "val": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["sig", "val"])
+            .aggregate(Sum("cnt", alias_name="n")).to_pandas())
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"rank_blend: {len(hist)} distinct (signal, value) pairs > "
+            f"max_distinct={max_distinct} — quantize the signals.")
+    lookups = []
+    n_total = 0
+    for i in range(len(score_cols)):
+        g = hist[hist["sig"] == i].sort_values("val")
+        vals = g["val"].to_numpy().astype(np.int64)
+        cnts = g["n"].to_numpy().astype(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lookups.append((vals, below))
+        n_total = int(cnts.sum())
+    denom = max(n_total - 1, 1)
+    lk_ref = ray.put(lookups)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lk = _ray.get(lk_ref)
+        blend_num = np.zeros(len(batch), dtype=np.int64)
+        for i, c in enumerate(score_cols):
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            vals, below = lk[i]
+            pos = np.searchsorted(vals, v)
+            rp = below[pos] * 1_000_000 // denom
+            batch = batch.append_column(f"rank_{c}_ppm",
+                                        pa.array(rp, pa.int64()))
+            blend_num += w[i] * rp
+        return batch.append_column("blend_ppm",
+                                   pa.array(blend_num // wsum, pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -93,3 +93,49 @@ class TestGroupedRollup:
         y = grouped_rollup(rd.from_pandas(df).repartition(11), ["a", "b"],
                            "v")
         pd.testing.assert_frame_equal(x, y)
+
+
+class TestRankBlend:
+    def test_ranks_and_blend_exact(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import rank_blend
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                           "s1": [10, 20, 20, 40], "s2": [4, 3, 2, 1]})
+        out = (rank_blend(rd.from_pandas(df), ["s1", "s2"])
+               .to_pandas().set_index("doc_id"))
+        # ties share count-below (rank()-1): s1=20 rows both rank 1/3
+        assert list(out["rank_s1_ppm"]) == [0, 333333, 333333, 1000000]
+        assert list(out["rank_s2_ppm"]) == [1000000, 666666, 333333, 0]
+        assert list(out["blend_ppm"]) == [500000, 499999, 333333, 500000]
+
+    def test_weights_and_guards(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import rank_blend
+
+        df = pd.DataFrame({"doc_id": [1, 2], "s1": [1, 2], "s2": [2, 1]})
+        out = (rank_blend(rd.from_pandas(df), ["s1", "s2"], weights=[3, 1])
+               .to_pandas().set_index("doc_id"))
+        # blend = (3*r1 + 1*r2) // 4
+        assert list(out["blend_ppm"]) == [250000, 750000]
+        ds = rd.from_pandas(df)
+        with pytest.raises(ValueError):
+            rank_blend(ds, [])
+        with pytest.raises(ValueError):
+            rank_blend(ds, ["s1"], weights=[0])
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import rank_blend
+
+        df = pd.DataFrame({"doc_id": range(500),
+                           "s1": [i % 37 for i in range(500)],
+                           "s2": [(i * 7) % 101 for i in range(500)]})
+        a = (rank_blend(rd.from_pandas(df), ["s1", "s2"])
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (rank_blend(rd.from_pandas(df).repartition(13), ["s1", "s2"])
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
