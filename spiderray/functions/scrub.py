@@ -116,3 +116,43 @@ def scrub_text(text: str) -> tuple[str, list[dict[str, str]]]:
 
         text = pat.sub(_cap, text)
     return text, found
+
+
+def pseudonymize_batch(batch, cols, key: str, prefix_len: int = 16):
+    """Keyed pseudonymization (the GDPR-grade id-tokenization recipe):
+    each value in ``cols`` is replaced by the first ``prefix_len`` hex
+    chars of ``md5(key || ':' || value)`` — deterministic under one key,
+    so referential integrity holds ACROSS tables and runs, while the
+    raw identifier never leaves the pipeline.  Nulls stay null.
+    The hashed string is ``str(value)`` of the column's ARROW type —
+    matching SQL's CAST(col AS VARCHAR) — so referential integrity
+    requires the SAME type on both sides of a join (int64 1 and
+    float64 1.0 tokenize differently, exactly as they CAST
+    differently).  The
+    companion of apply_deletions on the governance shelf: deletions
+    remove rows, pseudonymization keeps the joinable shape without the
+    identity.  SQL-exact: DuckDB md5(concat(...)) restates it
+    literally."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for c in cols:
+        vals = batch.column(c).to_pylist()
+        out = [None if v is None else
+               hashlib.md5(f"{key}:{v}".encode()).hexdigest()[:prefix_len]
+               for v in vals]
+        batch = batch.set_column(batch.column_names.index(c), c,
+                                 pa.array(out, pa.string()))
+    return batch
+
+
+def pseudonymize(ds, cols, key: str, prefix_len: int = 16):
+    """Stateless fused map over ``pseudonymize_batch`` — no shuffle."""
+    if not cols:
+        raise ValueError("pseudonymize: cols must be non-empty")
+    if not key:
+        raise ValueError("pseudonymize: key must be non-empty")
+    return ds.map_batches(
+        lambda b: pseudonymize_batch(b, cols, key, prefix_len),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1072,6 +1072,27 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_pseudonymize(sf_dir: str):
+    """Keyed pseudonymization (functions/scrub.pseudonymize — GDPR-grade
+    id tokenization): o_custkey becomes the first 16 hex chars of
+    md5(key:value), deterministic under one key so joins still work
+    while the raw id never leaves the pipeline.  Oracle: literal DuckDB
+    substr(md5(concat(...)))."""
+    from ..functions.scrub import pseudonymize
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    out = pseudonymize(ds, ["o_custkey"], key="corpus-v1")
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
+SQL_PSEUDONYMIZE = """
+SELECT o_orderkey,
+       substr(md5('corpus-v1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+         AS o_custkey
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def q_rank_blend(sf_dir: str):
     """Multi-signal quality ensemble (stages/stats.rank_blend — the
     FineWeb-style blend): three heterogeneous signals (codepoint length,
@@ -6764,6 +6785,7 @@ QUERIES = {
     "q_grouped_rollup": q_grouped_rollup,
     "q_lang_consistency": q_lang_consistency,
     "q_rank_blend": q_rank_blend,
+    "q_pseudonymize": q_pseudonymize,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,
@@ -6998,6 +7020,7 @@ ORACLE_SQL = {
     "q_broadcast_join": SQL_JOIN_ORDERS_CUSTOMERS,
     "q_grouped_rollup": SQL_GROUPED_ROLLUP,
     "q_rank_blend": SQL_RANK_BLEND,
+    "q_pseudonymize": SQL_PSEUDONYMIZE,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_harvest_filter": SQL_HARVEST_FILTER,

@@ -139,3 +139,41 @@ class TestRankBlend:
         b = (rank_blend(rd.from_pandas(df).repartition(13), ["s1", "s2"])
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPseudonymize:
+    def test_deterministic_and_referential(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.scrub import pseudonymize
+
+        import pyarrow as pa_mod
+        import ray.data as _rd
+
+        a = pa_mod.table({"uid": pa_mod.array([1, 2, 1, None],
+                                              pa_mod.int64()),
+                          "x": pa_mod.array([9, 8, 7, 6], pa_mod.int64())})
+        b = pd.DataFrame({"uid": [2, 1]})
+        pa_ = (pseudonymize(rd.from_arrow(a), ["uid"], key="k1")
+               .to_pandas())
+        pb = (pseudonymize(rd.from_pandas(b), ["uid"], key="k1")
+              .to_pandas())
+        # same value -> same token within and ACROSS tables
+        assert pa_["uid"][0] == pa_["uid"][2]
+        assert pa_["uid"][0] == pb["uid"][1]
+        assert pa_["uid"][3] is None or pd.isna(pa_["uid"][3])
+        # different key -> different tokens
+        pc_ = (pseudonymize(rd.from_pandas(b), ["uid"], key="k2")
+               .to_pandas())
+        assert pc_["uid"][0] != pb["uid"][0]
+
+    def test_guards(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.scrub import pseudonymize
+
+        ds = rd.from_pandas(pd.DataFrame({"uid": [1]}))
+        with pytest.raises(ValueError):
+            pseudonymize(ds, [], key="k")
+        with pytest.raises(ValueError):
+            pseudonymize(ds, ["uid"], key="")
