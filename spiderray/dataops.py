@@ -22,9 +22,9 @@ trainers) and is individually documented at its definition site.
 from .functions.arpa import quantize_lm, read_arpa, write_arpa
 from .functions.bloom import BloomFilter
 from .pipelines.prepare_corpus import corpus_summary, prepare_corpus, write_split_corpus
-from .stages.ann import (brute_force_topk, ivf_assign, ivf_topk,
-                         ivf_train, lsh_topk, mmr_topk, pq_topk,
-                         pq_train, smallest_id_vectors)
+from .stages.ann import (ann_recall, batch_topk, brute_force_topk,
+                         ivf_assign, ivf_topk, ivf_train, lsh_topk,
+                         mmr_topk, pq_topk, pq_train, smallest_id_vectors)
 from .stages.dedup import (
     apply_deletions,
     chunk_dedup_stats,
@@ -173,6 +173,7 @@ __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
     "broadcast_join", "flac_transcode_stage", "grouped_rollup",
     "lang_consistency_stats", "rank_blend", "pseudonymize",
+    "batch_topk", "ann_recall",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

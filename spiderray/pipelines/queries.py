@@ -1072,6 +1072,40 @@ def q_join_orders_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _query_matrix(sf_dir: str, n: int = 8) -> np.ndarray:
+    """The first n vec_ids' vectors (id order) as a query batch —
+    deterministic and serially replicable."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")[:n]
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return V[order]
+
+
+def q_batch_topk(sf_dir: str):
+    """Multi-query exact cosine top-k (stages/ann.batch_topk): the whole
+    8-query matrix broadcasts once, each block runs ONE n×q matmul and
+    emits ≤ q·k local rows, driver merges per query — the batched
+    retrieval shape (eval sets, probe lists) the single-query operator
+    doesn't cover.  Oracle: serial full-corpus twin, same arithmetic."""
+    _ensure_fixture("q_batch_topk", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.batch_topk(ds, _query_matrix(sf_dir), k=10)
+
+
+def q_ann_recall(sf_dir: str):
+    """ANN QA card (stages/ann.ann_recall): recall@10 of the LSH and IVF
+    approximate paths against the exact batched ground truth over 8
+    probe queries — the eval harness that decides whether a fast path
+    is safe.  Oracle: serial twin replicating every method."""
+    _ensure_fixture("q_ann_recall", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ann_recall(ds, _query_matrix(sf_dir), k=10)
+
+
 def q_pseudonymize(sf_dir: str):
     """Keyed pseudonymization (functions/scrub.pseudonymize — GDPR-grade
     id tokenization): o_custkey becomes the first 16 hex chars of
@@ -6786,6 +6820,8 @@ QUERIES = {
     "q_lang_consistency": q_lang_consistency,
     "q_rank_blend": q_rank_blend,
     "q_pseudonymize": q_pseudonymize,
+    "q_batch_topk": q_batch_topk,
+    "q_ann_recall": q_ann_recall,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,

@@ -343,6 +343,82 @@ def so_ivf_topk(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": pa.array(top, pa.int64())})
 
 
+def _serial_batch_topk(ids, V, Q, k: int):
+    """Shared serial arithmetic for batch_topk twins: one full-corpus
+    matmul, per-query (−cos, id) ordering, milli-quantized sims."""
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    S = (V / norms) @ Qn.T
+    rows = {"query_idx": [], "rank": [], "vec_id": [], "sim_milli": []}
+    for j in range(Qn.shape[0]):
+        order = np.lexsort((ids, -S[:, j]))[:k]
+        rows["query_idx"].extend([j] * len(order))
+        rows["rank"].extend(range(len(order)))
+        rows["vec_id"].extend(ids[order].tolist())
+        rows["sim_milli"].extend(
+            np.floor(S[order, j] * 1000.0 + 0.5).astype(np.int64).tolist())
+    return rows
+
+
+def so_batch_topk(sf_dir: str) -> pa.Table:
+    """Serial twin for q_batch_topk."""
+    ids, V = _embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")[:8]
+    rows = _serial_batch_topk(ids, V, V[order], 10)
+    return pa.table({
+        "query_idx": pa.array(rows["query_idx"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "sim_milli": pa.array(rows["sim_milli"], pa.int64()),
+    })
+
+
+def so_ann_recall(sf_dir: str) -> pa.Table:
+    """Serial twin for q_ann_recall: exact ground truth via
+    _serial_batch_topk, LSH via the plane/bucket helpers, IVF via the
+    head-sample spherical k-means — each method's serial restatement."""
+    from ..stages.ann import N_PLANES, _bucket_of, _planes, spherical_kmeans
+
+    ids, V = _embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")[:8]
+    Q = V[order]
+    k = 10
+    exact = _serial_batch_topk(ids, V, Q, k)
+    truth = {}
+    for qi, vid in zip(exact["query_idx"], exact["vec_id"]):
+        truth.setdefault(qi, set()).add(vid)
+
+    planes = _planes(V.shape[1])
+    buckets = _bucket_of(V, planes)
+    C = spherical_kmeans(V[:2000].copy(), 16)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cells = np.argmax((V / norms) @ C.T, axis=1)
+
+    rows = []
+    for j in range(len(Q)):
+        q = Q[j]
+        qn = q / (np.linalg.norm(q) or 1.0)
+        qb = int(_bucket_of(q.reshape(1, -1), planes)[0])
+        ok = {qb} | {qb ^ (1 << i) for i in range(N_PLANES)}
+        mask = np.isin(buckets, sorted(ok))
+        lsh_ids = set(_serial_topk(ids[mask], V[mask], q, k))
+        probe = np.argsort(-(C @ qn))[:4]
+        m2 = np.isin(cells, probe)
+        ivf_ids = set(_serial_topk(ids[m2], V[m2], q, k))
+        rows.append(("ivf", j, len(ivf_ids & truth[j]) * 1_000_000 // k))
+        rows.append(("lsh", j, len(lsh_ids & truth[j]) * 1_000_000 // k))
+    rows.sort()
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "query_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def so_kmeans_clusters(sf_dir: str) -> pa.Table:
     """Serial twin of q_kmeans_clusters: same init (first 8 rows), same
     Lloyd iterations with integer micro-unit accumulation (exact and
@@ -2919,6 +2995,8 @@ SERIAL_ORACLES = {
     "q_keepdrop_f1": so_keepdrop_f1,
     "q_keepdrop_f1_audio": so_keepdrop_f1_audio,
     "q_ivf_topk": so_ivf_topk,
+    "q_batch_topk": so_batch_topk,
+    "q_ann_recall": so_ann_recall,
     "q_perplexity": so_perplexity,
     "q_corpus_ppl": so_corpus_ppl,
     "q_audio_features": so_audio_features,

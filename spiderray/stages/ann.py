@@ -598,3 +598,101 @@ def mmr_topk(
         "sim_milli": pd.array(rel[selected], dtype="int64"),
         "mmr_milli": pd.array(scores, dtype="int64"),
     })
+
+
+def batch_topk(ds, query_matrix: np.ndarray, k: int = 10,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """MULTI-query exact cosine top-k — the batched retrieval shape
+    (an eval set, a dedup probe list, a RAG query batch) that
+    brute_force_topk's one-query form doesn't cover: the whole query
+    matrix broadcasts ONCE via ray.put, each block computes ONE n×q
+    matmul and emits its local top-k PER QUERY (≤ q·k rows per block),
+    the driver merges per query.  Corpus crosses nothing; driver traffic
+    is q·k·n_blocks rows regardless of corpus size.
+
+    Determinism: similarities are computed per query column from the
+    shared matmul and quantized to milli units in the output
+    (``sim_milli``); ties and the final order break on (query_idx,
+    −cos, id) with exact float64 sims internally — the same arithmetic
+    a serial pass produces.  Returns (query_idx, rank, vec_id,
+    sim_milli) sorted by (query_idx, rank)."""
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    if Q.ndim != 2 or len(Q) == 0:
+        raise ValueError("batch_topk: query_matrix must be (q, d) and "
+                         "non-empty")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    q_ref = ray.put(Qn)
+    nq = len(Qn)
+
+    def local(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        S = (V / norms) @ Qm.T                     # n × q
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        qi, oi, oc = [], [], []
+        for j in range(Qm.shape[0]):
+            order = np.lexsort((ids, -S[:, j]))[:k]
+            qi.extend([j] * len(order))
+            oi.extend(ids[order].tolist())
+            oc.extend(S[order, j].tolist())
+        return pa.table({"query_idx": pa.array(qi, pa.int64()),
+                         id_col: pa.array(oi, pa.int64()),
+                         "cos": pa.array(oc, pa.float64())})
+
+    df = ds.map_batches(local, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    out = []
+    for j in range(nq):
+        g = (df[df["query_idx"] == j]
+             .sort_values(["cos", id_col], ascending=[False, True],
+                          kind="mergesort").head(k))
+        out.append(pd.DataFrame({
+            "query_idx": np.full(len(g), j, dtype=np.int64),
+            "rank": np.arange(len(g), dtype=np.int64),
+            id_col: g[id_col].to_numpy(),
+            "sim_milli": np.floor(g["cos"].to_numpy() * 1000.0
+                                  + 0.5).astype(np.int64),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+def ann_recall(ds, query_matrix: np.ndarray, k: int = 10,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """ANN quality-assurance card: recall@k of the approximate scale
+    paths (LSH buckets, IVF probes) against the exact batched top-k
+    ground truth, per query — the eval harness that tells a corpus
+    owner whether the fast path is safe to switch on.  Sampled-queries
+    shape: each approximate method scans the corpus once per query
+    through its own pruned path (eval-set sized by contract — this is a
+    QA probe, not the production retrieval path).  recall_ppm =
+    |approx ∩ exact|·1e6 // k, integer-exact."""
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    exact = batch_topk(ds, Q, k=k, vec_col=vec_col, id_col=id_col)
+    C = ivf_train(ds, n_centroids=16, sample_size=2000, vec_col=vec_col)
+    rows = []
+    for j in range(len(Q)):
+        truth = set(exact[exact["query_idx"] == j][id_col])
+        for method in ("lsh", "ivf"):
+            if method == "lsh":
+                got = set(lsh_topk(ds, Q[j], k=k, vec_col=vec_col,
+                                   id_col=id_col)[id_col])
+            else:
+                got = set(ivf_topk(ds, Q[j], C, k=k, n_probe=4,
+                                   vec_col=vec_col, id_col=id_col)[id_col])
+            rows.append((method, j,
+                         len(got & truth) * 1_000_000 // max(k, 1)))
+    return pd.DataFrame({
+        "method": pd.array([r[0] for r in rows], dtype="object"),
+        "query_idx": pd.array([r[1] for r in rows], dtype="int64"),
+        "recall_ppm": pd.array([r[2] for r in rows], dtype="int64"),
+    }).sort_values(["method", "query_idx"]).reset_index(drop=True)

@@ -192,3 +192,51 @@ class TestMmrTopk:
             ann.mmr_topk(ds, q, k=20, n_candidates=10)
         with pytest.raises(ValueError):
             ann.mmr_topk(ds, q, lamb_milli=1500)
+
+
+class TestBatchTopk:
+    def test_matches_single_query_topk(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        V = rng.standard_normal((60, 8))
+        df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                           "embedding": [list(r) for r in V]})
+        ds = rd.from_pandas(df)
+        Q = V[:3]
+        got = ann.batch_topk(ds, Q, k=5)
+        for j in range(3):
+            single = ann.brute_force_topk(rd.from_pandas(df), Q[j], k=5)
+            g = got[got["query_idx"] == j]
+            assert list(g["vec_id"]) == list(single["vec_id"])
+
+    def test_partition_invariance_and_guard(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(6)
+        V = rng.standard_normal((80, 6))
+        df = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                           "embedding": [list(r) for r in V]})
+        a = ann.batch_topk(rd.from_pandas(df), V[:4], k=6)
+        b = ann.batch_topk(rd.from_pandas(df).repartition(9), V[:4], k=6)
+        pd.testing.assert_frame_equal(a, b)
+        with pytest.raises(ValueError):
+            ann.batch_topk(rd.from_pandas(df), np.zeros((0, 6)))
+
+
+class TestAnnRecall:
+    def test_recall_bounds_and_exact_self_hit(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        V = rng.standard_normal((200, 8))
+        df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                           "embedding": [list(r) for r in V]})
+        out = ann.ann_recall(rd.from_pandas(df), V[:2], k=5)
+        assert set(out["method"]) == {"lsh", "ivf"}
+        assert ((out["recall_ppm"] >= 0)
+                & (out["recall_ppm"] <= 1_000_000)).all()
+        # the query IS corpus row j: its own id is always in the exact
+        # truth, and every probe method scans the cell/bucket containing
+        # it, so recall can never be 0
+        assert (out["recall_ppm"] > 0).all()
