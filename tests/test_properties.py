@@ -553,3 +553,67 @@ class TestCodecFuzz:
             _parse_wav(buf)
         except DecodeUnsupported:
             pass
+
+
+class TestMojibakeProperties:
+    @given(st.text(alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0xA1, max_codepoint=0x2FF),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4EFF),
+        st.characters(min_codepoint=0x400, max_codepoint=0x45F),
+        st.sampled_from(" \n—’“”…"),
+    ), max_size=200))
+    @settings(max_examples=120, deadline=None)
+    def test_mangled_roundtrip_or_clean_noop(self, t):
+        from spiderray.functions.charset import fix_mojibake, mojibake_badness
+
+        # clean text with zero badness is NEVER touched
+        if mojibake_badness(t) == 0:
+            assert fix_mojibake(t) == (t, 0)
+        # single latin-1 mangling of text whose mangled form shows
+        # evidence always unwinds exactly
+        m = t.encode("utf-8").decode("latin-1")
+        if m != t and mojibake_badness(m) > 0 and mojibake_badness(t) == 0:
+            fixed, n = fix_mojibake(m)
+            assert fixed == t and n == 1
+
+    @given(st.text(max_size=100))
+    @settings(max_examples=60, deadline=None)
+    def test_badness_total_and_idempotent(self, t):
+        from spiderray.functions.charset import fix_mojibake
+
+        fixed, n = fix_mojibake(t)
+        again, n2 = fix_mojibake(fixed)
+        # repair is idempotent: a second pass finds nothing to improve
+        assert again == fixed
+        assert 0 <= n <= 3 and n2 <= n
+
+
+class TestCompressorProperties:
+    @given(st.integers(min_value=1, max_value=4000),
+           st.integers(min_value=0, max_value=2 ** 31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_bounded_and_deterministic(self, n, seed):
+        from spiderray.functions.audiofp import compress_dynamics
+
+        rng = np.random.default_rng(seed)
+        x = (rng.standard_normal(n) * rng.uniform(0.001, 2.0)).astype(
+            np.float32)
+        y1, g1 = compress_dynamics(x, 16000)
+        y2, g2 = compress_dynamics(x, 16000)
+        assert np.array_equal(y1, y2) and g1 == g2
+        assert np.all(np.abs(y1) <= 1.0)
+        assert g1 >= 0.0
+        assert len(y1) == n
+
+    @given(st.integers(min_value=0, max_value=2 ** 31 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_never_amplifies_without_makeup(self, seed):
+        from spiderray.functions.audiofp import compress_dynamics
+
+        rng = np.random.default_rng(seed)
+        x = (rng.standard_normal(2000) * 0.8).astype(np.float32)
+        y, _ = compress_dynamics(x, 16000, makeup_db=0.0)
+        # per-sample gain is 10^(-sm/20) <= 1: output magnitude never
+        # exceeds input magnitude
+        assert np.all(np.abs(y) <= np.abs(x.astype(np.float64)) + 1e-12)
