@@ -165,7 +165,7 @@ from .stages.stats import (
 from .stages.wordpiece_train import (train_wordpiece, wordpiece_encode_stage,
                                      wordpiece_fertility, wordpiece_vocab)
 from .stages.textindex import (build_inverted_index, build_vocab,
-                               lookup_postings, ngram_novelty,
+                               hash_embed, lookup_postings, ngram_novelty,
                                vocab_coverage)
 from .stages.windows import duration_bucket_batches, epoch_order, pack_bins
 
@@ -173,7 +173,7 @@ __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
     "broadcast_join", "flac_transcode_stage", "grouped_rollup",
     "lang_consistency_stats", "rank_blend", "pseudonymize",
-    "batch_topk", "ann_recall",
+    "batch_topk", "ann_recall", "hash_embed",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

@@ -1106,6 +1106,49 @@ def q_ann_recall(sf_dir: str):
     return ann.ann_recall(ds, _query_matrix(sf_dir), k=10)
 
 
+def q_text_semantic_dedup(sf_dir: str):
+    """Model-free text SemDeDup (stages/textindex.hash_embed →
+    stages/dedup.semantic_dedup): feature-hashed trigram embeddings
+    bridge raw TEXT into the embedding dedup family with no model in
+    the sandbox — doc_id%10==0 rows get a near-copy twin (one appended
+    token) that the hash-cosine pipeline must re-merge.  Explicit
+    smallest-id kmeans init so the serial oracle reproduces the fit
+    exactly."""
+    _ensure_fixture("q_text_semantic_dedup", sf_dir)
+    from ..stages.textindex import hash_embed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_twins(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, "doc_id", 10)
+        ids = pc.add(t["doc_id"], 7000000)
+        texts = [f"{x} extra" for x in t.column("text").to_pylist()]
+        twin = pa.table({"doc_id": ids,
+                         "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), twin])
+
+    aug = ds.map_batches(with_twins, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    emb = hash_embed(aug, dim=64, n=3).materialize()
+    init = ann.smallest_id_vectors(emb, 8, id_col="doc_id")
+    kept = dedup.semantic_dedup(emb, vec_col="embedding", id_col="doc_id",
+                                n_clusters=8, iters=3, threshold=0.9,
+                                init=init)
+    from ray.data.aggregate import Count, Sum
+
+    summary = kept.aggregate(Count(alias_name="n_kept"),
+                             Sum("doc_id", alias_name="kept_id_sum"))
+    n_total = aug.count()
+    n_kept = int(summary["n_kept"])
+    return pd.DataFrame({
+        "n_total": pd.array([n_total], dtype="int64"),
+        "n_kept": pd.array([n_kept], dtype="int64"),
+        "n_dropped": pd.array([n_total - n_kept], dtype="int64"),
+        "kept_id_sum": pd.array([int(summary["kept_id_sum"])],
+                                dtype="int64"),
+    })
+
+
 def q_pseudonymize(sf_dir: str):
     """Keyed pseudonymization (functions/scrub.pseudonymize — GDPR-grade
     id tokenization): o_custkey becomes the first 16 hex chars of
@@ -6821,6 +6864,7 @@ QUERIES = {
     "q_rank_blend": q_rank_blend,
     "q_pseudonymize": q_pseudonymize,
     "q_batch_topk": q_batch_topk,
+    "q_text_semantic_dedup": q_text_semantic_dedup,
     "q_ann_recall": q_ann_recall,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,

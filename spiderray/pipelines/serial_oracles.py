@@ -363,6 +363,49 @@ def _serial_batch_topk(ids, V, Q, k: int):
     return rows
 
 
+def so_text_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin of q_text_semantic_dedup: serial feature-hash
+    embeddings (same md5 arithmetic), explicit smallest-id init,
+    micro-unit Lloyd (3 iters), within-cluster pairs ≥0.9, union-find
+    min-id representative."""
+    import hashlib
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    ids, texts = [], []
+    for did, t in zip(docs.column("doc_id").to_pylist(),
+                      docs.column("text").to_pylist()):
+        ids.append(int(did))
+        texts.append(t or "")
+    for did, t in zip(list(ids), list(texts)):
+        if did % 10 == 0:
+            ids.append(did + 7000000)
+            texts.append(f"{t} extra")
+
+    dim, n = 64, 3
+    V = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, t in enumerate(texts):
+        toks = t.split()
+        for i in range(max(len(toks) - n + 1, 0)):
+            h = hashlib.md5(" ".join(toks[i:i + n]).encode()).digest()
+            V[r, int.from_bytes(h[:8], "big") % dim] += \
+                1.0 if h[8] & 1 else -1.0
+        nrm = np.linalg.norm(V[r])
+        if nrm > 0:
+            V[r] /= nrm
+    # the engine embeds as float32 lists; round-trip to match exactly
+    V = V.astype(np.float32).astype(np.float64)
+
+    ids_a = np.array(ids, dtype=np.int64)
+    order = np.argsort(ids_a, kind="stable")[:8]
+    init = V[order]
+    ninit = np.linalg.norm(init, axis=1, keepdims=True)
+    ninit[ninit == 0] = 1.0
+    out = _serial_semdedup_core(ids_a, V, k=8, iters=3, threshold=0.9,
+                                init=init / ninit)
+    # rename the semdedup summary to the doc_id-sum shape
+    return out
+
+
 def so_batch_topk(sf_dir: str) -> pa.Table:
     """Serial twin for q_batch_topk."""
     ids, V = _embeddings(sf_dir)
@@ -1471,7 +1514,8 @@ def _serial_microunit_kmeans(Vn: np.ndarray, k: int = 8, iters: int = 4,
 
 
 def _serial_semdedup_core(ids_a, V_a, k: int = 8, iters: int = 4,
-                          threshold: float = 0.95) -> pa.Table:
+                          threshold: float = 0.95,
+                          init: "np.ndarray | None" = None) -> pa.Table:
     """Shared serial SemDeDup twin: micro-unit Lloyd (init = first k rows,
     matching the distributed order contract), within-cluster O(n²) cosine
     pairs ≥ threshold, union-find, min-id representative kept.  Summary
@@ -1479,7 +1523,7 @@ def _serial_semdedup_core(ids_a, V_a, k: int = 8, iters: int = 4,
     nrm = np.linalg.norm(V_a, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     Vn = V_a / nrm
-    assign = _serial_microunit_kmeans(Vn, k, iters)
+    assign = _serial_microunit_kmeans(Vn, k, iters, init=init)
 
     parent = {int(i): int(i) for i in ids_a}
 
@@ -2995,6 +3039,7 @@ SERIAL_ORACLES = {
     "q_keepdrop_f1": so_keepdrop_f1,
     "q_keepdrop_f1_audio": so_keepdrop_f1_audio,
     "q_ivf_topk": so_ivf_topk,
+    "q_text_semantic_dedup": so_text_semantic_dedup,
     "q_batch_topk": so_batch_topk,
     "q_ann_recall": so_ann_recall,
     "q_perplexity": so_perplexity,

@@ -1415,6 +1415,7 @@ def semantic_dedup(
     iters: int = 4,
     threshold: float = 0.95,
     max_group: int = EMBED_MAX_GROUP,
+    init: "np.ndarray | None" = None,
 ):
     """SemDeDup-style semantic deduplication (the public recipe: cluster the
     embedding space, then search for near-duplicates only WITHIN a cluster):
@@ -1432,7 +1433,7 @@ def semantic_dedup(
     from .ann import kmeans_assign, kmeans_fit_distributed
 
     C = kmeans_fit_distributed(ds, n_centroids=n_clusters, iters=iters,
-                               vec_col=vec_col)
+                               vec_col=vec_col, init=init)
     assigned = kmeans_assign(ds, C, vec_col=vec_col)
     pairs = embedding_near_dup_pairs(
         assigned, vec_col=vec_col, id_col=id_col, part_col="cluster",

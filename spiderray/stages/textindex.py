@@ -459,3 +459,45 @@ def ngram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return merged.map_batches(ppm, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def hash_embed(ds, text_col: str = "text", dim: int = 64, n: int = 3,
+               out_col: str = "embedding"):
+    """Feature-hashing text embedder (the 'hashing trick', Weinberger et
+    al. 2009): each word n-gram hashes to one of ``dim`` buckets with a
+    ±1 sign from a second hash bit, counts accumulate, and the vector
+    L2-normalizes — a deterministic, model-free featurizer that bridges
+    TEXT into the embedding family (semantic_dedup, ANN top-k,
+    embedding_decontaminate all consume its output unchanged).  Inner
+    products approximate n-gram-profile cosine; collisions are the
+    documented accuracy/dim tradeoff.
+
+    Stateless map, no shuffle, no model; md5-based hashing so every
+    worker, run, and partitioning agrees bit-for-bit.  Output vectors
+    are float32 lists; all-empty texts embed as the zero vector."""
+    import hashlib
+
+    if dim < 2:
+        raise ValueError("hash_embed: dim must be >= 2")
+    if n < 1:
+        raise ValueError("hash_embed: n must be >= 1")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for r, t in enumerate(texts):
+            toks = (t or "").split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                g = " ".join(toks[i:i + n])
+                h = hashlib.md5(g.encode()).digest()
+                idx = int.from_bytes(h[:8], "big") % dim
+                sign = 1.0 if h[8] & 1 else -1.0
+                out[r, idx] += sign
+            nrm = np.linalg.norm(out[r])
+            if nrm > 0:
+                out[r] /= nrm
+        vecs = pa.array([row.astype(np.float32).tolist() for row in out],
+                        pa.list_(pa.float32()))
+        return batch.append_column(out_col, vecs)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

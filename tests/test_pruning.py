@@ -240,3 +240,38 @@ class TestAnnRecall:
         # truth, and every probe method scans the cell/bucket containing
         # it, so recall can never be 0
         assert (out["recall_ppm"] > 0).all()
+
+
+class TestHashEmbed:
+    def test_cosine_separates_near_from_far(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import hash_embed
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [base, base + "extra", "completely different words "
+                     "about other topics entirely now " * 4],
+        })
+        out = hash_embed(rd.from_pandas(df), dim=64).to_pandas()
+        V = np.array(out["embedding"].to_list(), np.float64)
+        assert float(V[0] @ V[1]) > 0.8
+        assert abs(float(V[0] @ V[2])) < 0.4
+
+    def test_deterministic_zero_and_guards(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import hash_embed
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", ""]})
+        a = (hash_embed(rd.from_pandas(df), dim=16).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (hash_embed(rd.from_pandas(df).repartition(2), dim=16)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for x, y in zip(a["embedding"], b["embedding"]):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+        assert all(v == 0.0 for v in a["embedding"][1])
+        assert abs(sum(x * x for x in a["embedding"][0]) - 1.0) < 1e-6
+        with pytest.raises(ValueError):
+            hash_embed(rd.from_pandas(df), dim=1)
