@@ -96,7 +96,8 @@ from .stages.quality_stage import (gopher_stage, lang_consistency_stats,
                                    readability_stage)
 from .stages.windows import sessionize, sliding, tumbling, window_functions
 from .functions.scrub import pseudonymize
-from .functions.sketch import grouped_count_distinct_approx
+from .functions.sketch import (cms_estimate, count_min_build,
+                               grouped_count_distinct_approx)
 from .functions.tdigest import td_build, td_merge, td_quantile
 from .sources.wds import read_tar_shards, write_tar_shards
 from .stages.audioquality import (
@@ -173,7 +174,7 @@ __all__ = [
     "BloomFilter", "asof_join", "bm25_topk", "bpe_encode_stage",
     "broadcast_join", "flac_transcode_stage", "grouped_rollup",
     "lang_consistency_stats", "rank_blend", "pseudonymize",
-    "batch_topk", "ann_recall", "hash_embed",
+    "batch_topk", "ann_recall", "hash_embed", "count_min_build", "cms_estimate",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

@@ -114,3 +114,75 @@ def grouped_count_distinct_approx(ds, group_col: str, col: str):
         .groupby(group_col)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the point-frequency
+# member of the mergeable-sketch family beside HLL (distinct) and
+# Misra-Gries (heavy hitters): estimate the count of ANY item with
+# one-sided error (est >= true; est <= true + eps*N w.p. 1-delta).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def _cms_rows(values, depth: int, width: int) -> np.ndarray:
+    """(depth, len(values)) bucket indices from md5(row:value) — the
+    same salted-md5 determinism discipline as the rest of the repo, so
+    every worker, run, and partitioning agrees."""
+    import hashlib
+
+    out = np.empty((depth, len(values)), dtype=np.int64)
+    for r in range(depth):
+        out[r] = [
+            int.from_bytes(
+                hashlib.md5(f"{r}:{v}".encode()).digest()[:8], "big")
+            % width
+            for v in values
+        ]
+    return out
+
+
+def cms_from_values(values, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> np.ndarray:
+    """One batch of items → a (depth, width) int64 count-min table."""
+    cms = np.zeros((depth, width), dtype=np.int64)
+    if len(values):
+        rows = _cms_rows(list(values), depth, width)
+        for r in range(depth):
+            np.add.at(cms[r], rows[r], 1)
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, items) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for ``items``."""
+    depth, width = cms.shape
+    rows = _cms_rows(list(items), depth, width)
+    ests = np.stack([cms[r][rows[r]] for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def count_min_build(ds, col: str, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> np.ndarray:
+    """Distributed count-min build: each batch emits its (depth×width)
+    partial table as one flattened row; tables MERGE BY ADDITION
+    (order-independent, exactly deterministic), so the driver reduce is
+    a sum of n_blocks fixed-size matrices — nothing corpus-sized moves,
+    and the result is identical to a serial build."""
+
+    def partial(batch):
+        import pyarrow as pa
+
+        vals = [v for v in batch.column(col).to_pylist() if v is not None]
+        cms = cms_from_values(vals, depth, width)
+        return pa.table({"cms": pa.array([cms.flatten().tolist()],
+                                         pa.list_(pa.int64()))})
+
+    total = np.zeros(depth * width, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for row in b.column("cms").to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return total.reshape(depth, width)

@@ -1106,6 +1106,58 @@ def q_ann_recall(sf_dir: str):
     return ann.ann_recall(ds, _query_matrix(sf_dir), k=10)
 
 
+def q_count_min(sf_dir: str):
+    """Count-min sketch point frequencies (functions/sketch.
+    count_min_build — Cormode & Muthukrishnan 2005): the mergeable
+    frequency sketch beside HLL and Misra-Gries; per-block partial
+    tables merge by addition (order-independent, exactly
+    deterministic), probe terms report (estimate, exact, overestimate)
+    with the one-sided est ≥ exact guarantee.  Oracle: serial twin with
+    the identical md5 bucket arithmetic."""
+    _ensure_fixture("q_count_min", sf_dir)
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import cms_estimate, count_min_build
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend((t or "").lower().split())
+        return pa.table({"w": pa.array(out, pa.string())})
+
+    toks = ds.map_batches(words, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    cms = count_min_build(toks, "w")
+    probes = ["the", "and", "of", "data", "spider", "zzz-absent-term",
+              "a", "in", "to", "for"]
+    est = cms_estimate(cms, probes)
+
+    def partial_exact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        arr = batch.column("w")
+        return pa.table({
+            "term": pa.array(probes, pa.string()),
+            "n": pa.array([int(pc2.sum(pc2.equal(arr, p)).as_py() or 0)
+                           for p in probes], pa.int64()),
+        })
+
+    exact = (toks.map_batches(partial_exact, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("term").aggregate(Sum("n", alias_name="exact"))
+             .to_pandas().set_index("term")["exact"].to_dict())
+    return pd.DataFrame({
+        "term": pd.array(probes, dtype="object"),
+        "est_count": pd.array(est.tolist(), dtype="int64"),
+        "exact_count": pd.array([int(exact.get(p, 0)) for p in probes],
+                                dtype="int64"),
+        "over": pd.array([int(e) - int(exact.get(p, 0))
+                          for e, p in zip(est, probes)], dtype="int64"),
+    }).sort_values("term").reset_index(drop=True)
+
+
 def q_text_semantic_dedup(sf_dir: str):
     """Model-free text SemDeDup (stages/textindex.hash_embed →
     stages/dedup.semantic_dedup): feature-hashed trigram embeddings
@@ -6865,6 +6917,7 @@ QUERIES = {
     "q_pseudonymize": q_pseudonymize,
     "q_batch_topk": q_batch_topk,
     "q_text_semantic_dedup": q_text_semantic_dedup,
+    "q_count_min": q_count_min,
     "q_ann_recall": q_ann_recall,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,

@@ -363,6 +363,34 @@ def _serial_batch_topk(ids, V, Q, k: int):
     return rows
 
 
+def so_count_min(sf_dir: str) -> pa.Table:
+    """Serial twin of q_count_min: one serial CMS build (identical md5
+    bucket arithmetic — addition-merged partials equal a serial build
+    exactly) plus exact Counter counts."""
+    from collections import Counter
+
+    from ..functions.sketch import cms_estimate, cms_from_values
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    toks = []
+    for t in docs.column("text").to_pylist():
+        toks.extend((t or "").lower().split())
+    cms = cms_from_values(toks)
+    probes = ["the", "and", "of", "data", "spider", "zzz-absent-term",
+              "a", "in", "to", "for"]
+    est = cms_estimate(cms, probes)
+    exact = Counter(toks)
+    rows = sorted(zip(probes, est.tolist()))
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "est_count": pa.array([int(r[1]) for r in rows], pa.int64()),
+        "exact_count": pa.array([int(exact.get(r[0], 0)) for r in rows],
+                                pa.int64()),
+        "over": pa.array([int(r[1]) - int(exact.get(r[0], 0))
+                          for r in rows], pa.int64()),
+    })
+
+
 def so_text_semantic_dedup(sf_dir: str) -> pa.Table:
     """Serial twin of q_text_semantic_dedup: serial feature-hash
     embeddings (same md5 arithmetic), explicit smallest-id init,
@@ -3039,6 +3067,7 @@ SERIAL_ORACLES = {
     "q_keepdrop_f1": so_keepdrop_f1,
     "q_keepdrop_f1_audio": so_keepdrop_f1_audio,
     "q_ivf_topk": so_ivf_topk,
+    "q_count_min": so_count_min,
     "q_text_semantic_dedup": so_text_semantic_dedup,
     "q_batch_topk": so_batch_topk,
     "q_ann_recall": so_ann_recall,

@@ -177,3 +177,36 @@ class TestPseudonymize:
             pseudonymize(ds, [], key="k")
         with pytest.raises(ValueError):
             pseudonymize(ds, ["uid"], key="")
+
+
+class TestCountMin:
+    def test_one_sided_guarantee_and_merge_equals_serial(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from spiderray.functions.sketch import (cms_estimate,
+                                                cms_from_values,
+                                                count_min_build)
+
+        vals = (["hot"] * 500 + ["warm"] * 50
+                + [f"u{i}" for i in range(2000)])
+        df = pd.DataFrame({"w": vals})
+        cms_d = count_min_build(rd.from_pandas(df).repartition(7), "w")
+        cms_s = cms_from_values(vals)
+        assert np.array_equal(cms_d, cms_s)   # addition-merge == serial
+        est = cms_estimate(cms_d, ["hot", "warm", "u0", "never-seen"])
+        assert est[0] >= 500 and est[1] >= 50 and est[2] >= 1
+        assert est[3] >= 0
+        # width 8192 >> 2552 items: estimates are near-exact here
+        assert est[0] <= 510 and est[3] <= 5
+
+    def test_nulls_skipped(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.functions.sketch import (cms_estimate,
+                                                count_min_build)
+
+        df = pd.DataFrame({"w": ["a", None, "a"]})
+        cms = count_min_build(rd.from_pandas(df), "w")
+        assert int(cms[0].sum()) == 2
+        assert int(cms_estimate(cms, ["a"])[0]) == 2
