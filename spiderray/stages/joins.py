@@ -521,7 +521,11 @@ def broadcast_join(left, right, on: str, right_on: str | None = None,
 
     ``how``: 'inner' or 'left'.  Column sets must be disjoint apart from
     the key; a right side over ``max_right_rows`` raises loudly — at
-    that size use bucketed_join/hash_join instead."""
+    that size use bucketed_join/hash_join instead.  Pandas caveat on
+    'left': unmatched rows null-pad with NaN, which decays int right
+    columns to float64 (standard pandas merge semantics); use
+    bucketed_join's schema-derived nullable casting when dtype
+    stability of the padded columns matters."""
     import ray
 
     import pandas as pd

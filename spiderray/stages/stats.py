@@ -1592,7 +1592,9 @@ def grouped_rollup(ds, keys: list, value_col: str, sentinel: str = "__ALL__"):
     finest AGGREGATE (already tiny) with plain pandas — the corpus is
     touched once and only key-cardinality-sized tables move after the
     single shuffle.  ``value_col`` must be integer (quantize first) so
-    every sum is exact under any partitioning."""
+    every sum is exact under any partitioning.  Keys are stringified
+    (the sentinel needs a common type); a NULL key becomes the string
+    'None' — COALESCE upstream if that collides with real values."""
     from ray.data.aggregate import Sum
 
     import pandas as pd
