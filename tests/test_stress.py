@@ -712,3 +712,54 @@ class TestStressFifthWave:
         for i in (0, 10, 21, 41, 2):
             want = (base + str(i)) if expect_passes[i] else f"ascii row {i}"
             assert fixed[i] == want, i
+
+
+class TestStressFifthWaveB:
+    def test_batch_topk_200k_vectors_16_queries(self, ray_session):
+        """Batched retrieval at 200k x 32-dim, 16 queries: per-block
+        traffic stays q*k rows, results match per-query brute force on
+        a sampled query."""
+        import ray.data as rd
+
+        from spiderray.stages import ann
+
+        rng = np.random.default_rng(31)
+        n, d = 200_000, 32
+        V = rng.standard_normal((n, d))
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": [list(r) for r in V]})
+        ds = rd.from_pandas(df).repartition(32)
+        Q = V[:16]
+        out = ann.batch_topk(ds, Q, k=10)
+        assert len(out) == 160
+        # query j IS corpus row j: rank-0 hit must be itself at sim 1000
+        g0 = out[out["query_idx"] == 7].iloc[0]
+        assert g0["vec_id"] == 7 and g0["sim_milli"] == 1000
+        single = ann.brute_force_topk(rd.from_pandas(df), Q[3], k=10)
+        assert (list(out[out["query_idx"] == 3]["vec_id"])
+                == list(single["vec_id"]))
+
+    def test_rank_blend_500k_rows(self, ray_session):
+        """Rank blend at 500k rows: the exchange is the distinct-value
+        histogram (~1k rows/signal), ranks are exact at the extremes
+        and partition-invariant by construction."""
+        import ray.data as rd
+
+        from spiderray.stages.stats import rank_blend
+
+        n = 500_000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "s1": (np.arange(n) % 997).astype(np.int64),
+            "s2": ((np.arange(n) * 31) % 1009).astype(np.int64),
+        })
+        out = (rank_blend(rd.from_pandas(df).repartition(32),
+                          ["s1", "s2"]).to_pandas())
+        assert len(out) == n
+        mn = out[out["s1"] == 0]["rank_s1_ppm"]
+        assert (mn == 0).all()
+        mx = out[out["s1"] == 996]["rank_s1_ppm"]
+        # count_below of the top value = n - count(top)
+        expect = (n - (mx.size)) * 1_000_000 // (n - 1)
+        assert (mx == expect).all()
+        assert out["blend_ppm"].between(0, 1_000_000).all()
