@@ -146,6 +146,7 @@ from .stages.audioquality import (audio_bandwidth_stage,
                                   audio_denoise_stage,
                                   audio_hum_stage, audio_qc_stage,
                                   audio_reverb_stage, codec_sniff_stage)
+from .sources.hive import read_hive_partitioned, write_hive_partitioned
 from .sources.jsonl import read_jsonl_shards, write_jsonl_shards
 from .stages.stats import (
     calibration_bins,
@@ -175,6 +176,7 @@ __all__ = [
     "broadcast_join", "flac_transcode_stage", "grouped_rollup",
     "lang_consistency_stats", "rank_blend", "pseudonymize",
     "batch_topk", "ann_recall", "hash_embed", "count_min_build", "cms_estimate",
+    "write_hive_partitioned", "read_hive_partitioned",
     "brute_force_topk",
     "bucketed_join", "c4_filter_stage", "c4_span_dedup",
     "corpus_bucket_counts", "corpus_word_freqs",

@@ -1106,6 +1106,35 @@ def q_ann_recall(sf_dir: str):
     return ann.ann_recall(ds, _query_matrix(sf_dir), k=10)
 
 
+def q_hive_roundtrip(sf_dir: str):
+    """Hive-layout value-partitioned sink (sources/hive.py): documents
+    write as lang=xx/ parquet directories (Ray's native distributed
+    partition_cols write) with a _DONE.json commit manifest, then read
+    back through the marker-guarded reader — the publishing format
+    consumers prune at directory level.  Oracle: the roundtrip must
+    equal the source table (literal SQL)."""
+    import os
+    import shutil
+
+    from ..sources.hive import read_hive_partitioned, write_hive_partitioned
+
+    out = f"/tmp/spiderray_hive_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    write_hive_partitioned(ds, out, ["lang"])
+    back = read_hive_partitioned(out)
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_chars"] = df["n_chars"].astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "lang", "n_chars"]]
+
+
+SQL_HIVE_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_count_min(sf_dir: str):
     """Count-min sketch point frequencies (functions/sketch.
     count_min_build — Cormode & Muthukrishnan 2005): the mergeable
@@ -6918,6 +6947,7 @@ QUERIES = {
     "q_batch_topk": q_batch_topk,
     "q_text_semantic_dedup": q_text_semantic_dedup,
     "q_count_min": q_count_min,
+    "q_hive_roundtrip": q_hive_roundtrip,
     "q_ann_recall": q_ann_recall,
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
@@ -7154,6 +7184,7 @@ ORACLE_SQL = {
     "q_grouped_rollup": SQL_GROUPED_ROLLUP,
     "q_rank_blend": SQL_RANK_BLEND,
     "q_pseudonymize": SQL_PSEUDONYMIZE,
+    "q_hive_roundtrip": SQL_HIVE_ROUNDTRIP,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_harvest_filter": SQL_HARVEST_FILTER,
