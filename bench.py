@@ -143,6 +143,11 @@ def run_queries() -> dict[str, float]:
         ("q_line_dedup", q.q_line_dedup),
         ("q_audio_compress", q.q_audio_compress),
         ("q_utterance_pack", q.q_utterance_pack),
+        ("q_rank_blend", q.q_rank_blend),
+        ("q_text_semantic_dedup", q.q_text_semantic_dedup),
+        ("q_batch_topk", q.q_batch_topk),
+        ("q_hive_roundtrip", q.q_hive_roundtrip),
+        ("q_count_min", q.q_count_min),
     ]
     import ray.data
 
@@ -208,6 +213,8 @@ _CALM_SEC = {
     "q_prototype_prune": 1.5, "q_mmr_topk": 0.8, "q_fix_mojibake": 1.0,
     "q_canary_scan": 0.8, "q_tokenizer_fertility": 1.5, "q_line_dedup": 1.0,
     "q_audio_compress": 3.0, "q_utterance_pack": 3.0,
+    "q_rank_blend": 1.0, "q_text_semantic_dedup": 2.5, "q_batch_topk": 0.8,
+    "q_hive_roundtrip": 1.5, "q_count_min": 2.5,
 }
 
 
