@@ -5849,6 +5849,56 @@ def q_nb_langid(sf_dir: str):
     )
 
 
+def q_linear_distill(sf_dir: str):
+    """Rule-bank distillation through the DISCRIMINATIVE trainer
+    (stages/linear.py — the fastText-supervised shape the north star names,
+    beside the generative NB): the Gopher rule bank labels a bounded seed
+    (doc_id % 3 == 0 of the branch-exercising augmented corpus — the CCNet
+    'train a cheap classifier on a seed' recipe), full-batch GD distills the
+    labels into a hashed-n-gram linear model (integer nano-unit gradient
+    exchange → bit-deterministic under any partitioning), and an actor pool
+    scores EVERY doc.  Oracle: serial twin with identical arithmetic."""
+    _ensure_fixture("q_linear_distill", sf_dir)
+    from ..stages.linear import linear_predict_stage, train_logistic
+    from ..stages.quality_stage import gopher_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids, texts = _gopher_augment(
+            batch.column("doc_id").to_numpy(), batch.column("text").to_pylist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    aug = ds.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+
+    def label(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "label",
+            pc.cast(batch.column("gopher_keep"), pa.int64()),
+        )
+
+    labeled = gopher_stage(aug).map_batches(
+        label, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "text", "label"])
+    # bounded training seed, materialized so the T epochs don't re-run the
+    # rule bank (at 100 TB the seed is a capped sample; the full corpus
+    # only streams through the one predict pass below)
+    seed = labeled.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    model = train_logistic(seed, epochs=8)
+    out = linear_predict_stage(labeled, model).to_pandas()
+    out["lr_pred_i"] = out["lr_pred"].astype(np.int64)
+    out["agree"] = (out["lr_pred_i"] == out["label"]).astype(np.int64)
+    return (
+        out[["doc_id", "label", "lr_prob_micro", "lr_pred_i", "agree"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_vad_segments(sf_dir: str):
     """VAD utterance segmentation (stages/multimodal.vad_segment_stage):
     clips get a deterministic speech–silence–speech structure
@@ -7092,6 +7142,7 @@ QUERIES = {
     "q_dsir_scores": q_dsir_scores,
     "q_arpa_ppl": q_arpa_ppl,
     "q_nb_langid": q_nb_langid,
+    "q_linear_distill": q_linear_distill,
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,

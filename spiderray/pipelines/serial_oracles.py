@@ -2673,6 +2673,66 @@ def so_nb_langid(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Logistic-regression distillation (q_linear_distill)
+# ---------------------------------------------------------------------------
+
+def so_linear_distill(sf_dir: str) -> pa.Table:
+    """Serial LR twin: the same augment + gopher teacher labels, then the
+    full-batch GD loop accumulated single-threaded — int64 gradient sums are
+    exactly commutative, so the serial model is bit-identical to the
+    distributed trainer's (the machinery under test is the per-epoch
+    partial-gradient exchange + groupby-Sum + actor-pool predict)."""
+    from ..functions.gopher import gopher_doc
+    from ..stages.dsir import N_BUCKETS, _HashCache
+    from ..stages.linear import _QUANT, LinearModel, _residual_nano, _unique_ids
+    from .queries import _gopher_augment
+
+    t = _docs(sf_dir)
+    aug_ids, aug_texts = _gopher_augment(
+        t.column("doc_id").to_numpy().astype(np.int64),
+        t.column("text").to_pylist())
+    ids = np.asarray(aug_ids, dtype=np.int64)
+    labels = [int(gopher_doc(txt or "")["gopher_keep"]) for txt in aug_texts]
+    hasher = _HashCache(N_BUCKETS)
+    feats = [_unique_ids(txt or "", hasher, N_BUCKETS) for txt in aug_texts]
+
+    seed = [(f, y) for i, f, y in zip(ids, feats, labels) if i % 2 == 0]
+    lr, l2, epochs = 2.0, 1e-4, 8
+    model = LinearModel(np.zeros(N_BUCKETS), 0.0)
+    for _ in range(epochs):
+        grad = np.zeros(N_BUCKETS, dtype=np.int64)
+        bias_g = 0
+        for f, y in seed:
+            r = _residual_nano(model, f, y)
+            bias_g += r
+            if len(f):
+                grad[f] += r
+        scale = lr / (len(seed) * _QUANT)
+        w = model.weights * (1.0 - lr * l2) - grad.astype(np.float64) * scale
+        b = model.bias - bias_g * scale
+        model = LinearModel(w, b)
+
+    order = np.argsort(ids, kind="stable")
+    micro, pred_i, agree = [], [], []
+    for j in order:
+        p = model.prob_ids(feats[j])
+        m = int(np.floor(p * 1_000_000 + 0.5))
+        micro.append(m)
+        pi = int(p >= 0.5)
+        pred_i.append(pi)
+        agree.append(int(pi == labels[j]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "label": pa.array([labels[j] for j in order], pa.int64()),
+            "lr_prob_micro": pa.array(micro, pa.int64()),
+            "lr_pred_i": pa.array(pred_i, pa.int64()),
+            "agree": pa.array(agree, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance resampling (q_dsir_scores)
 # ---------------------------------------------------------------------------
 
@@ -3041,6 +3101,7 @@ SERIAL_ORACLES = {
     "q_dsir_scores": so_dsir_scores,
     "q_arpa_ppl": so_arpa_ppl,
     "q_nb_langid": so_nb_langid,
+    "q_linear_distill": so_linear_distill,
     "q_vad_segments": so_vad_segments,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,
