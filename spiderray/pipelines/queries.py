@@ -5899,6 +5899,86 @@ def q_linear_distill(sf_dir: str):
     )
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (stages/stats.k_anonymity, Sweeney 2002): distinct
+    quasi-identifier combinations (lang, source, 512-char length band) with
+    row counts and the count<k re-identification flag — the release-gating
+    governance card beside the PII scrub.  One combination-bounded
+    groupby-Count.  Oracle: literal SQL."""
+    from ..stages.stats import k_anonymity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        lb = batch.column("n_chars").to_numpy(zero_copy_only=False) // 512
+        return pa.table({
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "len_band": pa.array(lb, pa.int64()),
+        })
+
+    banded = ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+    df = k_anonymity(banded, ["lang", "source", "len_band"], k=10).to_pandas()
+    return (
+        df.sort_values(["lang", "source", "len_band"]).reset_index(drop=True)
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT lang, source, n_chars // 512 AS len_band,
+       CAST(count(*) AS BIGINT) AS group_n,
+       count(*) < 10 AS at_risk
+FROM documents
+GROUP BY lang, source, len_band
+ORDER BY lang, source, len_band
+"""
+
+
+def _fuzzy_corpus(ids, texts) -> tuple[list, list]:
+    """Short variable-length strings + planted typo twins for q_fuzzy_pairs
+    (shared with its serial oracle): every sampled doc shrinks to its first
+    5 + (id % 4) words; every 3rd gains a twin (id + 50M) with one char
+    substituted mid-string — edit distance 1 unless the char already
+    matched."""
+    out_ids, out_texts = [], []
+    for i, txt in zip(ids, texts):
+        i = int(i)
+        words = (txt or "").split()[: 5 + i % 4]
+        s = " ".join(words)
+        out_ids.append(i)
+        out_texts.append(s)
+        if i % 3 == 0 and len(s) > 2:
+            m = len(s) // 2
+            out_ids.append(i + 50_000_000)
+            out_texts.append(s[:m] + "q" + s[m + 1:])
+    return out_ids, out_texts
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs (stages/dedup.levenshtein_pairs — the
+    typo/OCR-noise member of the dedup family, for SHORT strings): exact-
+    recall length-band blocking, banded Ukkonen verify, single emission per
+    pair.  Runs over a 1-in-20 doc sample shrunk to short title-like strings
+    with planted one-substitution twins.  Oracle: an INDEPENDENT serial
+    orchestration — no banding, a length-sorted sweep with the same kernel."""
+    _ensure_fixture("q_fuzzy_pairs", sf_dir)
+    from ..stages.dedup import levenshtein_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = batch.column("doc_id").to_numpy(zero_copy_only=False) % 20 == 0
+        batch = batch.filter(pa.array(keep))
+        ids, texts = _fuzzy_corpus(
+            batch.column("doc_id").to_numpy(), batch.column("text").to_pylist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    short = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    df = levenshtein_pairs(short, max_d=2).to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_vad_segments(sf_dir: str):
     """VAD utterance segmentation (stages/multimodal.vad_segment_stage):
     clips get a deterministic speech–silence–speech structure
@@ -7143,6 +7223,8 @@ QUERIES = {
     "q_arpa_ppl": q_arpa_ppl,
     "q_nb_langid": q_nb_langid,
     "q_linear_distill": q_linear_distill,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
+    "q_k_anonymity": q_k_anonymity,
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,
@@ -7306,6 +7388,7 @@ ORACLE_SQL = {
     "q_corpus_diff": SQL_CORPUS_DIFF,
     "q_embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
     "q_term_drift": SQL_TERM_DRIFT,
+    "q_k_anonymity": SQL_K_ANONYMITY,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -2733,6 +2733,52 @@ def so_linear_distill(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs (q_fuzzy_pairs)
+# ---------------------------------------------------------------------------
+
+def so_fuzzy_pairs(sf_dir: str) -> pa.Table:
+    """INDEPENDENT serial orchestration of q_fuzzy_pairs: no length banding
+    — a length-sorted two-pointer sweep enumerates every pair with
+    |len diff| <= max_d and verifies with the same banded kernel.  Any
+    blocking/emission bug in the distributed path (double emission, band
+    boundary miss) diverges here."""
+    from ..functions.similarity import banded_levenshtein
+    from .queries import _fuzzy_corpus
+
+    max_d = 2
+    t = _docs(sf_dir)
+    base_ids = t.column("doc_id").to_numpy().astype(np.int64)
+    keep = base_ids % 20 == 0
+    ids_l, texts = _fuzzy_corpus(
+        base_ids[keep], [x for x, k in zip(t.column("text").to_pylist(), keep) if k])
+    ids = np.asarray(ids_l, dtype=np.int64)
+    lens = np.asarray([len(s) for s in texts])
+    order = np.lexsort((ids, lens))  # by length, then id
+    out_a, out_b, out_d = [], [], []
+    n = len(order)
+    for x in range(n):
+        i = order[x]
+        for y in range(x + 1, n):
+            j = order[y]
+            if lens[j] - lens[i] > max_d:
+                break  # sorted by length: nothing further qualifies
+            d = banded_levenshtein(texts[i], texts[j], max_d)
+            if d <= max_d:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(d)
+    tbl = pa.table(
+        {
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "dist": pa.array(out_d, pa.int64()),
+        }
+    )
+    return tbl.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance resampling (q_dsir_scores)
 # ---------------------------------------------------------------------------
 
@@ -3102,6 +3148,7 @@ SERIAL_ORACLES = {
     "q_arpa_ppl": so_arpa_ppl,
     "q_nb_langid": so_nb_langid,
     "q_linear_distill": so_linear_distill,
+    "q_fuzzy_pairs": so_fuzzy_pairs,
     "q_vad_segments": so_vad_segments,
     "q_audio_loudness": so_audio_loudness,
     "q_audio_mfcc": so_audio_mfcc,

@@ -1895,3 +1895,100 @@ def prototype_prune(
         return batch
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) near-dup pairs — the short-string dedup member
+# ---------------------------------------------------------------------------
+
+LEV_MAX_GROUP = 4096  # O(group²) verify guard (embedding-family convention)
+
+
+def levenshtein_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_d: int = 3,
+    max_group: int = LEV_MAX_GROUP,
+):
+    """All pairs with Levenshtein distance <= ``max_d`` — the typo/OCR-noise
+    near-dup detector for SHORT strings (titles, transcripts, entity names;
+    the n-gram/minhash families target long documents).
+
+    Blocking is EXACT-recall length banding: distance <= max_d forces
+    ``|len_a - len_b| <= max_d``, so with band width ``max_d + 1`` the two
+    length floors differ by at most 1 — each row is emitted to its own
+    floor and the floor below, guaranteeing every qualifying pair shares a
+    bucket.  A pair is verified only in bucket ``min(floor_a, floor_b)``
+    (single emission), with the banded Ukkonen kernel
+    (functions/similarity.banded_levenshtein, O(len · max_d)).
+
+    Scale: the exchange carries (bucket, id, text) twice per row; groups are
+    length-banded so the O(group²) candidate loop is bounded by how many
+    strings share a ±max_d length window — groups beyond ``max_group`` are
+    skipped (the EMBED_MAX_GROUP convention: a degenerate all-same-length
+    corpus must not O(n²) one worker; pre-partition such corpora by a
+    content key first)."""
+    import pandas as pd
+
+    from ..functions.similarity import banded_levenshtein
+
+    width = max_d + 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        floors = [len(t) // width for t in texts]
+        out_b, out_i, out_t = [], [], []
+        for i, t, f in zip(ids, texts, floors):
+            for b in (f, f - 1):
+                if b >= 0:
+                    out_b.append(b)
+                    out_i.append(i)
+                    out_t.append(t)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                id_col: pa.array(out_i),
+                text_col: pa.array(out_t, pa.string()),
+            }
+        )
+
+    def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype=g[id_col].dtype),
+             "id_b": np.array([], dtype=g[id_col].dtype),
+             "dist": np.array([], dtype=np.int64)}
+        )
+        if len(g) > max_group or len(g) < 2:
+            return empty
+        g = g.sort_values(id_col)
+        bucket = int(g["bucket"].iloc[0])
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_list()
+        floors = [len(t) // width for t in texts]
+        out_a, out_b, out_d = [], [], []
+        m = len(ids)
+        for i in range(m):
+            li = len(texts[i])
+            for j in range(i + 1, m):
+                if ids[i] == ids[j]:
+                    continue  # the same row met through both its buckets
+                if abs(li - len(texts[j])) > max_d:
+                    continue
+                if min(floors[i], floors[j]) != bucket:
+                    continue  # this pair is verified in its lower bucket
+                d = banded_levenshtein(texts[i], texts[j], max_d)
+                if d <= max_d:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "dist": np.asarray(out_d, np.int64)}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return exploded.groupby("bucket").map_groups(per_group, batch_format="pandas")

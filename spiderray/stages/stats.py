@@ -1727,3 +1727,49 @@ def rank_blend(ds, score_cols: list, id_col: str = "doc_id",
 
     return ds.map_batches(apply, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def k_anonymity(ds, quasi_cols: list, k: int):
+    """k-anonymity audit over a quasi-identifier column set (Sweeney 2002):
+    every distinct quasi-identifier combination with its row count and an
+    ``at_risk`` flag (count < k — the combinations that re-identify an
+    individual when the table is released).  The governance sibling of the
+    PII scrub: scrubbing removes direct identifiers, this measures whether
+    the INDIRECT ones still single people out.
+
+    One groupby-Count whose shuffle is bounded by the number of distinct
+    combinations (with per-batch pre-aggregation by Ray's partial combiners),
+    never corpus-bounded.  Emits one row per combination — release gating
+    joins ``at_risk`` back or drops/generalizes those rows.
+
+    Null handling: Ray's groupby cannot sort null keys, so null STRING
+    quasi values are reported under ``null_key`` (the null combination is
+    itself a group — usually the riskiest one).  Null NUMERIC quasi values
+    must be generalized upstream (no in-band integer sentinel is safe)."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    null_key = "__NULL__"
+
+    def prefill(batch: pa.Table) -> pa.Table:
+        for c in quasi_cols:
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                batch = batch.set_column(
+                    batch.column_names.index(c), c, _pc.fill_null(col, null_key)
+                )
+        return batch
+
+    filled = ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
+    agg = filled.groupby(list(quasi_cols)).aggregate(Count(alias_name="group_n"))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("group_n").to_numpy(zero_copy_only=False)
+        return batch.append_column("at_risk", pa.array(n < k, pa.bool_()))
+
+    return agg.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
