@@ -7264,7 +7264,7 @@ _PRIORITY = [
     "q_corpus_report",
     # exact + near dedup
     "q_exact_dedup", "q_incremental_dedup", "q_apply_deletions",
-    "q_minhash_pairs", "q_transcript_fit", "q_image_near_dup",
+    "q_minhash_pairs", "q_transcript_fit",
     "q_audio_channels", "q_semantic_dedup",
     # global/structural dedup
     "q_c4_span_dedup", "q_substring_dedup", "q_paragraph_dedup",
@@ -7275,6 +7275,7 @@ _PRIORITY = [
     # quality filters
     "q_doc_keepdrop", "q_gopher_quality", "q_c4_filters",
     "q_ccnet_buckets", "q_dsir_scores", "q_threshold_sweep",
+    "q_linear_distill",
     # tokenizers / packing
     "q_bpe_tokens", "q_pack_chunks",
     # sampling / mixing

@@ -1923,12 +1923,15 @@ def levenshtein_pairs(
     (single emission), with the banded Ukkonen kernel
     (functions/similarity.banded_levenshtein, O(len · max_d)).
 
-    Scale: the exchange carries (bucket, id, text) twice per row; groups are
-    length-banded so the O(group²) candidate loop is bounded by how many
-    strings share a ±max_d length window — groups beyond ``max_group`` are
-    skipped (the EMBED_MAX_GROUP convention: a degenerate all-same-length
-    corpus must not O(n²) one worker; pre-partition such corpora by a
-    content key first)."""
+    Scale: the exchange carries (bucket, id, text) twice per row.  Within a
+    group the quadratic candidate space is crossed by a VECTORIZED
+    char-frequency prune first (one edit moves the hashed-class-count L1 by
+    at most 2, so L1 <= 2·max_d is a necessary condition — blocked numpy,
+    never a dense m×m×classes tensor); only survivors pay the Python DP.
+    Groups beyond ``max_group`` are skipped (the EMBED_MAX_GROUP
+    convention: a degenerate all-same-length all-same-histogram corpus must
+    not O(n²) one worker; pre-partition such corpora by a content key
+    first)."""
     import pandas as pd
 
     from ..functions.similarity import banded_levenshtein
@@ -1954,6 +1957,11 @@ def levenshtein_pairs(
             }
         )
 
+    n_classes = 4  # hashed char classes: few enough that the m×m L1 is
+    # four numpy passes, partitioned enough that random non-dups blow the
+    # 2·max_d budget almost surely (survivors go straight to the DP, whose
+    # row-min early exit kills them in ~max_d rows)
+
     def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
             {"id_a": np.array([], dtype=g[id_col].dtype),
@@ -1966,18 +1974,36 @@ def levenshtein_pairs(
         bucket = int(g["bucket"].iloc[0])
         ids = g[id_col].to_numpy()
         texts = g[text_col].to_list()
-        floors = [len(t) // width for t in texts]
-        out_a, out_b, out_d = [], [], []
         m = len(ids)
-        for i in range(m):
-            li = len(texts[i])
-            for j in range(i + 1, m):
+        lens = np.fromiter((len(t) for t in texts), np.int64, count=m)
+        floors = lens // width
+        # char-frequency prune matrix: one edit changes the class-count L1
+        # by at most 2 (substitution: two counts move 1 each; indel: one),
+        # so qualifying pairs satisfy L1 <= 2*max_d — a NECESSARY condition
+        # that lets numpy discard the quadratic bulk before any DP runs
+        counts = np.zeros((m, n_classes), dtype=np.int32)
+        for i, t in enumerate(texts):
+            if t:
+                cps = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                counts[i] = np.bincount(cps % n_classes, minlength=n_classes)
+        out_a, out_b, out_d = [], [], []
+        block = 512  # rows per L1 block: peak extra memory block × m int32
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            l1 = np.zeros((e - s, m), dtype=np.int32)
+            for c in range(n_classes):
+                l1 += np.abs(counts[s:e, c:c + 1] - counts[None, :, c])
+            cand = (
+                (l1 <= 2 * max_d)
+                & (np.abs(lens[s:e, None] - lens[None, :]) <= max_d)
+                & (np.minimum(floors[s:e, None], floors[None, :]) == bucket)
+            )
+            # strict upper triangle in GLOBAL index space (verify once)
+            cand &= np.arange(m)[None, :] > np.arange(s, e)[:, None]
+            for bi, bj in zip(*np.nonzero(cand)):
+                i, j = s + int(bi), int(bj)
                 if ids[i] == ids[j]:
                     continue  # the same row met through both its buckets
-                if abs(li - len(texts[j])) > max_d:
-                    continue
-                if min(floors[i], floors[j]) != bucket:
-                    continue  # this pair is verified in its lower bucket
                 d = banded_levenshtein(texts[i], texts[j], max_d)
                 if d <= max_d:
                     a, b = sorted((ids[i], ids[j]))

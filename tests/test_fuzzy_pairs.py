@@ -99,3 +99,14 @@ def test_partition_invariance(ray_session):
                           max_d=2).to_pandas()
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "dist"]].to_numpy()))
     assert key(a) == key(b)
+
+
+def test_char_frequency_prune_boundary(ray_session):
+    # L1 of hashed char counts is exactly 2*max_d for one substitution —
+    # the prune's boundary case must survive to the DP
+    rows = [
+        {"doc_id": 1, "text": "abxy"},
+        {"doc_id": 2, "text": "acxy"},  # one substitution: L1 = 2 = 2*max_d
+    ]
+    df = _pairs(ray_session, rows, max_d=1)
+    assert list(zip(df["id_a"], df["id_b"], df["dist"])) == [(1, 2, 1)]

@@ -763,3 +763,34 @@ class TestStressFifthWaveB:
         expect = (n - (mx.size)) * 1_000_000 // (n - 1)
         assert (mx == expect).all()
         assert out["blend_ppm"].between(0, 1_000_000).all()
+
+
+class TestStressFuzzy:
+    def test_levenshtein_pairs_200k_short_strings(self, ray_session):
+        """200k short strings (8-40 chars, spread lengths) with 2k planted
+        one-edit twins: every planted pair found, length-band groups stay
+        under the cap."""
+        import ray.data as rd
+
+        from spiderray.stages.dedup import levenshtein_pairs
+
+        rng = np.random.default_rng(23)
+        n = 200_000
+        alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        rows = []
+        for i in range(n):
+            ln = 8 + int(rng.integers(0, 33))
+            rows.append({"doc_id": i,
+                         "text": "".join(rng.choice(alpha, size=ln))})
+        planted = []
+        for j in range(2000):
+            base = rows[j * 97]["text"]
+            m = len(base) // 2
+            planted.append({"doc_id": n + j,
+                            "text": base[:m] + "0" + base[m + 1:]})
+        ds = rd.from_pandas(pd.DataFrame(rows + planted)).repartition(64)
+        pairs = levenshtein_pairs(ds, max_d=1, max_group=50_000).to_pandas()
+        found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        missing = [(j * 97, n + j) for j in range(2000)
+                   if (j * 97, n + j) not in found]
+        assert not missing, f"missing {len(missing)}: {missing[:5]}"
