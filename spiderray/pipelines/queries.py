@@ -5934,6 +5934,120 @@ ORDER BY lang, source, len_band
 """
 
 
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (stages/stats.l_diversity, Machanavajjhala 2007):
+    per quasi-identifier group (source, 512-char length band), the group
+    size AND the distinct count of the sensitive attribute (lang), flagging
+    groups where fewer than l=3 sensitive values appear — the disclosure
+    k-anonymity misses when a k-large group is sensitively homogeneous.
+    Two combination-bounded exchanges.  Oracle: literal SQL."""
+    from ..stages.stats import l_diversity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        lb = batch.column("n_chars").to_numpy(zero_copy_only=False) // 512
+        return pa.table({
+            "source": batch.column("source"),
+            "len_band": pa.array(lb, pa.int64()),
+            "lang": batch.column("lang"),
+        })
+
+    banded = ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+    df = l_diversity(banded, ["source", "len_band"], "lang", l=3).to_pandas()
+    df["group_n"] = df["group_n"].astype(np.int64)
+    df["distinct_sensitive"] = df["distinct_sensitive"].astype(np.int64)
+    return df.sort_values(["source", "len_band"]).reset_index(drop=True)
+
+
+SQL_L_DIVERSITY = """
+SELECT source, n_chars // 512 AS len_band,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT lang) AS BIGINT) AS distinct_sensitive,
+       count(DISTINCT lang) < 3 AS at_risk
+FROM documents
+GROUP BY source, len_band
+ORDER BY source, len_band
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outliers (stages/stats.mad_outliers): modified
+    z-score 0.6745·(v−median)/MAD over milli-quantized events.value, per
+    event_type, |z|>3.5 — the heavy-tail-safe companion of
+    q_event_outliers (whose mean/std the outliers themselves drag).
+    Exact discrete medians via two value-histogram exchanges; fixed IEEE
+    op order makes every flagged row bit-reproducible.  Oracle: literal
+    SQL restating the same ⌈n/2⌉ rank picks and the same double ops."""
+    from ..stages.stats import mad_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    df = mad_outliers(ds, "event_type", "value", ["event_id"],
+                      k=3.5, scale=1000).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_MAD_OUTLIERS = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+), med AS (
+  SELECT event_type, vi AS med FROM (
+    SELECT event_type, vi,
+           row_number() OVER (PARTITION BY event_type ORDER BY vi) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM q)
+  WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+), d AS (
+  SELECT q.event_id, q.event_type, q.vi, m.med,
+         abs(q.vi - m.med) AS ad
+  FROM q JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM d)
+  WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+)
+SELECT d.event_id, d.event_type, d.vi AS v_int,
+       CAST(floor(0.6745 * (CAST(d.vi AS DOUBLE) - CAST(d.med AS DOUBLE))
+                  / CAST(t.mad AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS zmad_micro
+FROM d JOIN mad t USING (event_type)
+WHERE t.mad > 0
+  AND abs(0.6745 * (CAST(d.vi AS DOUBLE) - CAST(d.med AS DOUBLE))
+          / CAST(t.mad AS DOUBLE)) > 3.5
+ORDER BY d.event_id
+"""
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """Crosstab data card (stages/stats.pivot_counts): one row per source,
+    one int64 count column per language (cnt_de … cnt_zh, sorted value
+    order) — the wide release-report shape.  One cell-bounded groupby;
+    the driver pivots only the #cells aggregate.  Oracle: literal SQL
+    conditional aggregation."""
+    from ..stages.stats import pivot_counts
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    return pivot_counts(ds, "source", "lang", prefix="cnt_")
+
+
+SQL_SOURCE_LANG_PIVOT = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_zh
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _fuzzy_corpus(ids, texts) -> tuple[list, list]:
     """Short variable-length strings + planted typo twins for q_fuzzy_pairs
     (shared with its serial oracle): every sampled doc shrinks to its first
@@ -7225,6 +7339,9 @@ QUERIES = {
     "q_linear_distill": q_linear_distill,
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_k_anonymity": q_k_anonymity,
+    "q_l_diversity": q_l_diversity,
+    "q_mad_outliers": q_mad_outliers,
+    "q_source_lang_pivot": q_source_lang_pivot,
     "q_vad_segments": q_vad_segments,
     "q_heavy_hitters": q_heavy_hitters,
     "q_pack_chunks": q_pack_chunks,
@@ -7390,6 +7507,9 @@ ORACLE_SQL = {
     "q_embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
     "q_term_drift": SQL_TERM_DRIFT,
     "q_k_anonymity": SQL_K_ANONYMITY,
+    "q_l_diversity": SQL_L_DIVERSITY,
+    "q_mad_outliers": SQL_MAD_OUTLIERS,
+    "q_source_lang_pivot": SQL_SOURCE_LANG_PIVOT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite
     # flagship outputs → rows-only
 }

@@ -1773,3 +1773,178 @@ def k_anonymity(ds, quasi_cols: list, k: int):
         return batch.append_column("at_risk", pa.array(n < k, pa.bool_()))
 
     return agg.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def l_diversity(ds, quasi_cols: list, sensitive_col: str, l: int):
+    """l-diversity audit (Machanavajjhala 2007) — the companion of
+    ``k_anonymity``: a quasi-identifier group can be large (k-safe) yet
+    still leak when every member shares ONE sensitive value, so this
+    reports, per distinct quasi combination, the group size AND the number
+    of DISTINCT sensitive values, flagging groups with fewer than ``l``.
+
+    Shuffle shape: one pre-aggregated groupby over (quasi…, sensitive) —
+    bounded by the distinct-combination count, never rows — then a second
+    #combos-sized groupby collapsing the sensitive axis.  Emits one row per
+    quasi combination: (*quasi_cols, group_n, distinct_sensitive, at_risk).
+
+    Nulls: string quasi/sensitive nulls land under ``__NULL__`` (a null
+    sensitive value is itself one disclosure class); numeric quasi nulls
+    must be generalized upstream, as in k_anonymity."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count, Sum
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if sensitive_col in quasi_cols:
+        raise ValueError("sensitive_col must not be a quasi column")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    null_key = "__NULL__"
+    cols = list(quasi_cols) + [sensitive_col]
+
+    def prefill(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                batch = batch.set_column(
+                    batch.column_names.index(c), c, _pc.fill_null(col, null_key)
+                )
+        return batch
+
+    filled = ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
+    # one row per (quasi…, sensitive) with its count — the bounded exchange
+    fine = filled.groupby(cols).aggregate(Count(alias_name="__n"))
+    agg = fine.groupby(list(quasi_cols)).aggregate(
+        Sum("__n", alias_name="group_n"),
+        Count(alias_name="distinct_sensitive"),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        d = batch.column("distinct_sensitive").to_numpy(zero_copy_only=False)
+        return batch.append_column("at_risk", pa.array(d < l, pa.bool_()))
+
+    return agg.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mad_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
+                 k: float = 3.5, scale: int = 1000):
+    """Per-group ROBUST outliers via the modified z-score (Iglewicz &
+    Hoaglin 1993): z_mad = 0.6745·(v − median) / MAD, flagging |z_mad| > k.
+    The robust sibling of ``grouped_outliers`` — mean/std statistics are
+    themselves dragged by the outliers they hunt (masking), while the
+    median/MAD breakdown point is 50%, so this is the gate to reach for on
+    heavy-tailed corpus metrics (durations, lengths, perplexities).
+
+    Bit-deterministic by the same discipline as grouped_outliers: values
+    quantize to ``scale`` units (int64); the per-group median and the
+    median absolute deviation are EXACT discrete quantiles (rank
+    ⌈n/2⌉, via grouped_quantiles_exact's value-histogram shuffle — O(distinct
+    values) per exchange, never rows); the final z arithmetic is a fixed
+    IEEE double op sequence (0.6745·dev, then /MAD) over exact integers, so
+    an independent SQL restatement reproduces every flagged row bit-for-bit.
+
+    Three narrow exchanges: value histogram → abs-dev histogram → streamed
+    flag pass with the #groups-sized (median, MAD) map broadcast once.
+    Groups whose MAD is 0 (≥half the group at the median) are skipped —
+    the modified z is undefined there; pair with k_anonymity-style counts
+    if those degenerate groups need a separate report."""
+    import ray
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vi = np.floor(v * scale + 0.5).astype(np.int64)
+        return batch.append_column("__vi", pa.array(vi))
+
+    quanted = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+    med_df = grouped_quantiles_exact(
+        quanted.select_columns([group_col, "__vi"]), group_col, "__vi", [0.5]
+    ).to_pandas()  # #groups rows
+    med = {r[group_col]: int(r["__vi"]) for _, r in med_df.iterrows()}
+    med_ref = ray.put(med)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(med_ref)
+        g = batch.column(group_col).to_pylist()
+        vi = batch.column("__vi").to_numpy(zero_copy_only=False)
+        meds = np.array([m[x] for x in g], np.int64)
+        return pa.table({
+            group_col: batch.column(group_col),
+            "__ad": pa.array(np.abs(vi - meds)),
+        })
+
+    mad_df = grouped_quantiles_exact(
+        quanted.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True),
+        group_col, "__ad", [0.5],
+    ).to_pandas()
+    mad = {r[group_col]: int(r["__ad"]) for _, r in mad_df.iterrows()}
+    params = {g: (med[g], mad[g]) for g in med}
+    p_ref = ray.put(params)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p = _ray.get(p_ref)
+        g = batch.column(group_col).to_pylist()
+        vi = batch.column("__vi").to_numpy(zero_copy_only=False)
+        meds = np.array([p[x][0] for x in g], np.int64)
+        mads = np.array([p[x][1] for x in g], np.int64)
+        # exact ints → correctly-rounded doubles; fixed op order 0.6745·dev/MAD
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = 0.6745 * (vi - meds).astype(np.float64) / mads.astype(np.float64)
+        keep = (mads > 0) & (np.abs(z) > k)
+        out = batch.filter(pa.array(keep))
+        zk = z[keep]
+        zmad_micro = np.floor(zk * 1_000_000 + 0.5).astype(np.int64)
+        cols = {c: out.column(c) for c in id_cols + [group_col]}
+        cols["v_int"] = out.column("__vi")
+        cols["zmad_micro"] = pa.array(zmad_micro)
+        return pa.table(cols)
+
+    return quanted.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(ds, row_col: str, col_col: str, prefix: str = "cnt_"):
+    """Crosstab / PIVOT report: one output row per distinct ``row_col``
+    value, one int64 count column per distinct ``col_col`` value (named
+    ``{prefix}{value}``, columns in sorted value order) — the wide-format
+    data card (language × source, codec × sample-rate…) every corpus
+    release ships.
+
+    Distributed shape: one pre-aggregated (row, col)-Count groupby —
+    shuffle bounded by the distinct-cell count — then the driver pivots
+    the #cells-sized aggregate to wide (a report, by definition small; a
+    cell count beyond driver memory means the crosstab itself is
+    unprintable).  Missing cells fill 0.  Null keys land under __NULL__."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count
+
+    null_key = "__NULL__"
+
+    def prefill(batch: pa.Table) -> pa.Table:
+        for c in (row_col, col_col):
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                batch = batch.set_column(
+                    batch.column_names.index(c), c, _pc.fill_null(col, null_key)
+                )
+        return batch
+
+    cells = (
+        ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([row_col, col_col])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # #cells rows — the report itself
+    )
+    wide = cells.pivot_table(index=row_col, columns=col_col, values="n",
+                             aggfunc="sum", fill_value=0)
+    wide = wide.reindex(sorted(wide.columns), axis=1)
+    wide.columns = [f"{prefix}{c}" for c in wide.columns]
+    for c in wide.columns:
+        wide[c] = wide[c].astype("int64")
+    return wide.reset_index().sort_values(row_col).reset_index(drop=True)
