@@ -4394,6 +4394,77 @@ def q_audio_bandwidth(sf_dir: str):
         ["clip_id", "decode_ok", "bw_hz", "bw_ratio", "upsampled"])
 
 
+def _musicmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the music/speech gate (shared with the
+    q_music_detect serial oracle).  Per doc_id i at 16 kHz / 1.0 s, stratum
+    i%3: 0 = speech-like (two-formant carrier under a squared 3–6.2 Hz
+    syllabic envelope), 1 = music-like (steady harmonic triad f/2f/3f on a
+    chromatic pitch from i), 2 = broadband noise (seeded noise-table
+    slice); every 17th row ships undecodable (mark-don't-crash path)."""
+    from ..sources.clips import _NOISE, _sine_term
+
+    sr, n = 16000, 16000
+    t = np.arange(n, dtype=np.float64) / sr
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"ms_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 3
+        if k == 0:
+            carrier = (_sine_term(300.0 + (i % 7) * 90.0, sr, n)
+                       + 0.5 * _sine_term(1200.0 + (i % 5) * 60.0, sr, n))
+            syl = 0.5 + 0.5 * np.sin(2 * np.pi * (3.0 + (i % 5) * 0.8) * t + i)
+            wave = carrier * (0.1 + 0.9 * syl * syl)
+        elif k == 1:
+            f = 220.0 * (2.0 ** ((i % 12) / 12.0))
+            wave = (0.8 * _sine_term(f, sr, n)
+                    + 0.5 * _sine_term(2.0 * f, sr, n)
+                    + 0.33 * _sine_term(3.0 * f, sr, n))
+        else:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave = 0.6 * _NOISE[off: off + n]
+        wave = wave * (0.55 * 32767.0)
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_music_detect(sf_dir: str):
+    """Music/speech/other content gate (stages/audioquality.
+    music_speech_stage): actor-pool decode → Scheirer-Slaney signals
+    (syllabic 2-8 Hz envelope modulation ratio + depth, spectral flatness,
+    spectral flux; functions/audiofp.musicness_stats) → ``audio_class``
+    decision — the jingle/hold-music filter of a scraped speech corpus.
+    Corpus plants speech-like / harmonic-music / noise strata and an
+    undecodable stratum.  Oracle: serial decode + same kernel per row
+    (so_music_detect)."""
+    _ensure_fixture("q_music_detect", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import music_speech_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_musicmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = music_speech_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "mod_ratio_milli", "env_depth_milli",
+         "flatness_milli", "flux_milli", "audio_class"])
+
+
 def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
     """Planted near-duplicates for q_semantic_dedup (shared with its serial
     oracle): every 25th vector gets a copy at id + 1_000_000, perturbed by
@@ -7260,6 +7331,7 @@ QUERIES = {
     "q_image_near_dup": q_image_near_dup,
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
+    "q_music_detect": q_music_detect,
     "q_threshold_sweep": q_threshold_sweep,
     "q_classifier_auc": q_classifier_auc,
     "q_calibration_bins": q_calibration_bins,

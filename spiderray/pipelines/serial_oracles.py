@@ -778,6 +778,44 @@ def so_pq_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def so_music_detect(sf_dir: str) -> pa.Table:
+    """Serial twin for q_music_detect: same corpus generator + decode +
+    musicness kernel + decision per row, plain loop, no Ray."""
+    from ..functions.audiofp import classify_audio_content, musicness_stats
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _musicmix_clips_batch
+
+    clips = _musicmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    keys = ("mod_ratio", "env_depth", "flatness", "flux")
+    out = {"clip_id": [], "decode_ok": [], "audio_class": []}
+    milli = {k: [] for k in keys}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            stats = musicness_stats(_decode_one(buf or b"", codec or ""),
+                                    int(sr or 0))
+            ok, klass = True, classify_audio_content(stats)
+        except DecodeUnsupported:
+            stats = {k: 0.0 for k in keys}
+            ok, klass = False, "undecodable"
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["audio_class"].append(klass)
+        for k in keys:
+            milli[k].append(int(np.floor(stats[k] * 1000 + 0.5)))
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "mod_ratio_milli": pa.array(milli["mod_ratio"], pa.int64()),
+        "env_depth_milli": pa.array(milli["env_depth"], pa.int64()),
+        "flatness_milli": pa.array(milli["flatness"], pa.int64()),
+        "flux_milli": pa.array(milli["flux"], pa.int64()),
+        "audio_class": pa.array(out["audio_class"], pa.string()),
+    })
+
+
 def so_audio_bandwidth(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_bandwidth: same corpus generator + decode +
     rolloff kernel per row, plain loop, no Ray."""
@@ -3191,6 +3229,7 @@ SERIAL_ORACLES = {
     "q_video_frames": so_video_frames,
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
+    "q_music_detect": so_music_detect,
     "q_pq_topk": so_pq_topk,
     "q_audio_humdc": so_audio_humdc,
     "q_audio_reverb": so_audio_reverb,

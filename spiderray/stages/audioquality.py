@@ -1253,3 +1253,68 @@ def audio_compress_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# Music / speech / other content gate
+# --------------------------------------------------------------------------
+
+_MUSIC_COLS = ("mod_ratio", "env_depth", "flatness", "flux")
+
+
+class MusicSpeechActor:
+    """Decode + model-free music/speech/other discrimination (kernel:
+    functions/audiofp.musicness_stats — Scheirer & Slaney 1997 signals:
+    syllabic 2-8 Hz envelope modulation, spectral flatness, spectral flux).
+
+    Scraped "speech" corpora carry music beds, jingles and hold music that
+    poison ASR training; this emits the per-clip signals (milli-quantized
+    int64 — bit-stable across hosts) plus an ``audio_class`` decision
+    column (speech / music / other) for the keep/drop or re-routing
+    policy.  Undecodable clips mark ``decode_ok=False``, class
+    ``undecodable``, and never crash the task."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import classify_audio_content, musicness_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _MUSIC_COLS}
+        ok, klass = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = musicness_stats(pcm, int(sr or 0))
+                ok.append(True)
+                klass.append(classify_audio_content(stats))
+            except DecodeUnsupported:
+                stats = {k: 0.0 for k in _MUSIC_COLS}
+                ok.append(False)
+                klass.append("undecodable")
+            for k in _MUSIC_COLS:
+                cols[k].append(int(np.floor(stats[k] * 1000 + 0.5)))
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _MUSIC_COLS:
+            batch = batch.append_column(f"{k}_milli",
+                                        pa.array(cols[k], pa.int64()))
+        return batch.append_column("audio_class", pa.array(klass, pa.string()))
+
+
+def music_speech_stage(ds, cfg: PipelineConfig,
+                       concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        MusicSpeechActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
