@@ -5092,6 +5092,68 @@ FROM m ORDER BY vec_id
 """
 
 
+def q_clap_filter(sf_dir: str):
+    """Cross-modal pair-consistency gate (stages/ann.paired_cosine_filter —
+    the CLAP/CLIP-score filter of DataComp-style curation): per row, the
+    integer-exact cosine between the transcript-tower and audio-tower
+    embeddings, flagging pairs below 0.9 (swapped/mislabeled pairs → the
+    re-annotation queue).  Corpus: embeddings as the text tower; the audio
+    tower is the same vector for matched rows and a 7-rotated copy for the
+    planted-mismatch stratum vec_id%9==0 (rotation preserves the norm,
+    destroys alignment).  Row-local — zero shuffle.  Oracle: literal SQL
+    restating the rotation (list slicing) and the same fixed op order."""
+    from ..stages.ann import paired_cosine_filter
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def towers(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        V = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            A = V
+        else:
+            A = V.copy()
+            m = ids % 9 == 0
+            A[m] = np.roll(V[m], 7, axis=1)
+        lt = pa.list_(pa.float64())
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "text_emb": pa.array(V.tolist(), lt),
+            "audio_emb": pa.array(A.tolist(), lt),
+        })
+
+    pairs = ds.map_batches(towers, batch_format="pyarrow", zero_copy_batch=True)
+    df = paired_cosine_filter(pairs, "text_emb", "audio_emb", ["vec_id"],
+                              min_sim=0.9).to_pandas()
+    df["vec_id"] = df["vec_id"].astype(np.int64)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_CLAP_FILTER = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) AS t
+  FROM embeddings
+), p AS (
+  SELECT vec_id, t,
+         CASE WHEN vec_id % 9 = 0
+              THEN list_concat(t[58:64], t[1:57])
+              ELSE t END AS a
+  FROM q
+), s AS (
+  SELECT vec_id,
+         list_dot_product(t, a)
+           / sqrt(greatest(list_dot_product(t, t), 1)
+                  * greatest(list_dot_product(a, a), 1)) AS sim
+  FROM p
+)
+SELECT vec_id, CAST(floor(sim * 1000 + 0.5) AS BIGINT) AS sim_milli,
+       sim < 0.9 AS mismatch
+FROM s ORDER BY vec_id
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/dedup.semantic_dedup):
     distributed k-means partitions the embedding space, within-cluster
@@ -7349,6 +7411,7 @@ QUERIES = {
     "q_window_analytics": q_window_analytics,
     "q_semantic_dedup": q_semantic_dedup,
     "q_embedding_decontaminate": q_embedding_decontaminate,
+    "q_clap_filter": q_clap_filter,
     "q_audio_semantic_dedup": q_audio_semantic_dedup,
     "q_decontaminate": q_decontaminate,
     "q_gopher_quality": q_gopher_quality,
@@ -7577,6 +7640,7 @@ ORACLE_SQL = {
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,
     "q_embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
+    "q_clap_filter": SQL_CLAP_FILTER,
     "q_term_drift": SQL_TERM_DRIFT,
     "q_k_anonymity": SQL_K_ANONYMITY,
     "q_l_diversity": SQL_L_DIVERSITY,

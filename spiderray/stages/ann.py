@@ -696,3 +696,45 @@ def ann_recall(ds, query_matrix: np.ndarray, k: int = 10,
         "query_idx": pd.array([r[1] for r in rows], dtype="int64"),
         "recall_ppm": pd.array([r[2] for r in rows], dtype="int64"),
     }).sort_values(["method", "query_idx"]).reset_index(drop=True)
+
+
+def paired_cosine_filter(ds, col_a: str, col_b: str, id_cols: list[str],
+                         min_sim: float = 0.9, scale: int = 1000):
+    """Cross-modal pair-consistency gate — the CLAP/CLIP-score filter of
+    DataComp-style curation: per ROW, the cosine between two embedding
+    list columns (audio-vs-transcript, image-vs-caption embeddings from a
+    two-tower model actor upstream), flagging pairs whose representations
+    disagree (swapped / mislabeled pairs → the drop or re-annotation
+    queue).  Purely row-local: zero shuffle, embarrassingly parallel
+    map_batches; at 10^12 clips the only cost is the upstream embedding
+    actors.
+
+    Integer-exact determinism (the repo's embedding-cosine discipline):
+    both vectors quantize to ``scale`` units, so every dot and norm is an
+    exact integer-valued double in ANY summation order (BLAS-safe); the
+    one inexact product nn_a·nn_b and the sqrt/divide are single
+    correctly-rounded IEEE ops, so an independent SQL restatement of the
+    same op order reproduces ``sim_milli`` and the flag bit-for-bit.
+
+    Emits (*id_cols, sim_milli:int64, mismatch:bool)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        A = np.asarray(batch.column(col_a).to_pylist(), dtype=np.float64)
+        B = np.asarray(batch.column(col_b).to_pylist(), dtype=np.float64)
+        if batch.num_rows == 0:
+            return pa.table({**{c: batch.column(c) for c in id_cols},
+                             "sim_milli": pa.array([], pa.int64()),
+                             "mismatch": pa.array([], pa.bool_())})
+        A = np.floor(A * scale + 0.5)
+        B = np.floor(B * scale + 0.5)
+        dot = (A * B).sum(axis=1)
+        nn_a = np.maximum((A * A).sum(axis=1), 1.0)
+        nn_b = np.maximum((B * B).sum(axis=1), 1.0)
+        sim = dot / np.sqrt(nn_a * nn_b)
+        out = {c: batch.column(c) for c in id_cols}
+        out["sim_milli"] = pa.array(
+            np.floor(sim * 1000 + 0.5).astype(np.int64))
+        out["mismatch"] = pa.array(sim < min_sim, pa.bool_())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
