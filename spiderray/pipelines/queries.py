@@ -4394,6 +4394,58 @@ def q_audio_bandwidth(sf_dir: str):
         ["clip_id", "decode_ok", "bw_hz", "bw_ratio", "upsampled"])
 
 
+_HALLUC_PHRASES = (
+    ("thanks", "for", "watching", "everyone"),
+    ("please", "subscribe", "to", "channel"),
+    ("so", "that", "was", "it"),
+)
+
+
+def _halluc_texts(ids, texts) -> list:
+    """Planted ASR repetition-collapse strata for q_halluc_loops (shared
+    with its serial oracle): every 11th doc gains a 4-word phrase looped
+    8×, every 13th (not also 11th) a single word looped 12× — the two
+    classic Whisper-loop shapes.  Other rows pass through untouched."""
+    out = []
+    for i, txt in zip(ids, texts):
+        i, txt = int(i), txt or ""
+        if i % 11 == 0:
+            tail = " ".join(_HALLUC_PHRASES[i % 3] * 8)
+            out.append(f"{txt} {tail}")
+        elif i % 13 == 0:
+            out.append(txt + " yes" * 12)
+        else:
+            out.append(txt)
+    return out
+
+
+def q_halluc_loops(sf_dir: str):
+    """ASR hallucination-loop gate (functions/halluc.loop_stats — the
+    Whisper repetition-collapse filter): per transcript, the longest
+    periodic word-suffix (period ≤16), flagged when it cycles ≥4 times
+    over ≥8 words; duplicate-trigram ratio rides along as the global-
+    repetition monitor.  Stateless row-local map — zero shuffle.  Corpus
+    plants phrase-loop and single-word-loop tails on the documents text.
+    Oracle: serial same-kernel loop (so_halluc_loops)."""
+    _ensure_fixture("q_halluc_loops", sf_dir)
+    from ..functions.halluc import loop_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = _halluc_texts(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(loop_stats_batch, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _musicmix_clips_batch(batch: pa.Table) -> pa.Table:
     """Deterministic clip corpus for the music/speech gate (shared with the
     q_music_detect serial oracle).  Per doc_id i at 16 kHz / 1.0 s, stratum
@@ -7394,6 +7446,7 @@ QUERIES = {
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
+    "q_halluc_loops": q_halluc_loops,
     "q_threshold_sweep": q_threshold_sweep,
     "q_classifier_auc": q_classifier_auc,
     "q_calibration_bins": q_calibration_bins,

@@ -778,6 +778,31 @@ def so_pq_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def so_halluc_loops(sf_dir: str) -> pa.Table:
+    """Serial twin for q_halluc_loops: same planted strata + loop kernel
+    per row, plain loop, no Ray."""
+    from ..functions.halluc import loop_stats
+    from .queries import _halluc_texts
+
+    t = _docs(sf_dir)
+    ids = t.column("doc_id").to_numpy()
+    texts = _halluc_texts(ids, t.column("text").to_pylist())
+    stats = [loop_stats(x) for x in texts]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_words": pa.array([s["n_words"] for s in stats], pa.int64()),
+        "loop_period": pa.array([s["loop_period"] for s in stats], pa.int64()),
+        "loop_len": pa.array([s["loop_len"] for s in stats], pa.int64()),
+        "loop_ratio_milli": pa.array(
+            [int(np.floor(s["loop_ratio"] * 1000 + 0.5)) for s in stats],
+            pa.int64()),
+        "dup3_ratio_milli": pa.array(
+            [int(np.floor(s["dup3_ratio"] * 1000 + 0.5)) for s in stats],
+            pa.int64()),
+        "halluc": pa.array([s["halluc"] for s in stats], pa.bool_()),
+    })
+
+
 def so_music_detect(sf_dir: str) -> pa.Table:
     """Serial twin for q_music_detect: same corpus generator + decode +
     musicness kernel + decision per row, plain loop, no Ray."""
@@ -3230,6 +3255,7 @@ SERIAL_ORACLES = {
     "q_image_near_dup": so_image_near_dup,
     "q_audio_bandwidth": so_audio_bandwidth,
     "q_music_detect": so_music_detect,
+    "q_halluc_loops": so_halluc_loops,
     "q_pq_topk": so_pq_topk,
     "q_audio_humdc": so_audio_humdc,
     "q_audio_reverb": so_audio_reverb,
