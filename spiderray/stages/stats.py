@@ -1844,12 +1844,18 @@ def mad_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
     IEEE double op sequence (0.6745·dev, then /MAD) over exact integers, so
     an independent SQL restatement reproduces every flagged row bit-for-bit.
 
-    Three narrow exchanges: value histogram → abs-dev histogram → streamed
-    flag pass with the #groups-sized (median, MAD) map broadcast once.
-    Groups whose MAD is 0 (≥half the group at the median) are skipped —
-    the modified z is undefined there; pair with k_anonymity-style counts
-    if those degenerate groups need a separate report."""
+    Two narrow exchanges: ONE (group, value) histogram shuffle — the
+    abs-dev histogram is a pure function of the value histogram once the
+    median is known (|v − med| with the same counts), so the MAD comes out
+    of the SAME map_groups that picks the median (rank ⌈n/2⌉ on the derived
+    histogram ≡ rank ⌈n/2⌉ on per-row abs-devs) — then a streamed flag pass
+    with the #groups-sized (median, MAD) map broadcast once.  Groups whose
+    MAD is 0 (≥half the group at the median) are skipped — the modified z
+    is undefined there; pair with k_anonymity-style counts if those
+    degenerate groups need a separate report."""
+    import pandas as pd
     import ray
+    from ray.data.aggregate import Sum
 
     def quant(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
@@ -1858,30 +1864,45 @@ def mad_outliers(ds, group_col: str, value_col: str, id_cols: list[str],
 
     quanted = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
-    med_df = grouped_quantiles_exact(
-        quanted.select_columns([group_col, "__vi"]), group_col, "__vi", [0.5]
-    ).to_pandas()  # #groups rows
-    med = {r[group_col]: int(r["__vi"]) for _, r in med_df.iterrows()}
-    med_ref = ray.put(med)
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], batch.schema.field(group_col).type),
+                "__vi": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        df = batch.select([group_col, "__vi"]).to_pandas()
+        g = (df.groupby([group_col, "__vi"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa_from_pandas(g)
 
-    def absdev(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+    hist = (quanted.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby([group_col, "__vi"])
+            .aggregate(Sum("n", alias_name="n")))
 
-        m = _ray.get(med_ref)
-        g = batch.column(group_col).to_pylist()
-        vi = batch.column("__vi").to_numpy(zero_copy_only=False)
-        meds = np.array([m[x] for x in g], np.int64)
-        return pa.table({
-            group_col: batch.column(group_col),
-            "__ad": pa.array(np.abs(vi - meds)),
-        })
+    def med_mad(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("__vi", kind="mergesort")
+        vals = g["__vi"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rank = max(int(np.ceil(0.5 * n)), 1)
+        med = int(vals[int(np.searchsorted(cum, rank, side="left"))])
+        # abs-dev histogram derived from the value histogram: same multiset
+        # of |v − med| the per-row pass would produce, so the ⌈n/2⌉ rank
+        # pick is bit-identical to grouped_quantiles_exact on per-row devs
+        ad = np.abs(vals - med)
+        order = np.argsort(ad, kind="mergesort")
+        ad_cum = np.cumsum(cnts[order])
+        mad = int(ad[order][int(np.searchsorted(ad_cum, rank, side="left"))])
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "med": [med], "mad": [mad]})
 
-    mad_df = grouped_quantiles_exact(
-        quanted.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True),
-        group_col, "__ad", [0.5],
-    ).to_pandas()
-    mad = {r[group_col]: int(r["__ad"]) for _, r in mad_df.iterrows()}
-    params = {g: (med[g], mad[g]) for g in med}
+    mm_df = hist.groupby(group_col).map_groups(
+        med_mad, batch_format="pandas").to_pandas()  # #groups rows
+    params = {r[group_col]: (int(r["med"]), int(r["mad"]))
+              for _, r in mm_df.iterrows()}
     p_ref = ray.put(params)
 
     def flag(batch: pa.Table) -> pa.Table:
