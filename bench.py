@@ -148,6 +148,16 @@ def run_queries() -> dict[str, float]:
         ("q_batch_topk", q.q_batch_topk),
         ("q_hive_roundtrip", q.q_hive_roundtrip),
         ("q_count_min", q.q_count_min),
+        # round-4 sixth-wave additions
+        ("q_linear_distill", q.q_linear_distill),
+        ("q_fuzzy_pairs", q.q_fuzzy_pairs),
+        ("q_k_anonymity", q.q_k_anonymity),
+        ("q_l_diversity", q.q_l_diversity),
+        ("q_mad_outliers", q.q_mad_outliers),
+        ("q_source_lang_pivot", q.q_source_lang_pivot),
+        ("q_music_detect", q.q_music_detect),
+        ("q_clap_filter", q.q_clap_filter),
+        ("q_halluc_loops", q.q_halluc_loops),
     ]
     import ray.data
 
@@ -215,6 +225,10 @@ _CALM_SEC = {
     "q_audio_compress": 3.0, "q_utterance_pack": 3.0,
     "q_rank_blend": 1.0, "q_text_semantic_dedup": 2.5, "q_batch_topk": 0.8,
     "q_hive_roundtrip": 1.5, "q_count_min": 2.5,
+    "q_linear_distill": 5.5,  # GD epochs = sequential integer-gradient reduces
+    "q_fuzzy_pairs": 0.8, "q_k_anonymity": 0.8, "q_l_diversity": 0.8,
+    "q_mad_outliers": 4.0, "q_source_lang_pivot": 0.8,
+    "q_music_detect": 2.0, "q_clap_filter": 0.8, "q_halluc_loops": 1.0,
 }
 
 
