@@ -153,6 +153,7 @@ def run_queries() -> dict[str, float]:
         ("q_fuzzy_pairs", q.q_fuzzy_pairs),
         ("q_k_anonymity", q.q_k_anonymity),
         ("q_l_diversity", q.q_l_diversity),
+        ("q_t_closeness", q.q_t_closeness),
         ("q_mad_outliers", q.q_mad_outliers),
         ("q_source_lang_pivot", q.q_source_lang_pivot),
         ("q_music_detect", q.q_music_detect),
@@ -227,6 +228,7 @@ _CALM_SEC = {
     "q_hive_roundtrip": 1.5, "q_count_min": 2.5,
     "q_linear_distill": 5.5,  # GD epochs = sequential integer-gradient reduces
     "q_fuzzy_pairs": 0.8, "q_k_anonymity": 0.8, "q_l_diversity": 0.8,
+    "q_t_closeness": 0.8,
     "q_mad_outliers": 4.0, "q_source_lang_pivot": 0.8,
     "q_music_detect": 2.0, "q_clap_filter": 0.8, "q_halluc_loops": 1.0,
 }

@@ -6156,13 +6156,70 @@ ORDER BY source, len_band
 """
 
 
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit (stages/stats.t_closeness, Li et al. 2007): per
+    quasi-identifier group (source, 512-char length band), the exact-integer
+    total-variation distance (ppm) between the group's language distribution
+    and the corpus-wide one, flagging TVD > 0.15 — the distribution-skew
+    disclosure k-anonymity and l-diversity both miss.  One (quasi, sensitive)
+    combination-bounded exchange; EMD derived driver-side in Python ints.
+    Oracle: literal SQL with the identical round-half-up integer division."""
+    from ..stages.stats import t_closeness
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        lb = batch.column("n_chars").to_numpy(zero_copy_only=False) // 512
+        return pa.table({
+            "source": batch.column("source"),
+            "len_band": pa.array(lb, pa.int64()),
+            "lang": batch.column("lang"),
+        })
+
+    banded = ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+    return t_closeness(banded, ["source", "len_band"], "lang", t_ppm=150_000)
+
+
+SQL_T_CLOSENESS = """
+WITH fine AS (
+  SELECT source, n_chars // 512 AS len_band, lang,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM documents GROUP BY source, len_band, lang
+), langs AS (
+  SELECT lang, CAST(sum(n) AS HUGEINT) AS n_i FROM fine GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_i) AS HUGEINT) AS n_total FROM langs
+), grp AS (
+  SELECT source, len_band, CAST(sum(n) AS HUGEINT) AS n_g
+  FROM fine GROUP BY source, len_band
+), crossed AS (
+  SELECT g.source, g.len_band, g.n_g, gl.lang, gl.n_i, t.n_total,
+         COALESCE(f.n, 0) AS n_gi
+  FROM grp g CROSS JOIN langs gl CROSS JOIN tot t
+  LEFT JOIN fine f
+    ON f.source = g.source AND f.len_band = g.len_band AND f.lang = gl.lang
+), summed AS (
+  SELECT source, len_band, any_value(n_g) AS n_g,
+         any_value(n_total) AS n_total,
+         sum(abs(n_gi * n_total - n_i * n_g)) AS num
+  FROM crossed GROUP BY source, len_band
+)
+SELECT source, len_band, CAST(n_g AS BIGINT) AS group_n,
+       CAST((1000000 * num + n_g * n_total) // (2 * n_g * n_total)
+            AS BIGINT) AS tvd_ppm,
+       ((1000000 * num + n_g * n_total) // (2 * n_g * n_total)) > 150000
+           AS at_risk
+FROM summed ORDER BY source, len_band
+"""
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-group outliers (stages/stats.mad_outliers): modified
     z-score 0.6745·(v−median)/MAD over milli-quantized events.value, per
     event_type, |z|>3.5 — the heavy-tail-safe companion of
     q_event_outliers (whose mean/std the outliers themselves drag).
-    Exact discrete medians via two value-histogram exchanges; fixed IEEE
-    op order makes every flagged row bit-reproducible.  Oracle: literal
+    Exact discrete median AND MAD from ONE value-histogram exchange; fixed
+    IEEE op order makes every flagged row bit-reproducible.  Oracle: literal
     SQL restating the same ⌈n/2⌉ rank picks and the same double ops."""
     from ..stages.stats import mad_outliers
 
@@ -7528,6 +7585,7 @@ QUERIES = {
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_k_anonymity": q_k_anonymity,
     "q_l_diversity": q_l_diversity,
+    "q_t_closeness": q_t_closeness,
     "q_mad_outliers": q_mad_outliers,
     "q_source_lang_pivot": q_source_lang_pivot,
     "q_vad_segments": q_vad_segments,
@@ -7697,6 +7755,7 @@ ORACLE_SQL = {
     "q_term_drift": SQL_TERM_DRIFT,
     "q_k_anonymity": SQL_K_ANONYMITY,
     "q_l_diversity": SQL_L_DIVERSITY,
+    "q_t_closeness": SQL_T_CLOSENESS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
     "q_source_lang_pivot": SQL_SOURCE_LANG_PIVOT,
     # q_clips_flagship / q_clips_keep_stats / q_keepdrop_f1*: composite

@@ -1729,6 +1729,24 @@ def rank_blend(ds, score_cols: list, id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def _fill_string_nulls(batch: pa.Table, cols, null_key: str) -> pa.Table:
+    """Replace nulls in string-typed columns with ``null_key``.  Null-TYPED
+    columns (a block whose every value is null infers pa.null() — seen with
+    from_items) cast to string first, else the groupby key sort crashes on
+    None."""
+    import pyarrow.compute as _pc
+
+    for c in cols:
+        col = batch.column(c)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            batch = batch.set_column(
+                batch.column_names.index(c), c, _pc.fill_null(col, null_key)
+            )
+    return batch
+
+
 def k_anonymity(ds, quasi_cols: list, k: int):
     """k-anonymity audit over a quasi-identifier column set (Sweeney 2002):
     every distinct quasi-identifier combination with its row count and an
@@ -1746,7 +1764,6 @@ def k_anonymity(ds, quasi_cols: list, k: int):
     quasi values are reported under ``null_key`` (the null combination is
     itself a group — usually the riskiest one).  Null NUMERIC quasi values
     must be generalized upstream (no in-band integer sentinel is safe)."""
-    import pyarrow.compute as _pc
 
     from ray.data.aggregate import Count
 
@@ -1757,13 +1774,7 @@ def k_anonymity(ds, quasi_cols: list, k: int):
     null_key = "__NULL__"
 
     def prefill(batch: pa.Table) -> pa.Table:
-        for c in quasi_cols:
-            col = batch.column(c)
-            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                batch = batch.set_column(
-                    batch.column_names.index(c), c, _pc.fill_null(col, null_key)
-                )
-        return batch
+        return _fill_string_nulls(batch, quasi_cols, null_key)
 
     filled = ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
     agg = filled.groupby(list(quasi_cols)).aggregate(Count(alias_name="group_n"))
@@ -1790,7 +1801,6 @@ def l_diversity(ds, quasi_cols: list, sensitive_col: str, l: int):
     Nulls: string quasi/sensitive nulls land under ``__NULL__`` (a null
     sensitive value is itself one disclosure class); numeric quasi nulls
     must be generalized upstream, as in k_anonymity."""
-    import pyarrow.compute as _pc
 
     from ray.data.aggregate import Count, Sum
 
@@ -1804,13 +1814,7 @@ def l_diversity(ds, quasi_cols: list, sensitive_col: str, l: int):
     cols = list(quasi_cols) + [sensitive_col]
 
     def prefill(batch: pa.Table) -> pa.Table:
-        for c in cols:
-            col = batch.column(c)
-            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                batch = batch.set_column(
-                    batch.column_names.index(c), c, _pc.fill_null(col, null_key)
-                )
-        return batch
+        return _fill_string_nulls(batch, cols, null_key)
 
     filled = ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
     # one row per (quasi…, sensitive) with its count — the bounded exchange
@@ -1825,6 +1829,75 @@ def l_diversity(ds, quasi_cols: list, sensitive_col: str, l: int):
         return batch.append_column("at_risk", pa.array(d < l, pa.bool_()))
 
     return agg.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def t_closeness(ds, quasi_cols: list, sensitive_col: str, t_ppm: int):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    member of the release-governance trio: a quasi-identifier group can be
+    k-large AND l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION diverges from the corpus-wide one (e.g. a group that is
+    90% one language in a 20%-background corpus).  For a categorical
+    sensitive attribute the earth-mover distance under uniform ground
+    distance is the total variation distance ½·Σ|p_i − q_i|; groups with
+    TVD > t are flagged.
+
+    Exact integer arithmetic end to end: with group counts n_gi (total
+    n_g) and global counts N_i (total N), TVD = Σ|n_gi·N − N_i·n_g| /
+    (2·n_g·N); the ppm report is round-half-up via integer division
+    ((10⁶·num + n_g·N) // (2·n_g·N)) over PYTHON ints, so no overflow at
+    any corpus size and a SQL restatement reproduces every row bit-for-bit.
+
+    Shuffle shape: the SAME one (quasi…, sensitive) pre-aggregated
+    groupby-Count l_diversity makes — bounded by the distinct-combination
+    count, never rows; the global distribution and every per-group EMD are
+    then derived from that #combos-sized aggregate on the driver (the
+    bounded-report contract every governance card here carries).  Emits
+    one row per quasi combination: (*quasi_cols, group_n, tvd_ppm,
+    at_risk).  Nulls: string nulls land under ``__NULL__`` as in the
+    siblings."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if sensitive_col in quasi_cols:
+        raise ValueError("sensitive_col must not be a quasi column")
+    if not (0 < t_ppm <= 1_000_000):
+        raise ValueError(f"t_ppm must be in (0, 1e6], got {t_ppm}")
+    null_key = "__NULL__"
+    cols = list(quasi_cols) + [sensitive_col]
+
+    def prefill(batch: pa.Table) -> pa.Table:
+        return _fill_string_nulls(batch, cols, null_key)
+
+    filled = ds.map_batches(prefill, batch_format="pyarrow", zero_copy_batch=True)
+    fine = (filled.groupby(cols).aggregate(Count(alias_name="__n"))
+            .to_pandas())  # #combos rows — the bounded exchange
+    if not len(fine):
+        return pd.DataFrame(
+            columns=list(quasi_cols) + ["group_n", "tvd_ppm", "at_risk"])
+
+    # global sensitive distribution and per-group EMD in exact Python ints
+    glob = fine.groupby(sensitive_col)["__n"].sum()  # N_i
+    n_total = int(glob.sum())
+    glob_i = {k: int(v) for k, v in glob.items()}
+    rows = []
+    for key, g in fine.groupby(quasi_cols, dropna=False):
+        if not isinstance(key, tuple):
+            key = (key,)
+        n_g = int(g["__n"].sum())
+        have = {s: int(n) for s, n in zip(g[sensitive_col], g["__n"])}
+        num = sum(abs(have.get(s, 0) * n_total - n_i * n_g)
+                  for s, n_i in glob_i.items())
+        den = n_g * n_total
+        tvd_ppm = (1_000_000 * num + den) // (2 * den)
+        rows.append((*key, n_g, tvd_ppm, tvd_ppm > t_ppm))
+    out = pd.DataFrame(rows, columns=list(quasi_cols)
+                       + ["group_n", "tvd_ppm", "at_risk"])
+    out["group_n"] = out["group_n"].astype(np.int64)
+    out["tvd_ppm"] = out["tvd_ppm"].astype(np.int64)
+    return out.sort_values(list(quasi_cols)).reset_index(drop=True)
 
 
 def mad_outliers(ds, group_col: str, value_col: str, id_cols: list[str],

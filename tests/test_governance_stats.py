@@ -1,10 +1,12 @@
-"""l-diversity audit, MAD robust outliers, pivot crosstab (stages/stats)."""
+"""l-diversity audit, t-closeness, MAD robust outliers, pivot crosstab
+(stages/stats)."""
 
 import numpy as np
 import pyarrow as pa
 import pytest
 
-from spiderray.stages.stats import l_diversity, mad_outliers, pivot_counts
+from spiderray.stages.stats import (l_diversity, mad_outliers, pivot_counts,
+                                    t_closeness)
 
 
 def _ds(rows, parts=3):
@@ -52,6 +54,54 @@ class TestLDiversity:
             l_diversity(ds, ["s"], "s", 2)
         with pytest.raises(ValueError, match="l must be"):
             l_diversity(ds, ["a"], "s", 0)
+
+
+class TestTCloseness:
+    def test_hand_computed_tvd(self, ray_session):
+        # A: 8 en / 2 de; B: 2 en / 8 de → global 10/10 (N=20).
+        # TVD(A) = ½(|.8−.5|+|.2−.5|) = 0.3 exactly → 300000 ppm.
+        rows = ([{"g": "A", "lang": "en"}] * 8 + [{"g": "A", "lang": "de"}] * 2
+                + [{"g": "B", "lang": "en"}] * 2 + [{"g": "B", "lang": "de"}] * 8)
+        df = t_closeness(_ds(rows), ["g"], "lang", t_ppm=250_000).set_index("g")
+        assert df.loc["A", "group_n"] == 10
+        assert df.loc["A", "tvd_ppm"] == 300_000
+        assert bool(df.loc["A", "at_risk"])
+        assert df.loc["B", "tvd_ppm"] == 300_000
+
+    def test_group_matching_global_is_zero(self, ray_session):
+        rows = ([{"g": x, "lang": l} for x in ("A", "B")
+                 for l in ("en", "en", "de")])
+        df = t_closeness(_ds(rows), ["g"], "lang", t_ppm=100_000)
+        assert (df["tvd_ppm"] == 0).all()
+        assert not df["at_risk"].any()
+
+    def test_missing_sensitive_value_counts(self, ray_session):
+        # C holds only fr → contributes |0·N − N_i·n_g| for en/de
+        rows = ([{"g": "A", "lang": "en"}] * 5 + [{"g": "A", "lang": "de"}] * 5
+                + [{"g": "C", "lang": "fr"}] * 5)
+        df = t_closeness(_ds(rows), ["g"], "lang", t_ppm=500_000).set_index("g")
+        # C: p=(0,0,1), q=(1/3,1/3,1/3) → TVD=2/3 → 666667 ppm (half-up)
+        assert df.loc["C", "tvd_ppm"] == 666_667
+        assert bool(df.loc["C", "at_risk"])
+
+    def test_null_and_partition_invariance(self, ray_session):
+        rows = ([{"g": "A", "lang": None}] * 3 + [{"g": "A", "lang": "en"}] * 3
+                + [{"g": "B", "lang": "en"}] * 6)
+        outs = [t_closeness(_ds(rows, parts=p), ["g"], "lang", t_ppm=100_000)
+                for p in (1, 4)]
+        assert outs[0].equals(outs[1])
+        a = outs[0].set_index("g")
+        # A: p=(null .5, en .5) vs q=(null .25, en .75) → TVD .25
+        assert a.loc["A", "tvd_ppm"] == 250_000
+
+    def test_guards(self, ray_session):
+        ds = _ds([{"a": "x", "s": "y"}], 1)
+        with pytest.raises(ValueError, match="at least one column"):
+            t_closeness(ds, [], "s", 100)
+        with pytest.raises(ValueError, match="must not be a quasi"):
+            t_closeness(ds, ["s"], "s", 100)
+        with pytest.raises(ValueError, match="t_ppm must be"):
+            t_closeness(ds, ["a"], "s", 0)
 
 
 class TestMadOutliers:
