@@ -159,6 +159,8 @@ def run_queries() -> dict[str, float]:
         ("q_music_detect", q.q_music_detect),
         ("q_clap_filter", q.q_clap_filter),
         ("q_halluc_loops", q.q_halluc_loops),
+        # round-4 seventh-wave additions
+        ("q_audio_search", q.q_audio_search),
     ]
     import ray.data
 

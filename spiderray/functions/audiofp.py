@@ -45,6 +45,31 @@ def _hann(n: int) -> np.ndarray:
     return w
 
 
+def _peak_track(
+    pcm: np.ndarray,
+    sr: int,
+    frame: int,
+    hop: int,
+    hz_quant: float,
+    max_frames: int,
+    min_peak_mag: float,
+):
+    """Shared per-frame peak extraction behind ``spectral_landmarks`` and
+    ``spectral_landmarks_timed`` — identical numpy ops in identical order,
+    so factoring it out keeps the untimed hashes bit-stable.  Returns
+    (peak_q uint64, voiced bool, frame_ms float, n_frames int)."""
+    x = pcm[: frame + hop * max_frames].astype(np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    mags = np.abs(np.fft.rfft(x[idx] * _hann(frame), axis=1))
+    peak_bins = mags.argmax(axis=1)
+    peak_mag = mags[np.arange(n_frames), peak_bins]
+    voiced = peak_mag >= min_peak_mag
+    peak_q = np.round(peak_bins * (sr / frame) / hz_quant).astype(np.uint64)
+    frame_ms = hop * 1000.0 / sr
+    return peak_q, voiced, frame_ms, n_frames
+
+
 def spectral_landmarks(
     pcm: np.ndarray,
     sr: int,
@@ -70,15 +95,8 @@ def spectral_landmarks(
     landmarks."""
     if sr <= 0 or len(pcm) < frame + hop:
         return np.empty(0, dtype=np.uint64)
-    x = pcm[: frame + hop * max_frames].astype(np.float64)
-    n_frames = 1 + (len(x) - frame) // hop
-    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    mags = np.abs(np.fft.rfft(x[idx] * _hann(frame), axis=1))
-    peak_bins = mags.argmax(axis=1)
-    peak_mag = mags[np.arange(n_frames), peak_bins]
-    voiced = peak_mag >= min_peak_mag
-    peak_q = np.round(peak_bins * (sr / frame) / hz_quant).astype(np.uint64)
-    frame_ms = hop * 1000.0 / sr
+    peak_q, voiced, frame_ms, n_frames = _peak_track(
+        pcm, sr, frame, hop, hz_quant, max_frames, min_peak_mag)
     hashes = []
     for d in range(1, fanout + 1):
         if n_frames <= d:
@@ -96,6 +114,58 @@ def spectral_landmarks(
     if not hashes:
         return np.empty(0, dtype=np.uint64)
     return np.unique(np.concatenate(hashes))
+
+
+def spectral_landmarks_timed(
+    pcm: np.ndarray,
+    sr: int,
+    frame: int = 512,
+    hop: int = 256,
+    fanout: int = 3,
+    hz_quant: float = 100.0,
+    max_frames: int = 512,
+    min_peak_mag: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """``spectral_landmarks`` with anchor TIMES, for query-by-example
+    retrieval: returns (hashes uint64, anchor frame index int32), one row
+    per (hash, frame) pair — duplicates of the same hash at different
+    anchors are KEPT (they are what offset voting counts), duplicate
+    (hash, frame) pairs are not.  Anchor time is the raw frame index on
+    the hop grid, exact for query/corpus pairs sharing sr and hop (a
+    hop-aligned excerpt matches at one constant offset); cross-rate
+    matching still works through the hashes but blurs the offsets.  The
+    hash arithmetic (and the dt byte's ms quantization at 20 ms) is
+    identical to ``spectral_landmarks`` via the shared ``_peak_track``."""
+    ms_quant = 20.0
+    if sr <= 0 or len(pcm) < frame + hop:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32))
+    peak_q, voiced, frame_ms, n_frames = _peak_track(
+        pcm, sr, frame, hop, hz_quant, max_frames, min_peak_mag)
+    hashes, anchors = [], []
+    for d in range(1, fanout + 1):
+        if n_frames <= d:
+            break
+        ok = voiced[:-d] & voiced[d:] & (peak_q[:-d] != peak_q[d:])
+        if not ok.any():
+            continue
+        dt = np.uint64(max(int(round(d * frame_ms / ms_quant)), 0)) & np.uint64(0xFF)
+        h = (
+            (peak_q[:-d][ok] << np.uint64(32))
+            ^ (peak_q[d:][ok] << np.uint64(8))
+            ^ dt
+        )
+        hashes.append(h)
+        anchors.append(np.nonzero(ok)[0].astype(np.int32))
+    if not hashes:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32))
+    h = np.concatenate(hashes)
+    t = np.concatenate(anchors)
+    # unique (hash, anchor) pairs, sorted by (hash, anchor)
+    order = np.lexsort((t, h))
+    h, t = h[order], t[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (t[1:] != t[:-1])
+    return h[keep], t[keep]
 
 
 # ---------------------------------------------------------------------------

@@ -2777,6 +2777,61 @@ def q_audio_fp_pairs(sf_dir: str):
     return audio_fingerprint_pairs(ds)
 
 
+def _audio_query_clips(sf_dir: str, mod: int = 97, pick: int = 5,
+                       cap: int = 16) -> pa.Table:
+    """Deterministic query-by-example set for q_audio_search (shared with
+    the serial twin): for up to ``cap`` doc ids ≡ ``pick`` (mod ``mod``),
+    a hop-aligned suffix excerpt of that corpus clip's exact audio — the
+    first ~third dropped, rounded DOWN to the 256-sample landmark hop so
+    the excerpt's frames land on the corpus hop grid and offset voting
+    aligns at one constant frame offset — at half gain (argmax peaks are
+    gain-invariant)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.clips import _SR_CHOICES, synth_note_audio
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = sorted(int(i) for i in t.column("doc_id").to_pylist()
+                 if int(i) % mod == pick)[:cap]
+    qids, bufs, srs = [], [], []
+    for i in ids:
+        sr = _SR_CHOICES[i % len(_SR_CHOICES)]
+        n = sr // 4 + (i % 5) * sr // 100
+        pcm = np.frombuffer(synth_note_audio(i, sr, n), dtype="<i2")
+        drop = ((n // 3) // 256) * 256
+        ex = np.clip(pcm[drop:].astype(np.float64) * 0.5,
+                     -32768, 32767).astype("<i2")
+        qids.append(i)
+        bufs.append(ex.tobytes())
+        srs.append(sr)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "sr_hz": pa.array(srs, pa.int32()),
+        "codec": pa.array(["pcm_s16le"] * len(qids), pa.string()),
+    })
+
+
+def q_audio_search(sf_dir: str):
+    """Query-by-example audio retrieval (stages/audiodedup.audio_search —
+    the Shazam shape, Wang 2003): timed constellation landmarks + offset
+    voting find which corpus clips contain each query excerpt; query
+    landmark index broadcast once, corpus streams through one pure map,
+    only (query, clip, votes, offset) candidates reach the grouped top-k.
+    Queries are hop-aligned half-gain suffix excerpts of 16 corpus clips
+    (_audio_query_clips) over the note-melody corpus.  Oracle: serial twin
+    with an INDEPENDENT dict-voting loop (so_audio_search)."""
+    _ensure_fixture("q_audio_search", sf_dir)
+    from ..sources.clips import note_clips_from_documents
+    from ..stages.audiodedup import audio_search
+
+    ds = note_clips_from_documents(sf_dir)
+    out = audio_search(ds, _audio_query_clips(sf_dir), top_k=3, min_votes=3)
+    df = out.to_pandas()
+    return df.sort_values(["query_id", "votes", "clip_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split (stages/stats.py) —
     per-split counts, reproducible across runs/processes (md5 bucket)."""
@@ -7495,6 +7550,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_hits": q_hits,
     "q_audio_fp_pairs": q_audio_fp_pairs,
+    "q_audio_search": q_audio_search,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,

@@ -3179,6 +3179,69 @@ def so_mmr_topk(sf_dir: str) -> pa.Table:
     })
 
 
+
+def so_audio_search(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_search: same corpus + query builders and
+    timed-landmark kernel, INDEPENDENT dict-based offset voting and
+    top-k ranking (plain loops — no searchsorted range expansion, no
+    Ray), so the vectorized probe is checked against a naive count."""
+    from collections import defaultdict
+
+    from ..functions.audiofp import spectral_landmarks_timed
+    from ..sources.clips import note_clips_table_from_documents
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _audio_query_clips
+
+    q = _audio_query_clips(sf_dir)
+    qindex: dict[int, list[tuple[int, int]]] = {}
+    for qid, buf, sr in zip(q.column("query_id").to_pylist(),
+                            q.column("bytes").to_pylist(),
+                            q.column("sr_hz").to_pylist()):
+        pcm = _decode_one(buf, "pcm_s16le")
+        h, t = spectral_landmarks_timed(pcm, int(sr))
+        for hh, tt in zip(h.tolist(), t.tolist()):
+            qindex.setdefault(int(hh), []).append((int(qid), int(tt)))
+
+    corpus = note_clips_table_from_documents(sf_dir)
+    cands = []  # (qid, clip, votes, offset)
+    for cid, buf, codec, sr in zip(corpus.column("clip_id").to_pylist(),
+                                   corpus.column("bytes").to_pylist(),
+                                   corpus.column("codec").to_pylist(),
+                                   corpus.column("sr_hz").to_pylist()):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            continue
+        h, t = spectral_landmarks_timed(pcm, int(sr or 0))
+        votes: dict[tuple[int, int], int] = {}
+        for hh, tc in zip(h.tolist(), t.tolist()):
+            for qid, tq in qindex.get(int(hh), ()):
+                k = (qid, int(tc) - tq)
+                votes[k] = votes.get(k, 0) + 1
+        best: dict[int, tuple[int, int]] = {}
+        for (qid, off), v in votes.items():
+            cur = best.get(qid)
+            if cur is None or (-v, off) < (-cur[0], cur[1]):
+                best[qid] = (v, off)
+        for qid, (v, off) in best.items():
+            if v >= 3:
+                cands.append((qid, cid, v, off))
+
+    cands.sort(key=lambda r: (r[0], -r[2], r[1]))
+    taken: dict[int, int] = defaultdict(int)
+    rows = []
+    for r in cands:
+        if taken[r[0]] < 3:
+            rows.append(r)
+            taken[r[0]] += 1
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "clip_id": pa.array([r[1] for r in rows], pa.int64()),
+        "votes": pa.array([r[2] for r in rows], pa.int64()),
+        "offset_frames": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_fix_mojibake": so_fix_mojibake,
     "q_prototype_prune": so_prototype_prune,
@@ -3283,6 +3346,7 @@ SERIAL_ORACLES = {
     "q_c4_span_dedup": so_c4_span_dedup,
     "q_substring_dedup": so_substring_dedup,
     "q_grouped_quantiles_approx": so_grouped_quantiles_approx,
+    "q_audio_search": so_audio_search,
 }
 
 

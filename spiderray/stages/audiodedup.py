@@ -260,3 +260,134 @@ def audio_decontaminate(ds, eval_clips: pa.Table,
                                    pa.array(shared_counts, pa.int32()))
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def audio_search(ds, query_clips: pa.Table, top_k: int = 3,
+                 min_votes: int = 3, max_query_hashes: int = 2_000_000,
+                 id_col: str = "clip_id", bytes_col: str = "bytes",
+                 codec_col: str = "codec", sr_col: str = "sr_hz",
+                 query_id_col: str = "query_id", **landmark_kwargs):
+    """Query-by-example audio retrieval — the Shazam shape (Wang 2003):
+    which corpus clips contain (an excerpt of) each query clip?  The audio
+    sibling of BM25 text retrieval, and the lookup companion of
+    ``audio_fingerprint_pairs``'s all-pairs dedup.
+
+    Method: timed constellation landmarks on both sides; a corpus clip
+    matching a query at a consistent TIME OFFSET is a hit — votes are the
+    largest count of shared hashes agreeing on one (corpus_anchor −
+    query_anchor) frame offset, which rejects coincidental single-hash
+    collisions that a bag-of-hashes overlap would count.
+
+    Scale shape: the query side is bounded by definition — its timed
+    landmark index (hash-sorted arrays) builds driver-side under a LOUD
+    ``max_query_hashes`` cap and broadcasts ONCE via ray.put; the corpus
+    then streams through one pure map (binary-search probe per clip, all
+    voting row-local) emitting only (query, clip, votes, offset) candidate
+    rows with votes ≥ ``min_votes``.  The only exchange is the final
+    grouped top-k over candidates.  Nothing corpus-sized ever lands on the
+    driver or shuffles.
+
+    Determinism: integer votes and frame offsets; per-query ranking by
+    (votes desc, clip_id asc); within a clip the winning offset is the
+    smallest among max-vote offsets.  Offsets are exact when query and
+    corpus share sr (a hop-aligned excerpt ⇒ one constant offset);
+    cross-rate queries still match through the hashes with blurred
+    offsets (documented boundary)."""
+    import ray
+
+    from ..functions.audiofp import spectral_landmarks_timed
+    from .multimodal import DecodeUnsupported, _decode_one
+    from .stats import top_k_per_group
+
+    q_ids = query_clips.column(query_id_col).to_pylist()
+    qh_parts, qi_parts, qt_parts = [], [], []
+    for qi, (buf, codec, sr) in enumerate(zip(
+            query_clips.column(bytes_col).to_pylist(),
+            query_clips.column(codec_col).to_pylist(),
+            query_clips.column(sr_col).to_pylist())):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            continue
+        h, t = spectral_landmarks_timed(pcm, int(sr or 0), **landmark_kwargs)
+        if len(h) == 0:
+            continue
+        qh_parts.append(h)
+        qi_parts.append(np.full(len(h), qi, dtype=np.int64))
+        qt_parts.append(t.astype(np.int64))
+    if qh_parts:
+        qh = np.concatenate(qh_parts)
+        qi = np.concatenate(qi_parts)
+        qt = np.concatenate(qt_parts)
+    else:
+        qh = np.empty(0, np.uint64)
+        qi = qt = np.empty(0, np.int64)
+    if len(qh) > max_query_hashes:
+        raise ValueError(
+            f"query landmark index has {len(qh)} hashes > cap "
+            f"{max_query_hashes}; shard the query set")
+    order = np.argsort(qh, kind="mergesort")
+    idx_ref = ray.put((qh[order], qi[order], qt[order]))
+    qid_arr = pa.array(q_ids)
+
+    # offsets are bounded by the landmark frame cap (|off| < max_frames
+    # ≤ 512 by default); pack (query, offset) into one int64 vote key
+    OFF_BIAS = 1 << 12
+    OFF_SPAN = 1 << 13
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Hq, Qi, Tq = _ray.get(idx_ref)
+        out_q, out_c, out_v, out_o = [], [], [], []
+        for cid, buf, codec, sr in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(bytes_col).to_pylist(),
+                batch.column(codec_col).to_pylist(),
+                batch.column(sr_col).to_pylist()):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            h, t = spectral_landmarks_timed(pcm, int(sr or 0),
+                                            **landmark_kwargs)
+            if len(h) == 0 or len(Hq) == 0:
+                continue
+            lo = np.searchsorted(Hq, h, side="left")
+            hi = np.searchsorted(Hq, h, side="right")
+            lens = hi - lo
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # expand the per-hash [lo, hi) ranges into flat index lists
+            base = np.repeat(lo, lens)
+            csum = np.cumsum(lens) - lens
+            pos = base + (np.arange(total) - np.repeat(csum, lens))
+            q_match = Qi[pos]
+            off = np.repeat(t.astype(np.int64), lens) - Tq[pos]
+            key = q_match * OFF_SPAN + (off + OFF_BIAS)
+            uk, cnt = np.unique(key, return_counts=True)
+            qpart = uk // OFF_SPAN
+            opart = (uk % OFF_SPAN) - OFF_BIAS
+            # per query: max votes, tie -> smallest offset
+            o = np.lexsort((opart, -cnt, qpart))
+            firsts = np.unique(qpart[o], return_index=True)[1]
+            win = o[firsts]
+            keep = cnt[win] >= min_votes
+            for w in win[keep]:
+                out_q.append(int(qpart[w]))
+                out_c.append(cid)
+                out_v.append(int(cnt[w]))
+                out_o.append(int(opart[w]))
+        id_t = batch.schema.field(id_col).type
+        return pa.table({
+            query_id_col: qid_arr.take(pa.array(out_q, pa.int64()))
+            if out_q else pa.array([], qid_arr.type),
+            id_col: pa.array(out_c, id_t),
+            "votes": pa.array(out_v, pa.int64()),
+            "offset_frames": pa.array(out_o, pa.int64()),
+        })
+
+    cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_per_group(cands, [query_id_col], "votes", top_k,
+                           descending=True, tie_col=id_col)
