@@ -161,6 +161,7 @@ def run_queries() -> dict[str, float]:
         ("q_halluc_loops", q.q_halluc_loops),
         # round-4 seventh-wave additions
         ("q_audio_search", q.q_audio_search),
+        ("q_audio_loops", q.q_audio_loops),
     ]
     import ray.data
 

@@ -168,6 +168,65 @@ def spectral_landmarks_timed(
     return h[keep], t[keep]
 
 
+MIN_LOOP_SCORE_PPM = 800_000  # best-lag self-match above this → looped flag
+MIN_LOOP_UNIQUE_PEAKS = 3     # melodic variety guard: held tones never flag
+
+
+def audio_loop_stats(pcm: np.ndarray, sr: int,
+                     frame: int = 512, hop: int = 256,
+                     min_period: int = 8, min_overlap: int = 8,
+                     min_cycles: int = 2,
+                     hz_quant: float = 100.0, max_frames: int = 512,
+                     min_peak_mag: float = 1e-4) -> dict:
+    """Self-similarity loop signals for one mono clip in [-1, 1] — the
+    audio analog of the ASR hallucination-loop gate (functions/halluc):
+    hold music, loopy jingles, and synthetically TILED audio repeat a
+    short segment verbatim, so their quantized spectral-peak track
+    (shared ``_peak_track`` — same frames, same quantization as the
+    landmark fingerprints) matches itself at the loop's lag.
+
+    For every lag ``p`` in [min_period, n_frames - min_overlap] the score
+    is the exact integer fraction (ppm, //) of voiced-overlap frames with
+    equal quantized peaks; ``loop_score_ppm`` is the max, and
+    ``loop_period_frames`` the SMALLEST lag attaining it (the fundamental
+    period — its multiples score the same on perfectly tiled audio).
+    ``min_period`` floors the lag above one held note so a melody does
+    not match itself inside a single note; ``min_cycles`` caps it at
+    n_frames // min_cycles so a "loop" must actually repeat in view —
+    without the cap, extreme lags compare only the ``min_overlap`` tail
+    against the head, and a melody whose LAST note happens to equal its
+    first scores 7/8 (the same degenerate tail the text gate's
+    cycling-≥4 rule excludes); ``n_unique_peaks`` feeds the variety
+    guard (a stationary tone matches at EVERY lag but carries one peak
+    value, which is stationarity, not looping).  All arithmetic is
+    integer, so the row is bit-stable under any partitioning."""
+    out = {"n_frames": 0, "n_voiced": 0, "n_unique_peaks": 0,
+           "loop_period_frames": 0, "loop_score_ppm": 0, "loop_overlap": 0}
+    if sr <= 0 or len(pcm) < frame + hop:
+        return out
+    peak_q, voiced, _, n_frames = _peak_track(
+        pcm, sr, frame, hop, hz_quant, max_frames, min_peak_mag)
+    out["n_frames"] = int(n_frames)
+    out["n_voiced"] = int(voiced.sum())
+    if out["n_voiced"]:
+        out["n_unique_peaks"] = int(len(np.unique(peak_q[voiced])))
+    best_ppm, best_p, best_ov = 0, 0, 0
+    for p in range(min_period,
+                   min(n_frames // min_cycles, n_frames - min_overlap) + 1):
+        m = voiced[p:] & voiced[:-p]
+        comparisons = int(m.sum())
+        if comparisons < min_overlap:
+            continue
+        matches = int((m & (peak_q[p:] == peak_q[:-p])).sum())
+        ppm = 1_000_000 * matches // comparisons
+        if ppm > best_ppm:
+            best_ppm, best_p, best_ov = ppm, p, comparisons
+    out["loop_period_frames"] = best_p
+    out["loop_score_ppm"] = best_ppm
+    out["loop_overlap"] = best_ov
+    return out
+
+
 # ---------------------------------------------------------------------------
 # BS.1770-style K-weighted gated loudness
 # ---------------------------------------------------------------------------

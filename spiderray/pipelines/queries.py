@@ -4572,6 +4572,88 @@ def q_music_detect(sf_dir: str):
          "flatness_milli", "flux_milli", "audio_class"])
 
 
+def _loopmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the looped-audio gate (shared with the
+    q_audio_loops serial oracle).  Per doc_id i at 16 kHz / 16384 samples,
+    stratum i%4: 0 = LOOPED (a 4-note 4096-sample segment — one note per
+    1024 samples, pitches in disjoint 100 Hz-quantization ranges so the
+    variety guard always sees 4 distinct peaks — tiled 4×: exactly
+    periodic at lag 16 frames on the 256-sample hop), 1 = straight 8-note
+    melody (synth_note_audio — no repeat), 2 = broadband noise, 3 = held
+    tone (matches itself at EVERY lag but carries one unique peak: the
+    stationarity guard case); every 17th row ships undecodable."""
+    import hashlib
+
+    from ..sources.clips import _NOISE, synth_note_audio
+
+    sr, n = 16000, 16384
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"lp_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 4
+        if k == 0:
+            dig = hashlib.md5(f"loop{i}".encode()).digest()
+            seg = np.zeros(4096, dtype=np.float64)
+            t = np.arange(4096, dtype=np.float64) / sr
+            for j in range(4):
+                f = 250.0 * (j + 1) + (dig[j] % 100)
+                seg[j * 1024:(j + 1) * 1024] = np.sin(
+                    2 * np.pi * f * t[j * 1024:(j + 1) * 1024])
+            wave = np.tile(seg, 4)
+        elif k == 1:
+            wave = np.frombuffer(synth_note_audio(i, sr, n),
+                                 dtype="<i2").astype(np.float64) / 32767.0
+        elif k == 2:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave = 0.6 * _NOISE[off: off + n]
+        else:
+            t = np.arange(n, dtype=np.float64) / sr
+            wave = np.sin(2 * np.pi * (400.0 + (i % 10) * 80.0) * t)
+        wave = wave * (0.55 * 32767.0)
+        np.clip(wave, -32768, 32767, out=wave)
+        bufs.append(wave.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_audio_loops(sf_dir: str):
+    """Looped-audio gate (stages/audioquality.audio_loop_stage): actor-pool
+    decode → quantized spectral-peak self-similarity at every lag
+    (functions/audiofp.audio_loop_stats, exact integer ppm) → ``is_looped``
+    — the hold-music / tiled-synthetic-audio filter, the audio sibling of
+    the ASR hallucination-loop gate (q_halluc_loops).  Corpus plants
+    looped / straight-melody / noise / held-tone strata and an undecodable
+    stratum; only the looped stratum flags (the held tone self-matches at
+    every lag but fails the unique-peaks variety guard).  Oracle: serial
+    decode + INDEPENDENT pure-Python lag scoring (so_audio_loops)."""
+    _ensure_fixture("q_audio_loops", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import audio_loop_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_loopmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = audio_loop_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "n_frames", "n_voiced", "n_unique_peaks",
+         "loop_period_frames", "loop_score_ppm", "loop_overlap",
+         "is_looped"])
+
+
 def _semdedup_copies(ids: np.ndarray, V: np.ndarray):
     """Planted near-duplicates for q_semantic_dedup (shared with its serial
     oracle): every 25th vector gets a copy at id + 1_000_000, perturbed by
@@ -7559,6 +7641,7 @@ QUERIES = {
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
+    "q_audio_loops": q_audio_loops,
     "q_halluc_loops": q_halluc_loops,
     "q_threshold_sweep": q_threshold_sweep,
     "q_classifier_auc": q_classifier_auc,

@@ -3242,6 +3242,71 @@ def so_audio_search(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_loops(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_loops: same corpus generator + decode +
+    peak-track extraction, INDEPENDENT pure-Python lag scoring (list
+    comparisons over zip, no numpy boolean algebra) and independent flag
+    logic — so the vectorized per-lag kernel is checked against a naive
+    count."""
+    from ..functions.audiofp import (
+        MIN_LOOP_SCORE_PPM,
+        MIN_LOOP_UNIQUE_PEAKS,
+        _peak_track,
+    )
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _loopmix_clips_batch
+
+    clips = _loopmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    keys = ("n_frames", "n_voiced", "n_unique_peaks", "loop_period_frames",
+            "loop_score_ppm", "loop_overlap")
+    out = {k: [] for k in ("clip_id", "decode_ok", "is_looped")}
+    cols = {k: [] for k in keys}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        stats = dict.fromkeys(keys, 0)
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            ok = True
+            if int(sr or 0) > 0 and len(pcm) >= 512 + 256:
+                pq_, vc, _, nf = _peak_track(pcm, int(sr), 512, 256,
+                                             100.0, 512, 1e-4)
+                track = [int(p) for p in pq_]
+                voiced = [bool(v) for v in vc]
+                stats["n_frames"] = int(nf)
+                stats["n_voiced"] = sum(voiced)
+                stats["n_unique_peaks"] = len(
+                    {p for p, v in zip(track, voiced) if v})
+                for p in range(8, min(int(nf) // 2, int(nf) - 8) + 1):
+                    pairs = [(a, b) for (a, va), (b, vb) in
+                             zip(zip(track[p:], voiced[p:]),
+                                 zip(track[:-p], voiced[:-p])) if va and vb]
+                    if len(pairs) < 8:
+                        continue
+                    hits = sum(1 for a, b in pairs if a == b)
+                    ppm = 1_000_000 * hits // len(pairs)
+                    if ppm > stats["loop_score_ppm"]:
+                        stats["loop_score_ppm"] = ppm
+                        stats["loop_period_frames"] = p
+                        stats["loop_overlap"] = len(pairs)
+        except DecodeUnsupported:
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["is_looped"].append(
+            ok and stats["loop_score_ppm"] >= MIN_LOOP_SCORE_PPM
+            and stats["n_unique_peaks"] >= MIN_LOOP_UNIQUE_PEAKS)
+        for k in keys:
+            cols[k].append(stats[k])
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        **{k: pa.array(cols[k], pa.int64()) for k in keys},
+        "is_looped": pa.array(out["is_looped"], pa.bool_()),
+    })
+
+
 SERIAL_ORACLES = {
     "q_fix_mojibake": so_fix_mojibake,
     "q_prototype_prune": so_prototype_prune,
@@ -3347,6 +3412,7 @@ SERIAL_ORACLES = {
     "q_substring_dedup": so_substring_dedup,
     "q_grouped_quantiles_approx": so_grouped_quantiles_approx,
     "q_audio_search": so_audio_search,
+    "q_audio_loops": so_audio_loops,
 }
 
 

@@ -1318,3 +1318,82 @@ def music_speech_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+_LOOP_COLS = ("n_frames", "n_voiced", "n_unique_peaks",
+              "loop_period_frames", "loop_score_ppm", "loop_overlap")
+
+
+class AudioLoopActor:
+    """Decode + looped-audio columns and the ``is_looped`` gate flag
+    (kernel: functions/audiofp.audio_loop_stats — quantized spectral-peak
+    track matched against itself at every lag; exact integer ppm).
+
+    The audio sibling of the ASR hallucination-loop gate: hold music,
+    loopy jingles and synthetically TILED clips repeat a short segment
+    verbatim, inflating duration counts without adding training signal.
+    The flag needs all three of: best-lag self-match ≥
+    ``min_score_ppm``, melodic variety (≥ ``min_unique_peaks`` distinct
+    quantized peaks — a held tone matches at every lag but that is
+    stationarity, the content gate's business, not looping), and a real
+    overlap behind the winning lag.  Undecodable clips mark
+    ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_score_ppm: int | None = None,
+                 min_unique_peaks: int | None = None):
+        from ..functions.audiofp import (
+            MIN_LOOP_SCORE_PPM,
+            MIN_LOOP_UNIQUE_PEAKS,
+        )
+
+        self.cfg = cfg or PipelineConfig()
+        self.min_score_ppm = (MIN_LOOP_SCORE_PPM if min_score_ppm is None
+                              else min_score_ppm)
+        self.min_unique_peaks = (
+            MIN_LOOP_UNIQUE_PEAKS if min_unique_peaks is None
+            else min_unique_peaks)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import audio_loop_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _LOOP_COLS}
+        ok, flag = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                stats = audio_loop_stats(_decode_one(buf or b"", codec or ""),
+                                         int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0 for k in _LOOP_COLS}
+                ok.append(False)
+            for k in _LOOP_COLS:
+                cols[k].append(stats[k])
+            flag.append(ok[-1]
+                        and stats["loop_score_ppm"] >= self.min_score_ppm
+                        and stats["n_unique_peaks"] >= self.min_unique_peaks)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _LOOP_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.int64()))
+        return batch.append_column("is_looped", pa.array(flag, pa.bool_()))
+
+
+def audio_loop_stage(ds, cfg: PipelineConfig,
+                     concurrency: int | tuple[int, int] = 4,
+                     min_score_ppm: int | None = None,
+                     min_unique_peaks: int | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        AudioLoopActor,
+        fn_constructor_args=(cfg, min_score_ppm, min_unique_peaks),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
