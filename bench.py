@@ -162,6 +162,7 @@ def run_queries() -> dict[str, float]:
         # round-4 seventh-wave additions
         ("q_audio_search", q.q_audio_search),
         ("q_audio_loops", q.q_audio_loops),
+        ("q_pca_whiten", q.q_pca_whiten),
     ]
     import ray.data
 

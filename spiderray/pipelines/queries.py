@@ -537,6 +537,27 @@ def q_ann_topk(sf_dir: str):
     return df[["vec_id"]]
 
 
+def q_pca_whiten(sf_dir: str):
+    """Distributed PCA whitening over the embeddings table (stages/pca.py):
+    one exact integer moment pass (per-block (count, sum, upper-tri outer
+    sums) partials, Python-int merge), one driver-side d x d eigh with a
+    fixed sign convention and a relative spectrum floor, then a streamed
+    pure-int64 transform — top-8 whitened coordinates in micro-units per
+    vector.  The conditioning step ahead of ANN / SemDeDup when a few
+    directions dominate the variance.  Oracle: serial twin with an
+    independent plain-loop moment accumulation and per-row dot products
+    (so_pca_whiten)."""
+    _ensure_fixture("q_pca_whiten", sf_dir)
+    from ..stages.pca import pca_fit_distributed, pca_whiten
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pca_fit_distributed(ds)
+    out = pca_whiten(ds, model, n_components=8)
+    df = out.select_columns(
+        ["vec_id"] + [f"w{j}" for j in range(8)]).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 SQL_ANN_TOPK = """
 SELECT vec_id FROM (
   SELECT vec_id,
@@ -7584,6 +7605,7 @@ QUERIES = {
     "q_scrub_email": q_scrub_email,
     "q_icp_extract": q_icp_extract,
     "q_ann_topk": q_ann_topk,
+    "q_pca_whiten": q_pca_whiten,
     "q_embed_near_dup": q_embed_near_dup,
     "q_minhash_pairs": q_minhash_pairs,
     "q_dup_clusters": q_dup_clusters,

@@ -3242,6 +3242,63 @@ def so_audio_search(sf_dir: str) -> pa.Table:
     })
 
 
+def so_pca_whiten(sf_dir: str) -> pa.Table:
+    """Serial twin for q_pca_whiten: INDEPENDENT moment accumulation
+    (plain Python-int loops over rows — no block partials, no numpy
+    matmul) and per-row transform dots, sharing only the PCA_SCALE
+    constant and the same LAPACK eigh call on what must be the identical
+    exact covariance."""
+    import pyarrow.parquet as pq
+
+    from ..stages.pca import PCA_SCALE
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    d = len(vecs[0])
+    n = len(vecs)
+    q_rows = [[int(np.floor(v * PCA_SCALE + 0.5)) for v in row]
+              for row in vecs]
+    S = [0] * d
+    XX = [[0] * d for _ in range(d)]
+    for row in q_rows:
+        for j in range(d):
+            S[j] += row[j]
+            for k in range(j, d):
+                XX[j][k] += row[j] * row[k]
+    C = np.zeros((d, d), dtype=np.float64)
+    for j in range(d):
+        for k in range(j, d):
+            C[j, k] = C[k, j] = (XX[j][k] - S[j] * S[k] / n) / n
+    eigvals, eigvecs = np.linalg.eigh(C)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    for j in range(d):
+        i = int(np.argmax(np.abs(eigvecs[:, j])))
+        if eigvecs[i, j] < 0:
+            eigvecs[:, j] = -eigvecs[:, j]
+    lam_f = np.maximum(eigvals, 0.0) / float(PCA_SCALE) ** 2
+    lam_f = np.maximum(lam_f, max(float(lam_f.max()), 1e-12) * 1e-6)
+    W = eigvecs / np.sqrt(lam_f)[None, :]
+    mean_q = [int(np.floor(s / n + 0.5)) for s in S]
+    Wq = np.floor(W * PCA_SCALE + 0.5).astype(np.int64)[:, :8]
+    cols = {f"w{j}": [] for j in range(8)}
+    for row in q_rows:
+        c = [row[k] - mean_q[k] for k in range(d)]
+        for j in range(8):
+            acc = 0
+            for k in range(d):
+                acc += c[k] * int(Wq[k, j])
+            cols[f"w{j}"].append(acc // PCA_SCALE)
+    order2 = np.argsort(np.asarray(ids, dtype=np.int64), kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array([ids[i] for i in order2], pa.int64()),
+        **{k: pa.array([v[i] for i in order2], pa.int64())
+           for k, v in cols.items()},
+    })
+
+
 def so_audio_loops(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_loops: same corpus generator + decode +
     peak-track extraction, INDEPENDENT pure-Python lag scoring (list
@@ -3413,6 +3470,7 @@ SERIAL_ORACLES = {
     "q_grouped_quantiles_approx": so_grouped_quantiles_approx,
     "q_audio_search": so_audio_search,
     "q_audio_loops": so_audio_loops,
+    "q_pca_whiten": so_pca_whiten,
 }
 
 
