@@ -383,6 +383,37 @@ def q_token_counts(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth card (stages/stats.vocab_growth): new
+    distinct terms per id-decile of the corpus + the cumulative curve —
+    the does-more-data-still-buy-vocabulary saturation diagnostic.
+    Declarative first-occurrence semantics (min doc_id per term, bucketed
+    on the id axis), so the whole card restates as literal SQL."""
+    from ..stages.stats import vocab_growth
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    max_id = int(ds.max("doc_id"))
+    return vocab_growth(ds, max_id=max_id, n_buckets=10)
+
+
+SQL_VOCAB_GROWTH = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS term
+  FROM documents
+), firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM terms
+  WHERE term <> '' GROUP BY term
+), buckets AS (
+  SELECT CAST(first_doc * 10 // (SELECT max(doc_id) + 1 FROM documents)
+              AS BIGINT) AS bucket
+  FROM firsts
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms,
+       CAST(sum(count(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM buckets GROUP BY bucket ORDER BY bucket
+"""
+
+
 SQL_TOKEN_COUNTS = f"""
 SELECT source, count(*) AS n_docs,
        CAST(sum({{WS}}) AS BIGINT) AS ws_tokens,
@@ -7600,6 +7631,7 @@ QUERIES = {
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,
     "q_token_counts": q_token_counts,
+    "q_vocab_growth": q_vocab_growth,
     "q_exact_dedup": q_exact_dedup,
     "q_fingerprint": q_fingerprint,
     "q_scrub_email": q_scrub_email,
@@ -7845,6 +7877,7 @@ ORACLE_SQL = {
     "q_hive_roundtrip": SQL_HIVE_ROUNDTRIP,
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
+    "q_vocab_growth": SQL_VOCAB_GROWTH,
     "q_harvest_filter": SQL_HARVEST_FILTER,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,

@@ -2042,3 +2042,72 @@ def pivot_counts(ds, row_col: str, col_col: str, prefix: str = "cnt_"):
     for c in wide.columns:
         wide[c] = wide[c].astype("int64")
     return wide.reset_index().sort_values(row_col).reset_index(drop=True)
+
+
+def vocab_growth(ds, max_id: int, n_buckets: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Heaps-law vocabulary-growth data card: how many NEW distinct terms
+    each successive slice of the corpus contributes — the saturation
+    curve that tells a corpus builder whether more of the same source
+    still buys vocabulary (a flat tail means it does not) and flags
+    template/boilerplate floods (a cliff after bucket 0).
+
+    Semantics: a term belongs to the bucket of its FIRST occurrence,
+    bucket = first_doc · n_buckets // (max_id + 1) on the id axis — a
+    declarative definition (no scan order), so the curve is identical
+    under any partitioning and is restatable as plain SQL.
+
+    Scale shape: vectorized Arrow explode → per-batch LOCAL min-id per
+    term → one keyed groupby-Min over (term, first_doc) rows (bounded by
+    vocabulary, never corpus rows — the same exchange build_vocab /
+    term_drift make) → per-block bucket count partials → an n_buckets-
+    bounded Sum; only the ≤ n_buckets histogram reaches the driver,
+    where the cumulative column is derived.  Returns a pandas frame
+    (bucket, new_terms, cum_vocab) sorted by bucket."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from .textindex import _ws_tokens
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
+        toks = _ws_tokens(batch.column(text_col))
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({"term": flat.to_pandas(),
+                           "first_doc": ids.astype(np.int64)})
+        df = df[df.term != ""]
+        g = df.groupby("term", as_index=False)["first_doc"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_term = (
+        ds.map_batches(firsts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").aggregate(Min("first_doc"))
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "new_terms": pa.array([], pa.int64())})
+        fd = batch.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        b = fd.astype(np.int64) * n_buckets // (max_id + 1)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "new_terms": pa.array(cnt, pa.int64())})
+
+    hist = (
+        per_term.map_batches(bucketize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("new_terms"))
+        .to_pandas()
+    )
+    hist = hist.rename(columns={"sum(new_terms)": "new_terms"})
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    hist["cum_vocab"] = hist["new_terms"].cumsum()
+    return hist[["bucket", "new_terms", "cum_vocab"]].astype("int64")

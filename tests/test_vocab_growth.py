@@ -1,0 +1,51 @@
+"""Heaps-law vocabulary-growth card (stages/stats.vocab_growth):
+hand-computed first-occurrence semantics and partition invariance."""
+
+import pyarrow as pa
+
+from spiderray.stages.stats import vocab_growth
+
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+class TestVocabGrowth:
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        # max_id 9, 10 buckets -> bucket == doc_id
+        t = _docs([
+            (0, "a b a"),        # a,b first here        -> bucket 0: 2
+            (1, "b c"),          # c first here          -> bucket 1: 1
+            (5, "c d e"),        # d,e first here        -> bucket 5: 2
+            (9, "a  f"),         # f first (double space)-> bucket 9: 1
+        ])
+        out = vocab_growth(rd.from_arrow(t), max_id=9, n_buckets=10)
+        assert out.bucket.tolist() == [0, 1, 5, 9]
+        assert out.new_terms.tolist() == [2, 1, 2, 1]
+        assert out.cum_vocab.tolist() == [2, 3, 5, 6]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        rows = [(i, f"w{i % 7} w{i % 13} shared") for i in range(60)]
+        t = _docs(rows)
+        outs = []
+        for blocks in (1, 8):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(vocab_growth(ds, max_id=59, n_buckets=10))
+        assert outs[0].equals(outs[1])
+        # w0..w12 (the %7 set is a subset of the %13 set) + "shared"
+        assert outs[0].cum_vocab.iloc[-1] == 14
+
+    def test_empty_and_whitespace_only_rows(self, ray_session):
+        import ray.data as rd
+
+        t = _docs([(0, "x"), (1, ""), (2, "   "), (3, "\t\n"), (4, "y x")])
+        out = vocab_growth(rd.from_arrow(t), max_id=4, n_buckets=5)
+        assert out.new_terms.sum() == 2
+        assert out.bucket.tolist() == [0, 4]
