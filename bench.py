@@ -164,6 +164,7 @@ def run_queries() -> dict[str, float]:
         ("q_audio_loops", q.q_audio_loops),
         ("q_pca_whiten", q.q_pca_whiten),
         ("q_vocab_growth", q.q_vocab_growth),
+        ("q_url_dedup", q.q_url_dedup),
     ]
     import ray.data
 

@@ -100,3 +100,55 @@ def is_default_path(url_path: str) -> bool:
     (link.go:283-286)."""
     p = url_path.strip()
     return p == "" or p == "/" or bool(RE_INDEX_SUFFIX.match(p))
+
+
+# --- canonical-URL normalization (crawl-frontier / corpus URL dedup) ------
+
+# click/campaign identifiers that never change the resource (any utm_*
+# prefix is stripped too)
+TRACKING_PARAMS = frozenset({
+    "gclid", "fbclid", "msclkid", "igshid", "yclid", "dclid",
+    "mc_cid", "mc_eid", "ref", "spm",
+})
+
+_RE_MULTI_SLASH = re.compile(r"/{2,}")
+
+
+def canonicalize_url(url: str) -> str:
+    """RFC 3986 §6 syntax-based normalization plus the conventions a
+    crawl frontier / web-corpus dedup applies before keying: lowercase
+    scheme and host, drop the fragment, drop default ports (http:80 /
+    https:443), drop tracking parameters (``utm_*`` prefix +
+    TRACKING_PARAMS), sort the surviving query pairs, collapse duplicate
+    path slashes, strip one trailing slash (non-root), empty path → '/'.
+    Unparseable input returns stripped as-is (callers key on the string
+    either way).  Path CASE is preserved — paths are case-sensitive per
+    RFC; only scheme/host fold."""
+    from urllib.parse import parse_qsl, urlencode
+
+    s = url.strip()
+    try:
+        u = urlparse(s)
+    except ValueError:
+        return s
+    if not u.scheme or not u.netloc:
+        return s
+    scheme = u.scheme.lower()
+    host = (u.hostname or "").lower()
+    try:
+        port = u.port
+    except ValueError:
+        port = None
+    if port and not ((scheme == "http" and port == 80)
+                     or (scheme == "https" and port == 443)):
+        host = f"{host}:{port}"
+    path = _RE_MULTI_SLASH.sub("/", u.path) or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    pairs = sorted(
+        (k, v) for k, v in parse_qsl(u.query, keep_blank_values=True)
+        if not k.lower().startswith("utm_")
+        and k.lower() not in TRACKING_PARAMS
+    )
+    query = urlencode(pairs)
+    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")

@@ -2077,6 +2077,59 @@ SELECT source, term, n FROM ranked WHERE rk <= 3 ORDER BY source, n DESC, term
 """
 
 
+def _url_variants_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic URL-variant corpus for canonical-URL dedup (shared
+    with the q_url_dedup serial twin): doc ids group in fives onto one
+    article (article = i // 5, site = article % 37); variant i % 5
+    exercises one normalization rule — 0 = clean + duplicate path slash,
+    1 = trailing slash + reordered params + utm tag, 2 = uppercase host
+    + fragment, 3 = explicit :80 + gclid, 4 = plain — all five collapse
+    to http://www.site{site}.example.com/news/{article}/item?id=...&lang=en."""
+    ids = batch.column("doc_id").to_pylist()
+    urls = []
+    for i in ids:
+        i = int(i)
+        art = i // 5
+        host = f"www.site{art % 37}.example.com"
+        base = f"http://{host}/news/{art}/item"
+        k = i % 5
+        if k == 0:
+            urls.append(f"http://{host}/news//{art}/item?id={art}&lang=en")
+        elif k == 1:
+            urls.append(f"{base}/?lang=en&id={art}&utm_source=feed{i}")
+        elif k == 2:
+            urls.append(f"http://{host.upper()}/news/{art}/item"
+                        f"?id={art}&lang=en#sec{i}")
+        elif k == 3:
+            urls.append(f"http://{host}:80/news/{art}/item"
+                        f"?id={art}&lang=en&gclid=g{i}")
+        else:
+            urls.append(f"{base}?id={art}&lang=en")
+    return pa.table({
+        "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (stages/dedup.url_canonical_dedup): syntactic
+    variants — host case, tracking params, param order, fragments,
+    default ports, duplicate/trailing slashes — collapse onto one
+    canonical string (functions/urlfilter.canonicalize_url, RFC 3986 §6)
+    before a single keyed Min/Count exchange: the crawl-frontier seen-set
+    key.  Corpus plants five variants per article; every group must
+    collapse to one row with winner = the smallest id.  Oracle: serial
+    twin with independent dict grouping (so_url_dedup)."""
+    _ensure_fixture("q_url_dedup", sf_dir)
+    from ..stages.dedup import url_canonical_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    links = ds.map_batches(_url_variants_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = url_canonical_dedup(links).to_pandas()
+    return df.sort_values("canon_url").reset_index(drop=True)
+
+
 def q_harvest_filter(sf_dir: str):
     """URL harvest filter cascade (M12, /root/reference/extract/
     web.go:242-302) over deterministic link shapes: each doc_id produces a
@@ -7627,6 +7680,7 @@ QUERIES = {
     "q_count_distinct_users": q_count_distinct_users,
     "q_top_terms": q_top_terms,
     "q_harvest_filter": q_harvest_filter,
+    "q_url_dedup": q_url_dedup,
     "q_purchases_by_user": q_purchases_by_user,
     "q_doc_keepdrop": q_doc_keepdrop,
     "q_doc_lang_hist": q_doc_lang_hist,

@@ -3299,6 +3299,25 @@ def so_pca_whiten(sf_dir: str) -> pa.Table:
     })
 
 
+def so_url_dedup(sf_dir: str) -> pa.Table:
+    """Serial twin for q_url_dedup: same variant corpus + canonicalize
+    kernel, INDEPENDENT dict-based grouping (no Ray, no aggregates)."""
+    from ..functions.urlfilter import canonicalize_url
+    from .queries import _url_variants_batch
+
+    links = _url_variants_batch(_docs(sf_dir, ("doc_id",)))
+    groups: dict[str, list[int]] = {}
+    for i, u in zip(links.column("doc_id").to_pylist(),
+                    links.column("url").to_pylist()):
+        groups.setdefault(canonicalize_url(u), []).append(int(i))
+    canon = sorted(groups)
+    return pa.table({
+        "canon_url": pa.array(canon, pa.string()),
+        "winner_id": pa.array([min(groups[c]) for c in canon], pa.int64()),
+        "n_variants": pa.array([len(groups[c]) for c in canon], pa.int64()),
+    })
+
+
 def so_audio_loops(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_loops: same corpus generator + decode +
     peak-track extraction, INDEPENDENT pure-Python lag scoring (list
@@ -3471,6 +3490,7 @@ SERIAL_ORACLES = {
     "q_audio_search": so_audio_search,
     "q_audio_loops": so_audio_loops,
     "q_pca_whiten": so_pca_whiten,
+    "q_url_dedup": so_url_dedup,
 }
 
 

@@ -2018,3 +2018,38 @@ def levenshtein_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     return exploded.groupby("bucket").map_groups(per_group, batch_format="pandas")
+
+
+def url_canonical_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Canonical-URL dedup — the crawl-frontier key (reference context:
+    the seen-set the crawler checks, /root/reference/spider.go wave
+    loop, generalized from exact string match to RFC 3986 §6 syntax
+    normalization): syntactic variants of one resource (host case,
+    tracking params, param order, fragments, default ports, duplicate /
+    trailing slashes) collapse to one canonical string BEFORE the dedup
+    exchange, so a 100 TB crawl does not refetch or double-count the
+    utm-tagged copy of every page.
+
+    One pure map appends the canonical form
+    (functions/urlfilter.canonicalize_url), then one keyed shuffle on
+    the canonical string (groups are variant-sized, tiny — no salting
+    needed) with native Min/Count aggregates: zero per-group Python.
+    Returns (canon_url, winner_id = smallest id, n_variants)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.urlfilter import canonicalize_url
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return pa.table({
+            id_col: batch.column(id_col),
+            "canon_url": pa.array([canonicalize_url(u or "") for u in urls],
+                                  pa.string()),
+        })
+
+    return (
+        ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("canon_url")
+        .aggregate(Min(id_col, alias_name="winner_id"),
+                   Count(alias_name="n_variants"))
+    )
