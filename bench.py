@@ -165,6 +165,7 @@ def run_queries() -> dict[str, float]:
         ("q_pca_whiten", q.q_pca_whiten),
         ("q_vocab_growth", q.q_vocab_growth),
         ("q_url_dedup", q.q_url_dedup),
+        ("q_zipf_ranks", q.q_zipf_ranks),
     ]
     import ray.data
 

@@ -396,6 +396,37 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(ds, max_id=max_id, n_buckets=10)
 
 
+def q_zipf_ranks(sf_dir: str):
+    """Zipf rank-frequency card (stages/textindex.zipf_ranks): global
+    top-50 terms with rank, exact count, integer ppm of all tokens — the
+    mass-distribution companion of the Heaps curve (q_vocab_growth).
+    Vocabulary-bounded groupby-Sum + per-block local top-n; round-half-up
+    integer ppm so the card restates as literal SQL."""
+    from ..stages.textindex import zipf_ranks
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return zipf_ranks(ds, top_n=50)
+
+
+SQL_ZIPF_RANKS = """
+WITH terms AS (
+  SELECT unnest(string_split_regex(text, '[ \t\n\r]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS n FROM terms WHERE term <> '' GROUP BY term
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS rank, term, n
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n,
+       CAST((n * 2000000 + (SELECT t FROM tot)) // (2 * (SELECT t FROM tot))
+            AS BIGINT) AS ppm
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+
 SQL_VOCAB_GROWTH = """
 WITH terms AS (
   SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS term
@@ -7686,6 +7717,7 @@ QUERIES = {
     "q_doc_lang_hist": q_doc_lang_hist,
     "q_token_counts": q_token_counts,
     "q_vocab_growth": q_vocab_growth,
+    "q_zipf_ranks": q_zipf_ranks,
     "q_exact_dedup": q_exact_dedup,
     "q_fingerprint": q_fingerprint,
     "q_scrub_email": q_scrub_email,
@@ -7932,6 +7964,7 @@ ORACLE_SQL = {
     "q_count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "q_top_terms": SQL_TOP_TERMS,
     "q_vocab_growth": SQL_VOCAB_GROWTH,
+    "q_zipf_ranks": SQL_ZIPF_RANKS,
     "q_harvest_filter": SQL_HARVEST_FILTER,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,

@@ -501,3 +501,49 @@ def hash_embed(ds, text_col: str = "text", dim: int = 64, n: int = 3,
         return batch.append_column(out_col, vecs)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zipf_ranks(ds, top_n: int = 50, text_col: str = "text"):
+    """Zipf rank-frequency card: the global top-``top_n`` terms with
+    rank, exact count, and integer ppm of all tokens — the
+    rank-frequency head whose slope (eyeballed or regressed downstream)
+    says whether the corpus is natural text (~1/rank), template spam
+    (flat head), or boilerplate-flooded (one term dominating).  The
+    Heaps-curve companion (stats.vocab_growth): that card tracks NEW
+    vocabulary, this one the mass distribution of the existing head.
+
+    Same exchange as build_vocab — vocabulary-bounded groupby-Sum,
+    per-block local top-n, driver cut — plus one scalar token total;
+    ppm uses round-half-up integer division ``(n·2e6 + tot) // (2·tot)``
+    (the term_drift convention) so the card restates as literal SQL.
+    Returns a pandas frame (rank, term, n, ppm) sorted by rank."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        terms, counts = term_value_counts(batch.column(text_col))
+        return pa.table({"term": terms, "n": pa.array(counts, pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("term").aggregate(Sum("n", alias_name="n")))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(top_n), preserve_index=False)
+
+    merged = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["n", "term"], ascending=[False, True],
+                                kind="mergesort").head(top_n)
+    total = int(counts.sum("n"))
+    merged = merged.reset_index(drop=True)
+    merged.insert(0, "rank", merged.index + 1)
+    merged["n"] = merged["n"].astype("int64")
+    merged["ppm"] = [(int(v) * 2_000_000 + total) // (2 * total)
+                     for v in merged["n"]]
+    merged["rank"] = merged["rank"].astype("int64")
+    merged["ppm"] = merged["ppm"].astype("int64")
+    return merged[["rank", "term", "n", "ppm"]]

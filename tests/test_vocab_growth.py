@@ -49,3 +49,34 @@ class TestVocabGrowth:
         out = vocab_growth(rd.from_arrow(t), max_id=4, n_buckets=5)
         assert out.new_terms.sum() == 2
         assert out.bucket.tolist() == [0, 4]
+
+
+class TestZipfRanks:
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import zipf_ranks
+
+        t = _docs([(0, "a a a b b c"), (1, "a b  c d"), (2, "")])
+        out = zipf_ranks(rd.from_arrow(t), top_n=3)
+        # counts: a=4 b=3 c=2 d=1, total 10
+        assert out.term.tolist() == ["a", "b", "c"]
+        assert out["rank"].tolist() == [1, 2, 3]
+        assert out.n.tolist() == [4, 3, 2]
+        # round-half-up ppm: 400000, 300000, 200000
+        assert out.ppm.tolist() == [400000, 300000, 200000]
+
+    def test_tie_break_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.textindex import zipf_ranks
+
+        rows = [(i, "z y x w") for i in range(40)]
+        t = _docs(rows)
+        outs = []
+        for blocks in (1, 6):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(zipf_ranks(ds, top_n=4))
+        assert outs[0].equals(outs[1])
+        # equal counts -> term-ascending tie break
+        assert outs[0].term.tolist() == ["w", "x", "y", "z"]
