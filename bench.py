@@ -166,6 +166,7 @@ def run_queries() -> dict[str, float]:
         ("q_vocab_growth", q.q_vocab_growth),
         ("q_url_dedup", q.q_url_dedup),
         ("q_zipf_ranks", q.q_zipf_ranks),
+        ("q_mutual_nn", q.q_mutual_nn),
     ]
     import ray.data
 

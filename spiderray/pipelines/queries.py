@@ -599,6 +599,31 @@ def q_ann_topk(sf_dir: str):
     return df[["vec_id"]]
 
 
+def q_mutual_nn(sf_dir: str):
+    """Mutual-nearest-neighbor pair mining (stages/ann.mutual_nn_pairs —
+    the LASER/CCMatrix bitext shape, mutual top-1): embeddings split into
+    A = even vec_ids (streamed) and B = odd (milli-quantized integer
+    matrix broadcast once); exact-integer ppm cosine, one probe pass, one
+    keyed resolve exchange.  Oracle: serial twin with independent
+    per-row Python-int cosine loops and dict-based mutual check
+    (so_mutual_nn)."""
+    _ensure_fixture("q_mutual_nn", sf_dir)
+    from ..stages.ann import mutual_nn_pairs
+
+    def half(parity):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch.column("vec_id"), 1),
+                            parity)
+            return batch.filter(keep)
+        return f
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    a = ds.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True)
+    df = mutual_nn_pairs(a, b).to_pandas()
+    return df.sort_values("id_a").reset_index(drop=True)
+
+
 def q_pca_whiten(sf_dir: str):
     """Distributed PCA whitening over the embeddings table (stages/pca.py):
     one exact integer moment pass (per-block (count, sum, upper-tri outer
@@ -7724,6 +7749,7 @@ QUERIES = {
     "q_icp_extract": q_icp_extract,
     "q_ann_topk": q_ann_topk,
     "q_pca_whiten": q_pca_whiten,
+    "q_mutual_nn": q_mutual_nn,
     "q_embed_near_dup": q_embed_near_dup,
     "q_minhash_pairs": q_minhash_pairs,
     "q_dup_clusters": q_dup_clusters,

@@ -3299,6 +3299,55 @@ def so_pca_whiten(sf_dir: str) -> pa.Table:
     })
 
 
+def so_mutual_nn(sf_dir: str) -> pa.Table:
+    """Serial twin for q_mutual_nn: INDEPENDENT exact-integer cosine via
+    per-pair Python-int dots and math.isqrt (no numpy matmul, no float
+    sqrt correction), dict-based top-1 both ways + mutual check."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import MNN_SCALE
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = [[int(np.floor(v * MNN_SCALE + 0.5)) for v in row]
+            for row in t.column("embedding").to_pylist()]
+    A = [(i, v) for i, v in zip(ids, vecs) if i % 2 == 0]
+    B = sorted(((i, v) for i, v in zip(ids, vecs) if i % 2 == 1))
+
+    def cos_ppm(x, y):
+        dot = sum(a * b for a, b in zip(x, y))
+        nx = sum(a * a for a in x)
+        ny = sum(b * b for b in y)
+        if nx == 0 or ny == 0:
+            return 0
+        return (dot * 1_000_000) // math.isqrt(nx * ny)
+
+    top_a = {}   # a_id -> (b_id, cos)
+    best_b = {}  # b_id -> (cos, a_id)
+    for ai, av in A:
+        best = None
+        for bi, bv in B:
+            c = cos_ppm(av, bv)
+            if best is None or c > best[1]:
+                best = (bi, c)
+            cur = best_b.get(bi)
+            if cur is None or (c, -ai) > (cur[0], -cur[1]):
+                best_b[bi] = (c, ai)
+        top_a[ai] = best
+    rows = []
+    for ai, (bi, c) in sorted(top_a.items()):
+        if best_b.get(bi, (None, None))[1] == ai:
+            rows.append((ai, bi, c))
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "cos_ppm": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def so_url_dedup(sf_dir: str) -> pa.Table:
     """Serial twin for q_url_dedup: same variant corpus + canonicalize
     kernel, INDEPENDENT dict-based grouping (no Ray, no aggregates)."""
@@ -3491,6 +3540,7 @@ SERIAL_ORACLES = {
     "q_audio_loops": so_audio_loops,
     "q_pca_whiten": so_pca_whiten,
     "q_url_dedup": so_url_dedup,
+    "q_mutual_nn": so_mutual_nn,
 }
 
 

@@ -738,3 +738,130 @@ def paired_cosine_filter(ds, col_a: str, col_b: str, id_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MNN_SCALE = 1000  # milli-unit vector quantization for the integer cosine
+MNN_MAX_SIDE = 500_000  # broadcast-side cap (rows) — IVF-bucket beyond
+
+
+def mutual_nn_pairs(ds_a, ds_b, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    max_broadcast: int = MNN_MAX_SIDE):
+    """Mutual-nearest-neighbor pair mining across two embedding sets —
+    the bitext/parallel-corpus mining shape (LASER / CCMatrix: Artetxe &
+    Schwenk 2019, simplified from margin scoring to mutual top-1): keep
+    (a, b) exactly when b is a's cosine top-1 in B AND a is b's top-1 in
+    A.  Mutuality is the cheap high-precision filter that one-directional
+    top-1 lacks (a hub vector is many rows' top-1 but reciprocates once).
+
+    Scale shape: the B side (ids + milli-quantized int32 matrix +
+    integer squared norms) builds driver-side under a LOUD
+    ``max_broadcast`` cap and broadcasts ONCE via ray.put — beyond the
+    cap, IVF-bucket both sides (ivf_train/ivf_assign) and mine per
+    bucket.  A streams through ONE map emitting (a) its own top-1 row
+    per A-row and (b) a |B|-bounded per-block partial of B's best-seen-A
+    — then a SINGLE groupby on b resolves both directions at once;
+    nothing corpus-sized lands on the driver and the probe pass runs
+    exactly once.
+
+    Determinism: cosine is exact-integer ppm — (1e6 · <qa, qb>) //
+    isqrt(|qa|² · |qb|²) on milli-quantized vectors (int64-safe to
+    d ≈ 10⁵) — ties break to the smallest candidate id on BOTH
+    directions.  Zero vectors score 0 against everything.  Returns a
+    Dataset (id_a, id_b, cos_ppm)."""
+    import ray
+
+    b_tbl = ds_b.select_columns([id_col, vec_col]).to_pandas()
+    if len(b_tbl) > max_broadcast:
+        raise ValueError(
+            f"mutual_nn_pairs: B side has {len(b_tbl)} rows > "
+            f"max_broadcast {max_broadcast}; IVF-bucket both sides and "
+            f"mine per bucket")
+    if len(b_tbl) == 0:
+        raise ValueError("mutual_nn_pairs: empty B side")
+    b_tbl = b_tbl.sort_values(id_col).reset_index(drop=True)
+    B = np.floor(np.array(b_tbl[vec_col].to_list(), dtype=np.float64)
+                 * MNN_SCALE + 0.5).astype(np.int64)
+    b_ids = b_tbl[id_col].to_numpy()
+    b_norm2 = (B * B).sum(axis=1)
+    b_ref = ray.put((b_ids, B, b_norm2))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids_b, Bq, nb2 = ray.get(b_ref)
+        a_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        A = np.floor(np.array(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64) * MNN_SCALE + 0.5
+                     ).astype(np.int64)
+        if A.ndim != 2 or len(A) == 0:
+            return pa.table({"side": pa.array([], pa.int8()),
+                             "a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "cos_ppm": pa.array([], pa.int64())})
+        na2 = (A * A).sum(axis=1)
+        dots = A @ Bq.T  # exact int64
+        # cos_ppm = 1e6·dot // isqrt(na²·nb²).  A per-pair math.isqrt
+        # would be O(n·|B|) Python calls — instead take the float sqrt
+        # (within 1 ulp for these magnitudes) and fix it to the TRUE
+        # integer sqrt with one exact ±1 correction step in int64
+        prod = na2[:, None].astype(np.float64) * nb2[None, :].astype(np.float64)
+        r = np.sqrt(prod).astype(np.int64)
+        P = na2[:, None] * nb2[None, :]  # int64; see docstring dim bound
+        r = np.where((r + 1) * (r + 1) <= P, r + 1, r)
+        r = np.where(r * r > P, r - 1, r)
+        r = np.maximum(r, 1)
+        cos = (dots.astype(object) * 1_000_000) // r.astype(object) \
+            if P.max() > (1 << 62) else (dots * 1_000_000) // r
+        cos = cos.astype(np.int64)
+        cos[:, nb2 == 0] = 0
+        cos[na2 == 0, :] = 0
+        # A -> B top-1 (argmax returns the FIRST max; B is id-sorted)
+        top = cos.argmax(axis=1)
+        side_a = pa.table({
+            "side": pa.array(np.zeros(len(A), np.int8)),
+            "a_id": pa.array(a_ids.astype(np.int64)),
+            "b_id": pa.array(ids_b[top].astype(np.int64)),
+            "cos_ppm": pa.array(cos[np.arange(len(A)), top], pa.int64()),
+        })
+        # per-block partial of B -> A: column max, tie -> smallest a_id
+        cmax = cos.max(axis=0)
+        cand = np.where(cos == cmax[None, :],
+                        a_ids.astype(np.int64)[:, None],
+                        np.iinfo(np.int64).max)
+        best_a = cand.min(axis=0)
+        side_b = pa.table({
+            "side": pa.array(np.ones(len(ids_b), np.int8)),
+            "a_id": pa.array(best_a, pa.int64()),
+            "b_id": pa.array(ids_b.astype(np.int64)),
+            "cos_ppm": pa.array(cmax, pa.int64()),
+        })
+        return pa.concat_tables([side_a, side_b])
+
+    both = ds_a.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # ONE keyed exchange resolves mutuality (branching `both` into two
+    # filtered consumers would re-execute the probe pass — lineage is
+    # re-run per consumer): per b, the side-1 block partials give B→A's
+    # global best (max cos, tie → min a_id), and the pair is mutual
+    # exactly when that best_a also CLAIMED b with a side-0 row.  Group
+    # size = n_blocks partials + #A-rows claiming b; a hub b claimed by
+    # everything makes a hot group, bounded here like the other pair
+    # families (a >max_group hub emits nothing and cannot be mutual in
+    # practice: the hub reciprocates at most one row anyway).
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], np.int64),
+                              "id_b": np.array([], np.int64),
+                              "cos_ppm": np.array([], np.int64)})
+        part = g[g["side"] == 1]
+        if part.empty or len(g) > 1_000_000:
+            return empty
+        m = part["cos_ppm"].max()
+        best_a = part[part["cos_ppm"] == m]["a_id"].min()
+        claim = g[(g["side"] == 0) & (g["a_id"] == best_a)]
+        if claim.empty:
+            return empty
+        return pd.DataFrame({"id_a": [np.int64(best_a)],
+                             "id_b": [np.int64(g["b_id"].iloc[0])],
+                             "cos_ppm": [np.int64(claim["cos_ppm"].iloc[0])]})
+
+    return both.groupby("b_id").map_groups(resolve, batch_format="pandas")
