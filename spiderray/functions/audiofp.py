@@ -997,3 +997,108 @@ def classify_audio_content(stats: dict) -> str:
     if 0.0 < stats["flatness"] <= MUSIC_FLATNESS_MAX:
         return "music"
     return "other"
+
+
+# ---------------------------------------------------------------------------
+# DTMF (dialed-digit) detection — in-band PII for call-center audio
+# ---------------------------------------------------------------------------
+
+# ITU-T Q.23 tone grid: a digit is one row + one column frequency
+DTMF_ROWS = (697.0, 770.0, 852.0, 941.0)
+DTMF_COLS = (1209.0, 1336.0, 1477.0, 1633.0)
+DTMF_GRID = (
+    ("1", "2", "3", "A"),
+    ("4", "5", "6", "B"),
+    ("7", "8", "9", "C"),
+    ("*", "0", "#", "D"),
+)
+DTMF_MIN_FRAMES = 3   # ≥3 consecutive 16 ms frames ≈ the 40 ms Q.24 minimum
+DTMF_MIN_RATIO = 0.55  # row+col pair must carry most of the frame's energy
+
+
+def dtmf_digits(pcm: np.ndarray, sr: int,
+                frame_ms: float = 16.0,
+                min_frames: int = DTMF_MIN_FRAMES,
+                min_ratio: float = DTMF_MIN_RATIO,
+                max_frames: int = 4096) -> str:
+    """Decode the DTMF digit sequence audible in one mono clip — dialed
+    phone numbers, PINs and IVR menu choices are PII that lives in the
+    WAVEFORM, invisible to every transcript-side scrubber.
+
+    Goertzel-style detection, vectorized: frames on a ``frame_ms`` grid
+    are projected onto the 8 ITU-T Q.23 tones at their EXACT physical
+    frequencies (one (frame × 16) real dot per clip — works at any
+    sample rate), a frame registers a digit when one row and one column
+    tone together carry ≥ ``min_ratio`` of its band energy and each
+    dominates its own group by 2×; runs of ≥ ``min_frames`` consecutive
+    identical digits emit once (Q.24's 40 ms minimum), a non-digit
+    frame re-arms.  Pure float64 arithmetic in a fixed expression
+    order, same result on every partitioning; '' when nothing rings."""
+    if sr <= 0:
+        return ""
+    frame = max(int(round(sr * frame_ms / 1000.0)), 16)
+    n_frames = min(len(pcm) // frame, max_frames)
+    if n_frames == 0:
+        return ""
+    x = pcm[: n_frames * frame].astype(np.float64).reshape(n_frames, frame)
+    t = np.arange(frame, dtype=np.float64) / sr
+    freqs = np.array(DTMF_ROWS + DTMF_COLS)
+    # tones are not bin-aligned: project on cos+sin per tone (Goertzel
+    # power without the recurrence), normalize per frame
+    C = np.cos(2 * np.pi * freqs[None, :] * t[:, None])
+    S = np.sin(2 * np.pi * freqs[None, :] * t[:, None])
+    p = (x @ C) ** 2 + (x @ S) ** 2  # (n_frames, 8) tone power
+    rows_p, cols_p = p[:, :4], p[:, 4:]
+    ri = rows_p.argmax(axis=1)
+    ci = cols_p.argmax(axis=1)
+    rbest = rows_p[np.arange(n_frames), ri]
+    cbest = cols_p[np.arange(n_frames), ci]
+    # the pair must carry most of the frame's TOTAL energy, not merely
+    # dominate the other six grid tones: a harmonic triad whose 2f/3f
+    # land near the grid passes a tones-only ratio but fails this one
+    # because its off-grid fundamental still holds the energy.  For a
+    # sine of amplitude a, proj² = (a·frame/2)² while its energy in the
+    # frame is a²·frame/2, so proj²/(frame/2) recovers the energy share.
+    energy = (x * x).sum(axis=1)
+    energy[energy == 0] = 1.0
+    pair_ratio = (rbest + cbest) / (frame / 2.0) / energy
+    # each winner must dominate its own group (2nd-best × 2)
+    rsort = np.sort(rows_p, axis=1)
+    csort = np.sort(cols_p, axis=1)
+    ok = ((pair_ratio >= min_ratio)
+          & (rbest >= 2.0 * rsort[:, -2])
+          & (cbest >= 2.0 * csort[:, -2]))
+    digits = []
+    run_digit, run_len, armed = None, 0, True
+    for i in range(n_frames):
+        if not ok[i]:
+            run_digit, run_len, armed = None, 0, True
+            continue
+        d = DTMF_GRID[ri[i]][ci[i]]
+        if d == run_digit:
+            run_len += 1
+        else:
+            run_digit, run_len, armed = d, 1, True
+        if armed and run_len >= min_frames:
+            digits.append(d)
+            armed = False
+    return "".join(digits)
+
+
+def synth_dtmf(digits: str, sr: int, tone_ms: float = 60.0,
+               gap_ms: float = 40.0, amp: float = 0.4) -> np.ndarray:
+    """Reference DTMF synthesizer (tests + planted corpora): each digit is
+    its Q.23 row+column tone pair for ``tone_ms``, digits separated by
+    ``gap_ms`` of silence.  float64 in [-1, 1]."""
+    lut = {DTMF_GRID[r][c]: (DTMF_ROWS[r], DTMF_COLS[c])
+           for r in range(4) for c in range(4)}
+    n_tone = int(sr * tone_ms / 1000.0)
+    n_gap = int(sr * gap_ms / 1000.0)
+    t = np.arange(n_tone, dtype=np.float64) / sr
+    out = [np.zeros(n_gap)]
+    for d in digits:
+        fr, fc = lut[d]
+        out.append(amp * 0.5 * (np.sin(2 * np.pi * fr * t)
+                                + np.sin(2 * np.pi * fc * t)))
+        out.append(np.zeros(n_gap))
+    return np.concatenate(out)

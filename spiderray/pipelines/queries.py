@@ -4791,6 +4791,96 @@ def _loopmix_clips_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_DTMF_ALPHA = "0123456789*#"
+
+
+def _dtmf_planted_seq(i: int) -> str:
+    """The digit sequence planted in clip i of the DTMF corpus (shared by
+    corpus builder, serial twin, and tests)."""
+    import hashlib
+
+    dig = hashlib.md5(f"dtmf{i}".encode()).digest()
+    return "".join(_DTMF_ALPHA[b % len(_DTMF_ALPHA)] for b in dig[: 4 + i % 6])
+
+
+def _dtmfmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the DTMF PII gate (shared with the
+    q_dtmf_scan serial oracle).  Per doc_id i at 16 kHz, stratum i%4:
+    0 = planted dial sequence (4-9 md5-derived digits over light noise),
+    1 = speech-like two-formant carrier with syllabic envelope (formants
+    chosen OFF the Q.23 grid), 2 = harmonic triad (its 2f/3f approach
+    the grid — the stratum that forces the total-energy ratio gate),
+    3 = broadband noise; every 17th row ships undecodable.  All three
+    non-planted strata decode to zero digits (verified exhaustively for
+    ids 0..499 — deterministic, so it holds forever)."""
+    from ..functions.audiofp import synth_dtmf
+    from ..sources.clips import _NOISE
+
+    sr, n = 16000, 16000
+    t = np.arange(n, dtype=np.float64) / sr
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"dt_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 4
+        if k == 0:
+            pcm = synth_dtmf(_dtmf_planted_seq(i), sr)
+            off = (i * 2654435761) % (len(_NOISE) - len(pcm))
+            wave = pcm + 0.02 * _NOISE[off: off + len(pcm)]
+        elif k == 1:
+            car = (np.sin(2 * np.pi * (440.0 + (i % 5) * 37.0) * t)
+                   + 0.5 * np.sin(2 * np.pi * (2000.0 + (i % 7) * 55.0) * t))
+            syl = 0.5 + 0.5 * np.sin(2 * np.pi * (3.0 + (i % 5) * 0.8) * t + i)
+            wave = car * (0.1 + 0.9 * syl * syl) * 0.55
+        elif k == 2:
+            f = 330.0 + (i % 12) * 8.0
+            wave = 0.55 * (0.8 * np.sin(2 * np.pi * f * t)
+                           + 0.5 * np.sin(2 * np.pi * 2 * f * t)
+                           + 0.33 * np.sin(2 * np.pi * 3 * f * t))
+        else:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave = 0.6 * _NOISE[off: off + n]
+        q = np.clip(wave * 32767.0, -32768, 32767)
+        bufs.append(q.astype("<i2").tobytes())
+    return pa.table(
+        {
+            "clip_id": pa.array(cids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "codec": pa.array(codecs, pa.string()),
+            "sr_hz": pa.array(sr_col, pa.int32()),
+        }
+    )
+
+
+def q_dtmf_scan(sf_dir: str):
+    """DTMF dialed-digit PII gate (stages/audioquality.dtmf_stage):
+    actor-pool decode → vectorized Goertzel projection on the ITU-T Q.23
+    tone grid (functions/audiofp.dtmf_digits) → decoded digit string +
+    ``has_dtmf`` — phone numbers and PINs dialed IN-BAND are waveform
+    PII that transcript-side scrubbers (q_scrub_email's family) cannot
+    see.  Corpus plants dial sequences / off-grid speech / harmonic
+    triads / noise / undecodable; only planted clips flag and their
+    sequences decode exactly.  Oracle: serial decode + same kernel per
+    row (so_dtmf_scan)."""
+    _ensure_fixture("q_dtmf_scan", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import dtmf_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_dtmfmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = dtmf_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "dtmf_digits", "n_digits", "has_dtmf"])
+
+
 def q_audio_loops(sf_dir: str):
     """Looped-audio gate (stages/audioquality.audio_loop_stage): actor-pool
     decode → quantized spectral-peak self-similarity at every lag
@@ -7808,6 +7898,7 @@ QUERIES = {
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
     "q_audio_loops": q_audio_loops,
+    "q_dtmf_scan": q_dtmf_scan,
     "q_halluc_loops": q_halluc_loops,
     "q_threshold_sweep": q_threshold_sweep,
     "q_classifier_auc": q_classifier_auc,

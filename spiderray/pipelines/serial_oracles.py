@@ -3367,6 +3367,40 @@ def so_url_dedup(sf_dir: str) -> pa.Table:
     })
 
 
+def so_dtmf_scan(sf_dir: str) -> pa.Table:
+    """Serial twin for q_dtmf_scan: same corpus generator + decode + DTMF
+    kernel per row, plain loop, no Ray."""
+    from ..functions.audiofp import dtmf_digits
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _dtmfmix_clips_batch
+
+    clips = _dtmfmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {"clip_id": [], "decode_ok": [], "dtmf_digits": [],
+           "n_digits": [], "has_dtmf": []}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            seq = dtmf_digits(_decode_one(buf or b"", codec or ""),
+                              int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            seq, ok = "", False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["dtmf_digits"].append(seq)
+        out["n_digits"].append(len(seq))
+        out["has_dtmf"].append(ok and len(seq) >= 3)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "dtmf_digits": pa.array(out["dtmf_digits"], pa.string()),
+        "n_digits": pa.array(out["n_digits"], pa.int64()),
+        "has_dtmf": pa.array(out["has_dtmf"], pa.bool_()),
+    })
+
+
 def so_audio_loops(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_loops: same corpus generator + decode +
     peak-track extraction, INDEPENDENT pure-Python lag scoring (list
@@ -3541,6 +3575,7 @@ SERIAL_ORACLES = {
     "q_pca_whiten": so_pca_whiten,
     "q_url_dedup": so_url_dedup,
     "q_mutual_nn": so_mutual_nn,
+    "q_dtmf_scan": so_dtmf_scan,
 }
 
 

@@ -1397,3 +1397,61 @@ def audio_loop_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class DtmfActor:
+    """Decode + DTMF dialed-digit columns and the ``has_dtmf`` PII flag
+    (kernel: functions/audiofp.dtmf_digits — vectorized Goertzel-style
+    projection on the ITU-T Q.23 tone grid).
+
+    Dialed phone numbers, PINs and IVR choices are PII that lives in the
+    WAVEFORM — every transcript-side scrubber (scrub_email and friends)
+    misses them.  Emits the decoded digit string, its length, and flags
+    clips with ≥ ``min_digits`` decoded digits (a lone key press is a
+    beep; a run is a number being dialed).  Undecodable clips mark
+    ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_digits: int = 3):
+        self.cfg = cfg or PipelineConfig()
+        self.min_digits = min_digits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import dtmf_digits
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        ok, seqs, flags = [], [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                seq = dtmf_digits(_decode_one(buf or b"", codec or ""),
+                                  int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                seq = ""
+                ok.append(False)
+            seqs.append(seq)
+            flags.append(ok[-1] and len(seq) >= self.min_digits)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        batch = batch.append_column("dtmf_digits", pa.array(seqs, pa.string()))
+        batch = batch.append_column(
+            "n_digits", pa.array([len(s) for s in seqs], pa.int64()))
+        return batch.append_column("has_dtmf", pa.array(flags, pa.bool_()))
+
+
+def dtmf_stage(ds, cfg: PipelineConfig,
+               concurrency: int | tuple[int, int] = 4,
+               min_digits: int = 3):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        DtmfActor,
+        fn_constructor_args=(cfg, min_digits),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )
