@@ -167,6 +167,7 @@ def run_queries() -> dict[str, float]:
         ("q_url_dedup", q.q_url_dedup),
         ("q_zipf_ranks", q.q_zipf_ranks),
         ("q_mutual_nn", q.q_mutual_nn),
+        ("q_dtmf_scan", q.q_dtmf_scan),
     ]
     import ray.data
 
