@@ -168,6 +168,8 @@ def run_queries() -> dict[str, float]:
         ("q_zipf_ranks", q.q_zipf_ranks),
         ("q_mutual_nn", q.q_mutual_nn),
         ("q_dtmf_scan", q.q_dtmf_scan),
+        ("q_funnel", q.q_funnel),
+        ("q_retention_cohorts", q.q_retention_cohorts),
     ]
     import ray.data
 

@@ -979,6 +979,66 @@ def q_user_sessions(sf_dir: str):
     return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def q_funnel(sf_dir: str):
+    """Ordered-funnel conversion counts (stages/windows.funnel_counts):
+    users reaching view → click → purchase with each stage strictly after
+    the previous one; one user-keyed shuffle, vectorized per-partition
+    stage resolution, a len(steps)-row aggregate."""
+    from ..stages.windows import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+UNION ALL
+SELECT 2, 'view > click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 3, 'view > click > purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+ORDER BY stage_idx
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (stages/windows.retention_cohorts): users
+    grouped by first-active day, counted on each day offset they return;
+    one user-keyed shuffle, calendar-bounded partials and output."""
+    from ..stages.windows import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+SQL_RETENTION_COHORTS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(d) AS c FROM days GROUP BY user_id
+)
+SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM days JOIN cohorts ON days.user_id = cohorts.user_id
+GROUP BY c, date_diff('day', c, d)
+ORDER BY cohort_day, day_offset
+"""
+
+
 SQL_USER_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts,
@@ -7809,6 +7869,8 @@ QUERIES = {
     "q_region_customers": q_region_customers,
     "q_events_hourly": q_events_hourly,
     "q_user_sessions": q_user_sessions,
+    "q_funnel": q_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
     "q_distinct_priorities": q_distinct_priorities,
@@ -8069,6 +8131,8 @@ ORACLE_SQL = {
     "q_region_customers": SQL_REGION_CUSTOMERS,
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_user_sessions": SQL_USER_SESSIONS,
+    "q_funnel": SQL_FUNNEL,
+    "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "q_distinct_priorities": SQL_DISTINCT_PRIORITIES,

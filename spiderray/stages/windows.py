@@ -459,3 +459,86 @@ def pack_bins(ds, id_col: str, size_col: str, capacity: int,
 
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("bucket").map_groups(ffd, batch_format="pandas"))
+
+
+def funnel_counts(ds, steps: list[str], key_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  n_parts: int = N_PARTS):
+    """Ordered-funnel analysis: how many users reach each stage of
+    ``steps`` IN ORDER (each stage's event strictly after the previous
+    stage's) — the conversion diagnostic every event pipeline ships.
+    Stage semantics: a user reaches stage k when an event of type
+    steps[k] exists with ts strictly greater than the ts at which they
+    reached stage k-1 (earliest-qualifying, so the count is maximal and
+    order-independent).
+
+    Shape: ONE shuffle on hash(key) % n_parts (all of a user's events
+    co-locate), then each partition resolves every user's depth in
+    len(steps) vectorized pandas passes — no per-user Python; partials
+    are len(steps) rows per partition, summed in one tiny keyed
+    aggregate.  Returns a pandas frame (stage_idx, stage, users) with
+    cumulative-funnel counts (users at stage k implies stages < k)."""
+    from ray.data.aggregate import Sum
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # user -> ts of reaching the previous stage
+        for step in steps:
+            ev = g[g[type_col] == step]
+            if cur is not None:
+                prev = ev[key_col].map(cur)
+                ev = ev[prev.notna() & (ev[ts_col] > prev)]
+            cur = ev.groupby(key_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "users": np.asarray(counts, dtype=np.int64),
+        })
+
+    parted = _add_part(ds, key_col, n_parts)
+    agg = (parted.groupby("__part").map_groups(per_part,
+                                               batch_format="pandas")
+           .groupby("stage_idx").aggregate(Sum("users", alias_name="users"))
+           .to_pandas())
+    agg = agg.sort_values("stage_idx").reset_index(drop=True)
+    agg["stage"] = [" > ".join(steps[:i]) for i in agg["stage_idx"]]
+    agg["users"] = agg["users"].astype("int64")
+    return agg[["stage_idx", "stage", "users"]]
+
+
+def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      n_parts: int = N_PARTS):
+    """Cohort retention matrix: users grouped by FIRST-ACTIVE day, counted
+    on each later day they return — the (cohort_day, day_offset, n_users)
+    long-form of the classic retention triangle.
+
+    Shape: one shuffle on hash(key), per-partition vectorized pandas
+    (distinct user-days, per-user min day, integer day offsets), then a
+    (cohort × offset)-bounded count aggregate — partials and output are
+    calendar-sized, never event-sized.  Cohort day is emitted as a
+    'YYYY-MM-DD' STRING on both engine and oracle sides so the value
+    hash cannot trip over date dtype differences."""
+    from ray.data.aggregate import Sum
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[ts_col].dt.normalize()
+        days = pd.DataFrame({key_col: g[key_col], "d": d}).drop_duplicates()
+        cohort = days.groupby(key_col)["d"].transform("min")
+        off = (days["d"] - cohort).dt.days.astype(np.int64)
+        out = (pd.DataFrame({"cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+                             "day_offset": off})
+               .groupby(["cohort_day", "day_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parted = _add_part(ds, key_col, n_parts)
+    agg = (parted.groupby("__part").map_groups(per_part,
+                                               batch_format="pandas")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    agg = agg.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    agg["n_users"] = agg["n_users"].astype("int64")
+    agg["day_offset"] = agg["day_offset"].astype("int64")
+    return agg

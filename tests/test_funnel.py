@@ -1,0 +1,107 @@
+"""Ordered-funnel and cohort-retention analytics (stages/windows.py):
+hand-crafted order semantics and partition invariance."""
+
+import pandas as pd
+import pyarrow as pa
+
+from spiderray.stages.windows import funnel_counts, retention_cohorts
+
+
+def _events(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([pd.Timestamp(r[2]) for r in rows],
+                       pa.timestamp("us")),
+    })
+
+
+class TestFunnel:
+    def test_order_matters(self, ray_session):
+        import ray.data as rd
+
+        t = _events([
+            # u1 converts fully in order
+            (1, "view", "2024-01-01 10:00"),
+            (1, "click", "2024-01-01 10:05"),
+            (1, "purchase", "2024-01-01 10:10"),
+            # u2: purchase BEFORE click -> reaches only stage 2
+            (2, "view", "2024-01-02 09:00"),
+            (2, "purchase", "2024-01-02 09:01"),
+            (2, "click", "2024-01-02 09:02"),
+            # u3: click but never viewed -> reaches stage 0
+            (3, "click", "2024-01-03 08:00"),
+            # u4: view only
+            (4, "view", "2024-01-04 07:00"),
+        ])
+        out = funnel_counts(rd.from_arrow(t), ["view", "click", "purchase"])
+        assert out.users.tolist() == [3, 2, 1]
+        assert out.stage.tolist() == [
+            "view", "view > click", "view > click > purchase"]
+
+    def test_second_chance_event_counts(self, ray_session):
+        import ray.data as rd
+
+        # u1's first purchase precedes the click, but a LATER purchase
+        # still converts (earliest-qualifying semantics)
+        t = _events([
+            (1, "view", "2024-01-01 10:00"),
+            (1, "purchase", "2024-01-01 10:01"),
+            (1, "click", "2024-01-01 10:02"),
+            (1, "purchase", "2024-01-01 10:03"),
+        ])
+        out = funnel_counts(rd.from_arrow(t), ["view", "click", "purchase"])
+        assert out.users.tolist() == [1, 1, 1]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        rows = []
+        for u in range(30):
+            rows.append((u, "view", f"2024-01-{u % 28 + 1:02d} 08:00"))
+            if u % 2 == 0:
+                rows.append((u, "click", f"2024-01-{u % 28 + 1:02d} 09:00"))
+            if u % 4 == 0:
+                rows.append((u, "purchase",
+                             f"2024-01-{u % 28 + 1:02d} 10:00"))
+        t = _events(rows)
+        outs = []
+        for blocks in (1, 8):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(funnel_counts(ds, ["view", "click", "purchase"]))
+        assert outs[0].equals(outs[1])
+        assert outs[0].users.tolist() == [30, 15, 8]
+
+
+class TestRetention:
+    def test_hand_computed_matrix(self, ray_session):
+        import ray.data as rd
+
+        t = _events([
+            (1, "view", "2024-01-01 10:00"),
+            (1, "click", "2024-01-01 23:59"),   # same day, one row
+            (1, "view", "2024-01-03 08:00"),    # offset 2
+            (2, "view", "2024-01-01 12:00"),
+            (2, "view", "2024-01-02 12:00"),    # offset 1
+            (3, "view", "2024-01-02 01:00"),    # cohort of the 2nd
+        ])
+        out = retention_cohorts(rd.from_arrow(t))
+        got = list(map(tuple, out.values.tolist()))
+        assert got == [
+            ("2024-01-01", 0, 2),
+            ("2024-01-01", 1, 1),
+            ("2024-01-01", 2, 1),
+            ("2024-01-02", 0, 1),
+        ]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        rows = [(u, "view", f"2024-01-{(u % 5) + d + 1:02d} 06:00")
+                for u in range(40) for d in range(0, u % 4 + 1)]
+        t = _events(rows)
+        outs = []
+        for blocks in (1, 7):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(retention_cohorts(ds))
+        assert outs[0].equals(outs[1])
