@@ -170,6 +170,7 @@ def run_queries() -> dict[str, float]:
         ("q_dtmf_scan", q.q_dtmf_scan),
         ("q_funnel", q.q_funnel),
         ("q_retention_cohorts", q.q_retention_cohorts),
+        ("q_event_transitions", q.q_event_transitions),
     ]
     import ray.data
 

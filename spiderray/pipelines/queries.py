@@ -1013,6 +1013,31 @@ ORDER BY stage_idx
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event transition matrix (stages/windows.event_transitions):
+    first-order Markov counts over (ts, event_id)-ordered sequences; one
+    user-keyed shuffle, |types|²-bounded exchange."""
+    from ..stages.windows import event_transitions
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return event_transitions(ds)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS src_type, next_type AS dst_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY src_type, dst_type ORDER BY src_type, dst_type
+"""
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention matrix (stages/windows.retention_cohorts): users
     grouped by first-active day, counted on each day offset they return;
@@ -7870,6 +7895,7 @@ QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_user_sessions": q_user_sessions,
     "q_funnel": q_funnel,
+    "q_event_transitions": q_event_transitions,
     "q_retention_cohorts": q_retention_cohorts,
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
@@ -8132,6 +8158,7 @@ ORACLE_SQL = {
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_user_sessions": SQL_USER_SESSIONS,
     "q_funnel": SQL_FUNNEL,
+    "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

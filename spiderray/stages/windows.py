@@ -542,3 +542,39 @@ def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
     agg["n_users"] = agg["n_users"].astype("int64")
     agg["day_offset"] = agg["day_offset"].astype("int64")
     return agg
+
+
+def event_transitions(ds, key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id", n_parts: int = N_PARTS):
+    """First-order transition matrix of per-user event sequences — the
+    Markov card behind funnel design (which hops actually happen?) and
+    bot/anomaly screening (impossible transitions at volume).  Ordering
+    is (ts, id) so simultaneous events resolve deterministically and the
+    SQL window restates it exactly.
+
+    Shape: one hash(key) shuffle, per-partition vectorized shift
+    (sort by (key, ts, id), next type = shift(-1) masked at key
+    boundaries), |types|²-bounded count partials → one tiny keyed Sum.
+    Returns a pandas frame (src_type, dst_type, n) sorted."""
+    from ray.data.aggregate import Sum
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        nxt = g[type_col].shift(-1)
+        same = g[key_col] == g[key_col].shift(-1)
+        out = (pd.DataFrame({"src_type": g[type_col][same],
+                             "dst_type": nxt[same]})
+               .groupby(["src_type", "dst_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parted = _add_part(ds, key_col, n_parts)
+    agg = (parted.groupby("__part").map_groups(per_part,
+                                               batch_format="pandas")
+           .groupby(["src_type", "dst_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["src_type", "dst_type"]).reset_index(drop=True)

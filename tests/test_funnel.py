@@ -105,3 +105,50 @@ class TestRetention:
             ds = rd.from_arrow(t).repartition(blocks)
             outs.append(retention_cohorts(ds))
         assert outs[0].equals(outs[1])
+
+
+class TestTransitions:
+    def test_hand_computed_with_tie(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.windows import event_transitions
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "view", "view", "error", "view"],
+                pa.string()),
+            # events 4 and 5 share a timestamp: event_id breaks the tie
+            "ts": pa.array([pd.Timestamp(x) for x in [
+                "2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02",
+                "2024-01-02 09:00", "2024-01-02 09:00",
+                "2024-01-03 08:00"]], pa.timestamp("us")),
+        })
+        out = event_transitions(rd.from_arrow(t))
+        got = list(map(tuple, out.values.tolist()))
+        assert got == [("click", "view", 1), ("view", "click", 1),
+                       ("view", "error", 1)]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.windows import event_transitions
+
+        types = ["view", "click", "purchase", "error"]
+        rows = [(i, i % 9, types[(i * 7) % 4],
+                 pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i))
+                for i in range(200)]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        })
+        outs = []
+        for blocks in (1, 8):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(event_transitions(ds))
+        assert outs[0].equals(outs[1])
+        # every event except each user's last contributes one transition
+        assert outs[0].n.sum() == 200 - 9
