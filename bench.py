@@ -171,6 +171,7 @@ def run_queries() -> dict[str, float]:
         ("q_funnel", q.q_funnel),
         ("q_retention_cohorts", q.q_retention_cohorts),
         ("q_event_transitions", q.q_event_transitions),
+        ("q_pq_search", q.q_pq_search),
     ]
     import ray.data
 

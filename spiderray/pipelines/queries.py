@@ -599,6 +599,23 @@ def q_ann_topk(sf_dir: str):
     return df[["vec_id"]]
 
 
+def q_pq_search(sf_dir: str):
+    """Product quantization end-to-end (stages/pq.py — Jégou et al.
+    2011): distributed integer-Lloyd codebook training (m=8 subspaces ×
+    k=16 centroids, declarative smallest-id init), streamed uint8
+    encode, and asymmetric-distance top-10 for vec 0's query — the
+    memory-compression ANN path (64 float32 dims → 8 bytes/vector).
+    All arithmetic exact int64 micro-units.  Oracle: serial twin with
+    independent plain-loop Lloyd + encode + ADC (so_pq_search)."""
+    _ensure_fixture("q_pq_search", sf_dir)
+    from ..stages.pq import pq_adc_topk, pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = pq_train(ds, m=8, k=16, iters=5)
+    codes = pq_encode(ds, C).select_columns(["vec_id", "pq_code"])
+    return pq_adc_topk(codes, C, _query_vec(sf_dir), topk=10)
+
+
 def q_mutual_nn(sf_dir: str):
     """Mutual-nearest-neighbor pair mining (stages/ann.mutual_nn_pairs —
     the LASER/CCMatrix bitext shape, mutual top-1): embeddings split into
@@ -7928,6 +7945,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_pca_whiten": q_pca_whiten,
     "q_mutual_nn": q_mutual_nn,
+    "q_pq_search": q_pq_search,
     "q_embed_near_dup": q_embed_near_dup,
     "q_minhash_pairs": q_minhash_pairs,
     "q_dup_clusters": q_dup_clusters,

@@ -3299,6 +3299,72 @@ def so_pca_whiten(sf_dir: str) -> pa.Table:
     })
 
 
+def so_pq_search(sf_dir: str) -> pa.Table:
+    """Serial twin for q_pq_search: INDEPENDENT pure-Python PQ — plain
+    per-row Lloyd assignment loops, Python-int partial sums and the same
+    round-half-up centroid update expression, per-row encode and ADC
+    table sums; shares only the PQ_SCALE constant and init convention."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.pq import PQ_SCALE
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    V = [[int(np.floor(v * PQ_SCALE + 0.5)) for v in row]
+         for row in t.column("embedding").to_pylist()]
+    m, k, iters = 8, 16, 5
+    d = len(V[0])
+    dsub = d // m
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    init = [V[i] for i in order[:k]]
+    C = [[init[c][j * dsub:(j + 1) * dsub] for c in range(k)]
+         for j in range(m)]
+
+    def nearest(sub, cb):
+        best, bd = 0, None
+        for c, cent in enumerate(cb):
+            dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+            if bd is None or dist < bd:
+                best, bd = c, dist
+        return best, bd
+
+    for _ in range(iters):
+        sums = [[[0] * dsub for _ in range(k)] for _ in range(m)]
+        counts = [[0] * k for _ in range(m)]
+        for row in V:
+            for j in range(m):
+                sub = row[j * dsub:(j + 1) * dsub]
+                c, _d = nearest(sub, C[j])
+                counts[j][c] += 1
+                for tt in range(dsub):
+                    sums[j][c][tt] += sub[tt]
+        for j in range(m):
+            for c in range(k):
+                n = counts[j][c]
+                if n:
+                    C[j][c] = [(2 * sums[j][c][tt] + n) // (2 * n)
+                               for tt in range(dsub)]
+
+    q0 = V[ids.index(0)]
+    table = [[sum((a - b) * (a - b) for a, b in zip(
+        q0[j * dsub:(j + 1) * dsub], C[j][c])) for c in range(k)]
+        for j in range(m)]
+    scored = []
+    for i, row in zip(ids, V):
+        dist = 0
+        for j in range(m):
+            c, _d = nearest(row[j * dsub:(j + 1) * dsub], C[j])
+            dist += table[j][c]
+        scored.append((dist, i))
+    scored.sort()
+    top = scored[:10]
+    return pa.table({
+        "vec_id": pa.array([i for _, i in top], pa.int64()),
+        "adc_dist": pa.array([dv for dv, _ in top], pa.int64()),
+    })
+
+
 def so_mutual_nn(sf_dir: str) -> pa.Table:
     """Serial twin for q_mutual_nn: INDEPENDENT exact-integer cosine via
     per-pair Python-int dots and math.isqrt (no numpy matmul, no float
@@ -3576,6 +3642,7 @@ SERIAL_ORACLES = {
     "q_url_dedup": so_url_dedup,
     "q_mutual_nn": so_mutual_nn,
     "q_dtmf_scan": so_dtmf_scan,
+    "q_pq_search": so_pq_search,
 }
 
 

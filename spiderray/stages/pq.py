@@ -1,0 +1,192 @@
+"""Product quantization (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI) — the
+memory-compression path that makes billion-vector ANN feasible: split
+each d-dim embedding into ``m`` subspaces, k-means each subspace to
+``k`` centroids, store each vector as m uint8 codes (64 float32 dims →
+8 bytes at m=8), and answer queries with asymmetric distance (ADC): one
+(m × k) table of query-to-centroid distances, then per-row table-lookup
+sums — no float math per candidate.
+
+Scale shape mirrors kmeans_fit_distributed (ann.py:141): training moves
+only (m·k)-bounded counter partials per block per Lloyd round; codebooks
+broadcast once for encode/search; encode and ADC are pure streamed maps.
+
+Determinism: vectors and centroids live in integer micro-units
+throughout — assignments, Lloyd partial sums, code picks and ADC sums
+are exact int64 arithmetic (round-half-up centroid updates), so train /
+encode / search are bit-identical under any partitioning and
+serial-twin checkable.  Ties break to the lowest centroid index / the
+smallest id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PQ_SCALE = 1_000_000  # micro-units, matching the repo's integer-cosine ops
+
+
+def _quant(V: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(V, dtype=np.float64) * PQ_SCALE
+                    + 0.5).astype(np.int64)
+
+
+def _assign(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by exact integer L2; first (lowest) index
+    wins ties.  sub: (n, dsub) int64, cb: (k, dsub) int64."""
+    # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is row-constant, so the
+    # argmin needs only the exact int64 cross and centroid terms
+    cross = sub @ cb.T
+    cnorm = (cb * cb).sum(axis=1)
+    return (cnorm[None, :] - 2 * cross).argmin(axis=1)
+
+
+def pq_train(ds, m: int = 8, k: int = 16, iters: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             init_ids: list | None = None) -> np.ndarray:
+    """Train PQ codebooks: returns (m, k, d/m) int64 micro-unit
+    centroids.  Init = the subvectors of the ``k`` smallest-id rows
+    (or ``init_ids`` explicitly) — declarative, so an external twin
+    reproduces it without Ray block-order knowledge (the kmeans
+    limit(k) caveat, closed here by construction).
+
+    Each Lloyd round: one map_batches pass emits per-block (subspace,
+    cluster, count, sum) partials — (m·k)-bounded rows regardless of
+    block size — merged exactly on the driver; centroid update is
+    round-half-up integer division.  Empty clusters keep their previous
+    centroid."""
+    import ray
+
+    if init_ids is None:
+        ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col]
+                     .tolist())[:k]
+    else:
+        ids = sorted(init_ids)[:k]
+    id_set = set(int(i) for i in ids)
+
+    def grab_init(batch: pa.Table) -> pa.Table:
+        bi = [j for j, v in enumerate(batch.column(id_col).to_pylist())
+              if int(v) in id_set]
+        return batch.take(bi) if bi else batch.slice(0, 0)
+
+    head = (ds.select_columns([id_col, vec_col])
+            .map_batches(grab_init, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_pandas().sort_values(id_col))
+    V0 = _quant(np.array(head[vec_col].to_list()))
+    d = V0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(V0) < k:
+        raise ValueError(f"need >= k={k} rows to init, got {len(V0)}")
+    C = np.stack([V0[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(c_ref)
+            V = _quant(np.array(batch.column(vec_col).to_pylist()))
+            subs, clusters, counts, sums = [], [], [], []
+            if V.ndim == 2 and len(V):
+                for j in range(m):
+                    sub = V[:, j * dsub:(j + 1) * dsub]
+                    a = _assign(sub, Cc[j])
+                    for c in np.unique(a):
+                        members = sub[a == c]
+                        subs.append(j)
+                        clusters.append(int(c))
+                        counts.append(int(len(members)))
+                        sums.append(members.sum(axis=0).tolist())
+            return pa.table({"sub": pa.array(subs, pa.int32()),
+                             "cluster": pa.array(clusters, pa.int32()),
+                             "count": pa.array(counts, pa.int64()),
+                             "sums": pa.array(sums, pa.list_(pa.int64()))})
+
+        tot_n = np.zeros((m, k), dtype=np.int64)
+        tot_s = np.zeros((m, k, dsub), dtype=object)
+        tot_s[...] = 0
+        for b in ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            for j, c, n, s in zip(b.column("sub").to_pylist(),
+                                  b.column("cluster").to_pylist(),
+                                  b.column("count").to_pylist(),
+                                  b.column("sums").to_pylist()):
+                tot_n[j, c] += n
+                for t in range(dsub):
+                    tot_s[j, c, t] += int(s[t])
+        for j in range(m):
+            for c in range(k):
+                n = int(tot_n[j, c])
+                if n:
+                    C[j, c] = np.array(
+                        [(2 * int(tot_s[j, c, t]) + n) // (2 * n)
+                         for t in range(dsub)], dtype=np.int64)
+    return C
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding"):
+    """Append ``pq_code`` (list<uint8>, length m): each subvector's
+    nearest-centroid index by exact integer L2.  Codebooks broadcast
+    once; pure streamed map."""
+    import ray
+
+    m, k, dsub = codebooks.shape
+    c_ref = ray.put(codebooks)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(c_ref)
+        V = _quant(np.array(batch.column(vec_col).to_pylist()))
+        if V.ndim != 2 or len(V) == 0:
+            return batch.append_column(
+                "pq_code", pa.array([], pa.list_(pa.uint8())))
+        codes = np.empty((len(V), m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = _assign(V[:, j * dsub:(j + 1) * dsub], Cc[j])
+        return batch.append_column(
+            "pq_code", pa.array(codes.tolist(), pa.list_(pa.uint8())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_adc_topk(ds_codes, codebooks: np.ndarray, query_vec,
+                topk: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """Asymmetric-distance top-k: ONE (m × k) exact-integer table of
+    query-to-centroid squared L2 distances broadcasts; each row's
+    distance is m table lookups summed in int64 (no per-candidate float
+    math — the PQ payoff).  Per-block local top-k, driver merges
+    k·n_blocks rows.  Returns (id, adc_dist) sorted by (dist, id)."""
+    import ray
+
+    m, k, dsub = codebooks.shape
+    q = _quant(np.asarray(query_vec, dtype=np.float64))
+    table = np.empty((m, k), dtype=np.int64)
+    for j in range(m):
+        diff = codebooks[j] - q[j * dsub:(j + 1) * dsub][None, :]
+        table[j] = (diff * diff).sum(axis=1)
+    t_ref = ray.put(table)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        T = ray.get(t_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.array(batch.column("pq_code").to_pylist(),
+                         dtype=np.int64)
+        if codes.ndim != 2 or len(codes) == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(
+                id_col).type), "adc_dist": pa.array([], pa.int64())})
+        dist = T[np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, dist))[:topk]
+        return pa.table({
+            id_col: pa.array(ids[order], batch.schema.field(id_col).type),
+            "adc_dist": pa.array(dist[order], pa.int64()),
+        })
+
+    out = ds_codes.map_batches(local_topk, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    out = out.sort_values(["adc_dist", id_col]).head(topk)
+    out["adc_dist"] = out["adc_dist"].astype("int64")
+    return out.reset_index(drop=True)
