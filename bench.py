@@ -172,6 +172,7 @@ def run_queries() -> dict[str, float]:
         ("q_retention_cohorts", q.q_retention_cohorts),
         ("q_event_transitions", q.q_event_transitions),
         ("q_pq_search", q.q_pq_search),
+        ("q_page_stitch", q.q_page_stitch),
     ]
     import ray.data
 

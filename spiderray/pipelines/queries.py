@@ -396,6 +396,76 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(ds, max_id=max_id, n_buckets=10)
 
 
+def _split_pages_batch(batch: pa.Table) -> pa.Table:
+    """Derived split corpus for pagination-stitch detection: each doc with
+    ≥10 tokens becomes page A (id 2i, tokens[:m+8]) and page B (id 2i+1,
+    tokens[m:]) with m = (n-8)//2 — A's last 8 tokens equal B's first 8,
+    the planted stitch boundary.  Restated literally inside the SQL
+    oracle (same slicing in DuckDB list functions)."""
+    ids_out, texts = [], []
+    for i, t in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist()):
+        toks = (t or "").split()
+        n = len(toks)
+        if n < 10:
+            continue
+        m = (n - 8) // 2
+        ids_out.append(2 * int(i))
+        texts.append(" ".join(toks[:m + 8]))
+        ids_out.append(2 * int(i) + 1)
+        texts.append(" ".join(toks[m:]))
+    return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def q_page_stitch(sf_dir: str):
+    """Pagination-stitch detection (stages/dedup.suffix_prefix_pairs):
+    pairs whose tail-8-token boundary equals another doc's head — the
+    two halves of one article split across pages, found with one keyed
+    exchange on the boundary string (hot boilerplate boundaries capped).
+    Corpus: every document split into overlapping pages
+    (_split_pages_batch); the oracle restates BOTH the derivation and
+    the stitch join as literal SQL."""
+    from ..stages.dedup import suffix_prefix_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pages = ds.map_batches(_split_pages_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = suffix_prefix_pairs(pages, k=8).to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_PAGE_STITCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), eligible AS (
+  SELECT doc_id, t, len(t) AS n, (len(t) - 8) // 2 AS m
+  FROM toks WHERE len(t) >= 10
+), derived AS (
+  SELECT doc_id * 2 AS id, list_slice(t, 1, m + 8) AS tk FROM eligible
+  UNION ALL
+  SELECT doc_id * 2 + 1, list_slice(t, m + 1, n) FROM eligible
+), bnd AS (
+  SELECT id,
+         array_to_string(list_slice(tk, len(tk) - 7, len(tk)), ' ')
+           AS tail_b,
+         array_to_string(list_slice(tk, 1, 8), ' ') AS head_b
+  FROM derived WHERE len(tk) >= 8
+), keys AS (
+  SELECT tail_b AS key FROM bnd UNION ALL SELECT head_b FROM bnd
+), hot AS (
+  SELECT key FROM keys GROUP BY key HAVING count(*) > 1000
+)
+SELECT a.id AS id_a, b.id AS id_b, a.tail_b AS boundary
+FROM bnd a JOIN bnd b ON a.tail_b = b.head_b AND a.id <> b.id
+WHERE a.tail_b NOT IN (SELECT key FROM hot)
+ORDER BY id_a, id_b
+"""
+
+
 def q_zipf_ranks(sf_dir: str):
     """Zipf rank-frequency card (stages/textindex.zipf_ranks): global
     top-50 terms with rank, exact count, integer ppm of all tokens — the
@@ -7938,6 +8008,7 @@ QUERIES = {
     "q_token_counts": q_token_counts,
     "q_vocab_growth": q_vocab_growth,
     "q_zipf_ranks": q_zipf_ranks,
+    "q_page_stitch": q_page_stitch,
     "q_exact_dedup": q_exact_dedup,
     "q_fingerprint": q_fingerprint,
     "q_scrub_email": q_scrub_email,
@@ -8191,6 +8262,7 @@ ORACLE_SQL = {
     "q_top_terms": SQL_TOP_TERMS,
     "q_vocab_growth": SQL_VOCAB_GROWTH,
     "q_zipf_ranks": SQL_ZIPF_RANKS,
+    "q_page_stitch": SQL_PAGE_STITCH,
     "q_harvest_filter": SQL_HARVEST_FILTER,
     "q_purchases_by_user": SQL_PURCHASES_BY_USER,
     "q_doc_keepdrop": SQL_DOC_KEEPDROP,

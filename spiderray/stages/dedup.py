@@ -2053,3 +2053,65 @@ def url_canonical_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
         .aggregate(Min(id_col, alias_name="winner_id"),
                    Count(alias_name="n_variants"))
     )
+
+
+def suffix_prefix_pairs(ds, k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", max_key_group: int = 1000):
+    """Pagination-stitch detection: pairs (a, b) where the LAST ``k``
+    whitespace tokens of a equal the FIRST ``k`` tokens of b — the
+    signature of one article split across pages (page 1 ends with the
+    teaser sentence page 2 opens with).  The chaining companion of the
+    near-dup families: those find the same document twice, this finds
+    the two halves of one document so a stitcher can rejoin them.
+
+    Shape: one pure map emits per doc its head and tail k-token boundary
+    strings (docs with < k tokens emit nothing), then ONE keyed exchange
+    on the boundary string pairs tails with heads per key; a boilerplate
+    boundary (navigation text) shared by > ``max_key_group`` docs emits
+    nothing for that key — the hot-key cap every pair family carries.
+    Self-pairs are excluded (a k-token doc is its own head and tail).
+    Emits (id_a, id_b, boundary) — a's tail, b's head."""
+    import pandas as pd
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        ids_out, keys, sides = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < k:
+                continue
+            ids_out.append(i)
+            keys.append(" ".join(toks[-k:]))
+            sides.append(0)  # tail
+            ids_out.append(i)
+            keys.append(" ".join(toks[:k]))
+            sides.append(1)  # head
+        id_t = batch.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array(ids_out, id_t),
+            "boundary": pa.array(keys, pa.string()),
+            "side": pa.array(sides, pa.int8()),
+        })
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=g[id_col].dtype),
+            "id_b": np.array([], dtype=g[id_col].dtype),
+            "boundary": np.array([], dtype=object)})
+        if len(g) > max_key_group:
+            return empty
+        tails = g[g["side"] == 0][id_col].to_numpy()
+        heads = g[g["side"] == 1][id_col].to_numpy()
+        if not len(tails) or not len(heads):
+            return empty
+        A = np.repeat(tails, len(heads))
+        B = np.tile(heads, len(tails))
+        keep = A != B
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": A[keep], "id_b": B[keep],
+                             "boundary": g["boundary"].iloc[0]})
+
+    return (ds.map_batches(boundaries, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("boundary").map_groups(pair_up, batch_format="pandas"))

@@ -2,6 +2,7 @@
 banded Ukkonen kernel (functions/similarity.banded_levenshtein)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from spiderray.functions.similarity import banded_levenshtein
@@ -110,3 +111,52 @@ def test_char_frequency_prune_boundary(ray_session):
     ]
     df = _pairs(ray_session, rows, max_d=1)
     assert list(zip(df["id_a"], df["id_b"], df["dist"])) == [(1, 2, 1)]
+
+
+class TestPageStitch:
+    def test_planted_split_recovered(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import suffix_prefix_pairs
+
+        words = " ".join(f"w{i}" for i in range(40))
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # 0's tail == 1's head (planted); 2 unrelated
+            "text": pa.array([
+                " ".join(f"w{i}" for i in range(0, 24)),
+                " ".join(f"w{i}" for i in range(16, 40)),
+                words.replace("w", "x"),
+            ], pa.string()),
+        })
+        out = suffix_prefix_pairs(rd.from_arrow(t), k=8).to_pandas()
+        assert list(map(tuple, out[["id_a", "id_b"]].values.tolist())) == [(0, 1)]
+        assert out.boundary.iloc[0] == " ".join(f"w{i}" for i in range(16, 24))
+
+    def test_self_pair_excluded_and_short_docs_skipped(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import suffix_prefix_pairs
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d e f g h",  # exactly 8: head == tail
+                              "too short"], pa.string()),
+        })
+        out = suffix_prefix_pairs(rd.from_arrow(t), k=8).to_pandas()
+        assert len(out) == 0
+
+    def test_hot_boundary_capped(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.dedup import suffix_prefix_pairs
+
+        nav = "home about contact privacy terms login search help"
+        t = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array([f"{nav} body{i} {nav}" for i in range(30)],
+                             pa.string()),
+        })
+        out = suffix_prefix_pairs(rd.from_arrow(t), k=8,
+                                  max_key_group=10).to_pandas()
+        assert len(out) == 0  # 60 rows share one boundary -> capped
