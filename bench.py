@@ -173,6 +173,7 @@ def run_queries() -> dict[str, float]:
         ("q_event_transitions", q.q_event_transitions),
         ("q_pq_search", q.q_pq_search),
         ("q_page_stitch", q.q_page_stitch),
+        ("q_audio_stitch", q.q_audio_stitch),
     ]
     import ray.data
 

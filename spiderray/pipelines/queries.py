@@ -3165,6 +3165,72 @@ def q_audio_search(sf_dir: str):
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+def _stitchmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for audio stitch detection (shared with
+    the q_audio_stitch serial twin): per doc_id i the 16 kHz / 16384-
+    sample note melody; every 3rd id is SPLIT into two overlapping
+    uploads — a = samples [0, 12288), b = [4096, 16384), overlap 8192
+    samples = 16 hop-aligned frames, so the modal (t_tail − t_head)
+    offset is exactly 16 — the rest ship whole; every 17th row ships
+    undecodable."""
+    from ..sources.clips import synth_note_audio
+
+    sr, n = 16000, 16384
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, srs = [], [], [], []
+    for i in ids:
+        i = int(i)
+        if i % 17 == 5:
+            cids.append(i * 10)
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            srs.append(sr)
+            continue
+        pcm = np.frombuffer(synth_note_audio(i, sr, n), dtype="<i2")
+        if i % 3 == 0:
+            for suffix, seg in ((0, pcm[:12288]), (1, pcm[4096:])):
+                cids.append(i * 10 + suffix)
+                bufs.append(seg.tobytes())
+                codecs.append("pcm_s16le")
+                srs.append(sr)
+        else:
+            cids.append(i * 10)
+            bufs.append(pcm.tobytes())
+            codecs.append("pcm_s16le")
+            srs.append(sr)
+    return pa.table({
+        "clip_id": pa.array(cids, pa.int64()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+        "sr_hz": pa.array(srs, pa.int32()),
+    })
+
+
+def q_audio_stitch(sf_dir: str):
+    """Audio stitch detection (stages/audiodedup.audio_stitch_pairs) —
+    the waveform analog of q_page_stitch: recordings split into
+    overlapping uploads pair on their boundary landmarks at one modal
+    time offset (tail-of-a = head-of-b), telling the stitcher exactly
+    where to cut.  Bounded boundary-window emission per clip, one keyed
+    hash exchange, one pair-keyed vote.  Corpus: every 3rd melody split
+    with a 16-frame overlap (expected offset 16).  Oracle: serial twin
+    with independent dict voting (so_audio_stitch)."""
+    _ensure_fixture("q_audio_stitch", sf_dir)
+    from ..stages.audiodedup import audio_stitch_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_stitchmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # min_votes=6: planted splits collect 8-23 agreeing landmarks; pairs
+    # of distinct melodies coincidentally sharing a quantized boundary
+    # transition collect <=8 (measured: all but ~8 of them < 6) -- those
+    # few survivors are REAL shared-boundary content in the synthetic
+    # corpus, pinned by the fixture
+    df = audio_stitch_pairs(clips, window_frames=32, min_votes=6).to_pandas()
+    df = df[["id_a", "id_b", "votes", "offset_frames"]].astype("int64")
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split (stages/stats.py) —
     per-split counts, reproducible across runs/processes (md5 bucket)."""
@@ -8066,6 +8132,7 @@ QUERIES = {
     "q_hits": q_hits,
     "q_audio_fp_pairs": q_audio_fp_pairs,
     "q_audio_search": q_audio_search,
+    "q_audio_stitch": q_audio_stitch,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,

@@ -3299,6 +3299,61 @@ def so_pca_whiten(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_stitch(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_stitch: same corpus + timed-landmark
+    kernel, INDEPENDENT dict-based boundary pairing and offset voting
+    (plain loops, no numpy repeat/tile)."""
+    from ..functions.audiofp import spectral_landmarks_timed
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _stitchmix_clips_batch
+
+    W, MIN_V = 32, 6
+    clips = _stitchmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    tails: dict[int, list[tuple[int, int]]] = {}
+    heads: dict[int, list[tuple[int, int]]] = {}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+        except DecodeUnsupported:
+            continue
+        h, t = spectral_landmarks_timed(pcm, int(sr or 0))
+        if len(h) == 0:
+            continue
+        nf = int(t.max()) + 1
+        for hh, tt in zip(h.tolist(), t.tolist()):
+            if tt >= nf - W:
+                tails.setdefault(int(hh), []).append((int(cid), int(tt)))
+            if tt < W:
+                heads.setdefault(int(hh), []).append((int(cid), int(tt)))
+    votes: dict[tuple[int, int], dict[int, int]] = {}
+    for hh, tl in tails.items():
+        hl = heads.get(hh)
+        if not hl or len(tl) + len(hl) > 200:
+            continue
+        for ia, ta in tl:
+            for ib, tb in hl:
+                off = ta - tb
+                if ia != ib and off > 0:
+                    d = votes.setdefault((ia, ib), {})
+                    d[off] = d.get(off, 0) + 1
+    rows = []
+    for (ia, ib), d in votes.items():
+        best = max(d.values())
+        if best >= MIN_V:
+            off = min(o for o, v in d.items() if v == best)
+            rows.append((ia, ib, best, off))
+    rows.sort()
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], pa.int64()),
+        "id_b": pa.array([r[1] for r in rows], pa.int64()),
+        "votes": pa.array([r[2] for r in rows], pa.int64()),
+        "offset_frames": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def so_pq_search(sf_dir: str) -> pa.Table:
     """Serial twin for q_pq_search: INDEPENDENT pure-Python PQ — plain
     per-row Lloyd assignment loops, Python-int partial sums and the same
@@ -3643,6 +3698,7 @@ SERIAL_ORACLES = {
     "q_mutual_nn": so_mutual_nn,
     "q_dtmf_scan": so_dtmf_scan,
     "q_pq_search": so_pq_search,
+    "q_audio_stitch": so_audio_stitch,
 }
 
 

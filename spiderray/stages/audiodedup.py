@@ -391,3 +391,113 @@ def audio_search(ds, query_clips: pa.Table, top_k: int = 3,
     cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
     return top_k_per_group(cands, [query_id_col], "votes", top_k,
                            descending=True, tie_col=id_col)
+
+
+def audio_stitch_pairs(ds, window_frames: int = 24, min_votes: int = 4,
+                       max_hash_group: int = 200,
+                       id_col: str = "clip_id", bytes_col: str = "bytes",
+                       codec_col: str = "codec", sr_col: str = "sr_hz",
+                       **landmark_kwargs):
+    """Audio stitch detection — the waveform analog of pagination
+    stitching (dedup.suffix_prefix_pairs) and the chaining companion of
+    ``audio_fingerprint_pairs``: pairs (a, b) where the TAIL of a is the
+    HEAD of b at one consistent time offset — a recording split into
+    overlapping uploads, rejoinable by trimming the overlap.
+
+    Method: timed constellation landmarks, but each clip emits only its
+    boundary windows — anchors in the last ``window_frames`` frames
+    (side=tail, with the clip's frame count riding along) and the first
+    ``window_frames`` (side=head) — so emission is bounded per clip no
+    matter how long the audio.  One keyed exchange on the hash pairs
+    tail rows with head rows (hot hashes capped), then a (pair)-keyed
+    vote: the modal (t_tail − t_head) offset must collect ≥
+    ``min_votes`` landmarks.  offset_frames = n_frames(a) − overlap, so
+    the stitcher knows exactly where to cut.
+
+    Determinism: integer votes/offsets; modal offset ties break to the
+    smallest offset; output (id_a, id_b, votes, offset_frames) sorted
+    by the caller.  Self-pairs excluded; offsets must be positive (b
+    continues a, not the reverse)."""
+    import pandas as pd
+
+    from ..functions.audiofp import spectral_landmarks_timed
+    from .multimodal import DecodeUnsupported, _decode_one
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids_out, hs, ts, sides, nfs = [], [], [], [], []
+        for i, buf, codec, sr in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(bytes_col).to_pylist(),
+                batch.column(codec_col).to_pylist(),
+                batch.column(sr_col).to_pylist()):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            h, t = spectral_landmarks_timed(pcm, int(sr or 0),
+                                            **landmark_kwargs)
+            if len(h) == 0:
+                continue
+            nf = int(t.max()) + 1
+            head = t < window_frames
+            tail = t >= max(nf - window_frames, 0)
+            for mask, side in ((tail, 0), (head, 1)):
+                k = int(mask.sum())
+                if not k:
+                    continue
+                ids_out.extend([i] * k)
+                hs.extend(h[mask].tolist())
+                ts.extend(t[mask].tolist())
+                sides.extend([side] * k)
+                nfs.extend([nf] * k)
+        return pa.table({
+            id_col: pa.array(ids_out, id_type),
+            "h": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+            "t": pa.array(ts, pa.int32()),
+            "side": pa.array(sides, pa.int8()),
+            "nf": pa.array(nfs, pa.int32()),
+        })
+
+    def pair_hits(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], dtype=object),
+                              "id_b": np.array([], dtype=object),
+                              "off": np.array([], dtype=np.int64),
+                              "nf_a": np.array([], dtype=np.int64)})
+        if len(g) > max_hash_group:
+            return empty
+        tails = g[g["side"] == 0]
+        heads = g[g["side"] == 1]
+        if tails.empty or heads.empty:
+            return empty
+        nt, nh = len(tails), len(heads)
+        ta = np.repeat(tails["t"].to_numpy(np.int64), nh)
+        ia = np.repeat(tails[id_col].to_numpy(), nh)
+        na = np.repeat(tails["nf"].to_numpy(np.int64), nh)
+        tb = np.tile(heads["t"].to_numpy(np.int64), nt)
+        ib = np.tile(heads[id_col].to_numpy(), nt)
+        off = ta - tb
+        keep = (off > 0) & (ia != ib)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep],
+                             "off": off[keep], "nf_a": na[keep]})
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby("off").size().rename("votes").reset_index()
+             .sort_values(["votes", "off"], ascending=[False, True]))
+        v = int(c["votes"].iloc[0])
+        if v < min_votes:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "votes": np.array([], np.int64),
+                                 "offset_frames": np.array([], np.int64)})
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
+                             "id_b": [g["id_b"].iloc[0]],
+                             "votes": np.int64(v),
+                             "offset_frames": np.int64(c["off"].iloc[0])})
+
+    hits = (ds.map_batches(boundaries, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("h").map_groups(pair_hits, batch_format="pandas"))
+    return hits.groupby(["id_a", "id_b"]).map_groups(
+        vote, batch_format="pandas")

@@ -192,3 +192,67 @@ class TestAudioSearch:
         q, _ = _query_table([2, 9])
         with pytest.raises(ValueError, match="shard the query set"):
             audio_search(rd.from_arrow(corpus), q, max_query_hashes=1)
+
+
+class TestAudioStitch:
+    def test_planted_split_pair_and_offset(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.audiodedup import audio_stitch_pairs
+
+        sr, n = 16000, 16384
+        rows = []
+        for i in (3, 8, 21):
+            pcm = np.frombuffer(synth_note_audio(i, sr, n), dtype="<i2")
+            rows.append((i * 10, pcm[:12288].tobytes()))
+            rows.append((i * 10 + 1, pcm[4096:].tobytes()))
+        clips = pa.table({
+            "clip_id": pa.array([r[0] for r in rows], pa.int64()),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * len(rows), pa.string()),
+            "sr_hz": pa.array([sr] * len(rows), pa.int32()),
+        })
+        out = (audio_stitch_pairs(rd.from_arrow(clips), window_frames=32,
+                                  min_votes=6)
+               .to_pandas().sort_values("id_a").reset_index(drop=True))
+        got = {(int(a), int(b)): int(o) for a, b, o in
+               zip(out.id_a, out.id_b, out.offset_frames)}
+        for i in (3, 8, 21):
+            assert got[(i * 10, i * 10 + 1)] == 16  # cut 4096 / hop 256
+        assert (out.votes >= 6).all()
+
+    def test_whole_clips_do_not_pair(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.audiodedup import audio_stitch_pairs
+
+        sr, n = 16000, 16384
+        rows = [(i, synth_note_audio(i, sr, n)) for i in (2, 7, 11)]
+        clips = pa.table({
+            "clip_id": pa.array([r[0] for r in rows], pa.int64()),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * 3, pa.string()),
+            "sr_hz": pa.array([sr] * 3, pa.int32()),
+        })
+        out = audio_stitch_pairs(rd.from_arrow(clips), window_frames=32,
+                                 min_votes=6).to_pandas()
+        assert len(out) == 0
+
+    def test_undecodable_skipped(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.audiodedup import audio_stitch_pairs
+
+        sr, n = 16000, 16384
+        pcm = np.frombuffer(synth_note_audio(5, sr, n), dtype="<i2")
+        clips = pa.table({
+            "clip_id": pa.array([50, 51, 99], pa.int64()),
+            "bytes": pa.array([pcm[:12288].tobytes(), pcm[4096:].tobytes(),
+                               b"junk"], pa.binary()),
+            "codec": pa.array(["pcm_s16le", "pcm_s16le", "flac"],
+                              pa.string()),
+            "sr_hz": pa.array([sr, sr, sr], pa.int32()),
+        })
+        out = audio_stitch_pairs(rd.from_arrow(clips), window_frames=32,
+                                 min_votes=6).to_pandas()
+        assert set(out.id_a) == {50} and set(out.id_b) == {51}
