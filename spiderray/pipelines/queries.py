@@ -8080,9 +8080,9 @@ QUERIES = {
     "q_scrub_email": q_scrub_email,
     "q_icp_extract": q_icp_extract,
     "q_ann_topk": q_ann_topk,
-    "q_pca_whiten": q_pca_whiten,
-    "q_mutual_nn": q_mutual_nn,
-    "q_pq_search": q_pq_search,
+    "q_prototype_prune": q_prototype_prune,
+    "q_decontaminate_spans": q_decontaminate_spans,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_embed_near_dup": q_embed_near_dup,
     "q_minhash_pairs": q_minhash_pairs,
     "q_dup_clusters": q_dup_clusters,
@@ -8092,9 +8092,9 @@ QUERIES = {
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
-    "q_prototype_prune": q_prototype_prune,
+    "q_pca_whiten": q_pca_whiten,
     "q_mmr_topk": q_mmr_topk,
-    "q_fix_mojibake": q_fix_mojibake,
+    "q_audio_loops": q_audio_loops,
     "q_canary_scan": q_canary_scan,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_line_dedup": q_line_dedup,
@@ -8106,7 +8106,7 @@ QUERIES = {
     "q_audio_denoise": q_audio_denoise,
     "q_audio_qc": q_audio_qc,
     "q_prepare_speech": q_prepare_speech,
-    "q_audio_channels": q_audio_channels,
+    "q_audio_stitch": q_audio_stitch,
     "q_codec_sniff": q_codec_sniff,
     "q_extract_dates": q_extract_dates,
     "q_title_clean": q_title_clean,
@@ -8131,8 +8131,8 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_hits": q_hits,
     "q_audio_fp_pairs": q_audio_fp_pairs,
-    "q_audio_search": q_audio_search,
-    "q_audio_stitch": q_audio_stitch,
+    "q_transcript_fit": q_transcript_fit,
+    "q_audio_channels": q_audio_channels,
     "q_flac_roundtrip": q_flac_roundtrip,
     "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,
@@ -8141,8 +8141,8 @@ QUERIES = {
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
-    "q_audio_loops": q_audio_loops,
-    "q_dtmf_scan": q_dtmf_scan,
+    "q_fix_mojibake": q_fix_mojibake,
+    "q_c4_filters": q_c4_filters,
     "q_halluc_loops": q_halluc_loops,
     "q_threshold_sweep": q_threshold_sweep,
     "q_classifier_auc": q_classifier_auc,
@@ -8165,14 +8165,14 @@ QUERIES = {
     "q_audio_semantic_dedup": q_audio_semantic_dedup,
     "q_decontaminate": q_decontaminate,
     "q_gopher_quality": q_gopher_quality,
-    "q_c4_filters": q_c4_filters,
+    "q_dtmf_scan": q_dtmf_scan,
     "q_c4_span_dedup": q_c4_span_dedup,
-    "q_paragraph_dedup": q_paragraph_dedup,
-    "q_decontaminate_spans": q_decontaminate_spans,
+    "q_pq_search": q_pq_search,
+    "q_mutual_nn": q_mutual_nn,
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,
     "q_substring_dedup": q_substring_dedup,
     "q_vocab_coverage": q_vocab_coverage,
-    "q_transcript_fit": q_transcript_fit,
+    "q_audio_search": q_audio_search,
     "q_ngram_novelty": q_ngram_novelty,
     "q_readability": q_readability,
     "q_grouped_quantiles_approx": q_grouped_quantiles_approx,
@@ -8267,31 +8267,31 @@ _PRIORITY = [
     "q_corpus_report",
     # exact + near dedup
     "q_exact_dedup", "q_incremental_dedup", "q_apply_deletions",
-    "q_minhash_pairs", "q_transcript_fit",
-    "q_audio_channels", "q_semantic_dedup",
+    "q_minhash_pairs", "q_audio_stitch",
+    "q_page_stitch", "q_semantic_dedup",
     # global/structural dedup
-    "q_c4_span_dedup", "q_substring_dedup", "q_paragraph_dedup",
+    "q_c4_span_dedup", "q_substring_dedup", "q_url_dedup",
     # decontamination
-    "q_decontaminate", "q_decontaminate_spans", "q_audio_decontaminate",
+    "q_decontaminate", "q_dtmf_scan", "q_audio_decontaminate",
     # ANN / clustering
-    "q_ann_topk", "q_kmeans_clusters",
+    "q_ann_topk", "q_pq_search",
     # quality filters
-    "q_doc_keepdrop", "q_gopher_quality", "q_c4_filters",
+    "q_doc_keepdrop", "q_gopher_quality", "q_audio_loops",
     "q_ccnet_buckets", "q_dsir_scores", "q_threshold_sweep",
     "q_linear_distill",
     # tokenizers / packing
     "q_bpe_tokens", "q_pack_chunks",
     # sampling / mixing
-    "q_temperature_resample", "q_unimax_resample", "q_domain_cap",
+    "q_temperature_resample", "q_domain_cap",
     "q_grouped_split",
     # sketches / stats
     "q_heavy_hitters", "q_profile_columns",
     # windows / sessions
     "q_window_analytics",
-    # charset hygiene (mojibake repair)
-    "q_fix_mojibake",
-    # data pruning / selection
-    "q_prototype_prune",
+    # embedding conditioning + retrieval
+    "q_pca_whiten",
+    # query-by-example audio retrieval + bitext mining
+    "q_audio_search", "q_mutual_nn",
     # audio stages
     "q_audio_features", "q_prepare_speech", "q_audio_qc",
     "q_audio_fp_pairs",
