@@ -174,6 +174,7 @@ def run_queries() -> dict[str, float]:
         ("q_pq_search", q.q_pq_search),
         ("q_page_stitch", q.q_page_stitch),
         ("q_audio_stitch", q.q_audio_stitch),
+        ("q_prepare_embeddings", q.q_prepare_embeddings),
     ]
     import ray.data
 

@@ -669,6 +669,22 @@ def q_ann_topk(sf_dir: str):
     return df[["vec_id"]]
 
 
+def q_prepare_embeddings(sf_dir: str):
+    """The composed embedding-store preparation pipeline
+    (pipelines/prepare_embeddings.py), completing the corpus-prep trio
+    beside q_prepare_corpus and q_prepare_audio: PCA whiten → k-means
+    routing key → PQ codes → within-cluster near-dup mark, one streamed
+    per-row output.  Oracle: serial twin composing the independent
+    PCA / micro-unit-Lloyd / PQ / block-cosine twins
+    (so_prepare_embeddings)."""
+    _ensure_fixture("q_prepare_embeddings", sf_dir)
+    from .prepare_embeddings import prepare_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = prepare_embeddings(ds).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_pq_search(sf_dir: str):
     """Product quantization end-to-end (stages/pq.py — Jégou et al.
     2011): distributed integer-Lloyd codebook training (m=8 subspaces ×
@@ -8168,6 +8184,7 @@ QUERIES = {
     "q_dtmf_scan": q_dtmf_scan,
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_pq_search": q_pq_search,
+    "q_prepare_embeddings": q_prepare_embeddings,
     "q_mutual_nn": q_mutual_nn,
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,
     "q_substring_dedup": q_substring_dedup,

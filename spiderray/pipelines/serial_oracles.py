@@ -3242,24 +3242,15 @@ def so_audio_search(sf_dir: str) -> pa.Table:
     })
 
 
-def so_pca_whiten(sf_dir: str) -> pa.Table:
-    """Serial twin for q_pca_whiten: INDEPENDENT moment accumulation
-    (plain Python-int loops over rows — no block partials, no numpy
-    matmul) and per-row transform dots, sharing only the PCA_SCALE
-    constant and the same LAPACK eigh call on what must be the identical
-    exact covariance."""
-    import pyarrow.parquet as pq
-
+def _serial_pca(q_rows: list, n_components: int):
+    """Independent PCA fit + whiten from micro-quantized rows: plain
+    Python-int moment loops, same eigh/sign/floor conventions as
+    stages/pca.py.  Returns (mean_q list[int], Wq int64 (d, p), and the
+    whitened int columns {wj: [..]})."""
     from ..stages.pca import PCA_SCALE
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()
-    vecs = t.column("embedding").to_pylist()
-    d = len(vecs[0])
-    n = len(vecs)
-    q_rows = [[int(np.floor(v * PCA_SCALE + 0.5)) for v in row]
-              for row in vecs]
+    d = len(q_rows[0])
+    n = len(q_rows)
     S = [0] * d
     XX = [[0] * d for _ in range(d)]
     for row in q_rows:
@@ -3282,15 +3273,35 @@ def so_pca_whiten(sf_dir: str) -> pa.Table:
     lam_f = np.maximum(lam_f, max(float(lam_f.max()), 1e-12) * 1e-6)
     W = eigvecs / np.sqrt(lam_f)[None, :]
     mean_q = [int(np.floor(s / n + 0.5)) for s in S]
-    Wq = np.floor(W * PCA_SCALE + 0.5).astype(np.int64)[:, :8]
-    cols = {f"w{j}": [] for j in range(8)}
+    Wq = np.floor(W * PCA_SCALE + 0.5).astype(np.int64)[:, :n_components]
+    cols = {f"w{j}": [] for j in range(n_components)}
     for row in q_rows:
         c = [row[k] - mean_q[k] for k in range(d)]
-        for j in range(8):
+        for j in range(n_components):
             acc = 0
             for k in range(d):
                 acc += c[k] * int(Wq[k, j])
             cols[f"w{j}"].append(acc // PCA_SCALE)
+    return mean_q, Wq, cols
+
+
+def so_pca_whiten(sf_dir: str) -> pa.Table:
+    """Serial twin for q_pca_whiten: INDEPENDENT moment accumulation
+    (plain Python-int loops over rows — no block partials, no numpy
+    matmul) and per-row transform dots, sharing only the PCA_SCALE
+    constant and the same LAPACK eigh call on what must be the identical
+    exact covariance."""
+    import pyarrow.parquet as pq
+
+    from ..stages.pca import PCA_SCALE
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    q_rows = [[int(np.floor(v * PCA_SCALE + 0.5)) for v in row]
+              for row in vecs]
+    _, _, cols = _serial_pca(q_rows, 8)
     order2 = np.argsort(np.asarray(ids, dtype=np.int64), kind="mergesort")
     return pa.table({
         "vec_id": pa.array([ids[i] for i in order2], pa.int64()),
@@ -3354,6 +3365,101 @@ def so_audio_stitch(sf_dir: str) -> pa.Table:
     })
 
 
+def so_prepare_embeddings(sf_dir: str) -> pa.Table:
+    """Serial twin for q_prepare_embeddings, composing the independent
+    per-stage twins: Python-int PCA moments (_serial_pca), micro-unit
+    Lloyd (_serial_microunit_kmeans — first-k-rows init per the order
+    contract), pure-Python PQ (_serial_pq_train), and the sorted-by-id
+    block-cosine near-dup pass matching the embedding_near_dup_pairs
+    float contract."""
+    from ..stages.dedup import EMBED_BLOCK_ROWS
+    from ..stages.pca import PCA_SCALE
+
+    ids, V = _embeddings(sf_dir)
+    q_rows = [[int(np.floor(v * PCA_SCALE + 0.5)) for v in row]
+              for row in V]
+    _, _, wcols = _serial_pca(q_rows, 4)
+
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Vn = V / nrm
+    assign = _serial_microunit_kmeans(Vn, 8, 4)
+
+    Vq = [[int(np.floor(v * PCA_SCALE + 0.5)) for v in row] for row in V]
+    C = _serial_pq_train([int(i) for i in ids], Vq, 8, 16, 5)
+    dsub = len(Vq[0]) // 8
+    codes = [[_serial_pq_nearest(row[j * dsub:(j + 1) * dsub], C[j])[0]
+              for j in range(8)] for row in Vq]
+
+    losers: set = set()
+    for c in range(8):
+        mask = assign == c
+        if mask.sum() < 2:
+            continue
+        order = np.argsort(ids[mask], kind="mergesort")
+        gids = ids[mask][order]
+        G = V[mask][order]
+        gn = np.linalg.norm(G, axis=1, keepdims=True)
+        gn[gn == 0] = 1.0
+        Gn = G / gn
+        n = len(gids)
+        for s in range(0, n, EMBED_BLOCK_ROWS):
+            e = min(s + EMBED_BLOCK_ROWS, n)
+            S = Gn[s:e] @ Gn[s:].T
+            bi, bj = np.nonzero(S >= 0.95)
+            keep = (bj + s) > (bi + s)
+            losers.update(int(x) for x in gids[bj[keep] + s])
+
+    order2 = np.argsort(ids, kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(ids[order2], pa.int64()),
+        "cluster": pa.array(assign[order2].astype(np.int64), pa.int64()),
+        **{f"pq{j}": pa.array([codes[i][j] for i in order2], pa.int64())
+           for j in range(8)},
+        **{f"w{j}": pa.array([wcols[f"w{j}"][i] for i in order2], pa.int64())
+           for j in range(4)},
+        "is_dup": pa.array([int(i) in losers for i in ids[order2]],
+                           pa.bool_()),
+    })
+
+
+def _serial_pq_nearest(sub, cb):
+    best, bd = 0, None
+    for c, cent in enumerate(cb):
+        dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+        if bd is None or dist < bd:
+            best, bd = c, dist
+    return best, bd
+
+
+def _serial_pq_train(ids, V, m, k, iters):
+    """Independent pure-Python PQ Lloyd (smallest-id init, round-half-up
+    centroid update) over micro-quantized rows; returns nested-list
+    codebooks C[m][k][dsub]."""
+    dsub = len(V[0]) // m
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    init = [V[i] for i in order[:k]]
+    C = [[init[c][j * dsub:(j + 1) * dsub] for c in range(k)]
+         for j in range(m)]
+    for _ in range(iters):
+        sums = [[[0] * dsub for _ in range(k)] for _ in range(m)]
+        counts = [[0] * k for _ in range(m)]
+        for row in V:
+            for j in range(m):
+                sub = row[j * dsub:(j + 1) * dsub]
+                c, _d = _serial_pq_nearest(sub, C[j])
+                counts[j][c] += 1
+                for tt in range(dsub):
+                    sums[j][c][tt] += sub[tt]
+        for j in range(m):
+            for c in range(k):
+                n = counts[j][c]
+                if n:
+                    C[j][c] = [(2 * sums[j][c][tt] + n) // (2 * n)
+                               for tt in range(dsub)]
+    return C
+
+
 def so_pq_search(sf_dir: str) -> pa.Table:
     """Serial twin for q_pq_search: INDEPENDENT pure-Python PQ — plain
     per-row Lloyd assignment loops, Python-int partial sums and the same
@@ -3369,37 +3475,11 @@ def so_pq_search(sf_dir: str) -> pa.Table:
     V = [[int(np.floor(v * PQ_SCALE + 0.5)) for v in row]
          for row in t.column("embedding").to_pylist()]
     m, k, iters = 8, 16, 5
-    d = len(V[0])
-    dsub = d // m
-    order = sorted(range(len(ids)), key=lambda i: ids[i])
-    init = [V[i] for i in order[:k]]
-    C = [[init[c][j * dsub:(j + 1) * dsub] for c in range(k)]
-         for j in range(m)]
+    dsub = len(V[0]) // m
+    C = _serial_pq_train(ids, V, m, k, iters)
 
     def nearest(sub, cb):
-        best, bd = 0, None
-        for c, cent in enumerate(cb):
-            dist = sum((a - b) * (a - b) for a, b in zip(sub, cent))
-            if bd is None or dist < bd:
-                best, bd = c, dist
-        return best, bd
-
-    for _ in range(iters):
-        sums = [[[0] * dsub for _ in range(k)] for _ in range(m)]
-        counts = [[0] * k for _ in range(m)]
-        for row in V:
-            for j in range(m):
-                sub = row[j * dsub:(j + 1) * dsub]
-                c, _d = nearest(sub, C[j])
-                counts[j][c] += 1
-                for tt in range(dsub):
-                    sums[j][c][tt] += sub[tt]
-        for j in range(m):
-            for c in range(k):
-                n = counts[j][c]
-                if n:
-                    C[j][c] = [(2 * sums[j][c][tt] + n) // (2 * n)
-                               for tt in range(dsub)]
+        return _serial_pq_nearest(sub, cb)
 
     q0 = V[ids.index(0)]
     table = [[sum((a - b) * (a - b) for a, b in zip(
@@ -3699,6 +3779,7 @@ SERIAL_ORACLES = {
     "q_dtmf_scan": so_dtmf_scan,
     "q_pq_search": so_pq_search,
     "q_audio_stitch": so_audio_stitch,
+    "q_prepare_embeddings": so_prepare_embeddings,
 }
 
 
