@@ -175,6 +175,7 @@ def run_queries() -> dict[str, float]:
         ("q_page_stitch", q.q_page_stitch),
         ("q_audio_stitch", q.q_audio_stitch),
         ("q_prepare_embeddings", q.q_prepare_embeddings),
+        ("q_audio_tempo", q.q_audio_tempo),
     ]
     import ray.data
 

@@ -1102,3 +1102,64 @@ def synth_dtmf(digits: str, sr: int, tone_ms: float = 60.0,
                                 + np.sin(2 * np.pi * fc * t)))
         out.append(np.zeros(n_gap))
     return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# Tempo estimation — onset-autocorrelation beat tracking
+# ---------------------------------------------------------------------------
+
+TEMPO_MIN_BPM = 60
+TEMPO_MAX_BPM = 180
+TEMPO_MIN_CONF_PPM = 450_000   # autocorr peak share above this …
+TEMPO_MIN_ONSET_PPM = 10_000   # … AND onset energy ≥1% of envelope → has_beat
+
+
+def tempo_stats(pcm: np.ndarray, sr: int,
+                frame: int = 512, hop: int = 256,
+                max_frames: int = 4096) -> dict:
+    """Tempo (BPM) estimate for one mono clip — the music-metadata
+    extractor of a scraped-audio pipeline (tempo + beat confidence feed
+    catalog search and the music/speech routing beside the
+    Scheirer-Slaney gate): frame-RMS envelope → half-wave-rectified
+    onset strength → autocorrelation over the 60–180 BPM lag range; the
+    winning lag (first max) gives ``bpm`` = round(60·fps/lag) and
+    ``tempo_conf_ppm`` = its normalized autocorrelation as exact integer
+    ppm of the onset energy.  Unrhythmic audio (steady tones, noise,
+    speech) autocorrelates weakly at every musical lag, so the
+    confidence gate separates it without a model.  Octave caveat: a
+    period that is a half-integer in frames aliases to the half tempo
+    (its doubled lag aligns with the frame grid when the single lag
+    cannot) — the ambiguity every bare autocorrelation tracker carries;
+    disambiguate downstream with a tempo prior if one octave matters.
+    Fixed float expression order, integer outputs — partition-stable."""
+    out = {"bpm": 0, "tempo_conf_ppm": 0, "onset_ppm": 0, "n_frames": 0}
+    if sr <= 0 or len(pcm) < frame + hop:
+        return out
+    n_frames = min(1 + (len(pcm) - frame) // hop, max_frames)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    x = pcm[: frame + hop * (n_frames - 1)].astype(np.float64)
+    env = np.sqrt((x[idx] ** 2).mean(axis=1))
+    onset = np.maximum(np.diff(env), 0.0)
+    out["n_frames"] = int(n_frames)
+    r0 = float((onset * onset).sum())
+    e0 = float((env * env).sum())
+    # onset-energy share of the envelope: a STEADY tone's flat envelope
+    # leaves only numerical jitter in the onset signal, which
+    # autocorrelates near-perfectly — the ratio gate alone cannot tell
+    # it from a beat, but its onset energy is ~0 of the envelope's
+    out["onset_ppm"] = int(1_000_000 * r0 // e0) if e0 > 0.0 else 0
+    if r0 <= 0.0:
+        return out
+    fps = sr / hop
+    lag_lo = max(int(np.ceil(60.0 * fps / TEMPO_MAX_BPM)), 1)
+    lag_hi = int(np.floor(60.0 * fps / TEMPO_MIN_BPM))
+    best_lag, best_r = 0, 0.0
+    for lag in range(lag_lo, min(lag_hi, len(onset) - 1) + 1):
+        r = float((onset[lag:] * onset[:-lag]).sum())
+        if r > best_r:
+            best_lag, best_r = lag, r
+    if best_lag == 0:
+        return out
+    out["bpm"] = int(round(60.0 * fps / best_lag))
+    out["tempo_conf_ppm"] = int(1_000_000 * best_r // r0) if r0 else 0
+    return out

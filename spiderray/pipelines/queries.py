@@ -5135,6 +5135,86 @@ def q_dtmf_scan(sf_dir: str):
         ["clip_id", "decode_ok", "dtmf_digits", "n_digits", "has_dtmf"])
 
 
+def _tempomix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the tempo card (shared with the
+    q_audio_tempo serial twin).  Per doc_id i at 16 kHz / 4 s, stratum
+    i%4: 0 = click track at a planted BPM on the LAG GRID
+    (round(3750/L) for L = 21 + md5(i)%33, so the period is a whole
+    number of 62.5 fps frames — off-grid periods alias to the half
+    tempo, the octave ambiguity every autocorrelation tracker carries), 1 = held tone (jitter autocorrelates but carries no
+    onset energy — the guard case), 2 = broadband noise, 3 = note
+    melody; every 17th row ships undecodable."""
+    import hashlib
+
+    from ..sources.clips import _NOISE, synth_note_audio
+
+    sr, n = 16000, 64000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col, bpms = [], [], [], [], []
+    click = (np.exp(-np.arange(600) / 80.0)
+             * np.sin(2 * np.pi * 1000.0 * np.arange(600) / sr))
+    for i in ids:
+        i = int(i)
+        cids.append(f"tp_{i:08d}")
+        sr_col.append(sr)
+        lag = 21 + hashlib.md5(f"tempo{i}".encode()).digest()[0] % 33
+        bpm = round(3750.0 / lag)
+        bpms.append(bpm if i % 4 == 0 and i % 17 != 5 else 0)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 4
+        if k == 0:
+            wave = np.zeros(n)
+            period = int(round(sr * 60.0 / bpm))
+            for s in range(0, n - 600, period):
+                wave[s:s + 600] += click
+        elif k == 1:
+            t = np.arange(n, dtype=np.float64) / sr
+            wave = np.sin(2 * np.pi * (300.0 + (i % 9) * 50.0) * t)
+        elif k == 2:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave = 0.6 * _NOISE[off: off + n]
+        else:
+            wave = np.frombuffer(synth_note_audio(i, sr, n),
+                                 dtype="<i2").astype(np.float64) / 32767.0
+        q = np.clip(wave * (0.55 * 32767.0), -32768, 32767)
+        bufs.append(q.astype("<i2").tobytes())
+    return pa.table({
+        "clip_id": pa.array(cids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+        "sr_hz": pa.array(sr_col, pa.int32()),
+        "planted_bpm": pa.array(bpms, pa.int64()),
+    })
+
+
+def q_audio_tempo(sf_dir: str):
+    """Tempo / beat-tracking card (stages/audioquality.tempo_stage):
+    actor-pool decode → onset-autocorrelation BPM over 60–180
+    (functions/audiofp.tempo_stats) → ``has_beat`` gated on BOTH the
+    autocorrelation share and real onset energy (a steady tone's
+    numerical jitter autocorrelates near-perfectly but has no onsets).
+    Corpus plants click tracks at md5-derived BPMs beside tone / noise /
+    melody / undecodable strata; only the click stratum flags, at the
+    lag-quantized estimate round(60·fps / round(period_frames)) of the
+    planted BPM (62.5 fps grid: exact below ~130 BPM, ±3 near 180).
+    Oracle: serial decode + same kernel per row (so_audio_tempo)."""
+    _ensure_fixture("q_audio_tempo", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import tempo_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_tempomix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = tempo_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "bpm", "tempo_conf_ppm", "onset_ppm",
+         "planted_bpm", "has_beat"])
+
+
 def q_audio_loops(sf_dir: str):
     """Looped-audio gate (stages/audioquality.audio_loop_stage): actor-pool
     decode → quantized spectral-peak self-similarity at every lag
@@ -8157,6 +8237,7 @@ QUERIES = {
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
+    "q_audio_tempo": q_audio_tempo,
     "q_fix_mojibake": q_fix_mojibake,
     "q_c4_filters": q_c4_filters,
     "q_halluc_loops": q_halluc_loops,

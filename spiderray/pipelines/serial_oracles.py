@@ -3602,6 +3602,50 @@ def so_dtmf_scan(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_tempo(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_tempo: same corpus generator + decode +
+    tempo kernel + flag logic per row, plain loop, no Ray."""
+    from ..functions.audiofp import (
+        TEMPO_MIN_CONF_PPM,
+        TEMPO_MIN_ONSET_PPM,
+        tempo_stats,
+    )
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _tempomix_clips_batch
+
+    clips = _tempomix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    keys = ("bpm", "tempo_conf_ppm", "onset_ppm")
+    out = {k: [] for k in ("clip_id", "decode_ok", "has_beat")}
+    cols = {k: [] for k in keys}
+    for cid, buf, codec, sr, pb in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+        clips.column("planted_bpm").to_pylist(),
+    ):
+        try:
+            stats = tempo_stats(_decode_one(buf or b"", codec or ""),
+                                int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            stats = dict.fromkeys(keys, 0)
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["has_beat"].append(
+            ok and stats["tempo_conf_ppm"] >= TEMPO_MIN_CONF_PPM
+            and stats["onset_ppm"] >= TEMPO_MIN_ONSET_PPM)
+        for k in keys:
+            cols[k].append(stats[k])
+    planted = clips.column("planted_bpm")
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        **{k: pa.array(cols[k], pa.int64()) for k in keys},
+        "planted_bpm": planted,
+        "has_beat": pa.array(out["has_beat"], pa.bool_()),
+    })
+
+
 def so_audio_loops(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_loops: same corpus generator + decode +
     peak-track extraction, INDEPENDENT pure-Python lag scoring (list
@@ -3780,6 +3824,7 @@ SERIAL_ORACLES = {
     "q_pq_search": so_pq_search,
     "q_audio_stitch": so_audio_stitch,
     "q_prepare_embeddings": so_prepare_embeddings,
+    "q_audio_tempo": so_audio_tempo,
 }
 
 

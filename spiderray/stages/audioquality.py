@@ -1455,3 +1455,78 @@ def dtmf_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+_TEMPO_COLS = ("bpm", "tempo_conf_ppm", "onset_ppm", "n_frames")
+
+
+class TempoActor:
+    """Decode + tempo columns and the ``has_beat`` flag (kernel:
+    functions/audiofp.tempo_stats — onset-autocorrelation beat tracking
+    over the 60–180 BPM range).
+
+    The music-metadata extractor of a scraped-audio pipeline: tempo +
+    beat confidence feed catalog search and music routing beside the
+    Scheirer-Slaney content gate.  ``has_beat`` needs BOTH the
+    autocorrelation share (≥ min_conf_ppm) and real onset energy
+    (≥ min_onset_ppm of the envelope) — a steady tone's numerical
+    jitter autocorrelates near-perfectly but carries no onset energy.
+    Undecodable clips mark ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_conf_ppm: int | None = None,
+                 min_onset_ppm: int | None = None):
+        from ..functions.audiofp import (
+            TEMPO_MIN_CONF_PPM,
+            TEMPO_MIN_ONSET_PPM,
+        )
+
+        self.cfg = cfg or PipelineConfig()
+        self.min_conf_ppm = (TEMPO_MIN_CONF_PPM if min_conf_ppm is None
+                             else min_conf_ppm)
+        self.min_onset_ppm = (TEMPO_MIN_ONSET_PPM if min_onset_ppm is None
+                              else min_onset_ppm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import tempo_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _TEMPO_COLS}
+        ok, flag = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                stats = tempo_stats(_decode_one(buf or b"", codec or ""),
+                                    int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0 for k in _TEMPO_COLS}
+                ok.append(False)
+            for k in _TEMPO_COLS:
+                cols[k].append(stats[k])
+            flag.append(ok[-1]
+                        and stats["tempo_conf_ppm"] >= self.min_conf_ppm
+                        and stats["onset_ppm"] >= self.min_onset_ppm)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _TEMPO_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.int64()))
+        return batch.append_column("has_beat", pa.array(flag, pa.bool_()))
+
+
+def tempo_stage(ds, cfg: PipelineConfig,
+                concurrency: int | tuple[int, int] = 4,
+                min_conf_ppm: int | None = None,
+                min_onset_ppm: int | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        TempoActor,
+        fn_constructor_args=(cfg, min_conf_ppm, min_onset_ppm),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

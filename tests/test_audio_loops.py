@@ -101,3 +101,61 @@ class TestLoopStage:
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = exp[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype(str).equals(b.astype(str))
+
+
+class TestTempo:
+    def test_click_tracks_within_one_bpm(self):
+        from spiderray.functions.audiofp import tempo_stats
+
+        sr = 16000
+        click = (np.exp(-np.arange(600) / 80.0)
+                 * np.sin(2 * np.pi * 1000.0 * np.arange(600) / sr))
+        for bpm in (70, 95, 120, 144, 170):
+            wave = np.zeros(64000)
+            period = int(round(sr * 60.0 / bpm))
+            for s in range(0, 64000 - 600, period):
+                wave[s:s + 600] += click
+            st = tempo_stats(wave, sr)
+            # lag quantization on the 62.5 fps grid: the estimate is
+            # round(60*fps / round(period_frames)), exact by arithmetic
+            exp = round(3750.0 / round(period / 256.0))
+            assert st["bpm"] == exp, (bpm, exp, st)
+            assert st["tempo_conf_ppm"] >= 450_000
+            assert st["onset_ppm"] >= 10_000
+
+    def test_steady_tone_guarded_by_onset_energy(self):
+        from spiderray.functions.audiofp import tempo_stats
+
+        t = np.arange(64000) / 16000.0
+        st = tempo_stats(0.5 * np.sin(2 * np.pi * 440.0 * t), 16000)
+        # jitter autocorrelates, but there is no onset energy
+        assert st["onset_ppm"] < 10_000
+
+    def test_silence_and_short(self):
+        from spiderray.functions.audiofp import tempo_stats
+
+        assert tempo_stats(np.zeros(100), 16000)["bpm"] == 0
+        st = tempo_stats(np.zeros(64000), 16000)
+        assert st["bpm"] == 0 and st["tempo_conf_ppm"] == 0
+
+    def test_stage_strata_flags(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _tempomix_clips_batch
+        from spiderray.stages.audioquality import tempo_stage
+
+        docs = pa.table({"doc_id": pa.array(np.arange(120), pa.int64())})
+        clips = _tempomix_clips_batch(docs)
+        out = tempo_stage(rd.from_arrow(clips), PipelineConfig(),
+                          concurrency=2).to_pandas()
+        out["i"] = out.clip_id.str[3:].astype(int)
+        dec = out[out.decode_ok]
+        clicks = dec[dec.i % 4 == 0]
+        assert clicks.has_beat.all()
+        planted = clips.to_pandas().set_index("clip_id").planted_bpm
+        for _, r in clicks.iterrows():
+            # corpus plants on the lag grid -> the estimate is exact
+            assert r.bpm == planted[r.clip_id], r.clip_id
+        assert not dec[dec.i % 4 != 0].has_beat.any()
+        assert not out[~out.decode_ok].has_beat.any()
