@@ -176,6 +176,7 @@ def run_queries() -> dict[str, float]:
         ("q_audio_stitch", q.q_audio_stitch),
         ("q_prepare_embeddings", q.q_prepare_embeddings),
         ("q_audio_tempo", q.q_audio_tempo),
+        ("q_conversion_latency", q.q_conversion_latency),
     ]
     import ray.data
 

@@ -1116,6 +1116,80 @@ ORDER BY stage_idx
 """
 
 
+def q_conversion_latency(sf_dir: str):
+    """Funnel conversion-latency card: for users completing view → click
+    → purchase in order (the q_funnel chain), the view→purchase delay —
+    n_converted plus exact integer min/max/avg seconds (avg = round-
+    half-up integer division, SQL-restatable).  Same one user-keyed
+    shuffle as funnel_counts; output is one row."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.windows import _add_part
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # merge on the COLUMN throughout: an inner join of an EMPTY frame
+        # against a user_id-indexed Series hands back an index NAMED
+        # user_id, which makes every later groupby("user_id") ambiguous
+        v = (g[g.event_type == "view"].groupby("user_id")["ts"].min()
+             .rename("t1").reset_index())
+        c = g[g.event_type == "click"].merge(v, on="user_id")
+        c = (c[c.ts > c.t1].groupby("user_id")["ts"].min()
+             .rename("t2").reset_index())
+        p = g[g.event_type == "purchase"].merge(c, on="user_id")
+        p = p[p.ts > p.t2]
+        if p.empty:
+            return pd.DataFrame({"user_id": [], "lat_s": []}).astype(
+                {"user_id": "int64", "lat_s": "int64"})
+        t3 = (p.groupby("user_id")["ts"].min().rename("t3").reset_index()
+              .merge(v, on="user_id"))
+        lat = (t3.t3 - t3.t1).dt.total_seconds().astype("int64")
+        return pd.DataFrame({"user_id": t3.user_id.to_numpy(),
+                             "lat_s": lat.to_numpy()})
+
+    lat = (_add_part(ds, "user_id", 32)
+           .groupby("__part").map_groups(per_part, batch_format="pandas"))
+    agg = lat.aggregate(Count(alias_name="n"),
+                        Min("lat_s", alias_name="min_s"),
+                        Max("lat_s", alias_name="max_s"),
+                        Sum("lat_s", alias_name="sum_s"))
+    n = int(agg["n"] or 0)
+    return pd.DataFrame({
+        "n_converted": [n],
+        "min_s": [int(agg["min_s"]) if n else 0],
+        "max_s": [int(agg["max_s"]) if n else 0],
+        "avg_s": [(2 * int(agg["sum_s"]) + n) // (2 * n) if n else 0],
+    }).astype("int64")
+
+
+SQL_CONVERSION_LATENCY = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+), lat AS (
+  SELECT CAST(floor(date_diff('microsecond', v.t1, p.t3) / 1000000)
+              AS BIGINT) AS lat_s
+  FROM p JOIN v ON p.user_id = v.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(lat_s) AS BIGINT) AS min_s,
+       CAST(max(lat_s) AS BIGINT) AS max_s,
+       CAST((2 * sum(lat_s) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_s
+FROM lat
+"""
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user event transition matrix (stages/windows.event_transitions):
     first-order Markov counts over (ts, event_id)-ordered sequences; one
@@ -8145,6 +8219,7 @@ QUERIES = {
     "q_user_sessions": q_user_sessions,
     "q_funnel": q_funnel,
     "q_event_transitions": q_event_transitions,
+    "q_conversion_latency": q_conversion_latency,
     "q_retention_cohorts": q_retention_cohorts,
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
@@ -8380,7 +8455,7 @@ _PRIORITY = [
     # tokenizers / packing
     "q_bpe_tokens", "q_pack_chunks",
     # sampling / mixing
-    "q_temperature_resample", "q_domain_cap",
+    "q_temperature_resample", "q_prepare_embeddings",
     "q_grouped_split",
     # sketches / stats
     "q_heavy_hitters", "q_profile_columns",
@@ -8413,6 +8488,7 @@ ORACLE_SQL = {
     "q_user_sessions": SQL_USER_SESSIONS,
     "q_funnel": SQL_FUNNEL,
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
+    "q_conversion_latency": SQL_CONVERSION_LATENCY,
     "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

@@ -152,3 +152,38 @@ class TestTransitions:
         assert outs[0].equals(outs[1])
         # every event except each user's last contributes one transition
         assert outs[0].n.sum() == 200 - 9
+
+
+class TestConversionLatency:
+    def test_hand_computed(self, ray_session):
+        import os
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import tempfile
+
+        from spiderray.pipelines.queries import q_conversion_latency
+
+        # write a tiny events parquet and point the query at it
+        t = _events([
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (1, "purchase", "2024-01-01 10:02:30"),   # 150 s
+            (2, "view", "2024-01-02 09:00:00"),
+            (2, "click", "2024-01-02 09:00:10"),
+            (2, "purchase", "2024-01-02 09:00:11"),   # 11 s
+            (3, "view", "2024-01-03 08:00:00"),       # never converts
+        ])
+        import pyarrow.parquet as pq
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                t.append_column("event_id",
+                                pa.array(range(len(t)), pa.int64())),
+                os.path.join(d, "events.parquet"))
+            out = q_conversion_latency(d)
+        assert out.n_converted.tolist() == [2]
+        assert out.min_s.tolist() == [11]
+        assert out.max_s.tolist() == [150]
+        # round-half-up mean of (150, 11) = 81 (80.5 rounds up)
+        assert out.avg_s.tolist() == [81]
