@@ -60,8 +60,17 @@ def pq_train(ds, m: int = 8, k: int = 16, iters: int = 5,
     import ray
 
     if init_ids is None:
-        ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col]
-                     .tolist())[:k]
+        # k smallest ids WITHOUT materializing the id column on the
+        # driver: per-block local k-smallest, k·n_blocks rows merged
+        def local_min(batch: pa.Table) -> pa.Table:
+            ids_ = np.sort(batch.column(id_col).to_numpy(
+                zero_copy_only=False))[:k]
+            return pa.table({id_col: pa.array(ids_)})
+
+        t = (ds.select_columns([id_col])
+             .map_batches(local_min, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+        ids = sorted(t[id_col].tolist())[:k]
     else:
         ids = sorted(init_ids)[:k]
     id_set = set(int(i) for i in ids)

@@ -2083,6 +2083,12 @@ def vocab_growth(ds, max_id: int, n_buckets: int = 10,
         df = pd.DataFrame({"term": flat.to_pandas(),
                            "first_doc": ids.astype(np.int64)})
         df = df[df.term != ""]
+        if df.empty:
+            # all-whitespace batch: an empty pandas object column would
+            # convert to Arrow NULL type and break block-schema
+            # unification with the string-typed blocks
+            return pa.table({"term": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
         g = df.groupby("term", as_index=False)["first_doc"].min()
         return pa.Table.from_pandas(g, preserve_index=False)
 

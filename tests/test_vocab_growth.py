@@ -80,3 +80,14 @@ class TestZipfRanks:
         assert outs[0].equals(outs[1])
         # equal counts -> term-ascending tie break
         assert outs[0].term.tolist() == ["w", "x", "y", "z"]
+
+
+def test_all_whitespace_batch_schema_stable(ray_session):
+    import ray.data as rd
+
+    # one block of only-whitespace docs must not emit a NULL-typed block
+    rows = [(i, "   ") for i in range(10)] + [(i, f"t{i}") for i in range(10, 20)]
+    t = _docs(rows)
+    ds = rd.from_arrow(t).repartition(4)
+    out = vocab_growth(ds, max_id=19, n_buckets=4)
+    assert out.new_terms.sum() == 10
