@@ -1163,3 +1163,54 @@ def tempo_stats(pcm: np.ndarray, sr: int,
     out["bpm"] = int(round(60.0 * fps / best_lag))
     out["tempo_conf_ppm"] = int(1_000_000 * best_r // r0) if r0 else 0
     return out
+
+
+# ---------------------------------------------------------------------------
+# Speaker-turn detection — adjacent-window spectral change
+# ---------------------------------------------------------------------------
+
+MIN_SPEAKER_TURNS = 2  # boundaries below this → single-voice clip
+
+
+def speaker_turn_stats(pcm: np.ndarray, sr: int,
+                       seg_frames: int = 16,
+                       max_frames: int = 4096) -> dict:
+    """Diarization-lite turn signals for one mono clip — the
+    conversation-vs-monologue router of a speech corpus (multi-speaker
+    clips need diarization before ASR training; monologues do not):
+    log-mel windows of ``seg_frames`` frames, adjacent-window euclidean
+    distances, a TURN counted at every local maximum above 2× the
+    median distance (a speaker change moves the whole spectral envelope;
+    syllabic modulation within one voice does not).  ``sep_ppm`` rides
+    along: the between/(between+within) share of a deterministic 2-means
+    split (init = first/last window) — supporting evidence, not the
+    decision (a single voice's syllable phases also split).  Silence
+    yields zero distances and zero turns.  Fixed float expression order,
+    integer outputs — partition-stable."""
+    out = {"n_windows": 0, "turn_count": 0, "sep_ppm": 0}
+    M = log_mel_spectrogram(pcm, sr, max_frames=max_frames)
+    if len(M) < 2 * seg_frames:
+        return out
+    n_win = len(M) // seg_frames
+    W = M[: n_win * seg_frames].reshape(n_win, seg_frames, -1).mean(axis=1)
+    out["n_windows"] = int(n_win)
+    d = np.sqrt(((W[1:] - W[:-1]) ** 2).sum(axis=1))
+    med = float(np.median(d))
+    thr = 2.0 * med
+    if len(d) >= 3:
+        peaks = (d[1:-1] > thr) & (d[1:-1] >= d[:-2]) & (d[1:-1] >= d[2:])
+        out["turn_count"] = int(peaks.sum())
+    c0, c1 = W[0].copy(), W[-1].copy()
+    d0 = ((W - c0) ** 2).sum(axis=1)
+    d1 = ((W - c1) ** 2).sum(axis=1)
+    for _ in range(5):
+        d0 = ((W - c0) ** 2).sum(axis=1)
+        d1 = ((W - c1) ** 2).sum(axis=1)
+        a = d1 < d0
+        if a.any() and (~a).any():
+            c1 = W[a].mean(axis=0)
+            c0 = W[~a].mean(axis=0)
+    within = float(np.minimum(d0, d1).mean())
+    between = float(((c0 - c1) ** 2).sum())
+    out["sep_ppm"] = int(1_000_000 * between / (between + within + 1e-12))
+    return out

@@ -5187,6 +5187,80 @@ def _dtmfmix_clips_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _turnmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for the speaker-turn router (shared with
+    the q_speaker_turns serial twin).  Per doc_id i at 16 kHz / 6 s,
+    stratum i%3: 0 = CONVERSATION (two synthetic voices with disjoint
+    formant pairs alternating 1 s turns — 5 boundaries), 1 = monologue
+    (one voice, syllabic envelope only), 2 = broadband noise; every 17th
+    row ships undecodable."""
+    from ..sources.clips import _NOISE
+
+    sr, n = 16000, 96000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, sr_col = [], [], [], []
+
+    def voice(f1, f2, length, syl, phase):
+        t = np.arange(length, dtype=np.float64) / sr
+        car = np.sin(2 * np.pi * f1 * t) + 0.6 * np.sin(2 * np.pi * f2 * t)
+        env = 0.3 + 0.7 * (0.5 + 0.5 * np.sin(
+            2 * np.pi * syl * t + phase)) ** 2
+        return 0.5 * car * env
+
+    for i in ids:
+        i = int(i)
+        cids.append(f"sp_{i:08d}")
+        sr_col.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 3
+        a = (280.0 + (i % 7) * 20.0, 2100.0 + (i % 5) * 60.0)
+        b = (520.0 + (i % 6) * 25.0, 1350.0 + (i % 4) * 70.0)
+        if k == 0:
+            segs = [voice(*(a if j % 2 == 0 else b), sr,
+                          3.0 + (i % 5) * 0.5, float(j))
+                    for j in range(6)]
+            wave = np.concatenate(segs)
+        elif k == 1:
+            wave = voice(*a, n, 3.0 + (i % 5) * 0.5, float(i % 7))
+        else:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            wave = 0.6 * _NOISE[off: off + n]
+        q = np.clip(wave * 32767.0, -32768, 32767)
+        bufs.append(q.astype("<i2").tobytes())
+    return pa.table({
+        "clip_id": pa.array(cids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+        "sr_hz": pa.array(sr_col, pa.int32()),
+    })
+
+
+def q_speaker_turns(sf_dir: str):
+    """Speaker-turn router (stages/audioquality.speaker_turn_stage):
+    actor-pool decode → adjacent log-mel window distances → turn count +
+    2-means separation (functions/audiofp.speaker_turn_stats) →
+    ``multi_speaker`` — the conversation-vs-monologue split that decides
+    which clips need diarization before ASR training.  Corpus plants
+    alternating-voice conversations beside monologue / noise /
+    undecodable strata; only conversations flag.  Oracle: serial decode
+    + same kernel per row (so_speaker_turns)."""
+    _ensure_fixture("q_speaker_turns", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import speaker_turn_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_turnmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = speaker_turn_stage(clips, PipelineConfig(), concurrency=4)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "n_windows", "turn_count", "sep_ppm",
+         "multi_speaker"])
+
+
 def q_dtmf_scan(sf_dir: str):
     """DTMF dialed-digit PII gate (stages/audioquality.dtmf_stage):
     actor-pool decode → vectorized Goertzel projection on the ITU-T Q.23
@@ -8313,6 +8387,7 @@ QUERIES = {
     "q_audio_bandwidth": q_audio_bandwidth,
     "q_music_detect": q_music_detect,
     "q_audio_tempo": q_audio_tempo,
+    "q_speaker_turns": q_speaker_turns,
     "q_fix_mojibake": q_fix_mojibake,
     "q_c4_filters": q_c4_filters,
     "q_halluc_loops": q_halluc_loops,

@@ -3646,6 +3646,42 @@ def so_audio_tempo(sf_dir: str) -> pa.Table:
     })
 
 
+def so_speaker_turns(sf_dir: str) -> pa.Table:
+    """Serial twin for q_speaker_turns: same corpus generator + decode +
+    turn kernel + flag logic per row, plain loop, no Ray."""
+    from ..functions.audiofp import MIN_SPEAKER_TURNS, speaker_turn_stats
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _turnmix_clips_batch
+
+    clips = _turnmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    keys = ("n_windows", "turn_count", "sep_ppm")
+    out = {k: [] for k in ("clip_id", "decode_ok", "multi_speaker")}
+    cols = {k: [] for k in keys}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(), clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            stats = speaker_turn_stats(_decode_one(buf or b"", codec or ""),
+                                       int(sr or 0))
+            ok = True
+        except DecodeUnsupported:
+            stats = dict.fromkeys(keys, 0)
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["multi_speaker"].append(
+            ok and stats["turn_count"] >= MIN_SPEAKER_TURNS)
+        for k in keys:
+            cols[k].append(stats[k])
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        **{k: pa.array(cols[k], pa.int64()) for k in keys},
+        "multi_speaker": pa.array(out["multi_speaker"], pa.bool_()),
+    })
+
+
 def so_audio_loops(sf_dir: str) -> pa.Table:
     """Serial twin for q_audio_loops: same corpus generator + decode +
     peak-track extraction, INDEPENDENT pure-Python lag scoring (list
@@ -3825,6 +3861,7 @@ SERIAL_ORACLES = {
     "q_audio_stitch": so_audio_stitch,
     "q_prepare_embeddings": so_prepare_embeddings,
     "q_audio_tempo": so_audio_tempo,
+    "q_speaker_turns": so_speaker_turns,
 }
 
 

@@ -417,11 +417,18 @@ def audio_stitch_pairs(ds, window_frames: int = 24, min_votes: int = 4,
     Determinism: integer votes/offsets; modal offset ties break to the
     smallest offset; output (id_a, id_b, votes, offset_frames) sorted
     by the caller.  Self-pairs excluded; offsets must be positive (b
-    continues a, not the reverse)."""
+    continues a, not the reverse).
+
+    Exchange shape: BOTH keyed steps run as hash-partition shuffles with
+    ALL of a partition's groups resolved in one vectorized pandas/numpy
+    pass — a per-hash map_groups paid Ray's per-group machinery on ~20
+    tiny groups per clip and ran 10× slower at sf0.1 (the sessionize
+    lesson, measured again here: 20 s → ~3 s)."""
     import pandas as pd
 
     from ..functions.audiofp import spectral_landmarks_timed
     from .multimodal import DecodeUnsupported, _decode_one
+    from .windows import _add_part
 
     def boundaries(batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(id_col).type
@@ -459,45 +466,70 @@ def audio_stitch_pairs(ds, window_frames: int = 24, min_votes: int = 4,
             "nf": pa.array(nfs, pa.int32()),
         })
 
-    def pair_hits(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL hash groups of one partition at once: sort both sides by
+        hash, align common hashes, expand every group's tails × heads
+        cartesian product with cumsum arithmetic — no per-group calls."""
         empty = pd.DataFrame({"id_a": np.array([], dtype=object),
                               "id_b": np.array([], dtype=object),
-                              "off": np.array([], dtype=np.int64),
-                              "nf_a": np.array([], dtype=np.int64)})
-        if len(g) > max_hash_group:
-            return empty
-        tails = g[g["side"] == 0]
-        heads = g[g["side"] == 1]
+                              "off": np.array([], dtype=np.int64)})
+        tails = g[g["side"] == 0].sort_values("h", kind="mergesort")
+        heads = g[g["side"] == 1].sort_values("h", kind="mergesort")
         if tails.empty or heads.empty:
             return empty
-        nt, nh = len(tails), len(heads)
-        ta = np.repeat(tails["t"].to_numpy(np.int64), nh)
-        ia = np.repeat(tails[id_col].to_numpy(), nh)
-        na = np.repeat(tails["nf"].to_numpy(np.int64), nh)
-        tb = np.tile(heads["t"].to_numpy(np.int64), nt)
-        ib = np.tile(heads[id_col].to_numpy(), nt)
+        th = tails["h"].to_numpy()
+        hh = heads["h"].to_numpy()
+        t_uniq, t_start, t_cnt = np.unique(th, return_index=True,
+                                           return_counts=True)
+        h_uniq, h_start, h_cnt = np.unique(hh, return_index=True,
+                                           return_counts=True)
+        common, ti, hi = np.intersect1d(t_uniq, h_uniq,
+                                        return_indices=True)
+        if not len(common):
+            return empty
+        nt, nh = t_cnt[ti], h_cnt[hi]
+        ok = (nt + nh) <= max_hash_group  # hot-hash cap, per hash
+        nt, nh = nt[ok], nh[ok]
+        ts0, hs0 = t_start[ti][ok], h_start[hi][ok]
+        ppg = nt * nh  # pairs per group
+        total = int(ppg.sum())
+        if total == 0:
+            return empty
+        pair_base = np.repeat(np.cumsum(ppg) - ppg, ppg)
+        pair_in_g = np.arange(total) - pair_base
+        nh_rep = np.repeat(nh, ppg)
+        t_idx = np.repeat(ts0, ppg) + pair_in_g // nh_rep
+        h_idx = np.repeat(hs0, ppg) + pair_in_g % nh_rep
+        ta = tails["t"].to_numpy(np.int64)[t_idx]
+        tb = heads["t"].to_numpy(np.int64)[h_idx]
+        ia = tails[id_col].to_numpy()[t_idx]
+        ib = heads[id_col].to_numpy()[h_idx]
         off = ta - tb
         keep = (off > 0) & (ia != ib)
         if not keep.any():
             return empty
         return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep],
-                             "off": off[keep], "nf_a": na[keep]})
+                             "off": off[keep]})
 
-    def vote(g: pd.DataFrame) -> pd.DataFrame:
-        c = (g.groupby("off").size().rename("votes").reset_index()
-             .sort_values(["votes", "off"], ascending=[False, True]))
-        v = int(c["votes"].iloc[0])
-        if v < min_votes:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "votes": np.array([], np.int64),
-                                 "offset_frames": np.array([], np.int64)})
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
-                             "id_b": [g["id_b"].iloc[0]],
-                             "votes": np.int64(v),
-                             "offset_frames": np.int64(c["off"].iloc[0])})
+    def vote_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL pairs of one partition at once: count (pair, off) votes,
+        keep each pair's (max votes, smallest offset) row, gate."""
+        c = (g.groupby(["id_a", "id_b", "off"], sort=False)
+             .size().rename("votes").reset_index())
+        c = c.sort_values(["id_a", "id_b", "votes", "off"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        c = c.drop_duplicates(["id_a", "id_b"], keep="first")
+        c = c[c["votes"] >= min_votes]
+        return pd.DataFrame({
+            "id_a": c["id_a"].to_numpy(),
+            "id_b": c["id_b"].to_numpy(),
+            "votes": c["votes"].to_numpy(np.int64),
+            "offset_frames": c["off"].to_numpy(np.int64)})
 
-    hits = (ds.map_batches(boundaries, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("h").map_groups(pair_hits, batch_format="pandas"))
-    return hits.groupby(["id_a", "id_b"]).map_groups(
-        vote, batch_format="pandas")
+    rows = ds.map_batches(boundaries, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cand = (_add_part(rows, "h", 32).groupby("__part")
+            .map_groups(pairs_in_part, batch_format="pandas"))
+    return (_add_part(cand, "id_a", 32).groupby("__part")
+            .map_groups(vote_part, batch_format="pandas"))

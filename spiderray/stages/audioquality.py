@@ -1530,3 +1530,68 @@ def tempo_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+_TURN_COLS = ("n_windows", "turn_count", "sep_ppm")
+
+
+class SpeakerTurnActor:
+    """Decode + speaker-turn columns and the ``multi_speaker`` flag
+    (kernel: functions/audiofp.speaker_turn_stats — adjacent log-mel
+    window distances; a turn is a local maximum above 2× the median).
+
+    The conversation-vs-monologue router: multi-speaker clips go to
+    diarization before ASR training, monologues skip it.  The flag
+    needs ≥ ``min_turns`` detected boundaries — one spurious spectral
+    jump (a door slam) is not a conversation.  Undecodable clips mark
+    ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 min_turns: int | None = None):
+        from ..functions.audiofp import MIN_SPEAKER_TURNS
+
+        self.cfg = cfg or PipelineConfig()
+        self.min_turns = (MIN_SPEAKER_TURNS if min_turns is None
+                          else min_turns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import speaker_turn_stats
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        srs = batch.column("sr_hz").to_pylist()
+        cols: dict[str, list] = {k: [] for k in _TURN_COLS}
+        ok, flag = [], []
+        for buf, codec, sr in zip(bufs, codecs, srs):
+            try:
+                stats = speaker_turn_stats(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok.append(True)
+            except DecodeUnsupported:
+                stats = {k: 0 for k in _TURN_COLS}
+                ok.append(False)
+            for k in _TURN_COLS:
+                cols[k].append(stats[k])
+            flag.append(ok[-1] and stats["turn_count"] >= self.min_turns)
+        batch = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        for k in _TURN_COLS:
+            batch = batch.append_column(k, pa.array(cols[k], pa.int64()))
+        return batch.append_column("multi_speaker",
+                                   pa.array(flag, pa.bool_()))
+
+
+def speaker_turn_stage(ds, cfg: PipelineConfig,
+                       concurrency: int | tuple[int, int] = 4,
+                       min_turns: int | None = None):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        SpeakerTurnActor,
+        fn_constructor_args=(cfg, min_turns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -2093,25 +2093,55 @@ def suffix_prefix_pairs(ds, k: int = 8, text_col: str = "text",
             "side": pa.array(sides, pa.int8()),
         })
 
-    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL boundary groups of one partition in one vectorized pass
+        (sort by boundary, align tails with heads, cumsum-expand each
+        group's cartesian product) — a per-boundary map_groups paid
+        Ray's per-group machinery on thousands of tiny groups and
+        dominated the operator's wall time at sf0.1."""
         empty = pd.DataFrame({
             "id_a": np.array([], dtype=g[id_col].dtype),
             "id_b": np.array([], dtype=g[id_col].dtype),
             "boundary": np.array([], dtype=object)})
-        if len(g) > max_key_group:
+        tails = g[g["side"] == 0].sort_values("boundary", kind="mergesort")
+        heads = g[g["side"] == 1].sort_values("boundary", kind="mergesort")
+        if tails.empty or heads.empty:
             return empty
-        tails = g[g["side"] == 0][id_col].to_numpy()
-        heads = g[g["side"] == 1][id_col].to_numpy()
-        if not len(tails) or not len(heads):
+        t_uniq, t_start, t_cnt = np.unique(tails["boundary"].to_numpy(),
+                                           return_index=True,
+                                           return_counts=True)
+        h_uniq, h_start, h_cnt = np.unique(heads["boundary"].to_numpy(),
+                                           return_index=True,
+                                           return_counts=True)
+        common, ti, hi = np.intersect1d(t_uniq, h_uniq,
+                                        return_indices=True)
+        if not len(common):
             return empty
-        A = np.repeat(tails, len(heads))
-        B = np.tile(heads, len(tails))
+        nt, nh = t_cnt[ti], h_cnt[hi]
+        ok = (nt + nh) <= max_key_group  # hot boilerplate boundaries
+        common, nt, nh = common[ok], nt[ok], nh[ok]
+        ts0, hs0 = t_start[ti][ok], h_start[hi][ok]
+        ppg = nt * nh
+        total = int(ppg.sum())
+        if total == 0:
+            return empty
+        pair_base = np.repeat(np.cumsum(ppg) - ppg, ppg)
+        pair_in_g = np.arange(total) - pair_base
+        nh_rep = np.repeat(nh, ppg)
+        t_idx = np.repeat(ts0, ppg) + pair_in_g // nh_rep
+        h_idx = np.repeat(hs0, ppg) + pair_in_g % nh_rep
+        A = tails[id_col].to_numpy()[t_idx]
+        B = heads[id_col].to_numpy()[h_idx]
+        bnd = np.repeat(common, ppg)
         keep = A != B
         if not keep.any():
             return empty
         return pd.DataFrame({"id_a": A[keep], "id_b": B[keep],
-                             "boundary": g["boundary"].iloc[0]})
+                             "boundary": bnd[keep]})
 
-    return (ds.map_batches(boundaries, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("boundary").map_groups(pair_up, batch_format="pandas"))
+    from .windows import _add_part
+
+    rows = ds.map_batches(boundaries, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return (_add_part(rows, "boundary", 32).groupby("__part")
+            .map_groups(pairs_in_part, batch_format="pandas"))
