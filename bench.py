@@ -177,6 +177,7 @@ def run_queries() -> dict[str, float]:
         ("q_prepare_embeddings", q.q_prepare_embeddings),
         ("q_audio_tempo", q.q_audio_tempo),
         ("q_conversion_latency", q.q_conversion_latency),
+        ("q_speaker_turns", q.q_speaker_turns),
     ]
     import ray.data
 

@@ -159,3 +159,45 @@ class TestTempo:
             assert r.bpm == planted[r.clip_id], r.clip_id
         assert not dec[dec.i % 4 != 0].has_beat.any()
         assert not out[~out.decode_ok].has_beat.any()
+
+
+class TestSpeakerTurns:
+    def test_alternating_voices_counted(self):
+        from spiderray.functions.audiofp import speaker_turn_stats
+
+        sr = 16000
+
+        def voice(f1, f2, length, phase=0.0):
+            t = np.arange(length, dtype=np.float64) / sr
+            car = np.sin(2 * np.pi * f1 * t) + 0.6 * np.sin(2 * np.pi * f2 * t)
+            env = 0.3 + 0.7 * (0.5 + 0.5 * np.sin(2 * np.pi * 4.0 * t + phase)) ** 2
+            return 0.5 * car * env
+
+        segs = [voice(300, 2200, sr) if j % 2 == 0 else voice(550, 1400, sr, 1.0)
+                for j in range(6)]
+        multi = np.concatenate(segs)
+        st = speaker_turn_stats(multi, sr)
+        assert st["turn_count"] == 5
+        single = voice(300, 2200, 6 * sr)
+        assert speaker_turn_stats(single, sr)["turn_count"] <= 1
+        assert speaker_turn_stats(np.zeros(6 * sr), sr)["turn_count"] == 0
+        assert speaker_turn_stats(np.zeros(100), sr)["n_windows"] == 0
+
+    def test_stage_strata(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _turnmix_clips_batch
+        from spiderray.stages.audioquality import speaker_turn_stage
+
+        docs = pa.table({"doc_id": pa.array(np.arange(90), pa.int64())})
+        clips = _turnmix_clips_batch(docs)
+        out = speaker_turn_stage(rd.from_arrow(clips), PipelineConfig(),
+                                 concurrency=2).to_pandas()
+        out["i"] = out.clip_id.str[3:].astype(int)
+        dec = out[out.decode_ok]
+        conv = dec[dec.i % 3 == 0]
+        assert conv.multi_speaker.all()
+        assert (conv.turn_count == 5).all()
+        assert not dec[dec.i % 3 != 0].multi_speaker.any()
+        assert not out[~out.decode_ok].multi_speaker.any()
