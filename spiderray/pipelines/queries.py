@@ -5189,14 +5189,14 @@ def _dtmfmix_clips_batch(batch: pa.Table) -> pa.Table:
 
 def _turnmix_clips_batch(batch: pa.Table) -> pa.Table:
     """Deterministic clip corpus for the speaker-turn router (shared with
-    the q_speaker_turns serial twin).  Per doc_id i at 16 kHz / 6 s,
+    the q_speaker_turns serial twin).  Per doc_id i at 16 kHz / 4 s,
     stratum i%3: 0 = CONVERSATION (two synthetic voices with disjoint
-    formant pairs alternating 1 s turns — 5 boundaries), 1 = monologue
+    formant pairs alternating 1 s turns — 3 boundaries), 1 = monologue
     (one voice, syllabic envelope only), 2 = broadband noise; every 17th
     row ships undecodable."""
     from ..sources.clips import _NOISE
 
-    sr, n = 16000, 96000
+    sr, n = 16000, 64000
     ids = batch.column("doc_id").to_numpy()
     cids, bufs, codecs, sr_col = [], [], [], []
 
@@ -5222,7 +5222,7 @@ def _turnmix_clips_batch(batch: pa.Table) -> pa.Table:
         if k == 0:
             segs = [voice(*(a if j % 2 == 0 else b), sr,
                           3.0 + (i % 5) * 0.5, float(j))
-                    for j in range(6)]
+                    for j in range(4)]
             wave = np.concatenate(segs)
         elif k == 1:
             wave = voice(*a, n, 3.0 + (i % 5) * 0.5, float(i % 7))

@@ -198,6 +198,6 @@ class TestSpeakerTurns:
         dec = out[out.decode_ok]
         conv = dec[dec.i % 3 == 0]
         assert conv.multi_speaker.all()
-        assert (conv.turn_count == 5).all()
+        assert (conv.turn_count == 3).all()
         assert not dec[dec.i % 3 != 0].multi_speaker.any()
         assert not out[~out.decode_ok].multi_speaker.any()
