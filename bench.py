@@ -178,6 +178,7 @@ def run_queries() -> dict[str, float]:
         ("q_audio_tempo", q.q_audio_tempo),
         ("q_conversion_latency", q.q_conversion_latency),
         ("q_speaker_turns", q.q_speaker_turns),
+        ("q_scene_cuts", q.q_scene_cuts),
     ]
     import ray.data
 

@@ -4562,6 +4562,61 @@ def q_video_frames(sf_dir: str):
     return out.select_columns(["clip_id", "frame_index", "decode_ok"])
 
 
+def _scenemix_video_rows(batch: pa.Table) -> pa.Table:
+    """Deterministic video corpus for the scene-cut detector (shared with
+    the q_scene_cuts serial twin): every 10th doc becomes a 12-frame
+    16x16 video, stratum (i//10)%3 — 0 = THREE SHOTS (base luma jumps of
+    ~80 levels at frames 4 and 8, ±2-level per-frame dither), 1 = slow
+    pan (+3 levels per frame, never a cut), 2 = static; containers
+    rotate RAWV / Y4M(444) / Y4M(mono); every 7th video truncates
+    mid-stream (decode_ok=False)."""
+    from ..stages.image import encode_rawv, encode_y4m
+
+    t = _mod_filter(batch, "doc_id", 10)
+    ids, bufs = [], []
+    for i in t.column("doc_id").to_numpy():
+        i = int(i)
+        v = i // 10
+        k = v % 3
+        frames = []
+        for f in range(12):
+            if k == 0:
+                base = (40, 120, 200)[f // 4]
+            elif k == 1:
+                base = 60 + 3 * f
+            else:
+                base = 128
+            val = (base + (i + f) % 5 - 2) % 256
+            frames.append(np.full((16, 16, 3), val, dtype=np.uint8))
+        c = v % 3
+        buf = (encode_rawv(frames) if c == 0 else
+               encode_y4m(frames, colorspace="444" if c == 1 else "mono"))
+        if v % 7 == 3:
+            buf = buf[: len(buf) * 2 // 3]
+        ids.append(f"sv_{i:08d}")
+        bufs.append(buf)
+    return pa.table({"clip_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(bufs, pa.binary())})
+
+
+def q_scene_cuts(sf_dir: str):
+    """Scene-cut detection (stages/image.scene_cut_stage): integer
+    adjacent-frame luma SAD with an absolute floor AND a relative
+    median guard (slow pans never fire) → n_cuts / first_cut_frame /
+    has_cuts — the shot segmenter ahead of per-scene sampling or
+    captioning.  Corpus plants three-shot / slow-pan / static strata
+    across RAWV and Y4M containers with a truncation stratum.  Oracle:
+    serial same-kernel twin (so_scene_cuts)."""
+    _ensure_fixture("q_scene_cuts", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.image import scene_cut_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    vids = ds.map_batches(_scenemix_video_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return scene_cut_stage(vids, PipelineConfig(), concurrency=4)
+
+
 def _synth_neardup_image_rows(batch: pa.Table) -> pa.Table:
     """Deterministic image corpus with planted near-duplicates (shared with
     the q_image_near_dup serial oracle).  Per doc:
@@ -8382,6 +8437,7 @@ QUERIES = {
     "q_adpcm_roundtrip": q_adpcm_roundtrip,
     "q_image_features": q_image_features,
     "q_video_frames": q_video_frames,
+    "q_scene_cuts": q_scene_cuts,
     "q_image_near_dup": q_image_near_dup,
     "q_prepare_image": q_prepare_image,
     "q_audio_bandwidth": q_audio_bandwidth,

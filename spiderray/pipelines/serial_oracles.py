@@ -3646,6 +3646,38 @@ def so_audio_tempo(sf_dir: str) -> pa.Table:
     })
 
 
+def so_scene_cuts(sf_dir: str) -> pa.Table:
+    """Serial twin for q_scene_cuts: same corpus generator + scene-cut
+    kernel + flag logic per row, plain loop, no Ray."""
+    from ..stages.image import ImageDecodeUnsupported, scene_cut_stats
+    from .queries import _scenemix_video_rows
+
+    vids = _scenemix_video_rows(_docs(sf_dir, ("doc_id",)))
+    keys = ("n_frames", "n_cuts", "first_cut_frame", "max_diff_milli")
+    out = {k: [] for k in ("clip_id", "decode_ok", "has_cuts")}
+    cols = {k: [] for k in keys}
+    for cid, buf in zip(vids.column("clip_id").to_pylist(),
+                        vids.column("bytes").to_pylist()):
+        try:
+            stats = scene_cut_stats(buf or b"")
+            ok = True
+        except ImageDecodeUnsupported:
+            stats = {"n_frames": 0, "n_cuts": 0, "first_cut_frame": -1,
+                     "max_diff_milli": 0}
+            ok = False
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["has_cuts"].append(ok and stats["n_cuts"] > 0)
+        for k in keys:
+            cols[k].append(stats[k])
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        **{k: pa.array(cols[k], pa.int64()) for k in keys},
+        "has_cuts": pa.array(out["has_cuts"], pa.bool_()),
+    })
+
+
 def so_speaker_turns(sf_dir: str) -> pa.Table:
     """Serial twin for q_speaker_turns: same corpus generator + decode +
     turn kernel + flag logic per row, plain loop, no Ray."""
@@ -3862,6 +3894,7 @@ SERIAL_ORACLES = {
     "q_prepare_embeddings": so_prepare_embeddings,
     "q_audio_tempo": so_audio_tempo,
     "q_speaker_turns": so_speaker_turns,
+    "q_scene_cuts": so_scene_cuts,
 }
 
 

@@ -755,3 +755,92 @@ def image_near_dup_pairs(ds, cfg: PipelineConfig | None = None,
     ).select_columns([cfg.id_col, "hash64"])
     return hamming64_pairs(decoded, id_col=cfg.id_col, hash_col="hash64",
                            max_hamming=max_hamming)
+
+
+def scene_cut_stats(buf: bytes, min_abs_milli: int = 30_000,
+                    rel_factor: int = 4) -> dict:
+    """Scene-cut signals for one video container — the shot segmenter a
+    video corpus pipeline runs before per-scene sampling/captioning: a
+    CUT is an adjacent-frame mean-absolute-luma jump exceeding BOTH an
+    absolute floor (``min_abs_milli`` milli-levels — compression breath
+    and dither sit far below 30 levels) and ``rel_factor``× the median
+    inter-frame difference (so slow pans with a high base motion level
+    do not fire on every frame).  Luma = integer mean of R+G+B; all
+    arithmetic exact integers (per-frame diff = 1000·SAD // n_pixels).
+    Returns n_frames, n_cuts, first_cut_frame (-1 when none),
+    max_diff_milli.  Raises ImageDecodeUnsupported for containers the
+    iterator rejects (callers mark, never crash)."""
+    prev = None
+    diffs: list[int] = []
+    n = 0
+    for ppm in _iter_video_frames(buf or b""):
+        rgb = decode_image(ppm, "ppm").astype(np.int64)
+        luma = rgb.sum(axis=2)  # 3x luma, integer — scale cancels in SAD
+        if prev is not None:
+            sad = int(np.abs(luma - prev).sum())
+            diffs.append(1000 * sad // (3 * luma.size))
+        prev = luma
+        n += 1
+    out = {"n_frames": n, "n_cuts": 0, "first_cut_frame": -1,
+           "max_diff_milli": 0}
+    if not diffs:
+        return out
+    med = int(np.median(np.asarray(diffs, dtype=np.int64)))
+    thr = max(min_abs_milli, rel_factor * med)
+    cuts = [i + 1 for i, d in enumerate(diffs) if d >= thr]
+    out["n_cuts"] = len(cuts)
+    out["first_cut_frame"] = cuts[0] if cuts else -1
+    out["max_diff_milli"] = max(diffs)
+    return out
+
+
+_SCENE_COLS = ("n_frames", "n_cuts", "first_cut_frame", "max_diff_milli")
+
+
+class SceneCutActor:
+    """Decode + scene-cut columns and the ``has_cuts`` flag (kernel:
+    scene_cut_stats) — flags multi-shot videos for per-scene processing;
+    single-shot clips skip the splitter.  Undecodable containers mark
+    ``decode_ok=False`` and never flag."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        ids = batch.column("clip_id")
+        ok, flag = [], []
+        cols: dict[str, list] = {k: [] for k in _SCENE_COLS}
+        for buf in bufs:
+            try:
+                stats = scene_cut_stats(buf or b"")
+                ok.append(True)
+            except ImageDecodeUnsupported:
+                stats = {"n_frames": 0, "n_cuts": 0,
+                         "first_cut_frame": -1, "max_diff_milli": 0}
+                ok.append(False)
+            for k in _SCENE_COLS:
+                cols[k].append(stats[k])
+            flag.append(ok[-1] and stats["n_cuts"] > 0)
+        out = pa.table({
+            "clip_id": ids,
+            "decode_ok": pa.array(ok, pa.bool_()),
+            **{k: pa.array(cols[k], pa.int64()) for k in _SCENE_COLS},
+            "has_cuts": pa.array(flag, pa.bool_()),
+        })
+        return out
+
+
+def scene_cut_stage(ds, cfg: PipelineConfig,
+                    concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        SceneCutActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 32, 32),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -489,3 +489,57 @@ class TestPngExtendedSubset:
 
         with pytest.raises(ImageDecodeUnsupported):
             decode_image(self._png(3, 1, 8, 3, b"\x00\x00\x01\x02"), "png")
+
+
+class TestSceneCuts:
+    def test_planted_cuts_and_guards(self):
+        import numpy as np
+
+        from spiderray.stages.image import (
+            encode_rawv,
+            scene_cut_stats,
+        )
+
+        def vid(bases, dither=0):
+            frames = []
+            for f, b in enumerate(bases):
+                val = (b + (f % 3 - 1) * dither) % 256
+                frames.append(np.full((8, 8, 3), val, dtype=np.uint8))
+            return encode_rawv(frames)
+
+        # two hard cuts
+        s = scene_cut_stats(vid([30] * 4 + [140] * 4 + [250] * 4))
+        assert s["n_cuts"] == 2 and s["first_cut_frame"] == 4
+        # slow pan: every diff equals the median -> relative guard holds
+        s = scene_cut_stats(vid(list(range(40, 40 + 12 * 3, 3))))
+        assert s["n_cuts"] == 0
+        # static with dither: below the absolute floor
+        s = scene_cut_stats(vid([128] * 12, dither=2))
+        assert s["n_cuts"] == 0
+        # single frame: no diffs at all
+        s = scene_cut_stats(vid([99]))
+        assert s["n_frames"] == 1 and s["n_cuts"] == 0
+
+    def test_stage_marks_truncated(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.stages.image import encode_rawv, scene_cut_stage
+
+        frames = [np.full((8, 8, 3), v, dtype=np.uint8)
+                  for v in (10, 10, 200, 200)]
+        good = encode_rawv(frames)
+        import pyarrow as pa
+
+        t = pa.table({
+            "clip_id": pa.array(["ok", "trunc"], pa.string()),
+            "bytes": pa.array([good, good[: len(good) // 2]], pa.binary()),
+        })
+        out = (scene_cut_stage(rd.from_arrow(t), PipelineConfig(),
+                               concurrency=1)
+               .to_pandas().set_index("clip_id"))
+        assert bool(out.loc["ok"].has_cuts)
+        assert int(out.loc["ok"].n_cuts) == 1
+        assert not bool(out.loc["trunc"].decode_ok)
+        assert not bool(out.loc["trunc"].has_cuts)
