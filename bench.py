@@ -179,6 +179,7 @@ def run_queries() -> dict[str, float]:
         ("q_conversion_latency", q.q_conversion_latency),
         ("q_speaker_turns", q.q_speaker_turns),
         ("q_scene_cuts", q.q_scene_cuts),
+        ("q_event_spikes", q.q_event_spikes),
     ]
     import ray.data
 

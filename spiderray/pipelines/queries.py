@@ -1116,6 +1116,32 @@ ORDER BY stage_idx
 """
 
 
+def q_event_spikes(sf_dir: str):
+    """Event-rate spike card (stages/stats.rate_spike_card): hourly
+    counts per event type flagged above 2× the type's lower-median
+    hourly rate — the bot-burst / replay-flood screen; integer-exact
+    lower median restates as DuckDB quantile_disc."""
+    from ..stages.stats import rate_spike_card
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return rate_spike_card(ds)
+
+
+SQL_EVENT_SPIKES = """
+WITH c AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, quantile_disc(n, 0.5) AS med FROM c GROUP BY 1
+)
+SELECT c.event_type, c.hour_b, c.n, (c.n > 2 * m.med) AS is_spike
+FROM c JOIN m ON c.event_type = m.event_type
+ORDER BY c.event_type, c.hour_b
+"""
+
+
 def q_conversion_latency(sf_dir: str):
     """Funnel conversion-latency card: for users completing view → click
     → purchase in order (the q_funnel chain), the view→purchase delay —
@@ -8349,6 +8375,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_event_transitions": q_event_transitions,
     "q_conversion_latency": q_conversion_latency,
+    "q_event_spikes": q_event_spikes,
     "q_retention_cohorts": q_retention_cohorts,
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
@@ -8620,6 +8647,7 @@ ORACLE_SQL = {
     "q_funnel": SQL_FUNNEL,
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_conversion_latency": SQL_CONVERSION_LATENCY,
+    "q_event_spikes": SQL_EVENT_SPIKES,
     "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

@@ -2117,3 +2117,52 @@ def vocab_growth(ds, max_id: int, n_buckets: int = 10,
     hist = hist.sort_values("bucket").reset_index(drop=True)
     hist["cum_vocab"] = hist["new_terms"].cumsum()
     return hist[["bucket", "new_terms", "cum_vocab"]].astype("int64")
+
+
+def rate_spike_card(ds, key_col: str = "event_type", ts_col: str = "ts",
+                    factor: int = 2):
+    """Event-rate spike card: hourly counts per key with a
+    ``is_spike`` flag when an hour's count exceeds ``factor`` × the
+    key's LOWER-MEDIAN hourly count — the traffic-anomaly screen (bot
+    bursts, replay floods, broken client retries) every event pipeline
+    keeps.  The lower median (sorted[(n−1)//2]) is integer-exact and
+    restates as DuckDB ``quantile_disc(n, 0.5)``, so the whole card is
+    literal SQL — no float quantile interpolation anywhere.
+
+    Shape: per-batch vectorized (key, hour) count partials → one
+    (keys × hours)-bounded groupby-Sum; the median/flag pass runs on
+    the driver over that bounded table.  Hour buckets travel as
+    'YYYY-MM-DD HH:00:00' STRINGS on both sides (the retention-cohort
+    dtype convention)."""
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "hour_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_pandas(),
+            "hour_b": batch.column(ts_col).to_pandas()
+            .dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+        })
+        g = df.groupby([key_col, "hour_b"], sort=False).size().rename(
+            "n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([key_col, "hour_b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    med = (counts.groupby(key_col)["n"]
+           .apply(lambda s: int(np.sort(s.to_numpy())[(len(s) - 1) // 2]))
+           .rename("med").reset_index())
+    out = counts.merge(med, on=key_col)
+    out["is_spike"] = out["n"] > factor * out["med"]
+    out = out.sort_values([key_col, "hour_b"]).reset_index(drop=True)
+    return out[[key_col, "hour_b", "n", "is_spike"]]

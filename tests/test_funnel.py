@@ -187,3 +187,41 @@ class TestConversionLatency:
         assert out.max_s.tolist() == [150]
         # round-half-up mean of (150, 11) = 81 (80.5 rounds up)
         assert out.avg_s.tolist() == [81]
+
+
+class TestRateSpikes:
+    def test_planted_burst_flagged(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import rate_spike_card
+
+        rows = []
+        # baseline: 2 clicks per hour over 9 hours; hour 5 bursts to 20
+        for h in range(9):
+            k = 20 if h == 5 else 2
+            for j in range(k):
+                rows.append((1, "click", f"2024-01-01 {h:02d}:{j % 60:02d}"))
+        # a steady type never flags
+        for h in range(9):
+            rows.append((2, "view", f"2024-01-01 {h:02d}:30"))
+        t = _events([(r[0], r[1], r[2]) for r in rows])
+        out = rate_spike_card(rd.from_arrow(t))
+        clicks = out[out.event_type == "click"]
+        assert clicks.is_spike.sum() == 1
+        assert clicks[clicks.is_spike].hour_b.iloc[0] == "2024-01-01 05:00:00"
+        assert not out[out.event_type == "view"].is_spike.any()
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.stats import rate_spike_card
+
+        rows = [(u % 3, "view",
+                 f"2024-01-{(u % 9) + 1:02d} {u % 24:02d}:00")
+                for u in range(300)]
+        t = _events(rows)
+        outs = []
+        for blocks in (1, 8):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(rate_spike_card(ds))
+        assert outs[0].equals(outs[1])
