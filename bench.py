@@ -180,6 +180,7 @@ def run_queries() -> dict[str, float]:
         ("q_speaker_turns", q.q_speaker_turns),
         ("q_scene_cuts", q.q_scene_cuts),
         ("q_event_spikes", q.q_event_spikes),
+        ("q_sq8_recall", q.q_sq8_recall),
     ]
     import ray.data
 

@@ -702,6 +702,20 @@ def q_pq_search(sf_dir: str):
     return pq_adc_topk(codes, C, _query_vec(sf_dir), topk=10)
 
 
+def q_sq8_recall(sf_dir: str):
+    """8-bit scalar-quantization QA card (stages/pq.sq8_recall_card):
+    per-dim min/max fit (one pass of exact float min/max partials),
+    elementwise uint8 encode, and top-10 recall of the dequantized store
+    vs the raw vectors under the milli-integer cosine — the drop-in
+    check before shipping a 4×-smaller int8 embedding store.  Oracle:
+    serial twin with independent per-row Python loops (so_sq8_recall)."""
+    _ensure_fixture("q_sq8_recall", sf_dir)
+    from ..stages.pq import sq8_recall_card
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sq8_recall_card(ds, _query_vec(sf_dir), k=10)
+
+
 def q_mutual_nn(sf_dir: str):
     """Mutual-nearest-neighbor pair mining (stages/ann.mutual_nn_pairs —
     the LASER/CCMatrix bitext shape, mutual top-1): embeddings split into
@@ -8498,6 +8512,7 @@ QUERIES = {
     "q_dtmf_scan": q_dtmf_scan,
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_pq_search": q_pq_search,
+    "q_sq8_recall": q_sq8_recall,
     "q_prepare_embeddings": q_prepare_embeddings,
     "q_mutual_nn": q_mutual_nn,
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,

@@ -3646,6 +3646,45 @@ def so_audio_tempo(sf_dir: str) -> pa.Table:
     })
 
 
+def so_sq8_recall(sf_dir: str) -> pa.Table:
+    """Serial twin for q_sq8_recall: INDEPENDENT per-row Python loops —
+    min/max fit, elementwise encode/dequant, math.isqrt milli-cosine
+    top-10 on both representations, overlap count."""
+    import math
+
+    ids, V = _embeddings(sf_dir)
+    lo = V.min(axis=0)
+    hi = V.max(axis=0)
+    span = hi - lo
+    span[span == 0] = 1.0
+    q = V[list(ids).index(0)]
+    qq = [int(np.floor(v * 1000.0 + 0.5)) for v in q]
+    qn = sum(x * x for x in qq)
+
+    def topk(M):
+        scored = []
+        for i, row in zip(ids, M):
+            rq = [int(np.floor(v * 1000.0 + 0.5)) for v in row]
+            n2 = sum(x * x for x in rq)
+            if n2 == 0:
+                cos = 0
+            else:
+                dot = sum(a * b for a, b in zip(rq, qq))
+                cos = (dot * 1_000_000) // math.isqrt(n2 * qn)
+            scored.append((-cos, int(i)))
+        scored.sort()
+        return {i for _, i in scored[:10]}
+
+    codes = np.clip(np.floor(255.0 * (V - lo) / span + 0.5), 0, 255)
+    D = lo + codes * span / 255.0
+    exact = topk(V)
+    approx = topk(D)
+    return pa.table({
+        "recall_at_k": pa.array([len(exact & approx)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+    })
+
+
 def so_scene_cuts(sf_dir: str) -> pa.Table:
     """Serial twin for q_scene_cuts: same corpus generator + scene-cut
     kernel + flag logic per row, plain loop, no Ray."""
@@ -3895,6 +3934,7 @@ SERIAL_ORACLES = {
     "q_audio_tempo": so_audio_tempo,
     "q_speaker_turns": so_speaker_turns,
     "q_scene_cuts": so_scene_cuts,
+    "q_sq8_recall": so_sq8_recall,
 }
 
 

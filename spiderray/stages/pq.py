@@ -199,3 +199,128 @@ def pq_adc_topk(ds_codes, codebooks: np.ndarray, query_vec,
     out = out.sort_values(["adc_dist", id_col]).head(topk)
     out["adc_dist"] = out["adc_dist"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def sq8_fit(ds, vec_col: str = "embedding") -> tuple:
+    """Per-dimension (min, max) over the corpus for 8-bit scalar
+    quantization — ONE pass of per-block float min/max partials (exact
+    and order-independent: min/max need no arithmetic).  Returns two
+    float64[d] arrays."""
+    def partial(batch: pa.Table) -> pa.Table:
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"lo": pa.array([V.min(axis=0).tolist()],
+                                        pa.list_(pa.float64())),
+                         "hi": pa.array([V.max(axis=0).tolist()],
+                                        pa.list_(pa.float64()))})
+
+    lo = hi = None
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_format="pyarrow"):
+        for lo_r, hi_r in zip(b.column("lo").to_pylist(),
+                              b.column("hi").to_pylist()):
+            lo_a = np.asarray(lo_r)
+            hi_a = np.asarray(hi_r)
+            lo = lo_a if lo is None else np.minimum(lo, lo_a)
+            hi = hi_a if hi is None else np.maximum(hi, hi_a)
+    if lo is None:
+        raise ValueError("sq8_fit: empty input")
+    return lo, hi
+
+
+def sq8_encode(ds, lo: np.ndarray, hi: np.ndarray,
+               vec_col: str = "embedding"):
+    """Append ``sq8_code`` (list<uint8>): round(255·(v−lo)/(hi−lo))
+    clamped — elementwise float with no reductions, so every engine
+    computes the identical code; constant dimensions (hi == lo) encode
+    to 0.  Model broadcast once; pure streamed map."""
+    import ray
+
+    span = np.asarray(hi, dtype=np.float64) - np.asarray(lo, dtype=np.float64)
+    span[span == 0] = 1.0
+    m_ref = ray.put((np.asarray(lo, dtype=np.float64), span))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lo_b, span_b = ray.get(m_ref)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return batch.append_column(
+                "sq8_code", pa.array([], pa.list_(pa.uint8())))
+        codes = np.clip(np.floor(255.0 * (V - lo_b) / span_b + 0.5),
+                        0, 255).astype(np.uint8)
+        return batch.append_column(
+            "sq8_code", pa.array(codes.tolist(), pa.list_(pa.uint8())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sq8_recall_card(ds, query_vec, k: int = 10,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """8-bit quantization QA card: exact top-``k`` by milli-integer
+    cosine on the RAW vectors vs top-k on the DEQUANTIZED codes
+    (lo + code·span/255), reporting the overlap — the drop-in check
+    before swapping a float32 store for int8 (4× smaller).  One fit
+    pass, one streamed scoring pass emitting per-block local top-k for
+    BOTH representations; the driver merges 2·k·n_blocks rows.
+    Returns a one-row frame (recall_at_k, k)."""
+    import math
+
+    import ray
+
+    lo, hi = sq8_fit(ds, vec_col)
+    span = hi - lo
+    span[span == 0] = 1.0
+    q = np.asarray(query_vec, dtype=np.float64)
+    qq = np.floor(q * 1000.0 + 0.5).astype(np.int64)
+    qn = int((qq * qq).sum())
+    m_ref = ray.put((lo, span, qq, qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lo_b, span_b, qq_b, qn_b = ray.get(m_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pa.table({"side": pa.array([], pa.int8()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos_ppm": pa.array([], pa.int64())})
+        codes = np.clip(np.floor(255.0 * (V - lo_b) / span_b + 0.5),
+                        0, 255)
+        D = lo_b + codes * span_b / 255.0
+        out_side, out_id, out_cos = [], [], []
+        for side, M in ((0, V), (1, D)):
+            Mq = np.floor(M * 1000.0 + 0.5).astype(np.int64)
+            dots = Mq @ qq_b
+            n2 = (Mq * Mq).sum(axis=1)
+            prod = n2.astype(np.float64) * float(qn_b)
+            r = np.sqrt(prod).astype(np.int64)
+            P = n2 * qn_b
+            r = np.where((r + 1) * (r + 1) <= P, r + 1, r)
+            r = np.where(r * r > P, r - 1, r)
+            r = np.maximum(r, 1)
+            cos = (dots * 1_000_000) // r
+            cos[n2 == 0] = 0
+            order = np.lexsort((ids, -cos))[:k]
+            out_side.extend([side] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(cos[order].tolist())
+        return pa.table({"side": pa.array(out_side, pa.int8()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cos_ppm": pa.array(out_cos, pa.int64())})
+
+    import pandas as pd
+
+    rows = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    tops = {}
+    for side in (0, 1):
+        s = rows[rows["side"] == side].sort_values(
+            ["cos_ppm", id_col], ascending=[False, True]).head(k)
+        tops[side] = set(s[id_col].tolist())
+    return pd.DataFrame({
+        "recall_at_k": [np.int64(len(tops[0] & tops[1]))],
+        "k": [np.int64(k)],
+    }).astype("int64")

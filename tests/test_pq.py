@@ -88,3 +88,45 @@ class TestPqEncodeSearch:
         out = pq_adc_topk(codes.select_columns(["vec_id", "pq_code"]),
                           C, q, topk=1)
         assert out.adc_dist.tolist() == [0]
+
+
+class TestSq8:
+    def test_roundtrip_error_bounded_and_recall(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.pq import sq8_encode, sq8_fit, sq8_recall_card
+
+        V, _ = _clustered(n=150, centers=3, d=8)
+        t = _tbl(V)
+        ds = rd.from_arrow(t)
+        lo, hi = sq8_fit(ds)
+        assert np.allclose(lo, V.min(axis=0)) and np.allclose(hi, V.max(axis=0))
+        enc = sq8_encode(ds, lo, hi).to_pandas().sort_values("vec_id")
+        codes = np.array(enc.sq8_code.tolist(), dtype=np.float64)
+        span = hi - lo
+        span[span == 0] = 1.0
+        D = lo + codes * span / 255.0
+        Vs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        # max dequantization error is half a quantization step
+        assert (np.abs(D - Vs) <= span / 255.0 * 0.5 + 1e-9).all()
+        card = sq8_recall_card(ds, Vs[0], k=10)
+        assert card.k.tolist() == [10]
+        assert card.recall_at_k.iloc[0] >= 9  # int8 barely moves top-10
+
+    def test_fit_partition_invariant_and_empty(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from spiderray.stages.pq import sq8_fit
+
+        V, _ = _clustered(n=80, d=8)
+        t = _tbl(V)
+        fits = []
+        for blocks in (1, 5):
+            lo, hi = sq8_fit(rd.from_arrow(t).repartition(blocks))
+            fits.append((lo, hi))
+        assert np.array_equal(fits[0][0], fits[1][0])
+        assert np.array_equal(fits[0][1], fits[1][1])
+        empty = _tbl(np.zeros((0, 4)))
+        with _pytest.raises(ValueError, match="empty input"):
+            sq8_fit(rd.from_arrow(empty))
