@@ -181,6 +181,7 @@ def run_queries() -> dict[str, float]:
         ("q_scene_cuts", q.q_scene_cuts),
         ("q_event_spikes", q.q_event_spikes),
         ("q_sq8_recall", q.q_sq8_recall),
+        ("q_matryoshka_recall", q.q_matryoshka_recall),
     ]
     import ray.data
 

@@ -716,6 +716,21 @@ def q_sq8_recall(sf_dir: str):
     return sq8_recall_card(ds, _query_vec(sf_dir), k=10)
 
 
+def q_matryoshka_recall(sf_dir: str):
+    """Matryoshka truncation QA card (stages/pq.matryoshka_recall_card,
+    Kusupati et al. 2022): top-10 recall ranking by only the first
+    8 / 16 / 32 dims vs the full 64-dim milli-integer-cosine ground
+    truth — the check before serving truncated embedding prefixes.
+    Oracle: serial twin with independent per-row Python prefix cosines
+    (so_matryoshka_recall)."""
+    _ensure_fixture("q_matryoshka_recall", sf_dir)
+    from ..stages.pq import matryoshka_recall_card
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return matryoshka_recall_card(ds, _query_vec(sf_dir),
+                                  dims=(8, 16, 32), k=10)
+
+
 def q_mutual_nn(sf_dir: str):
     """Mutual-nearest-neighbor pair mining (stages/ann.mutual_nn_pairs —
     the LASER/CCMatrix bitext shape, mutual top-1): embeddings split into
@@ -8513,6 +8528,7 @@ QUERIES = {
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_pq_search": q_pq_search,
     "q_sq8_recall": q_sq8_recall,
+    "q_matryoshka_recall": q_matryoshka_recall,
     "q_prepare_embeddings": q_prepare_embeddings,
     "q_mutual_nn": q_mutual_nn,
     "q_paragraph_dedup_bloom": q_paragraph_dedup_bloom,

@@ -3685,6 +3685,41 @@ def so_sq8_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def so_matryoshka_recall(sf_dir: str) -> pa.Table:
+    """Serial twin for q_matryoshka_recall: independent per-row Python
+    prefix cosines (math.isqrt), full-dim ground truth, overlap."""
+    import math
+
+    ids, V = _embeddings(sf_dir)
+    q = V[list(ids).index(0)]
+    d = V.shape[1]
+
+    def topk(p):
+        qp = [int(np.floor(v * 1000.0 + 0.5)) for v in q[:p]]
+        qn = sum(x * x for x in qp)
+        scored = []
+        for i, row in zip(ids, V):
+            rq = [int(np.floor(v * 1000.0 + 0.5)) for v in row[:p]]
+            n2 = sum(x * x for x in rq)
+            if n2 == 0 or qn == 0:
+                cos = 0
+            else:
+                dot = sum(a * b for a, b in zip(rq, qp))
+                cos = (dot * 1_000_000) // math.isqrt(n2 * qn)
+            scored.append((-cos, int(i)))
+        scored.sort()
+        return {i for _, i in scored[:10]}
+
+    full = topk(d)
+    dims = [8, 16, 32]
+    return pa.table({
+        "dims": pa.array(dims, pa.int64()),
+        "recall_at_k": pa.array([len(topk(p) & full) for p in dims],
+                                pa.int64()),
+        "k": pa.array([10] * len(dims), pa.int64()),
+    })
+
+
 def so_scene_cuts(sf_dir: str) -> pa.Table:
     """Serial twin for q_scene_cuts: same corpus generator + scene-cut
     kernel + flag logic per row, plain loop, no Ray."""
@@ -3935,6 +3970,7 @@ SERIAL_ORACLES = {
     "q_speaker_turns": so_speaker_turns,
     "q_scene_cuts": so_scene_cuts,
     "q_sq8_recall": so_sq8_recall,
+    "q_matryoshka_recall": so_matryoshka_recall,
 }
 
 

@@ -324,3 +324,76 @@ def sq8_recall_card(ds, query_vec, k: int = 10,
         "recall_at_k": [np.int64(len(tops[0] & tops[1]))],
         "k": [np.int64(k)],
     }).astype("int64")
+
+
+def matryoshka_recall_card(ds, query_vec, dims: tuple = (8, 16, 32),
+                           k: int = 10, vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Matryoshka truncation QA card (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): top-``k`` recall when ranking by only the
+    first ``p`` dimensions, for each p in ``dims``, against the
+    full-dimension milli-integer-cosine ground truth — the check before
+    serving truncated prefixes of an embedding store (MRL-trained models
+    degrade gracefully; arbitrary embeddings often do not, and this card
+    is how you find out).  One streamed pass scores every prefix AND the
+    full vector per block (local top-k each, (len(dims)+1)·k·n_blocks
+    driver rows).  Returns (dims, recall_at_k, k) rows sorted by dims."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qq = np.floor(q * 1000.0 + 0.5).astype(np.int64)
+    m_ref = ray.put(qq)
+    # the full dimension joins the scored set exactly once, even when a
+    # caller also requests it as a prefix (p == d would otherwise emit
+    # duplicate rows and halve its own recall)
+    req = tuple(sorted(set(int(p) for p in dims)))
+    all_dims = tuple(sorted(set(req) | {len(q)}))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qq_b = ray.get(m_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        V = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pa.table({"p": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos_ppm": pa.array([], pa.int64())})
+        Vq = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+        out_p, out_id, out_cos = [], [], []
+        for p in all_dims:
+            Mq = Vq[:, :p]
+            qp = qq_b[:p]
+            qn = int((qp * qp).sum())
+            dots = Mq @ qp
+            n2 = (Mq * Mq).sum(axis=1)
+            prod = n2.astype(np.float64) * float(qn)
+            r = np.sqrt(prod).astype(np.int64)
+            P = n2 * qn
+            r = np.where((r + 1) * (r + 1) <= P, r + 1, r)
+            r = np.where(r * r > P, r - 1, r)
+            r = np.maximum(r, 1)
+            cos = (dots * 1_000_000) // r
+            cos[(n2 == 0)] = 0
+            if qn == 0:
+                cos[:] = 0
+            order = np.lexsort((ids, -cos))[:k]
+            out_p.extend([p] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(cos[order].tolist())
+        return pa.table({"p": pa.array(out_p, pa.int32()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cos_ppm": pa.array(out_cos, pa.int64())})
+
+    rows = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    tops = {}
+    for p in all_dims:
+        s = rows[rows["p"] == p].sort_values(
+            ["cos_ppm", id_col], ascending=[False, True]).head(k)
+        tops[p] = set(s[id_col].tolist())
+    full = tops[len(q)]
+    return pd.DataFrame({
+        "dims": np.asarray(req, dtype=np.int64),
+        "recall_at_k": np.asarray(
+            [len(tops[p] & full) for p in req], dtype=np.int64),
+        "k": np.int64(k),
+    }).astype("int64")

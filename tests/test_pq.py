@@ -130,3 +130,35 @@ class TestSq8:
         empty = _tbl(np.zeros((0, 4)))
         with _pytest.raises(ValueError, match="empty input"):
             sq8_fit(rd.from_arrow(empty))
+
+
+class TestMatryoshka:
+    def test_monotone_ish_and_exact_full(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.pq import matryoshka_recall_card
+
+        rng = np.random.RandomState(8)
+        # energy concentrated in the leading dims: prefixes rank well
+        V = rng.randn(200, 16) * np.linspace(3.0, 0.1, 16)[None, :]
+        t = _tbl(V)
+        out = matryoshka_recall_card(rd.from_arrow(t), V[0],
+                                     dims=(4, 8, 16), k=10)
+        assert out.dims.tolist() == [4, 8, 16]
+        # ranking by ALL dims IS the ground truth -> recall 10
+        assert out.recall_at_k.tolist()[-1] == 10
+        assert (out.recall_at_k >= 5).all()
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.stages.pq import matryoshka_recall_card
+
+        rng = np.random.RandomState(3)
+        V = rng.randn(120, 8)
+        t = _tbl(V)
+        outs = []
+        for blocks in (1, 6):
+            ds = rd.from_arrow(t).repartition(blocks)
+            outs.append(matryoshka_recall_card(ds, V[1], dims=(2, 4), k=5))
+        assert outs[0].equals(outs[1])
