@@ -182,6 +182,7 @@ def run_queries() -> dict[str, float]:
         ("q_event_spikes", q.q_event_spikes),
         ("q_sq8_recall", q.q_sq8_recall),
         ("q_matryoshka_recall", q.q_matryoshka_recall),
+        ("q_boilerplate_strip", q.q_boilerplate_strip),
     ]
     import ray.data
 

@@ -6624,6 +6624,95 @@ def q_line_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "text", "n_lines", "n_dropped"])
 
 
+def _boilermix_batch(batch: pa.Table) -> pa.Table:
+    """Derived corpus for cross-doc boilerplate stripping (restated
+    literally in the SQL oracle): every doc gains its source's NAV
+    header and FOOTER line (100% frequency → stripped), every 2nd doc a
+    PROMO line (~50% → stripped), every 11th a RARE line (~9% → kept);
+    the original text rides in the middle as the content line."""
+    ids = batch.column("doc_id").to_pylist()
+    srcs = batch.column("source").to_pylist()
+    txts = batch.column("text").to_pylist()
+    out = []
+    for i, src, txt in zip(ids, srcs, txts):
+        i = int(i)
+        parts = [f"NAV home about {src}"]
+        if i % 2 == 0:
+            parts.append(f"PROMO buy now {src}")
+        parts.append(txt or "")
+        if i % 11 == 0:
+            parts.append(f"RARE {i % 7}")
+        parts.append(f"FOOTER (c) {src}")
+        out.append("\n".join(parts))
+    return pa.table({
+        "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(out, pa.string()),
+    })
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """Cross-doc boilerplate-line removal (stages/c4.boilerplate_strip —
+    the jusText/CCNet per-source frequency rule between
+    line_dedup_within_doc and paragraph_dedup): lines in ≥30% of a
+    source's docs are chrome and get stripped everywhere; one
+    (source, line) doc-frequency exchange, boilerplate set broadcast
+    under a loud cap, streamed strip.  Corpus plants NAV/FOOTER (100%),
+    PROMO (~50%) and RARE (~9%) lines; the oracle restates BOTH the
+    derivation and the frequency strip as literal SQL."""
+    from ..stages.c4 import boilerplate_strip
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pages = ds.map_batches(_boilermix_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = boilerplate_strip(pages).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH derived AS (
+  SELECT doc_id, source,
+         'NAV home about ' || source || chr(10) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'PROMO buy now ' || source || chr(10) ELSE '' END ||
+         coalesce(text, '') || chr(10) ||
+         CASE WHEN doc_id % 11 = 0
+              THEN 'RARE ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+              ELSE '' END ||
+         'FOOTER (c) ' || source AS t2
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(t2, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(t2, chr(10))))) AS pos
+  FROM derived
+), dl AS (
+  SELECT DISTINCT doc_id, source, line FROM lines WHERE line <> ''
+), lf AS (
+  SELECT source, line, CAST(count(*) AS BIGINT) AS n
+  FROM dl GROUP BY source, line
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nd FROM derived
+  GROUP BY source
+), boiler AS (
+  SELECT lf.source, lf.line FROM lf
+  JOIN tot ON lf.source = tot.source
+  WHERE tot.nd >= 5 AND lf.n * 1000000 >= 300000 * tot.nd
+), marked AS (
+  SELECT l.doc_id, l.line, l.pos,
+         (l.line = '' OR b.line IS NULL) AS keep
+  FROM lines l
+  LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_stripped
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_LINE_DEDUP = """
 WITH injected AS (
   SELECT doc_id,
@@ -8454,6 +8543,7 @@ QUERIES = {
     "q_canary_scan": q_canary_scan,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_line_dedup": q_line_dedup,
+    "q_boilerplate_strip": q_boilerplate_strip,
     "q_audio_compress": q_audio_compress,
     "q_utterance_pack": q_utterance_pack,
     "q_flac_transcode": q_flac_transcode,
@@ -8757,6 +8847,7 @@ ORACLE_SQL = {
     "q_readability": SQL_READABILITY,
     "q_canary_scan": SQL_CANARY_SCAN,
     "q_line_dedup": SQL_LINE_DEDUP,
+    "q_boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "q_audio_report": SQL_AUDIO_REPORT,
     "q_corpus_diff": SQL_CORPUS_DIFF,

@@ -326,3 +326,103 @@ def line_dedup_within_doc(ds, text_col: str = "text"):
                                    pa.array(n_drop, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def boilerplate_strip(ds, min_frac_ppm: int = 300_000, min_docs: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source",
+                      max_boiler_lines: int = 5_000_000):
+    """Cross-document boilerplate-line removal per source — the
+    jusText/CCNet rule that line_dedup_within_doc (per page) and
+    paragraph_dedup (global content) bracket: a line appearing in ≥
+    ``min_frac_ppm`` of a SOURCE's documents is navigation / footer /
+    cookie-banner chrome, not content, and is stripped from every doc
+    of that source (sources with < ``min_docs`` docs are exempt — no
+    frequency evidence).  Empty lines always survive.
+
+    Shape: one (source, line)-keyed doc-frequency exchange (per-batch
+    partials count each line ONCE per doc), one #sources-bounded doc
+    total, then ONLY the qualifying boilerplate lines land on the
+    driver under a LOUD cap (boilerplate sets are chrome-sized by
+    definition) and broadcast once; the strip is a pure streamed map.
+    Integer ppm threshold (n·1e6 ≥ ppm·total) — SQL-restatable.
+    Output: (id, text, n_lines, n_stripped)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def line_partials(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        doc_counts: dict = {}
+        for src, txt in zip(batch.column(source_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            doc_counts[src] = doc_counts.get(src, 0) + 1
+            for line in set((txt or "").split("\n")):
+                if line:
+                    key = (src, line)
+                    counts[key] = counts.get(key, 0) + 1
+        srcs = [k[0] for k in counts] + list(doc_counts)
+        lines = [k[1] for k in counts] + [""] * len(doc_counts)
+        ns = list(counts.values()) + [0] * len(doc_counts)
+        nd = [0] * len(counts) + list(doc_counts.values())
+        return pa.table({source_col: pa.array(srcs, pa.string()),
+                         "line": pa.array(lines, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "nd": pa.array(nd, pa.int64())})
+
+    agg = (ds.map_batches(line_partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby([source_col, "line"])
+           .aggregate(Sum("n", alias_name="n"), Sum("nd", alias_name="nd"))
+           # scanned twice below (totals first, then the threshold);
+           # materialize so the counting pass runs once — the table is
+           # distinct-(source, line)-sized in the object store, never
+           # concentrated on the driver
+           .materialize())
+
+    totals: dict = {}
+    boiler: set = set()
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for src, line, nd in zip(b.column(source_col).to_pylist(),
+                                 b.column("line").to_pylist(),
+                                 b.column("nd").to_pylist()):
+            if line == "":
+                totals[src] = totals.get(src, 0) + int(nd)
+    # second scan of the SAME aggregate for the threshold (the aggregate
+    # is materialized by its execution; totals must be complete first)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for src, line, n in zip(b.column(source_col).to_pylist(),
+                                b.column("line").to_pylist(),
+                                b.column("n").to_pylist()):
+            if line == "":
+                continue
+            t = totals.get(src, 0)
+            if t >= min_docs and int(n) * 1_000_000 >= min_frac_ppm * t:
+                boiler.add((src, line))
+                if len(boiler) > max_boiler_lines:
+                    raise ValueError(
+                        f"boilerplate set exceeds {max_boiler_lines}; "
+                        f"raise min_frac_ppm")
+    b_ref = ray.put(boiler)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        bset = ray.get(b_ref)
+        ids = batch.column(id_col)
+        out_t, out_n, out_s = [], [], []
+        for src, txt in zip(batch.column(source_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            lines = (txt or "").split("\n")
+            kept = [ln for ln in lines
+                    if ln == "" or (src, ln) not in bset]
+            out_t.append("\n".join(kept))
+            out_n.append(len(lines))
+            out_s.append(len(lines) - len(kept))
+        return pa.table({
+            id_col: ids,
+            text_col: pa.array(out_t, pa.string()),
+            "n_lines": pa.array(out_n, pa.int64()),
+            "n_stripped": pa.array(out_s, pa.int64()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          zero_copy_batch=True)
