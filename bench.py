@@ -183,6 +183,7 @@ def run_queries() -> dict[str, float]:
         ("q_sq8_recall", q.q_sq8_recall),
         ("q_matryoshka_recall", q.q_matryoshka_recall),
         ("q_boilerplate_strip", q.q_boilerplate_strip),
+        ("q_grouped_sample", q.q_grouped_sample),
     ]
     import ray.data
 

@@ -1145,6 +1145,31 @@ ORDER BY stage_idx
 """
 
 
+def q_grouped_sample(sf_dir: str):
+    """Per-source exact-3 deterministic sample (stages/stats.
+    grouped_bottomk_sample): every source keeps its 3 smallest-md5 docs
+    — the per-domain review draw a global sample starves small sources
+    of; literal row_number-over-md5 SQL."""
+    from ..stages.stats import grouped_bottomk_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    df = grouped_bottomk_sample(ds, "source", k=3).to_pandas()
+    return (df.sort_values(["source", "rank_hex"])
+            .reset_index(drop=True)[["source", "doc_id", "rank_hex"]])
+
+
+SQL_GROUPED_SAMPLE = """
+WITH ranked AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hex,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rank_hex FROM ranked WHERE rk <= 3
+ORDER BY source, rank_hex
+"""
+
+
 def q_event_spikes(sf_dir: str):
     """Event-rate spike card (stages/stats.rate_spike_card): hourly
     counts per event type flagged above 2× the type's lower-median
@@ -8494,6 +8519,7 @@ QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_conversion_latency": q_conversion_latency,
     "q_event_spikes": q_event_spikes,
+    "q_grouped_sample": q_grouped_sample,
     "q_retention_cohorts": q_retention_cohorts,
     "q_semi_join_lineitems": q_semi_join_lineitems,
     "q_anti_join_customers": q_anti_join_customers,
@@ -8769,6 +8795,7 @@ ORACLE_SQL = {
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_conversion_latency": SQL_CONVERSION_LATENCY,
     "q_event_spikes": SQL_EVENT_SPIKES,
+    "q_grouped_sample": SQL_GROUPED_SAMPLE,
     "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "q_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,

@@ -2166,3 +2166,44 @@ def rate_spike_card(ds, key_col: str = "event_type", ts_col: str = "ts",
     out["is_spike"] = out["n"] > factor * out["med"]
     out = out.sort_values([key_col, "hour_b"]).reset_index(drop=True)
     return out[[key_col, "hour_b", "n", "is_spike"]]
+
+
+def grouped_bottomk_sample(ds, group_col: str, k: int,
+                           id_col: str = "doc_id", salt: str = ""):
+    """Per-GROUP exact-k deterministic sample — bottomk_sample's grouped
+    sibling: every group keeps its k smallest md5('<salt>:<id>') rows,
+    the per-domain human-review / eval-slice draw that a global sample
+    starves small groups of.  Same delimited key convention; per-batch
+    LOCAL per-group bottom-k (only k rows per group per batch survive)
+    then one keyed exchange with a vectorized per-partition head —
+    same combiner shape as top_k_per_group.  Returns the sampled rows
+    plus ``rank_hex``; deterministic across runs and partitionings, so
+    the SQL restatement (row_number over md5 order) is literal."""
+    import hashlib
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("rank_hex",
+                                       pa.array([], pa.string()))
+        ids = batch.column(id_col).to_pylist()
+        pre = f"{salt}:" if salt else ""
+        ranks = [hashlib.md5(f"{pre}{i}".encode()).hexdigest() for i in ids]
+        batch = batch.append_column("rank_hex", pa.array(ranks, pa.string()))
+        df = batch.to_pandas()
+        df = (df.sort_values([group_col, "rank_hex"], kind="mergesort")
+              .groupby(group_col, sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def head_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "rank_hex"], kind="mergesort")
+        return g.groupby(group_col, sort=False).head(k).drop(
+            columns="__part")
+
+    from .windows import _add_part
+
+    local = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return (_add_part(local, group_col, 32).groupby("__part")
+            .map_groups(head_part, batch_format="pandas"))

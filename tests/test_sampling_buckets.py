@@ -114,3 +114,48 @@ class TestWeightedSample:
         t = pa.table({"doc_id": [1, 2, 3, 4], "w": [0, -1, 5, 2]})
         out = weighted_sample(rd.from_arrow(t), 10, "w").to_pandas()
         assert sorted(out["doc_id"]) == [3, 4]
+
+
+class TestGroupedBottomk:
+    def test_exact_k_per_group_and_determinism(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_bottomk_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(100)],
+                               pa.string()),
+        })
+        outs = []
+        for blocks in (1, 7):
+            ds = rd.from_arrow(t).repartition(blocks)
+            df = (grouped_bottomk_sample(ds, "source", k=5).to_pandas()
+                  .sort_values(["source", "rank_hex"])
+                  .reset_index(drop=True))
+            outs.append(df)
+        assert outs[0].equals(outs[1])
+        assert (outs[0].groupby("source").size() == 5).all()
+        # matches the serial md5 ranking exactly
+        import hashlib
+        for src in ("s0", "s1"):
+            ids = [i for i in range(100) if f"s{i % 4}" == src]
+            exp = sorted(ids, key=lambda i: hashlib.md5(
+                str(i).encode()).hexdigest())[:5]
+            got = outs[0][outs[0].source == src].doc_id.tolist()
+            assert sorted(got) == sorted(exp)
+
+    def test_small_group_keeps_all(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from spiderray.stages.stats import grouped_bottomk_sample
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 50], pa.int64()),
+            "source": pa.array(["a", "a", "b"], pa.string()),
+        })
+        out = grouped_bottomk_sample(rd.from_arrow(t), "source",
+                                     k=5).to_pandas()
+        assert len(out) == 3
