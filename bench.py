@@ -184,6 +184,7 @@ def run_queries() -> dict[str, float]:
         ("q_matryoshka_recall", q.q_matryoshka_recall),
         ("q_boilerplate_strip", q.q_boilerplate_strip),
         ("q_grouped_sample", q.q_grouped_sample),
+        ("q_audio_declip", q.q_audio_declip),
     ]
     import ray.data
 

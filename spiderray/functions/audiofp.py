@@ -1214,3 +1214,80 @@ def speaker_turn_stats(pcm: np.ndarray, sr: int,
     between = float(((c0 - c1) ** 2).sum())
     out["sep_ppm"] = int(1_000_000 * between / (between + within + 1e-12))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Declipping — cubic interpolation across clipped runs
+# ---------------------------------------------------------------------------
+
+DECLIP_THRESHOLD = 0.985  # |sample| at/above this fraction of FS = clipped
+
+
+def declip(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
+           ) -> tuple[np.ndarray, int, int]:
+    """Repair hard-clipped runs by cubic Hermite interpolation — the
+    REPAIR half of the clipping story (AudioDefectActor detects; this
+    fixes what is fixable): each maximal run of samples at/above
+    ``threshold``·FS is replaced by the cubic through its two boundary
+    neighbours with matching one-sided slopes, the standard declip
+    baseline (a clipped peak is locally smooth, so a cubic restores the
+    missing crest).  Runs touching the signal edge hold the boundary
+    value (no extrapolation).  The result is rescaled by one global
+    factor when interpolation overshoots full scale, so re-encoding
+    cannot re-clip.  Returns (repaired float64, n_clipped_samples,
+    n_runs); pure per-clip float64 in fixed order — deterministic."""
+    x = np.asarray(pcm, dtype=np.float64).copy()
+    n = len(x)
+    if n < 4:
+        return x, 0, 0
+    clipped = np.abs(x) >= threshold
+    n_clip = int(clipped.sum())
+    if n_clip == 0:
+        return x, 0, 0
+    edges = np.diff(clipped.astype(np.int8))
+    starts = (np.nonzero(edges == 1)[0] + 1).tolist()
+    ends = np.nonzero(edges == -1)[0].tolist()  # inclusive run ends
+    if clipped[0]:
+        starts = [0] + starts
+    if clipped[-1]:
+        ends = ends + [n - 1]
+    n_runs = len(starts)
+    for s, e in zip(starts, ends):
+        if s == 0 or e == n - 1:
+            x[s:e + 1] = x[s - 1] if s > 0 else x[e + 1] if e < n - 1 \
+                else x[s:e + 1]
+            continue
+        p0, p1 = x[s - 1], x[e + 1]
+        # one-sided slopes from the unclipped neighbours
+        m0 = x[s - 1] - x[s - 2] if s >= 2 else 0.0
+        m1 = x[e + 2] - x[e + 1] if e + 2 < n else 0.0
+        L = e - s + 2  # parameter span from s-1 to e+1
+        t = np.arange(1, e - s + 2, dtype=np.float64) / L
+        h00 = 2 * t ** 3 - 3 * t ** 2 + 1
+        h10 = t ** 3 - 2 * t ** 2 + t
+        h01 = -2 * t ** 3 + 3 * t ** 2
+        h11 = t ** 3 - t ** 2
+        x[s:e + 1] = (h00 * p0 + h10 * m0 * L + h01 * p1 + h11 * m1 * L)
+    peak = float(np.abs(x).max())
+    if peak > 1.0:
+        x = x / peak
+    return x, n_clip, n_runs
+
+
+def flat_clip_ppm(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
+                  ) -> int:
+    """The true clip-artifact measure: ppm of samples sitting on a FLAT
+    rail (at/above ``threshold``·FS AND equal to a neighbour within
+    1e-6) — a restored crest is loud but curved, so an amplitude-only
+    ratio keeps counting it after a successful repair while this does
+    not.  Integer ppm (//), deterministic."""
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        return 0
+    loud = np.abs(x) >= threshold
+    eq = np.abs(np.diff(x)) < 1e-6
+    flat = np.zeros(n, dtype=bool)
+    flat[:-1] |= eq
+    flat[1:] |= eq
+    return int(1_000_000 * int((loud & flat).sum()) // n)

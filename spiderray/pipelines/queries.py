@@ -5374,6 +5374,82 @@ def _turnmix_clips_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _clipmix_clips_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic clip corpus for declip repair (shared with the
+    q_audio_declip serial twin).  Per doc_id i at 16 kHz / 1 s, stratum
+    i%3: 0 = melody over-amplified ×(2.0 + (i%5)·0.5) then hard-clipped
+    (flat rails to repair), 1 = the same melody clean (identity path:
+    zero runs), 2 = broadband noise (rail-free; its heavy tail's rare
+    loud single samples may interpolate, flat ppm stays 0); every 17th
+    row ships undecodable."""
+    from ..sources.clips import _NOISE, synth_note_audio
+
+    sr, n = 16000, 16000
+    ids = batch.column("doc_id").to_numpy()
+    cids, bufs, codecs, srs = [], [], [], []
+    for i in ids:
+        i = int(i)
+        cids.append(f"dc_{i:08d}")
+        srs.append(sr)
+        if i % 17 == 5:
+            bufs.append(b"\x00not-a-real-stream")
+            codecs.append("opus")
+            continue
+        codecs.append("pcm_s16le")
+        k = i % 3
+        if k == 2:
+            off = (i * 2654435761) % (len(_NOISE) - n)
+            # 0.3x keeps every noise sample safely below the declip
+            # threshold: loud isolated samples are not clip rails
+            wave = 0.3 * _NOISE[off: off + n]
+        else:
+            wave = np.frombuffer(synth_note_audio(i, sr, n),
+                                 dtype="<i2").astype(np.float64) / 32767.0
+            if k == 0:
+                wave = np.clip(wave * (2.0 + (i % 5) * 0.5), -1.0, 1.0)
+        q = np.clip(np.floor(wave * 32767.0 + 0.5), -32768, 32767)
+        bufs.append(q.astype("<i2").tobytes())
+    return pa.table({
+        "clip_id": pa.array(cids, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "codec": pa.array(codecs, pa.string()),
+        "sr_hz": pa.array(srs, pa.int32()),
+    })
+
+
+def q_audio_declip(sf_dir: str):
+    """Declip repair (stages/audioquality.declip_stage): cubic Hermite
+    interpolation across flat clipped rails, measured by the FLAT-RAIL
+    ppm before/after (functions/audiofp.flat_clip_ppm — an
+    amplitude-only ratio keeps counting restored crests).  Corpus
+    plants over-amplified clipped melodies beside clean-melody / noise
+    / undecodable strata; clipped rows repair (after < before), clean
+    rows pass identically.  Oracle: serial decode + same kernels per
+    row (so_audio_declip); the repaired BYTES are hash-compared too —
+    the transform itself is pinned, not just its metrics."""
+    _ensure_fixture("q_audio_declip", sf_dir)
+    from ..config import PipelineConfig
+    from ..stages.audioquality import declip_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
+    clips = ds.map_batches(_clipmix_clips_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = declip_stage(clips, PipelineConfig(), concurrency=4)
+
+    def digest(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        return b.append_column("bytes_md5", pa.array(
+            [hashlib.md5(x or b"").hexdigest()
+             for x in b.column("bytes").to_pylist()], pa.string()))
+
+    out = out.map_batches(digest, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return out.select_columns(
+        ["clip_id", "decode_ok", "flat_before_ppm", "flat_after_ppm",
+         "n_runs_repaired", "bytes_md5"])
+
+
 def q_speaker_turns(sf_dir: str):
     """Speaker-turn router (stages/audioquality.speaker_turn_stage):
     actor-pool decode → adjacent log-mel window distances → turn count +
@@ -8616,6 +8692,7 @@ QUERIES = {
     "q_music_detect": q_music_detect,
     "q_audio_tempo": q_audio_tempo,
     "q_speaker_turns": q_speaker_turns,
+    "q_audio_declip": q_audio_declip,
     "q_fix_mojibake": q_fix_mojibake,
     "q_c4_filters": q_c4_filters,
     "q_halluc_loops": q_halluc_loops,

@@ -3752,6 +3752,55 @@ def so_scene_cuts(sf_dir: str) -> pa.Table:
     })
 
 
+def so_audio_declip(sf_dir: str) -> pa.Table:
+    """Serial twin for q_audio_declip: same corpus + decode + declip +
+    flat-rail kernels per row, plain loop, no Ray; repaired bytes
+    md5-pinned like the distributed side."""
+    import hashlib
+
+    from ..functions.audiofp import declip, flat_clip_ppm
+    from ..stages.multimodal import DecodeUnsupported, _decode_one
+    from .queries import _clipmix_clips_batch
+
+    clips = _clipmix_clips_batch(_docs(sf_dir, ("doc_id",)))
+    out = {k: [] for k in ("clip_id", "decode_ok", "flat_before_ppm",
+                           "flat_after_ppm", "n_runs_repaired",
+                           "bytes_md5")}
+    for cid, buf, codec in zip(
+        clips.column("clip_id").to_pylist(), clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+    ):
+        try:
+            pcm = _decode_one(buf or b"", codec or "")
+            ok = True
+        except DecodeUnsupported:
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(False)
+            out["flat_before_ppm"].append(0)
+            out["flat_after_ppm"].append(0)
+            out["n_runs_repaired"].append(0)
+            out["bytes_md5"].append(hashlib.md5(buf or b"").hexdigest())
+            continue
+        before = flat_clip_ppm(pcm)
+        rep, _n, nr = declip(pcm.astype(np.float64))
+        q = np.clip(np.floor(rep * 32767.0 + 0.5), -32768, 32767)
+        b2 = q.astype("<i2").tobytes()
+        out["clip_id"].append(cid)
+        out["decode_ok"].append(ok)
+        out["flat_before_ppm"].append(before)
+        out["flat_after_ppm"].append(flat_clip_ppm(rep))
+        out["n_runs_repaired"].append(nr)
+        out["bytes_md5"].append(hashlib.md5(b2).hexdigest())
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], pa.string()),
+        "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+        "flat_before_ppm": pa.array(out["flat_before_ppm"], pa.int64()),
+        "flat_after_ppm": pa.array(out["flat_after_ppm"], pa.int64()),
+        "n_runs_repaired": pa.array(out["n_runs_repaired"], pa.int64()),
+        "bytes_md5": pa.array(out["bytes_md5"], pa.string()),
+    })
+
+
 def so_speaker_turns(sf_dir: str) -> pa.Table:
     """Serial twin for q_speaker_turns: same corpus generator + decode +
     turn kernel + flag logic per row, plain loop, no Ray."""
@@ -3968,6 +4017,7 @@ SERIAL_ORACLES = {
     "q_prepare_embeddings": so_prepare_embeddings,
     "q_audio_tempo": so_audio_tempo,
     "q_speaker_turns": so_speaker_turns,
+    "q_audio_declip": so_audio_declip,
     "q_scene_cuts": so_scene_cuts,
     "q_sq8_recall": so_sq8_recall,
     "q_matryoshka_recall": so_matryoshka_recall,

@@ -1595,3 +1595,72 @@ def speaker_turn_stage(ds, cfg: PipelineConfig,
         concurrency=_adaptive_pool(concurrency),
         num_cpus=1,
     )
+
+
+class DeclipActor:
+    """Decode + declip repair (kernel: functions/audiofp.declip — cubic
+    Hermite interpolation across flat clipped rails) emitting the
+    repaired pcm_s16le bytes plus before/after FLAT-RAIL ppm
+    (functions/audiofp.flat_clip_ppm — an amplitude-only ratio keeps
+    counting a restored crest; the flat-rail measure does not).
+
+    The repair half of the clipping story: AudioDefectActor detects,
+    this fixes what interpolation can fix (isolated crests fully;
+    saturated walls partially — the metric says which).  Undecodable
+    clips mark ``decode_ok=False`` and pass through unchanged."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audiofp import declip, flat_clip_ppm
+        from .multimodal import DecodeUnsupported, _decode_one
+
+        bufs = batch.column(self.cfg.bytes_col).to_pylist()
+        codecs = batch.column(self.cfg.codec_col).to_pylist()
+        ok, out_b, before, after, runs = [], [], [], [], []
+        for buf, codec in zip(bufs, codecs):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                ok.append(False)
+                out_b.append(buf or b"")
+                before.append(0)
+                after.append(0)
+                runs.append(0)
+                continue
+            ok.append(True)
+            before.append(flat_clip_ppm(pcm))
+            rep, _n, nr = declip(pcm.astype(np.float64))
+            after.append(flat_clip_ppm(rep))
+            runs.append(nr)
+            q = np.clip(np.floor(rep * 32767.0 + 0.5), -32768, 32767)
+            out_b.append(q.astype("<i2").tobytes())
+        names = [c for c in batch.column_names
+                 if c not in (self.cfg.bytes_col, self.cfg.codec_col)]
+        cols = {c: batch.column(c) for c in names}
+        cols[self.cfg.bytes_col] = pa.array(out_b, pa.binary())
+        cols[self.cfg.codec_col] = pa.array(
+            ["pcm_s16le" if o else c for o, c in
+             zip(ok, batch.column(self.cfg.codec_col).to_pylist())],
+            pa.string())
+        cols["decode_ok"] = pa.array(ok, pa.bool_())
+        cols["flat_before_ppm"] = pa.array(before, pa.int64())
+        cols["flat_after_ppm"] = pa.array(after, pa.int64())
+        cols["n_runs_repaired"] = pa.array(runs, pa.int64())
+        return pa.table(cols)
+
+
+def declip_stage(ds, cfg: PipelineConfig,
+                 concurrency: int | tuple[int, int] = 4):
+    from .perplexity_stage import _adaptive_pool
+
+    return ds.map_batches(
+        DeclipActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=min(cfg.batch_size or 256, 256),
+        concurrency=_adaptive_pool(concurrency),
+        num_cpus=1,
+    )

@@ -264,3 +264,57 @@ class TestAudioCorpusReport:
         assert df["n_allowlisted"] == 3
         assert df["codec:flac"] == 2 and df["codec:banned_codec"] == 1
         assert df["sr:16000"] == 2 and df["sr:44100"] == 1
+
+
+class TestDeclip:
+    def test_isolated_crests_fully_restored(self):
+        from spiderray.functions.audiofp import declip, flat_clip_ppm
+
+        t = np.arange(16000) / 16000.0
+        clean = 0.8 * np.sin(2 * np.pi * 220.0 * t)
+        for amp in (1.3, 2.5):
+            hard = np.clip(clean * amp, -1.0, 1.0)
+            assert flat_clip_ppm(hard) > 100_000
+            rep, n_clip, n_runs = declip(hard)
+            assert n_clip > 0 and n_runs > 0
+            assert flat_clip_ppm(rep) == 0
+            assert np.abs(rep).max() <= 1.0
+
+    def test_clean_identity_and_edges(self):
+        from spiderray.functions.audiofp import declip
+
+        t = np.arange(8000) / 16000.0
+        clean = 0.5 * np.sin(2 * np.pi * 330.0 * t)
+        rep, n, r = declip(clean)
+        assert n == 0 and r == 0 and np.array_equal(rep, clean)
+        # run touching the start holds the boundary, no crash
+        edge = clean.copy()
+        edge[:50] = 1.0
+        rep, n, r = declip(edge)
+        assert n == 50 and np.isfinite(rep).all()
+        assert declip(np.ones(3))[1] == 0  # too short: untouched
+
+    def test_stage_repairs_only_clipped_stratum(self, ray_session):
+        import ray.data as rd
+
+        from spiderray.config import PipelineConfig
+        from spiderray.pipelines.queries import _clipmix_clips_batch
+        from spiderray.stages.audioquality import declip_stage
+
+        docs = pa.table({"doc_id": pa.array(np.arange(90), pa.int64())})
+        clips = _clipmix_clips_batch(docs)
+        out = declip_stage(rd.from_arrow(clips), PipelineConfig(),
+                           concurrency=2).to_pandas()
+        out["i"] = out.clip_id.str[3:].astype(int)
+        dec = out[out.decode_ok]
+        clipped = dec[dec.i % 3 == 0]
+        assert (clipped.flat_before_ppm > 0).all()
+        assert (clipped.flat_after_ppm < clipped.flat_before_ppm).all()
+        assert (clipped.n_runs_repaired > 0).all()
+        melody = dec[dec.i % 3 == 1]
+        assert (melody.n_runs_repaired == 0).all()
+        clean = dec[dec.i % 3 != 0]
+        # the heavy-tailed noise stratum has rare loud SINGLE samples the
+        # threshold flags, but no flat rails before or after
+        assert (clean.flat_before_ppm == 0).all()
+        assert (clean.flat_after_ppm == 0).all()
