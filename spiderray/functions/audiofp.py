@@ -1245,29 +1245,75 @@ def declip(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
     if n_clip == 0:
         return x, 0, 0
     edges = np.diff(clipped.astype(np.int8))
-    starts = (np.nonzero(edges == 1)[0] + 1).tolist()
-    ends = np.nonzero(edges == -1)[0].tolist()  # inclusive run ends
+    starts = np.nonzero(edges == 1)[0] + 1
+    ends = np.nonzero(edges == -1)[0]  # inclusive run ends
     if clipped[0]:
-        starts = [0] + starts
+        starts = np.concatenate([[0], starts])
     if clipped[-1]:
-        ends = ends + [n - 1]
+        ends = np.concatenate([ends, [n - 1]])
     n_runs = len(starts)
-    for s, e in zip(starts, ends):
-        if s == 0 or e == n - 1:
-            x[s:e + 1] = x[s - 1] if s > 0 else x[e + 1] if e < n - 1 \
-                else x[s:e + 1]
-            continue
-        p0, p1 = x[s - 1], x[e + 1]
-        # one-sided slopes from the unclipped neighbours
-        m0 = x[s - 1] - x[s - 2] if s >= 2 else 0.0
-        m1 = x[e + 2] - x[e + 1] if e + 2 < n else 0.0
-        L = e - s + 2  # parameter span from s-1 to e+1
-        t = np.arange(1, e - s + 2, dtype=np.float64) / L
+    # Edge runs hold the boundary value (no extrapolation).  The left
+    # edge run is applied BEFORE gathering interior inputs and the right
+    # edge run AFTER, matching the left-to-right processing order the
+    # per-run formulation used: an interior run whose s-2 touches the
+    # left edge run sees its held value, while one whose e+2 touches the
+    # right edge run sees the still-clipped original.
+    right_edge_start = -1
+    if ends[-1] == n - 1:
+        right_edge_start = int(starts[-1])
+        starts, ends = starts[:-1], ends[:-1]
+    if len(starts) and starts[0] == 0:
+        e0 = int(ends[0])
+        x[:e0 + 1] = x[e0 + 1]  # e0 < n-1 here (whole-array run removed above)
+        starts, ends = starts[1:], ends[1:]
+    if right_edge_start == 0:  # single run covering the whole signal
+        right_edge_start = -1  # original holds it unchanged
+    if len(starts):
+        s_ = starts.astype(np.int64)
+        e_ = ends.astype(np.int64)
+        run_len = e_ - s_ + 1
+        # per-run inputs, gathered up front (p0/p1/m1 neighbours are
+        # outside every interior run, so order-independent; m1's e+2 may
+        # sit in a LATER run, whose value at gather time is the original
+        # clipped sample — exactly what left-to-right processing reads)
+        p0 = x[s_ - 1]
+        p1 = x[e_ + 1]
+        m0 = np.where(s_ >= 2, x[s_ - 1] - x[np.maximum(s_ - 2, 0)], 0.0)
+        m1 = np.where(e_ + 2 < n, x[np.minimum(e_ + 2, n - 1)] - x[e_ + 1],
+                      0.0)
+        L = (run_len + 1).astype(np.float64)  # parameter span s-1 .. e+1
+        total = int(run_len.sum())
+        off = np.repeat(np.cumsum(run_len) - run_len, run_len)
+        j = np.arange(total, dtype=np.int64) - off + 1  # 1-based in-run pos
+        t = j.astype(np.float64) / np.repeat(L, run_len)
         h00 = 2 * t ** 3 - 3 * t ** 2 + 1
         h10 = t ** 3 - 2 * t ** 2 + t
         h01 = -2 * t ** 3 + 3 * t ** 2
         h11 = t ** 3 - t ** 2
-        x[s:e + 1] = (h00 * p0 + h10 * m0 * L + h01 * p1 + h11 * m1 * L)
+        idx = np.repeat(s_, run_len) + j - 1
+        x[idx] = (h00 * np.repeat(p0, run_len)
+                  + h10 * np.repeat(m0, run_len) * np.repeat(L, run_len)
+                  + h01 * np.repeat(p1, run_len)
+                  + h11 * np.repeat(m1, run_len) * np.repeat(L, run_len))
+        # Fix-up for the rare gap==1 chain: when exactly one unclipped
+        # sample separates two runs, the later run's m0 reads s-2 == the
+        # previous run's LAST repaired sample, not the original — redo
+        # those runs sequentially (left to right, so chains cascade)
+        # with the per-run formulation, keeping the pre-gathered m1/p0/p1.
+        dep = np.nonzero(s_[1:] - e_[:-1] == 2)[0] + 1
+        for i in dep:
+            s, e = int(s_[i]), int(e_[i])
+            Li = e - s + 2
+            ti = np.arange(1, e - s + 2, dtype=np.float64) / Li
+            g00 = 2 * ti ** 3 - 3 * ti ** 2 + 1
+            g10 = ti ** 3 - 2 * ti ** 2 + ti
+            g01 = -2 * ti ** 3 + 3 * ti ** 2
+            g11 = ti ** 3 - ti ** 2
+            m0i = x[s - 1] - x[s - 2]  # s >= 2 by the gap==1 condition
+            x[s:e + 1] = (g00 * p0[i] + g10 * m0i * Li
+                          + g01 * p1[i] + g11 * m1[i] * Li)
+    if right_edge_start > 0:
+        x[right_edge_start:] = x[right_edge_start - 1]
     peak = float(np.abs(x).max())
     if peak > 1.0:
         x = x / peak

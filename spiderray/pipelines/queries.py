@@ -8816,47 +8816,46 @@ QUERIES = {
 # test, just after the window.  Re-keying a dict keeps identical callables —
 # this is ordering only.
 _PRIORITY = [
-    # flagship quality-filter stack + conformance pins
+    # flagship quality-filter stack + conformance pins (FIXED every round)
     "q_clips_flagship", "q_clips_keep_stats", "q_keepdrop_f1",
     "q_keepdrop_f1_audio", "q_prepare_corpus", "q_prepare_audio",
-    "q_corpus_report",
-    # exact + near dedup
-    "q_exact_dedup", "q_incremental_dedup", "q_apply_deletions",
-    "q_minhash_pairs", "q_audio_stitch",
-    "q_page_stitch", "q_semantic_dedup",
-    # global/structural dedup
-    "q_c4_span_dedup", "q_substring_dedup", "q_url_dedup",
-    # decontamination
-    "q_decontaminate", "q_dtmf_scan", "q_audio_decontaminate",
-    # ANN / clustering
-    "q_ann_topk", "q_pq_search",
-    # quality filters
-    "q_doc_keepdrop", "q_gopher_quality", "q_audio_loops",
-    "q_ccnet_buckets", "q_dsir_scores", "q_threshold_sweep",
-    "q_linear_distill",
-    # tokenizers / packing
-    "q_bpe_tokens", "q_pack_chunks",
-    # sampling / mixing
-    "q_temperature_resample", "q_prepare_embeddings",
-    "q_grouped_split",
-    # sketches / stats
-    "q_heavy_hitters", "q_profile_columns",
-    # windows / sessions
-    "q_window_analytics",
-    # embedding conditioning + retrieval
-    "q_pca_whiten",
-    # query-by-example audio retrieval + bitext mining
-    "q_audio_search", "q_mutual_nn",
-    # audio stages
-    "q_audio_features", "q_prepare_speech", "q_audio_qc",
-    "q_audio_fp_pairs",
-    # image composite
-    "q_prepare_image",
-    # graph
-    "q_pagerank",
-    # reference composite pipelines
+    "q_corpus_report", "q_prepare_speech", "q_prepare_image",
+    "q_prepare_embeddings",
+    # reference composite pipelines (FIXED every round)
     "q_news_from_html", "q_classify_links", "q_detect_domain",
     "q_crawl_bfs",
+    # --- rotating family representatives: round 5 rotation (round-4
+    # verdict item #5: swap every family's member each round so successive
+    # CORRECTNESS_r0N windows cumulatively cover the registry; every entry
+    # below was OUTSIDE the r04 window) ---
+    # exact dedup / maintenance
+    "q_chunk_dedup", "q_dup_clusters",
+    # near-dup text
+    "q_simhash_pairs", "q_ngram_jaccard_pairs",
+    # semantic dedup / pruning
+    "q_near_dedup_best", "q_prototype_prune",
+    # global/structural dedup
+    "q_paragraph_dedup", "q_boilerplate_strip", "q_harvest_filter",
+    # decontamination
+    "q_decontaminate_spans", "q_canary_scan", "q_embedding_decontaminate",
+    # ANN / clustering / retrieval
+    "q_ivf_topk", "q_sq8_recall", "q_kmeans_clusters", "q_bm25_topk",
+    # quality filters
+    "q_c4_filters", "q_readability", "q_rank_blend", "q_nb_langid",
+    "q_classifier_auc",
+    # tokenizers / packing
+    "q_wordpiece_tokens", "q_pack_bins",
+    # sampling / mixing
+    "q_unimax_resample", "q_domain_cap",
+    # sketches / stats / governance
+    "q_tdigest_quantiles", "q_grouped_hll", "q_k_anonymity",
+    # windows / sessions
+    "q_user_sessions", "q_funnel",
+    # audio stages (this round's declip vectorization + pool autoscale
+    # sit directly in the driver's eye)
+    "q_audio_defects", "q_cmvn", "q_audio_declip", "q_audio_tempo",
+    # image / graph
+    "q_image_near_dup", "q_hits",
 ]
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
 assert all(name in QUERIES for name in _PRIORITY)
