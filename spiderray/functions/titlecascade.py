@@ -55,16 +55,21 @@ def title_by_meta(meta_titles: list[str], meta_title: str, lang: str) -> str:
 
 
 def title_by_script(script_texts: list[str], meta_title: str, lang: str) -> str:
-    """getTitleByScript clone (content.go:1142-1165)."""
+    """getTitleByScript clone (content.go:1142-1165).  Keeps the
+    reference's quirk: the ``return`` inside the goquery ``Each`` closure
+    only ends that iteration, so a LATER matching script overwrites an
+    earlier one — last match wins (round-5 independent-transcription
+    finding; this returned the first match through round 4)."""
     sim_t = title_sim_threshold(lang)
+    winner = ""
     for text in script_texts:
         flat = textnorm.remove_lines(text or "")
         m = RE_SCRIPT_TITLE.search(flat)
         if m:
             cand = m.group(1).strip()
             if similarity_text(meta_title, cand) > sim_t:
-                return cand
-    return ""
+                winner = cand
+    return winner
 
 
 def title_by_headline_sim(headlines: list[str], meta_title: str, lang: str) -> str:

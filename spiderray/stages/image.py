@@ -652,7 +652,7 @@ def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
     """Video frame sampling: one row per SAMPLED frame (flat-map shape) —
     (video_id, frame_index, bytes='ppm' frame).  Unsupported containers emit
     zero frames with a decode_ok=False marker row."""
-    from .perplexity_stage import _adaptive_pool
+    from .perplexity_stage import _adaptive_tasks
 
     id_col = cfg.id_col
     bytes_col = cfg.bytes_col
@@ -662,7 +662,7 @@ def frame_sample_stage(ds, cfg: PipelineConfig, every_k: int = 5,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=min(cfg.batch_size or 32, 32),  # video rows are very wide
-        concurrency=_adaptive_pool(concurrency),
+        concurrency=_adaptive_tasks(concurrency),
         num_cpus=1,
     )
 

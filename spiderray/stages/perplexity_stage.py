@@ -290,6 +290,15 @@ def _adaptive_pool(requested) -> int | tuple[int, int]:
     return lo if hi <= lo else (lo, hi)
 
 
+def _adaptive_tasks(requested) -> int:
+    """Task-pool variant of :func:`_adaptive_pool`: plain-function
+    ``map_batches`` rejects tuple concurrency (no actors to autoscale), so
+    return only the upper bound — tasks don't reserve slots, the scheduler
+    fills whatever is free up to the cap."""
+    sized = _adaptive_pool(requested)
+    return sized if isinstance(sized, int) else sized[1]
+
+
 def perplexity_stage(ds, cfg: PipelineConfig):
     if not cfg.perplexity_actor_pool:
         return ds.map_batches(

@@ -142,6 +142,341 @@ class TestDeclipTwin:
         assert qa.astype("<i2").tobytes() == qb.astype("<i2").tobytes()
 
 
+# ---------------------------------------------------------------------------
+# Independent halluc-loop twin: pure-Python word comparisons (the engine
+# hashes words with crc32 and vectorizes the per-period equality; this twin
+# compares the words themselves with plain loops).  Contract source:
+# functions/halluc.py docstring — longest periodic suffix w[i]==w[i-p],
+# >=3 completed cycles to count, flag at >=4 repeats over >=8 words.
+# ---------------------------------------------------------------------------
+
+def loop_stats_twin(text):
+    from spiderray.functions.halluc import (
+        LOOP_MAX_PERIOD,
+        LOOP_MAX_WORDS,
+        LOOP_MIN_REPEATS,
+        LOOP_MIN_WORDS,
+    )
+
+    words = (text or "").split()
+    if len(words) > LOOP_MAX_WORDS:
+        words = words[-LOOP_MAX_WORDS:]
+    n = len(words)
+    out = {"n_words": n, "loop_period": 0, "loop_len": 0,
+           "loop_ratio": 0.0, "dup3_ratio": 0.0, "halluc": False}
+    if n < 6:
+        return out
+    best_len, best_p = 0, 0
+    for p in range(1, min(LOOP_MAX_PERIOD, n // 3) + 1):
+        # longest suffix with w[i] == w[i-p], walked backwards by hand
+        run = 0
+        i = n - 1
+        while i - p >= 0 and words[i] == words[i - p]:
+            run += 1
+            i -= 1
+        if run >= 2 * p and run + p > best_len:
+            best_len, best_p = run + p, p
+    tris = [tuple(words[i:i + 3]) for i in range(n - 2)]
+    if tris:
+        out["dup3_ratio"] = float(1.0 - len(set(tris)) / len(tris))
+    if best_p:
+        out["loop_period"] = best_p
+        out["loop_len"] = best_len
+        out["loop_ratio"] = best_len / n
+        out["halluc"] = (best_len // best_p >= LOOP_MIN_REPEATS
+                         and best_len >= LOOP_MIN_WORDS)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Independent DTMF twin: per-frame scalar loop with per-tone projections and
+# an emit/re-arm state machine rewritten from the Q.23/Q.24 contract (the
+# engine computes one (frames x 16) matmul and a run-length scan).  The
+# tone-power sums keep numpy's reduction form — summation order is part of
+# the pinned kernel contract; independence lives in framing, gating and the
+# digit state machine.
+# ---------------------------------------------------------------------------
+
+def dtmf_digits_twin(pcm, sr):
+    from spiderray.functions.audiofp import (
+        DTMF_COLS,
+        DTMF_GRID,
+        DTMF_MIN_FRAMES,
+        DTMF_MIN_RATIO,
+        DTMF_ROWS,
+    )
+
+    if sr <= 0:
+        return ""
+    frame = max(int(round(sr * 16.0 / 1000.0)), 16)
+    n_frames = min(len(pcm) // frame, 4096)
+    if n_frames == 0:
+        return ""
+    t = np.arange(frame, dtype=np.float64) / sr
+    tones = list(DTMF_ROWS) + list(DTMF_COLS)
+    cos = [np.cos(2 * np.pi * f * t) for f in tones]
+    sin = [np.sin(2 * np.pi * f * t) for f in tones]
+    digits = []
+    prev, count, emitted = None, 0, False
+    for i in range(n_frames):
+        seg = np.asarray(pcm[i * frame:(i + 1) * frame], dtype=np.float64)
+        p = [ (seg * cos[k]).sum() ** 2 + (seg * sin[k]).sum() ** 2
+              for k in range(8) ]
+        rp, cp = p[:4], p[4:]
+        ri = max(range(4), key=lambda k: rp[k])
+        ci = max(range(4), key=lambda k: cp[k])
+        energy = (seg * seg).sum()
+        if energy == 0:
+            energy = 1.0
+        pair_ratio = (rp[ri] + cp[ci]) / (frame / 2.0) / energy
+        r2 = sorted(rp)[-2]
+        c2 = sorted(cp)[-2]
+        good = (pair_ratio >= DTMF_MIN_RATIO and rp[ri] >= 2.0 * r2
+                and cp[ci] >= 2.0 * c2)
+        if not good:
+            prev, count, emitted = None, 0, False
+            continue
+        d = DTMF_GRID[ri][ci]
+        if d != prev:
+            prev, count, emitted = d, 1, False
+        else:
+            count += 1
+        if count >= DTMF_MIN_FRAMES and not emitted:
+            digits.append(d)
+            emitted = True
+    return "".join(digits)
+
+
+# ---------------------------------------------------------------------------
+# Independent tempo twin: per-frame envelope loop + per-lag scan that
+# collects every autocorrelation then takes the FIRST maximum (the engine
+# streams a best-so-far).  Reduction form pinned as above.
+# ---------------------------------------------------------------------------
+
+def tempo_stats_twin(pcm, sr, frame=512, hop=256, max_frames=4096):
+    from spiderray.functions.audiofp import TEMPO_MAX_BPM, TEMPO_MIN_BPM
+
+    out = {"bpm": 0, "tempo_conf_ppm": 0, "onset_ppm": 0, "n_frames": 0}
+    if sr <= 0 or len(pcm) < frame + hop:
+        return out
+    n_frames = min(1 + (len(pcm) - frame) // hop, max_frames)
+    x = np.asarray(pcm[: frame + hop * (n_frames - 1)], dtype=np.float64)
+    env = np.empty(n_frames, dtype=np.float64)
+    for i in range(n_frames):
+        seg = x[i * hop: i * hop + frame]
+        env[i] = np.sqrt((seg ** 2).mean())
+    onset = np.maximum(np.diff(env), 0.0)
+    out["n_frames"] = int(n_frames)
+    r0 = float((onset * onset).sum())
+    e0 = float((env * env).sum())
+    out["onset_ppm"] = int(1_000_000 * r0 // e0) if e0 > 0.0 else 0
+    if r0 <= 0.0:
+        return out
+    fps = sr / hop
+    lag_lo = max(int(np.ceil(60.0 * fps / TEMPO_MAX_BPM)), 1)
+    lag_hi = int(np.floor(60.0 * fps / TEMPO_MIN_BPM))
+    lags = list(range(lag_lo, min(lag_hi, len(onset) - 1) + 1))
+    if not lags:
+        return out
+    rs = [float((onset[lag:] * onset[:-lag]).sum()) for lag in lags]
+    best_r = max(rs)
+    if best_r <= 0.0:
+        return out
+    best_lag = lags[rs.index(best_r)]  # first maximum, like the streamed scan
+    out["bpm"] = int(round(60.0 * fps / best_lag))
+    out["tempo_conf_ppm"] = int(1_000_000 * best_r // r0) if r0 else 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Independent compressor twin: per-frame scalar loop over the Giannoulis/
+# Massberg/Reiss 2012 design (the engine vectorizes level detection and the
+# gain application around a scalar smoothing loop).  All scalars stay
+# np.float64 so the libm calls match the vectorized ufuncs.
+# ---------------------------------------------------------------------------
+
+def compress_dynamics_twin(x, sr, threshold_db=-24.0, ratio=4.0,
+                           attack_ms=10.0, release_ms=100.0, makeup_db=0.0,
+                           frame_ms=10.0):
+    x64 = np.asarray(x, dtype=np.float64)
+    if len(x64) == 0 or sr <= 0:
+        return x64.astype(np.float32), 0.0
+    frame = max(int(sr * frame_ms / 1000.0), 1)
+    n_fr = (len(x64) + frame - 1) // frame
+    a_att = np.exp(-frame_ms / attack_ms) if attack_ms > 0 else 0.0
+    a_rel = np.exp(-frame_ms / release_ms) if release_ms > 0 else 0.0
+    y = np.empty(len(x64), dtype=np.float64)
+    s = np.float64(0.0)
+    max_sm = np.float64(0.0)
+    for i in range(n_fr):
+        seg = x64[i * frame:(i + 1) * frame]
+        if len(seg) < frame:  # the engine zero-pads the last frame
+            buf = np.zeros(frame, dtype=np.float64)
+            buf[:len(seg)] = seg
+            rms = np.sqrt(np.mean(buf ** 2))
+        else:
+            rms = np.sqrt(np.mean(seg ** 2))
+        lvl = 20.0 * np.log10(np.maximum(rms, 1e-10))
+        gr = np.maximum(lvl - threshold_db, 0.0) * (1.0 - 1.0 / ratio)
+        c = a_att if gr > s else a_rel
+        s = c * s + (1.0 - c) * gr
+        if s > max_sm:
+            max_sm = s
+        gain = np.float64(10.0) ** ((makeup_db - s) / 20.0)
+        y[i * frame: i * frame + len(seg)] = seg * gain
+    return np.clip(y, -1.0, 1.0).astype(np.float32), float(max_sm)
+
+
+# ---------------------------------------------------------------------------
+# The burn-down tests: regenerate each fixture table from the independent
+# twin and require BIT-IDENTITY with the shared-kernel serial oracle — a
+# semantics bug in the shared kernel can no longer pass both oracle sides.
+# ---------------------------------------------------------------------------
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+class TestFixtureRegeneration:
+    def test_halluc_loops_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import _docs, so_halluc_loops
+        from spiderray.pipelines.queries import _halluc_texts
+
+        ref = so_halluc_loops(SF_SMALL)
+        t = _docs(SF_SMALL)
+        ids = t.column("doc_id").to_numpy()
+        texts = _halluc_texts(ids, t.column("text").to_pylist())
+        stats = [loop_stats_twin(x) for x in texts]
+        twin = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array([s["n_words"] for s in stats], pa.int64()),
+            "loop_period": pa.array(
+                [s["loop_period"] for s in stats], pa.int64()),
+            "loop_len": pa.array([s["loop_len"] for s in stats], pa.int64()),
+            "loop_ratio_milli": pa.array(
+                [int(np.floor(s["loop_ratio"] * 1000 + 0.5)) for s in stats],
+                pa.int64()),
+            "dup3_ratio_milli": pa.array(
+                [int(np.floor(s["dup3_ratio"] * 1000 + 0.5)) for s in stats],
+                pa.int64()),
+            "halluc": pa.array([s["halluc"] for s in stats], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_dtmf_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.queries import _dtmfmix_clips_batch
+        from spiderray.pipelines.serial_oracles import _docs, so_dtmf_scan
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_dtmf_scan(SF_SMALL)
+        clips = _dtmfmix_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        out = {"clip_id": [], "decode_ok": [], "dtmf_digits": [],
+               "n_digits": [], "has_dtmf": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                seq = dtmf_digits_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                seq, ok = "", False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["dtmf_digits"].append(seq)
+            out["n_digits"].append(len(seq))
+            out["has_dtmf"].append(ok and len(seq) >= 3)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "dtmf_digits": pa.array(out["dtmf_digits"], pa.string()),
+            "n_digits": pa.array(out["n_digits"], pa.int64()),
+            "has_dtmf": pa.array(out["has_dtmf"], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_tempo_kernel_twin_bit_identical(self):
+        from spiderray.functions.audiofp import tempo_stats
+
+        rng = np.random.RandomState(11)
+        sr = 16000
+        cases = []
+        # click tracks at several BPMs
+        for bpm in (60, 90, 120, 150, 180):
+            n = sr * 4
+            x = np.zeros(n)
+            period = int(sr * 60.0 / bpm)
+            x[::period] = 1.0
+            cases.append(np.convolve(x, np.hanning(64), mode="same"))
+        # steady tone / noise / silence / short
+        t = np.arange(sr * 2) / sr
+        cases.append(0.5 * np.sin(2 * np.pi * 440 * t))
+        cases.append(rng.randn(sr * 2) * 0.3)
+        cases.append(np.zeros(sr))
+        cases.append(np.zeros(100))
+        for i, c in enumerate(cases):
+            assert tempo_stats(c, sr) == tempo_stats_twin(c, sr), f"case {i}"
+
+    def test_compress_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.queries import _noisy_clips_batch
+        from spiderray.pipelines.serial_oracles import (
+            _docs,
+            so_audio_compress,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_compress(SF_SMALL)
+        clips = _noisy_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        out = {"clip_id": [], "compress_ok": [], "gain_reduction_db": [],
+               "out_rms": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+                y, gr = compress_dynamics_twin(pcm, int(sr or 0))
+                ok = True
+                rms = float(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+            except DecodeUnsupported:
+                ok, gr, rms = False, 0.0, 0.0
+            out["clip_id"].append(cid)
+            out["compress_ok"].append(ok)
+            out["gain_reduction_db"].append(gr)
+            out["out_rms"].append(rms)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "compress_ok": pa.array(out["compress_ok"], pa.bool_()),
+            "gain_reduction_db": pa.array(out["gain_reduction_db"],
+                                          pa.float32()),
+            "out_rms": pa.array(out["out_rms"], pa.float32()),
+        })
+        assert twin.equals(ref)
+
+    def test_compress_kernel_twin_bit_identical_samples(self):
+        from spiderray.functions.audiofp import compress_dynamics
+
+        rng = np.random.RandomState(3)
+        sr = 16000
+        for i in range(5):
+            x = np.clip(rng.randn(sr + i * 1000) * (0.2 + 0.3 * i), -1, 1)
+            ya, ga = compress_dynamics(x, sr)
+            yb, gb = compress_dynamics_twin(x, sr)
+            assert ga == gb and np.array_equal(ya, yb), f"case {i}"
+
+
 class TestAdaptivePool:
     def test_scales_up_on_big_sessions(self, monkeypatch):
         from spiderray.stages import perplexity_stage as ps
