@@ -8284,10 +8284,19 @@ def q_langid_agreement(sf_dir: str):
     from ray.data.aggregate import Count
 
     from ..config import PipelineConfig
-    from ..stages.langid_stage import batch_detect_lang, langid_model_stage
+    from ..stages.langid_stage import (
+        batch_detect_lang,
+        default_lid_model_path,
+        langid_model_stage,
+    )
 
     _ensure_fixture("q_langid_agreement", sf_dir)
-    cfg = PipelineConfig(text_col="text", langid_concurrency=2)
+    # the model pool loads the committed fastText-format file in __init__
+    # (once per actor) — the north rule's models-from-file contract; the
+    # embedded profiles remain the fallback on a fixtures-less checkout
+    ft = default_lid_model_path()
+    cfg = PipelineConfig(text_col="text", langid_concurrency=2,
+                         extra={"fasttext_model_path": ft} if ft else {})
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def heur(batch: pa.Table) -> pa.Table:

@@ -3016,12 +3016,18 @@ def so_langid_agreement(sf_dir: str) -> pa.Table:
     from collections import Counter as _Counter
 
     from ..config import PipelineConfig
-    from ..stages.langid_stage import LangIdModelActor, batch_detect_lang
+    from ..stages.langid_stage import (
+        LangIdModelActor,
+        batch_detect_lang,
+        default_lid_model_path,
+    )
 
     t = _docs(sf_dir)
     texts = t.column("text").to_pylist()
     langs, poss = batch_detect_lang(texts)
-    actor = LangIdModelActor(PipelineConfig(text_col="text"))
+    ft = default_lid_model_path()
+    actor = LangIdModelActor(PipelineConfig(
+        text_col="text", extra={"fasttext_model_path": ft} if ft else {}))
     counts: _Counter = _Counter()
     for text, lang, pos in zip(texts, langs, poss):
         if pos in ("", "lingua"):

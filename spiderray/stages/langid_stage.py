@@ -147,9 +147,16 @@ class LangIdModelActor:
         self._ft = None
         ft_path = (self.cfg.extra or {}).get("fasttext_model_path")
         if ft_path:
-            import fasttext  # hard import: a configured path must not
-
-            # silently fall back to the toy model
+            # a configured path must not silently fall back to the toy
+            # profiles: either loader raises loudly on a bad path/file.
+            # The fasttext package is preferred when present; this
+            # container ships without it, so the from-scratch reader of
+            # the public .bin format (functions/fasttext_io.py) is the
+            # in-sandbox realization of the models-from-file contract.
+            try:
+                import fasttext
+            except ImportError:
+                from ..functions import fasttext_io as fasttext
             self._ft = fasttext.load_model(ft_path)
         trained = (self.cfg.extra or {}).get("langid_profiles")
         if trained:
@@ -201,6 +208,22 @@ class LangIdModelActor:
             confs.append(conf)
         batch = batch.append_column("lang_model", pa.array(model_langs, pa.string()))
         return batch.append_column("lang_conf", pa.array(confs, pa.float32()))
+
+
+def default_lid_model_path() -> str | None:
+    """The committed fastText-format lid fixture
+    (fixtures/models/lid_tiny_ft.bin, rebuilt bit-identically by
+    tools/make_lid_fixture.py), or None when the checkout has no fixtures.
+    q_langid_agreement routes its pool through this file by default — the
+    ARPA-fixture precedent applied to the langid side, so every drive
+    exercises the model-file-loaded-once-per-actor path."""
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "fixtures", "models", "lid_tiny_ft.bin")
+    return p if os.path.isfile(p) else None
 
 
 def langid_model_stage(ds, cfg: PipelineConfig):

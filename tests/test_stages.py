@@ -73,18 +73,19 @@ class TestRealModelSwapIn:
     the negative tests always run: a CONFIGURED path with the package
     missing must fail loudly, never fall back to the toy model."""
 
-    def test_fasttext_path_without_package_fails_loudly(self):
-        import importlib.util
-
+    def test_fasttext_bad_path_fails_loudly(self):
+        """A configured model path must never fall back silently: without
+        the fasttext package the from-scratch .bin reader
+        (functions/fasttext_io.py) loads the file, and a missing path is a
+        loud FileNotFoundError either way (round 5: the hook path is now
+        TRAVELED — see tests/test_fasttext_io.py for the positive side)."""
         import pytest
 
         from spiderray.config import PipelineConfig
         from spiderray.stages.langid_stage import LangIdModelActor
 
-        if importlib.util.find_spec("fasttext") is not None:
-            pytest.skip("fasttext installed; negative test not applicable")
         cfg = PipelineConfig(extra={"fasttext_model_path": "/nonexistent/lid.176.bin"})
-        with pytest.raises(ImportError):
+        with pytest.raises((ImportError, FileNotFoundError)):
             LangIdModelActor(cfg)
 
     def test_kenlm_paths_without_package_fails_loudly(self):
