@@ -1,15 +1,31 @@
-"""CLI entry: resumable quality-filter run.
+"""CLI entry: resumable quality-filter run — the ``ray job submit`` payload.
+
+Local (this sandbox):
 
     python -m spiderray.run --input synth:100000 --output /tmp/out \
         --partitions 16 [--resume] [--num-cpus 32]
+
+Cluster (the north rule's fixed-size N / 4N submission):
+
+    ray job submit --working-dir . -- \
+        python -m spiderray.run --address auto \
+            --input /data/clips.lance --output s3://bucket/run1 \
+            --partitions 4096 --wide-rows
 
 ``--input`` forms:
     synth:N            deterministic synthetic clip corpus of N rows
     docs:SF_DIR        clips derived from SF_DIR/documents.parquet
     path/to/table      parquet (or lance, when available) clips table
 
-On a cluster this module is the ``ray job submit`` payload; locally it owns
-its Ray session (guarded — the driver/test fixture own theirs).
+``--address auto`` (or the RAY_ADDRESS env var the job server sets)
+attaches to the submitting cluster instead of starting a local session;
+``--num-cpus`` is ignored on attach — the cluster's size is the cluster's.
+Partition count should be ≥ 4× total cluster cores so the resumable
+manifest granularity (state/manifest.py: one directory + manifest per
+partition, finished partitions skipped on resume) stays finer than the
+failure domain.  MULTINODE.md documents every knob that changes
+off-sandbox.  Locally this module owns its Ray session (guarded — the
+driver/test fixture own theirs).
 """
 
 from __future__ import annotations
@@ -79,22 +95,30 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions with existing manifests (default on; kept for explicitness)")
     ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--address", default=None,
+                    help="Ray address: omitted -> RAY_ADDRESS env or 'local';"
+                         " 'auto' attaches to the cluster under ray job"
+                         " submit (num-cpus ignored on attach)")
+    ap.add_argument("--wide-rows", action="store_true",
+                    help="raise target_max_block_size for multi-hundred-KB"
+                         " audio rows (see MULTINODE.md)")
     args = ap.parse_args(argv)
+
+    import os
 
     import ray
 
+    address = args.address or os.environ.get("RAY_ADDRESS") or "local"
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        kwargs = dict(address=address, include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if address == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
     from .config import configure_context
 
-    configure_context()
+    configure_context(wide_rows=args.wide_rows)
 
     from .config import PipelineConfig
     from .pipelines.quality_filter import quality_filter
