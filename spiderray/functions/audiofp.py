@@ -1282,6 +1282,31 @@ def declip(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
         m1 = np.where(e_ + 2 < n, x[np.minimum(e_ + 2, n - 1)] - x[e_ + 1],
                       0.0)
         L = (run_len + 1).astype(np.float64)  # parameter span s-1 .. e+1
+        # gap==1 chains: when exactly one unclipped sample separates two
+        # runs, the later run's m0 reads s-2 == the PREVIOUS run's last
+        # repaired sample.  The repaired last value is linear in m0 with
+        # m0-independent Hermite basis coefficients, so the chain resolves
+        # with a scalar recurrence over the dependent runs — same
+        # expression order as the vectorized pass, hence bit-exact —
+        # BEFORE the single vectorized evaluation below (clipped harmonic
+        # material rails on nearly every half-cycle, so dep runs are the
+        # COMMON case on real declip corpora, not the rare one).
+        dep = s_[1:] - e_[:-1] == 2
+        if dep.any():
+            tL = run_len.astype(np.float64) / L
+            h00L = 2 * tL ** 3 - 3 * tL ** 2 + 1
+            h10L = tL ** 3 - 2 * tL ** 2 + tL
+            h01L = -2 * tL ** 3 + 3 * tL ** 2
+            h11L = tL ** 3 - tL ** 2
+            need_last = np.zeros(len(s_), dtype=bool)
+            need_last[:-1] = dep  # run i's last feeds run i+1's m0
+            last = 0.0
+            for i in range(len(s_)):
+                if i > 0 and dep[i - 1]:
+                    m0[i] = p0[i] - last
+                if need_last[i] or (i + 1 < len(s_) and dep[i]):
+                    last = (h00L[i] * p0[i] + h10L[i] * m0[i] * L[i]
+                            + h01L[i] * p1[i] + h11L[i] * m1[i] * L[i])
         total = int(run_len.sum())
         off = np.repeat(np.cumsum(run_len) - run_len, run_len)
         j = np.arange(total, dtype=np.int64) - off + 1  # 1-based in-run pos
@@ -1295,23 +1320,6 @@ def declip(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
                   + h10 * np.repeat(m0, run_len) * np.repeat(L, run_len)
                   + h01 * np.repeat(p1, run_len)
                   + h11 * np.repeat(m1, run_len) * np.repeat(L, run_len))
-        # Fix-up for the rare gap==1 chain: when exactly one unclipped
-        # sample separates two runs, the later run's m0 reads s-2 == the
-        # previous run's LAST repaired sample, not the original — redo
-        # those runs sequentially (left to right, so chains cascade)
-        # with the per-run formulation, keeping the pre-gathered m1/p0/p1.
-        dep = np.nonzero(s_[1:] - e_[:-1] == 2)[0] + 1
-        for i in dep:
-            s, e = int(s_[i]), int(e_[i])
-            Li = e - s + 2
-            ti = np.arange(1, e - s + 2, dtype=np.float64) / Li
-            g00 = 2 * ti ** 3 - 3 * ti ** 2 + 1
-            g10 = ti ** 3 - 2 * ti ** 2 + ti
-            g01 = -2 * ti ** 3 + 3 * ti ** 2
-            g11 = ti ** 3 - ti ** 2
-            m0i = x[s - 1] - x[s - 2]  # s >= 2 by the gap==1 condition
-            x[s:e + 1] = (g00 * p0[i] + g10 * m0i * Li
-                          + g01 * p1[i] + g11 * m1[i] * Li)
     if right_edge_start > 0:
         x[right_edge_start:] = x[right_edge_start - 1]
     peak = float(np.abs(x).max())

@@ -67,17 +67,11 @@ def audio_loudness_stage(ds, cfg: PipelineConfig,
                          concurrency: int | tuple[int, int] = 4,
                          min_lufs: float = MIN_LUFS,
                          max_clip_ratio: float = MAX_CLIP_RATIO):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioLoudnessActor,
-        fn_constructor_args=(cfg, min_lufs, max_clip_ratio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioLoudnessActor, (cfg, min_lufs, max_clip_ratio),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class AudioMfccActor:
@@ -112,17 +106,11 @@ class AudioMfccActor:
 
 def audio_mfcc_stage(ds, cfg: PipelineConfig,
                      concurrency: int | tuple[int, int] = 4, n_mfcc: int = 13):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioMfccActor,
-        fn_constructor_args=(cfg, n_mfcc),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioMfccActor, (cfg, n_mfcc),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 def mfcc_vector_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
@@ -201,17 +189,11 @@ def audio_snr_stage(ds, cfg: PipelineConfig,
                     concurrency: int | tuple[int, int] = 4,
                     min_snr_db: float = MIN_SNR_DB,
                     min_voiced_ratio: float = MIN_VOICED_RATIO):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioSnrPitchActor,
-        fn_constructor_args=(cfg, min_snr_db, min_voiced_ratio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioSnrPitchActor, (cfg, min_snr_db, min_voiced_ratio),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -312,17 +294,11 @@ def audio_defect_stage(ds, cfg: PipelineConfig,
                        concurrency: int | tuple[int, int] = 4,
                        max_clip_run_ms: float = MAX_CLIP_RUN_MS,
                        min_dropout_ms: float = MIN_DROPOUT_MS):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioDefectActor,
-        fn_constructor_args=(cfg, max_clip_run_ms, min_dropout_ms),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioDefectActor, (cfg, max_clip_run_ms, min_dropout_ms),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -513,18 +489,11 @@ class SpecAugmentActor:
 def specaugment_stage(ds, cfg: PipelineConfig, salt: str = "",
                       concurrency: int | tuple[int, int] = 4, **kw):
     """Deterministic SpecAugment over the clip table (actor pool)."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        SpecAugmentActor,
-        fn_constructor_args=(cfg, salt),
-        fn_constructor_kwargs=kw,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, SpecAugmentActor, (cfg, salt), ctor_kwargs=kw,
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class LoudnessNormalizeActor:
@@ -589,17 +558,11 @@ def loudness_normalize_stage(ds, cfg: PipelineConfig,
                              max_gain_db: float = 30.0,
                              concurrency: int | tuple[int, int] = 4):
     """Normalize every clip to a target integrated loudness (actor pool)."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        LoudnessNormalizeActor,
-        fn_constructor_args=(cfg, target_lufs, max_gain_db),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, LoudnessNormalizeActor, (cfg, target_lufs, max_gain_db),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class SilenceTrimActor:
@@ -677,17 +640,11 @@ def silence_trim_stage(ds, cfg: PipelineConfig, frame_ms: int = 20,
                        threshold: float = 1e-3, pad_ms: int = 40,
                        concurrency: int | tuple[int, int] = 4):
     """Trim leading/trailing silence from every clip (actor pool)."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        SilenceTrimActor,
-        fn_constructor_args=(cfg, frame_ms, threshold, pad_ms),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, SilenceTrimActor, (cfg, frame_ms, threshold, pad_ms),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -745,17 +702,11 @@ class AudioBandwidthActor:
 def audio_bandwidth_stage(ds, cfg: PipelineConfig,
                           concurrency: int | tuple[int, int] = 4,
                           min_bw_ratio: float | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioBandwidthActor,
-        fn_constructor_args=(cfg, min_bw_ratio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioBandwidthActor, (cfg, min_bw_ratio),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -818,17 +769,11 @@ def audio_hum_stage(ds, cfg: PipelineConfig,
                     concurrency: int | tuple[int, int] = 4,
                     max_dc_ratio: float | None = None,
                     max_hum_ratio: float | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioHumActor,
-        fn_constructor_args=(cfg, max_dc_ratio, max_hum_ratio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioHumActor, (cfg, max_dc_ratio, max_hum_ratio),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _REVERB_COLS = ("rt60_ms", "decay_db_s")
@@ -880,17 +825,11 @@ class AudioReverbActor:
 def audio_reverb_stage(ds, cfg: PipelineConfig,
                        concurrency: int | tuple[int, int] = 4,
                        max_rt60_ms: float | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioReverbActor,
-        fn_constructor_args=(cfg, max_rt60_ms),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioReverbActor, (cfg, max_rt60_ms),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _CHAN_COLS = ("lr_corr", "rms_ratio")
@@ -958,17 +897,12 @@ class AudioChannelActor:
 
 def audio_channel_stage(ds, cfg: PipelineConfig,
                         concurrency: int | tuple[int, int] = 4, **thresholds):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioChannelActor,
-        fn_constructor_kwargs={"cfg": cfg, **thresholds},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioChannelActor, (),
+                         ctor_kwargs={"cfg": cfg, **thresholds},
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 def codec_sniff_stage(ds, cfg: PipelineConfig):
@@ -1057,17 +991,11 @@ def audio_denoise_stage(ds, cfg: PipelineConfig,
                         concurrency: int | tuple[int, int] = 4,
                         noise_pct: float = 10.0, alpha: float = 2.0,
                         beta: float = 0.01):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioDenoiseActor,
-        fn_constructor_args=(cfg, noise_pct, alpha, beta),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioDenoiseActor, (cfg, noise_pct, alpha, beta),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _QC_FLAGS = ("codec_mismatch", "dc_offset", "hum", "upsampled",
@@ -1159,17 +1087,11 @@ class AudioQcActor:
 def audio_qc_stage(ds, cfg: PipelineConfig,
                    concurrency: int | tuple[int, int] = 4):
     """Fused decode-once QC battery over the clip table; actor pool."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioQcActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioQcActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class AudioCompressActor:
@@ -1241,18 +1163,12 @@ def audio_compress_stage(ds, cfg: PipelineConfig,
                          attack_ms: float = 10.0, release_ms: float = 100.0,
                          makeup_db: float = 0.0):
     """Actor-pool dynamic-range compression over the clip table."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioCompressActor,
-        fn_constructor_args=(cfg, threshold_db, ratio, attack_ms,
+    return stateless_map(ds, AudioCompressActor, (cfg, threshold_db, ratio, attack_ms,
                              release_ms, makeup_db),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -1307,17 +1223,11 @@ class MusicSpeechActor:
 
 def music_speech_stage(ds, cfg: PipelineConfig,
                        concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        MusicSpeechActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, MusicSpeechActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _LOOP_COLS = ("n_frames", "n_voiced", "n_unique_peaks",
@@ -1386,17 +1296,11 @@ def audio_loop_stage(ds, cfg: PipelineConfig,
                      concurrency: int | tuple[int, int] = 4,
                      min_score_ppm: int | None = None,
                      min_unique_peaks: int | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioLoopActor,
-        fn_constructor_args=(cfg, min_score_ppm, min_unique_peaks),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioLoopActor, (cfg, min_score_ppm, min_unique_peaks),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class DtmfActor:
@@ -1444,17 +1348,11 @@ class DtmfActor:
 def dtmf_stage(ds, cfg: PipelineConfig,
                concurrency: int | tuple[int, int] = 4,
                min_digits: int = 3):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        DtmfActor,
-        fn_constructor_args=(cfg, min_digits),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, DtmfActor, (cfg, min_digits),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _TEMPO_COLS = ("bpm", "tempo_conf_ppm", "onset_ppm", "n_frames")
@@ -1519,17 +1417,11 @@ def tempo_stage(ds, cfg: PipelineConfig,
                 concurrency: int | tuple[int, int] = 4,
                 min_conf_ppm: int | None = None,
                 min_onset_ppm: int | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        TempoActor,
-        fn_constructor_args=(cfg, min_conf_ppm, min_onset_ppm),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, TempoActor, (cfg, min_conf_ppm, min_onset_ppm),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 _TURN_COLS = ("n_windows", "turn_count", "sep_ppm")
@@ -1584,17 +1476,11 @@ class SpeakerTurnActor:
 def speaker_turn_stage(ds, cfg: PipelineConfig,
                        concurrency: int | tuple[int, int] = 4,
                        min_turns: int | None = None):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        SpeakerTurnActor,
-        fn_constructor_args=(cfg, min_turns),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, SpeakerTurnActor, (cfg, min_turns),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class DeclipActor:
@@ -1653,14 +1539,8 @@ class DeclipActor:
 
 def declip_stage(ds, cfg: PipelineConfig,
                  concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        DeclipActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, DeclipActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)

@@ -599,17 +599,11 @@ class ImageFeatureActor:
 def image_features_stage(ds, cfg: PipelineConfig,
                          resize_to: tuple[int, int] | None = None,
                          concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        ImageFeatureActor,
-        fn_constructor_args=(cfg, resize_to),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 128, 128),  # image rows are wide
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, ImageFeatureActor, (cfg, resize_to),
+                         batch_size=min(cfg.batch_size or 128, 128),
+                         concurrency=concurrency)
 
 
 def frame_sample_batch(batch: pa.Table, id_col: str, bytes_col: str,
@@ -716,17 +710,11 @@ class ImageHashActor:
 
 def image_hash_stage(ds, cfg: PipelineConfig, hash_kind: str = "dhash",
                      concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        ImageHashActor,
-        fn_constructor_args=(cfg, hash_kind),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 128, 128),  # image rows are wide
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, ImageHashActor, (cfg, hash_kind),
+                         batch_size=min(cfg.batch_size or 128, 128),
+                         concurrency=concurrency)
 
 
 def image_near_dup_pairs(ds, cfg: PipelineConfig | None = None,
@@ -833,14 +821,8 @@ class SceneCutActor:
 
 def scene_cut_stage(ds, cfg: PipelineConfig,
                     concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        SceneCutActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 32, 32),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, SceneCutActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 32, 32),
+                         concurrency=concurrency)

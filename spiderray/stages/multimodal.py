@@ -324,17 +324,11 @@ class AudioFeatureActor:
 
 
 def audio_features_stage(ds, cfg: PipelineConfig, concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioFeatureActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),  # wide rows: cap batch bytes
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioFeatureActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 def silence_gate_stage(ds, cfg: PipelineConfig, min_rms: float = 1e-3):
@@ -422,17 +416,11 @@ class AudioSpectralActor:
 
 
 def audio_spectral_stage(ds, cfg: PipelineConfig, concurrency: int | tuple[int, int] = 4):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioSpectralActor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioSpectralActor, (cfg,),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -736,17 +724,11 @@ def audio_transform_stage(ds, cfg: PipelineConfig, target_sr_hz: int | None = 16
                           target_rms: float | None = 0.1,
                           concurrency: int | tuple[int, int] = 4,
                           resample_method: str = "sinc"):
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioTransformActor,
-        fn_constructor_args=(cfg, target_sr_hz, target_rms, resample_method),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioTransformActor, (cfg, target_sr_hz, target_rms, resample_method),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -853,18 +835,12 @@ def vad_segment_stage(ds, cfg: PipelineConfig, frame_ms: int = 20,
     """Explode clips into VAD speech segments (one row per utterance).
     Row-count changes through this stage; everything stays streaming —
     a clip's segments are produced inside the batch that carries it."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        VadSegmentActor,
-        fn_constructor_args=(cfg, frame_ms, threshold, min_gap_ms,
+    return stateless_map(ds, VadSegmentActor, (cfg, frame_ms, threshold, min_gap_ms,
                              min_seg_ms, emit_audio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 def gapped_clips_batch(batch: pa.Table, lead_ms: int = 100,
@@ -981,17 +957,11 @@ def window_chunk_stage(ds, cfg: PipelineConfig, win_ms: int = 30_000,
                        concurrency: int | tuple[int, int] = 4):
     """Explode clips into fixed windows (one row per window); streaming —
     a clip's windows are produced inside the batch that carries it."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        WindowChunkActor,
-        fn_constructor_args=(cfg, win_ms, hop_ms, min_tail_ms, emit_audio),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, WindowChunkActor, (cfg, win_ms, hop_ms, min_tail_ms, emit_audio),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class AudioAugmentActor:
@@ -1091,17 +1061,11 @@ def audio_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
                         concurrency: int | tuple[int, int] = 4):
     """Deterministic waveform augmentation (gain jitter + time masks keyed
     on clip id + salt); one epoch per salt value."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AudioAugmentActor,
-        fn_constructor_args=(cfg, salt, gain_range, max_masks, max_mask_ms),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, AudioAugmentActor, (cfg, salt, gain_range, max_masks, max_mask_ms),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 def _apply_rowwise_augment(batch: pa.Table, cfg, row_fn, param_col: str,
@@ -1192,17 +1156,11 @@ def speed_perturb_stage(ds, cfg: PipelineConfig, salt: str = "",
                         concurrency: int | tuple[int, int] = 4):
     """Deterministic sox-style speed perturbation over the clip table;
     actor pool (windowed-sinc kernel state amortized per actor)."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        SpeedPerturbActor,
-        fn_constructor_args=(cfg, salt, factors),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, SpeedPerturbActor, (cfg, salt, factors),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class AcousticAugmentActor:
@@ -1319,18 +1277,12 @@ def acoustic_augment_stage(ds, cfg: PipelineConfig, salt: str = "",
                            concurrency: int | tuple[int, int] = 4):
     """Deterministic reverb + noise-mixing augmentation over the clip
     table (actor pool; FFT convolution vectorized per clip)."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        AcousticAugmentActor,
-        fn_constructor_args=(cfg, salt, rt60_range, snr_choices_db,
+    return stateless_map(ds, AcousticAugmentActor, (cfg, salt, rt60_range, snr_choices_db,
                              reverb_prob_pct),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -1432,17 +1384,11 @@ def time_stretch_stage(ds, cfg: PipelineConfig, salt: str = "",
                        rates: tuple[float, ...] = (0.9, 1.0, 1.1),
                        concurrency: int | tuple[int, int] = 4):
     """Deterministic phase-vocoder tempo augmentation; actor pool."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        TimeStretchActor,
-        fn_constructor_args=(cfg, salt, rates),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, TimeStretchActor, (cfg, salt, rates),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class PitchShiftActor:
@@ -1483,17 +1429,11 @@ def pitch_shift_stage(ds, cfg: PipelineConfig, salt: str = "",
                       semitones: tuple[float, ...] = (-2.0, 0.0, 2.0),
                       concurrency: int | tuple[int, int] = 4):
     """Deterministic pitch-shift augmentation; actor pool."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        PitchShiftActor,
-        fn_constructor_args=(cfg, salt, semitones),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, PitchShiftActor, (cfg, salt, semitones),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)
 
 
 class FlacTranscodeActor:
@@ -1571,14 +1511,8 @@ def flac_transcode_stage(ds, cfg: PipelineConfig,
                          concurrency: int | tuple[int, int] = 4,
                          verify: bool = True, block_size: int = 4096):
     """Actor-pool lossless FLAC transcode over the clip table."""
-    from .perplexity_stage import _adaptive_pool
+    from .taskmap import stateless_map
 
-    return ds.map_batches(
-        FlacTranscodeActor,
-        fn_constructor_args=(cfg, verify, block_size),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=min(cfg.batch_size or 256, 256),
-        concurrency=_adaptive_pool(concurrency),
-        num_cpus=1,
-    )
+    return stateless_map(ds, FlacTranscodeActor, (cfg, verify, block_size),
+                         batch_size=min(cfg.batch_size or 256, 256),
+                         concurrency=concurrency)

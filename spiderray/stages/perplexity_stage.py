@@ -267,16 +267,18 @@ def _perplexity_fused(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 def _adaptive_pool(requested) -> int | tuple[int, int]:
     """Size an actor pool to the session's CPU budget: an autoscaling
-    ``(lo, hi)`` range with ``lo`` = the requested size clamped to 1/4 of
-    the cpus (a fixed min larger than the session would wait forever for
-    actor slots, and several pools each pinning every cpu starve the task
-    stages between them — the prepare_speech deadlock note) and ``hi`` =
-    half the cpus, so a decode-bound stage on a big host scales past the
-    small default instead of idling 28 of 32 cpus (round-4 finding:
-    q_speaker_turns / q_pitch_shift / q_audio_tempo were pool-starved at
-    concurrency=4).  Ray's autoscaling pool only grows under backlog and
-    releases idle actors, so the upper bound costs nothing on small
-    sessions.  An explicit tuple passes through untouched."""
+    ``(lo, hi)`` range with ``lo`` = 1/4 of the cpus and ``hi`` = half, so
+    a decode-bound stage on a big host scales past the small fixed default
+    instead of idling 28 of 32 cpus (round-4 finding: q_speaker_turns /
+    q_pitch_shift / q_audio_tempo were pool-starved at concurrency=4).
+    The MIN matters more than the max: Ray's autoscaler grows pools too
+    slowly to help a seconds-long query (measured on q_speaker_turns at
+    32 cpus / 5000 clips: (4,16) 7.6 s, (8,16) 4.5 s, fixed 16 3.9 s), so
+    the floor carries the parallelism.  lo stays at 1/4 of the session so
+    several chained pools can coexist with the task stages between them
+    (the prepare_speech deadlock note: fixed pools that together reserve
+    every cpu pin the whole session).  An explicit tuple passes through
+    untouched."""
     if isinstance(requested, tuple):
         return requested
     try:
@@ -285,7 +287,7 @@ def _adaptive_pool(requested) -> int | tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", requested * 4))
     except Exception:
         cpus = requested * 4
-    lo = max(1, min(int(requested), cpus // 4 if cpus >= 4 else 1))
+    lo = max(1, cpus // 4 if cpus >= 4 else 1)
     hi = max(lo, cpus // 2)
     return lo if hi <= lo else (lo, hi)
 
