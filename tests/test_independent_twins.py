@@ -328,6 +328,188 @@ def compress_dynamics_twin(x, sr, threshold_db=-24.0, ratio=4.0,
 
 
 # ---------------------------------------------------------------------------
+# Independent spectral-gate twins: bandwidth rolloff, hum/DC, musicness,
+# speaker turns.  The FFT and the reduction forms (np.fft.rfft, .sum(),
+# .mean()) are pinned kernel contract — like the shared decoder — while the
+# framing, band-edge arithmetic, scan loops, thresholds and branch logic
+# are re-derived from the docstrings in different code structure.
+# ---------------------------------------------------------------------------
+
+def bandwidth_twin(pcm, sr):
+    from spiderray.functions.audiofp import (
+        BANDWIDTH_ENERGY_Q,
+        BANDWIDTH_MAX_SAMPLES,
+    )
+
+    out = {"bw_hz": 0.0, "bw_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    spec = np.abs(np.fft.rfft(x))
+    spec *= spec
+    total = spec.sum()
+    if total <= 0.0:
+        return out
+    # explicit scan for the rolloff bin (the engine uses
+    # searchsorted(cumsum)); sequential accumulation == cumsum order
+    target = BANDWIDTH_ENERGY_Q * total
+    acc = 0.0
+    k = len(spec)
+    for i, e in enumerate(spec):
+        acc += e
+        if acc >= target:
+            k = i
+            break
+    bw = k * sr / len(x)
+    return {"bw_hz": float(bw), "bw_ratio": float(bw / (sr / 2.0))}
+
+
+def hum_twin(pcm, sr):
+    import math
+
+    from spiderray.functions.audiofp import (
+        BANDWIDTH_MAX_SAMPLES,
+        HUM_BAND_HZ,
+        HUM_FREQS,
+    )
+
+    out = {"dc_ratio": 0.0, "hum_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    rms = float(np.sqrt(np.mean(x * x)))
+    if rms <= 0.0:
+        return out
+    out["dc_ratio"] = float(abs(x.mean()) / rms)
+    xc = x - x.mean()
+    spec = np.abs(np.fft.rfft(xc * np.hanning(len(xc))))
+    spec *= spec
+    total = spec.sum()
+    if total <= 0.0:
+        return out
+    bin_hz = sr / len(xc)
+    fracs = []
+    for f in HUM_FREQS:
+        if f >= sr / 2.0:
+            continue
+        lo = math.floor((f - HUM_BAND_HZ) / bin_hz)
+        if lo < 1:
+            lo = 1
+        hi = math.ceil((f + HUM_BAND_HZ) / bin_hz)
+        if hi > len(spec) - 1:
+            hi = len(spec) - 1
+        if hi >= lo:
+            fracs.append(float(spec[lo:hi + 1].sum() / total))
+    out["hum_ratio"] = max(fracs) if fracs else 0.0
+    return out
+
+
+def musicness_twin(pcm, sr):
+    from spiderray.functions.audiofp import MUSIC_ANALYSIS_MAX_SAMPLES
+
+    out = {"mod_ratio": 0.0, "env_depth": 0.0, "flatness": 0.0, "flux": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:MUSIC_ANALYSIS_MAX_SAMPLES], dtype=np.float64)
+
+    frame = sr // 100 if sr // 100 >= 1 else 1
+    n_fr = len(x) // frame
+    if n_fr >= 8:
+        env = np.empty(n_fr, dtype=np.float64)
+        for i in range(n_fr):
+            env[i] = np.sqrt(np.mean(x[i * frame:(i + 1) * frame] ** 2))
+        em = env.mean()
+        if em > 0.0:
+            out["env_depth"] = float(env.std() / em)
+        env = env - em
+        spec = np.abs(np.fft.rfft(env * np.hanning(n_fr)))
+        spec *= spec
+        total = spec[1:].sum()
+        if total > 0.0:
+            freqs = np.arange(len(spec)) * (100.0 / n_fr)
+            band = spec[(freqs >= 2.0) & (freqs <= 8.0)].sum()
+            out["mod_ratio"] = float(band / total)
+
+    nf, hop = 1024, 512
+    if len(x) >= nf:
+        n_frames = 1 + (len(x) - nf) // hop
+        win = np.hanning(nf)
+        mags = []
+        for i in range(n_frames):
+            seg = x[i * hop: i * hop + nf]
+            mags.append(np.abs(np.fft.rfft(seg * win)))
+        mag = np.stack(mags)
+        p = mag * mag
+        pm = p.mean(axis=0)
+        am = pm.mean()
+        if am > 0.0:
+            gm = np.exp(np.mean(np.log(pm + 1e-12)))
+            out["flatness"] = float(gm / am)
+        norms = mag.sum(axis=1, keepdims=True)
+        ok = norms[:, 0] > 0.0
+        if int(ok.sum()) >= 2:
+            nm = mag[ok] / norms[ok]
+            d = np.diff(nm, axis=0)
+            out["flux"] = float(np.mean(np.sqrt((d * d).sum(axis=1))))
+    return out
+
+
+def classify_audio_twin(stats):
+    from spiderray.functions.audiofp import (
+        MUSIC_FLATNESS_MAX,
+        SPEECH_DEPTH_MIN,
+        SPEECH_MOD_MIN,
+    )
+
+    if (stats["mod_ratio"] >= SPEECH_MOD_MIN
+            and stats["env_depth"] >= SPEECH_DEPTH_MIN):
+        return "speech"
+    if 0.0 < stats["flatness"] <= MUSIC_FLATNESS_MAX:
+        return "music"
+    return "other"
+
+
+def speaker_turn_twin(pcm, sr, seg_frames=16, max_frames=4096):
+    # log_mel_spectrogram is shared infrastructure (like the decoder);
+    # the windowing, distance scan, peak logic and 2-means split are
+    # re-derived below
+    from spiderray.functions.audiofp import log_mel_spectrogram
+
+    out = {"n_windows": 0, "turn_count": 0, "sep_ppm": 0}
+    M = log_mel_spectrogram(pcm, sr, max_frames=max_frames)
+    if len(M) < 2 * seg_frames:
+        return out
+    n_win = len(M) // seg_frames
+    W = np.empty((n_win, M.shape[1]), dtype=M.dtype)
+    for i in range(n_win):
+        W[i] = M[i * seg_frames:(i + 1) * seg_frames].mean(axis=0)
+    out["n_windows"] = int(n_win)
+    d = np.empty(n_win - 1, dtype=np.float64)
+    for i in range(n_win - 1):
+        d[i] = np.sqrt(((W[i + 1] - W[i]) ** 2).sum())
+    thr = 2.0 * float(np.median(d))
+    turns = 0
+    for i in range(1, len(d) - 1):
+        if d[i] > thr and d[i] >= d[i - 1] and d[i] >= d[i + 1]:
+            turns += 1
+    out["turn_count"] = turns
+    c0, c1 = W[0].copy(), W[-1].copy()
+    d0 = ((W - c0) ** 2).sum(axis=1)
+    d1 = ((W - c1) ** 2).sum(axis=1)
+    for _ in range(5):
+        d0 = ((W - c0) ** 2).sum(axis=1)
+        d1 = ((W - c1) ** 2).sum(axis=1)
+        a = d1 < d0
+        if a.any() and (~a).any():
+            c1 = W[a].mean(axis=0)
+            c0 = W[~a].mean(axis=0)
+    within = float(np.minimum(d0, d1).mean())
+    between = float(((c0 - c1) ** 2).sum())
+    out["sep_ppm"] = int(1_000_000 * between / (between + within + 1e-12))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # The burn-down tests: regenerate each fixture table from the independent
 # twin and require BIT-IDENTITY with the shared-kernel serial oracle — a
 # semantics bug in the shared kernel can no longer pass both oracle sides.
@@ -464,6 +646,153 @@ class TestFixtureRegeneration:
             "out_rms": pa.array(out["out_rms"], pa.float32()),
         })
         assert twin.equals(ref)
+
+    def test_bandwidth_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.functions.audiofp import MIN_BW_RATIO
+        from spiderray.pipelines.queries import _bandlimited_clips_batch
+        from spiderray.pipelines.serial_oracles import (
+            _docs,
+            so_audio_bandwidth,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_bandwidth(SF_SMALL)
+        clips = _bandlimited_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        out = {"clip_id": [], "decode_ok": [], "bw_hz": [], "bw_ratio": [],
+               "upsampled": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = bandwidth_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                stats, ok = {"bw_hz": 0.0, "bw_ratio": 0.0}, False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["bw_hz"].append(stats["bw_hz"])
+            out["bw_ratio"].append(stats["bw_ratio"])
+            out["upsampled"].append(ok and stats["bw_ratio"] > 0.0
+                                    and stats["bw_ratio"] < MIN_BW_RATIO)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "bw_hz": pa.array(out["bw_hz"], pa.float32()),
+            "bw_ratio": pa.array(out["bw_ratio"], pa.float32()),
+            "upsampled": pa.array(out["upsampled"], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_humdc_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.functions.audiofp import MAX_DC_RATIO, MAX_HUM_RATIO
+        from spiderray.pipelines.queries import _humdc_clips_batch
+        from spiderray.pipelines.serial_oracles import _docs, so_audio_humdc
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_humdc(SF_SMALL)
+        clips = _humdc_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        out = {"clip_id": [], "decode_ok": [], "dc_ratio": [],
+               "hum_ratio": [], "dc_offset": [], "hum": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = hum_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                stats, ok = {"dc_ratio": 0.0, "hum_ratio": 0.0}, False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["dc_ratio"].append(stats["dc_ratio"])
+            out["hum_ratio"].append(stats["hum_ratio"])
+            out["dc_offset"].append(ok and stats["dc_ratio"] > MAX_DC_RATIO)
+            out["hum"].append(ok and stats["hum_ratio"] > MAX_HUM_RATIO)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "dc_ratio": pa.array(out["dc_ratio"], pa.float32()),
+            "hum_ratio": pa.array(out["hum_ratio"], pa.float32()),
+            "dc_offset": pa.array(out["dc_offset"], pa.bool_()),
+            "hum": pa.array(out["hum"], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_music_detect_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.queries import _musicmix_clips_batch
+        from spiderray.pipelines.serial_oracles import _docs, so_music_detect
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_music_detect(SF_SMALL)
+        clips = _musicmix_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        keys = ("mod_ratio", "env_depth", "flatness", "flux")
+        out = {"clip_id": [], "decode_ok": [], "audio_class": []}
+        milli = {k: [] for k in keys}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = musicness_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok, klass = True, classify_audio_twin(stats)
+            except DecodeUnsupported:
+                stats = dict.fromkeys(keys, 0.0)
+                ok, klass = False, "undecodable"
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["audio_class"].append(klass)
+            for k in keys:
+                milli[k].append(int(np.floor(stats[k] * 1000 + 0.5)))
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "mod_ratio_milli": pa.array(milli["mod_ratio"], pa.int64()),
+            "env_depth_milli": pa.array(milli["env_depth"], pa.int64()),
+            "flatness_milli": pa.array(milli["flatness"], pa.int64()),
+            "flux_milli": pa.array(milli["flux"], pa.int64()),
+            "audio_class": pa.array(out["audio_class"], pa.string()),
+        })
+        assert twin.equals(ref)
+
+    def test_speaker_turn_kernel_twin_bit_identical(self):
+        from spiderray.functions.audiofp import speaker_turn_stats
+
+        rng = np.random.RandomState(23)
+        sr = 16000
+
+        def voice(f1, f2, length, phase=0.0):
+            t = np.arange(length) / sr
+            return 0.4 * (np.sin(2 * np.pi * f1 * t + phase)
+                          + 0.3 * np.sin(2 * np.pi * f2 * t))
+
+        cases = []
+        # alternating-voice conversation
+        conv = np.concatenate([
+            voice(140, 1100, sr) if i % 2 == 0 else voice(260, 2400, sr)
+            for i in range(6)])
+        cases.append(conv)
+        cases.append(voice(180, 1500, sr * 4))       # monologue
+        cases.append(rng.randn(sr * 3) * 0.2)        # noise
+        cases.append(np.zeros(sr * 2))               # silence
+        cases.append(np.zeros(100))                  # too short
+        for i, c in enumerate(cases):
+            assert speaker_turn_stats(c, sr) == speaker_turn_twin(c, sr), i
 
     def test_compress_kernel_twin_bit_identical_samples(self):
         from spiderray.functions.audiofp import compress_dynamics
