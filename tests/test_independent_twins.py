@@ -509,6 +509,89 @@ def speaker_turn_twin(pcm, sr, seg_frames=16, max_frames=4096):
     return out
 
 
+def reverb_twin(pcm, sr, frame_ms=20.0):
+    """Schroeder-style decay after the last burst (reverb_stats contract):
+    framing / burst scan / tail cut / OLS re-derived with explicit loops,
+    reduction forms pinned."""
+    from spiderray.functions.audiofp import (
+        BANDWIDTH_MAX_SAMPLES,
+        MAX_RT60_MS,
+        REVERB_FLOOR_DB,
+        REVERB_OFFSET_DB,
+    )
+
+    out = {"rt60_ms": 0.0, "decay_db_s": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    x = np.asarray(pcm[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    w = int(round(sr * frame_ms / 1000.0))
+    if w < 1:
+        w = 1
+    nf = len(x) // w
+    if nf < 3:
+        return out
+    E = np.empty(nf, dtype=np.float64)
+    for i in range(nf):
+        E[i] = np.mean(x[i * w:(i + 1) * w] ** 2)
+    if float(E.max()) <= 0.0:
+        return out
+    env = 10.0 * np.log10(np.maximum(E, 1e-20))
+    peak = float(env.max())
+    last_burst = -1  # scan backwards for the last frame near the peak
+    for i in range(nf - 1, -1, -1):
+        if env[i] >= peak - REVERB_OFFSET_DB:
+            last_burst = i
+            break
+    tail_env = env[last_burst + 1:]
+    floor = float(tail_env.min()) if len(tail_env) else peak
+    cut_db = max(peak - REVERB_FLOOR_DB, floor + 3.0)
+    end = len(env) - 1  # first tail frame at/below the cut, else clip end
+    for i, v in enumerate(tail_env):
+        if v <= cut_db:
+            end = last_burst + 1 + i
+            break
+    y = env[last_burst:end + 1]
+    if len(y) < 3:
+        return out
+    t = np.arange(len(y), dtype=np.float64) * (w / sr)
+    tm, ym = t.mean(), y.mean()
+    vart = float(np.sum((t - tm) ** 2))
+    slope = float(np.sum((t - tm) * (y - ym)) / vart) if vart > 0 else 0.0
+    out["decay_db_s"] = slope
+    if slope >= -1e-9:
+        out["rt60_ms"] = MAX_RT60_MS
+    else:
+        out["rt60_ms"] = float(min(MAX_RT60_MS, -60.0 / slope * 1000.0))
+    return out
+
+
+def channel_twin(x):
+    """channel_stats contract re-derived: RMS per channel by loop, Pearson
+    with explicit zero-mean sums."""
+    from spiderray.functions.audiofp import BANDWIDTH_MAX_SAMPLES
+
+    out = {"n_channels": 1, "lr_corr": 0.0, "rms_ratio": 1.0}
+    if x is None or x.size == 0:
+        return out
+    if x.ndim == 1:
+        x = x.reshape(-1, 1)
+    x = np.asarray(x[:BANDWIDTH_MAX_SAMPLES], dtype=np.float64)
+    out["n_channels"] = int(x.shape[1])
+    if x.shape[1] < 2 or x.shape[0] == 0:
+        return out
+    # axis-0 reduction is a pinned form: numpy's 2-D column reduction
+    # accumulates sequentially, not pairwise like a 1-D mean would
+    rms = np.sqrt(np.mean(x * x, axis=0))
+    mx = float(rms.max())
+    out["rms_ratio"] = float(rms.min() / mx) if mx > 0.0 else 1.0
+    l_ch = x[:, 0] - x[:, 0].mean()
+    r_ch = x[:, 1] - x[:, 1].mean()
+    denom = float(np.sqrt(np.sum(l_ch * l_ch) * np.sum(r_ch * r_ch)))
+    if denom > 0.0:
+        out["lr_corr"] = float(np.sum(l_ch * r_ch) / denom)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # The burn-down tests: regenerate each fixture table from the independent
 # twin and require BIT-IDENTITY with the shared-kernel serial oracle — a
@@ -769,6 +852,64 @@ class TestFixtureRegeneration:
             "audio_class": pa.array(out["audio_class"], pa.string()),
         })
         assert twin.equals(ref)
+
+    def test_reverb_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.functions.audiofp import MAX_REVERB_RT60_MS
+        from spiderray.pipelines.queries import _reverb_clips_batch
+        from spiderray.pipelines.serial_oracles import _docs, so_audio_reverb
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_reverb(SF_SMALL)
+        clips = _reverb_clips_batch(_docs(SF_SMALL, ("doc_id",)))
+        out = {"clip_id": [], "decode_ok": [], "rt60_ms": [],
+               "decay_db_s": [], "reverberant": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = reverb_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                stats, ok = {"rt60_ms": 0.0, "decay_db_s": 0.0}, False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["rt60_ms"].append(stats["rt60_ms"])
+            out["decay_db_s"].append(stats["decay_db_s"])
+            out["reverberant"].append(
+                ok and stats["rt60_ms"] > MAX_REVERB_RT60_MS)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "rt60_ms": pa.array(out["rt60_ms"], pa.float32()),
+            "decay_db_s": pa.array(out["decay_db_s"], pa.float32()),
+            "reverberant": pa.array(out["reverberant"], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_channel_kernel_twin_bit_identical(self):
+        from spiderray.functions.audiofp import channel_stats
+
+        rng = np.random.RandomState(31)
+        n = 16000
+        mono = rng.randn(n) * 0.3
+        cases = [
+            np.stack([mono, mono], axis=1),                    # fake stereo
+            np.stack([mono, -mono], axis=1),                   # inverted
+            np.stack([mono, np.zeros(n)], axis=1),             # dead channel
+            np.stack([mono, rng.randn(n) * 0.3], axis=1),      # real stereo
+            np.stack([mono, mono * 0.5, mono * 0.1], axis=1),  # 3-channel
+            mono,                                              # mono 1-D
+            np.zeros((n, 2)),                                  # silence
+            np.zeros(0),                                       # empty
+        ]
+        for i, c in enumerate(cases):
+            assert channel_stats(c) == channel_twin(c), i
 
     def test_speaker_turn_kernel_twin_bit_identical(self):
         from spiderray.functions.audiofp import speaker_turn_stats
