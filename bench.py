@@ -221,42 +221,42 @@ def run_queries() -> dict[str, float]:
 # BASELINE.md's representative runs — retry thresholds, not assertions.
 _CALM_SEC = {
     "q_pricing_summary": 0.6, "q_skew_join_unsalted": 2.0,
-    "q_salted_skew_join": 2.0, "q_exact_dedup": 0.8, "q_token_counts": 1.0,
-    "q_doc_lang_hist": 1.0, "q_ann_topk": 0.3, "q_minhash_pairs": 3.0,
+    "q_salted_skew_join": 2.0, "q_exact_dedup": 0.8, "q_token_counts": 0.3,
+    "q_doc_lang_hist": 0.3, "q_ann_topk": 0.3, "q_minhash_pairs": 1.9,
     "q_simhash_pairs": 0.8, "q_events_hourly": 0.3, "q_user_sessions": 0.6,
-    "q_join_orders_customers": 1.5, "q_news_from_html": 2.2,
-    "q_speech_rate": 1.0, "q_events_sliding": 0.8, "q_train_test_split": 0.8,
-    "q_value_quantiles": 2.2, "q_corpus_ppl": 1.0, "q_prepare_corpus": 2.0,
+    "q_join_orders_customers": 0.9, "q_news_from_html": 2.2,
+    "q_speech_rate": 0.3, "q_events_sliding": 0.8, "q_train_test_split": 0.3,
+    "q_value_quantiles": 2.2, "q_corpus_ppl": 1.0, "q_prepare_corpus": 1.0,
     "q_ngram_jaccard_pairs": 1.4, "q_window_analytics": 0.8,
     "q_bm25_topk": 0.8, "q_asof_join": 0.8, "q_semantic_dedup": 3.0,
     "q_decontaminate": 0.8, "q_gopher_quality": 2.0, "q_c4_span_dedup": 1.4,
-    "q_heavy_hitters": 0.8, "q_pack_chunks": 0.8, "q_event_outliers": 0.8,
-    "q_tdigest_quantiles": 1.0, "q_cmvn": 4.5, "q_unigram_tokens": 1.2,
-    "q_bottomk_sample": 0.8, "q_ccnet_buckets": 1.2, "q_speed_perturb": 6.5,
-    "q_acoustic_augment": 5.0,
-    "q_audio_bandwidth": 4.5, "q_image_near_dup": 3.5,
-    "q_paragraph_dedup": 1.6, "q_decontaminate_spans": 0.9,
-    "q_paragraph_dedup_bloom": 1.2,
+    "q_heavy_hitters": 0.8, "q_pack_chunks": 0.5, "q_event_outliers": 0.5,
+    "q_tdigest_quantiles": 1.0, "q_cmvn": 1.5, "q_unigram_tokens": 1.2,
+    "q_bottomk_sample": 0.3, "q_ccnet_buckets": 1.2, "q_speed_perturb": 4.1,
+    "q_acoustic_augment": 2.1,
+    "q_audio_bandwidth": 0.8, "q_image_near_dup": 1.0,
+    "q_paragraph_dedup": 0.6, "q_decontaminate_spans": 0.6,
+    "q_paragraph_dedup_bloom": 0.6,
     "q_threshold_sweep": 0.3,
-    "q_unimax_resample": 0.6, "q_jsonl_roundtrip": 1.6,
-    "q_prepare_image": 8.0,
-    "q_audio_reverb": 2.5, "q_audio_channels": 2.5, "q_transcript_fit": 0.8,
-    "q_term_drift": 1.0, "q_vocab_coverage": 0.8, "q_wordpiece_tokens": 3.0,
-    "q_classifier_auc": 1.0, "q_pack_bins": 1.0,
+    "q_unimax_resample": 0.3, "q_jsonl_roundtrip": 0.5,
+    "q_prepare_image": 2.7,
+    "q_audio_reverb": 1.1, "q_audio_channels": 1.1, "q_transcript_fit": 0.4,
+    "q_term_drift": 0.4, "q_vocab_coverage": 0.4, "q_wordpiece_tokens": 0.5,
+    "q_classifier_auc": 1.0, "q_pack_bins": 0.3,
     "q_ngram_novelty": 8.0,  # Ray all-to-all floor, see BASELINE adjudication
-     "q_codec_sniff": 0.8, "q_time_stretch": 4.0,
-    "q_pitch_shift": 6.0, "q_embedding_decontaminate": 0.8,
-    "q_audio_denoise": 3.0, "q_audio_qc": 4.0, "q_prepare_speech": 6.0,
-    "q_prototype_prune": 1.5, "q_mmr_topk": 0.8, "q_fix_mojibake": 1.0,
-    "q_canary_scan": 0.8, "q_tokenizer_fertility": 1.5, "q_line_dedup": 1.0,
-    "q_audio_compress": 3.0, "q_utterance_pack": 3.0,
-    "q_rank_blend": 1.0, "q_text_semantic_dedup": 2.5, "q_batch_topk": 0.8,
-    "q_hive_roundtrip": 1.5, "q_count_min": 2.5,
+     "q_codec_sniff": 0.3, "q_time_stretch": 4.0,
+    "q_pitch_shift": 6.0, "q_embedding_decontaminate": 0.3,
+    "q_audio_denoise": 1.7, "q_audio_qc": 1.8, "q_prepare_speech": 1.9,
+    "q_prototype_prune": 1.5, "q_mmr_topk": 0.3, "q_fix_mojibake": 0.3,
+    "q_canary_scan": 0.3, "q_tokenizer_fertility": 0.6, "q_line_dedup": 0.3,
+    "q_audio_compress": 1.5, "q_utterance_pack": 1.5,
+    "q_rank_blend": 0.5, "q_text_semantic_dedup": 2.5, "q_batch_topk": 0.3,
+    "q_hive_roundtrip": 0.5, "q_count_min": 1.2,
     "q_linear_distill": 5.5,  # GD epochs = sequential integer-gradient reduces
-    "q_fuzzy_pairs": 0.8, "q_k_anonymity": 0.8, "q_l_diversity": 0.8,
-    "q_t_closeness": 0.8,
-    "q_mad_outliers": 4.0, "q_source_lang_pivot": 0.8,
-    "q_music_detect": 2.0, "q_clap_filter": 0.8, "q_halluc_loops": 1.0,
+    "q_fuzzy_pairs": 0.3, "q_k_anonymity": 0.3, "q_l_diversity": 0.3,
+    "q_t_closeness": 0.3,
+    "q_mad_outliers": 4.0, "q_source_lang_pivot": 0.3,
+    "q_music_detect": 2.0, "q_clap_filter": 0.3, "q_halluc_loops": 1.0,
 }
 
 
