@@ -136,6 +136,11 @@ class TestNullTextRobustness:
         "q_doc_keepdrop", "q_token_counts", "q_exact_dedup", "q_corpus_ppl",
         "q_prepare_corpus", "q_chunk_dedup", "q_news_from_html", "q_speech_rate",
         "q_bm25_topk", "q_bpe_tokens",
+        # round-5 window rotation: fuzz the new text-consuming
+        # representatives too (null/empty/whitespace/huge/mixed texts)
+        "q_simhash_pairs", "q_ngram_jaccard_pairs", "q_paragraph_dedup",
+        "q_boilerplate_strip", "q_c4_filters", "q_readability",
+        "q_nb_langid", "q_wordpiece_tokens",
     ])
     def test_query_survives_fuzz_corpus(self, ray_session, fuzz_dir, name,
                                         monkeypatch):
