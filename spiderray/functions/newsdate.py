@@ -290,18 +290,25 @@ def time_from_meta_en(metas: list[tuple[str, str, str]], lang: str) -> str:
 
 
 def time_from_script(script_texts: list[str]) -> str:
-    """getTimeByScript clone (content.go:1167-1190): JSON pub* key first,
-    then the WeChat epoch ct="...". Scripts scanned in document order."""
+    """getTimeByScript clone (content.go:1167-1195): JSON pub* key first,
+    then the WeChat epoch ct="..." per script.  Keeps the reference's
+    quirk: the ``return`` inside the goquery ``Each`` closure only ends
+    that iteration, so a LATER matching script overwrites an earlier one
+    — last match wins (round-5 independent-transcription finding; this
+    returned the first match through round 4, same quirk as
+    titlecascade.title_by_script)."""
+    winner = ""
     for text in script_texts:
         flat = textnorm.remove_lines(text or "")
         m = RE_SCRIPT_TIME.search(flat)
         if m:
-            return m.group(1).strip()
+            winner = m.group(1).strip()
+            continue
         m = RE_WX_SCRIPT_TIME.search(flat)
         if m:
             ts = int(m.group(1))
-            return _time.strftime("%Y-%m-%d %H:%M:%S", _time.localtime(ts))
-    return ""
+            winner = _time.strftime("%Y-%m-%d %H:%M:%S", _time.localtime(ts))
+    return winner
 
 
 def time_from_url(url: str) -> str:
@@ -330,7 +337,12 @@ def extract_time(
     (raw_time, time_pos, formatted_time)."""
     en_format = False
 
-    t = time_from_meta(metas or [], "zh")
+    # the standard-pattern meta pass gates its date-only acceptance on the
+    # PAGE language (getTimeByMeta checks c.Lang != "zh" inside,
+    # content.go:694-706) — this passed a literal "zh" through round 4,
+    # silently dropping date-only metas on non-zh pages (round-5
+    # independent-transcription finding)
+    t = time_from_meta(metas or [], lang)
     pos = "meta" if t else ""
     if not t and lang != "zh":
         t = time_from_meta_en(metas or [], lang)

@@ -497,3 +497,330 @@ class TestPublishPickVsIndependent:
         self._diff("x", ["2022-09-01"], True)
         # future dates beyond now+86400 are skipped by the quirk loop
         self._diff("x", ["2031-01-01", "2022-08-15"], False)
+
+
+# ==========================================================================
+# Independent TIME-extraction cascade (getTime, content.go:310-373, plus
+# getTimeByMeta :636-716, getTimeByMetaEn :718-800, getTimeByTag :593-627,
+# getTimeByScript :1167-1195, getTimeByBody :446-475, getTimeByLang
+# :374-444) — regex constants transcribed from content.go:22-66; Go [\pP]
+# becomes regex-module \p{P}.  This transcription CAUGHT two engine
+# divergences, both fixed in round 5:
+#   * extract_time passed a literal "zh" into the standard-pattern meta
+#     pass, disabling the date-only acceptance the reference gates on the
+#     PAGE language (content.go:694-706);
+#   * getTimeByScript's Each-closure ``return`` only ends one iteration —
+#     the LAST matching script wins (same quirk as getTitleByScript).
+# ==========================================================================
+
+_G_PUB = rx.compile(
+    "(((20[1-3]\\d{1})[-/年.])(0[1-9]|1[0-2]|[1-9])[-/月.]"
+    "(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[日Tt]?[ ]{0,3}"
+    "(([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:点时]([0-5][0-9]|[0-9])[:分]?"
+    "(([0-5][0-9]|[0-9])[秒]?)?((\\.\\d{3})?)"
+    "(z|Z|[\\+-]\\d{2}[:]?\\d{2})?)?)")
+_G_PUB_SHORT = rx.compile(
+    "(((20[1-3]\\d{1}|[1-3]\\d{1})[-/年.])(0[1-9]|1[0-2]|[1-9])[-/月.]"
+    "(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[日Tt]?[ ]{0,3}"
+    "(([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:点时]([0-5][0-9]|[0-9])[:分]?"
+    "(([0-5][0-9]|[0-9])[秒]?)?((\\.\\d{3})?)"
+    "(z|Z|[\\+-]\\d{2}[:]?\\d{2})?)?)")
+_G_NO_YEAR = rx.compile(
+    "((0[1-9]|1[0-2]|[1-9])[-/月.](0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[日Tt]?"
+    "[ ]{0,3}(([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:点时]([0-5][0-9]|[0-9])"
+    "[:分]?(([0-5][0-9]|[0-9])[秒]?)?)?)")
+_G_MONTHS = ("january|february|march|april|may|june|july|august|september"
+             "|october|november|december|jan|feb|mar|apr|may|jun|jul|aug"
+             "|sept?|oct|nov|dec")
+_G_EN1 = rx.compile(
+    "(?i)((?:(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])(?:st|nd|rd|th)?)[, ]{0,4}"
+    "(" + _G_MONTHS + ")[, ]{0,4}(20[1-3]\\d{1})"
+    "([, ]{0,4}([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:]([0-5][0-9]|[0-9])"
+    "([:]([0-5][0-9]|[0-9]))?([, ]{0,4}(am|pm))?)?)")
+_G_EN2 = rx.compile(
+    "(?i)((" + _G_MONTHS + ")[, ]{0,4}"
+    "(?:(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])(?:st|nd|rd|th)?)[, ]{0,4}"
+    "(20[1-3]\\d{1})([, ]{0,4}([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:]"
+    "([0-5][0-9]|[0-9])([:]([0-5][0-9]|[0-9]))?([, ]{0,4}(am|pm))?)?)")
+_G_ENUS = rx.compile(
+    "((0[1-9]|1[0-2]|[1-9])[-/.](0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[-/.]"
+    "(20[1-3]\\d{1}|[1-3]\\d{1})[ ]{0,3}(([0-9]|[0-1][0-9]|2[0-3]|[1-9])"
+    "[:]([0-5][0-9]|[0-9])[:]?(([0-5][0-9]|[0-9]))?)?)")
+_G_ZH_PUB = rx.compile(
+    "(?i)(发布|创建|出版|发表|编辑)?(时间|日期)[\\p{P} ]{1,8}"
+    + _G_PUB_SHORT.pattern)
+_G_SCRIPT_TIME = rx.compile(
+    r'(?i)"[\w_\-]*pub.*"[\t ]{0,4}:[\t ]{0,4}"'
+    "(((20[1-3]\\d{1})[-/年.])(0[1-9]|1[0-2]|[1-9])[-/月.]"
+    "(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])[日Tt]?[ ]{0,3}"
+    "(([0-9]|[0-1][0-9]|2[0-3]|[1-9])[:点时]([0-5][0-9]|[0-9])[:分]?"
+    "(([0-5][0-9]|[0-9])[秒]?)?((\\.\\d{3})?)"
+    '(z|Z|[\\+-]\\d{2}[:]?\\d{2})?))"')
+_G_WX_TIME = rx.compile(r'(?i)ct[\t ]{0,4}=[\t ]{0,4}"(1[2-9]\d{8})"')
+_META_KEYS = ("publish", "pubdate", "pubtime", "release", "dctermsdate")
+
+
+def _strip_key(s):
+    return (s or "").replace("_", "").replace("-", "").replace(".", "")
+
+
+def _longest_first(dates):
+    best_len, best = 0, ""
+    for d in dates:
+        if len(d) > best_len:
+            best_len, best = len(d), d
+    return best
+
+
+def ind_time_meta(metas, lang):
+    dates = []
+    for name, prop, content in metas:
+        m = _G_PUB.search(content or "")
+        if not m:
+            continue
+        d = m.group(0)
+        if any(k in _strip_key(prop) for k in _META_KEYS):
+            dates.append(d.strip())
+        if any(k in _strip_key(name) for k in _META_KEYS):
+            dates.append(d.strip())
+    if not dates:
+        return ""
+    has = [d for d in dates if _RE_TIME.search(d)]
+    no = [d for d in dates if not _RE_TIME.search(d)]
+    if has:
+        return has[0] if len(has) == 1 else _longest_first(has)
+    if lang != "zh" and no:
+        return no[0] if len(no) == 1 else _longest_first(no)
+    return ""
+
+
+def ind_time_meta_en(metas, lang):
+    dates = []
+    for name, prop, content in metas:
+        for pat in (_G_EN1, _G_EN2):
+            m = pat.search(content or "")
+            if not m:
+                continue
+            d = _normalise_space(m.group(0).strip()).replace(",", " ")
+            if any(k in _strip_key(prop) for k in _META_KEYS):
+                dates.append(d)
+            if any(k in _strip_key(name) for k in _META_KEYS):
+                dates.append(d)
+            break
+    if not dates:
+        return ""
+    has = [d for d in dates if _RE_TIME.search(d)]
+    no = [d for d in dates if not _RE_TIME.search(d)]
+    if has:
+        return has[0] if len(has) == 1 else _longest_first(has)
+    if lang != "zh" and no:
+        return no[0] if len(no) == 1 else _longest_first(no)
+    return ""
+
+
+def ind_time_tag(time_attr, lang):
+    """-> (time, en_format)"""
+    if not time_attr:
+        return "", False
+    m = _G_PUB.search(time_attr)
+    if m:
+        return m.group(0), False
+    if lang != "zh":
+        for pat in (_G_EN1, _G_EN2):
+            m = pat.search(time_attr)
+            if m:
+                return (_normalise_space(m.group(0)).replace(",", " "),
+                        True)
+    return "", False
+
+
+def ind_time_script(script_texts):
+    import time as _t
+
+    winner = ""
+    for text in script_texts:
+        flat = _remove_lines(text or "")
+        m = _G_SCRIPT_TIME.search(flat)
+        if m:
+            winner = m.group(1).strip()
+            continue
+        m = _G_WX_TIME.search(flat)
+        if m:
+            winner = _t.strftime("%Y-%m-%d %H:%M:%S",
+                                 _t.localtime(int(m.group(1))))
+    return winner
+
+
+def ind_time_body(body, lang, title, title_pos, now, str_to_time):
+    import time as _t
+
+    dates = [m.group(0) for m in _G_PUB_SHORT.finditer(body)]
+    if dates:
+        return ind_pick_publish_dates(body, dates, False, title, title_pos,
+                                      False, now, str_to_time)
+    if lang == "zh":
+        no_year = [m.group(0) for m in _G_NO_YEAR.finditer(body)]
+        if no_year:
+            picked = ind_pick_publish_dates(body, no_year, True, title,
+                                            title_pos, False, now,
+                                            str_to_time)
+            if picked:
+                year = _t.localtime(now).tm_year
+                if "月" in picked:
+                    return f"{year}年{picked}"
+                picked = picked.replace("/", "-").replace(".", "-")
+                return f"{year}-{picked}"
+            return picked
+    return ""
+
+
+def ind_time_lang(body, lang, title, title_pos, now, str_to_time):
+    """-> (time, en_format)"""
+    if lang == "zh":
+        hits = [m.group(0) for m in _G_ZH_PUB.finditer(body)]
+        dates = []
+        for h in hits:
+            m = _G_PUB_SHORT.search(h)
+            if m:
+                dates.append(m.group(0))
+        if dates:
+            return (ind_pick_publish_dates(body, dates, False, title,
+                                           title_pos, False, now,
+                                           str_to_time), False)
+        return "", False
+    for pat, en in ((_G_EN1, True), (_G_EN2, True), (_G_ENUS, False)):
+        hits = [m.group(0) for m in pat.finditer(body)]
+        if hits:
+            if en:
+                dates = [_normalise_space(h.strip()).replace(",", " ")
+                         for h in hits]
+            else:
+                dates = [h.strip() for h in hits]
+            return (ind_pick_publish_dates(body, dates, False, title,
+                                           title_pos, en, now,
+                                           str_to_time), en)
+    return "", False
+
+
+def ind_extract_time(lang, body_text, metas, time_attr, script_texts,
+                     url, title, title_pos, now, str_to_time):
+    """Full getTime order (content.go:310-373) -> (time, pos)."""
+    t = ind_time_meta(metas, lang)
+    if t:
+        return t, "meta"
+    if lang != "zh":
+        t = ind_time_meta_en(metas, lang)
+        if t:
+            return t, "meta"
+    t, _en = ind_time_tag(time_attr, lang)
+    if t:
+        return t, "tag"
+    t = ind_time_script(script_texts)
+    if t:
+        return t, "script"
+    body = _normalise_space(body_text)
+    t = ind_time_body(body, lang, title, title_pos, now, str_to_time)
+    if t:
+        return t, "body"
+    t, _en = ind_time_lang(body, lang, title, title_pos, now, str_to_time)
+    if t:
+        return t, "lang"
+    m = rx.search(r"(20[2-3]\d{1}[/]?(0[1-9]|1[0-2])[/]?"
+                  r"(0[1-9]|[1-2][0-9]|3[0-1]))", url or "")
+    if m:
+        raw = m.group(1).replace("/", "")
+        return f"{raw[0:4]}-{raw[4:6]}-{raw[6:8]}", "url"
+    return "", ""
+
+
+class TestTimeCascadeVsIndependent:
+    NOW = 1663725600.0
+
+    def _diff(self, **kw):
+        from spiderray.functions.newsdate import extract_time, str_to_time
+
+        kw.setdefault("metas", [])
+        kw.setdefault("time_attr", "")
+        kw.setdefault("script_texts", [])
+        kw.setdefault("url", "")
+        kw.setdefault("title", "")
+        kw.setdefault("title_pos", "")
+        kw.setdefault("body_text", "")
+        got = extract_time(now=self.NOW, **kw)[:2]
+        exp = ind_extract_time(
+            kw["lang"], kw["body_text"], kw["metas"], kw["time_attr"],
+            kw["script_texts"], kw["url"], kw["title"], kw["title_pos"],
+            self.NOW, lambda d: str_to_time(d, self.NOW))
+        assert got == tuple(exp), (kw, got, exp)
+
+    def test_meta_arms(self):
+        pub = [("publishdate", "", "2022-09-03 10:30:00")]
+        self._diff(lang="en", metas=pub)
+        self._diff(lang="zh", metas=pub)
+        # date-only meta: accepted for non-zh pages, rejected for zh —
+        # the round-5 fix (extract_time passed a literal "zh" before)
+        date_only = [("publishdate", "", "2022-09-03")]
+        self._diff(lang="en", metas=date_only)
+        self._diff(lang="zh", metas=date_only, body_text="no dates here")
+        # longest-with-time wins, first of equals
+        self._diff(lang="en", metas=[
+            ("pubtime", "", "2022-09-03 10:30"),
+            ("release_date", "", "2022-09-03 10:30:00"),
+        ])
+        # EN meta fallback for non-zh
+        self._diff(lang="en", metas=[
+            ("article:publish", "", "Sep 03, 2022 10:30 pm")])
+        # non-publish meta keys never count
+        self._diff(lang="en", metas=[("description", "", "2022-09-03 10:30")])
+
+    def test_tag_and_script_arms(self):
+        self._diff(lang="en", time_attr="2022-09-03T10:30:00Z")
+        self._diff(lang="en", time_attr="03 Sep 2022 10:30")
+        self._diff(lang="zh", time_attr="03 Sep 2022 10:30")  # zh: no EN tag
+        # script: LAST matching script wins (the round-5 fix)
+        self._diff(lang="en", script_texts=[
+            'var a={"pubdate": "2022-09-01 10:00:00"};',
+            'var b={"pub_time": "2022-09-02 11:00:00"};',
+        ])
+        # WeChat epoch form, and a pub-match overriding an earlier WX hit
+        self._diff(lang="zh", script_texts=['var ct = "1662174000";'])
+        self._diff(lang="zh", script_texts=[
+            'var ct = "1662174000";',
+            'var x={"publish_time": "2022-09-03 08:00:00"};',
+        ])
+
+    def test_body_and_lang_arms(self):
+        self._diff(lang="en",
+                   body_text="posted 2022-09-03 10:30:00 by staff")
+        self._diff(lang="zh",
+                   body_text="新闻正文 09-03 10:30 编辑部")   # zh no-year
+        self._diff(lang="zh",
+                   body_text="发布时间: 22-09-03 10:30 正文")  # zh prefix
+        self._diff(lang="en",
+                   body_text="Published on Sep 03, 2022 10:30 pm in News")
+        self._diff(lang="en", body_text="updated 9/03/2022 11:11:11 -")
+        self._diff(lang="en", body_text="nothing temporal at all")
+
+    def test_url_arm(self):
+        self._diff(lang="en", url="https://ex.com/news/2022/09/03/story")
+        self._diff(lang="en", url="https://ex.com/a/20220903-story")
+
+    def test_cascade_on_html_corpus(self):
+        from spiderray.functions.newsdate import extract_time, str_to_time
+        from spiderray.stages.htmlparse import parse_page_fields
+
+        mism = []
+        for page in _html_pages():
+            f = parse_page_fields(page)
+            metas = [(n, p, c) for n, p, c in f["metas"]]
+            got = extract_time(
+                lang="en", body_text=f["body_text"], metas=metas,
+                time_attr=f["time_attr"], script_texts=f["script_texts"],
+                now=self.NOW)[:2]
+            exp = ind_extract_time(
+                "en", f["body_text"], metas, f["time_attr"],
+                f["script_texts"], "", "", "", self.NOW,
+                lambda d: str_to_time(d, self.NOW))
+            if got != tuple(exp):
+                mism.append((got, exp))
+        assert not mism, mism[:5]
