@@ -1066,7 +1066,7 @@ def q_audio_features(sf_dir: str):
     from ..stages.multimodal import audio_features_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_features_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "codec", "decode_ok", "n_samples", "audio_rms", "clip_ratio"]
     )
@@ -2724,7 +2724,7 @@ def q_audio_spectral(sf_dir: str):
     from ..stages.multimodal import audio_spectral_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_spectral_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_spectral_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "centroid_hz", "bandwidth_hz", "rolloff_hz",
          "dominant_hz", "zcr"]
@@ -2739,7 +2739,7 @@ def q_vad_stats(sf_dir: str):
     from ..stages.multimodal import audio_features_stage, vad_stats_stage
 
     ds = clips_from_documents(sf_dir)
-    feats = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    feats = audio_features_stage(ds, PipelineConfig())
     out = vad_stats_stage(feats)
     return out.select_columns(
         ["clip_id", "silence_ratio", "lead_silence_ms", "trail_silence_ms",
@@ -2759,7 +2759,7 @@ def q_audio_loudness(sf_dir: str):
     from ..stages.audioquality import audio_loudness_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_loudness_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_loudness_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "lufs_integrated", "lufs_range",
          "clip_ratio", "dc_offset", "too_quiet", "clipped"]
@@ -2776,7 +2776,7 @@ def q_audio_mfcc(sf_dir: str):
     from ..stages.audioquality import audio_mfcc_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_mfcc_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_mfcc_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok"] + [f"mfcc_{k}" for k in range(13)]
     )
@@ -2808,7 +2808,7 @@ def q_cmvn(sf_dir: str):
     ds = clips_from_documents(sf_dir).map_batches(
         _speakerize_batch, batch_format="pyarrow", zero_copy_batch=True)
     feats = (
-        audio_mfcc_stage(ds, PipelineConfig(), concurrency=4)
+        audio_mfcc_stage(ds, PipelineConfig())
         .map_batches(lambda b: b.filter(b.column("decode_ok")),
                      batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["clip_id", "speaker"] + feat)
@@ -2829,7 +2829,7 @@ def q_audio_snr(sf_dir: str):
     from ..stages.audioquality import audio_snr_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_snr_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_snr_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "snr_db", "noise_floor_db", "active_ratio",
          "f0_hz", "voiced_ratio", "noisy", "unvoiced"]
@@ -2850,7 +2850,7 @@ def q_audio_defects(sf_dir: str):
     ds = clips_from_documents(sf_dir).map_batches(
         distorted_clips_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = audio_defect_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_defect_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "clip_ratio", "max_clip_run_ms",
          "max_zero_run_ms", "peak", "clipped", "dropout"]
@@ -4262,7 +4262,7 @@ def q_audio_transform(sf_dir: str):
     from ..stages.multimodal import audio_transform_stage
 
     ds = clips_from_documents(sf_dir)
-    out = audio_transform_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_transform_stage(ds, PipelineConfig())
     return out.select_columns(["clip_id", "sr_hz", "codec", "transform_ok"])
 
 
@@ -4346,7 +4346,7 @@ def q_adpcm_roundtrip(sf_dir: str):
 
     ds = clips_from_documents(sf_dir).map_batches(
         _adpcmify_batch, batch_format="pyarrow", zero_copy_batch=True)
-    out = audio_features_stage(ds, PipelineConfig(), concurrency=4)
+    out = audio_features_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
 
@@ -4366,7 +4366,7 @@ def q_flac_roundtrip(sf_dir: str):
 
     ds = clips_from_documents(sf_dir)
     flac_ds = ds.map_batches(_flacify_batch, batch_format="pyarrow", zero_copy_batch=True)
-    out = audio_features_stage(flac_ds, PipelineConfig(), concurrency=4)
+    out = audio_features_stage(flac_ds, PipelineConfig())
     return out.select_columns(["clip_id", "codec", "decode_ok", "n_samples", "audio_rms"])
 
 
@@ -4589,7 +4589,7 @@ def q_image_features(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     imgs = ds.map_batches(_synth_image_rows, batch_format="pyarrow", zero_copy_batch=True)
-    out = image_features_stage(imgs, PipelineConfig(), resize_to=(12, 16), concurrency=4)
+    out = image_features_stage(imgs, PipelineConfig(), resize_to=(12, 16))
     return out.select_columns(["clip_id", "format", "decode_ok", "width", "height",
                                "mean_lum", "std_lum"])
 
@@ -4638,7 +4638,7 @@ def q_video_frames(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     vids = ds.map_batches(_synth_video_rows, batch_format="pyarrow", zero_copy_batch=True)
-    out = frame_sample_stage(vids, PipelineConfig(), every_k=4, concurrency=4)
+    out = frame_sample_stage(vids, PipelineConfig(), every_k=4)
     return out.select_columns(["clip_id", "frame_index", "decode_ok"])
 
 
@@ -4694,7 +4694,7 @@ def q_scene_cuts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     vids = ds.map_batches(_scenemix_video_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
-    return scene_cut_stage(vids, PipelineConfig(), concurrency=4)
+    return scene_cut_stage(vids, PipelineConfig())
 
 
 def _synth_neardup_image_rows(batch: pa.Table) -> pa.Table:
@@ -4828,8 +4828,7 @@ def q_image_near_dup(sf_dir: str):
     imgs = ds.map_batches(_synth_neardup_image_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
     cfg = PipelineConfig(id_col="img_id")
-    pairs = image_near_dup_pairs(imgs, cfg, hash_kind="dhash", max_hamming=3,
-                                 concurrency=4)
+    pairs = image_near_dup_pairs(imgs, cfg, hash_kind="dhash", max_hamming=3)
     df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return df[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -5068,7 +5067,7 @@ def q_audio_bandwidth(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_bandlimited_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_bandwidth_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_bandwidth_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "bw_hz", "bw_ratio", "upsampled"])
 
@@ -5190,7 +5189,7 @@ def q_music_detect(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_musicmix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = music_speech_stage(clips, PipelineConfig(), concurrency=4)
+    out = music_speech_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "mod_ratio_milli", "env_depth_milli",
          "flatness_milli", "flux_milli", "audio_class"])
@@ -5434,7 +5433,7 @@ def q_audio_declip(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_clipmix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = declip_stage(clips, PipelineConfig(), concurrency=4)
+    out = declip_stage(clips, PipelineConfig())
 
     def digest(b: pa.Table) -> pa.Table:
         import hashlib
@@ -5466,7 +5465,7 @@ def q_speaker_turns(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_turnmix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = speaker_turn_stage(clips, PipelineConfig(), concurrency=4)
+    out = speaker_turn_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "n_windows", "turn_count", "sep_ppm",
          "multi_speaker"])
@@ -5489,7 +5488,7 @@ def q_dtmf_scan(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_dtmfmix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = dtmf_stage(clips, PipelineConfig(), concurrency=4)
+    out = dtmf_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "dtmf_digits", "n_digits", "has_dtmf"])
 
@@ -5568,7 +5567,7 @@ def q_audio_tempo(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_tempomix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = tempo_stage(clips, PipelineConfig(), concurrency=4)
+    out = tempo_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "bpm", "tempo_conf_ppm", "onset_ppm",
          "planted_bpm", "has_beat"])
@@ -5591,7 +5590,7 @@ def q_audio_loops(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_loopmix_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_loop_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_loop_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "n_frames", "n_voiced", "n_unique_peaks",
          "loop_period_frames", "loop_score_ppm", "loop_overlap",
@@ -5767,7 +5766,7 @@ def q_audio_channels(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_channel_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_channel_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_channel_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "n_channels", "lr_corr", "rms_ratio",
          "dead_channel", "fake_stereo", "phase_inverted"])
@@ -5985,7 +5984,7 @@ def q_audio_qc(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_qc_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_qc_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_qc_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "sniffed", "codec_mismatch", "dc_offset",
          "hum", "upsampled", "reverberant", "clipped", "dropout",
@@ -6038,7 +6037,7 @@ def q_audio_denoise(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_noisy_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_denoise_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_denoise_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "denoise_ok", "noise_floor_db", "out_rms"])
 
@@ -6054,7 +6053,7 @@ def q_flac_transcode(sf_dir: str):
     from ..stages.multimodal import flac_transcode_stage
 
     ds = clips_from_documents(sf_dir)
-    out = flac_transcode_stage(ds, PipelineConfig(), concurrency=4)
+    out = flac_transcode_stage(ds, PipelineConfig())
     return out.select_columns(
         ["clip_id", "flac_ok", "lossless", "n_bytes_in", "n_bytes_flac"])
 
@@ -6110,7 +6109,7 @@ def q_audio_compress(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_noisy_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_compress_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_compress_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "compress_ok", "gain_reduction_db", "out_rms"])
 
@@ -6130,7 +6129,7 @@ def q_audio_reverb(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_reverb_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_reverb_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_reverb_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "rt60_ms", "decay_db_s", "reverberant"])
 
@@ -6149,7 +6148,7 @@ def q_audio_humdc(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"], min_blocks=16)
     clips = ds.map_batches(_humdc_clips_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = audio_hum_stage(clips, PipelineConfig(), concurrency=4)
+    out = audio_hum_stage(clips, PipelineConfig())
     return out.select_columns(
         ["clip_id", "decode_ok", "dc_ratio", "hum_ratio", "dc_offset", "hum"])
 
