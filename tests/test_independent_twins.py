@@ -981,3 +981,212 @@ class TestAdaptivePool:
         from spiderray.stages import perplexity_stage as ps
 
         assert ps._adaptive_pool((3, 7)) == (3, 7)
+
+
+# ---------------------------------------------------------------------------
+# Independent loudness (BS.1770) + defect twins.  The biquad coefficients
+# are ITU-R BS.1770-4 Table 1/2 data; block framing, Parseval scaling, the
+# two-stage gate, the LRA percentile window and the run/flag logic are
+# re-derived below (reduction forms pinned as before).
+# ---------------------------------------------------------------------------
+
+def loudness_twin(pcm, sr):
+    FLOOR = -99.0
+    out = {"lufs_integrated": FLOOR, "lufs_range": 0.0,
+           "clip_ratio": 0.0, "dc_offset": 0.0}
+    if sr <= 0 or len(pcm) == 0:
+        return out
+    # K-weighting cascade magnitude^2 at physical Hz (biquads defined at
+    # 48 kHz; BS.1770-4 Table 1/2 coefficients = spec data)
+    SH_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+    SH_A = (1.0, -1.69065929318241, 0.73248077421585)
+    HP_B = (1.0, -2.0, 1.0)
+    HP_A = (1.0, -1.99004745483398, 0.99007225036621)
+
+    blen = max(int(sr * 400 / 1000), 2)
+    step = max(int(sr * 100 / 1000), 1)
+    x = np.asarray(pcm, dtype=np.float64)
+    if len(x) >= blen:
+        freqs = np.fft.rfftfreq(blen, d=1.0 / sr)
+        w = 2.0 * np.pi * freqs / 48000.0
+        z1 = np.exp(-1j * w)
+        z2 = z1 * z1
+
+        def h2(b, a):
+            num = b[0] + b[1] * z1 + b[2] * z2
+            den = a[0] + a[1] * z1 + a[2] * z2
+            return ((num.real ** 2 + num.imag ** 2)
+                    / (den.real ** 2 + den.imag ** 2))
+
+        w2 = h2(SH_B, SH_A) * h2(HP_B, HP_A)
+        # Parseval for rfft, re-derived: every bin twice except DC and
+        # (even blen) Nyquist, /blen^2 -> time-domain mean square
+        scale = np.where(np.arange(len(w2)) == 0, 1.0, 2.0)
+        if blen % 2 == 0:
+            scale[-1] = 1.0
+        w2s = w2 * scale / (blen * blen)
+        n_blocks = 1 + (len(x) - blen) // step
+        # batched rfft kept (pocketfft row plan == the engine's) — the
+        # framing INDEX construction below is the re-derived part
+        rows = np.empty((n_blocks, blen), dtype=np.float64)
+        for i in range(n_blocks):
+            rows[i] = x[i * step: i * step + blen]
+        X = np.fft.rfft(rows, axis=1)
+        ms = ((X.real ** 2 + X.imag ** 2) * w2s).sum(axis=1)
+        with np.errstate(divide="ignore"):
+            bl = -0.691 + 10.0 * np.log10(ms)
+        # two-stage gate, re-derived from BS.1770 §4: -70 LKFS absolute,
+        # then -10 LU under the absolutely-gated energy mean
+        absd = bl[bl > -70.0]
+        if absd.size:
+            mean_ms = np.mean(10.0 ** ((absd + 0.691) / 10.0))
+            rel_thresh = -0.691 + 10.0 * np.log10(mean_ms) - 10.0
+            gated = absd[absd > rel_thresh]
+            if gated.size:
+                out["lufs_integrated"] = float(max(
+                    -0.691 + 10.0 * np.log10(
+                        np.mean(10.0 ** ((gated + 0.691) / 10.0))),
+                    FLOOR))
+            # EBU R128 LRA: -20 LU relative gate, 10th->95th percentile
+            rel20 = absd[absd > -0.691 + 10.0 * np.log10(mean_ms) - 20.0]
+            if rel20.size >= 2:
+                lo, hi = np.percentile(rel20, [10.0, 95.0])
+                out["lufs_range"] = float(hi - lo)
+    out["clip_ratio"] = float(np.mean(np.abs(pcm) >= 0.999))
+    out["dc_offset"] = float(np.mean(pcm))
+    return out
+
+
+def _max_run_twin(mask):
+    best = cur = 0
+    for v in mask:
+        if v:
+            cur += 1
+            if cur > best:
+                best = cur
+        else:
+            cur = 0
+    return best
+
+
+def clipping_twin(pcm, sr, clip_thresh=0.999):
+    out = {"clip_ratio": 0.0, "max_clip_run_ms": 0.0,
+           "max_zero_run_ms": 0.0, "peak": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    a = np.abs(pcm.astype(np.float64))
+    out["peak"] = float(a.max())
+    clipped = a >= clip_thresh
+    out["clip_ratio"] = float(np.mean(clipped))
+    out["max_clip_run_ms"] = _max_run_twin(clipped) * 1000.0 / sr
+    out["max_zero_run_ms"] = _max_run_twin(a == 0.0) * 1000.0 / sr
+    return out
+
+
+class TestLoudnessDefectTwins:
+    def test_loudness_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_audio_loudness,
+        )
+        from spiderray.stages.audioquality import MAX_CLIP_RATIO, MIN_LUFS
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_loudness(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        keys = ("lufs_integrated", "lufs_range", "clip_ratio", "dc_offset")
+        out = {k: [] for k in ("clip_id", "decode_ok", "too_quiet",
+                               "clipped")}
+        vals = {k: [] for k in keys}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = loudness_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                stats = dict.fromkeys(keys, 0.0)
+                ok = False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["too_quiet"].append(
+                ok and stats["lufs_integrated"] < MIN_LUFS)
+            out["clipped"].append(
+                ok and stats["clip_ratio"] > MAX_CLIP_RATIO)
+            for k in keys:
+                vals[k].append(stats[k])
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "lufs_integrated": pa.array(vals["lufs_integrated"],
+                                        pa.float32()),
+            "lufs_range": pa.array(vals["lufs_range"], pa.float32()),
+            "clip_ratio": pa.array(vals["clip_ratio"], pa.float32()),
+            "dc_offset": pa.array(vals["dc_offset"], pa.float32()),
+            "too_quiet": pa.array(out["too_quiet"], pa.bool_()),
+            "clipped": pa.array(out["clipped"], pa.bool_()),
+        })
+        assert twin.equals(ref)
+
+    def test_defects_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_audio_defects,
+        )
+        from spiderray.stages.audioquality import (
+            MAX_CLIP_RATIO,
+            MAX_CLIP_RUN_MS,
+            MIN_DROPOUT_MS,
+            distorted_clips_batch,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_defects(SF_SMALL)
+        clips = distorted_clips_batch(_clips(SF_SMALL))
+        keys = ("clip_ratio", "max_clip_run_ms", "max_zero_run_ms", "peak")
+        out = {k: [] for k in ("clip_id", "decode_ok", "clipped", "dropout")}
+        vals = {k: [] for k in keys}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                stats = clipping_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                stats = dict.fromkeys(keys, 0.0)
+                ok = False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            out["clipped"].append(
+                ok and (stats["clip_ratio"] >= MAX_CLIP_RATIO
+                        or stats["max_clip_run_ms"] >= MAX_CLIP_RUN_MS))
+            out["dropout"].append(
+                ok and stats["peak"] > 0.0
+                and stats["max_zero_run_ms"] >= MIN_DROPOUT_MS)
+            for k in keys:
+                vals[k].append(stats[k])
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "clip_ratio": pa.array(vals["clip_ratio"], pa.float32()),
+            "max_clip_run_ms": pa.array(vals["max_clip_run_ms"],
+                                        pa.float32()),
+            "max_zero_run_ms": pa.array(vals["max_zero_run_ms"],
+                                        pa.float32()),
+            "peak": pa.array(vals["peak"], pa.float32()),
+            "clipped": pa.array(out["clipped"], pa.bool_()),
+            "dropout": pa.array(out["dropout"], pa.bool_()),
+        })
+        assert twin.equals(ref)
