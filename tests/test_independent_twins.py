@@ -1190,3 +1190,144 @@ class TestLoudnessDefectTwins:
             "dropout": pa.array(out["dropout"], pa.bool_()),
         })
         assert twin.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# Independent SNR + pitch twins — the noisy/unvoiced keep/drop gates.
+# Framing loops, quantile-count arithmetic, the lag scan, voicing rules and
+# parabolic interpolation re-derived; rfft/irfft and the np.mean/median
+# reduction forms pinned as before.
+# ---------------------------------------------------------------------------
+
+def snr_twin(pcm, sr, frame_ms=30.0):
+    EPS = 1e-12
+    out = {"snr_db": 0.0, "noise_floor_db": -120.0, "active_ratio": 0.0}
+    if sr <= 0 or pcm is None or len(pcm) == 0:
+        return out
+    flen = int(sr * frame_ms / 1000.0)
+    if flen < 1:
+        flen = 1
+    n_frames = len(pcm) // flen
+    if n_frames < 1:
+        return out
+    x = np.asarray(pcm[: n_frames * flen], dtype=np.float64)
+    powers = np.empty(n_frames, dtype=np.float64)
+    for i in range(n_frames):
+        seg = x[i * flen:(i + 1) * flen]
+        powers[i] = np.mean(seg * seg)
+    order = np.sort(powers)
+    n_noise = int(round(0.2 * n_frames))
+    if n_noise < 1:
+        n_noise = 1
+    n_sig = int(round(0.5 * n_frames))
+    if n_sig < 1:
+        n_sig = 1
+    noise_p = float(np.mean(order[:n_noise]))
+    sig_p = float(np.mean(order[n_frames - n_sig:]))
+    nf = 10.0 * np.log10(noise_p + EPS)
+    out["noise_floor_db"] = nf if nf > -120.0 else -120.0
+    snr = 10.0 * np.log10((sig_p + EPS) / (noise_p + EPS))
+    out["snr_db"] = snr if snr > 0.0 else 0.0
+    if noise_p > 0:
+        out["active_ratio"] = float(np.mean(powers > 4.0 * noise_p))
+    else:
+        out["active_ratio"] = float(np.mean(powers > EPS))
+    return out
+
+
+def pitch_twin(pcm, sr, fmin=50.0, fmax=450.0, frame_ms=40.0, clarity=0.5,
+               max_frames=512):
+    EPS = 1e-12
+    out = {"f0_hz": 0.0, "voiced_ratio": 0.0}
+    if sr <= 0 or pcm is None:
+        return out
+    flen = int(sr * frame_ms / 1000.0)
+    lag_min = max(2, int(sr / fmax))
+    lag_max = int(sr / fmin)
+    if flen < 16 or lag_max + 2 >= flen or len(pcm) < flen:
+        return out
+    n_frames = min(len(pcm) // flen, max_frames)
+    nfft = 1
+    while nfft < 2 * flen:
+        nfft *= 2
+    hi = min(lag_max, flen - 2)
+    f0s, n_voiced = [], 0
+    for i in range(n_frames):
+        seg = np.asarray(pcm[i * flen:(i + 1) * flen], dtype=np.float64)
+        seg = seg - seg.mean()
+        spec = np.abs(np.fft.rfft(seg, n=nfft)) ** 2
+        r = np.fft.irfft(spec, n=nfft)[:flen]
+        r0 = r[0]
+        if not r0 > 1e-7 * flen:       # silence guard
+            continue
+        # first-max lag scan, re-derived as an explicit walk
+        best_lag, best_v = lag_min, r[lag_min]
+        for lag in range(lag_min + 1, hi + 1):
+            if r[lag] > best_v:
+                best_lag, best_v = lag, r[lag]
+        cl = best_v / r0 if r0 > 0 else 0.0
+        if not cl > clarity:
+            continue
+        n_voiced += 1
+        rm1, rp1 = r[best_lag - 1], r[best_lag + 1]
+        denom = rm1 - 2.0 * best_v + rp1
+        delta = 0.5 * (rm1 - rp1) / denom if abs(denom) > EPS else 0.0
+        if delta < -0.5:
+            delta = -0.5
+        elif delta > 0.5:
+            delta = 0.5
+        f0s.append(sr / (best_lag + delta))
+    if not n_voiced:
+        return out
+    out["f0_hz"] = float(np.median(np.asarray(f0s)))
+    out["voiced_ratio"] = float(np.float64(n_voiced) / np.float64(n_frames))
+    return out
+
+
+class TestSnrPitchTwins:
+    def test_snr_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import _clips, so_audio_snr
+        from spiderray.stages.audioquality import (
+            MIN_SNR_DB,
+            MIN_VOICED_RATIO,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_snr(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        keys = ("snr_db", "noise_floor_db", "active_ratio", "f0_hz",
+                "voiced_ratio")
+        out = {k: [] for k in ("clip_id", "decode_ok", "noisy", "unvoiced")}
+        vals = {k: [] for k in keys}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                stats = {**snr_twin(pcm, int(sr or 0)),
+                         **pitch_twin(pcm, int(sr or 0))}
+                ok = True
+            except DecodeUnsupported:
+                stats = dict.fromkeys(keys, 0.0)
+                ok = False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            has_signal = ok and stats["active_ratio"] > 0.0
+            out["noisy"].append(has_signal and stats["snr_db"] < MIN_SNR_DB)
+            out["unvoiced"].append(
+                ok and stats["voiced_ratio"] < MIN_VOICED_RATIO)
+            for k in keys:
+                vals[k].append(stats[k])
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            **{k: pa.array(vals[k], pa.float32()) for k in keys},
+            "noisy": pa.array(out["noisy"], pa.bool_()),
+            "unvoiced": pa.array(out["unvoiced"], pa.bool_()),
+        })
+        assert twin.equals(ref)
