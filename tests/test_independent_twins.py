@@ -1331,3 +1331,111 @@ class TestSnrPitchTwins:
             "unvoiced": pa.array(out["unvoiced"], pa.bool_()),
         })
         assert twin.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# Independent VAD segmenter — the utterance-cutting path prepare_speech
+# feeds from.  The merge-and-prune rule (bridge gaps < min_gap, then drop
+# runs < min_seg) is re-derived as a single explicit scan state machine;
+# frame-RMS framing by loop.
+# ---------------------------------------------------------------------------
+
+def vad_segments_twin(pcm, sr, frame_ms=20, threshold=1e-3,
+                      min_gap_ms=200, min_seg_ms=200):
+    """-> [(start_frame, end_frame_exclusive, seg_rms), ...]"""
+    if sr <= 0 or len(pcm) == 0:
+        return []
+    flen = max(int(sr * frame_ms / 1000), 1)
+    n_frames = len(pcm) // flen
+    if n_frames == 0:
+        return []
+    min_gap = max(int(round(min_gap_ms / frame_ms)), 1)
+    min_seg = max(int(round(min_seg_ms / frame_ms)), 1)
+    x = np.asarray(pcm[: n_frames * flen])
+    mask = np.empty(n_frames, dtype=bool)
+    for i in range(n_frames):
+        seg = x[i * flen:(i + 1) * flen].astype(np.float64)
+        mask[i] = np.sqrt((seg ** 2).mean()) >= threshold
+    # one forward scan: open a segment at speech, extend across gaps
+    # shorter than min_gap, close otherwise
+    segs = []
+    start = None
+    last_speech = None
+    for i in range(n_frames):
+        if mask[i]:
+            if start is None:
+                start = i
+            elif i - (last_speech + 1) >= min_gap:
+                segs.append((start, last_speech + 1))
+                start = i
+            last_speech = i
+    if start is not None:
+        segs.append((start, last_speech + 1))
+    out = []
+    for s, e in segs:
+        if e - s < min_seg:
+            continue
+        seg = pcm[s * flen: e * flen].astype(np.float64)
+        out.append((s, e, float(np.sqrt(np.mean(seg ** 2)))))
+    return out
+
+
+class TestVadTwin:
+    def test_vad_segments_fixture_from_twin(self):
+        import pandas as pd
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_vad_segments,
+        )
+        from spiderray.stages.multimodal import (
+            DecodeUnsupported,
+            _decode_one,
+            gapped_clips_batch,
+        )
+
+        ref = so_vad_segments(SF_SMALL)
+        clips = gapped_clips_batch(_clips(SF_SMALL))
+        rows = []
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            sr = int(sr or 0)
+            if sr <= 0 or len(pcm) == 0:
+                continue
+            for k, (s, e, rms) in enumerate(vad_segments_twin(pcm, sr)):
+                rows.append({
+                    "clip_id": cid, "seg_idx": k, "start_ms": s * 20,
+                    "end_ms": e * 20, "dur_ms": (e - s) * 20,
+                    "seg_rms_milli": int(np.floor(rms * 1000 + 0.5)),
+                })
+        twin = pd.DataFrame(rows)
+        for c in ("seg_idx", "start_ms", "end_ms", "dur_ms",
+                  "seg_rms_milli"):
+            twin[c] = twin[c].astype(np.int64)
+        exp = ref.to_pandas() if hasattr(ref, "to_pandas") else ref
+        exp = exp.reset_index(drop=True)
+        twin = twin[list(exp.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(twin, exp)
+
+    def test_segmenter_rules(self):
+        sr = 16000
+        frame = sr // 50  # 20 ms
+        # speech(400ms) gap(100ms) speech(400ms): bridged into one segment
+        a = np.concatenate([np.ones(frame * 20) * 0.5, np.zeros(frame * 5),
+                            np.ones(frame * 20) * 0.5])
+        segs = vad_segments_twin(a, sr)
+        assert len(segs) == 1 and segs[0][0] == 0 and segs[0][1] == 45
+        # speech(400ms) gap(300ms) speech(100ms): split, short run dropped
+        b = np.concatenate([np.ones(frame * 20) * 0.5, np.zeros(frame * 15),
+                            np.ones(frame * 5) * 0.5])
+        segs = vad_segments_twin(b, sr)
+        assert len(segs) == 1 and segs[0][1] == 20
+        assert vad_segments_twin(np.zeros(sr), sr) == []
