@@ -1304,7 +1304,7 @@ def declip(pcm: np.ndarray, threshold: float = DECLIP_THRESHOLD
             for i in range(len(s_)):
                 if i > 0 and dep[i - 1]:
                     m0[i] = p0[i] - last
-                if need_last[i] or (i + 1 < len(s_) and dep[i]):
+                if need_last[i]:
                     last = (h00L[i] * p0[i] + h10L[i] * m0[i] * L[i]
                             + h01L[i] * p1[i] + h11L[i] * m1[i] * L[i])
         total = int(run_len.sum())

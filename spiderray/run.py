@@ -87,6 +87,15 @@ def _shard_factory(input_spec: str):
     return factory
 
 
+def resolve_address(flag: str | None) -> str:
+    """--address > RAY_ADDRESS env > 'local' — the attach rule a real
+    `ray job submit` run takes (factored out so the smoke test exercises
+    THIS code, not a mirror of it)."""
+    import os
+
+    return flag or os.environ.get("RAY_ADDRESS") or "local"
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="spiderray.run")
     ap.add_argument("--input", required=True)
@@ -104,11 +113,9 @@ def main(argv=None) -> int:
                          " audio rows (see MULTINODE.md)")
     args = ap.parse_args(argv)
 
-    import os
-
     import ray
 
-    address = args.address or os.environ.get("RAY_ADDRESS") or "local"
+    address = resolve_address(args.address)
     owns_session = not ray.is_initialized()
     if owns_session:
         kwargs = dict(address=address, include_dashboard=False,

@@ -153,6 +153,11 @@ class LangIdModelActor:
             # container ships without it, so the from-scratch reader of
             # the public .bin format (functions/fasttext_io.py) is the
             # in-sandbox realization of the models-from-file contract.
+            # ``repo://`` paths resolve against THIS worker's checkout
+            # (under `ray job submit --working-dir` every node unpacks
+            # its own copy, so a driver-absolute path would 404 on
+            # remote actors — round-5 review finding).
+            ft_path = resolve_repo_path(ft_path)
             try:
                 import fasttext
             except ImportError:
@@ -210,20 +215,36 @@ class LangIdModelActor:
         return batch.append_column("lang_conf", pa.array(confs, pa.float32()))
 
 
+_REPO_PREFIX = "repo://"
+
+
+def resolve_repo_path(path: str) -> str:
+    """Resolve a ``repo://relative/path`` against the checkout that holds
+    THIS process's spiderray package — on a multi-node `ray job submit
+    --working-dir` run every worker unpacks its own copy at a different
+    absolute location, so model paths must ship relative and resolve
+    worker-side (absolute paths pass through untouched)."""
+    import os
+
+    if not path.startswith(_REPO_PREFIX):
+        return path
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, *path[len(_REPO_PREFIX):].split("/"))
+
+
 def default_lid_model_path() -> str | None:
     """The committed fastText-format lid fixture
     (fixtures/models/lid_tiny_ft.bin, rebuilt bit-identically by
-    tools/make_lid_fixture.py), or None when the checkout has no fixtures.
-    q_langid_agreement routes its pool through this file by default — the
-    ARPA-fixture precedent applied to the langid side, so every drive
-    exercises the model-file-loaded-once-per-actor path."""
+    tools/make_lid_fixture.py) as a worker-resolvable ``repo://`` path, or
+    None when the checkout has no fixtures.  q_langid_agreement routes its
+    pool through this file by default — the ARPA-fixture precedent applied
+    to the langid side, so every drive exercises the
+    model-file-loaded-once-per-actor path."""
+    rel = "repo://fixtures/models/lid_tiny_ft.bin"
     import os
 
-    p = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "fixtures", "models", "lid_tiny_ft.bin")
-    return p if os.path.isfile(p) else None
+    return rel if os.path.isfile(resolve_repo_path(rel)) else None
 
 
 def langid_model_stage(ds, cfg: PipelineConfig):

@@ -266,19 +266,17 @@ def _perplexity_fused(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 
 def _adaptive_pool(requested) -> int | tuple[int, int]:
-    """Size an actor pool to the session's CPU budget: an autoscaling
-    ``(lo, hi)`` range with ``lo`` = 1/4 of the cpus and ``hi`` = half, so
-    a decode-bound stage on a big host scales past the small fixed default
-    instead of idling 28 of 32 cpus (round-4 finding: q_speaker_turns /
-    q_pitch_shift / q_audio_tempo were pool-starved at concurrency=4).
-    The MIN matters more than the max: Ray's autoscaler grows pools too
-    slowly to help a seconds-long query (measured on q_speaker_turns at
-    32 cpus / 5000 clips: (4,16) 7.6 s, (8,16) 4.5 s, fixed 16 3.9 s), so
-    the floor carries the parallelism.  lo stays at 1/4 of the session so
-    several chained pools can coexist with the task stages between them
-    (the prepare_speech deadlock note: fixed pools that together reserve
-    every cpu pin the whole session).  An explicit tuple passes through
-    untouched."""
+    """Clamp a MODEL pool's requested size to the session's CPU budget (a
+    fixed pool larger than the session would wait forever for actor slots;
+    leave ~3/4 of the cpus to the task stages).  Every remaining caller
+    holds per-actor MODEL state (perplexity/ARPA bank, the langid file
+    model, NB/linear/DSIR scorers, tokenizer encoders), so the caller's
+    requested size is a MEMORY bound and is respected, never silently
+    raised — each extra actor is another model copy (round-5 review
+    finding; a mid-round revision let these grow to cpus/2).  The round-4
+    pool-starvation finding applied to the stateless decode stages, which
+    now run as task maps (stages/taskmap.py) and no longer pass through
+    here.  An explicit tuple passes through untouched."""
     if isinstance(requested, tuple):
         return requested
     try:
@@ -287,18 +285,20 @@ def _adaptive_pool(requested) -> int | tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", requested * 4))
     except Exception:
         cpus = requested * 4
-    lo = max(1, cpus // 4 if cpus >= 4 else 1)
-    hi = max(lo, cpus // 2)
-    return lo if hi <= lo else (lo, hi)
+    return max(1, min(int(requested), cpus // 4 if cpus >= 4 else 1))
 
 
 def _adaptive_tasks(requested) -> int:
-    """Task-pool variant of :func:`_adaptive_pool`: plain-function
-    ``map_batches`` rejects tuple concurrency (no actors to autoscale), so
-    return only the upper bound — tasks don't reserve slots, the scheduler
-    fills whatever is free up to the cap."""
-    sized = _adaptive_pool(requested)
-    return sized if isinstance(sized, int) else sized[1]
+    """Task-map concurrency cap: tasks don't reserve slots or hold model
+    state, so the cap can sit at half the session regardless of the
+    requested pool size — the scheduler fills whatever is free."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", requested * 4))
+    except Exception:
+        cpus = requested * 4
+    return max(int(requested), 1, cpus // 2)
 
 
 def perplexity_stage(ds, cfg: PipelineConfig):

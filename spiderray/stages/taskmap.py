@@ -29,28 +29,35 @@ import hashlib
 from ray import cloudpickle
 
 _CACHE: dict = {}
+_CACHE_MAX = 64  # bounded: one instance per live stage shape, FIFO-evicted
 
 
 def _cached_call(cls, ctor_args, ctor_kwargs, key, batch):
     inst = _CACHE.get(key)
     if inst is None:
+        if len(_CACHE) >= _CACHE_MAX:
+            # bound worker RSS on long multi-stage jobs (e.g. one augment
+            # stage per epoch salt): evict the oldest instance — the
+            # actor-pool path freed instances at pool teardown, this is
+            # the task-path equivalent (round-5 review finding)
+            _CACHE.pop(next(iter(_CACHE)))
         inst = _CACHE[key] = cls(*ctor_args, **ctor_kwargs)
     return inst(batch)
 
 
 def process_cached(cls, ctor_args: tuple, ctor_kwargs: dict | None = None):
     """A picklable per-batch callable that constructs
-    ``cls(*ctor_args, **ctor_kwargs)`` once per worker process (keyed by
-    class + pickled ctor args) and reuses it for every batch that process
-    handles."""
+    ``cls(*ctor_args, **ctor_kwargs)`` once per worker process and reuses
+    it for every batch that process handles.  The cache key pickles the
+    CLASS itself, not just its name: a module-level class keys by
+    reference (module+qualname), while a closure-defined class shipped by
+    value keys by its code — two same-named local classes with different
+    bodies never share an instance (round-5 review finding)."""
     import functools
 
     ctor_kwargs = ctor_kwargs or {}
     key = hashlib.md5(
-        cloudpickle.dumps(
-            (cls.__module__, cls.__qualname__, ctor_args,
-             sorted(ctor_kwargs.items()))
-        )
+        cloudpickle.dumps((cls, ctor_args, sorted(ctor_kwargs.items())))
     ).hexdigest()
     return functools.partial(_cached_call, cls, ctor_args, ctor_kwargs, key)
 

@@ -157,6 +157,14 @@ class TestVersionedLidFixture:
         assert dict(got) == exp
 
     def test_default_path_resolves(self):
-        assert default_lid_model_path() == os.path.abspath(
+        """The default ships as repo:// (worker-relative under ray job
+        submit --working-dir) and resolves to the committed fixture."""
+        from spiderray.stages.langid_stage import resolve_repo_path
+
+        p = default_lid_model_path()
+        assert p == "repo://fixtures/models/lid_tiny_ft.bin"
+        assert resolve_repo_path(p) == os.path.abspath(
             os.path.join(os.path.dirname(__file__), os.pardir,
                          "fixtures", "models", "lid_tiny_ft.bin"))
+        # absolute paths pass through untouched
+        assert resolve_repo_path("/abs/x.bin") == "/abs/x.bin"

@@ -948,20 +948,21 @@ class TestFixtureRegeneration:
 
 
 class TestAdaptivePool:
-    def test_scales_up_on_big_sessions(self, monkeypatch):
+    def test_model_pool_respects_requested_cap(self, monkeypatch):
+        """Model pools (the only remaining _adaptive_pool callers) hold a
+        model copy per actor — the requested size is a MEMORY bound and
+        must never be silently raised on a big host."""
         from spiderray.stages import perplexity_stage as ps
 
         class FakeRay:
             @staticmethod
             def cluster_resources():
-                return {"CPU": 32.0}
+                return {"CPU": 64.0}
 
         monkeypatch.setitem(
             __import__("sys").modules, "ray", FakeRay())
-        # the floor carries the parallelism (autoscale ramps too slowly
-        # for seconds-long queries): lo = cpus/4, hi = cpus/2
-        out = ps._adaptive_pool(4)
-        assert out == (8, 16)
+        assert ps._adaptive_pool(4) == 4
+        assert ps._adaptive_pool(2) == 2
 
     def test_clamps_down_on_small_sessions(self, monkeypatch):
         from spiderray.stages import perplexity_stage as ps
@@ -973,14 +974,26 @@ class TestAdaptivePool:
 
         monkeypatch.setitem(
             __import__("sys").modules, "ray", FakeRay())
-        out = ps._adaptive_pool(4)
-        # min stays 1/4 of the session (deadlock note), max half
-        assert out == (1, 2)
+        # 1/4 of the session (deadlock note)
+        assert ps._adaptive_pool(4) == 1
 
     def test_explicit_tuple_passes_through(self):
         from spiderray.stages import perplexity_stage as ps
 
         assert ps._adaptive_pool((3, 7)) == (3, 7)
+
+    def test_task_cap_scales_with_session(self, monkeypatch):
+        """Tasks hold no model state: the cap rides the session size."""
+        from spiderray.stages import perplexity_stage as ps
+
+        class FakeRay:
+            @staticmethod
+            def cluster_resources():
+                return {"CPU": 32.0}
+
+        monkeypatch.setitem(
+            __import__("sys").modules, "ray", FakeRay())
+        assert ps._adaptive_tasks(4) == 16
 
 
 # ---------------------------------------------------------------------------

@@ -41,15 +41,13 @@ def test_job_submit_payload_runs_and_resumes(tmp_path):
     assert s2["skipped"] == 6 and s2["completed"] == [] and s2["rows"] == 0
 
 
-def test_address_resolution_precedence():
-    """--address > RAY_ADDRESS > 'local' — the attach path a real
-    `ray job submit` takes (argument parsing only; no session started)."""
-    import argparse
+def test_address_resolution_precedence(monkeypatch):
+    """--address > RAY_ADDRESS > 'local' — exercises run.py's actual
+    resolver (no session started)."""
+    from spiderray.run import resolve_address
 
-    # mirror run.py's resolution rule
-    def resolve(flag, env):
-        return flag or env or "local"
-
-    assert resolve(None, None) == "local"
-    assert resolve(None, "ray://head:10001") == "ray://head:10001"
-    assert resolve("auto", "ray://head:10001") == "auto"
+    monkeypatch.delenv("RAY_ADDRESS", raising=False)
+    assert resolve_address(None) == "local"
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    assert resolve_address(None) == "ray://head:10001"
+    assert resolve_address("auto") == "auto"
