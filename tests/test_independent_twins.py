@@ -1452,3 +1452,108 @@ class TestVadTwin:
         segs = vad_segments_twin(b, sr)
         assert len(segs) == 1 and segs[0][1] == 20
         assert vad_segments_twin(np.zeros(sr), sr) == []
+
+
+# ---------------------------------------------------------------------------
+# Independent mel-filterbank / DCT / MFCC twin — closes the "log-mel is
+# shared infrastructure" residual of the speaker-turn twin: the filterbank
+# triangles and the orthonormal DCT-II are re-derived per-filter /
+# per-coefficient from the HTK mel formulas; framing by loop; rfft and the
+# matmul/mean reduction forms pinned.
+# ---------------------------------------------------------------------------
+
+def mel_dct_twin(sr, n_fft, n_mels, n_mfcc):
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64)
+                                 / 2595.0) - 1.0)
+
+    pts = mel_to_hz(np.linspace(0.0, hz_to_mel(sr / 2.0), n_mels + 2))
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    fb = np.zeros((n_mels, len(bins)), dtype=np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+        dlo = mid - lo if mid - lo > 1e-9 else 1e-9
+        dhi = hi - mid if hi - mid > 1e-9 else 1e-9
+        up = (bins - lo) / dlo
+        down = (hi - bins) / dhi
+        tri = np.minimum(up, down)
+        fb[m] = np.clip(tri, 0.0, None)
+    dct = np.empty((n_mfcc, n_mels), dtype=np.float64)
+    for k in range(n_mfcc):
+        for m in range(n_mels):
+            dct[k, m] = (np.sqrt(2.0 / n_mels)
+                         * np.cos(np.pi * k * (2 * m + 1) / (2 * n_mels)))
+    dct[0] /= np.sqrt(2.0)
+    return fb, dct
+
+
+def mfcc_mean_twin(pcm, sr, frame=512, hop=256, n_mels=24, n_mfcc=13,
+                   max_frames=512):
+    if sr <= 0 or len(pcm) < frame:
+        return np.zeros(n_mfcc, dtype=np.float64)
+    x = np.asarray(pcm[: frame + hop * max_frames], dtype=np.float64)
+    n_frames = 1 + (len(x) - frame) // hop
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / (frame - 1))
+    rows = np.empty((n_frames, frame), dtype=np.float64)
+    for i in range(n_frames):
+        rows[i] = x[i * hop: i * hop + frame]
+    spec = np.abs(np.fft.rfft(rows * win, axis=1)) ** 2
+    fb, dct = mel_dct_twin(sr, frame, n_mels, n_mfcc)
+    mel = np.log(spec @ fb.T + 1e-10)
+    return (mel @ dct.T).mean(axis=0)
+
+
+class TestMfccTwin:
+    def test_filterbank_and_dct_bit_identical(self):
+        from spiderray.functions.audiofp import _mel_dct
+
+        for sr in (8000, 16000, 44100):
+            fb_e, dct_e = _mel_dct(sr, 512, 24, 13)
+            fb_t, dct_t = mel_dct_twin(sr, 512, 24, 13)
+            assert np.array_equal(fb_e, fb_t), sr
+            assert np.array_equal(dct_e, dct_t), sr
+
+    def test_hann_window_matches_engine(self):
+        from spiderray.functions.audiofp import _hann
+
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(512) / 511)
+        assert np.allclose(_hann(512), win, rtol=0, atol=0) or \
+            np.array_equal(_hann(512), np.hanning(512))
+
+    def test_mfcc_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import _clips, so_audio_mfcc
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_mfcc(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        out = {"clip_id": [], "decode_ok": []}
+        vecs = []
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                v = mfcc_mean_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                v, ok = np.zeros(13), False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            vecs.append(v)
+        V = np.stack(vecs)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            **{f"mfcc_{k}": pa.array(V[:, k].astype(np.float32),
+                                     pa.float32()) for k in range(13)},
+        })
+        assert twin.equals(ref)
