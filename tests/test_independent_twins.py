@@ -1557,3 +1557,95 @@ class TestMfccTwin:
                                      pa.float32()) for k in range(13)},
         })
         assert twin.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# Independent spectral-features twin: rolloff by explicit accumulation scan,
+# dominant by first-max walk, ZCR by sign-change count; the centroid /
+# bandwidth moment sums keep the pinned reduction forms.
+# ---------------------------------------------------------------------------
+
+def spectral_twin(pcm, sr):
+    zeros = {"centroid_hz": 0.0, "bandwidth_hz": 0.0, "rolloff_hz": 0.0,
+             "dominant_hz": 0.0, "zcr": 0.0}
+    x = np.asarray(pcm[: 1 << 16], dtype=np.float64)
+    if len(x) < 2 or not np.any(x):
+        return zeros
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / (sr if sr > 1 else 1))
+    power = mag * mag
+    total = power.sum()
+    if total <= 0:
+        return zeros
+    centroid = float((freqs * power).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum()
+                              / total))
+    # rolloff: first bin where the running energy reaches 85% — explicit
+    # sequential accumulation (== cumsum order)
+    target = 0.85 * total
+    acc = 0.0
+    k = len(power)
+    for i, e in enumerate(power):
+        acc += e
+        if acc >= target:
+            k = i
+            break
+    rolloff = float(freqs[k])
+    # dominant: first-max walk over the magnitude spectrum
+    best_i, best_v = 0, mag[0]
+    for i in range(1, len(mag)):
+        if mag[i] > best_v:
+            best_i, best_v = i, mag[i]
+    dominant = float(freqs[best_i])
+    # ZCR: sign-change count over adjacent samples (signbit semantics:
+    # -0.0 is negative, +0.0 positive)
+    flips = 0
+    prev = bool(np.signbit(x[0]))
+    for v in x[1:]:
+        cur = bool(np.signbit(v))
+        if cur != prev:
+            flips += 1
+        prev = cur
+    zcr = float(np.float64(flips) / np.float64(len(x) - 1))
+    return {"centroid_hz": centroid, "bandwidth_hz": bandwidth,
+            "rolloff_hz": rolloff, "dominant_hz": dominant, "zcr": zcr}
+
+
+class TestSpectralTwin:
+    def test_spectral_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_audio_spectral,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_spectral(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        keys = ("centroid_hz", "bandwidth_hz", "rolloff_hz", "dominant_hz",
+                "zcr")
+        out = {"clip_id": [], "decode_ok": []}
+        vals = {k: [] for k in keys}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                feats = spectral_twin(
+                    _decode_one(buf or b"", codec or ""), int(sr or 0))
+                ok = True
+            except DecodeUnsupported:
+                feats, ok = dict.fromkeys(keys, 0.0), False
+            out["clip_id"].append(cid)
+            out["decode_ok"].append(ok)
+            for k in keys:
+                vals[k].append(feats[k])
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            **{k: pa.array(vals[k], pa.float32()) for k in keys},
+        })
+        assert twin.equals(ref)
