@@ -1649,3 +1649,54 @@ class TestSpectralTwin:
             **{k: pa.array(vals[k], pa.float32()) for k in keys},
         })
         assert twin.equals(ref)
+
+
+class TestFeaturesTwin:
+    def test_features_fixture_from_twin(self):
+        """Base per-clip features (n_samples / audio_rms / clip_ratio) —
+        the columns every downstream audio stage keys on — re-derived with
+        explicit comparisons (strict > 0.999 for the clip ratio, not >=)."""
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_audio_features,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_features(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        out = {"clip_id": [], "codec": [], "decode_ok": [], "n_samples": [],
+               "audio_rms": [], "clip_ratio": []}
+        for cid, buf, codec in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                ok = True
+            except DecodeUnsupported:
+                pcm, ok = np.zeros(0), False
+            out["clip_id"].append(cid)
+            out["codec"].append(codec)
+            out["decode_ok"].append(ok)
+            out["n_samples"].append(len(pcm) if ok else 0)
+            if ok and len(pcm):
+                out["audio_rms"].append(float(np.sqrt(np.mean(pcm ** 2))))
+                a = np.abs(pcm)
+                out["clip_ratio"].append(float(np.mean(a > 0.999)))
+            else:
+                out["audio_rms"].append(0.0)
+                out["clip_ratio"].append(0.0)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "codec": pa.array(out["codec"], pa.string()),
+            "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+            "n_samples": pa.array(out["n_samples"], pa.int32()),
+            "audio_rms": pa.array(
+                np.asarray(out["audio_rms"], np.float32), pa.float32()),
+            "clip_ratio": pa.array(
+                np.asarray(out["clip_ratio"], np.float32), pa.float32()),
+        })
+        assert twin.equals(ref)
