@@ -1700,3 +1700,129 @@ class TestFeaturesTwin:
                 np.asarray(out["clip_ratio"], np.float32), pa.float32()),
         })
         assert twin.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# Independent silence-trim + loudness-normalize twins — the prepare_speech
+# chain's transforms.  Trim re-derives the active-window cut (first/last
+# frame above threshold, ±pad, clamped) with a scan; normalize re-derives
+# the gain rule (target − measured, clamped to ±max) on top of the
+# loudness twin above.
+# ---------------------------------------------------------------------------
+
+def silence_trim_twin(pcm, sr, frame_ms=20, threshold=1e-3, pad_ms=40):
+    """-> (trim_ok, trimmed_ms, out_n_samples)"""
+    if sr <= 0 or len(pcm) == 0:
+        return False, 0, 0
+    flen = max(int(sr * frame_ms / 1000), 1)
+    n_frames = len(pcm) // flen
+    first = last = -1
+    for i in range(n_frames):
+        seg = pcm[i * flen:(i + 1) * flen].astype(np.float64)
+        if np.sqrt((seg ** 2).mean()) >= threshold:
+            if first < 0:
+                first = i
+            last = i
+    if first < 0:
+        return False, 0, len(pcm)
+    pad = int(sr * pad_ms / 1000)
+    start = first * flen - pad
+    if start < 0:
+        start = 0
+    end = (last + 1) * flen + pad
+    if end > len(pcm):
+        end = len(pcm)
+    out_n = end - start
+    return True, int((len(pcm) - out_n) * 1000 / sr), out_n
+
+
+def loudness_normalize_twin(pcm, sr, target_lufs=-16.0, max_gain_db=30.0):
+    """-> (norm_ok, gain_db_milli, lufs_out)"""
+    if sr <= 0 or len(pcm) == 0:
+        return False, 0, 0.0
+    measured = loudness_twin(pcm, sr)["lufs_integrated"]
+    gain_db = target_lufs - measured
+    if gain_db > max_gain_db:
+        gain_db = max_gain_db
+    elif gain_db < -max_gain_db:
+        gain_db = -max_gain_db
+    y = np.clip(pcm.astype(np.float64) * (10.0 ** (gain_db / 20.0)),
+                -1.0, 1.0).astype(np.float32)
+    return (True, int(round(gain_db * 1000)),
+            float(loudness_twin(y, sr)["lufs_integrated"]))
+
+
+class TestTrimNormalizeTwins:
+    def test_silence_trim_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import _clips, so_silence_trim
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_silence_trim(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        out = {"clip_id": [], "trim_ok": [], "trimmed_ms": [],
+               "out_n_samples": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if int(sr or 0) <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+                ok, tms, n = silence_trim_twin(pcm, int(sr or 0))
+            except DecodeUnsupported:
+                ok, tms, n = False, 0, 0
+            out["clip_id"].append(cid)
+            out["trim_ok"].append(ok)
+            out["trimmed_ms"].append(tms)
+            out["out_n_samples"].append(n)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "trim_ok": pa.array(out["trim_ok"], pa.bool_()),
+            "trimmed_ms": pa.array(out["trimmed_ms"], pa.int32()),
+            "out_n_samples": pa.array(out["out_n_samples"], pa.int32()),
+        })
+        assert twin.equals(ref)
+
+    def test_loudness_normalize_fixture_from_twin(self):
+        import pyarrow as pa
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_loudness_normalize,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_loudness_normalize(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        out = {"clip_id": [], "norm_ok": [], "gain_db_milli": [],
+               "lufs_out": []}
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+                if int(sr or 0) <= 0 or len(pcm) == 0:
+                    raise DecodeUnsupported("empty")
+                ok, gmilli, lout = loudness_normalize_twin(pcm, int(sr or 0))
+            except DecodeUnsupported:
+                ok, gmilli, lout = False, 0, 0.0
+            out["clip_id"].append(cid)
+            out["norm_ok"].append(ok)
+            out["gain_db_milli"].append(gmilli)
+            out["lufs_out"].append(lout)
+        twin = pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "norm_ok": pa.array(out["norm_ok"], pa.bool_()),
+            "gain_db_milli": pa.array(out["gain_db_milli"], pa.int32()),
+            "lufs_out": pa.array(
+                np.asarray(out["lufs_out"], np.float32), pa.float32()),
+        })
+        assert twin.equals(ref)
