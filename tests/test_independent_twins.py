@@ -1826,3 +1826,95 @@ class TestTrimNormalizeTwins:
                 np.asarray(out["lufs_out"], np.float32), pa.float32()),
         })
         assert twin.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# Independent window-chunker twin — the fixed-receptive-field ASR batching
+# cut.  Window walk, tail rule and the ms arithmetic re-derived with a
+# while loop (the engine uses a range(0, n, hop) for with a break).
+# ---------------------------------------------------------------------------
+
+def window_chunks_twin(pcm, sr, win_ms=100, hop_ms=50, min_tail_ms=30):
+    """-> [(win_idx, start_ms, end_ms, dur_ms, win_rms), ...]"""
+    if sr <= 0 or len(pcm) == 0:
+        return []
+    wlen = max(int(sr * win_ms / 1000), 1)
+    hop = max(int(sr * hop_ms / 1000), 1)
+    tail_min = int(sr * min_tail_ms / 1000)
+    if tail_min < 1:
+        tail_min = 1
+    rows = []
+    s, k = 0, 0
+    n = len(pcm)
+    while s < n:
+        e = s + wlen
+        if e > n:
+            e = n
+        if s > 0 and e - s < tail_min:
+            break
+        w = pcm[s:e].astype(np.float64)
+        rows.append((k, int(s * 1000 / sr), int(e * 1000 / sr),
+                     int((e - s) * 1000 / sr),
+                     float(np.sqrt(np.mean(w ** 2)))))
+        k += 1
+        if s + wlen >= n:  # a window reached the clip end: later hops
+            break          # would only re-cover the same tail
+        s += hop
+    return rows
+
+
+class TestWindowChunkTwin:
+    def test_windows_fixture_from_twin(self):
+        import pandas as pd
+
+        from spiderray.pipelines.serial_oracles import (
+            _clips,
+            so_audio_windows,
+        )
+        from spiderray.stages.multimodal import DecodeUnsupported, _decode_one
+
+        ref = so_audio_windows(SF_SMALL)
+        clips = _clips(SF_SMALL)
+        rows = []
+        for cid, buf, codec, sr in zip(
+            clips.column("clip_id").to_pylist(),
+            clips.column("bytes").to_pylist(),
+            clips.column("codec").to_pylist(),
+            clips.column("sr_hz").to_pylist(),
+        ):
+            try:
+                pcm = _decode_one(buf or b"", codec or "")
+            except DecodeUnsupported:
+                continue
+            sr = int(sr or 0)
+            if sr <= 0 or len(pcm) == 0:
+                continue
+            for k, s_ms, e_ms, d_ms, rms in window_chunks_twin(pcm, sr):
+                rows.append({"clip_id": cid, "win_idx": k, "start_ms": s_ms,
+                             "end_ms": e_ms, "dur_ms": d_ms, "win_rms": rms})
+        twin = pd.DataFrame(rows)
+        exp = ref.to_pandas() if hasattr(ref, "to_pandas") else ref
+        twin = twin[list(exp.columns)].reset_index(drop=True)
+        # dtypes follow the actor's arrow schema
+        for c in exp.columns:
+            twin[c] = twin[c].astype(exp[c].dtype)
+        pd.testing.assert_frame_equal(twin, exp.reset_index(drop=True))
+
+    def test_tail_rule(self):
+        sr = 1000
+        # 250 samples, 100ms windows / 50ms hop: the window at 150 reaches
+        # the clip end (150+100 >= 250) so the walk STOPS there — later
+        # hops would only re-cover the same tail
+        x = np.ones(250)
+        rows = window_chunks_twin(x, sr)
+        assert [r[1] for r in rows] == [0, 50, 100, 150]
+        assert rows[-1][3] == 100
+        # 120 samples: the 70ms partial at 50 clears the 30ms tail minimum
+        rows = window_chunks_twin(np.ones(120), sr)
+        assert [r[1] for r in rows] == [0, 50]
+        assert rows[-1][3] == 70
+        # a sub-tail-minimum partial is dropped: 115 samples, window at 100
+        # would be 15ms < 30ms — but the window at 50 already reached the
+        # end, so the walk stopped there anyway
+        rows = window_chunks_twin(np.ones(115), sr)
+        assert [r[1] for r in rows] == [0, 50]
